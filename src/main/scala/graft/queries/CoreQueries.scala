@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core AresDB query surface re-expressed Spark-first: single-measure
+  * aggregation over group-by dimensions, ANDed row filters, time filters,
+  * broadcast dimension joins, non-aggregated projection with limit.
+  *
+  * Reference semantics: /root/reference/query/aql_compiler.go (filter
+  * classification 797-892, measure 1139-1216, joins 168-342) — re-expressed
+  * as declarative DataFrame plans so Catalyst handles pushdown, pruning,
+  * partial aggregation and broadcast selection.
+  *
+  * Oracle-compat conventions (driver hash-compares against DuckDB):
+  *  - money/qty sums go through DECIMAL(18,2) so both engines aggregate
+  *    exactly, then cast back to DOUBLE for a canonical output type;
+  *  - avg is rounded to 4 decimals;
+  *  - every query is fully ordered on its key columns (nulls first, the
+  *    Spark default) so row order can never affect the compare;
+  *  - timestamps are emitted as epoch-second BIGINTs or formatted strings.
+  */
+object CoreQueries {
+  private val dec = DecimalType(18, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- aggregates (§2.4): count(*) is sum(1) in the reference -----------
+    QueryDef("q_agg_count_star",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+
+    QueryDef("q_agg_sum",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    QueryDef("q_agg_avg",
+      """SELECT l_linestatus, ROUND(AVG(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(round(avg("l_extendedprice"), 4).as("avg_price"))
+        .orderBy("l_linestatus")
+    },
+
+    QueryDef("q_agg_min",
+      """SELECT o_orderpriority, MIN(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority").agg(min("o_totalprice").as("min_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    QueryDef("q_agg_max",
+      """SELECT o_orderpriority, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority").agg(max("o_totalprice").as("max_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    QueryDef("q_count_distinct_exact",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // --- filters (§2.2): ANDed row filters, pushed to the parquet scan ----
+    QueryDef("q_filter_rows",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R" && col("l_quantity") > 30 &&
+          col("l_shipdate") >= lit("1995-01-01 00:00:00").cast(TimestampType))
+        .groupBy("l_linestatus")
+        .agg(sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_linestatus")
+    },
+
+    // --- time filter (§2.2): ts >= from && ts < to on the event-time col --
+    QueryDef("q_time_filter",
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY 1 ORDER BY day_bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("ts") >= lit("2024-01-02 00:00:00").cast(TimestampType) &&
+          col("ts") < lit("2024-01-05 00:00:00").cast(TimestampType))
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day_bucket")
+    },
+
+    // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
+    QueryDef("q_nonagg_projection",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 100 = 3
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_orderkey") % 100 === 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q_nonagg_limit",
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
+        |LIMIT 1000""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    },
+
+    // --- wildcard projection (§2.2) ----------------------------------------
+    QueryDef("q_wildcard_projection",
+      "SELECT * FROM nation ORDER BY n_nationkey NULLS FIRST") { (s, d) =>
+      Tables.nation(s, d).orderBy("n_nationkey")
+    },
+
+    // --- joins (§2.3): broadcast dim lookup, LEFT OUTER many-to-one --------
+    QueryDef("q_join_dim_broadcast",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand NULLS FIRST""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_outer")
+        .groupBy("p_brand")
+        .agg(sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    QueryDef("q_join_multi_dim",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      val re = Tables.region(s, d)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left_outer")
+        .join(broadcast(na), sup("s_nationkey") === na("n_nationkey"), "left_outer")
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"), "left_outer")
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // join miss → null foreign values (reference hash-lookup semantics,
+    // /root/reference/query/hash_lookup.cu:73-86)
+    QueryDef("q_join_miss_null",
+      """SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p ON l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p_brand NULLS FIRST""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).where(col("p_size") > 25)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_outer")
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    },
+
+    // --- scalar expression surface (§2.7) ----------------------------------
+    QueryDef("q_expr_case_when",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS discounted_rev
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+          .otherwise(lit(0)).cast(dec)).cast(DoubleType).as("discounted_rev"))
+        .orderBy("l_returnflag")
+    },
+
+    QueryDef("q_expr_in_filter",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem WHERE l_returnflag IN ('A', 'N')
+        |GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "N"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    QueryDef("q_expr_arith",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS charge
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("charge"))
+        .orderBy("l_returnflag")
+    },
+
+    // div always promotes to float in the reference
+    // (/root/reference/query/context/query_context_helper.go:257-261)
+    QueryDef("q_expr_div",
+      """SELECT l_linestatus,
+        |  ROUND(AVG(l_extendedprice / l_quantity), 4) AS avg_unit_price
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 4)
+          .as("avg_unit_price"))
+        .orderBy("l_linestatus")
+    },
+
+    // binary floor(x, n) = floor(x/n)*n (reference functor FloorFunctor)
+    QueryDef("q_expr_floor_bucket",
+      """SELECT CAST(FLOOR(l_extendedprice / 1000) * 1000 AS BIGINT) AS price_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY price_bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy((floor(col("l_extendedprice") / 1000) * 1000)
+          .cast(LongType).as("price_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("price_bucket")
+    },
+
+    QueryDef("q_expr_mod",
+      """SELECT l_orderkey % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy((col("l_orderkey") % 7).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+
+    QueryDef("q_expr_bitwise",
+      """SELECT l_orderkey & 3 AS and_bits, (l_orderkey >> 2) & 1 AS shift_bit,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY and_bits NULLS FIRST, shift_bit NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").bitwiseAND(3).as("and_bits"),
+          shiftright(col("l_orderkey"), 2).bitwiseAND(1).as("shift_bit"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("and_bits", "shift_bit")
+    },
+
+    QueryDef("q_expr_is_null",
+      """SELECT NULLIF(l_returnflag, 'R') AS flag_or_null,
+        |  CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'R') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY flag_or_null NULLS FIRST""".stripMargin) { (s, d) =>
+      val flagOrNull = nullif(col("l_returnflag"), lit("R"))
+      Tables.lineitem(s, d)
+        .groupBy(flagOrNull.as("flag_or_null"))
+        .agg(sum(when(flagOrNull.isNull, 1).otherwise(0)).cast(LongType).as("null_cnt"),
+          count(lit(1)).as("cnt"))
+        .orderBy("flag_or_null")
+    }
+  )
+}
