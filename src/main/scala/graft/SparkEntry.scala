@@ -14,7 +14,8 @@ object SparkEntry {
   /** All gate queries, one per implemented operator. */
   val all: Seq[QueryDef] =
     graft.queries.CoreQueries.defs ++
-    graft.queries.TimeQueries.defs
+    graft.queries.TimeQueries.defs ++
+    graft.queries.FunctionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * AresDB's flagship shape: time-filtered, dimension-joined, time-bucketed

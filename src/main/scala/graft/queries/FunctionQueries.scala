@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Geo, Hll}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gate queries for the custom function surface: HLL distinct-count
+  * aggregation (§2.4), the geo intersection join-as-filter (§2.3), and the
+  * per-row timezone join (§2.3). HLL estimates are engine-specific, so those
+  * entries are rows-only; exactness is asserted in HllSpec instead.
+  */
+object FunctionQueries {
+
+  /** Test shapes: lat/lng rectangles with bounds chosen off the synthetic
+    * point lattice (x.25/x.75 vs point x.5) so no point sits on an edge.
+    */
+  val shapes: Seq[(Int, Seq[Seq[Seq[Double]]])] = Seq(
+    (1, Seq(Seq(Seq(-89.75, -150.25), Seq(-89.75, -60.25), Seq(-30.25, -60.25),
+      Seq(-30.25, -150.25), Seq(-89.75, -150.25)))),
+    (2, Seq(Seq(Seq(-30.25, -60.25), Seq(-30.25, 10.25), Seq(20.25, 10.25),
+      Seq(20.25, -60.25), Seq(-30.25, -60.25)))),
+    (3, Seq(Seq(Seq(-20.25, -179.75), Seq(-20.25, -100.25), Seq(60.25, -100.25),
+      Seq(60.25, -179.75), Seq(-20.25, -179.75)))))
+
+  private def geoOracleRect(id: Int, latLo: Double, latHi: Double,
+      lngLo: Double, lngHi: Double): String =
+    s"""SELECT $id AS shape_id, CAST(COUNT(*) FILTER (
+       |  lat > $latLo AND lat < $latHi AND lng > $lngLo AND lng < $lngHi
+       |) AS BIGINT) AS cnt FROM pts""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // countDistinctHLL(x) — approximate, engine-specific → rows-only
+    QueryDef.rowsOnly("q_hll_count_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(Hll.hllEstimate(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // two-level sketch → merge, the broker's partial/final HLL algebra
+    QueryDef.rowsOnly("q_hll_sketch_merge") { (s, d) =>
+      val perDay = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(Hll.hllSketch(col("user_id")).as("sketch"))
+      perDay.groupBy("event_type")
+        .agg(Hll.hllMergeEstimate(col("sketch")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // get_hll_value(x): precomputed register column (hll() fast path input)
+    QueryDef.rowsOnly("q_hll_value_column") { (s, d) =>
+      Tables.events(s, d)
+        .select(Hll.getHllValue(col("user_id")).as("reg"))
+        .groupBy((col("reg") % 16384).as("reg_index_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("reg_index_bucket"))
+        .limit(20)
+    },
+
+    // geo join: point-in-polygon against ≤100 broadcast shapes, counted per
+    // shape (the reference's join→filter conversion, aql_compiler.go:199-266)
+    QueryDef("q_geo_intersects",
+      """WITH pts AS (
+        |  SELECT (CAST(l_suppkey * 7 AS BIGINT) % 180) - 90 + 0.5 AS lat,
+        |         (CAST(l_partkey AS BIGINT) % 360) - 180 + 0.5 AS lng
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |""".stripMargin +
+        geoOracleRect(1, -89.75, -30.25, -150.25, -60.25) + "\nUNION ALL\n" +
+        geoOracleRect(2, -30.25, 20.25, -60.25, 10.25) + "\nUNION ALL\n" +
+        geoOracleRect(3, -20.25, 60.25, -179.75, -100.25) +
+        "\n) ORDER BY shape_id NULLS FIRST") { (s, d) =>
+      import s.implicits._
+      val pts = Tables.lineitem(s, d).select(
+        ((col("l_suppkey") * 7) % 180 - 90 + 0.5).cast(DoubleType).as("lat"),
+        (col("l_partkey") % 360 - 180 + 0.5).cast(DoubleType).as("lng"))
+      val shapeDf = shapes.toDF("shape_id", "shape")
+      pts.crossJoin(broadcast(shapeDf))
+        .groupBy("shape_id")
+        .agg(sum(when(Geo.pointInPolygon(col("lat"), col("lng"), col("shape")), 1L)
+          .otherwise(0L)).as("cnt"))
+        .orderBy("shape_id")
+    },
+
+    // per-row timezone join (the reference's auto-appended timezone-table
+    // join, aql_compiler.go:439-465): offset comes from a dimension row
+    QueryDef("q_tz_join",
+      """SELECT CAST(hour(ts + to_hours(n_nationkey % 25 - 12)) AS INT) AS local_hour,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events LEFT JOIN nation ON n_nationkey = user_id % 25
+        |GROUP BY 1 ORDER BY local_hour NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val na = Tables.nation(s, d)
+      ev.join(broadcast(na), na("n_nationkey") === ev("user_id") % 25, "left_outer")
+        .withColumn("local_ts", col("ts") + make_interval(
+          lit(0), lit(0), lit(0), lit(0), col("n_nationkey") % 25 - 12))
+        .groupBy(hour(col("local_ts")).as("local_hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("local_hour")
+    }
+  )
+}
