@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text pipelines.
+  *
+  * Scale design (100 TB): every variant works through hash-partitioned
+  * shuffles on bounded keys — no driver-side collection, no O(n²) compare.
+  * Candidate generation is banded LSH (only rows sharing a band bucket are
+  * joined), so the pair space is proportional to true near-duplicates.
+  * Known skew risk: a degenerate band bucket (e.g. empty documents) fans
+  * out quadratically — callers should pre-filter empties; AQE skew-join
+  * handles moderate cases.
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key columns — plain hash shuffle. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact dedup keeping the smallest id per text key (deterministic,
+    * unlike dropDuplicates' arbitrary row pick).
+    */
+  def exactKeepMin(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key)).agg(min(col(idCol)).as(idCol))
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands // 4
+
+  /** MinHash signature per document: explode word-3-gram shingles, take
+    * min(xxhash64(i, shingle)) per hash index i — 64 codegen'd min
+    * aggregates in one shuffle keyed by document id.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("sh"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"s$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs sharing at least one LSH band (16 bands × 4 rows),
+    * annotated with the signature-estimated Jaccard similarity.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until Bands).map { b =>
+        xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Full MinHash near-dup pipeline: signatures → banded candidates →
+    * threshold on estimated Jaccard.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    minhashCandidates(minhashSignatures(df, idCol, textCol), idCol)
+      .where(col("est_jaccard") >= threshold)
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash per document: per-bit majority vote over token hashes,
+    * assembled with bitwise OR (no UDF, no overflow under ANSI mode).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column
+        }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit keys,
+    * join within bands, verify with popcount(xor) <= maxHamming.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sh"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sh"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  // ---- n-gram / word-set Jaccard (exact) ----------------------------------
+
+  /** Exact word-set intersection/union counts for candidate pairs within a
+    * bounded id set — integer outputs so cross-engine compare is exact; the
+    * jaccard >= t filter is the integer inequality (1+1/t)·i >= ... callers
+    * express it on i/u directly.
+    */
+  def wordSetPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = toks.select(col("id").as("a_id"), col("tok"))
+      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("tok"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("inter_cnt"),
+        (col("na") + col("nb") - col("inter_cnt")).as("union_cnt"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared text primitives for the pipeline operators. Everything here is a
+  * codegen'd Column expression (no UDFs) so it stays inside whole-stage
+  * codegen at 100 TB scan scale.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document is shorter than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Count of tokens that belong to a fixed vocabulary. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(vocab)))
+
+  /** Deterministic document fingerprint usable cross-engine (md5 hex). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit rolling content fingerprint over tokens: rotate-xor chain
+    * (order-sensitive, overflow-free under ANSI mode). Expressed with
+    * aggregate() so it is still not a UDF. Engine-specific (xxhash64),
+    * so only checked by our own specs, not the SQL oracle.
+    */
+  def fingerprintRolling(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
+
+  /** Stopword-vote language id. The gate corpus is synthetic with a shared
+    * vocabulary, so this is exercised for determinism rather than accuracy;
+    * on real text the vocabularies separate languages.
+    */
+  val langVocabs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "un"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langVocabs.map { case (lang, vocab) => lang -> vocabHits(toks, vocab) }
+
+  /** Predicted language: strict-majority stopword vote, 'und' (undetermined)
+    * on ties or zero hits.
+    */
+  def predictLang(toks: Column): Column = {
+    val scores = langScores(toks)
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      val others = scores.filter(_._1 != lang).map(_._2)
+      when(score > lit(0) && others.foldLeft(lit(true))((a, o) => a && score > o),
+        lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Simple quality heuristics: token count, mean token length bounds.
+    * Returns 1/0 as an integer flag (cross-engine stable).
+    */
+  def qualityFlag(toks: Column, nChars: Column): Column = {
+    val nTok = size(toks)
+    when(nTok >= 20 && nChars >= 100 &&
+      nChars <= nTok * 10, 1).otherwise(0)
+  }
+}

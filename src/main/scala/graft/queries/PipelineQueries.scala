@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the training-data-pipeline operator suite: dedup
+  * (exact, MinHash-LSH, SimHash, word-set Jaccard, embedding cosine),
+  * similarity search (brute-force + LSH ANN), text analysis (lang-id,
+  * quality, token counts, fingerprints) and multimodal plumbing.
+  *
+  * Hash-based operators (xxhash64/minhash/simhash/LSH) are engine-specific
+  * → rows-only entries, with exactness asserted in operator specs. Set
+  * algebra, counts, md5 fingerprints and cosine rankings are
+  * SQL-expressible → DuckDB oracles.
+  */
+object PipelineQueries {
+
+  /** documents ∪ a mutated copy (ids shifted by 100000): the mutated texts
+    * are near- but not exact duplicates, giving the near-dup operators a
+    * known planted signal.
+    */
+  private def doubledDocs(s: SparkSession, d: String, mutate: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val copy0 = docs.withColumn("doc_id", col("doc_id") + 100000)
+    val copy = if (mutate) copy0.withColumn("text", concat(col("text"), lit(" zz yy xx"))) else copy0
+    docs.unionByName(copy)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- dedup: exact ------------------------------------------------------
+    QueryDef("q_dedup_exact",
+      """SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS cnt
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      doubledDocs(s, d, mutate = false)
+        .dropDuplicates("text")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
+    QueryDef("q_dedup_exact_keepmin",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(mid) AS BIGINT) AS id_sum
+        |FROM (SELECT MIN(doc_id) AS mid FROM documents GROUP BY text)""".stripMargin) { (s, d) =>
+      Dedup.exactKeepMin(doubledDocs(s, d, mutate = false), "text", "doc_id")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+    },
+
+    // --- dedup: MinHash LSH (hash-specific → rows-only; planted near-dups
+    // must all be found, asserted in DedupSpec too)
+    QueryDef.rowsOnly("q_dedup_minhash") { (s, d) =>
+      Dedup.minhashNearDups(doubledDocs(s, d, mutate = true), "doc_id", "text", 0.35)
+        .agg(count(lit(1)).as("pairs"),
+          count_distinct(col("a_id")).as("docs_with_dup"),
+          round(avg("est_jaccard"), 2).as("mean_est_jaccard"))
+    },
+
+    // --- dedup: SimHash ------------------------------------------------------
+    QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
+      Dedup.simhashNearDups(doubledDocs(s, d, mutate = true), "doc_id", "text", 6)
+        .agg(count(lit(1)).as("pairs"),
+          count_distinct(col("a_id")).as("docs_with_dup"))
+    },
+
+    // --- dedup: exact word-set Jaccard (integer outputs → exact oracle) ----
+    QueryDef("q_jaccard_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+        |  FROM documents WHERE doc_id < 25),
+        |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter_cnt
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter_cnt, sa.n + sb.n - inter_cnt AS union_cnt
+        |FROM inter
+        |JOIN sizes sa ON sa.id = a_id
+        |JOIN sizes sb ON sb.id = b_id
+        |WHERE 5 * inter_cnt >= sa.n + sb.n
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Dedup.wordSetPairs(Tables.documents(s, d).where(col("doc_id") < 25), "doc_id", "text")
+        .where(col("inter_cnt") * 5 >= col("union_cnt") + col("inter_cnt"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // --- dedup: embedding cosine pairs (double math → exact-enough oracle;
+    // ids only, no float in the output)
+    QueryDef("q_emb_near_dup",
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.42
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Similarity.brutePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.42)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    },
+
+    // --- similarity search: brute-force cosine top-k ------------------------
+    QueryDef("q_ann_topk",
+      """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)
+        |WHERE rank <= 3
+        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.topKCosine(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
+    // --- similarity search: LSH-bucketed ANN (scale path). Planted signal:
+    // a lightly-perturbed copy of each vector (cos ≈ 0.999) that multi-table
+    // LSH must recover; recall asserted in SimilaritySpec.
+    QueryDef.rowsOnly("q_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val perturbed = emb
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 0.7) * 0.03).cast("float")))
+      Similarity.lshNearPairs(emb.unionByName(perturbed), "vec_id", "embedding", 0.9)
+        .agg(count(lit(1)).as("pairs"), round(avg("cos"), 3).as("mean_cos"))
+    },
+
+    // --- text analysis -------------------------------------------------------
+    QueryDef("q_text_stats",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 20
+        |                 AND n_chars >= 100
+        |                 AND n_chars <= len(string_split_regex(trim(text), '\s+')) * 10
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(toks)).cast("long").as("total_tokens"),
+          sum(TextOps.qualityFlag(toks, col("n_chars"))).cast("long").as("quality_docs"))
+        .orderBy("lang")
+    },
+
+    QueryDef("q_text_langid",
+      """WITH scored AS (
+        |  SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> t IN ('the','a','of','and','to','in','is'))) AS en_s,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> t IN ('der','die','das','und','ist','ein'))) AS de_s,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> t IN ('el','la','de','y','es','un'))) AS es_s,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           t -> t IN ('le','la','et','les','est','un'))) AS fr_s
+        |  FROM documents)
+        |SELECT CASE
+        |  WHEN en_s > 0 AND en_s > de_s AND en_s > es_s AND en_s > fr_s THEN 'en'
+        |  WHEN de_s > 0 AND de_s > en_s AND de_s > es_s AND de_s > fr_s THEN 'de'
+        |  WHEN es_s > 0 AND es_s > en_s AND es_s > de_s AND es_s > fr_s THEN 'es'
+        |  WHEN fr_s > 0 AND fr_s > en_s AND fr_s > de_s AND fr_s > es_s THEN 'fr'
+        |  ELSE 'und' END AS predicted_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM scored GROUP BY 1 ORDER BY predicted_lang NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextOps.predictLang(TextOps.tokens(col("text"))).as("predicted_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("predicted_lang")
+    },
+
+    QueryDef("q_text_fingerprint",
+      """SELECT lang, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_fp,
+        |  MIN(md5(text)) AS min_fp
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count_distinct(TextOps.fingerprintMd5(col("text"))).as("n_fp"),
+          min(TextOps.fingerprintMd5(col("text"))).as("min_fp"))
+        .orderBy("lang")
+    },
+
+    QueryDef.rowsOnly("q_text_rolling_fingerprint") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.fingerprintRolling(TextOps.tokens(col("text"))).as("fp"))
+        .groupBy("lang").agg(count_distinct(col("fp")).as("n_fp"))
+        .orderBy("lang")
+    },
+
+    // --- multimodal plumbing -------------------------------------------------
+    QueryDef("q_multimodal_meta",
+      """SELECT ascii(substring(text, 1, 1)) AS magic,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY magic NULLS FIRST""".stripMargin) { (s, d) =>
+      Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select("doc_id"), "doc_id")
+        .groupBy(col("magic"))
+        .agg(count(lit(1)).as("cnt"), sum("byte_len").cast("long").as("total_bytes"))
+        .orderBy("magic")
+    },
+
+    QueryDef.rowsOnly("q_multimodal_decode") { (s, d) =>
+      Multimodal.decodeFeatures(s,
+          Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+        .groupBy((col("width") - (col("width") % 16)).as("width_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("width_bucket")
+    }
+  )
+}

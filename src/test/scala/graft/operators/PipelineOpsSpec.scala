@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  private def planted = {
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zz yy xx")))
+    docs.unionByName(mutated)
+  }
+
+  test("exact dedup removes exact copies only") {
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+    assert(Dedup.exact(doubled, Seq("text")).count() == docs.count())
+    assert(Dedup.exact(planted, Seq("text")).count() == 2 * docs.count())
+  }
+
+  test("minhash LSH recovers every planted near-dup pair") {
+    val n = docs.count()
+    val pairs = Dedup.minhashNearDups(planted, "doc_id", "text", 0.5)
+      .where(col("b_id") === col("a_id") + 100000)
+    assert(pairs.count() == n, s"expected $n planted pairs")
+    // planted pairs differ by 3 trailing tokens → est jaccard well above 0.5
+    val minEst = pairs.agg(min("est_jaccard")).head().getDouble(0)
+    assert(minEst > 0.5, s"min est $minEst")
+  }
+
+  test("simhash recovers planted near-dups within small hamming distance") {
+    val n = docs.count()
+    val found = Dedup.simhashNearDups(planted, "doc_id", "text", 8)
+      .where(col("b_id") === col("a_id") + 100000)
+      .count()
+    assert(found >= (n * 0.95).toLong, s"found $found of $n")
+  }
+
+  test("word-set jaccard pairs are symmetric-free and exact") {
+    val pairs = Dedup.wordSetPairs(docs.where(col("doc_id") < 10), "doc_id", "text")
+      .collect()
+    assert(pairs.forall(r => r.getLong(1) > r.getLong(0))) // a_id < b_id once
+    assert(pairs.forall(r => r.getLong(2) <= r.getLong(3))) // inter <= union
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("brute-force top-k is consistent with pairwise cosine ordering") {
+    val topk = Similarity.topKCosine(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 3), 5).collect()
+    assert(topk.length == 15)
+    val byQuery = topk.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "ranks sorted by cos")
+    }
+  }
+
+  test("multi-table LSH recovers planted high-similarity pairs") {
+    val perturbed = emb
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + sin(i.cast("double") * 0.7) * 0.03).cast("float")))
+    val n = emb.count()
+    val found = Similarity.lshNearPairs(emb.unionByName(perturbed),
+        "vec_id", "embedding", 0.9)
+      .where(col("b_id") === col("a_id") + 100000)
+      .count()
+    assert(found >= (n * 0.9).toLong, s"LSH recall too low: $found of $n")
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-grams of a 5-token doc, short docs empty") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("language prediction: strict majority vote, und on tie") {
+    val df = Seq(
+      "the cat and the dog",   // en
+      "der hund und die katze", // de
+      "x y z",                  // no hits → und
+      "the der"                 // tie → und
+    ).toDF("text")
+      .select(TextOps.predictLang(TextOps.tokens(col("text"))).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und", "und"))
+  }
+
+  test("rolling fingerprint is order-sensitive and stable") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextOps.fingerprintRolling(TextOps.tokens(col("text"))).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("payload plumbing: byte lengths and stub decode are deterministic") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val payloads = Multimodal.withPayload(docs, "doc_id", "text")
+    val meta = Multimodal.decodeFeatures(spark, payloads, "doc_id").collect()
+    assert(meta.length == 50)
+    meta.foreach { m =>
+      assert(m.byte_len > 0)
+      assert(m.width >= 64 && m.width < 192)
+      assert(m.height >= 64 && m.height < 192)
+    }
+    // byte_len equals n_chars for this ASCII corpus
+    val nChars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    meta.foreach(m => assert(m.byte_len.toLong == nChars(m.doc_id)))
+  }
+}
