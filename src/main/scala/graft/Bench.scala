@@ -1,24 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every gate query at SPARK_GRAFT_SF_DIR and emits
+  * ONE compact JSON line — printed as the final stdout line AND written to
+  * BENCH.json (path overridable via SPARK_GRAFT_BENCH_OUT) so the driver can
+  * read it even when stdout tailing truncates.
+  *
+  * Each query is materialized with a noop-format write (full column decode +
+  * full plan execution — `count()` would let Spark skip decoding projected
+  * columns). Per-query failures are recorded in an `errors` map (value -1)
+  * instead of being swallowed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+            e.printStackTrace(System.err)
+            -1.0
+        }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
+    // last stdout line, after spark shutdown noise
+    println(line)
   }
 }

@@ -11,10 +11,9 @@ import org.apache.spark.sql.functions._
   * single-column primary key — the same star shape as the reference's
   * fact + dimension model (/root/reference/metastore/common/model.go:128-151).
   *
-  * At 100 TB the fact tables would be day-partitioned parquet directories
-  * (see [[graft.ingest.Archiver]]); these helpers read whatever parquet
-  * layout sits under `dir` and rely on Catalyst partition pruning +
-  * predicate pushdown for scan reduction.
+  * At 100 TB the fact tables would be day-partitioned parquet directories;
+  * these helpers read whatever parquet layout sits under `dir` and rely on
+  * Catalyst partition pruning + predicate pushdown for scan reduction.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -30,14 +29,16 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) rejects outright. Read it as a raw Long (ns since epoch) and
-    * floor-truncate to µs. Floor-truncation preserves every comparison
-    * against whole-second boundaries, so filters/bucketizers stay exactly
+    * floor-truncate to µs (true floor via pmod, correct for pre-epoch
+    * values too). Floor-truncation preserves every comparison against
+    * whole-second boundaries, so filters/bucketizers stay exactly
     * consistent with engines that read the full ns value.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session construction (Verify / Bench / SparkSpec) — not mutated here.
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -47,7 +48,8 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsRaw(s, d).withColumn("ts",
+      timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

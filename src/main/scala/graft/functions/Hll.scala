@@ -46,7 +46,13 @@ object Hll {
   def hashAny(v: Any, dt: DataType): Long = dt match {
     case LongType => Hashing.murmur3_128(0).hashLong(v.asInstanceOf[Long]).asLong()
     case IntegerType => Hashing.murmur3_128(0).hashInt(v.asInstanceOf[Int]).asLong()
-    case ShortType => Hashing.murmur3_128(0).hashInt(v.asInstanceOf[Short].toInt).asLong()
+    // the reference hashes sizeof(value) bytes (2 for int16), not a widened 4
+    case ShortType =>
+      val s = v.asInstanceOf[Short]
+      Hashing.murmur3_128(0)
+        .hashBytes(Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).asLong()
+    case ByteType => Hashing.murmur3_128(0)
+      .hashBytes(Array(v.asInstanceOf[Byte])).asLong()
     case DoubleType => Hashing.murmur3_128(0)
       .hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])).asLong()
     case FloatType => Hashing.murmur3_128(0)

@@ -15,15 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup on arbitrary key columns — plain hash shuffle. */
-  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.dropDuplicates(cols)
+  /** 128-bit content key for dedup: the comparison/shuffle key is 16 bytes
+    * regardless of document size, so a 100 TB dedup shuffles hashes + row
+    * payloads once instead of comparing multi-KB text keys. Collision odds
+    * at 2^64 docs are ~2^-1 (birthday) — at realistic corpus sizes (<2^40)
+    * they are negligible (<2^-48).
+    */
+  private def contentKey(cols: Seq[String]): Column =
+    md5(to_json(struct(cols.map(col): _*)))
 
-  /** Exact dedup keeping the smallest id per text key (deterministic,
-    * unlike dropDuplicates' arbitrary row pick).
+  /** Exact dedup on arbitrary key columns. Hash shuffle keyed on a 16-byte
+    * content hash of the key columns (not the raw values).
+    */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("__ck", contentKey(cols))
+      .dropDuplicates("__ck")
+      .drop("__ck")
+
+  /** Exact dedup keeping the smallest id per content key (deterministic,
+    * unlike dropDuplicates' arbitrary row pick). Groups on the 16-byte
+    * content hash, so only (hash, id) pairs shuffle — never the text.
+    * Output: one row per distinct key with columns (fp, idCol).
     */
   def exactKeepMin(df: DataFrame, key: String, idCol: String): DataFrame =
-    df.groupBy(col(key)).agg(min(col(idCol)).as(idCol))
+    df.select(contentKey(Seq(key)).as("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
 
   // ---- MinHash + LSH -----------------------------------------------------
 
@@ -90,16 +106,27 @@ object Dedup {
         }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit keys,
-    * join within bands, verify with popcount(xor) <= maxHamming.
+  /** Near-dup pairs by SimHash: band the 64-bit hash into `maxHamming + 1`
+    * keys, join within bands, verify with popcount(xor) <= maxHamming.
+    *
+    * Band count is derived from the radius (pigeonhole): a pair within
+    * Hamming distance h differs in at most h bands, so with h+1 bands at
+    * least one band is identical and the pair is guaranteed to become a
+    * candidate. Fixed 4×16-bit banding would only cover h <= 3.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val sh = simhash(df, idCol, textCol)
+    val nBands = maxHamming + 1
+    val bandKeys = (0 until nBands).map { i =>
+      val start = i * 64 / nBands
+      val width = (i + 1) * 64 / nBands - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col("simhash"), start).bitwiseAND(mask)
+    }
     val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
     val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sh"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sh"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -112,14 +139,24 @@ object Dedup {
 
   // ---- n-gram / word-set Jaccard (exact) ----------------------------------
 
-  /** Exact word-set intersection/union counts for candidate pairs within a
-    * bounded id set — integer outputs so cross-engine compare is exact; the
-    * jaccard >= t filter is the integer inequality (1+1/t)·i >= ... callers
-    * express it on i/u directly.
+  /** Exact word-set intersection/union counts for candidate pairs — integer
+    * outputs so cross-engine compare is exact; the jaccard >= t filter is
+    * the integer inequality (1+1/t)·i >= ... callers express it on i/u
+    * directly.
+    *
+    * Tokens with document frequency > `maxDf` are dropped from BOTH the
+    * intersection and the set sizes: a hot token ("the") otherwise fans the
+    * token self-join out quadratically in corpus size while contributing
+    * almost nothing to the Jaccard signal. The cap bounds per-token join
+    * fan-out at maxDf², independent of corpus size.
     */
-  def wordSetPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+  def wordSetPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 1000): DataFrame = {
+    val allToks = df.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val rare = allToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("tok")
+    val toks = allToks.join(rare, Seq("tok"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = toks.select(col("id").as("a_id"), col("tok"))
       .join(toks.select(col("id").as("b_id"), col("tok")), Seq("tok"))

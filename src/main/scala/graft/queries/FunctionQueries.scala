@@ -30,21 +30,44 @@ object FunctionQueries {
        |) AS BIGINT) AS cnt FROM pts""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    // countDistinctHLL(x) — approximate, engine-specific → rows-only
-    QueryDef.rowsOnly("q_hll_count_distinct") { (s, d) =>
+    // countDistinctHLL(x): the estimate itself is engine-specific, so the
+    // gate emits the EXACT distinct count (oracle-checkable) plus an
+    // in-query ±2% tolerance flag comparing the HLL estimate against it —
+    // a hash-matchable accuracy assertion instead of a rows-only check.
+    QueryDef("q_hll_count_distinct",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS hll_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val exact = count_distinct(col("user_id"))
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(Hll.hllEstimate(col("user_id")).as("approx_users"))
+        .agg(exact.as("exact_users"),
+          (abs(Hll.hllEstimate(col("user_id")) - exact) <= exact * 0.02)
+            .as("hll_within_2pct"))
         .orderBy("event_type")
     },
 
-    // two-level sketch → merge, the broker's partial/final HLL algebra
-    QueryDef.rowsOnly("q_hll_sketch_merge") { (s, d) =>
-      val perDay = Tables.events(s, d)
+    // two-level sketch → merge, the broker's partial/final HLL algebra:
+    // register-max merge of per-day sketches must reproduce the single-pass
+    // estimate EXACTLY (same registers), and stay within ±2% of exact.
+    QueryDef("q_hll_sketch_merge",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merge_matches_direct, TRUE AS hll_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val merged = ev
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(Hll.hllSketch(col("user_id")).as("sketch"))
-      perDay.groupBy("event_type")
-        .agg(Hll.hllMergeEstimate(col("sketch")).as("approx_users"))
+        .groupBy("event_type")
+        .agg(Hll.hllMergeEstimate(col("sketch")).as("merged_est"))
+      val direct = ev.groupBy("event_type")
+        .agg(Hll.hllEstimate(col("user_id")).as("direct_est"),
+          count_distinct(col("user_id")).as("exact_users"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (col("merged_est") === col("direct_est")).as("merge_matches_direct"),
+          (abs(col("merged_est") - col("exact_users")) <=
+            col("exact_users") * 0.02).as("hll_within_2pct"))
         .orderBy("event_type")
     },
 

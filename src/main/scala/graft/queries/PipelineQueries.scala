@@ -33,8 +33,7 @@ object PipelineQueries {
     QueryDef("q_dedup_exact",
       """SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS cnt
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-      doubledDocs(s, d, mutate = false)
-        .dropDuplicates("text")
+      Dedup.exact(doubledDocs(s, d, mutate = false), Seq("text"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")
     },
@@ -63,10 +62,15 @@ object PipelineQueries {
     },
 
     // --- dedup: exact word-set Jaccard (integer outputs → exact oracle) ----
+    // doc-frequency cap (maxDf=20) mirrored in the oracle's `rare` CTE: hot
+    // tokens are dropped from both intersection and set sizes before the
+    // token self-join, bounding per-token fan-out at maxDf² at any scale.
     QueryDef("q_jaccard_pairs",
-      """WITH toks AS (
+      """WITH alltoks AS (
         |  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
         |  FROM documents WHERE doc_id < 25),
+        |rare AS (SELECT tok FROM alltoks GROUP BY tok HAVING COUNT(*) <= 20),
+        |toks AS (SELECT id, t.tok FROM alltoks t JOIN rare USING (tok)),
         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY id),
         |inter AS (
         |  SELECT a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter_cnt
@@ -78,7 +82,8 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.id = b_id
         |WHERE 5 * inter_cnt >= sa.n + sb.n
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
-      Dedup.wordSetPairs(Tables.documents(s, d).where(col("doc_id") < 25), "doc_id", "text")
+      Dedup.wordSetPairs(Tables.documents(s, d).where(col("doc_id") < 25),
+          "doc_id", "text", maxDf = 20)
         .where(col("inter_cnt") * 5 >= col("union_cnt") + col("inter_cnt"))
         .orderBy("a_id", "b_id")
     },
@@ -91,7 +96,7 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.42
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
-      Similarity.brutePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.42)
+      Similarity.exactPairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding", 0.42)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     },
@@ -125,7 +130,8 @@ object PipelineQueries {
         .withColumn("embedding",
           transform(col("embedding"), (x, i) =>
             (x.cast("double") + sin(i.cast("double") * 0.7) * 0.03).cast("float")))
-      Similarity.lshNearPairs(emb.unionByName(perturbed), "vec_id", "embedding", 0.9)
+      Similarity.lshNearPairs(emb.unionByName(perturbed), "vec_id", "embedding",
+          dim = 64, threshold = 0.9)
         .agg(count(lit(1)).as("pairs"), round(avg("cos"), 3).as("mean_cos"))
     },
 
@@ -198,13 +204,20 @@ object PipelineQueries {
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY magic NULLS FIRST""".stripMargin) { (s, d) =>
       Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
-        .join(Tables.documents(s, d).select("doc_id"), "doc_id")
         .groupBy(col("magic"))
         .agg(count(lit(1)).as("cnt"), sum("byte_len").cast("long").as("total_bytes"))
         .orderBy("magic")
     },
 
-    QueryDef.rowsOnly("q_multimodal_decode") { (s, d) =>
+    // decode itself is a declared stub (width = 64 + payload[0] & 0x7F), but
+    // on this ASCII corpus the stub IS SQL-expressible, so the full
+    // mapPartitions plumbing (schema, batching, typed output) gets a real
+    // cross-engine oracle instead of a rows-only check.
+    QueryDef("q_multimodal_decode",
+      """SELECT CAST(w - (w % 16) AS INT) AS width_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT 64 + (ascii(substring(text, 1, 1)) % 128) AS w FROM documents)
+        |GROUP BY 1 ORDER BY width_bucket NULLS FIRST""".stripMargin) { (s, d) =>
       Multimodal.decodeFeatures(s,
           Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
         .groupBy((col("width") - (col("width") % 16)).as("width_bucket"))

@@ -190,10 +190,14 @@ object TimeQueries {
         .orderBy("local_hour")
     },
 
-    // named timezone: Spark is DST-correct natively; DuckDB TIMESTAMPTZ
-    // semantics depend on driver session tz → rows-only check, exact values
-    // asserted in TimezoneSpec instead.
-    QueryDef.rowsOnly("q_tz_named") { (s, d) =>
+    // named timezone: Spark is DST-correct natively. The DuckDB oracle uses
+    // the two-arg timezone() both ways (naive→TIMESTAMPTZ at UTC, then
+    // TIMESTAMPTZ→LA naive) so it is independent of the driver session tz.
+    // DST behavior itself (Jan=UTC-8 vs Jul=UTC-7) is asserted in TimezoneSpec.
+    QueryDef("q_tz_named",
+      """SELECT CAST(hour(timezone('America/Los_Angeles', timezone('UTC', ts))) AS INT) AS la_hour,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY la_hour NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(hour(from_utc_timestamp(col("ts"), "America/Los_Angeles"))
           .as("la_hour"))
@@ -228,11 +232,16 @@ object TimeQueries {
         .orderBy("bal_bucket")
     },
 
-    // log-width bucket: libm log() may differ in the last ulp across engines
-    // at exact powers of the base → rows-only, exact values in BucketSpec.
-    QueryDef.rowsOnly("q_bucket_numeric_log") { (s, d) =>
+    // log-width bucket. libm log() may differ in the last ulp across engines
+    // at exact powers of the base, so both sides add a 1e-9 epsilon before
+    // floor — values are bucket-stable unless within 1e-9 of a power of 2,
+    // which real measures never are. This makes the bucket oracle-exact.
+    QueryDef("q_bucket_numeric_log",
+      """SELECT CAST(pow(2, floor(log2(l_quantity) + 1e-9)) AS BIGINT) AS qty_log_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY qty_log_bucket NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
-        .groupBy(pow(lit(2.0), floor(log(2.0, col("l_quantity"))))
+        .groupBy(pow(lit(2.0), floor(log(2.0, col("l_quantity")) + 1e-9))
           .cast(LongType).as("qty_log_bucket"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("qty_log_bucket")

@@ -30,12 +30,21 @@ class DedupSpec extends SparkSpec {
     assert(minEst > 0.5, s"min est $minEst")
   }
 
-  test("simhash recovers planted near-dups within small hamming distance") {
+  test("simhash banding finds exactly the planted pairs within the radius") {
     val n = docs.count()
+    // ground truth: per-pair hamming via direct id join (no LSH involved)
+    val sh = Dedup.simhash(planted, "doc_id", "text")
+    val truth = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      .join(sh.select((col("doc_id") - 100000).as("a_id"), col("simhash").as("b_sh")), "a_id")
+      .where(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 8)
+      .count()
     val found = Dedup.simhashNearDups(planted, "doc_id", "text", 8)
       .where(col("b_id") === col("a_id") + 100000)
       .count()
-    assert(found >= (n * 0.95).toLong, s"found $found of $n")
+    // pigeonhole guarantee: banded candidates cover EVERY pair within h=8
+    assert(found == truth, s"banding found $found, ground truth $truth")
+    // sanity: the 3-token mutation keeps most pairs within the radius
+    assert(truth >= (n * 0.85).toLong, s"only $truth of $n planted pairs within h=8")
   }
 
   test("word-set jaccard pairs are symmetric-free and exact") {
@@ -69,10 +78,20 @@ class SimilaritySpec extends SparkSpec {
           (x.cast("double") + sin(i.cast("double") * 0.7) * 0.03).cast("float")))
     val n = emb.count()
     val found = Similarity.lshNearPairs(emb.unionByName(perturbed),
-        "vec_id", "embedding", 0.9)
+        "vec_id", "embedding", dim = 64, threshold = 0.9)
       .where(col("b_id") === col("a_id") + 100000)
       .count()
     assert(found >= (n * 0.9).toLong, s"LSH recall too low: $found of $n")
+  }
+
+  test("blocked exact pairs match the expression-based brute force bit-for-bit") {
+    val brute = Similarity.brutePairs(emb, "vec_id", "embedding", 0.42)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.exactPairsBlocked(emb, "vec_id", "embedding", 0.42, nBlocks = 4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
   }
 }
 
@@ -91,7 +110,7 @@ class TextOpsSpec extends SparkSpec {
     val df = Seq(
       "the cat and the dog",   // en
       "der hund und die katze", // de
-      "x y z",                  // no hits → und
+      "qq ww rr",               // no hits in any vocab → und
       "the der"                 // tie → und
     ).toDF("text")
       .select(TextOps.predictLang(TextOps.tokens(col("text"))).as("l"))
