@@ -1,0 +1,272 @@
+package graft.aql
+
+import java.time.ZoneId
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+import graft.functions.Hll
+
+/** Compiles an [[AqlQuery]] into a Spark `DataFrame`.
+  *
+  * Pipeline shape follows the reference compiler
+  * (/root/reference/query/aql_compiler.go:43-102): timezone processing →
+  * expression parsing (with row-filter→time-filter promotion, :104-166) →
+  * join building (:168-197) → filter classification (:797-892) → measure
+  * (:1139-1333) → dimensions (:1267-1333). Everything the reference
+  * hand-schedules after that (batch scans, kernel fusion, partial
+  * aggregation, broker merges) is delegated to Catalyst: the compiler's
+  * only job is to emit the right declarative plan —
+  * `fact.where(time && filters).join(broadcast(dim)…).groupBy(dims)
+  * .agg(measure)` — and let predicate pushdown, column pruning and
+  * partial/final aggregation do the physical work.
+  *
+  * Semantics preserved from the reference:
+  *  - a query has exactly one measure (aql_compiler.go:800-805)
+  *  - non-aggregate queries are measure `1` with a row limit, default 1000
+  *    (:38, 1147-1154)
+  *  - joins are LEFT OUTER many-to-one lookups against dimension tables
+  *    with a single-column PK, at most 8 (:168-197, 268-342)
+  *  - time filters parse the natural-language time expressions and apply
+  *    as `ts >= from AND ts < to` (time_filter.go:241-397)
+  *  - fact-table queries require a time filter `from`; when the timeFilter
+  *    block is absent, leading `time >=` / `time <` row filters are
+  *    promoted (aql_compiler.go:104-166, 987-1065)
+  *  - the wildcard dimension expands to all main-table columns minus
+  *    array/struct-typed ones (:1252-1265, 412-413)
+  */
+final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
+
+  import AqlCompiler._
+
+  def compile(q: AqlQuery): Compiled = {
+    val main = catalog(q.table)
+    if (q.measures.length != 1)
+      throw ParseException(s"exactly one measure required, got ${q.measures.length}", 0)
+    if (q.joinList.length > MaxForeignTables)
+      throw ParseException(s"at most $MaxForeignTables joins supported", 0)
+
+    val nowEpoch = q.now.getOrElse(System.currentTimeMillis() / 1000)
+
+    // -- timezone processing (aql_compiler.go:439-465) ----------------------
+    val tzSpec = q.timezone.getOrElse("")
+    val TimezoneJoinPattern = """^[a-z_]*timezone\((.+)\)$""".r
+    val (fixedZone, tzJoinKey): (ZoneId, Option[String]) = tzSpec match {
+      case "" => (ZoneId.of("UTC"), None)
+      case TimezoneJoinPattern(key) => (ZoneId.of("UTC"), Some(key))
+      case fixed => (TimeExpr.parseTimezone(fixed), None)
+    }
+
+    // -- join building ------------------------------------------------------
+    var df = main.load(spark).as(q.table)
+    val joined = q.joinList.map { j =>
+      val dimDef = catalog(j.table)
+      if (dimDef.isFact)
+        throw ParseException(s"join table ${j.table} must be a dimension table", 0)
+      j
+    }
+    val tsCols = collectTimestampColumns(q, main)
+    val resolveCtx = ExprCompiler.Ctx(resolveWith(tsCols), fixedZone, nowEpoch)
+
+    joined.foreach { j =>
+      val dimDef = catalog(j.table)
+      val dimDf = dimDef.load(spark).as(j.aliasOrTable)
+      val cond = j.conditions.map(c => ExprCompiler.compile(ExprParser.parse(c), resolveCtx))
+        .reduceOption(_ && _)
+        .getOrElse(throw ParseException(s"join to ${j.table} needs conditions", 0))
+      df = df.join(broadcast(dimDf), cond, "left_outer")
+    }
+
+    // timezone-table auto-join (per-row timezone strings)
+    val perRowTz: Option[Column] = tzJoinKey.map { key =>
+      val tzDef = catalog.timezoneTable.getOrElse(
+        throw ParseException("query uses timezone(column) but no timezone table is configured", 0))
+      val tzTable = catalog(tzDef.table)
+      val pk = tzTable.primaryKey.headOption.getOrElse(
+        throw ParseException(s"timezone table ${tzDef.table} needs a primary key", 0))
+      val alias = "__tz"
+      val dimDf = tzTable.load(spark).as(alias)
+      val keyCol = ExprCompiler.compile(ExprParser.parse(key), resolveCtx)
+      df = df.join(broadcast(dimDf), keyCol === col(s"$alias.$pk"), "left_outer")
+      col(s"$alias.${tzDef.tzColumn}")
+    }
+
+    // -- filters + time filter (classification & promotion) -----------------
+    var rowFilterExprs = q.filters.map(ExprParser.parse) ++
+      q.measures.head.filters.map(ExprParser.parse)
+
+    val timeColName = q.timeFilter.flatMap(_.column).filter(_.nonEmpty)
+      .orElse(main.timeColumn)
+    var fromStr = q.timeFilter.flatMap(_.from).getOrElse("")
+    var toStr = q.timeFilter.flatMap(_.to).getOrElse("")
+
+    // row-filter → time-filter promotion (aql_compiler.go:104-166): with no
+    // explicit timeFilter on a fact table, leading epoch comparisons against
+    // the designated time column become the time filter (driving partition
+    // pruning in a day-partitioned layout).
+    var promoted: List[Expr] = Nil
+    if (fromStr.isEmpty && toStr.isEmpty && main.isFact && timeColName.isDefined) {
+      val tc = timeColName.get
+      rowFilterExprs = rowFilterExprs.filter {
+        case e @ Expr.Binary(BinOp.Gte, Expr.VarRef(c), Expr.Num(v, _, true))
+            if c == tc || c == s"${q.table}.$tc" =>
+          if (fromStr.isEmpty) { fromStr = v.toLong.toString; promoted ::= e; false } else true
+        case e @ Expr.Binary(BinOp.Lt, Expr.VarRef(c), Expr.Num(v, _, true))
+            if c == tc || c == s"${q.table}.$tc" =>
+          if (toStr.isEmpty) { toStr = v.toLong.toString; promoted ::= e; false } else true
+        case _ => true
+      }
+    }
+
+    val bounds: Option[TimeExpr.Bounds] =
+      if (fromStr.nonEmpty || toStr.nonEmpty) {
+        if (fromStr.isEmpty)
+          throw ParseException("time filter requires `from`", 0)
+        Some(TimeExpr.parseFilter(fromStr, toStr, fixedZone, nowEpoch))
+      } else if (main.isFact && main.timeColumn.isDefined) {
+        throw ParseException(s"query on fact table ${q.table} requires a time filter", 0)
+      } else None
+
+    bounds.foreach { b =>
+      val tc = timeColName.getOrElse(
+        throw ParseException("time filter needs a column (no designated time column)", 0))
+      // apply on the RAW column so the comparison pushes down to the scan
+      val raw = col(if (tc.contains(".")) tc else s"${q.table}.$tc")
+      val isTs = tsCols.contains(stripQualifier(tc))
+      b.fromEpoch.foreach { f =>
+        df = df.where(if (isTs) raw >= timestamp_seconds(lit(f)) else raw >= lit(f))
+      }
+      b.toEpoch.foreach { t =>
+        df = df.where(if (isTs) raw < timestamp_seconds(lit(t)) else raw < lit(t))
+      }
+    }
+
+    rowFilterExprs.foreach { e =>
+      df = df.where(ExprCompiler.compile(e, resolveCtx))
+    }
+
+    // -- dimensions ---------------------------------------------------------
+    val measureExpr = ExprParser.parse(q.measures.head.sqlExpression)
+    val isNonAgg = measureExpr match {
+      case Expr.Num(1.0, _, true) => true
+      case _ => false
+    }
+
+    val dimCols: Seq[(String, Column)] = q.dimensionList.zipWithIndex.flatMap {
+      case (d, i) if d.expr == "*" =>
+        val schema = df.schema
+        schema.fields.toSeq.collect {
+          case f if !f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[StructType] =>
+            f.name -> col(f.name)
+        }
+      case (d, i) =>
+        val name = d.alias.filter(_.nonEmpty).getOrElse(if (d.expr.nonEmpty) d.expr else s"d$i")
+        Seq(name -> dimensionColumn(d, q, main, tsCols, resolveCtx, perRowTz, fixedZone))
+    }
+
+    // -- measure ------------------------------------------------------------
+    val measureName = q.measures.head.alias.filter(_.nonEmpty).getOrElse("value")
+
+    val out: DataFrame =
+      if (isNonAgg) {
+        val limit = q.limit.getOrElse(NonAggregationQueryLimit)
+        val selected = df.select(dimCols.map { case (n, c) => c.as(n) }: _*)
+        if (limit >= 0) selected.limit(limit) else selected
+      } else {
+        val agg = measureColumn(measureExpr, resolveCtx).as(measureName)
+        if (dimCols.isEmpty) df.agg(agg)
+        else df.groupBy(dimCols.map { case (n, c) => c.as(n) }: _*).agg(agg)
+      }
+
+    Compiled(out, dimCols.map(_._1), measureName, isNonAgg, q, fixedZone, bounds)
+  }
+
+  /** All TimestampType column names reachable by this query (main table +
+    * joined dims), unqualified.
+    */
+  private def collectTimestampColumns(q: AqlQuery, main: TableDef): Set[String] =
+    q.joinList.foldLeft(main.timestampColumns) { (acc, j) =>
+      acc ++ catalog(j.table).timestampColumns
+    }
+
+  /** VarRef resolution: timestamp-typed columns surface as epoch seconds in
+    * the expression language (AQL time columns are Uint32 epoch seconds).
+    */
+  private def resolveWith(tsCols: Set[String])(name: String): Column = {
+    val c = col(name)
+    if (tsCols.contains(stripQualifier(name))) unix_timestamp(c) else c
+  }
+
+  private def stripQualifier(name: String): String = {
+    val i = name.lastIndexOf('.')
+    if (i >= 0) name.substring(i + 1) else name
+  }
+
+  private def dimensionColumn(d: AqlDimension, q: AqlQuery, main: TableDef,
+      tsCols: Set[String], ctx: ExprCompiler.Ctx, perRowTz: Option[Column],
+      zone: ZoneId): Column = {
+    val baseExprStr =
+      if (d.expr.nonEmpty) d.expr
+      else if (d.isTimeDimension)
+        main.timeColumn.getOrElse(
+          throw ParseException("time dimension needs a time column", 0))
+      else throw ParseException("dimension needs sqlExpression", 0)
+    val base = ExprCompiler.compile(ExprParser.parse(baseExprStr), ctx)
+
+    d.numericBucketizer match {
+      case Some(nb) => return Bucketizers.numeric(base, nb)
+      case None =>
+    }
+
+    if (!d.isTimeDimension) return base
+
+    // timezone shift-then-floor (ref query/time_bucketizer.go:72-146):
+    // per-row tz from the timezone join, else the query's fixed timezone.
+    // Spark's from_utc_timestamp is DST-correct per row — the reference's
+    // piecewise DST-switch correction term is not replicated because Spark
+    // computes the exact offset for every row (SURVEY §7.4.3).
+    val shifted = perRowTz match {
+      case Some(tzCol) => unix_timestamp(from_utc_timestamp(timestamp_seconds(base), tzCol))
+      case None =>
+        if (zone.getId == "UTC" || zone.getId == "Z") base
+        else unix_timestamp(from_utc_timestamp(timestamp_seconds(base), zone.getId))
+    }
+    Bucketizers.time(shifted, d.timeBucketizer.getOrElse(""))
+  }
+
+  private def measureColumn(e: Expr, ctx: ExprCompiler.Ctx): Column = e match {
+    // count(*) → sum(1) unsigned (aql_compiler.go:1191-1197)
+    case Expr.Call("count", args) if args.isEmpty || args == Seq(Expr.Wildcard) =>
+      count(lit(1))
+    case Expr.Call("count", Seq(a)) => count(ExprCompiler.compile(a, ctx))
+    case Expr.Call("sum", Seq(a)) => sum(ExprCompiler.compile(a, ctx))
+    case Expr.Call("avg", Seq(a)) => avg(ExprCompiler.compile(a, ctx))
+    case Expr.Call("min", Seq(a)) => min(ExprCompiler.compile(a, ctx))
+    case Expr.Call("max", Seq(a)) => max(ExprCompiler.compile(a, ctx))
+    // countDistinctHLL computes registers on the fly (helper.go:540-577)
+    case Expr.Call("countdistincthll", Seq(a)) =>
+      Hll.hllEstimate(ExprCompiler.compile(a, ctx))
+    // hll(col) consumes a precomputed register-value column (isHLLColumn)
+    case Expr.Call("hll", Seq(a)) =>
+      Hll.hllFromRegisters(ExprCompiler.compile(a, ctx))
+    case other =>
+      throw ParseException(s"unsupported measure expression", 0)
+  }
+}
+
+object AqlCompiler {
+  /** ref query/aql_compiler.go:38 */
+  val NonAggregationQueryLimit = 1000
+  /** ref query/aql_compiler.go:169-171 */
+  val MaxForeignTables = 8
+
+  final case class Compiled(
+      df: DataFrame,
+      dimNames: Seq[String],
+      measureName: String,
+      isNonAgg: Boolean,
+      query: AqlQuery,
+      zone: ZoneId,
+      bounds: Option[TimeExpr.Bounds])
+}

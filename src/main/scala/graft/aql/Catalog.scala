@@ -1,0 +1,63 @@
+package graft.aql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table metadata the AQL compiler needs, mirroring the reference's schema
+  * registry surface (/root/reference/metastore/common/model.go:128-151):
+  * fact vs dimension, designated time column (column 0 of fact tables),
+  * single-column primary key for dimension joins.
+  *
+  * `timestampColumns` lists columns stored as Spark TimestampType. The AQL
+  * type system has no timestamp type — time columns are Uint32 epoch
+  * seconds (model.go:136) — so the compiler resolves these columns to
+  * `unix_timestamp(col)` inside expressions while still applying the time
+  * filter on the raw column (timestamp-literal comparison pushes down to
+  * the parquet scan).
+  */
+final case class TableDef(
+    name: String,
+    isFact: Boolean,
+    timeColumn: Option[String] = None,
+    timestampColumns: Set[String] = Set.empty,
+    primaryKey: Seq[String] = Nil,
+    load: SparkSession => DataFrame)
+
+/** Configured timezone-table join (ref aql_compiler.go:439-465): queries
+  * with `timezone: "timezone(joinKey)"` auto-join this dimension table and
+  * apply the per-row timezone string from `tzColumn`.
+  */
+final case class TimezoneTableDef(table: String, tzColumn: String)
+
+final case class Catalog(
+    tables: Map[String, TableDef],
+    timezoneTable: Option[TimezoneTableDef] = None) {
+
+  def apply(name: String): TableDef =
+    tables.getOrElse(name,
+      throw ParseException(s"unknown table: $name", 0))
+}
+
+object Catalog {
+  /** Catalog over the driver-generated testdata star schema (TESTDATA.md).
+    * `events` is the fact table with `ts` (TimestampType) as its designated
+    * time column; the TPC-H-ish tables join as dimensions.
+    */
+  def testdata(sfDir: String): Catalog = {
+    import graft.Tables
+    def t(name: String, isFact: Boolean, timeCol: Option[String] = None,
+        tsCols: Set[String] = Set.empty, pk: Seq[String] = Nil): (String, TableDef) =
+      name -> TableDef(name, isFact, timeCol, tsCols, pk,
+        s => Tables.load(s, sfDir, name))
+    Catalog(Map(
+      t("events", isFact = true, Some("ts"), Set("ts"), Seq("event_id")),
+      t("lineitem", isFact = true, None, Set.empty, Seq("l_orderkey", "l_linenumber")),
+      t("orders", isFact = false, None, Set.empty, Seq("o_orderkey")),
+      t("customer", isFact = false, pk = Seq("c_custkey")),
+      t("supplier", isFact = false, pk = Seq("s_suppkey")),
+      t("part", isFact = false, pk = Seq("p_partkey")),
+      t("nation", isFact = false, pk = Seq("n_nationkey")),
+      t("region", isFact = false, pk = Seq("r_regionkey")),
+      t("documents", isFact = false, pk = Seq("doc_id")),
+      t("embeddings", isFact = false, pk = Seq("vec_id"))))
+  }
+}

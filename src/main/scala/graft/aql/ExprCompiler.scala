@@ -1,0 +1,233 @@
+package graft.aql
+
+import java.time.{Instant, ZoneId}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, Hll}
+
+/** Translates a parsed AQL expression AST into a Catalyst `Column`.
+  *
+  * The mapping follows the reference's type-resolution/rewrite pass
+  * (/root/reference/query/context/query_context_helper.go:132-742) at the
+  * SEMANTIC level — each rewrite the reference performs on its AST before
+  * GPU codegen is expressed here directly as the equivalent Catalyst
+  * expression, so Catalyst's own constant folding / codegen replace the
+  * reference's hand-rolled functor dispatch:
+  *
+  *   - `/` always promotes to float (helper.go:257-261)
+  *   - `floor(x, n)` is unsigned floor-to-multiple (token.go FLOOR)
+  *   - `convert_tz(ts, from, to)` folds to `ts + offsetDelta` at compile
+  *     time (helper.go:348-387)
+  *   - `dayofweek`/`hour` lower to integer arithmetic on epoch seconds
+  *     (helper.go:390-483): `(ts/86400+4)%7+1`, `(ts%86400)/3600`
+  *   - `IN (…)` expands to equality membership (helper.go:93-129)
+  *   - `IS TRUE` is identity, `IS FALSE` is NOT (helper.go:189-198)
+  *   - array `element_at` is 0-based with negative-from-end and
+  *     null-on-out-of-range (functor.hpp:519-573) — compiled to Spark's
+  *     null-safe 0-based `get` / `try_element_at`
+  *   - enum equality against an unknown case matches nothing, never errors
+  *     (helper.go:301-310) — free with string equality semantics
+  */
+object ExprCompiler {
+
+  /** Compilation context.
+    *
+    * @param resolve   column resolution for VarRefs; receives possibly
+    *                  qualified names (`alias.column`)
+    * @param zone      query timezone (calendar functors, convert_tz fold)
+    * @param nowEpoch  reference instant for compile-time timezone folds
+    */
+  final case class Ctx(
+      resolve: String => Column,
+      zone: ZoneId = ZoneId.of("UTC"),
+      nowEpoch: Long = 0L)
+
+  private val SecondsPerDay = 86400L
+  private val SecondsPerHour = 3600L
+
+  def compile(e: Expr, ctx: Ctx): Column = e match {
+    case Expr.Num(v, text, isInt) => if (isInt) lit(text.toLong) else lit(v)
+    case Expr.Str(s) => lit(s)
+    case Expr.Bool(b) => lit(b)
+    case Expr.Null => lit(null)
+    case Expr.Wildcard =>
+      throw ParseException("wildcard is only valid as a whole dimension", 0)
+    case Expr.VarRef(name) => ctx.resolve(name)
+    case Expr.Paren(inner) => compile(inner, ctx)
+
+    case Expr.Unary(op, inner) =>
+      val c = compile(inner, ctx)
+      op match {
+        case UnaryOp.Neg => negate(c)
+        case UnaryOp.Not | UnaryOp.Exclamation => !c
+        case UnaryOp.BitwiseNot => bitwise_not(c)
+        case UnaryOp.IsNull => c.isNull
+        case UnaryOp.IsNotNull => c.isNotNull
+        case UnaryOp.IsTrue => c // NOT NOT x (helper.go:189-198)
+        case UnaryOp.IsFalse => !c
+      }
+
+    case Expr.Binary(op, l, r) =>
+      val lc = compile(l, ctx)
+      val rc = compile(r, ctx)
+      op match {
+        case BinOp.Or => lc || rc
+        case BinOp.And => lc && rc
+        case BinOp.Eq => lc === rc
+        case BinOp.Neq => lc =!= rc
+        case BinOp.Lt => lc < rc
+        case BinOp.Lte => lc <= rc
+        case BinOp.Gt => lc > rc
+        case BinOp.Gte => lc >= rc
+        case BinOp.BitOr => lc.bitwiseOR(rc)
+        case BinOp.BitAnd => lc.bitwiseAND(rc)
+        case BinOp.BitXor => lc.bitwiseXOR(rc)
+        case BinOp.Shl => shiftleft(lc, intLiteral(r, "<<"))
+        case BinOp.Shr => shiftright(lc, intLiteral(r, ">>"))
+        case BinOp.Add => lc + rc
+        case BinOp.Sub => lc - rc
+        case BinOp.Mul => lc * rc
+        // `/` always promotes to float (helper.go:257-261)
+        case BinOp.Div => lc.cast("double") / rc.cast("double")
+        case BinOp.Mod => pmod(lc, rc)
+      }
+
+    case Expr.In(inner, list, negated) =>
+      val c = compile(inner, ctx)
+      val vals = list.map(compile(_, ctx))
+      val in = c.isin(vals: _*)
+      if (negated) !in else in
+
+    case Expr.Case(whens, otherwise) =>
+      val first = when(compile(whens.head._1, ctx), compile(whens.head._2, ctx))
+      val chained = whens.tail.foldLeft(first) { case (acc, (cond, value)) =>
+        acc.when(compile(cond, ctx), compile(value, ctx))
+      }
+      otherwise.fold(chained)(o => chained.otherwise(compile(o, ctx)))
+
+    case Expr.Call(name, args) => compileCall(name, args, ctx)
+  }
+
+  private def negate(c: Column): Column = lit(0) - c
+
+  private def intLiteral(e: Expr, op: String): Int = e match {
+    case Expr.Num(v, _, true) => v.toInt
+    case _ => throw ParseException(s"'$op' requires an integer literal shift amount", 0)
+  }
+
+  private def epochTs(e: Column): Column = timestamp_seconds(e)
+
+  private def compileCall(name: String, args: Seq[Expr], ctx: Ctx): Column = {
+    def arg(i: Int): Column = compile(args(i), ctx)
+    def requireArgs(n: Int): Unit =
+      if (args.length != n)
+        throw ParseException(s"$name expects $n argument(s), got ${args.length}", 0)
+
+    name match {
+      // floor(x, n): floor to multiple of n; pmod keeps floor semantics for
+      // negative x (reference operands are unsigned, so this is a superset)
+      case "floor" =>
+        requireArgs(2)
+        arg(0) - pmod(arg(0), arg(1))
+
+      // convert_tz(ts, fromTz, toTz) -> ts + offsetDelta, folded at compile
+      // time against `now` (helper.go:348-387)
+      case "convert_tz" =>
+        requireArgs(3)
+        val fromZone = TimeExpr.parseTimezone(strLiteral(args(1), name))
+        val toZone = TimeExpr.parseTimezone(strLiteral(args(2), name))
+        val at = Instant.ofEpochSecond(ctx.nowEpoch)
+        val delta = toZone.getRules.getOffset(at).getTotalSeconds -
+          fromZone.getRules.getOffset(at).getTotalSeconds
+        arg(0) + lit(delta.toLong)
+
+      // epoch-second integer arithmetic rewrites (helper.go:390-483)
+      case "dayofweek" =>
+        requireArgs(1)
+        val a = arg(0)
+        pmod(((a - pmod(a, lit(SecondsPerDay))) / SecondsPerDay).cast("long") + 4, lit(7L)) + 1
+      case "hour" =>
+        requireArgs(1)
+        val d = pmod(arg(0), lit(SecondsPerDay))
+        ((d - pmod(d, lit(SecondsPerHour))) / SecondsPerHour).cast("long")
+
+      // from_unixtime(col/1000) passes through to the column in seconds
+      // (helper.go:203-210)
+      case "from_unixtime" =>
+        requireArgs(1)
+        args.head match {
+          case Expr.Binary(BinOp.Div, c, Expr.Num(1000.0, _, true)) =>
+            (compile(c, ctx).cast("long") / 1000L).cast("long")
+          case other => compile(other, ctx).cast("long")
+        }
+
+      // calendar bucket starts, computed on epoch seconds (functor.hpp:383-431)
+      case "get_week_start" => requireArgs(1); truncEpoch(arg(0), "week")
+      case "get_month_start" => requireArgs(1); truncEpoch(arg(0), "month")
+      case "get_quarter_start" => requireArgs(1); truncEpoch(arg(0), "quarter")
+      case "get_year_start" => requireArgs(1); truncEpoch(arg(0), "year")
+      case "get_day_of_month" => requireArgs(1); dayofmonth(epochTs(arg(0))).cast("long")
+      case "get_day_of_year" => requireArgs(1); dayofyear(epochTs(arg(0))).cast("long")
+      case "get_month_of_year" => requireArgs(1); month(epochTs(arg(0))).cast("long")
+      case "get_quarter_of_year" => requireArgs(1); quarter(epochTs(arg(0))).cast("long")
+
+      // geo: geography_intersects(shape, point) (helper.go:486-525).
+      // The point argument is a struct(lat, lng) column; the shape argument
+      // is an array-of-rings column from a joined geo dimension table.
+      case "geography_intersects" =>
+        requireArgs(2)
+        val shape = arg(0)
+        val point = arg(1)
+        Geo.geographyIntersects(point.getField("lat"), point.getField("lng"), shape)
+
+      // hex(uuid): UUID rendered as hex string (helper.go:526-539)
+      case "hex" =>
+        requireArgs(1)
+        upper(regexp_replace(arg(0).cast("string"), "-", ""))
+
+      case "get_hll_value" =>
+        requireArgs(1)
+        Hll.getHllValue(arg(0))
+
+      // array functions (helper.go:589-721; functor.hpp:470-661)
+      case "length" =>
+        requireArgs(1)
+        size(arg(0))
+      case "contains" =>
+        requireArgs(2)
+        array_contains(arg(0), arg(1))
+      // element_at: reference is 0-based; negative counts from the end;
+      // out-of-range or null item -> null (functor.hpp:519-573). Spark's
+      // `get` is 0-based and null-safe, covering both directions.
+      case "element_at" =>
+        requireArgs(2)
+        val a = arg(0)
+        val i = arg(1)
+        when(i >= 0, get(a, i)).otherwise(get(a, size(a) + i))
+
+      case "countdistincthll" | "hll" | "count" | "sum" | "avg" | "min" | "max" =>
+        throw ParseException(s"aggregate function $name is only valid as a measure", 0)
+
+      case other =>
+        throw ParseException(s"unknown function: $other", 0)
+    }
+  }
+
+  private def strLiteral(e: Expr, fn: String): String = e match {
+    case Expr.Str(s) => s
+    case _ => throw ParseException(s"$fn expects a string literal argument", 0)
+  }
+
+  /** Epoch seconds of the calendar-unit start containing the given epoch.
+    * Requires session timezone UTC (every graft entry point pins it): the
+    * input epoch is already timezone-shifted by the compiler when a query
+    * timezone applies, mirroring the reference's shift-then-floor
+    * (time_bucketizer.go:72-146), so the calendar math itself runs on UTC
+    * wall time. Spark's date_trunc('week') is Monday-based, matching
+    * GET_WEEK_START.
+    */
+  private[aql] def truncEpoch(e: Column, unit: String): Column =
+    unix_timestamp(date_trunc(unit, epochTs(e)))
+}

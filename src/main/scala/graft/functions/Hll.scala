@@ -167,6 +167,14 @@ object Hll {
     */
   def getHllValue(c: Column): Column = Bridge.column(GetHllValue(expression(c)))
 
+  /** hll(x) over a PRECOMPUTED register-value column (the reference's
+    * `isHLLColumn` path, /root/reference/query/context/query_context_helper.go:540-577):
+    * each input is an int packed as (rho << 16) | index; the aggregate
+    * register-max merges them into a sketch and estimates.
+    */
+  def hllFromRegisters(c: Column): Column =
+    Bridge.column(HllFromRegistersAggregate(expression(c)).toAggregateExpression())
+
   private def expression(c: Column): Expression = Bridge.expression(c)
 }
 
@@ -244,6 +252,57 @@ case class HllMergeAggregate(
   override protected def withNewChildInternal(c: Expression): HllMergeAggregate =
     copy(child = c)
   override def prettyName: String = "hll_merge"
+}
+
+/** Aggregates a precomputed register-value column (packed rho<<16|index
+  * ints) into an HLL estimate — the reference's hll(col) measure over an
+  * isHLLColumn (/root/reference/query/common/hll.go:134-200 register-max
+  * merge semantics).
+  */
+case class HllFromRegistersAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val rv = v match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case other => throw new IllegalArgumentException(
+          s"hll register column must be integral, got $other")
+      }
+      val idx = rv & 0xFFFF
+      val rho = ((rv >> 16) & 0xFF).toByte
+      if (idx < Hll.M && (buffer(idx) & 0xFF) < (rho & 0xFF)) buffer(idx) = rho
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    Hll.mergeInto(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = Hll.estimate(buffer)
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = Hll.encode(buffer)
+  override def deserialize(storage: Array[Byte]): Array[Byte] = Hll.decode(storage)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): HllFromRegistersAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllFromRegistersAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllFromRegistersAggregate =
+    copy(child = c)
+  override def prettyName: String = "hll_from_registers"
 }
 
 /** Scalar register encoding, the reference's get_hll_value

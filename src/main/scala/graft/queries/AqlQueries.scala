@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.aql.{AqlCompiler, AqlJson, Catalog}
+
+/** Gate queries that run END TO END through the AQL front end: JSON →
+  * parser → compiler → DataFrame. These are the reference's primary entry
+  * point (/root/reference/query/aql_compiler.go:43-102; the .aql files in
+  * examples/1k_trips/queries) — the DuckDB oracle re-states each query's
+  * semantics independently in SQL.
+  *
+  * `now` is pinned (AQLQuery.Now, ref query/common/aql.go:141-142) at
+  * 2024-01-31T00:00:00Z so natural-language time expressions resolve
+  * deterministically against the Jan-2024 events fixture.
+  *
+  * Float-measure outputs are normalized (DECIMAL cast / ROUND) on BOTH
+  * sides per the cross-engine compare convention (CoreQueries scaladoc) —
+  * a result-serialization concern, not a compiler one.
+  */
+object AqlQueries {
+
+  /** 2024-01-31T00:00:00Z — one day past the last events row. */
+  val NowEpoch = 1706659200L
+
+  private def aql(json: String)(s: SparkSession, d: String): DataFrame =
+    new AqlCompiler(Catalog.testdata(d), s).compile(AqlJson.parseQuery(json)).df
+
+  // time expressions below, resolved against the pinned now:
+  //   "24 hours ago"       -> 1706572800 (2024-01-30T00:00Z, hour-aligned)
+  //   "this quarter-hour"  -> end 1706660100
+  //   "7 days ago"         -> 1706054400 (2024-01-24T00:00Z)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // the reference's flagship total_trips.aql shape: count over a filtered
+    // day with an hour bucketizer and natural-language time bounds
+    QueryDef("q_aql_total_trips",
+      """SELECT CAST(epoch(ts) - epoch(ts) % 3600 AS BIGINT) AS ts,
+        |  CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE epoch(ts) >= 1706572800 AND epoch(ts) < 1706660100
+        |  AND event_type = 'click'
+        |GROUP BY 1 ORDER BY ts NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)",
+                      "rowFilters": ["event_type='click'"]}],
+        "timeFilter": {"column": "ts", "from": "24 hours ago", "to": "this quarter-hour"},
+        "dimensions": [{"alias": "ts", "sqlExpression": "ts", "timeBucketizer": "hour"}],
+        "joins": [],
+        "now": $NowEpoch
+      }""")(s, d).orderBy("ts")
+    },
+
+    // total_fare.aql shape: sum measure (float) over the same window
+    QueryDef("q_aql_total_fare",
+      """SELECT CAST(epoch(ts) - epoch(ts) % 3600 AS BIGINT) AS ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM events
+        |WHERE epoch(ts) >= 1706572800 AND epoch(ts) < 1706660100
+        |  AND event_type = 'purchase'
+        |GROUP BY 1 ORDER BY ts NULLS FIRST""".stripMargin) { (s, d) =>
+      val df = aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "sum(value)",
+                      "rowFilters": ["event_type='purchase'"]}],
+        "timeFilter": {"column": "ts", "from": "24 hours ago", "to": "this quarter-hour"},
+        "dimensions": [{"alias": "ts", "sqlExpression": "ts", "timeBucketizer": "hour"}],
+        "now": $NowEpoch
+      }""")(s, d)
+      // decimal normalization on the Spark side for cross-engine float compare
+      df.select(col("ts"),
+        col("value").cast("decimal(18,6)").cast("double").as("value"))
+        .orderBy("ts")
+    },
+
+    // non-agg projection: window sized under the limit so the row set is
+    // deterministic; limit semantics themselves are covered by specs
+    QueryDef("q_aql_nonagg",
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets
+        |FROM events
+        |WHERE epoch(ts) >= 1706572800 AND epoch(ts) < 1706659200
+        |ORDER BY event_id NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [
+          {"alias": "event_id", "sqlExpression": "event_id"},
+          {"alias": "user_id", "sqlExpression": "user_id"},
+          {"alias": "ets", "sqlExpression": "ts"}
+        ],
+        "timeFilter": {"from": "24 hours ago", "to": "now"},
+        "limit": 1000000,
+        "now": $NowEpoch
+      }""")(s, d).orderBy("event_id")
+    },
+
+    // broadcast dimension join through the AQL join block
+    QueryDef("q_aql_join_dim",
+      """SELECT p.p_brand AS brand,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY brand NULLS FIRST""".stripMargin) { (s, d) =>
+      val df = aql("""{
+        "table": "lineitem",
+        "joins": [{"table": "part",
+                   "conditions": ["lineitem.l_partkey = part.p_partkey"]}],
+        "measures": [{"alias": "value", "sqlExpression": "sum(l_quantity)"}],
+        "dimensions": [{"alias": "brand", "sqlExpression": "part.p_brand"}]
+      }""")(s, d)
+      df.select(col("brand"),
+        col("value").cast("decimal(18,2)").cast("double").as("value"))
+        .orderBy("brand")
+    },
+
+    // scalar expression dimensions: CASE WHEN + floor(x, n) + IN filter
+    QueryDef("q_aql_expr_dims",
+      """SELECT l_quantity - (l_quantity % 10) AS qbucket,
+        |  CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS flag,
+        |  CAST(COUNT(*) AS BIGINT) AS value
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY 1, 2 ORDER BY qbucket NULLS FIRST, flag NULLS FIRST""".stripMargin) { (s, d) =>
+      aql("""{
+        "table": "lineitem",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "rowFilters": ["l_returnflag in ('A', 'R')"],
+        "dimensions": [
+          {"alias": "qbucket", "sqlExpression": "floor(l_quantity, 10)"},
+          {"alias": "flag", "sqlExpression": "case when l_discount > 0.05 then 'hi' else 'lo' end"}
+        ]
+      }""")(s, d).orderBy("qbucket", "flag")
+    },
+
+    // named-timezone week bucketizer: shift-then-floor, Monday-based weeks
+    QueryDef("q_aql_tz_week",
+      """SELECT CAST(epoch(date_trunc('week',
+        |    timezone('America/Los_Angeles', timezone('UTC', ts)))) AS BIGINT) AS wk,
+        |  CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE epoch(ts) >= 1706054400 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY wk NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "wk", "sqlExpression": "ts", "timeBucketizer": "week"}],
+        "timeFilter": {"from": "1706054400", "to": "1706659200"},
+        "timezone": "America/Los_Angeles",
+        "now": $NowEpoch
+      }""")(s, d).orderBy("wk")
+    },
+
+    // row-filter → time-filter promotion: epoch comparisons on the fact
+    // table's time column become the time filter (aql_compiler.go:104-166)
+    QueryDef("q_aql_promoted_timefilter",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE epoch(ts) >= 1704585600 AND epoch(ts) < 1704672000
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "event_type", "sqlExpression": "event_type"}],
+        "rowFilters": ["ts >= 1704585600", "ts < 1704672000"],
+        "now": $NowEpoch
+      }""")(s, d).orderBy("event_type")
+    },
+
+    // recurring bucketizer via AQL: Monday-based day-of-week index
+    QueryDef("q_aql_day_of_week",
+      """SELECT CAST((CAST(epoch(ts) AS BIGINT) // 86400 + 3) % 7 AS BIGINT) AS dow,
+        |  CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY dow NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "dow", "sqlExpression": "ts", "timeBucketizer": "day of week"}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d).orderBy("dow")
+    }
+  )
+}
