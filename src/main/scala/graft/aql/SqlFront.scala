@@ -1,0 +1,255 @@
+package graft.aql
+
+import scala.collection.mutable.ArrayBuffer
+
+/** SQL front end: translates the reference's SQL subset into an
+  * [[AqlQuery]] (NOT a general query plan), mirroring
+  * /root/reference/query/sql/sql_parser.go:108-121, 210+:
+  *
+  *   - SELECT list → measures (items containing an aggregate call) and
+  *     dimensions (everything else); `count(*) AS value` keeps its alias
+  *   - FROM t / JOIN dim ON conds → main table + AQL joins
+  *   - WHERE → rowFilters, except the pseudo-functions
+  *     `aql_time_filter(col, "from", "to", timezone)` → TimeFilter +
+  *     query timezone and `aql_now(col, epoch)` → Now override
+  *     (udf table: query/sql/util/udfRegister.go:50-85)
+  *   - GROUP BY → dimensions; `aql_time_bucket_<name>(col, "unit", tz)`
+  *     → time-bucketizer dimension (bucketizer = <name> with underscores
+  *     as spaces); `aql_numeric_bucket_*` → numeric bucketizer
+  *   - ORDER BY / LIMIT → Sorts / Limit
+  *
+  * Timezones appear as bare identifier paths (`America/New_York`) per the
+  * reference grammar, recovered via [[Render.timezone]].
+  */
+object SqlFront {
+
+  private val AggregateFunctions =
+    Set("count", "sum", "avg", "min", "max", "countdistincthll", "hll")
+
+  private val TimeBucketPrefix = "aql_time_bucket_"
+  private val NumericBucketPrefix = "aql_numeric_bucket_"
+
+  def translate(sql: String): AqlQuery = new SqlParser(sql).parse()
+
+  /** Translate and compile in one step. */
+  def compile(sql: String, catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
+      now: Option[Long] = None): AqlCompiler.Compiled = {
+    val q0 = translate(sql)
+    val q = now.fold(q0)(n => q0.copy(now = Some(n)))
+    new AqlCompiler(catalog, spark).compile(q)
+  }
+
+  private final class SqlParser(input: String) {
+    import ExprParser._
+
+    private val p = new P(ExprParser.lex(input))
+
+    private def isOp(s: String): Boolean = p.cur match {
+      case TOp(o, _) => o == s
+      case _ => false
+    }
+
+    private def ident(): String = p.advance() match {
+      case TIdent(s, _) => s
+      case t => throw ParseException("expected identifier", t.pos)
+    }
+
+    def parse(): AqlQuery = {
+      p.expectKw("select")
+      val items = ArrayBuffer.empty[(Expr, Option[String])]
+      items += selectItem()
+      while (isOp(",")) { p.advance(); items += selectItem() }
+
+      p.expectKw("from")
+      val table = ident()
+      // optional main-table alias
+      if (p.isKw(p.cur, "as")) { p.advance(); ident() }
+
+      val joins = ArrayBuffer.empty[AqlJoin]
+      while (p.isKw(p.cur, "join") || p.isKw(p.cur, "inner") ||
+          p.isKw(p.cur, "left")) {
+        if (p.isKw(p.cur, "inner")) p.advance()
+        else if (p.isKw(p.cur, "left")) {
+          p.advance(); if (p.isKw(p.cur, "outer")) p.advance()
+        }
+        p.expectKw("join")
+        val jt = ident()
+        val alias =
+          if (p.isKw(p.cur, "as")) { p.advance(); Some(ident()) }
+          else p.cur match {
+            case TIdent(s, _) if !reservedAfterRelation(s) => p.advance(); Some(s)
+            case _ => None
+          }
+        p.expectKw("on")
+        val conds = flattenAnd(p.parseExpr(0))
+        joins += AqlJoin(jt, alias, conds.map(Render(_)))
+      }
+
+      var timeFilter: Option[AqlTimeFilter] = None
+      var timezone: Option[String] = None
+      var nowOverride: Option[Long] = None
+      val rowFilters = ArrayBuffer.empty[String]
+      if (p.isKw(p.cur, "where")) {
+        p.advance()
+        // top-level AND conjuncts; the pseudo-functions must not sit under
+        // OR (ref sql_parser.go hasORInPath check)
+        val conjuncts = flattenAnd(p.parseExpr(0))
+        conjuncts.foreach {
+          case Expr.Call("aql_time_filter", Seq(c, f, t, tz)) =>
+            if (timeFilter.nonEmpty)
+              throw ParseException("duplicate aql_time_filter", 0)
+            timeFilter = Some(AqlTimeFilter(
+              Some(Render(c)), Some(str(f, "from")), Some(str(t, "to"))))
+            timezone = Some(Render.timezone(tz)).filter(_.nonEmpty)
+          case Expr.Call("aql_now", Seq(_, n)) =>
+            nowOverride = Some(num(n, "aql_now"))
+          case other => rowFilters += Render(other)
+        }
+      }
+
+      val groupDims = ArrayBuffer.empty[AqlDimension]
+      if (p.isKw(p.cur, "group")) {
+        p.advance(); p.expectKw("by")
+        groupDims += groupItem(timezoneSink = tz => {
+          timezone match {
+            case Some(existing) if existing != tz =>
+              throw ParseException(s"different timebucket timezone $tz", 0)
+            case _ => timezone = Some(tz).filter(_.nonEmpty)
+          }
+        })
+        while (isOp(",")) {
+          p.advance()
+          groupDims += groupItem(tz => timezone = timezone.orElse(Some(tz).filter(_.nonEmpty)))
+        }
+      }
+
+      val sorts = ArrayBuffer.empty[AqlSortField]
+      if (p.isKw(p.cur, "order")) {
+        p.advance(); p.expectKw("by")
+        var done = false
+        while (!done) {
+          val name = Render(p.parseExpr(0))
+          val dir =
+            if (p.isKw(p.cur, "asc")) { p.advance(); Some("asc") }
+            else if (p.isKw(p.cur, "desc")) { p.advance(); Some("desc") }
+            else None
+          sorts += AqlSortField(name, dir)
+          if (isOp(",")) p.advance() else done = true
+        }
+      }
+
+      var limit: Option[Int] = None
+      if (p.isKw(p.cur, "limit")) {
+        p.advance()
+        limit = Some(num(p.parseExpr(0), "limit").toInt)
+      }
+      p.expectEof()
+
+      // classify select items (ref aggFuncExists): aggregate → measure
+      val measures = ArrayBuffer.empty[AqlMeasure]
+      val selectDims = ArrayBuffer.empty[AqlDimension]
+      items.foreach { case (e, alias) =>
+        if (containsAggregate(e))
+          measures += AqlMeasure(alias, Render(e))
+        else if (e == Expr.Wildcard)
+          selectDims += AqlDimension(alias, Some("*"))
+        else
+          selectDims += AqlDimension(alias, Some(Render(e)))
+      }
+      // non-aggregate query: measure literal 1, select items are the dims
+      if (measures.isEmpty) measures += AqlMeasure(None, "1")
+
+      // merge: group-by dims take aliases from matching select items
+      val dims: Seq[AqlDimension] =
+        if (groupDims.isEmpty) selectDims.toSeq
+        else groupDims.map { gd =>
+          selectDims.find(_.sqlExpression == gd.sqlExpression) match {
+            case Some(sd) => gd.copy(alias = sd.alias.orElse(gd.alias))
+            case None => gd
+          }
+        }.toSeq
+
+      AqlQuery(
+        table = table,
+        joins = Some(joins.toSeq).filter(_.nonEmpty),
+        dimensions = Some(dims).filter(_.nonEmpty),
+        measures = measures.toSeq,
+        rowFilters = Some(rowFilters.toSeq).filter(_.nonEmpty),
+        timeFilter = timeFilter,
+        timezone = timezone,
+        now = nowOverride,
+        limit = limit,
+        sorts = Some(sorts.toSeq).filter(_.nonEmpty))
+    }
+
+    private def selectItem(): (Expr, Option[String]) = {
+      val e = p.parseExpr(0)
+      val alias =
+        if (p.isKw(p.cur, "as")) { p.advance(); Some(ident()) }
+        else None
+      (e, alias)
+    }
+
+    private def reservedAfterRelation(s: String): Boolean =
+      Set("join", "inner", "left", "on", "where", "group", "order", "limit")
+        .contains(s.toLowerCase)
+
+    private def groupItem(timezoneSink: String => Unit): AqlDimension =
+      p.parseExpr(0) match {
+        case Expr.Call(name, args) if name.startsWith(TimeBucketPrefix) =>
+          if (args.length != 3)
+            throw ParseException(s"$name should have 3 parameters", 0)
+          val bucketizer = name.stripPrefix(TimeBucketPrefix).replace('_', ' ')
+          timezoneSink(Render.timezone(args(2)))
+          val unit = str(args(1), "timeunit")
+          AqlDimension(None, Some(Render(args(0))),
+            timeBucketizer = Some(bucketizer),
+            timeUnit = Some(unit).filter(_.nonEmpty))
+        case Expr.Call(name, args) if name.startsWith(NumericBucketPrefix) =>
+          if (args.length != 2)
+            throw ParseException(s"$name should have 2 parameters", 0)
+          val nb = name.stripPrefix(NumericBucketPrefix) match {
+            case "bucket_width" => AqlNumericBucketizer(bucketWidth = Some(numD(args(1))))
+            case "logbase" => AqlNumericBucketizer(logBase = Some(numD(args(1))))
+            case "mannual_partitions" | "manual_partitions" =>
+              throw ParseException("manual partitions via SQL not supported yet", 0)
+            case other => throw ParseException(s"unknown numeric bucketizer $other", 0)
+          }
+          AqlDimension(None, Some(Render(args(0))), numericBucketizer = Some(nb))
+        case other => AqlDimension(None, Some(Render(other)))
+      }
+
+    private def flattenAnd(e: Expr): Seq[Expr] = e match {
+      case Expr.Binary(BinOp.And, l, r) => flattenAnd(l) ++ flattenAnd(r)
+      case other => Seq(other)
+    }
+
+    private def containsAggregate(e: Expr): Boolean = e match {
+      case Expr.Call(name, args) =>
+        AggregateFunctions.contains(name) || args.exists(containsAggregate)
+      case Expr.Binary(_, l, r) => containsAggregate(l) || containsAggregate(r)
+      case Expr.Unary(_, inner) => containsAggregate(inner)
+      case Expr.Paren(inner) => containsAggregate(inner)
+      case Expr.In(inner, list, _) => containsAggregate(inner) || list.exists(containsAggregate)
+      case Expr.Case(whens, otherwise) =>
+        whens.exists { case (c, v) => containsAggregate(c) || containsAggregate(v) } ||
+          otherwise.exists(containsAggregate)
+      case _ => false
+    }
+
+    private def str(e: Expr, what: String): String = e match {
+      case Expr.Str(s) => s
+      case other => throw ParseException(s"expected string for $what", 0)
+    }
+
+    private def num(e: Expr, what: String): Long = e match {
+      case Expr.Num(v, _, true) => v.toLong
+      case other => throw ParseException(s"expected integer for $what", 0)
+    }
+
+    private def numD(e: Expr): Double = e match {
+      case Expr.Num(v, _, _) => v
+      case other => throw ParseException("expected number", 0)
+    }
+  }
+}

@@ -169,6 +169,37 @@ object AqlQueries {
       }""")(s, d).orderBy("event_type")
     },
 
+    // SQL front end end-to-end: SQL text -> AQLQuery -> DataFrame
+    // (ref query/sql/sql_parser.go:108-121 translation subset)
+    QueryDef("q_sql_flagship",
+      """SELECT CAST(epoch(ts) - epoch(ts) % 3600 AS BIGINT) AS ts,
+        |  CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE epoch(ts) >= 1706572800 AND epoch(ts) < 1706660100
+        |  AND event_type = 'click'
+        |GROUP BY 1 ORDER BY ts NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.aql.SqlFront.compile(
+        """SELECT count(*) AS value FROM events
+          | WHERE event_type = 'click'
+          |   AND aql_time_filter(ts, "24 hours ago", "this quarter-hour", UTC)
+          | GROUP BY aql_time_bucket_hour(ts, "", UTC)""".stripMargin,
+        Catalog.testdata(d), s, now = Some(NowEpoch))
+        .df.orderBy("ts")
+    },
+
+    QueryDef("q_sql_join_nonagg",
+      """SELECT l_orderkey, o.o_orderpriority AS prio
+        |FROM lineitem JOIN orders o ON lineitem.l_orderkey = o.o_orderkey
+        |WHERE l_quantity > 45 AND l_orderkey < 3000
+        |ORDER BY l_orderkey NULLS FIRST, prio NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.aql.SqlFront.compile(
+        """SELECT l_orderkey, o.o_orderpriority AS prio FROM lineitem
+          | JOIN orders o ON lineitem.l_orderkey = o.o_orderkey
+          | WHERE l_quantity > 45 AND l_orderkey < 3000
+          | LIMIT 100000""".stripMargin,
+        Catalog.testdata(d), s).df.orderBy("l_orderkey", "prio")
+    },
+
     // recurring bucketizer via AQL: Monday-based day-of-week index
     QueryDef("q_aql_day_of_week",
       """SELECT CAST((CAST(epoch(ts) AS BIGINT) // 86400 + 3) % 7 AS BIGINT) AS dow,

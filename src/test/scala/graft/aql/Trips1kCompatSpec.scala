@@ -84,8 +84,21 @@ class Trips1kCompatSpec extends SparkSpec {
   }
 
   test("total_trips.sql: the SQL twin produces the same result as the AQL form") {
-    // placeholder until the SQL front end lands (task: sqlfront); the file
-    // exists at /root/reference/examples/1k_trips/queries/total_trips.sql
-    pending
+    // the reference's SQL file wraps the statement in {"queries": ["..."]}
+    val src = Source.fromFile(s"$QueriesDir/total_trips.sql")
+    val json = try src.mkString finally src.close()
+    val stmts = org.json4s.jackson.JsonMethods.parse(json) \ "queries"
+    val sql = stmts.children.head.values.toString
+    val sqlDf = SqlFront.compile(sql, tripsCatalog, spark, now = Some(NowEpoch)).df
+    val sqlRes = sqlDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val aqlRes = runAql("total_trips.aql").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the SQL twin buckets in America/New_York (UTC-5 across the Jan
+    // fixture, a whole-hour offset): same row groups, labels shifted by
+    // the offset (shift-then-floor, time_bucketizer.go:72-146)
+    assert(sqlRes.map { case (k, v) => (k + 18000) -> v } == aqlRes)
+    assert(sqlRes.nonEmpty)
   }
 }
