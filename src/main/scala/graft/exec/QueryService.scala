@@ -1,0 +1,104 @@
+package graft.exec
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.aql._
+
+/** The engine's query entry point: AQL / SQL request in, AQLResponse JSON
+  * out — the reference's `POST /query/aql` and `POST /query/sql` handler
+  * semantics (/root/reference/api/query_handler.go:67-120) minus the HTTP
+  * transport. Each query in the request compiles and executes
+  * independently; a failure lands in `errors[i]` (null on success) with
+  * `results[i]` empty, matching AQLResponse (query/common/aql.go:161-166).
+  */
+final class QueryService(catalog: Catalog, spark: SparkSession) {
+
+  private val compiler = new AqlCompiler(catalog, spark)
+
+  /** Execute an AQLRequest JSON body: `{"queries": [{...}, ...]}`. */
+  def aql(requestJson: String): String = {
+    val request = AqlJson.parseRequest(requestJson)
+    respond(request.queries.map(q => () => compiler.compile(q)))
+  }
+
+  /** Execute SQL statements: `{"queries": ["SELECT ...", ...]}` bodies or a
+    * bare statement string.
+    */
+  def sql(body: String): String = {
+    val statements: Seq[String] =
+      if (body.trim.startsWith("{")) {
+        (JsonMethods.parse(body) \ "queries").children.map(_.values.toString)
+      } else Seq(body)
+    respond(statements.map(s => () => compiler.compile(SqlFront.translate(s))))
+  }
+
+  /** Execute one AQL query with an HLL measure and return the
+    * `application/hll` binary body. Dimensions must be numeric (epoch
+    * buckets / integral dims) per the wire format.
+    */
+  def aqlBinary(queryJson: String): Array[Byte] = {
+    val q = AqlJson.parseQuery(queryJson)
+    val parsed = ExprParser.parse(q.measures.head.sqlExpression)
+    val inner = parsed match {
+      case Expr.Call("countdistincthll" | "hll", Seq(arg)) => Render(arg)
+      case _ => throw ParseException("application/hll requires an HLL measure", 0)
+    }
+    val n = q.dimensionList.length
+    val grouped = sketchDf(q, inner)
+    val rows = grouped.collect().map { r =>
+      val dims = (0 until n).map { i =>
+        if (r.isNullAt(i)) None
+        else r.get(i) match {
+          case l: Long => Some(l)
+          case i2: Int => Some(i2.toLong)
+          case other => throw ParseException(
+            s"application/hll dims must be integral, got ${other.getClass.getSimpleName}", 0)
+        }
+      }
+      HllWire.HllRow(dims, graft.functions.Hll.decode(r.getAs[Array[Byte]](n)))
+    }
+    HllWire.write(rows.toSeq)
+  }
+
+  /** The query re-planned to produce SKETCHES instead of estimates: a
+    * non-agg projection of the dims + the hll input column, grouped here
+    * with the sketch aggregate (ref qc.ReturnHLLData path,
+    * query/hll.go:27-108).
+    */
+  private def sketchDf(q: AqlQuery, innerExpr: String) = {
+    import org.apache.spark.sql.functions._
+    val dimsQ = q.dimensionList.zipWithIndex.map { case (d, i) =>
+      d.copy(alias = d.alias.orElse(Some(s"d$i")))
+    }
+    val proj = compiler.compile(q.copy(
+      measures = Seq(AqlMeasure(None, "1", q.measures.head.rowFilters)),
+      dimensions = Some(dimsQ :+ AqlDimension(Some("__hll_in"), Some(innerExpr))),
+      limit = Some(-1)))
+    val dimCols = dimsQ.map(d => col(d.alias.get))
+    proj.df.groupBy(dimCols: _*)
+      .agg(graft.functions.Hll.hllSketch(col("__hll_in")).as("__sketch"))
+  }
+
+  private def respond(thunks: Seq[() => AqlCompiler.Compiled]): String = {
+    val outcomes = thunks.map { t =>
+      try Right(ResultShaper.shape(t()))
+      catch { case NonFatal(e) => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+    }
+    val results = JArray(outcomes.map {
+      case Right(j) => j
+      case Left(_) => JObject()
+    }.toList)
+    val errors = JArray(outcomes.map {
+      case Right(_) => JNull
+      case Left(msg) => JString(msg)
+    }.toList)
+    val body = JObject(
+      "results" -> results,
+      "errors" -> (if (outcomes.exists(_.isLeft)) errors else JNull))
+    JsonMethods.compact(JsonMethods.render(body))
+  }
+}

