@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.TimeQueries.defs ++
     graft.queries.FunctionQueries.defs ++
     graft.queries.PipelineQueries.defs ++
-    graft.queries.AqlQueries.defs
+    graft.queries.AqlQueries.defs ++
+    graft.queries.IngestQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * AresDB's flagship shape: time-filtered, dimension-joined, time-bucketed

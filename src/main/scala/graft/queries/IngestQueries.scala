@@ -1,0 +1,66 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ingest.{Archiver, Upsert}
+
+/** Gate queries for the ingestion/archive lifecycle (SURVEY §2.1 rows
+  * 3/7/10, §2.8 row 55). The DuckDB oracles re-state upsert PK-overwrite
+  * semantics with set operations and the archive day-range scan with a
+  * plain time filter over the original table.
+  */
+object IngestQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PK-overwrite upsert: later in-batch record wins, miss appends
+    // (ref memstore/ingestion.go:172+, cuckoo_index.go:195)
+    QueryDef("q_upsert_dedup",
+      """WITH existing AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id < 5000),
+        |b1 AS (SELECT event_id, event_type, value + 1000 AS value
+        |       FROM events WHERE event_id % 2 = 0),
+        |b2 AS (SELECT event_id, event_type, value + 2000 AS value
+        |       FROM events WHERE event_id % 4 = 0),
+        |latest AS (SELECT * FROM b2 UNION ALL
+        |           SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)),
+        |merged AS (SELECT * FROM latest UNION ALL
+        |           SELECT e.* FROM existing e
+        |           WHERE e.event_id NOT IN (SELECT event_id FROM latest))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      val existing = ev.where(col("event_id") < 5000)
+      val batch =
+        ev.where(col("event_id") % 2 === 0)
+          .withColumn("value", col("value") + 1000).withColumn("seq", lit(1L))
+        .unionByName(
+          ev.where(col("event_id") % 4 === 0)
+            .withColumn("value", col("value") + 2000).withColumn("seq", lit(2L)))
+      Upsert(existing, batch, Seq("event_id"), "seq")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy("event_type")
+    },
+
+    // archive lifecycle round-trip: day-partitioned write + pruned
+    // day-range scan equals a plain time filter over the source table
+    // (ref memstore/archiving.go:59-141; aql_compiler.go:1047-1056)
+    QueryDef("q_archive_scan",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE epoch(ts) >= 1704412800 AND epoch(ts) < 1704672000
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_gate_archive").toString
+      Archiver.archive(Tables.events(s, d), "ts", Seq("event_type", "user_id"), dir)
+      Archiver.scan(s, dir, "ts", 1704412800L, 1704672000L)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }
+  )
+}
