@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.FunctionQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.AqlQueries.defs ++
-    graft.queries.IngestQueries.defs
+    graft.queries.IngestQueries.defs ++
+    graft.queries.ArrayQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * AresDB's flagship shape: time-filtered, dimension-joined, time-bucketed

@@ -182,10 +182,12 @@ object ExprCompiler {
         val point = arg(1)
         Geo.geographyIntersects(point.getField("lat"), point.getField("lng"), shape)
 
-      // hex(uuid): UUID rendered as hex string (helper.go:526-539)
+      // hex(uuid): UUID rendered as its plain hex string — lowercase, no
+      // dashes, Go hex.EncodeToString semantics (helper.go:526-539;
+      // memstore/common/data_value.go:284-286)
       case "hex" =>
         requireArgs(1)
-        upper(regexp_replace(arg(0).cast("string"), "-", ""))
+        lower(regexp_replace(arg(0).cast("string"), "-", ""))
 
       case "get_hll_value" =>
         requireArgs(1)
