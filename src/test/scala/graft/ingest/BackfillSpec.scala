@@ -1,0 +1,73 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class BackfillSpec extends SparkSpec {
+
+  private def withTempDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    try f(dir)
+    finally Archiver.purge(dir, "9999-99-99")
+  }
+
+  test("late records rewrite only their day partitions, with PK overwrite") {
+    withTempDir { dir =>
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      Archiver.archive(ev, "ts", Seq("event_type"), dir)
+
+      // late batch: corrections for 2024-01-05 (existing PKs, new value)
+      // plus brand-new rows for 2024-01-06
+      val day5 = ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05")
+      val corrections = day5.limit(20).withColumn("value", lit(-1.0))
+      val newRows = ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-06")
+        .limit(10).withColumn("event_id", col("event_id") + 1000000)
+      val late = corrections.unionByName(newRows)
+
+      val untouched = s"$dir/day=2024-01-10"
+      val mtimeBefore = Files.list(Paths.get(untouched)).toArray
+        .map(p => Files.getLastModifiedTime(p.asInstanceOf[java.nio.file.Path]).toMillis).sorted.toSeq
+
+      val affected = Backfill(spark, dir, late, "ts",
+        Seq("event_id"), Seq("event_type"))
+      assert(affected == Seq("2024-01-05", "2024-01-06"))
+
+      // untouched partition: bytes not rewritten
+      val mtimeAfter = Files.list(Paths.get(untouched)).toArray
+        .map(p => Files.getLastModifiedTime(p.asInstanceOf[java.nio.file.Path]).toMillis).sorted.toSeq
+      assert(mtimeBefore == mtimeAfter)
+
+      // corrections applied: all 20 rows carry the new value
+      val got5 = spark.read.parquet(s"$dir/day=2024-01-05")
+      assert(got5.where(col("value") === -1.0).count() == 20)
+      assert(got5.count() == day5.count()) // overwrite, not append
+
+      // new rows appended to their day
+      val got6 = spark.read.parquet(s"$dir/day=2024-01-06")
+      val expected6 = ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-06").count() + 10
+      assert(got6.count() == expected6)
+
+      // whole-archive row count consistent
+      val total = spark.read.parquet(dir).count()
+      assert(total == ev.count() + 10)
+    }
+  }
+
+  test("snapshot overwrites the dimension table wholesale") {
+    withTempDir { dir =>
+      val snapDir = s"$dir/nation_snapshot"
+      val nation = Tables.nation(spark, sfDir)
+      Snapshot.write(nation, snapDir)
+      assert(Snapshot.read(spark, snapDir).count() == nation.count())
+
+      val mutated = nation.withColumn("n_name", upper(col("n_name")))
+      Snapshot.write(mutated, snapDir)
+      val back = Snapshot.read(spark, snapDir)
+      assert(back.count() == nation.count())
+      assert(back.where(col("n_name") =!= upper(col("n_name"))).count() == 0)
+    }
+  }
+}
