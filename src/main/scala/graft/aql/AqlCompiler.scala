@@ -69,7 +69,20 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
     val tsCols = collectTimestampColumns(q, main)
     val resolveCtx = ExprCompiler.Ctx(resolveWith(tsCols), fixedZone, nowEpoch)
 
-    joined.foreach { j =>
+    // geo joins are detected by their geography_intersects condition and
+    // handled after filter parsing (they consume the geo filter)
+    def isGeoJoin(j: AqlJoin): Boolean =
+      j.conditions.headOption.exists { c =>
+        ExprParser.parse(c) match {
+          case Expr.Call("geography_intersects", _) => true
+          case _ => false
+        }
+      }
+    val (geoJoins, plainJoins) = joined.partition(isGeoJoin)
+    if (geoJoins.length > 1)
+      throw ParseException("at most one geo join condition allowed", 0)
+
+    plainJoins.foreach { j =>
       val dimDef = catalog(j.table)
       val dimDf = dimDef.load(spark).as(j.aliasOrTable)
       val cond = j.conditions.map(c => ExprCompiler.compile(ExprParser.parse(c), resolveCtx))
@@ -87,7 +100,11 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
         throw ParseException(s"timezone table ${tzDef.table} needs a primary key", 0))
       val alias = "__tz"
       val dimDf = tzTable.load(spark).as(alias)
-      val keyCol = ExprCompiler.compile(ExprParser.parse(key), resolveCtx)
+      // qualify unqualified names against the main table: the timezone
+      // table may share the key column's name (e.g. city_id)
+      val qualified = resolveCtx.copy(resolve = name =>
+        resolveWith(tsCols)(if (name.contains(".")) name else s"${q.table}.$name"))
+      val keyCol = ExprCompiler.compile(ExprParser.parse(key), qualified)
       df = df.join(broadcast(dimDf), keyCol === col(s"$alias.$pk"), "left_outer")
       col(s"$alias.${tzDef.tzColumn}")
     }
@@ -95,6 +112,49 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
     // -- filters + time filter (classification & promotion) -----------------
     var rowFilterExprs = q.filters.map(ExprParser.parse) ++
       q.measures.head.filters.map(ExprParser.parse)
+
+    // -- geo join: join→filter conversion (aql_compiler.go:199-266) ---------
+    // The geo filter (EQ/IN on the shape table's PK, string UUIDs, at most
+    // GeoShapeLimit shapes) selects the broadcast shape set; the join
+    // becomes an inner point-in-polygon filter and the shape PK remains
+    // available as a dimension (optionally hex(uuid)).
+    geoJoins.foreach { j =>
+      val dimDef = catalog(j.table)
+      if (dimDef.primaryKey.length != 1)
+        throw ParseException("composite primary key for geo table is not allowed", 0)
+      if (j.conditions.length != 1)
+        throw ParseException("at most one join condition allowed per geo join", 0)
+      val pk = dimDef.primaryKey.head
+      val alias = j.aliasOrTable
+      val pkNames = Set(pk, s"$alias.$pk")
+
+      def strLits(es: Seq[Expr]): Seq[String] = es.map {
+        case Expr.Str(s) => s
+        case _ => throw ParseException("geo UUIDs must be strings in query", 0)
+      }
+      // exactly one geo filter: EQ or IN on the shape PK
+      val (geoFilters, rest) = rowFilterExprs.partition {
+        case Expr.Binary(BinOp.Eq, Expr.VarRef(c), _) => pkNames.contains(c)
+        case Expr.In(Expr.VarRef(c), _, false) => pkNames.contains(c)
+        case _ => false
+      }
+      if (geoFilters.length != 1)
+        throw ParseException("exactly one geo filter required (EQ or IN on the shape table primary key)", 0)
+      val shapeIds = geoFilters.head match {
+        case Expr.Binary(BinOp.Eq, _, v) => strLits(Seq(v))
+        case Expr.In(_, vs, _) => strLits(vs)
+        case _ => Nil
+      }
+      if (shapeIds.length > GeoShapeLimit)
+        throw ParseException(s"geo filter supports at most $GeoShapeLimit shapes", 0)
+      if (q.measures.head.sqlExpression.contains(s"$alias."))
+        throw ParseException("geo table fields are not allowed in measures", 0)
+      rowFilterExprs = rest
+
+      val shapes = dimDef.load(spark).where(col(pk).isin(shapeIds: _*)).as(alias)
+      val cond = ExprCompiler.compile(ExprParser.parse(j.conditions.head), resolveCtx)
+      df = df.join(broadcast(shapes), cond, "inner")
+    }
 
     val timeColName = q.timeFilter.flatMap(_.column).filter(_.nonEmpty)
       .orElse(main.timeColumn)
@@ -260,6 +320,8 @@ object AqlCompiler {
   val NonAggregationQueryLimit = 1000
   /** ref query/aql_compiler.go:169-171 */
   val MaxForeignTables = 8
+  /** ref query/aql_compiler.go:37 (enforced at :927-929) */
+  val GeoShapeLimit = 100
 
   final case class Compiled(
       df: DataFrame,
