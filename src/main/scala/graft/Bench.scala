@@ -25,6 +25,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: touch every table once so file listing / footer reads / first
+    // codegen don't land on whichever query happens to run first
+    // (alphabetically q_agg_avg was paying ~5s of one-time cost)
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
