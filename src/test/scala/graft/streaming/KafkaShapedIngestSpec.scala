@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Drives the Kafka wire shape (key/value binary, partition, offset) from
+  * a MemoryStream through decode → keyed upsert.
+  */
+class KafkaShapedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, value, topic, partition, offset) — the kafka source schema
+  private type Wire = (Array[Byte], Array[Byte], String, Int, Long)
+
+  private def rec(key: Long, payload: Double, partition: Int, offset: Long): Wire =
+    (key.toString.getBytes,
+      s"""{"id": $key, "payload": $payload}""".getBytes,
+      "t", partition, offset)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("payload", DoubleType)))
+
+  test("JSON decode + offset-ordered upsert over the kafka wire schema") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Wire]
+    val raw = source.toDF()
+      .toDF("key", "value", "topic", "partition", "offset")
+
+    val query = KafkaShapedIngest.upsertStream(raw, schema, "id")
+      .writeStream.format("memory").queryName("kafka_sink")
+      .outputMode("update").start()
+    try {
+      source.addData(
+        rec(1, 10.0, 0, 100),
+        rec(1, 11.0, 0, 101), // later offset wins
+        rec(2, 20.0, 0, 102))
+      query.processAllAvailable()
+      source.addData(
+        rec(2, 21.0, 0, 103),
+        rec(3, 30.0, 1, 5)) // different partition
+      query.processAllAvailable()
+
+      val latest = spark.table("kafka_sink")
+        .groupBy("key").agg(max_by(col("payload"), col("seq")).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(latest == Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+    } finally query.stop()
+  }
+
+  test("malformed payloads decode to null columns, not failures") {
+    val raw = Seq(
+      ("k".getBytes, """{"id": 7, "payload": 1.5}""".getBytes, "t", 0, 1L),
+      ("k".getBytes, """not json at all""".getBytes, "t", 0, 2L)
+    ).toDF("key", "value", "topic", "partition", "offset")
+    val decoded = KafkaShapedIngest.decode(raw, schema).collect()
+    assert(decoded.length == 2)
+    assert(decoded.count(_.isNullAt(0)) == 1)
+  }
+}
