@@ -61,13 +61,23 @@ object Dedup {
 
   /** Candidate pairs sharing at least one LSH band (16 bands × 4 rows),
     * annotated with the signature-estimated Jaccard similarity.
+    *
+    * Degenerate-bucket guard: buckets larger than `maxBucket` are dropped
+    * BEFORE the self-join (one tiny (band,bucket) aggregation). A
+    * degenerate bucket — all-empty documents, a boilerplate shingle set —
+    * otherwise fans out quadratically in corpus size; the cap bounds any
+    * bucket's pair contribution at maxBucket² and only discards candidates
+    * whose signatures collide with >maxBucket other docs, which at that
+    * frequency are boilerplate, not near-duplicates.
     */
-  def minhashCandidates(sigs: DataFrame, idCol: String): DataFrame = {
-    val banded = sigs.select(
+  def minhashCandidates(sigs: DataFrame, idCol: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val banded0 = sigs.select(
       col(idCol), col("sig"),
       posexplode(array((0 until Bands).map { b =>
         xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bucket")))
+    val banded = capBuckets(banded0, maxBucket)
     val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -86,6 +96,17 @@ object Dedup {
       threshold: Double): DataFrame =
     minhashCandidates(minhashSignatures(df, idCol, textCol), idCol)
       .where(col("est_jaccard") >= threshold)
+
+  /** Drop (band, bucket) groups larger than `maxBucket` before a bucket
+    * self-join (skew guard shared by the banded-LSH operators).
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val ok = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    banded.join(ok, Seq("band", "bucket"))
+  }
 
   // ---- SimHash -----------------------------------------------------------
 
@@ -115,7 +136,7 @@ object Dedup {
     * candidate. Fixed 4×16-bit banding would only cover h <= 3.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val sh = simhash(df, idCol, textCol)
     val nBands = maxHamming + 1
@@ -125,8 +146,8 @@ object Dedup {
       val mask = if (width >= 64) -1L else (1L << width) - 1
       shiftrightunsigned(col("simhash"), start).bitwiseAND(mask)
     }
-    val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    val banded = capBuckets(sh.select(col(idCol), col("simhash"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket"))), maxBucket)
     val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sh"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sh"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

