@@ -200,6 +200,14 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
       b.toEpoch.foreach { t =>
         df = df.where(if (isTs) raw < timestamp_seconds(lit(t)) else raw < lit(t))
       }
+      // day-partitioned archive: widen the time filter with day-range
+      // predicates on the partition column for static partition pruning —
+      // the archive day-range scan (aql_compiler.go:1047-1056)
+      if (main.dayPartitioned) {
+        val dayOf = (e: Long) => date_format(timestamp_seconds(lit(e)), "yyyy-MM-dd")
+        b.fromEpoch.foreach(f => df = df.where(col(graft.ingest.Archiver.DayCol) >= dayOf(f)))
+        b.toEpoch.foreach(t => df = df.where(col(graft.ingest.Archiver.DayCol) <= dayOf(t - 1)))
+      }
     }
 
     rowFilterExprs.foreach { e =>

@@ -14,12 +14,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filter on the raw column (timestamp-literal comparison pushes down to
   * the parquet scan).
   */
+/** @param dayPartitioned the table's storage is day-partitioned on a
+  *   `day=yyyy-MM-dd` column derived from the time column (the
+  *   [[graft.ingest.Archiver]] layout); the compiler then widens time
+  *   filters with day-range predicates so Catalyst statically prunes
+  *   partitions — the reference's archive day-range scan
+  *   (aql_compiler.go:1047-1056)
+  */
 final case class TableDef(
     name: String,
     isFact: Boolean,
     timeColumn: Option[String] = None,
     timestampColumns: Set[String] = Set.empty,
     primaryKey: Seq[String] = Nil,
+    dayPartitioned: Boolean = false,
     load: SparkSession => DataFrame)
 
 /** Configured timezone-table join (ref aql_compiler.go:439-465): queries
@@ -47,7 +55,7 @@ object Catalog {
     def t(name: String, isFact: Boolean, timeCol: Option[String] = None,
         tsCols: Set[String] = Set.empty, pk: Seq[String] = Nil): (String, TableDef) =
       name -> TableDef(name, isFact, timeCol, tsCols, pk,
-        s => Tables.load(s, sfDir, name))
+        load = s => Tables.load(s, sfDir, name))
     Catalog(Map(
       t("events", isFact = true, Some("ts"), Set("ts"), Seq("event_id")),
       t("lineitem", isFact = true, None, Set.empty, Seq("l_orderkey", "l_linenumber")),
