@@ -69,6 +69,13 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
     val tsCols = collectTimestampColumns(q, main)
     val resolveCtx = ExprCompiler.Ctx(resolveWith(tsCols), fixedZone, nowEpoch)
 
+    // supporting dimensions/measures: referenced by alias from other
+    // expressions, never grouped/reported themselves (ref aql.go:120-126)
+    val supporting: Map[String, Expr] =
+      q.supportingDefs.map { case (alias, text) => alias -> ExprParser.parse(text) }.toMap
+    def parseE(text: String): Expr =
+      AqlCompiler.substitute(ExprParser.parse(text), supporting)
+
     // geo joins are detected by their geography_intersects condition and
     // handled after filter parsing (they consume the geo filter)
     def isGeoJoin(j: AqlJoin): Boolean =
@@ -110,8 +117,8 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
     }
 
     // -- filters + time filter (classification & promotion) -----------------
-    var rowFilterExprs = q.filters.map(ExprParser.parse) ++
-      q.measures.head.filters.map(ExprParser.parse)
+    var rowFilterExprs = q.filters.map(parseE) ++
+      q.measures.head.filters.map(parseE)
 
     // -- geo join: join→filter conversion (aql_compiler.go:199-266) ---------
     // The geo filter (EQ/IN on the shape table's PK, string UUIDs, at most
@@ -215,7 +222,7 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
     }
 
     // -- dimensions ---------------------------------------------------------
-    val measureExpr = ExprParser.parse(q.measures.head.sqlExpression)
+    val measureExpr = parseE(q.measures.head.sqlExpression)
     val isNonAgg = measureExpr match {
       case Expr.Num(1.0, _, true) => true
       case _ => false
@@ -230,7 +237,7 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
         }
       case (d, i) =>
         val name = d.alias.filter(_.nonEmpty).getOrElse(if (d.expr.nonEmpty) d.expr else s"d$i")
-        Seq(name -> dimensionColumn(d, q, main, tsCols, resolveCtx, perRowTz, fixedZone))
+        Seq(name -> dimensionColumn(d, q, main, parseE, resolveCtx, perRowTz, fixedZone))
     }
 
     // -- measure ------------------------------------------------------------
@@ -272,7 +279,7 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
   }
 
   private def dimensionColumn(d: AqlDimension, q: AqlQuery, main: TableDef,
-      tsCols: Set[String], ctx: ExprCompiler.Ctx, perRowTz: Option[Column],
+      parseE: String => Expr, ctx: ExprCompiler.Ctx, perRowTz: Option[Column],
       zone: ZoneId): Column = {
     val baseExprStr =
       if (d.expr.nonEmpty) d.expr
@@ -280,7 +287,7 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
         main.timeColumn.getOrElse(
           throw ParseException("time dimension needs a time column", 0))
       else throw ParseException("dimension needs sqlExpression", 0)
-    val base = ExprCompiler.compile(ExprParser.parse(baseExprStr), ctx)
+    val base = ExprCompiler.compile(parseE(baseExprStr), ctx)
 
     d.numericBucketizer match {
       case Some(nb) => return Bucketizers.numeric(base, nb)
@@ -318,12 +325,55 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
     // hll(col) consumes a precomputed register-value column (isHLLColumn)
     case Expr.Call("hll", Seq(a)) =>
       Hll.hllFromRegisters(ExprCompiler.compile(a, ctx))
+    // derived measures: arithmetic over aggregates (the algebra the
+    // reference broker performs post-merge, e.g. avg = sum / count,
+    // broker/query_plan_agg.go:438-470, available here inline)
+    case Expr.Binary(op, l, r) =>
+      val lc = measureOperand(l, ctx)
+      val rc = measureOperand(r, ctx)
+      op match {
+        case BinOp.Add => lc + rc
+        case BinOp.Sub => lc - rc
+        case BinOp.Mul => lc * rc
+        case BinOp.Div => lc.cast("double") / rc.cast("double")
+        case BinOp.Mod => pmod(lc, rc)
+        case other => throw ParseException(s"unsupported measure operator ${other.sym}", 0)
+      }
+    case Expr.Paren(inner) => measureColumn(inner, ctx)
     case other =>
       throw ParseException(s"unsupported measure expression", 0)
+  }
+
+  /** An operand of a derived measure: an aggregate subtree or a literal. */
+  private def measureOperand(e: Expr, ctx: ExprCompiler.Ctx): Column = e match {
+    case n @ Expr.Num(_, _, _) => ExprCompiler.compile(n, ctx)
+    case other => measureColumn(other, ctx)
   }
 }
 
 object AqlCompiler {
+  /** Inline supporting-alias references: VarRefs matching a supporting
+    * dimension/measure alias expand to that item's (substituted) expression;
+    * the `seen` set rejects definition cycles.
+    */
+  def substitute(e: Expr, defs: Map[String, Expr], seen: Set[String] = Set.empty): Expr = {
+    def go(x: Expr): Expr = x match {
+      case Expr.VarRef(name) if defs.contains(name) =>
+        if (seen.contains(name))
+          throw ParseException(s"cyclic supporting definition: $name", 0)
+        substitute(defs(name), defs, seen + name)
+      case Expr.Binary(op, l, r) => Expr.Binary(op, go(l), go(r))
+      case Expr.Unary(op, inner) => Expr.Unary(op, go(inner))
+      case Expr.Paren(inner) => Expr.Paren(go(inner))
+      case Expr.Call(n, args) => Expr.Call(n, args.map(go))
+      case Expr.In(inner, list, neg) => Expr.In(go(inner), list.map(go), neg)
+      case Expr.Case(whens, otherwise) =>
+        Expr.Case(whens.map { case (c, v) => (go(c), go(v)) }, otherwise.map(go))
+      case leaf => leaf
+    }
+    go(e)
+  }
+
   /** ref query/aql_compiler.go:38 */
   val NonAggregationQueryLimit = 1000
   /** ref query/aql_compiler.go:169-171 */

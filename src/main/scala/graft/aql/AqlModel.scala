@@ -53,6 +53,8 @@ final case class AqlQuery(
     measures: Seq[AqlMeasure] = Nil,
     rowFilters: Option[Seq[String]] = None,
     timeFilter: Option[AqlTimeFilter] = None,
+    supportingDimensions: Option[Seq[AqlDimension]] = None,
+    supportingMeasures: Option[Seq[AqlMeasure]] = None,
     timezone: Option[String] = None,
     now: Option[Long] = None,
     limit: Option[Int] = None,
@@ -61,6 +63,12 @@ final case class AqlQuery(
   def joinList: Seq[AqlJoin] = joins.getOrElse(Nil)
   def dimensionList: Seq[AqlDimension] = dimensions.getOrElse(Nil)
   def filters: Seq[String] = rowFilters.getOrElse(Nil)
+  /** Supporting dims/measures are not grouped/reported themselves but may
+    * be referenced by alias from other expressions (ref aql.go:120-126).
+    */
+  def supportingDefs: Seq[(String, String)] =
+    supportingDimensions.getOrElse(Nil).flatMap(d => d.alias.map(_ -> d.expr)) ++
+      supportingMeasures.getOrElse(Nil).flatMap(m => m.alias.map(_ -> m.sqlExpression))
 }
 
 final case class AqlRequest(queries: Seq[AqlQuery])

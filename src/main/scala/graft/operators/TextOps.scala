@@ -13,6 +13,16 @@ object TextOps {
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** BPE-ish subword segmentation pattern: letter runs, digit runs, and
+    * individual punctuation marks each count as one token — the shape of a
+    * byte-pair tokenizer's pre-tokenization split. RE2/Java-compatible so
+    * cross-engine counts match exactly.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish token array (for counting; training-cost estimation). */
+  def bpeishTokens(c: Column): Column = regexp_extract_all(c, lit(BpeishPattern), lit(0))
+
   /** Word n-gram shingles as space-joined strings; empty array when the
     * document is shorter than n tokens.
     */

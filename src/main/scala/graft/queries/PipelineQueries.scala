@@ -161,6 +161,19 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- text analysis: token counting (whitespace + BPE-ish subword) ------
+    QueryDef("q_text_token_count",
+      """SELECT lang,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("ws_tokens"),
+          sum(size(TextOps.bpeishTokens(col("text")))).cast("long").as("bpeish_tokens"))
+        .orderBy("lang")
+    },
+
     // --- text analysis -------------------------------------------------------
     QueryDef("q_text_stats",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,

@@ -177,6 +177,47 @@ class AqlCompilerSpec extends SparkSpec {
     assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
   }
 
+  test("supporting measures/dimensions inline by alias; derived measure arithmetic") {
+    val df = run(s"""{
+      "table": "events",
+      "supportingMeasures": [
+        {"alias": "clicks", "sqlExpression": "sum(case when event_type = 'click' then 1 else 0 end)"},
+        {"alias": "total", "sqlExpression": "count(*)"}
+      ],
+      "supportingDimensions": [
+        {"alias": "uid_bucket", "sqlExpression": "floor(user_id, 100)"}
+      ],
+      "measures": [{"alias": "click_rate", "sqlExpression": "clicks / total"}],
+      "dimensions": [{"alias": "ub", "sqlExpression": "uid_bucket"}],
+      "timeFilter": {"from": "1704067200"},
+      "now": $NowEpoch
+    }""")
+    val expected = Tables.events(spark, sfDir)
+      .where(col("ts") >= timestamp_seconds(lit(1704067200L)) &&
+        col("ts") < timestamp_seconds(lit(NowEpoch)))
+      .groupBy((col("user_id") - pmod(col("user_id"), lit(100))).as("ub"))
+      .agg((sum(when(col("event_type") === "click", 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("click_rate"))
+    assert(df.columns.toSeq == Seq("ub", "click_rate"))
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+    assert(df.count() > 0)
+  }
+
+  test("cyclic supporting definitions are rejected") {
+    intercept[ParseException] {
+      run(s"""{
+        "table": "events",
+        "supportingMeasures": [
+          {"alias": "a", "sqlExpression": "b + 1"},
+          {"alias": "b", "sqlExpression": "a + 1"}
+        ],
+        "measures": [{"sqlExpression": "sum(a)"}],
+        "timeFilter": {"from": "1704067200"},
+        "now": $NowEpoch
+      }""")
+    }
+  }
+
   test("1k_trips example queries compile and execute (AQL surface compat)") {
     // the reference's own flagship AQL bodies
     // (/root/reference/examples/1k_trips/queries/total_trips.aql), retargeted
