@@ -47,17 +47,59 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands // 4
 
-  /** MinHash signature per document: explode word-3-gram shingles, take
-    * min(xxhash64(i, shingle)) per hash index i — 64 codegen'd min
-    * aggregates in one shuffle keyed by document id.
-    */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("sh"))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"s$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+  /** One 64-bit FNV-1a pass over a string (the per-shingle base hash). */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
+
+  /** Whole-signature computation per document in one tight loop: slide the
+    * 3-token shingle window, hash each shingle ONCE (FNV-1a), derive the 64
+    * minhash functions by rotate-and-xor double hashing, and keep running
+    * minima. Null (filtered) for documents shorter than 3 tokens.
+    */
+  private val signatureUdf = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < 3) null
+    else {
+      val sig = Array.fill(NumHashes)(Long.MaxValue)
+      val n = toks.length
+      var i = 0
+      while (i <= n - 3) {
+        val h1 = fnv1a64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        // avalanche for the second base hash (splitmix64 finalizer)
+        var h2 = h1 + 0x9e3779b97f4a7c15L
+        h2 = (h2 ^ (h2 >>> 30)) * 0xbf58476d1ce4e5b9L
+        h2 = (h2 ^ (h2 >>> 27)) * 0x94d049bb133111ebL
+        h2 = h2 ^ (h2 >>> 31)
+        var j = 0
+        while (j < NumHashes) {
+          val h = h1 ^ java.lang.Long.rotateLeft(h2, j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+  }
+
+  /** MinHash signature per document — computed MAP-SIDE in a single UDF
+    * evaluation (no shingle explode, no 64-way aggregation shuffle; the
+    * expression form paid interpreted higher-order-function cost per
+    * shingle and a 4M-row shuffle at sf0.1). Signatures depend only on the
+    * document's own tokens, so the operator is embarrassingly parallel;
+    * the only shuffle in the dedup pipeline is the banded candidate join.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      signatureUdf(TextOps.tokens(col(textCol))).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** Candidate pairs sharing at least one LSH band (16 bands × 4 rows),
     * annotated with the signature-estimated Jaccard similarity.
@@ -110,22 +152,31 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash per document: per-bit majority vote over token hashes,
-    * assembled with bitwise OR (no UDF, no overflow under ANSI mode).
-    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+  /** Per-document SimHash in one pass: hash each token once (FNV-1a),
+    * accumulate 64 per-bit majority votes, assemble the hash. */
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    val votes = new Array[Int](64)
+    if (toks != null) toks.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
     }
-    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map { b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column
-        }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
   }
+
+  /** 64-bit SimHash per document: per-bit majority vote over token hashes.
+    * Computed MAP-SIDE per document (the expression form exploded tokens
+    * and paid a 64-sum aggregation shuffle; simhash depends only on the
+    * document's own tokens, so no shuffle belongs here at all).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhashUdf(TextOps.tokens(col(textCol))).as("simhash"))
 
   /** Near-dup pairs by SimHash: band the 64-bit hash into `maxHamming + 1`
     * keys, join within bands, verify with popcount(xor) <= maxHamming.

@@ -65,14 +65,39 @@ object Similarity {
     * cosine verification against the threshold. Recall for similarity s:
     * 1 - (1 - (1 - acos(s)/pi)^bits)^tables.
     */
+  /** All `tables` bucket ids in one pass: a single UDF evaluation per row
+    * with tight primitive loops over the broadcast plane matrix. The
+    * Column-expression form ([[lshBucket]]) evaluates bits×tables
+    * higher-order-function aggregates per row — HOF lambdas run
+    * interpreted per element, which made bucketing the dominant cost.
+    */
+  private def allBuckets(dim: Int, bits: Int, tables: Int) = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables)(t => hyperplanes(dim, bits, seed = 7L + t))
+    udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          val p = planes(t)(b)
+          var s = 0.0
+          var i = 0
+          while (i < v.length && i < p.length) { s += v(i) * p(i); i += 1 }
+          if (s > 0) bucket |= 1L << b
+          b += 1
+        }
+        bucket
+      }
+    }
+  }
+
   def lshNearPairs(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, bits: Int = 12, tables: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     val bucketed0 = corpus.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      array((0 until tables).map { t =>
-        lshBucket(col(vecCol), hyperplanes(dim, bits, seed = 7L + t))
-      }: _*).as("buckets"))
+      allBuckets(dim, bits, tables)(col(vecCol)).as("buckets"))
       .select(col("id"), col("v"), posexplode(col("buckets")).as(Seq("table", "bucket")))
     // degenerate-bucket skew guard (e.g. zero vectors all land in bucket 0):
     // a bucket larger than maxBucket fans out quadratically — drop it before
@@ -104,19 +129,26 @@ object Similarity {
       .orderBy("__h").limit(nlist)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
-  /** Nearest-centroid id (argmin squared L2) as a codegen-friendly column
-    * over the broadcast centroid array.
+  /** `nProbe` nearest centroids by squared L2, one UDF evaluation per row
+    * with primitive loops (nlist HOF-aggregate expressions per row run
+    * interpreted and dominate otherwise). nProbe = 1 gives the assignment.
     */
-  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(vec, typedlit(c.toSeq),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), _ + _).as("d"),
-        lit(i).as("cell"))
+  private def nearestCells(centroids: Array[Array[Double]], nProbe: Int) =
+    udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      val dists = Array.tabulate(centroids.length) { c =>
+        val cent = centroids(c)
+        var s = 0.0
+        var i = 0
+        while (i < v.length && i < cent.length) {
+          val d = v(i) - cent(i)
+          s += d * d
+          i += 1
+        }
+        s
+      }
+      dists.zipWithIndex.sortBy(_._1).take(nProbe).map(_._2)
     }
-    array_min(array(dists: _*)).getField("cell")
-  }
 
   /** IVF top-k: corpus rows are assigned to their nearest of `nlist`
     * coarse cells ONCE (the inverted file — in production this assignment
@@ -129,19 +161,11 @@ object Similarity {
       queries: DataFrame, k: Int, nlist: Int = 64, nProbe: Int = 8): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell", nearestCell(col("c_vec"), centroids))
+      .withColumn("cell", element_at(nearestCells(centroids, 1)(col("c_vec")), 1))
 
     // per-query probe cells: nProbe nearest centroids
-    val probeDists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(col("q_vec"), typedlit(c.toSeq),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), _ + _).as("d"),
-        lit(i).as("cell"))
-    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("probes",
-        slice(transform(array_sort(array(probeDists: _*)), _.getField("cell")), 1, nProbe))
+      .withColumn("probes", nearestCells(centroids, nProbe)(col("q_vec")))
       .select(col("query_id"), col("q_vec"), explode(col("probes")).as("cell"))
 
     val scored = assigned.join(broadcast(q), "cell")
