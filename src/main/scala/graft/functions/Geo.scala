@@ -44,4 +44,19 @@ object Geo {
 
   def geographyIntersects(lat: Column, lng: Column, shape: Column): Column =
     pointInPolygon(lat, lng, shape)
+
+  /** All shape ids containing the point, with the (≤ geoShapeLimit) shape
+    * set baked into the UDF closure: one evaluation per POINT instead of
+    * one per (point × shape) pair, and no per-row shape deserialization —
+    * the Spark shape of the reference's shapes-in-device-memory scan
+    * (geo_intersects.cu:34-340). Join semantics preserved: a point in k
+    * overlapping shapes yields k ids.
+    */
+  def matchingShapes(shapes: Seq[(String, Seq[Seq[(Double, Double)]])]): (Column, Column) => Column = {
+    val baked = shapes.toArray
+    val u = udf { (lat: Double, lng: Double) =>
+      baked.collect { case (id, shape) if pointInShape(lat, lng, shape) => id }.toSeq
+    }
+    (lat: Column, lng: Column) => u(lat, lng)
+  }
 }

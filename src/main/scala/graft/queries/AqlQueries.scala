@@ -200,6 +200,25 @@ object AqlQueries {
         Catalog.testdata(d), s).df.orderBy("l_orderkey", "prio")
     },
 
+    // convert_tz scalar: compile-time fold to ts + offsetDelta
+    // (query_context_helper.go:348-387); -5:00 is DST-free so the fold is
+    // exact for the whole fixture
+    QueryDef("q_aql_convert_tz",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) - 18000 AS le FROM events
+        |  WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200)
+        |SELECT le - le % 86400 AS local_day, CAST(COUNT(*) AS BIGINT) AS value
+        |FROM e GROUP BY 1 ORDER BY local_day NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "local_day",
+                        "sqlExpression": "floor(convert_tz(ts, 'UTC', '-5:00'), 86400)"}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d).orderBy("local_day")
+    },
+
     // recurring bucketizer via AQL: Monday-based day-of-week index
     QueryDef("q_aql_day_of_week",
       """SELECT CAST((CAST(epoch(ts) AS BIGINT) // 86400 + 3) % 7 AS BIGINT) AS dow,

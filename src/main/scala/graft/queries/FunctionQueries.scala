@@ -98,11 +98,18 @@ object FunctionQueries {
       val pts = Tables.lineitem(s, d).select(
         ((col("l_suppkey") * 7) % 180 - 90 + 0.5).cast(DoubleType).as("lat"),
         (col("l_partkey") % 360 - 180 + 0.5).cast(DoubleType).as("lng"))
-      val shapeDf = shapes.toDF("shape_id", "shape")
-      pts.crossJoin(broadcast(shapeDf))
-        .groupBy("shape_id")
-        .agg(sum(when(Geo.pointInPolygon(col("lat"), col("lng"), col("shape")), 1L)
-          .otherwise(0L)).as("cnt"))
+      // shapes baked into the UDF closure: one evaluation per point, all
+      // matching shape ids at once (join semantics via explode)
+      val matcher = Geo.matchingShapes(shapes.map { case (id, sh) =>
+        (id.toString, sh.map(_.map(p => (p(0), p(1)))))
+      })
+      val matched = pts
+        .select(explode(matcher(col("lat"), col("lng"))).as("sid"))
+        .groupBy("sid").agg(count(lit(1)).as("cnt"))
+      shapes.map(_._1.toString).toDF("sid")
+        .join(matched, Seq("sid"), "left_outer")
+        .select(col("sid").cast("int").as("shape_id"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("shape_id")
     },
 
