@@ -22,18 +22,27 @@ object SparkEntry {
     graft.queries.ArrayQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * AresDB's flagship shape: time-filtered, dimension-joined, time-bucketed
-    * single-measure aggregation (examples/1k_trips/queries/total_fare.aql).
+    * AresDB's flagship shape — time-filtered, dimension-joined,
+    * time-bucketed single-measure aggregation — run through the FULL
+    * front end: AQL JSON → parser → compiler → DataFrame (the same path
+    * as examples/1k_trips/queries/total_fare.aql).
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    val li = Tables.lineitem(spark, d)
-    val p = Tables.part(spark, d)
-    li.where(col("l_shipdate") >= lit("1994-01-01").cast(TimestampType))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_outer")
-      .groupBy(date_trunc("month", col("l_shipdate")).as("month"), col("p_brand"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy("month", "p_brand")
+    val compiled = new graft.aql.AqlCompiler(graft.aql.Catalog.testdata(d), spark)
+      .compile(graft.aql.AqlJson.parseQuery("""{
+        "table": "lineitem",
+        "joins": [{"table": "part",
+                   "conditions": ["lineitem.l_partkey = part.p_partkey"]}],
+        "measures": [{"alias": "revenue",
+                      "sqlExpression": "sum(l_extendedprice * (1 - l_discount))",
+                      "rowFilters": ["l_shipdate >= 757382400"]}],
+        "dimensions": [
+          {"alias": "month", "sqlExpression": "l_shipdate", "timeBucketizer": "month"},
+          {"alias": "brand", "sqlExpression": "part.p_brand"}
+        ]
+      }"""))
+    compiled.df.orderBy("month", "brand")
   }
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -58,8 +58,8 @@ object Catalog {
         load = s => Tables.load(s, sfDir, name))
     Catalog(Map(
       t("events", isFact = true, Some("ts"), Set("ts"), Seq("event_id")),
-      t("lineitem", isFact = true, None, Set.empty, Seq("l_orderkey", "l_linenumber")),
-      t("orders", isFact = false, None, Set.empty, Seq("o_orderkey")),
+      t("lineitem", isFact = true, None, Set("l_shipdate"), Seq("l_orderkey", "l_linenumber")),
+      t("orders", isFact = false, None, Set("o_orderdate"), Seq("o_orderkey")),
       t("customer", isFact = false, pk = Seq("c_custkey")),
       t("supplier", isFact = false, pk = Seq("s_suppkey")),
       t("part", isFact = false, pk = Seq("p_partkey")),
