@@ -71,14 +71,21 @@ object FunctionQueries {
         .orderBy("event_type")
     },
 
-    // get_hll_value(x): precomputed register column (hll() fast path input)
-    QueryDef.rowsOnly("q_hll_value_column") { (s, d) =>
+    // get_hll_value(x): precomputed register column (hll() fast path
+    // input). Register values are hash-specific, but the packed layout is
+    // checkable: index = reg & 0xFFFF < 2^14, rho = reg >> 16 in [1, 51]
+    // (p=14 leaves 50 hash bits + 1), one non-null register per non-null
+    // input. The oracle pins the row count and asserts the layout flags.
+    QueryDef("q_hll_value_column",
+      """SELECT CAST(COUNT(user_id) AS BIGINT) AS n_regs,
+        |  TRUE AS index_in_range, TRUE AS rho_in_range
+        |FROM events""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .select(Hll.getHllValue(col("user_id")).as("reg"))
-        .groupBy((col("reg") % 16384).as("reg_index_bucket"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("reg_index_bucket"))
-        .limit(20)
+        .agg(count(col("reg")).as("n_regs"),
+          min(col("reg").bitwiseAND(0xFFFF) < 16384).as("index_in_range"),
+          (min(shiftright(col("reg"), 16)) >= 1 &&
+            max(shiftright(col("reg"), 16)) <= 51).as("rho_in_range"))
     },
 
     // geo join: point-in-polygon against ≤100 broadcast shapes, counted per

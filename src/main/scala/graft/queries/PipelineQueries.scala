@@ -45,20 +45,43 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
     },
 
-    // --- dedup: MinHash LSH (hash-specific → rows-only; planted near-dups
-    // must all be found, asserted in DedupSpec too)
-    QueryDef.rowsOnly("q_dedup_minhash") { (s, d) =>
+    // --- dedup: MinHash LSH. The hash values are engine-specific, but the
+    // RECALL CONTRACT is checkable: every planted near-dup pair (mutated
+    // copy at id+100000) must be found. The oracle pins the planted-pair
+    // count exactly and asserts the flag (the HLL-tolerance gate pattern).
+    QueryDef("q_dedup_minhash",
+      """SELECT CAST((SELECT COUNT(*) FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3) AS BIGINT) AS planted,
+        |  TRUE AS all_planted_found
+        |""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // docs shorter than 3 tokens have no shingles, hence no signature
+      val eligible = docs
+        .where(size(TextOps.tokens(col("text"))) >= 3).count()
       Dedup.minhashNearDups(doubledDocs(s, d, mutate = true), "doc_id", "text", 0.35)
-        .agg(count(lit(1)).as("pairs"),
-          count_distinct(col("a_id")).as("docs_with_dup"),
-          round(avg("est_jaccard"), 2).as("mean_est_jaccard"))
+        .where(col("b_id") === col("a_id") + 100000)
+        .agg(count(lit(1)).as("found"))
+        .select(lit(eligible).as("planted"),
+          (col("found") === eligible).as("all_planted_found"))
     },
 
-    // --- dedup: SimHash ------------------------------------------------------
-    QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
-      Dedup.simhashNearDups(doubledDocs(s, d, mutate = true), "doc_id", "text", 6)
-        .agg(count(lit(1)).as("pairs"),
-          count_distinct(col("a_id")).as("docs_with_dup"))
+    // --- dedup: SimHash. Banding recall contract: the banded join must
+    // find EXACTLY the planted pairs within the Hamming radius (ground
+    // truth computed in-query via direct id join — no LSH involved).
+    QueryDef("q_dedup_simhash",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS banding_exact
+        |FROM documents""".stripMargin) { (s, d) =>
+      val planted = doubledDocs(s, d, mutate = true)
+      val sh = Dedup.simhash(planted, "doc_id", "text")
+      val truth = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+        .join(sh.select((col("doc_id") - 100000).as("a_id"), col("simhash").as("b_sh")), "a_id")
+        .where(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 6)
+        .count()
+      Dedup.simhashNearDups(planted, "doc_id", "text", 6)
+        .where(col("b_id") === col("a_id") + 100000)
+        .agg(count(lit(1)).as("found"))
+        .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), (col("found") === truth).as("banding_exact"))
     },
 
     // --- dedup: exact word-set Jaccard (integer outputs → exact oracle) ----
@@ -122,9 +145,13 @@ object PipelineQueries {
 
     // --- similarity search: LSH-bucketed ANN (scale path). Planted signal:
     // a lightly-perturbed copy of each vector (cos ≈ 0.999) that multi-table
-    // LSH must recover; recall asserted in SimilaritySpec.
-    QueryDef.rowsOnly("q_ann_lsh") { (s, d) =>
+    // LSH must recover at ≥90% recall; the oracle pins the corpus size and
+    // asserts the recall flag.
+    QueryDef("q_ann_lsh",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS recall_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
       val perturbed = emb
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
@@ -132,7 +159,10 @@ object PipelineQueries {
             (x.cast("double") + sin(i.cast("double") * 0.7) * 0.03).cast("float")))
       Similarity.lshNearPairs(emb.unionByName(perturbed), "vec_id", "embedding",
           dim = 64, threshold = 0.9)
-        .agg(count(lit(1)).as("pairs"), round(avg("cos"), 3).as("mean_cos"))
+        .where(col("b_id") === col("a_id") + 100000)
+        .agg(count(lit(1)).as("found"))
+        .select(lit(n).as("n_vectors"),
+          (col("found") >= lit(n) * 0.9).as("recall_ok"))
     },
 
     // --- similarity search: IVF ANN (the other scale path). Planted
@@ -228,11 +258,20 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
-    QueryDef.rowsOnly("q_text_rolling_fingerprint") { (s, d) =>
+    // rolling fingerprints are engine-specific 64-bit values, but their
+    // CONTRACT is checkable: deterministic (equal texts hash equal) and
+    // collision-free on this corpus — distinct fingerprints == distinct
+    // texts per language; the oracle pins the distinct-text counts
+    QueryDef("q_text_rolling_fingerprint",
+      """SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  TRUE AS fp_bijective
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("lang"),
+        .select(col("lang"), col("text"),
           TextOps.fingerprintRolling(TextOps.tokens(col("text"))).as("fp"))
-        .groupBy("lang").agg(count_distinct(col("fp")).as("n_fp"))
+        .groupBy("lang")
+        .agg(count_distinct(col("text")).as("n_distinct_texts"),
+          (count_distinct(col("fp")) === count_distinct(col("text"))).as("fp_bijective"))
         .orderBy("lang")
     },
 
