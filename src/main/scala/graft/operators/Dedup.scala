@@ -114,21 +114,28 @@ object Dedup {
     */
   def minhashCandidates(sigs: DataFrame, idCol: String,
       maxBucket: Int = 10000): DataFrame = {
+    // band on (id, bucket) ONLY — shipping the 512-byte signature through
+    // every band replicates it ×16 through the widest shuffle; signatures
+    // join back by id once per side, and only for surviving candidates
     val banded0 = sigs.select(
-      col(idCol), col("sig"),
+      col(idCol),
       posexplode(array((0 until Bands).map { b =>
         xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bucket")))
     val banded = capBuckets(banded0, maxBucket)
-    val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = banded.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    pairs
+      .join(sigs.select(col(idCol).as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (aggregate(zip_with(col("a_sig"), col("b_sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / NumHashes).as("est_jaccard"))
-      .dropDuplicates("a_id", "b_id")
   }
 
   /** Full MinHash near-dup pipeline: signatures → banded candidates →
