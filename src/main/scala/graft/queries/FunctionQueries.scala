@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 
 /** Gate queries for the custom function surface: HLL distinct-count
   * aggregation (§2.4), the geo intersection join-as-filter (§2.3), and the
-  * per-row timezone join (§2.3). HLL estimates are engine-specific, so those
-  * entries are rows-only; exactness is asserted in HllSpec instead.
+  * per-row timezone join (§2.3). HLL values are engine-specific, so those
+  * entries emit exact pinnable values plus in-query tolerance/invariant
+  * flags the DuckDB oracle asserts; bitwise exactness lives in HllSpec.
   */
 object FunctionQueries {
 

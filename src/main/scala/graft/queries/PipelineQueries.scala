@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * similarity search (brute-force + LSH ANN), text analysis (lang-id,
   * quality, token counts, fingerprints) and multimodal plumbing.
   *
-  * Hash-based operators (xxhash64/minhash/simhash/LSH) are engine-specific
-  * → rows-only entries, with exactness asserted in operator specs. Set
-  * algebra, counts, md5 fingerprints and cosine rankings are
-  * SQL-expressible → DuckDB oracles.
+  * Hash-based operators (minhash/simhash/LSH/fingerprints) are
+  * engine-specific, so their gates emit exact pinnable values (planted
+  * counts, corpus sizes) plus recall/invariant flags the DuckDB oracle
+  * asserts; set algebra, counts, md5 fingerprints and cosine rankings are
+  * directly SQL-expressible. Every entry is oracle-checked.
   */
 object PipelineQueries {
 
