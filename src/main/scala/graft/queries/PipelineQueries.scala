@@ -31,10 +31,13 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     // --- dedup: exact ------------------------------------------------------
+    // dedup key includes lang: the same text can occur under two languages
+    // (it does at sf0.1), and a text-only dedup would keep an arbitrary
+    // lang while the per-lang distinct count sees both
     QueryDef("q_dedup_exact",
       """SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS cnt
         |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-      Dedup.exact(doubledDocs(s, d, mutate = false), Seq("text"))
+      Dedup.exact(doubledDocs(s, d, mutate = false), Seq("lang", "text"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")
     },
