@@ -211,8 +211,15 @@ object SqlFront {
           val nb = name.stripPrefix(NumericBucketPrefix) match {
             case "bucket_width" => AqlNumericBucketizer(bucketWidth = Some(numD(args(1))))
             case "logbase" => AqlNumericBucketizer(logBase = Some(numD(args(1))))
+            // comma-separated bounds in a quoted string, e.g. "0,50,100"
+            // (ref sql_parser.go:1521-1534; the reference's spelling is
+            // "mannual", accepted alongside the corrected form)
             case "mannual_partitions" | "manual_partitions" =>
-              throw ParseException("manual partitions via SQL not supported yet", 0)
+              val bounds = str(args(1), "partitions").split(",").toSeq.map { s =>
+                s.trim.toDoubleOption.getOrElse(
+                  throw ParseException(s"bad partition bound '$s'", 0))
+              }
+              AqlNumericBucketizer(manualPartitions = Some(bounds))
             case other => throw ParseException(s"unknown numeric bucketizer $other", 0)
           }
           AqlDimension(None, Some(Render(args(0))), numericBucketizer = Some(nb))

@@ -41,6 +41,19 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(q.dimensionList.head.timeBucketizer.contains("day of week"))
   }
 
+  test("numeric bucketizers: width, logbase, manual partitions") {
+    val q = SqlFront.translate(
+      """SELECT count(*) FROM t GROUP BY
+        | aql_numeric_bucket_bucket_width(x, 10),
+        | aql_numeric_bucket_logbase(y, 2),
+        | aql_numeric_bucket_mannual_partitions(z, "0,50,100")""".stripMargin)
+    val nbs = q.dimensionList.flatMap(_.numericBucketizer)
+    assert(nbs == Seq(
+      AqlNumericBucketizer(bucketWidth = Some(10.0)),
+      AqlNumericBucketizer(logBase = Some(2.0)),
+      AqlNumericBucketizer(manualPartitions = Some(Seq(0.0, 50.0, 100.0)))))
+  }
+
   test("non-aggregate query: measure 1, select items become dimensions, limit") {
     val q = SqlFront.translate(
       "SELECT event_id, user_id FROM events WHERE value > 10 LIMIT 50")
