@@ -54,7 +54,55 @@ object SqlFront {
       case t => throw ParseException("expected identifier", t.pos)
     }
 
+    /** Entry: optional 1-level WITH prefix (ref sql_parser.go:37-39,
+      * maxlevelWith = 1), then the statement. A WITH subquery exists only
+      * to assemble the single AQL query: its table/joins/filters/time
+      * filter merge into the outer statement, and its aliased select items
+      * become supporting dimensions the compiler inlines by alias.
+      */
     def parse(): AqlQuery = {
+      val ctes = scala.collection.mutable.Map.empty[String, AqlQuery]
+      if (p.isKw(p.cur, "with")) {
+        p.advance()
+        var more = true
+        while (more) {
+          val name = ident()
+          p.expectKw("as")
+          p.expectOp("(")
+          if (p.isKw(p.cur, "with"))
+            throw ParseException("at most one WITH level supported", 0)
+          ctes(name) = parseStatement()
+          p.expectOp(")")
+          if (isOp(",")) p.advance() else more = false
+        }
+      }
+      val outer = parseStatement()
+      p.expectEof()
+      ctes.get(outer.table) match {
+        case None => outer
+        case Some(inner) => mergeWith(outer, inner)
+      }
+    }
+
+    private def mergeWith(outer: AqlQuery, inner: AqlQuery): AqlQuery = {
+      if (inner.measures != Seq(AqlMeasure(None, "1")))
+        throw ParseException("aggregates inside a WITH subquery are not supported", 0)
+      if (outer.timeFilter.nonEmpty && inner.timeFilter.nonEmpty &&
+          outer.timeFilter != inner.timeFilter)
+        throw ParseException("conflicting time filters between WITH and outer query", 0)
+      val supporting = inner.dimensionList.filter(d =>
+        d.alias.exists(_.nonEmpty) && d.expr.nonEmpty && d.expr != "*")
+      outer.copy(
+        table = inner.table,
+        joins = Some(inner.joinList ++ outer.joinList).filter(_.nonEmpty),
+        rowFilters = Some(inner.filters ++ outer.filters).filter(_.nonEmpty),
+        timeFilter = outer.timeFilter.orElse(inner.timeFilter),
+        supportingDimensions = Some(supporting).filter(_.nonEmpty),
+        timezone = outer.timezone.orElse(inner.timezone),
+        now = outer.now.orElse(inner.now))
+    }
+
+    private def parseStatement(): AqlQuery = {
       p.expectKw("select")
       val items = ArrayBuffer.empty[(Expr, Option[String])]
       items += selectItem()
@@ -143,7 +191,7 @@ object SqlFront {
         p.advance()
         limit = Some(num(p.parseExpr(0), "limit").toInt)
       }
-      p.expectEof()
+      // caller checks EOF (a CTE body ends at its closing paren instead)
 
       // classify select items (ref aggFuncExists): aggregate → measure
       val measures = ArrayBuffer.empty[AqlMeasure]

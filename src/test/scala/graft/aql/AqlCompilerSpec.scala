@@ -238,6 +238,22 @@ class AqlCompilerSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k operator expected:\n$plan")
   }
 
+  test("SQL WITH subquery executes end-to-end through the merged AQL") {
+    val compiled = SqlFront.compile(
+      """WITH e AS (SELECT event_type AS et, value FROM events WHERE value > 50)
+        | SELECT count(*) AS value FROM e
+        | WHERE aql_time_filter(ts, "1704067200", "1706659200", UTC)
+        | GROUP BY et""".stripMargin,
+      Catalog.testdata(sfDir), spark, now = Some(NowEpoch))
+    val got = compiled.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.events(spark, sfDir)
+      .where(col("ts") >= timestamp_seconds(lit(1704067200L)) &&
+        col("ts") < timestamp_seconds(lit(1706659200L)) && col("value") > 50)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("1k_trips example queries compile and execute (AQL surface compat)") {
     // the reference's own flagship AQL bodies
     // (/root/reference/examples/1k_trips/queries/total_trips.aql), retargeted

@@ -78,6 +78,30 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(q.filters == Seq("event_type = 'a' OR event_type = 'b'"))
   }
 
+  test("one WITH level merges into the single AQL query") {
+    val q = SqlFront.translate(
+      """WITH t AS (SELECT city_id AS c, fare FROM trips WHERE fare > 10)
+        | SELECT sum(fare) AS total FROM t
+        | WHERE aql_time_filter(request_at, "-1d", "now", UTC)
+        | GROUP BY c""".stripMargin)
+    assert(q.table == "trips")
+    assert(q.filters == Seq("fare > 10"))
+    assert(q.timeFilter.nonEmpty)
+    assert(q.dimensionList == Seq(AqlDimension(None, Some("c"))))
+    // the CTE's aliased select item becomes a supporting definition the
+    // compiler inlines: c -> city_id
+    assert(q.supportingDimensions.exists(_.contains(
+      AqlDimension(Some("c"), Some("city_id")))))
+    assert(q.measures.head.sqlExpression == "sum(fare)")
+  }
+
+  test("nested WITH rejected (one level max)") {
+    intercept[ParseException] {
+      SqlFront.translate(
+        "WITH a AS (WITH b AS (SELECT x FROM t) SELECT x FROM b) SELECT count(*) FROM a")
+    }
+  }
+
   test("rendered expressions round-trip through the expression parser") {
     val exprs = Seq(
       "a + b * (c - 1) >= 10",
