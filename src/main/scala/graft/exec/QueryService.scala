@@ -49,19 +49,38 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
     }
     val n = q.dimensionList.length
     val grouped = sketchDf(q, inner)
-    val rows = grouped.collect().map { r =>
+    val collected = grouped.collect()
+
+    // string dimensions ride as dictionary indexes + a per-dim dictionary
+    // section (the reference's enum-translation, query/hll.go + EnumDicts)
+    val dicts: Map[Int, Seq[String]] = (0 until n).flatMap { i =>
+      val strings = collected.flatMap(r =>
+        if (r.isNullAt(i)) None
+        else r.get(i) match {
+          case s: String => Some(s)
+          case _ => None
+        })
+      if (strings.isEmpty) None else Some(i -> strings.distinct.sorted.toSeq)
+    }.toMap
+    val dictIndex: Map[Int, Map[String, Long]] =
+      dicts.map { case (i, cases) =>
+        i -> cases.zipWithIndex.map { case (s, k) => s -> k.toLong }.toMap
+      }
+
+    val rows = collected.map { r =>
       val dims = (0 until n).map { i =>
         if (r.isNullAt(i)) None
         else r.get(i) match {
           case l: Long => Some(l)
           case i2: Int => Some(i2.toLong)
+          case s: String => Some(dictIndex(i)(s))
           case other => throw ParseException(
-            s"application/hll dims must be integral, got ${other.getClass.getSimpleName}", 0)
+            s"application/hll dims must be integral or string, got ${other.getClass.getSimpleName}", 0)
         }
       }
       HllWire.HllRow(dims, graft.functions.Hll.decode(r.getAs[Array[Byte]](n)))
     }
-    HllWire.write(rows.toSeq)
+    HllWire.writeWithDicts(rows.toSeq, dicts)
   }
 
   /** The query re-planned to produce SKETCHES instead of estimates: a

@@ -97,6 +97,20 @@ class GraftServerSpec extends SparkSpec {
     assert(result.rows.nonEmpty && result.estimates.forall(_ > 0))
   }
 
+  test("application/hll with a string dimension rides the dictionary section") {
+    val resp = post("/query/aql", """{"queries": [{"table": "events",
+        "measures": [{"sqlExpression": "countDistinctHLL(user_id)"}],
+        "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1706400000", "to": "1706659200"},
+        "now": 1706659200}]}""",
+      accept = Some("application/hll"))
+    assert(resp.statusCode() == 200, new String(resp.body()))
+    val result = graft.exec.HllWire.read(resp.body())
+    assert(result.rows.length == 5)
+    val names = result.rows.indices.map(r => result.dimString(r, 0).get).toSet
+    assert(names == Set("click", "signup", "purchase", "error", "view"))
+  }
+
   test("GET /schema/tables lists tables and details one") {
     val list = get("/schema/tables")
     assert(list.statusCode() == 200)

@@ -42,6 +42,22 @@ class HllWireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](HllWire.read(bytes))
   }
 
+  test("string-dim dictionaries round-trip through the dictionary section") {
+    val rows = Seq(
+      HllWire.HllRow(Seq(Some(0L), Some(5L)), sketchOf(Seq(1, 2))),
+      HllWire.HllRow(Seq(Some(1L), None), sketchOf(Seq(3))),
+      HllWire.HllRow(Seq(Some(2L), Some(7L)), sketchOf(Seq(4, 5, 6))))
+    val dicts = Map(0 -> Seq("click", "purchase", "view"))
+    val back = HllWire.read(HllWire.writeWithDicts(rows, dicts))
+    assert(back.dicts == dicts)
+    assert(back.dimString(0, 0).contains("click"))
+    assert(back.dimString(1, 0).contains("purchase"))
+    assert(back.dimString(2, 0).contains("view"))
+    assert(back.dimString(0, 1).contains("5")) // numeric dim unaffected
+    assert(back.dimString(1, 1).isEmpty)       // null stays null
+    assert(back.rows.map(_.registers.toSeq) == rows.map(_.registers.toSeq))
+  }
+
   test("deserialized sketches merge to the same estimate as a direct union sketch") {
     val a = Seq.tabulate(5000)(i => i.toLong)
     val b = Seq.tabulate(5000)(i => (i + 2500).toLong)
