@@ -200,6 +200,65 @@ object AqlQueries {
         Catalog.testdata(d), s).df.orderBy("l_orderkey", "prio")
     },
 
+    // derived measure: arithmetic over aggregates with supporting-measure
+    // aliases (the broker's post-merge algebra, inline)
+    QueryDef("q_aql_derived_measure",
+      """SELECT event_type,
+        |  ROUND(CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS hi_rate
+        |FROM events
+        |WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val df = aql(s"""{
+        "table": "events",
+        "supportingMeasures": [
+          {"alias": "hi", "sqlExpression": "sum(case when value > 50 then 1 else 0 end)"},
+          {"alias": "total", "sqlExpression": "count(*)"}
+        ],
+        "measures": [{"alias": "hi_rate", "sqlExpression": "hi / total"}],
+        "dimensions": [{"alias": "event_type", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d)
+      df.select(col("event_type"), round(col("hi_rate"), 6).as("hi_rate"))
+        .orderBy("event_type")
+    },
+
+    // SQL WITH subquery merged into the single AQL (1 level)
+    QueryDef("q_sql_with",
+      """SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE value > 50
+        |  AND epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY et NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.aql.SqlFront.compile(
+        """WITH hot AS (SELECT event_type AS et, value FROM events WHERE value > 50)
+          | SELECT count(*) AS value FROM hot
+          | WHERE aql_time_filter(ts, "1704067200", "1706659200", UTC)
+          | GROUP BY et""".stripMargin,
+        Catalog.testdata(d), s, now = Some(NowEpoch)).df.orderBy("et")
+    },
+
+    // honored sorts: ORDER BY + LIMIT on a non-agg query = top-k
+    QueryDef("q_aql_sorted_topk",
+      """SELECT event_id, ROUND(value, 6) AS v FROM events
+        |WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |ORDER BY value DESC, event_id ASC LIMIT 20""".stripMargin) { (s, d) =>
+      val df = aql(s"""{
+        "table": "events",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [
+          {"alias": "event_id", "sqlExpression": "event_id"},
+          {"alias": "v", "sqlExpression": "value"}
+        ],
+        "sorts": [{"name": "v", "order": "desc"}, {"name": "event_id", "order": "asc"}],
+        "limit": 20,
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d)
+      df.select(col("event_id"), round(col("v"), 6).as("v"))
+    },
+
     // convert_tz scalar: compile-time fold to ts + offsetDelta
     // (query_context_helper.go:348-387); -5:00 is DST-free so the fold is
     // exact for the whole fixture
