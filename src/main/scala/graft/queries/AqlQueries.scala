@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.aql.{AqlCompiler, AqlJson, Catalog}
 
 /** Gate queries that run END TO END through the AQL front end: JSON →
@@ -198,6 +198,44 @@ object AqlQueries {
           | WHERE l_quantity > 45 AND l_orderkey < 3000
           | LIMIT 100000""".stripMargin,
         Catalog.testdata(d), s).df.orderBy("l_orderkey", "prio")
+    },
+
+    // hll(col) over a PRECOMPUTED register column (the isHLLColumn fast
+    // path, helper.go:540-577): registers built by get_hll_value via a
+    // supporting dimension; the estimate must equal countDistinctHLL over
+    // the raw column EXACTLY (identical registers) and stay within 2% of
+    // the exact count — both asserted as oracle-pinned flags
+    QueryDef("q_aql_hll_measure",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS matches_countdistinct, TRUE AS within_2pct
+        |FROM events
+        |WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val fromRegisters = aql(s"""{
+        "table": "events",
+        "supportingDimensions": [{"alias": "reg", "sqlExpression": "get_hll_value(user_id)"}],
+        "measures": [{"alias": "est", "sqlExpression": "hll(reg)"}],
+        "dimensions": [{"alias": "event_type", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d)
+      val direct = aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "direct_est", "sqlExpression": "countDistinctHLL(user_id)"}],
+        "dimensions": [{"alias": "event_type", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d)
+      val exact = Tables.events(s, d)
+        .where(col("ts") >= timestamp_seconds(lit(1704067200L)) &&
+          col("ts") < timestamp_seconds(lit(1706659200L)))
+        .groupBy("event_type").agg(count_distinct(col("user_id")).as("exact_users"))
+      fromRegisters.join(direct, "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (col("est") === col("direct_est")).as("matches_countdistinct"),
+          (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.02)
+            .as("within_2pct"))
+        .orderBy("event_type")
     },
 
     // derived measure: arithmetic over aggregates with supporting-measure
