@@ -129,6 +129,38 @@ object Similarity {
       .orderBy("__h").limit(nlist)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
+  /** Lloyd refinement of the sampled centroids: `iterations` rounds of
+    * assign (one UDF pass) + per-cell mean (sum/count aggregated as
+    * columns — one shuffle of nlist×dim doubles per round). Deterministic;
+    * empty cells keep their previous centroid. Improves cell balance over
+    * the raw sample when the corpus is clustered; on near-uniform data it
+    * converges to a centroidal tessellation with mildly better probe
+    * recall.
+    */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], iterations: Int): Array[Array[Double]] = {
+    var cents = centroids
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    (0 until iterations).foreach { _ =>
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .withColumn("cell", element_at(nearestCells(cents, 1)(col("v")), 1))
+      val sums = assigned.groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("double"))): _*).as("sums"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        val s = r.getSeq[Double](2)
+        if (n > 0) next(cell) = s.map(_ / n).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** `nProbe` nearest centroids by squared L2, one UDF evaluation per row
     * with primitive loops (nlist HOF-aggregate expressions per row run
     * interpreted and dominate otherwise). nProbe = 1 gives the assignment.
@@ -158,8 +190,13 @@ object Similarity {
     * trade (tune nlist ≈ sqrt(n), nProbe for target recall).
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nlist: Int = 64, nProbe: Int = 8): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+      queries: DataFrame, k: Int, nlist: Int = 64, nProbe: Int = 8,
+      refineIterations: Int = 0): DataFrame = {
+    val sampled = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val centroids =
+      if (refineIterations > 0)
+        refineCentroids(corpus, idCol, vecCol, sampled, refineIterations)
+      else sampled
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", element_at(nearestCells(centroids, 1)(col("c_vec")), 1))
 

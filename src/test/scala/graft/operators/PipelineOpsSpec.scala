@@ -97,6 +97,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("kmeans-refined centroids keep planted-source recall at tight probes") {
+    // perturbed copies must still find their source with refined cells
+    val queries = emb.where(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+    val found = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+        nlist = 16, nProbe = 3, refineIterations = 2)
+      .where(col("neighbor_id") === col("query_id") - 100000)
+      .count()
+    assert(found >= 18, s"refined IVF lost planted sources: $found of 20")
+  }
+
   test("blocked exact pairs match the expression-based brute force bit-for-bit") {
     val brute = Similarity.brutePairs(emb, "vec_id", "embedding", 0.42)
       .select("a_id", "b_id").collect()
