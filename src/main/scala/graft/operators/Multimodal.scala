@@ -55,6 +55,42 @@ object Multimodal {
       }
   }
 
+  case class Resized(doc_id: Long, payload: Array[Byte], width: Int,
+      height: Int, orig_len: Int)
+
+  /** Resize plumbing: payload → bounded-size payload + target dimension
+    * metadata. The pixel resample is the stub (deterministic stride
+    * sampling of the byte stream down to targetW×targetH bytes — a real
+    * image library plugs into the same mapPartitions); the distributed
+    * shape is real: per-partition streaming transform, output size bounded
+    * by the target regardless of input size (the property that matters at
+    * 100 TB — resized corpora shrink to target × row-count).
+    */
+  def resizeStub(spark: SparkSession, payloads: DataFrame, idCol: String,
+      targetW: Int, targetH: Int): Dataset[Resized] = {
+    import spark.implicits._
+    val target = targetW * targetH
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out =
+            if (bytes.length <= target) bytes
+            else {
+              // stride sampling: element k of the output takes byte
+              // floor(k * len / target) — deterministic downsample
+              val o = new Array[Byte](target)
+              var k = 0
+              while (k < target) {
+                o(k) = bytes((k.toLong * bytes.length / target).toInt)
+                k += 1
+              }
+              o
+            }
+          Resized(id, out, targetW, targetH, bytes.length)
+        }
+      }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte],
       offset: Int)
 

@@ -291,6 +291,21 @@ object PipelineQueries {
         .orderBy("magic")
     },
 
+    // resize: output payload bounded at targetW×targetH bytes (stride-
+    // sampled stub); bounded-output property is SQL-expressible → oracle
+    QueryDef("q_multimodal_resize",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEAST(octet_length(encode(text)), 1024)) AS BIGINT) AS resized_bytes,
+        |  TRUE AS all_bounded
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      val payloads = Multimodal.withPayload(
+        Tables.documents(s, d).where(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.resizeStub(s, payloads, "doc_id", 32, 32)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).cast("long").as("resized_bytes"),
+          min(length(col("payload")) <= 1024).as("all_bounded"))
+    },
+
     // frame sampling: n deterministic byte-slice "frames" per payload; the
     // slice boundaries are SQL-expressible, so the fan-out plumbing gets a
     // full cross-engine oracle (per-doc frame count + total frame bytes)
