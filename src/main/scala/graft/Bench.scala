@@ -32,6 +32,10 @@ object Bench {
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // build the events day-partitioned archive fixture once up front so the
+    // one-time write doesn't land on the first archive-backed query
+    try Tables.eventsArchived(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -20,6 +20,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Default archive sort columns for `events` — equality prefilter
+    * candidates, so parquet row-group min/max stats turn them into
+    * zone-map skips (the reference's archivingSortColumns,
+    * /root/reference/metastore/common/model.go:139).
+    */
+  val EventsSortCols: Seq[String] = Seq("event_type", "user_id")
+
+  /** Day-partitioned archive of `events`, built lazily once per (sfDir,
+    * source fingerprint) under `target/graft-archive` and reused by every
+    * query. This is the DEFAULT storage layout for the fact table — the
+    * reference serves queries from day-partitioned sorted archive batches
+    * (/root/reference/memstore/archiving.go:59-141), and the Spark
+    * equivalent is a day-partitioned parquet directory whose partition
+    * column Catalyst statically prunes. At 100 TB the raw single-file
+    * layout full-scans every time-filtered query (the nanos `ts` is a
+    * computed column whose range filters cannot push down); the archive
+    * layout reads only the filtered days.
+    */
+  def eventsArchivePath(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val fp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "missing"
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"target/graft-archive/$tag-$fp/events"
+  }
+
+  def eventsArchived(spark: SparkSession, dir: String): DataFrame = {
+    val out = eventsArchivePath(dir)
+    Tables.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+        graft.ingest.Archiver.archive(events(spark, dir), "ts", EventsSortCols, out)
+    }
+    spark.read.parquet(out)
+  }
+
   /** Dimension tables: small, single-col PK, broadcast-join candidates. */
   val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
 

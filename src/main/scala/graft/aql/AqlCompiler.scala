@@ -60,6 +60,10 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
 
     // -- join building ------------------------------------------------------
     var df = main.load(spark).as(q.table)
+    // captured BEFORE joins: the wildcard dimension expands main-table
+    // columns only (ref aql_compiler.go:1252-1265), never joined dims, and
+    // never the synthetic archive partition day column
+    val mainSchema = df.schema
     val joined = q.joinList.map { j =>
       val dimDef = catalog(j.table)
       if (dimDef.isFact)
@@ -230,10 +234,13 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
 
     val dimCols: Seq[(String, Column)] = q.dimensionList.zipWithIndex.flatMap {
       case (d, i) if d.expr == "*" =>
-        val schema = df.schema
-        schema.fields.toSeq.collect {
-          case f if !f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[StructType] =>
-            f.name -> col(f.name)
+        mainSchema.fields.toSeq.collect {
+          case f if !f.dataType.isInstanceOf[ArrayType] &&
+              !f.dataType.isInstanceOf[StructType] &&
+              !(main.dayPartitioned && f.name == graft.ingest.Archiver.DayCol) =>
+            // qualified: a joined dim sharing the column name must not make
+            // the wildcard ambiguous
+            f.name -> col(s"${q.table}.${f.name}")
         }
       case (d, i) =>
         val name = d.alias.filter(_.nonEmpty).getOrElse(if (d.expr.nonEmpty) d.expr else s"d$i")

@@ -56,8 +56,15 @@ object Catalog {
         tsCols: Set[String] = Set.empty, pk: Seq[String] = Nil): (String, TableDef) =
       name -> TableDef(name, isFact, timeCol, tsCols, pk,
         load = s => Tables.load(s, sfDir, name))
+    // events: the fact table is served from the day-partitioned archive by
+    // DEFAULT (Tables.eventsArchived) — the reference's archive day-range
+    // scan (aql_compiler.go:1047-1056) — so every compiled time filter
+    // statically prunes day partitions instead of full-scanning.
+    val events = "events" -> TableDef("events", isFact = true, Some("ts"),
+      Set("ts"), Seq("event_id"), dayPartitioned = true,
+      load = s => Tables.eventsArchived(s, sfDir))
     Catalog(Map(
-      t("events", isFact = true, Some("ts"), Set("ts"), Seq("event_id")),
+      events,
       t("lineitem", isFact = true, None, Set("l_shipdate"), Seq("l_orderkey", "l_linenumber")),
       t("orders", isFact = false, None, Set("o_orderdate"), Seq("o_orderkey")),
       t("customer", isFact = false, pk = Seq("c_custkey")),

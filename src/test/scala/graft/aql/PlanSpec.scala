@@ -12,6 +12,22 @@ class PlanSpec extends SparkSpec {
   private def compile(json: String) =
     new AqlCompiler(Catalog.testdata(sfDir), spark).compile(AqlJson.parseQuery(json)).df
 
+  /** All file scans, descending through the AQE wrapper (whose treeString
+    * truncates long filter lists — assert on scan METADATA, not strings).
+    */
+  private def fileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
   test("time filter and row filters push down to the parquet scan") {
     val df = compile("""{
       "table": "events",
@@ -20,15 +36,34 @@ class PlanSpec extends SparkSpec {
       "timeFilter": {"from": "1706572800", "to": "1706659200"},
       "now": 1706659200
     }""")
-    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains("PushedFilters"), "no pushdown section in scan")
-    assert(scan.contains("EqualTo(event_type,click)"), s"row filter not pushed:\n$scan")
-    // NOTE: the ts RANGE cannot push to parquet for `events` — its NANOS
-    // column is converted to TimestampType in the loader and computed
-    // columns never push. The scale path for time-range scans on this
-    // table is the day-partitioned archive (ArchiverSpec asserts
-    // PartitionFilters); native-timestamp tables push directly (next test).
-    assert(scan.contains("IsNotNull(ts)"))
+    val pushed = fileScans(df).map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(event_type,click)"), s"row filter not pushed: $pushed")
+    // events is served from the day-partitioned archive by DEFAULT, where
+    // `ts` is a stored TimestampType column: the time range pushes to the
+    // parquet row groups (on the raw single-file layout the nanos→µs
+    // conversion made it a computed column that could not push)
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"ts range not pushed to the archive scan: $pushed")
+  }
+
+  test("DEFAULT catalog: compiled time filter statically prunes day partitions") {
+    val df = compile("""{
+      "table": "events",
+      "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+      "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+      "timeFilter": {"from": "1704412800", "to": "1704672000"},
+      "now": 1706659200
+    }""")
+    val scans = fileScans(df)
+    // the compiler widens the time filter to day-range predicates on the
+    // archive partition column (the reference's day-range scan,
+    // aql_compiler.go:1047-1056) — they must land in PartitionFilters
+    val pf = scans.map(_.partitionFilters.mkString(",")).mkString
+    assert(pf.contains("day"), s"day-range predicates missing from PartitionFilters: $pf")
+    // and the pruned scan reads only the 3 filtered days' partitions
+    val parts = scans.map(_.selectedPartitions.partitionCount)
+    assert(parts.nonEmpty && parts.head == 3,
+      s"expected 3 pruned day partitions, got $parts")
   }
 
   test("native timestamp range filters push to the scan (lineitem.l_shipdate)") {
