@@ -33,15 +33,21 @@ object Archiver {
   val DayCol = "day"
 
   /** Write `df` as day-partitioned parquet under `outDir`, one partition
-    * per UTC day of `timeCol` (a TimestampType column), rows sorted by
+    * per UTC day of `timeCol` — a TimestampType column, or an integral
+    * epoch-seconds column (the reference's native Uint32 time column
+    * representation, metastore/common/model.go:136) — rows sorted by
     * `sortCols` within each file.
     */
   def archive(df: DataFrame, timeCol: String, sortCols: Seq[String],
       outDir: String): Unit = {
+    val ts =
+      if (df.schema(timeCol).dataType == org.apache.spark.sql.types.TimestampType)
+        col(timeCol)
+      else timestamp_seconds(col(timeCol))
     // the day column leads the sort: the dynamic-partition writer requires
     // rows clustered by partition value and would otherwise inject its own
     // sort on `day`, destroying the sort-column order inside each file
-    df.withColumn(DayCol, date_format(col(timeCol), "yyyy-MM-dd"))
+    df.withColumn(DayCol, date_format(ts, "yyyy-MM-dd"))
       .repartition(col(DayCol))
       .sortWithinPartitions((DayCol +: sortCols).map(col): _*)
       .write

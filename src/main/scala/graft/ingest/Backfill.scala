@@ -21,40 +21,66 @@ object Backfill {
     * `timeCol`) into the day-partitioned archive at `dir`. Late rows win
     * over archived rows with the same PK (they are the corrections).
     * Returns the affected day partition values.
+    *
+    * ONE distributed job over all affected days: the affected partitions
+    * are read with partition pruning, merged with the late batch via a
+    * (day, pk)-keyed dedup (late wins), range-partitioned over
+    * (day, sortCols) into `numFiles` shuffle partitions (default: the
+    * session's shuffle parallelism, floored at one per day) and written
+    * sorted — so a TB-scale day rewrites as N parallel sorted files, not
+    * one single-task file, while untouched partitions stay byte-stable.
+    * The reference shards exactly this merge across workers
+    * (memstore/backfill.go:436+).
     */
   def apply(spark: SparkSession, dir: String, late: DataFrame, timeCol: String,
-      pk: Seq[String], sortCols: Seq[String]): Seq[String] = {
-    val withDay = late.withColumn(Archiver.DayCol,
-      date_format(col(timeCol), "yyyy-MM-dd"))
-    val days = withDay.select(Archiver.DayCol).distinct()
+      pk: Seq[String], sortCols: Seq[String], numFiles: Int = 0): Seq[String] = {
+    val day = Archiver.DayCol
+    val withDay = late.withColumn(day, date_format(col(timeCol), "yyyy-MM-dd"))
+    val days = withDay.select(day).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (days.isEmpty) return Nil
 
-    days.foreach { day =>
-      val partPath = s"$dir/${Archiver.DayCol}=$day"
-      val lateDay = withDay.where(col(Archiver.DayCol) === day).drop(Archiver.DayCol)
-      val existing: Option[DataFrame] =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(partPath)))
-          Some(spark.read.parquet(partPath))
-        else None
+    val existingDays = days.filter(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$day=$d")))
+    val outCols = (late.columns.toSeq :+ day).map(col)
 
-      val merged = existing match {
-        case Some(ex) =>
-          // late rows overwrite PK matches (seq: archived = 0, late = 1)
-          Upsert(ex,
-            lateDay.withColumn("__seq", lit(1L)), pk, "__seq")
-        case None => lateDay
-      }
-      // write-then-swap into the partition directory; sorted like the
-      // archiver so prefilter-equivalent row-group stats stay intact
-      val tmp = s"$dir/.backfill_tmp_$day"
-      merged.repartition(1)
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp)
-      val target = java.nio.file.Paths.get(partPath)
-      deleteRecursively(target)
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    // archived rows of the affected days only (one partition-pruned read);
+    // seq 0 loses to the late batch's seq 1 on a PK hit within the day
+    val lateSeq = withDay.select(outCols: _*).withColumn("__seq", lit(1L))
+    val union = existingDays match {
+      case Nil => lateSeq
+      case ds =>
+        lateSeq.unionByName(
+          spark.read.parquet(dir)
+            .where(col(day).isin(ds: _*))
+            .withColumn(day, col(day).cast("string"))
+            .select(outCols: _*)
+            .withColumn("__seq", lit(0L)))
     }
+    val merged = Upsert.dedupBatch(union, day +: pk, "__seq").drop("__seq")
+
+    val parallelism = spark.sessionState.conf.numShufflePartitions
+    val n = if (numFiles > 0) numFiles else math.max(days.size, parallelism)
+    val rangeCols = (day +: sortCols).map(col)
+    // range partitioning on (day, sortCols): partition boundaries respect
+    // day order, each writer task emits per-day files whose rows are
+    // sorted by the archive sort columns — row-group min/max stats stay as
+    // tight as the original Archiver layout
+    val tmp = s"$dir/.backfill_tmp"
+    merged.repartitionByRange(n, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .write.partitionBy(day).mode("overwrite").parquet(tmp)
+
+    // swap only the affected day directories
+    days.foreach { d =>
+      val src = java.nio.file.Paths.get(s"$tmp/$day=$d")
+      if (java.nio.file.Files.exists(src)) {
+        val target = java.nio.file.Paths.get(s"$dir/$day=$d")
+        deleteRecursively(target)
+        java.nio.file.Files.move(src, target)
+      }
+    }
+    deleteRecursively(java.nio.file.Paths.get(tmp))
     days
   }
 

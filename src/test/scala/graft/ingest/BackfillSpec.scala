@@ -56,6 +56,48 @@ class BackfillSpec extends SparkSpec {
     }
   }
 
+  test("rewritten day shards into multiple sorted files (no single-task rewrite)") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // synthetic 2-day fixture, big enough to shard: sort col = v
+      val rows = (0 until 20000).map { i =>
+        (i.toLong, java.sql.Timestamp.valueOf(s"2024-03-0${1 + i % 2} 12:00:00"),
+          (i * 7919) % 100000)
+      }.toDF("id", "ts", "v")
+      Archiver.archive(rows, "ts", Seq("v"), dir)
+
+      val late = Seq((1000000L,
+        java.sql.Timestamp.valueOf("2024-03-01 13:00:00"), 42))
+        .toDF("id", "ts", "v")
+      val affected = Backfill(spark, dir, late, "ts", Seq("id"), Seq("v"),
+        numFiles = 8)
+      assert(affected == Seq("2024-03-01"))
+
+      // the rewritten day is MULTIPLE parquet files (parallel writers) ...
+      val files = Files.list(Paths.get(s"$dir/day=2024-03-01")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      assert(files.size >= 2, s"expected sharded rewrite, got $files")
+
+      // ... each internally sorted by the sort column (tight row-group
+      // stats, zone-map-equivalent skipping preserved), and files are
+      // range-partitioned (non-overlapping v ranges across files)
+      val perFile = files.map { f =>
+        val vs = spark.read.parquet(f).select("v").collect().map(_.getInt(0)).toSeq
+        assert(vs == vs.sorted, s"file $f not sorted by v")
+        (vs.min, vs.max)
+      }
+      perFile.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) => assert(hi <= lo, "file ranges overlap")
+        case _ =>
+      }
+
+      // merge semantics intact: 10000 original day-1 rows + 1 appended
+      assert(spark.read.parquet(s"$dir/day=2024-03-01").count() == 10001)
+      // untouched day byte-stable
+      assert(spark.read.parquet(s"$dir/day=2024-03-02").count() == 10000)
+    }
+  }
+
   test("snapshot overwrites the dimension table wholesale") {
     withTempDir { dir =>
       val snapDir = s"$dir/nation_snapshot"
