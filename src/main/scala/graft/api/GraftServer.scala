@@ -40,13 +40,52 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
 
   private val live = TrieMap.empty[String, DataFrame]
   private val seqCounter = new AtomicLong(0)
+  /** Tables whose live overlay was drained to a day-partitioned archive:
+    * queries answer from the archive directory until new rows arrive.
+    */
+  private val drained = TrieMap.empty[String, String]
+  /** Metastore for tables created through the schema mutation API. */
+  val schemaStore = new SchemaStore
 
-  /** Catalog whose loaders read through the live overlay. */
+  /** Layered load: live overlay → drained archive → base loader. */
+  private def layeredLoad(name: String, base: SparkSession => DataFrame)
+      (s: SparkSession): DataFrame =
+    live.get(name)
+      .orElse(drained.get(name).map(dir => s.read.parquet(dir)))
+      .getOrElse(base(s))
+
+  /** TableDef for a runtime-created table: schema from the metastore, rows
+    * from the live overlay (empty before first ingestion). Fact tables
+    * designate column 0 as the epoch time column (model.go:55-58).
+    */
+  private def createdTableDef(ts: AqlTableSchema): TableDef = {
+    def emptyDf(s: SparkSession): DataFrame =
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        ts.sparkSchema)
+    TableDef(ts.name, ts.isFactTable, ts.timeColumn,
+      timestampColumns = Set.empty, primaryKey = ts.pkNames,
+      load = s => {
+        // reconcile the overlay with the CURRENT schema: columns added
+        // since ingestion surface as nulls, deleted columns drop out
+        val df = layeredLoad(ts.name, emptyDf)(s)
+        val latest = schemaStore.get(ts.name).getOrElse(ts)
+        val present = df.columns.toSet
+        latest.activeColumns.foldLeft(df) { (acc, c) =>
+          if (present.contains(c.name)) acc
+          else acc.withColumn(c.name, lit(null).cast(SchemaStore.sparkType(c.tpe)))
+        }.select(latest.activeColumns.map(c => col(c.name)): _*)
+      })
+  }
+
+  /** Catalog whose loaders read through the live overlay, with runtime-
+    * created tables resolved dynamically from the schema store.
+    */
   private val catalog: Catalog = Catalog(
     baseCatalog.tables.map { case (name, td) =>
-      name -> td.copy(load = s => live.getOrElse(name, td.load(s)))
+      name -> td.copy(load = layeredLoad(name, td.load))
     },
-    baseCatalog.timezoneTable)
+    baseCatalog.timezoneTable,
+    dynamic = name => schemaStore.get(name).map(createdTableDef))
 
   private val service = new QueryService(catalog, spark)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -78,26 +117,86 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     respond(ex, 200, s"""{"rowsInserted":$n}""")
   })
 
+  // schema read + mutation surface (ref api/schema_handler.go:47-254,
+  // api/enum_handler.go:47-110):
+  //   GET    /schema/tables                       → table name list
+  //   POST   /schema/tables                       → create table
+  //   GET    /schema/tables/{t}                   → table schema
+  //   PUT    /schema/tables/{t}                   → update table config
+  //   DELETE /schema/tables/{t}                   → delete table
+  //   POST   /schema/tables/{t}/columns           → add column
+  //   PUT    /schema/tables/{t}/columns/{c}       → update column config
+  //   DELETE /schema/tables/{t}/columns/{c}       → delete column
+  //   GET    /schema/tables/{t}/columns/{c}/enum-cases  → list enum cases
+  //   POST   /schema/tables/{t}/columns/{c}/enum-cases  → extend enum dict
   server.createContext("/schema/tables", (ex: HttpExchange) => handle(ex) {
-    val rest = ex.getRequestURI.getPath.stripPrefix("/schema/tables")
-      .stripPrefix("/")
-    if (rest.isEmpty) {
-      val names = JArray(catalog.tables.keys.toList.sorted.map(JString(_)))
-      respond(ex, 200, JsonMethods.compact(JsonMethods.render(names)))
-    } else {
-      val td = catalog(rest)
-      val schema = td.load(spark).schema
-      val body = JObject(
-        "name" -> JString(td.name),
-        "isFactTable" -> JBool(td.isFact),
-        "timeColumn" -> td.timeColumn.map(JString(_)).getOrElse(JNull),
-        "primaryKeyColumns" -> JArray(td.primaryKey.map(JString(_)).toList),
-        "columns" -> JArray(schema.fields.map(f => JObject(
-          "name" -> JString(f.name),
-          "type" -> JString(f.dataType.simpleString))).toList))
-      respond(ex, 200, JsonMethods.compact(JsonMethods.render(body)))
+    val segs = ex.getRequestURI.getPath.stripPrefix("/schema/tables")
+      .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
+    val method = ex.getRequestMethod
+    def body() = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    def ok(j: JValue): Unit = respond(ex, 200, JsonMethods.compact(JsonMethods.render(j)))
+
+    (method, segs) match {
+      case ("GET", Nil) =>
+        ok(JArray((catalog.tables.keys ++ schemaStore.names).toList.sorted
+          .map(JString(_))))
+      case ("POST", Nil) =>
+        val ts = SchemaStore.parseTable(body())
+        if (catalog.tables.contains(ts.name))
+          throw new IllegalArgumentException(s"table ${ts.name} already exists")
+        schemaStore.create(ts)
+        ok(JNull)
+      case ("GET", t :: Nil) =>
+        schemaStore.get(t) match {
+          case Some(ts) => ok(SchemaStore.renderTable(ts))
+          case None =>
+            val td = catalog(t)
+            val schema = td.load(spark).schema
+            ok(JObject(
+              "name" -> JString(td.name),
+              "isFactTable" -> JBool(td.isFact),
+              "timeColumn" -> td.timeColumn.map(JString(_)).getOrElse(JNull),
+              "primaryKeyColumns" -> JArray(td.primaryKey.map(JString(_)).toList),
+              "columns" -> JArray(schema.fields.map(f => JObject(
+                "name" -> JString(f.name),
+                "type" -> JString(f.dataType.simpleString))).toList)))
+        }
+      case ("PUT", t :: Nil) => ok(SchemaStore.renderTable(schemaStore.updateConfig(t)))
+      case ("DELETE", t :: Nil) =>
+        schemaStore.delete(t)
+        live.remove(t)
+        ok(JNull)
+      case ("POST", t :: "columns" :: Nil) =>
+        val j = JsonMethods.parse(body())
+        val addToSort = j \ "addToArchivingSortOrder" match {
+          case JBool(b) => b
+          case _ => false
+        }
+        ok(SchemaStore.renderTable(
+          schemaStore.addColumn(t, SchemaStore.parseColumn(j), addToSort)))
+      case ("PUT", t :: "columns" :: c :: Nil) =>
+        ok(SchemaStore.renderTable(schemaStore.updateColumn(t, c)))
+      case ("DELETE", t :: "columns" :: c :: Nil) =>
+        ok(SchemaStore.renderTable(schemaStore.deleteColumn(t, c)))
+      case ("GET", t :: "columns" :: c :: "enum-cases" :: Nil) =>
+        ok(JArray(schemaStore.listEnumCases(t, c).map(JString(_)).toList))
+      case ("POST", t :: "columns" :: c :: "enum-cases" :: Nil) =>
+        val cases = JsonMethods.parse(body()) \ "enumCases" match {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+          case _ => throw new IllegalArgumentException("expected {\"enumCases\": [...]}")
+        }
+        ok(JArray(schemaStore.extendEnumDict(t, c, cases).map(i => JInt(i): JValue).toList))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported schema route: $other")
     }
   })
+
+  /** Per-table ingest locks: the read-modify-write on the live overlay
+    * (and the enum auto-expansion) must be atomic per table — the JDK
+    * server's default single dispatcher thread serializes handlers today,
+    * but that is an implementation detail, not a contract.
+    */
+  private val tableLocks = TrieMap.empty[String, Object]
 
   /** JSON array of row objects → PK upsert into the live overlay. */
   private def ingest(td: TableDef, jsonBody: String): Long = {
@@ -106,17 +205,59 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       case JArray(objs) => objs.map(o => JsonMethods.compact(JsonMethods.render(o)))
       case other => throw new IllegalArgumentException("expected a JSON array of rows")
     }
-    val current = live.getOrElse(td.name, td.load(spark))
-    // arrival order within the batch: later record wins (ingestion.go:172+);
-    // single-partition read makes monotonically_increasing_id the row order
-    val seq0 = seqCounter.getAndAdd(rows.length)
-    val withSeq = spark.read.schema(current.schema)
-      .json(rows.toDS().coalesce(1))
-      .withColumn("__seq", monotonically_increasing_id() + seq0)
-    val updated = Upsert(current, withSeq, td.primaryKey, "__seq")
-      .localCheckpoint(true) // pin the view; breaks unbounded lineage growth
-    live.put(td.name, updated)
+    tableLocks.getOrElseUpdate(td.name, new Object).synchronized {
+      // enum auto-expansion (ref memstore ingestion via enum_handler
+      // semantics): new cases arriving for an enum column without
+      // disableAutoExpand extend the dictionary; with auto-expansion
+      // disabled, unseen cases stay out of the dictionary (and any filter
+      // on them matches nothing)
+      schemaStore.get(td.name).foreach { ts =>
+        val parsed = rows.map(JsonMethods.parse(_))
+        ts.activeColumns.filter(c => c.isEnum && !c.disableAutoExpand).foreach { c =>
+          val cases = parsed.flatMap(r => r \ c.name match {
+            case JString(s) => Some(if (c.caseInsensitive) s.toLowerCase else s)
+            case _ => None
+          }).distinct
+          if (cases.nonEmpty) schemaStore.extendEnumDict(ts.name, c.name, cases)
+        }
+      }
+      val current = live.get(td.name).getOrElse(td.load(spark))
+      // arrival order within the batch: later record wins (ingestion.go:172+);
+      // single-partition read makes monotonically_increasing_id the row order
+      val seq0 = seqCounter.getAndAdd(rows.length)
+      val withSeq = spark.read.schema(current.schema)
+        .json(rows.toDS().coalesce(1))
+        .withColumn("__seq", monotonically_increasing_id() + seq0)
+      val updated = Upsert(current, withSeq, td.primaryKey, "__seq")
+        .localCheckpoint(true) // pin the view; breaks unbounded lineage growth
+      live.put(td.name, updated)
+    }
     rows.length
+  }
+
+  /** Drain the table's live overlay into a day-partitioned archive at
+    * `dir` and release the overlay — the reference's live→archive
+    * promotion (/root/reference/memstore/archiving.go:59-141): after the
+    * drain, queries answer from the archive scan path (partition-pruned
+    * parquet) instead of pinned in-memory blocks, and the overlay's
+    * checkpoint blocks are unpinned. Dimension tables (no time column)
+    * snapshot wholesale instead (memstore/snapshot.go:25-87).
+    */
+  def drain(table: String, dir: String): Unit = {
+    val td = catalog(table)
+    tableLocks.getOrElseUpdate(table, new Object).synchronized {
+      live.get(table).foreach { view =>
+        td.timeColumn match {
+          case Some(tc) =>
+            graft.ingest.Archiver.archive(view, tc,
+              td.primaryKey.filterNot(_ == tc), dir)
+          case None => graft.ingest.Snapshot.write(view, dir)
+        }
+        drained.put(table, dir)
+        live.remove(table)
+        view.unpersist(blocking = false)
+      }
+    }
   }
 
   private def write(q: graft.aql.AqlQuery): String = {

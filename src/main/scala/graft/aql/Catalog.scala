@@ -36,12 +36,17 @@ final case class TableDef(
   */
 final case class TimezoneTableDef(table: String, tzColumn: String)
 
+/** @param dynamic fallback lookup for tables created at runtime through
+  *   the schema mutation API (the reference's metastore-backed registry,
+  *   api/schema_handler.go:117-254) — consulted after the static map
+  */
 final case class Catalog(
     tables: Map[String, TableDef],
-    timezoneTable: Option[TimezoneTableDef] = None) {
+    timezoneTable: Option[TimezoneTableDef] = None,
+    dynamic: String => Option[TableDef] = _ => None) {
 
   def apply(name: String): TableDef =
-    tables.getOrElse(name,
+    tables.get(name).orElse(dynamic(name)).getOrElse(
       throw ParseException(s"unknown table: $name", 0))
 }
 
