@@ -156,18 +156,21 @@ object SqlFront {
       }
 
       val groupDims = ArrayBuffer.empty[AqlDimension]
+      // ONE conflict-checking sink for every group item: a mismatched
+      // timezone on ANY time bucket (not just the first) is an error
+      val tzSink: String => Unit = tz => if (tz.nonEmpty) {
+        timezone match {
+          case Some(existing) if existing != tz =>
+            throw ParseException(s"different timebucket timezone $tz", 0)
+          case _ => timezone = Some(tz)
+        }
+      }
       if (p.isKw(p.cur, "group")) {
         p.advance(); p.expectKw("by")
-        groupDims += groupItem(timezoneSink = tz => {
-          timezone match {
-            case Some(existing) if existing != tz =>
-              throw ParseException(s"different timebucket timezone $tz", 0)
-            case _ => timezone = Some(tz).filter(_.nonEmpty)
-          }
-        })
+        groupDims += groupItem(tzSink)
         while (isOp(",")) {
           p.advance()
-          groupDims += groupItem(tz => timezone = timezone.orElse(Some(tz).filter(_.nonEmpty)))
+          groupDims += groupItem(tzSink)
         }
       }
 

@@ -43,12 +43,18 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
   def aqlBinary(queryJson: String): Array[Byte] = {
     val q = AqlJson.parseQuery(queryJson)
     val parsed = ExprParser.parse(q.measures.head.sqlExpression)
-    val inner = parsed match {
-      case Expr.Call("countdistincthll" | "hll", Seq(arg)) => Render(arg)
+    // hll(col) consumes PRECOMPUTED register values (the isHLLColumn path)
+    // and must register-max merge them into the sketch; re-hashing them as
+    // raw values (the countDistinctHLL path) would build a different,
+    // wrong sketch — the binary endpoint must agree with the JSON results
+    // for the same query
+    val (inner, fromRegisters) = parsed match {
+      case Expr.Call("countdistincthll", Seq(arg)) => (Render(arg), false)
+      case Expr.Call("hll", Seq(arg)) => (Render(arg), true)
       case _ => throw ParseException("application/hll requires an HLL measure", 0)
     }
     val n = q.dimensionList.length
-    val grouped = sketchDf(q, inner)
+    val grouped = sketchDf(q, inner, fromRegisters)
     val collected = grouped.collect()
 
     // string dimensions ride as dictionary indexes + a per-dim dictionary
@@ -88,7 +94,7 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
     * with the sketch aggregate (ref qc.ReturnHLLData path,
     * query/hll.go:27-108).
     */
-  private def sketchDf(q: AqlQuery, innerExpr: String) = {
+  private def sketchDf(q: AqlQuery, innerExpr: String, fromRegisters: Boolean) = {
     import org.apache.spark.sql.functions._
     val dimsQ = q.dimensionList.zipWithIndex.map { case (d, i) =>
       d.copy(alias = d.alias.orElse(Some(s"d$i")))
@@ -98,8 +104,10 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
       dimensions = Some(dimsQ :+ AqlDimension(Some("__hll_in"), Some(innerExpr))),
       limit = Some(-1)))
     val dimCols = dimsQ.map(d => col(d.alias.get))
-    proj.df.groupBy(dimCols: _*)
-      .agg(graft.functions.Hll.hllSketch(col("__hll_in")).as("__sketch"))
+    val sketch =
+      if (fromRegisters) graft.functions.Hll.hllFromRegistersSketch(col("__hll_in"))
+      else graft.functions.Hll.hllSketch(col("__hll_in"))
+    proj.df.groupBy(dimCols: _*).agg(sketch.as("__sketch"))
   }
 
   private def respond(thunks: Seq[() => AqlCompiler.Compiled]): String = {

@@ -32,6 +32,15 @@ object ResultShaper {
 
   private val NullString = "NULL"
 
+  /** Hard cap on non-aggregate response rows. `limit: -1` compiles to an
+    * unbounded DataFrame; the reference streams non-agg rows and exits
+    * early (aql_nonaggr_batchexecutor.go:58-117) rather than materialize
+    * them — here the result streams through `toLocalIterator` (one
+    * partition held on the driver at a time) and stops at the cap, so an
+    * unlimited query over a 100 TB fact table cannot OOM the driver.
+    */
+  val MaxNonAggResponseRows = 100000
+
   def shapeToJson(c: AqlCompiler.Compiled): String =
     JsonMethods.compact(JsonMethods.render(shape(c)))
 
@@ -95,15 +104,21 @@ object ResultShaper {
 
   private def shapeNonAgg(c: AqlCompiler.Compiled): JValue = {
     val dimDefs = dims(c)
-    val rows = c.df.collect()
+    // stream partitions instead of collect(): early exit at the row cap
+    val it = c.df.toLocalIterator()
+    val out = List.newBuilder[JValue]
+    var count = 0
+    while (it.hasNext && count < MaxNonAggResponseRows) {
+      val row = it.next()
+      out += JArray((0 until c.dimNames.length).map { i =>
+        val d = if (i < dimDefs.length) dimDefs(i) else AqlDimension()
+        JString(formatDim(row.get(i), d))
+      }.toList)
+      count += 1
+    }
     JObject(
       "headers" -> JArray(c.dimNames.map(JString(_)).toList),
-      "matrixData" -> JArray(rows.map { row =>
-        JArray((0 until c.dimNames.length).map { i =>
-          val d = if (i < dimDefs.length) dimDefs(i) else AqlDimension()
-          JString(formatDim(row.get(i), d))
-        }.toList)
-      }.toList))
+      "matrixData" -> JArray(out.result()))
   }
 
   // ---- value formatting (dimval.go semantics) -----------------------------

@@ -175,6 +175,15 @@ object Hll {
   def hllFromRegisters(c: Column): Column =
     Bridge.column(HllFromRegistersAggregate(expression(c)).toAggregateExpression())
 
+  /** Sketch-output variant of [[hllFromRegisters]] for the binary wire
+    * path: register-max merges a precomputed register column into
+    * MERGEABLE sketch bytes (re-hashing register values through the
+    * murmur3 path would produce a different, wrong sketch).
+    */
+  def hllFromRegistersSketch(c: Column): Column =
+    Bridge.column(HllFromRegistersAggregate(expression(c), sketchOutput = true)
+      .toAggregateExpression())
+
   private def expression(c: Column): Expression = Bridge.expression(c)
 }
 
@@ -261,6 +270,7 @@ case class HllMergeAggregate(
   */
 case class HllFromRegistersAggregate(
     child: Expression,
+    sketchOutput: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
@@ -289,12 +299,13 @@ case class HllFromRegistersAggregate(
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = Hll.estimate(buffer)
+  override def eval(buffer: Array[Byte]): Any =
+    if (sketchOutput) Hll.encode(buffer) else Hll.estimate(buffer)
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = Hll.encode(buffer)
   override def deserialize(storage: Array[Byte]): Array[Byte] = Hll.decode(storage)
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (sketchOutput) BinaryType else LongType
   override def nullable: Boolean = false
   override def withNewMutableAggBufferOffset(o: Int): HllFromRegistersAggregate =
     copy(mutableAggBufferOffset = o)

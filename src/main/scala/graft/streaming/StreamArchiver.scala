@@ -30,23 +30,34 @@ object StreamArchiver {
       archivingDelaySeconds: Long,
       retentionDays: Int)
 
-  /** Route one (micro-)batch. `nowEpoch` is injectable for tests. */
+  /** Route one (micro-)batch. `nowEpoch` is injectable for tests.
+    *
+    * The batch is cached and both route counts come from ONE aggregation
+    * job (a chain of `isEmpty` probes would re-run the batch's lineage up
+    * to three times per trigger — at high trigger rates the probes would
+    * dominate); the filtered writes then read from the cached blocks.
+    */
   def routeBatch(spark: SparkSession, batch: DataFrame, route: Route,
       nowEpoch: Long): Unit = {
-    if (batch.isEmpty) return
     val t = col(route.timeCol)
     val cutoff = timestamp_seconds(lit(nowEpoch - route.archivingDelaySeconds))
     val retentionFloor = timestamp_seconds(
       lit(nowEpoch - route.retentionDays.toLong * 86400))
+    val isFresh = t >= cutoff
+    val isLate = t < cutoff && t >= retentionFloor
 
-    val fresh = batch.where(t >= cutoff)
-    if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(route.liveDir)
-
-    val late = batch.where(t < cutoff && t >= retentionFloor)
-    if (!late.isEmpty)
-      Backfill(spark, route.archiveDir, late, route.timeCol, route.pk, route.sortCols)
-    // rows older than retention fall through — dropped, as in the reference
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = cached.agg(
+        count(when(isFresh, 1)).as("fresh"),
+        count(when(isLate, 1)).as("late")).collect()(0)
+      if (counts.getLong(0) > 0)
+        cached.where(isFresh).write.mode("append").parquet(route.liveDir)
+      if (counts.getLong(1) > 0)
+        Backfill(spark, route.archiveDir, cached.where(isLate),
+          route.timeCol, route.pk, route.sortCols)
+      // rows older than retention fall through — dropped, as in the reference
+    } finally cached.unpersist(false)
   }
 
   def start(source: DataFrame, route: Route,

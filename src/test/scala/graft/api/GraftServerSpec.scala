@@ -30,6 +30,21 @@ class GraftServerSpec extends SparkSpec {
     client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
 
+  private def put(path: String, body: String) =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String) =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def aqlResult(queryJson: String): JValue = {
+    val resp = post("/query/aql", s"""{"queries": [$queryJson]}""")
+    assert(resp.statusCode() == 200, new String(resp.body()))
+    (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+  }
+
   test("POST /query/aql answers and isolates per-query errors") {
     val resp = post("/query/aql", s"""{"queries": [
       {"table": "events",
@@ -125,5 +140,117 @@ class GraftServerSpec extends SparkSpec {
     val resp = post("/data/unknown_table", "[]")
     assert(resp.statusCode() == 400)
     assert(new String(resp.body()).contains("error"))
+  }
+
+  test("schema mutation: create table via HTTP, ingest, query through /query/aql") {
+    // reference wire shape: column list + PK/sort column IDs
+    // (api/schema_handler.go:117-147, metastore/common/model.go:128-151)
+    val create = post("/schema/tables", """{
+      "name": "rides", "isFactTable": true,
+      "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "ride_id", "type": "Int64"},
+        {"name": "city", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"}
+      ],
+      "primaryKeyColumns": [1],
+      "archivingSortColumns": [2]
+    }""")
+    assert(create.statusCode() == 200, new String(create.body()))
+    assert(get("/schema/tables").body().contains("\"rides\""))
+
+    // enum pre-registration before any ingestion (api/enum_handler.go:83-110)
+    val reg = post("/schema/tables/rides/columns/city/enum-cases",
+      """{"enumCases": ["sf", "nyc"]}""")
+    assert(reg.statusCode() == 200)
+    assert(new String(reg.body()) == "[0,1]")
+
+    val ingest = post("/data/rides", """[
+      {"request_at": 1706572800, "ride_id": 1, "city": "sf", "fare": 10.5},
+      {"request_at": 1706572860, "ride_id": 2, "city": "nyc", "fare": 20.25},
+      {"request_at": 1706572920, "ride_id": 3, "city": "sf", "fare": 7.75},
+      {"request_at": 1706572980, "ride_id": 4, "city": "lima", "fare": 5.0}
+    ]""")
+    assert(ingest.statusCode() == 200, new String(ingest.body()))
+
+    val byCity = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "dimensions": [{"alias": "city", "sqlExpression": "city"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+    assert(byCity.asInstanceOf[JObject].values ==
+      Map("sf" -> 2.0, "nyc" -> 1.0, "lima" -> 1.0))
+
+    // ingestion auto-expanded the enum dictionary with the unseen case
+    assert(JsonMethods.parse(get("/schema/tables/rides/columns/city/enum-cases").body())
+      == JArray(List(JString("sf"), JString("nyc"), JString("lima"))))
+
+    // unknown enum case in a filter matches NOTHING (no error) — the
+    // reference's enum sentinel semantics
+    val unknown = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "dimensions": [{"alias": "city", "sqlExpression": "city"}],
+      "rowFilters": ["city = 'atlantis'"],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+    assert(unknown == JObject())
+  }
+
+  test("schema mutation: add column surfaces as null, delete column hides it") {
+    val add = post("/schema/tables/rides/columns",
+      """{"name": "tip", "type": "Float32", "addToArchivingSortOrder": false}""")
+    assert(add.statusCode() == 200, add.body())
+
+    val tips = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "dimensions": [{"alias": "has_tip", "sqlExpression": "tip is null"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+    // pre-existing rows: the added column reads NULL everywhere
+    assert(tips.asInstanceOf[JObject].values == Map("1" -> 4.0))
+
+    val del = delete("/schema/tables/rides/columns/fare")
+    assert(del.statusCode() == 200)
+    // deleted column stays as a placeholder in the schema (model.go:46-47)...
+    val schema = JsonMethods.parse(get("/schema/tables/rides").body())
+    val fare = (schema \ "columns").asInstanceOf[JArray].arr
+      .find(c => (c \ "name") == JString("fare")).get
+    assert((fare \ "deleted") == JBool(true))
+    // ...and queries no longer resolve it
+    val resp = post("/query/aql", """{"queries": [{"table": "rides",
+      "measures": [{"alias": "s", "sqlExpression": "sum(fare)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+    assert((JsonMethods.parse(new String(resp.body())) \ "errors") != JNull)
+
+    // column config update bumps the version
+    implicit val fmts: Formats = DefaultFormats
+    val v0 = (schema \ "version").extract[Int]
+    val upd = put("/schema/tables/rides/columns/tip", """{"priority": 5}""")
+    assert(upd.statusCode() == 200)
+    assert((JsonMethods.parse(upd.body()) \ "version").extract[Int] == v0 + 1)
+  }
+
+  test("drain folds the live overlay into a day-partitioned archive") {
+    val n0 = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString
+    server.drain("rides", dir)
+
+    // the archive took the live rows, day-partitioned
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .exists(_.toString.contains("day=2024-01-30")))
+    // queries answer identically from the archive scan path
+    val n1 = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+    assert(n1 == n0, s"$n0 -> $n1")
+    // and new ingestion layers a fresh overlay over the archive
+    val ingest = post("/data/rides",
+      """[{"request_at": 1706573040, "ride_id": 9, "city": "sf", "fare": 1.0}]""")
+    assert(ingest.statusCode() == 200, new String(ingest.body()))
+    val n2 = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+    implicit val fmts: Formats = DefaultFormats
+    assert((n2 \ "n").extract[Double] == (n0 \ "n").extract[Double] + 1)
   }
 }

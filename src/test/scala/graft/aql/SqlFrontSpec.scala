@@ -22,6 +22,16 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(d.expr == "request_at" && d.timeBucketizer.contains("hour") && d.timeUnit.isEmpty)
   }
 
+  test("mismatched timezone on ANY time bucket raises, not only the first") {
+    val e = intercept[ParseException] {
+      SqlFront.translate(
+        """SELECT count(*) AS value FROM trips
+          | WHERE aql_time_filter(request_at, "-1d", "now", America/New_York)
+          | GROUP BY status, aql_time_bucket_hour(request_at, "", Asia/Tokyo)""".stripMargin)
+    }
+    assert(e.getMessage.contains("different timebucket timezone"))
+  }
+
   test("joins with ON conditions and aliases") {
     val q = SqlFront.translate(
       """SELECT c.name, sum(fare) FROM trips

@@ -58,4 +58,26 @@ class QueryServiceSpec extends SparkSpec {
     val est = result.estimates.sum
     assert(est > 0)
   }
+
+  test("binary hll() over a register column register-max merges — agrees with JSON") {
+    // hll(reg) on the binary endpoint must produce the SAME estimates as
+    // the JSON endpoint's register-merge path (not re-hash the packed
+    // register values) — ADVICE r2: the two endpoints diverged
+    val q = s"""{
+      "table": "events",
+      "supportingDimensions": [{"alias": "reg", "sqlExpression": "get_hll_value(user_id)"}],
+      "measures": [{"sqlExpression": "hll(reg)"}],
+      "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+      "timeFilter": {"from": "1704067200", "to": "1706659200"},
+      "now": $Now
+    }"""
+    val bin = HllWire.read(service.aqlBinary(q))
+    val json = JsonMethods.parse(service.aql(s"""{"queries": [$q]}"""))
+    val fromJson = (json \ "results")(0).asInstanceOf[JObject].values
+      .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
+    val fromBin = bin.rows.indices.map { r =>
+      bin.dimString(r, 0).get -> bin.estimates(r)
+    }.toMap
+    assert(fromBin == fromJson, s"binary=$fromBin json=$fromJson")
+  }
 }

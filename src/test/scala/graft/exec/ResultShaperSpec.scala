@@ -90,6 +90,27 @@ class ResultShaperSpec extends SparkSpec {
       """{"headers":["k","v"],"matrixData":[["a","1.5"],["a","2.5"]]}""")
   }
 
+  test("unlimited non-agg streams with early exit — never a full driver collect") {
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("rowsComputed")
+    val counted = udf((x: Long) => { acc.add(1); x })
+    val total = 4L * ResultShaper.MaxNonAggResponseRows
+    // 32 narrow partitions: toLocalIterator pulls them one at a time
+    val df = spark.range(0, total, 1, 32).select(counted(col("id")).as("id"))
+    val compiled = graft.aql.AqlCompiler.Compiled(
+      df, Seq("id"), "value", isNonAgg = true,
+      graft.aql.AqlQuery(table = "x", measures = Seq(graft.aql.AqlMeasure(None, "1"))),
+      java.time.ZoneId.of("UTC"), None)
+
+    val shaped = ResultShaper.shape(compiled)
+    val rows = (shaped \ "matrixData").asInstanceOf[org.json4s.JArray].arr.length
+    assert(rows == ResultShaper.MaxNonAggResponseRows, s"cap not applied: $rows")
+    // early exit: later partitions were never computed (well under total;
+    // allow generous slack for per-partition granularity)
+    assert(acc.value < total / 2,
+      s"streamed path computed ${acc.value} of $total rows — no early exit")
+  }
+
   test("dimensionless aggregate yields a single keyed leaf") {
     val got = shape(s"""{
       "table": "fix",
