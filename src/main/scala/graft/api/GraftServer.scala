@@ -64,6 +64,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         ts.sparkSchema)
     TableDef(ts.name, ts.isFactTable, ts.timeColumn,
       timestampColumns = Set.empty, primaryKey = ts.pkNames,
+      columnTypes = ts.activeColumns.map(c => c.name -> c.tpe).toMap,
       load = s => {
         // reconcile the overlay with the CURRENT schema: columns added
         // since ingestion surface as nulls, deleted columns drop out

@@ -36,7 +36,17 @@ import graft.functions.Hll
   *  - the wildcard dimension expands to all main-table columns minus
   *    array/struct-typed ones (:1252-1265, 412-413)
   */
-final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
+/** @param strictCompat opt-in reference-exact compatibility mode (SURVEY
+  *   §7.4.3): time bucketizers use the reference's piecewise query-window
+  *   timezone offset (time_bucketizer.go:93-146) instead of Spark's
+  *   per-row DST-correct offsets, and expressions the reference rejects
+  *   (numeric ops on >4-byte columns, query_context_helper.go:72-91) are
+  *   rejected. Off by default — the engine's defaults are the *correct*
+  *   semantics; strictCompat reproduces the reference's results
+  *   bit-for-bit for deployments that diff against it.
+  */
+final class AqlCompiler(catalog: Catalog, spark: SparkSession,
+    strictCompat: Boolean = false) {
 
   import AqlCompiler._
 
@@ -71,7 +81,21 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
       j
     }
     val tsCols = collectTimestampColumns(q, main)
-    val resolveCtx = ExprCompiler.Ctx(resolveWith(tsCols), fixedZone, nowEpoch)
+    // declared AQL types by plain and qualified name (main + joined dims),
+    // for GeoPoint/UUID literal coercion and strictCompat restrictions
+    val colTypes: Map[String, String] = {
+      val perTable = (main +: q.joinList.map(j => catalog(j.table))).flatMap { td =>
+        td.columnTypes.flatMap { case (c, t) =>
+          Seq(c -> t, s"${td.name}.$c" -> t)
+        }
+      }
+      val aliased = q.joinList.flatMap { j =>
+        catalog(j.table).columnTypes.map { case (c, t) => s"${j.aliasOrTable}.$c" -> t }
+      }
+      (perTable ++ aliased).toMap
+    }
+    val resolveCtx = ExprCompiler.Ctx(resolveWith(tsCols), fixedZone, nowEpoch,
+      colType = colTypes.get, strictCompat = strictCompat)
 
     // supporting dimensions/measures: referenced by alias from other
     // expressions, never grouped/reported themselves (ref aql.go:120-126)
@@ -244,7 +268,8 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
         }
       case (d, i) =>
         val name = d.alias.filter(_.nonEmpty).getOrElse(if (d.expr.nonEmpty) d.expr else s"d$i")
-        Seq(name -> dimensionColumn(d, q, main, parseE, resolveCtx, perRowTz, fixedZone))
+        Seq(name -> dimensionColumn(d, q, main, parseE, resolveCtx, perRowTz, fixedZone,
+          bounds, nowEpoch))
     }
 
     // -- measure ------------------------------------------------------------
@@ -299,7 +324,7 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
 
   private def dimensionColumn(d: AqlDimension, q: AqlQuery, main: TableDef,
       parseE: String => Expr, ctx: ExprCompiler.Ctx, perRowTz: Option[Column],
-      zone: ZoneId): Column = {
+      zone: ZoneId, bounds: Option[TimeExpr.Bounds], nowEpoch: Long): Column = {
     val baseExprStr =
       if (d.expr.nonEmpty) d.expr
       else if (d.isTimeDimension)
@@ -317,16 +342,54 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession) {
 
     // timezone shift-then-floor (ref query/time_bucketizer.go:72-146):
     // per-row tz from the timezone join, else the query's fixed timezone.
-    // Spark's from_utc_timestamp is DST-correct per row — the reference's
-    // piecewise DST-switch correction term is not replicated because Spark
-    // computes the exact offset for every row (SURVEY §7.4.3).
+    // DEFAULT: Spark's from_utc_timestamp is DST-correct per row.
+    // strictCompat: the reference's piecewise query-window offset
+    // (time_bucketizer.go:93-146) — the offset at the window start, plus a
+    // single offsetDiff step term when the window crosses a DST switch —
+    // reproduced bit-for-bit, including its post-switch offset arithmetic,
+    // for result parity with reference deployments.
     val shifted = perRowTz match {
       case Some(tzCol) => unix_timestamp(from_utc_timestamp(timestamp_seconds(base), tzCol))
       case None =>
         if (zone.getId == "UTC" || zone.getId == "Z") base
+        else if (strictCompat) strictShift(base, zone, bounds, nowEpoch)
         else unix_timestamp(from_utc_timestamp(timestamp_seconds(base), zone.getId))
     }
     Bucketizers.time(shifted, d.timeBucketizer.getOrElse(""))
+  }
+
+  /** The reference's fixed-timezone shift (time_bucketizer.go:93-146):
+    * `ts + fromOffset + offsetDiff * (ts >= switchTs)` where fromOffset is
+    * the zone offset at the window start, offsetDiff = fromOffset -
+    * toOffset, and switchTs is the single DST switch inside the window
+    * (utils.CalculateDSTSwitchTs binary search, hour-aligned). This is
+    * knowingly NOT per-row correct after the switch — it replicates the
+    * reference exactly, which is the entire point of strictCompat.
+    */
+  private def strictShift(base: Column, zone: ZoneId,
+      bounds: Option[TimeExpr.Bounds], nowEpoch: Long): Column = {
+    val rules = zone.getRules
+    def offAt(e: Long): Int =
+      rules.getOffset(java.time.Instant.ofEpochSecond(e)).getTotalSeconds
+    val fromE = bounds.flatMap(_.fromEpoch).getOrElse(nowEpoch)
+    val toE = bounds.flatMap(_.toEpoch).getOrElse(nowEpoch)
+    val fromOffset = offAt(fromE)
+    val toOffset = offAt(toE)
+    if (fromOffset == toOffset) base + lit(fromOffset.toLong)
+    else {
+      // CalculateDSTSwitchTs (ref utils/time.go:93-107): bisect to the
+      // switch hour
+      var lo = fromE
+      var hi = toE
+      while (hi - lo > 3600) {
+        val mid = lo + (hi - lo) / 2
+        if (offAt(lo) != offAt(mid)) hi = mid else lo = mid
+      }
+      val switchTs = hi - hi % 3600
+      val offsetDiff = (fromOffset - toOffset).toLong
+      base + lit(fromOffset.toLong) +
+        lit(offsetDiff) * (base >= lit(switchTs)).cast("long")
+    }
   }
 
   private def measureColumn(e: Expr, ctx: ExprCompiler.Ctx): Column = e match {

@@ -21,6 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   partitions — the reference's archive day-range scan
   *   (aql_compiler.go:1047-1056)
   */
+/** @param columnTypes declared AQL storage types by column name (e.g.
+  *   "GeoPoint", "UUID", "Int64") where the catalog knows them — drives
+  *   type-aware literal coercion in filters and the strictCompat width
+  *   restrictions; columns without declared types behave as their Spark
+  *   types
+  */
 final case class TableDef(
     name: String,
     isFact: Boolean,
@@ -28,6 +34,7 @@ final case class TableDef(
     timestampColumns: Set[String] = Set.empty,
     primaryKey: Seq[String] = Nil,
     dayPartitioned: Boolean = false,
+    columnTypes: Map[String, String] = Map.empty,
     load: SparkSession => DataFrame)
 
 /** Configured timezone-table join (ref aql_compiler.go:439-465): queries

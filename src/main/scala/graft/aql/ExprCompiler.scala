@@ -38,11 +38,67 @@ object ExprCompiler {
     *                  qualified names (`alias.column`)
     * @param zone      query timezone (calendar functors, convert_tz fold)
     * @param nowEpoch  reference instant for compile-time timezone folds
+    * @param colType   declared AQL storage type of a (possibly qualified)
+    *                  column name, when the catalog knows it — drives
+    *                  GeoPoint/UUID literal coercion and the strictCompat
+    *                  width checks
+    * @param strictCompat reject expressions the reference rejects
+    *                  (numeric ops on >4-byte columns, Int64 binary
+    *                  transformations, query_context_helper.go:72-91)
     */
   final case class Ctx(
       resolve: String => Column,
       zone: ZoneId = ZoneId.of("UTC"),
-      nowEpoch: Long = 0L)
+      nowEpoch: Long = 0L,
+      colType: String => Option[String] = _ => None,
+      strictCompat: Boolean = false)
+
+  /** AQL storage width in bytes (ref memstore/common/data_type.go
+    * DataTypeBytes) for the strictCompat >4-byte numeric-op rejection.
+    */
+  private def typeBytes(t: String): Int = t match {
+    case "Bool" | "Int8" | "Uint8" => 1
+    case "Int16" | "Uint16" => 2
+    case "Int32" | "Uint32" | "Float32" | "SmallEnum" | "BigEnum" => 4
+    case "Int64" | "GeoPoint" => 8
+    case "UUID" => 16
+    case _ => 4
+  }
+
+  /** Parse the reference's WKT-ish point form 'Point(lng,lat)'
+    * (memstore/common/data_type.go GeoPointFromString: case-insensitive,
+    * the characters p/o/i/n/t/parens/commas are separators) into
+    * (lat, lng) — the reference's internal storage order.
+    */
+  def parseGeoPoint(s: String): (Double, Double) = {
+    val parts = s.toLowerCase(java.util.Locale.ROOT)
+      .map(ch => if ("point(),".indexOf(ch) >= 0) ' ' else ch)
+      .split("\\s+").filter(_.nonEmpty)
+    if (parts.length != 2)
+      throw ParseException(s"invalid point, requires format: Point(lng,lat), got $s", 0)
+    val (lng, lat) =
+      try (parts(0).toDouble, parts(1).toDouble)
+      catch { case _: NumberFormatException =>
+        throw ParseException(s"invalid point, requires format: Point(lng,lat), got $s", 0)
+      }
+    if (lng < -180 || lng > 180)
+      throw ParseException(s"invalid point, longitude should be in [-180, 180], got ${parts(0)}", 0)
+    if (lat < -90 || lat > 90)
+      throw ParseException(s"invalid point, latitude should be in [-90, 90], got ${parts(1)}", 0)
+    (lat, lng)
+  }
+
+  /** Normalize a UUID literal to its 32 lowercase hex digits — the
+    * reference parses UUID strings into raw bytes so equality ignores
+    * case and dashes (data_type.go UUIDFromString); malformed UUIDs error.
+    */
+  def normalizeUuid(s: String): String = {
+    val hex = s.toLowerCase(java.util.Locale.ROOT).replace("-", "")
+      .stripPrefix("urn:uuid:").stripPrefix("{").stripSuffix("}")
+    if (hex.length != 32 || !hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      throw ParseException(s"invalid UUID literal: $s", 0)
+    hex
+  }
 
   private val SecondsPerDay = 86400L
   private val SecondsPerHour = 3600L
@@ -58,6 +114,7 @@ object ExprCompiler {
     case Expr.Paren(inner) => compile(inner, ctx)
 
     case Expr.Unary(op, inner) =>
+      if (op == UnaryOp.Neg || op == UnaryOp.BitwiseNot) strictBlock(ctx, inner)
       val c = compile(inner, ctx)
       op match {
         case UnaryOp.Neg => negate(c)
@@ -69,7 +126,16 @@ object ExprCompiler {
         case UnaryOp.IsFalse => !c
       }
 
+    // GeoPoint/UUID literal coercion (query_context_helper.go:317-334):
+    // `geo_col = 'Point(lng,lat)'` compares against a parsed point value,
+    // `uuid_col = '...'` compares bytes (case/dash insensitive)
+    case Expr.Binary(op @ (BinOp.Eq | BinOp.Neq), Expr.VarRef(name), Expr.Str(s))
+        if ctx.colType(name).exists(t => t == "GeoPoint" || t == "UUID") =>
+      val eq = typedEquality(name, s, ctx)
+      if (op == BinOp.Eq) eq else !eq
+
     case Expr.Binary(op, l, r) =>
+      if (NumericOps.contains(op)) strictBlock(ctx, l, r)
       val lc = compile(l, ctx)
       val rc = compile(r, ctx)
       op match {
@@ -94,6 +160,16 @@ object ExprCompiler {
         case BinOp.Mod => pmod(lc, rc)
       }
 
+    case Expr.In(Expr.VarRef(name), list, negated)
+        if ctx.colType(name).exists(t => t == "GeoPoint" || t == "UUID") =>
+      val eqs = list.map {
+        case Expr.Str(s) => typedEquality(name, s, ctx)
+        case _ => throw ParseException(
+          s"IN on a ${ctx.colType(name).get} column requires string literals", 0)
+      }
+      val in = eqs.reduceOption(_ || _).getOrElse(lit(false))
+      if (negated) !in else in
+
     case Expr.In(inner, list, negated) =>
       val c = compile(inner, ctx)
       val vals = list.map(compile(_, ctx))
@@ -111,6 +187,38 @@ object ExprCompiler {
   }
 
   private def negate(c: Column): Column = lit(0) - c
+
+  private val NumericOps: Set[BinOp] = Set(
+    BinOp.Add, BinOp.Sub, BinOp.Mul, BinOp.Div, BinOp.Mod,
+    BinOp.BitOr, BinOp.BitAnd, BinOp.BitXor, BinOp.Shl, BinOp.Shr)
+
+  /** strictCompat operand rejection (query_context_helper.go:72-91): the
+    * reference cannot run numeric transformations on >4-byte columns
+    * (Int64/UUID/GeoPoint). Off by default — the engine is a deliberate
+    * superset — but a compat deployment can reject what the reference
+    * rejects.
+    */
+  private def strictBlock(ctx: Ctx, es: Expr*): Unit = if (ctx.strictCompat) {
+    es.foreach {
+      case Expr.VarRef(n) => ctx.colType(n).foreach { t =>
+        if (typeBytes(t) > 4)
+          throw ParseException(
+            s"numeric operations not supported for column over 4 bytes length, got $n", 0)
+      }
+      case _ =>
+    }
+  }
+
+  /** Type-coerced equality for GeoPoint/UUID columns vs a string literal. */
+  private def typedEquality(name: String, s: String, ctx: Ctx): Column =
+    ctx.colType(name).get match {
+      case "GeoPoint" =>
+        val (lat, lng) = parseGeoPoint(s)
+        val c = ctx.resolve(name)
+        c.getField("lat") === lit(lat) && c.getField("lng") === lit(lng)
+      case _ =>
+        lower(regexp_replace(ctx.resolve(name), "-", "")) === lit(normalizeUuid(s))
+    }
 
   private def intLiteral(e: Expr, op: String): Int = e match {
     case Expr.Num(v, _, true) => v.toInt

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.aql.{AqlCompiler, AqlJson, Catalog, TableDef}
 import graft.functions.{Geo, Hll}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -119,6 +120,46 @@ object FunctionQueries {
         .select(col("sid").cast("int").as("shape_id"),
           coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("shape_id")
+    },
+
+    // GeoPoint literal coercion (query_context_helper.go:317-334 +
+    // data_type.go GeoPointFromString): `loc = 'Point(lng,lat)'` parses
+    // the WKT-ish literal into a (lat,lng) point value — full AQL path
+    // over a catalog declaring the column's GeoPoint type; the oracle
+    // restates the point equality on the generating columns
+    QueryDef("q_geo_point_literal",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS value FROM lineitem
+        |WHERE l_suppkey % 10 = 3 AND l_partkey % 20 = 5""".stripMargin) { (s, d) =>
+      val pts = Tables.lineitem(s, d).select(
+        struct(((col("l_suppkey") % 10) + lit(0.5)).cast(DoubleType).as("lat"),
+          ((col("l_partkey") % 20) + lit(0.5)).cast(DoubleType).as("lng")).as("loc"))
+      val cat = Catalog(Map("geo_pts" -> TableDef("geo_pts", isFact = false,
+        columnTypes = Map("loc" -> "GeoPoint"), load = _ => pts)))
+      // WKT order is (lng, lat): lng 5.5 ↔ l_partkey%20=5, lat 3.5 ↔ l_suppkey%10=3
+      new AqlCompiler(cat, s).compile(AqlJson.parseQuery("""{
+        "table": "geo_pts",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "rowFilters": ["loc = 'Point(5.5, 3.5)'"]
+      }""")).df
+    },
+
+    // UUID literal coercion (data_type.go UUIDFromString): equality
+    // normalizes case and dashes — stored UPPERCASE-dashed text matches a
+    // lowercase dash-less literal
+    QueryDef("q_uuid_eq",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS value FROM lineitem
+        |WHERE md5(CAST(l_orderkey AS VARCHAR)) = 'eccbc87e4b5ce2fe28308fd9f2a7baf3'""".stripMargin) { (s, d) =>
+      val h = md5(col("l_orderkey").cast(StringType))
+      val rows = Tables.lineitem(s, d).select(upper(concat_ws("-",
+        substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+        substring(h, 17, 4), substring(h, 21, 12))).as("trace_uuid"))
+      val cat = Catalog(Map("traces" -> TableDef("traces", isFact = false,
+        columnTypes = Map("trace_uuid" -> "UUID"), load = _ => rows)))
+      new AqlCompiler(cat, s).compile(AqlJson.parseQuery("""{
+        "table": "traces",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "rowFilters": ["trace_uuid = 'eccbc87e4b5ce2fe28308fd9f2a7baf3'"]
+      }""")).df
     },
 
     // per-row timezone join (the reference's auto-appended timezone-table

@@ -270,4 +270,152 @@ class AqlCompilerSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("ts", "value"))
     assert(df.count() > 0)
   }
+
+  // ---- strictCompat matrix (SURVEY §7.4.3) --------------------------------
+
+  /** Hourly rows across the 2024-03-10 America/Los_Angeles spring-forward
+    * switch (10:00 UTC). strict OFF buckets with per-row DST-correct
+    * offsets; strict ON replicates the reference's piecewise window offset
+    * (time_bucketizer.go:93-146) exactly.
+    */
+  private def dstCatalog: Catalog = {
+    import spark.implicits._
+    val rows = (0 until 72).map { h =>
+      (1709949600L + h * 3600L, h.toLong) // 2024-03-09T02:00:00Z .. +72h
+    }.toDF("t", "k")
+    Catalog(Map("dst" -> TableDef("dst", isFact = true, Some("t"),
+      load = _ => rows)))
+  }
+
+  private val DstQuery = """{
+      "table": "dst",
+      "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+      "dimensions": [{"alias": "d", "sqlExpression": "t", "timeBucketizer": "day"}],
+      "timeFilter": {"from": "1709949600", "to": "1710208800"},
+      "timezone": "America/Los_Angeles",
+      "now": 1710208800
+    }"""
+
+  test("strictCompat OFF: day buckets use per-row DST-correct offsets") {
+    val df = new AqlCompiler(dstCatalog, spark).compile(AqlJson.parseQuery(DstQuery)).df
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-row correct: ts < 10:00Z shifts -8h, ts >= 10:00Z shifts -7h;
+    // local Mar 10 = [08:00Z Mar 10, 07:00Z Mar 11) = 2h PST + 21h PDT = 23 rows
+    val correct = (0 until 72).map(h => 1709949600L + h * 3600L).groupBy { ts =>
+      val off = java.time.ZoneId.of("America/Los_Angeles").getRules
+        .getOffset(java.time.Instant.ofEpochSecond(ts)).getTotalSeconds
+      val local = ts + off
+      local - local % 86400
+    }.map { case (k, v) => k -> v.size.toLong }
+    assert(got == correct, s"got $got expected $correct")
+    assert(got(1710028800L) == 23L) // the 23-hour spring-forward day
+  }
+
+  test("strictCompat ON: reference piecewise window-offset buckets, bit-for-bit") {
+    val df = new AqlCompiler(dstCatalog, spark, strictCompat = true)
+      .compile(AqlJson.parseQuery(DstQuery)).df
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replicate the reference formula independently:
+    // fromOffset = -28800 (PST), toOffset = -25200 (PDT), diff = -3600,
+    // switchTs = hour-aligned DST switch = 1710064800 (10:00Z Mar 10)
+    val expected = (0 until 72).map(h => 1709949600L + h * 3600L).groupBy { ts =>
+      val local = ts - 28800L + (if (ts >= 1710064800L) -3600L else 0L)
+      local - local % 86400
+    }.map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected, s"got $got expected $expected")
+    // and it genuinely differs from the DST-correct bucketing
+    val correct = new AqlCompiler(dstCatalog, spark).compile(AqlJson.parseQuery(DstQuery))
+      .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got != correct)
+  }
+
+  test("strictCompat ON: same results as OFF when the window has one offset") {
+    val jan = DstQuery.replace("1709949600", "1704672000")
+      .replace("1710208800", "1704844800")
+    import spark.implicits._
+    val rows = (0 until 48).map(h => (1704672000L + h * 3600L, h.toLong)).toDF("t", "k")
+    val cat = Catalog(Map("dst" -> TableDef("dst", isFact = true, Some("t"),
+      load = _ => rows)))
+    val off = new AqlCompiler(cat, spark).compile(AqlJson.parseQuery(jan)).df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = new AqlCompiler(cat, spark, strictCompat = true)
+      .compile(AqlJson.parseQuery(jan)).df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(on == off && off.nonEmpty)
+  }
+
+  test("strictCompat ON rejects numeric ops on >4-byte columns; OFF allows") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L, 5)).toDF("t", "big", "small")
+    val cat = Catalog(Map("w" -> TableDef("w", isFact = false,
+      columnTypes = Map("big" -> "Int64", "small" -> "Int32"), load = _ => rows)))
+    val q = """{
+      "table": "w",
+      "measures": [{"alias": "value", "sqlExpression": "count(*)",
+                    "rowFilters": ["big + 1 > 0"]}]
+    }"""
+    // OFF: silent superset — runs fine
+    assert(new AqlCompiler(cat, spark).compile(AqlJson.parseQuery(q)).df.count() == 1)
+    // ON: the reference's rejection (query_context_helper.go:72-91)
+    val e = intercept[ParseException] {
+      new AqlCompiler(cat, spark, strictCompat = true).compile(AqlJson.parseQuery(q))
+    }
+    assert(e.getMessage.contains("over 4 bytes"))
+    // comparisons are NOT numeric transformations: allowed in strict mode
+    val cmp = q.replace("big + 1 > 0", "big > 0")
+    assert(new AqlCompiler(cat, spark, strictCompat = true)
+      .compile(AqlJson.parseQuery(cmp)).df.count() == 1)
+  }
+
+  // ---- GeoPoint / UUID literal coercion -----------------------------------
+
+  test("geo point literal: WKT parse, order, IN membership, malformed rejection") {
+    import spark.implicits._
+    val rows = Seq((3.5, 5.5, "a"), (5.5, 3.5, "b"), (0.0, 0.0, "c"))
+      .map { case (lat, lng, id) => (id, lat, lng) }
+      .toDF("id", "lat", "lng")
+      .select(col("id"), struct(col("lat"), col("lng")).as("loc"))
+    val cat = Catalog(Map("g" -> TableDef("g", isFact = false,
+      columnTypes = Map("loc" -> "GeoPoint"), load = _ => rows)))
+    def count(filter: String): Long =
+      new AqlCompiler(cat, spark).compile(AqlJson.parseQuery(s"""{
+        "table": "g",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "rowFilters": [${filter}]
+      }""")).df.collect()(0).getLong(0)
+    // WKT is Point(lng, lat): lng 5.5 / lat 3.5 matches row "a" only
+    assert(count("\"loc = 'Point(5.5, 3.5)'\"") == 1L)
+    // tolerant parse: case-insensitive, space-separated
+    assert(count("\"loc = 'POINT (5.5 3.5)'\"") == 1L)
+    // IN expands to point-equality membership
+    assert(count("\"loc in ('point(5.5,3.5)', 'point(0.0,0.0)')\"") == 2L)
+    // != negates
+    assert(count("\"loc != 'Point(5.5, 3.5)'\"") == 2L)
+    // malformed WKT and out-of-range coordinates are rejected
+    assert(intercept[ParseException] { count("\"loc = 'Point(5.5)'\"") }
+      .getMessage.contains("invalid point"))
+    assert(intercept[ParseException] { count("\"loc = 'Point(200.0, 3.5)'\"") }
+      .getMessage.contains("longitude"))
+    assert(intercept[ParseException] { count("\"loc = 'Point(5.5, 95.0)'\"") }
+      .getMessage.contains("latitude"))
+  }
+
+  test("uuid literal: case/dash-insensitive equality; malformed rejection") {
+    import spark.implicits._
+    val rows = Seq("123E4567-E89B-12D3-A456-426614174000", "00000000-0000-0000-0000-000000000001")
+      .toDF("u")
+    val cat = Catalog(Map("uu" -> TableDef("uu", isFact = false,
+      columnTypes = Map("u" -> "UUID"), load = _ => rows)))
+    def count(filter: String): Long =
+      new AqlCompiler(cat, spark).compile(AqlJson.parseQuery(s"""{
+        "table": "uu",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "rowFilters": [${filter}]
+      }""")).df.collect()(0).getLong(0)
+    assert(count("\"u = '123e4567e89b12d3a456426614174000'\"") == 1L)
+    assert(count("\"u = '123e4567-e89b-12d3-a456-426614174000'\"") == 1L)
+    assert(count("\"u != '123E4567-E89B-12D3-A456-426614174000'\"") == 1L)
+    assert(intercept[ParseException] { count("\"u = 'not-a-uuid'\"") }
+      .getMessage.contains("invalid UUID"))
+  }
 }
