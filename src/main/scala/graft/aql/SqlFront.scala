@@ -71,12 +71,14 @@ object SqlFront {
           p.expectOp("(")
           if (p.isKw(p.cur, "with"))
             throw ParseException("at most one WITH level supported", 0)
-          ctes(name) = parseStatement()
+          // a CTE body is already the second query level (sql_parser.go:34-47)
+          ctes(name) = parseStatement(allowSubquery = false)
           p.expectOp(")")
           if (isOp(",")) p.advance() else more = false
         }
       }
-      val outer = parseStatement()
+      // with a CTE present, a FROM subselect would be a third level
+      val outer = parseStatement(allowSubquery = ctes.isEmpty)
       p.expectEof()
       ctes.get(outer.table) match {
         case None => outer
@@ -86,7 +88,7 @@ object SqlFront {
 
     private def mergeWith(outer: AqlQuery, inner: AqlQuery): AqlQuery = {
       if (inner.measures != Seq(AqlMeasure(None, "1")))
-        throw ParseException("aggregates inside a WITH subquery are not supported", 0)
+        throw ParseException("aggregates inside a subquery are not supported", 0)
       if (outer.timeFilter.nonEmpty && inner.timeFilter.nonEmpty &&
           outer.timeFilter != inner.timeFilter)
         throw ParseException("conflicting time filters between WITH and outer query", 0)
@@ -102,14 +104,35 @@ object SqlFront {
         now = outer.now.orElse(inner.now))
     }
 
-    private def parseStatement(): AqlQuery = {
+    /** @param allowSubquery a parenthesized subselect may appear in FROM —
+      *   the second of the reference's two query levels
+      *   (sql_parser.go:34-47, maxLevelQuery = 2); deeper nesting rejects
+      */
+    private def parseStatement(allowSubquery: Boolean = false): AqlQuery = {
       p.expectKw("select")
       val items = ArrayBuffer.empty[(Expr, Option[String])]
       items += selectItem()
       while (isOp(",")) { p.advance(); items += selectItem() }
 
       p.expectKw("from")
-      val table = ident()
+      var fromSub: Option[AqlQuery] = None
+      val table =
+        if (isOp("(")) {
+          if (!allowSubquery)
+            throw ParseException("at most 2 query levels supported", 0)
+          p.advance()
+          if (p.isKw(p.cur, "with"))
+            throw ParseException("at most one WITH level supported", 0)
+          fromSub = Some(parseStatement(allowSubquery = false))
+          p.expectOp(")")
+          // optional derived-table alias
+          if (p.isKw(p.cur, "as")) { p.advance(); ident() }
+          else p.cur match {
+            case TIdent(s, _) if !reservedAfterRelation(s) => p.advance()
+            case _ =>
+          }
+          fromSub.get.table
+        } else ident()
       // optional main-table alias
       if (p.isKw(p.cur, "as")) { p.advance(); ident() }
 
@@ -220,7 +243,7 @@ object SqlFront {
           }
         }.toSeq
 
-      AqlQuery(
+      val q = AqlQuery(
         table = table,
         joins = Some(joins.toSeq).filter(_.nonEmpty),
         dimensions = Some(dims).filter(_.nonEmpty),
@@ -231,6 +254,8 @@ object SqlFront {
         now = nowOverride,
         limit = limit,
         sorts = Some(sorts.toSeq).filter(_.nonEmpty))
+      // a FROM subselect merges into the single AQL exactly like a CTE
+      fromSub.fold(q)(inner => mergeWith(q, inner))
     }
 
     private def selectItem(): (Expr, Option[String]) = {

@@ -277,6 +277,22 @@ object AqlQueries {
         Catalog.testdata(d), s, now = Some(NowEpoch)).df.orderBy("et")
     },
 
+    // nested subselect in FROM: query level 2 of the reference's two-level
+    // grammar (sql_parser.go:34-47), merged into the single AQL
+    QueryDef("q_sql_nested",
+      """SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS value
+        |FROM events
+        |WHERE value <= 50
+        |  AND epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY et NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.aql.SqlFront.compile(
+        """SELECT count(*) AS value
+          | FROM (SELECT event_type AS et, value FROM events WHERE value <= 50) cold
+          | WHERE aql_time_filter(ts, "1704067200", "1706659200", UTC)
+          | GROUP BY et""".stripMargin,
+        Catalog.testdata(d), s, now = Some(NowEpoch)).df.orderBy("et")
+    },
+
     // honored sorts: ORDER BY + LIMIT on a non-agg query = top-k
     QueryDef("q_aql_sorted_topk",
       """SELECT event_id, ROUND(value, 6) AS v FROM events

@@ -105,6 +105,32 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(q.measures.head.sqlExpression == "sum(fare)")
   }
 
+  test("subselect in FROM merges into the single AQL (two query levels)") {
+    val q = SqlFront.translate(
+      """SELECT count(*) AS value
+        | FROM (SELECT status AS st, fare FROM trips WHERE fare > 5) hot
+        | WHERE aql_time_filter(request_at, "-1d", "now", UTC)
+        | GROUP BY st""".stripMargin)
+    assert(q.table == "trips")
+    assert(q.filters == Seq("fare > 5"))
+    assert(q.timeFilter.nonEmpty)
+    assert(q.supportingDimensions.exists(_.exists(d =>
+      d.alias.contains("st") && d.expr == "status")))
+    assert(q.dimensionList.map(_.expr) == Seq("st"))
+  }
+
+  test("three query levels rejected (subselect inside subselect / WITH + subselect)") {
+    assert(intercept[ParseException] {
+      SqlFront.translate(
+        "SELECT count(*) AS value FROM (SELECT a FROM (SELECT a FROM t))")
+    }.getMessage.contains("2 query levels"))
+    assert(intercept[ParseException] {
+      SqlFront.translate(
+        """WITH x AS (SELECT a FROM t)
+          | SELECT count(*) AS value FROM (SELECT a FROM x)""".stripMargin)
+    }.getMessage.contains("2 query levels"))
+  }
+
   test("nested WITH rejected (one level max)") {
     intercept[ParseException] {
       SqlFront.translate(
