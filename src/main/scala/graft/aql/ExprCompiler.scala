@@ -217,7 +217,9 @@ object ExprCompiler {
         val c = ctx.resolve(name)
         c.getField("lat") === lit(lat) && c.getField("lng") === lit(lng)
       case _ =>
-        lower(regexp_replace(ctx.resolve(name), "-", "")) === lit(normalizeUuid(s))
+        // translate (not regexp_replace): character removal needs no regex
+        // engine in the per-row hot path
+        lower(translate(ctx.resolve(name), "-", "")) === lit(normalizeUuid(s))
     }
 
   private def intLiteral(e: Expr, op: String): Int = e match {

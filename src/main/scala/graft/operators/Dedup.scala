@@ -59,33 +59,79 @@ object Dedup {
     h
   }
 
-  /** Whole-signature computation per document in one tight loop: slide the
-    * 3-token shingle window, hash each shingle ONCE (FNV-1a), derive the 64
-    * minhash functions by rotate-and-xor double hashing, and keep running
-    * minima. Null (filtered) for documents shorter than 3 tokens.
+  /** Regex-`\s` whitespace, the exact class `split(trim(c), "\\s+")` uses
+    * — Character.isWhitespace would diverge on unicode spaces.
     */
-  private val signatureUdf = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.length < 3) null
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whole-signature computation per document in one tight pass over the
+    * RAW text: token boundaries are scanned in place, each 3-token shingle
+    * is FNV-1a hashed directly from the char buffer (no per-token strings,
+    * no per-shingle concatenation, no Seq boxing — the round-2 profile was
+    * dominated by exactly those allocations), and the 64 minhash functions
+    * derive by rotate-and-xor double hashing with running minima. Null
+    * (filtered) for documents shorter than 3 tokens.
+    */
+  private val signatureUdf = udf { (text: String) =>
+    if (text == null) null
     else {
-      val sig = Array.fill(NumHashes)(Long.MaxValue)
-      val n = toks.length
+      val n = text.length
+      var starts = new Array[Int](64)
+      var ends = new Array[Int](64)
+      var count = 0
       var i = 0
-      while (i <= n - 3) {
-        val h1 = fnv1a64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        // avalanche for the second base hash (splitmix64 finalizer)
-        var h2 = h1 + 0x9e3779b97f4a7c15L
-        h2 = (h2 ^ (h2 >>> 30)) * 0xbf58476d1ce4e5b9L
-        h2 = (h2 ^ (h2 >>> 27)) * 0x94d049bb133111ebL
-        h2 = h2 ^ (h2 >>> 31)
-        var j = 0
-        while (j < NumHashes) {
-          val h = h1 ^ java.lang.Long.rotateLeft(h2, j)
-          if (h < sig(j)) sig(j) = h
-          j += 1
+      while (i < n) {
+        while (i < n && isWs(text.charAt(i))) i += 1
+        if (i < n) {
+          val s = i
+          while (i < n && !isWs(text.charAt(i))) i += 1
+          if (count == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, count * 2)
+            ends = java.util.Arrays.copyOf(ends, count * 2)
+          }
+          starts(count) = s
+          ends(count) = i
+          count += 1
         }
-        i += 1
       }
-      sig
+      if (count < 3) null
+      else {
+        val sig = Array.fill(NumHashes)(Long.MaxValue)
+        var t = 0
+        while (t <= count - 3) {
+          // FNV-1a over "tok tok tok" straight from the text buffer
+          var h1 = 0xcbf29ce484222325L
+          var k = t
+          while (k <= t + 2) {
+            var p = starts(k)
+            val e = ends(k)
+            while (p < e) {
+              h1 ^= text.charAt(p)
+              h1 *= 0x100000001b3L
+              p += 1
+            }
+            if (k < t + 2) {
+              h1 ^= ' '
+              h1 *= 0x100000001b3L
+            }
+            k += 1
+          }
+          // avalanche for the second base hash (splitmix64 finalizer)
+          var h2 = h1 + 0x9e3779b97f4a7c15L
+          h2 = (h2 ^ (h2 >>> 30)) * 0xbf58476d1ce4e5b9L
+          h2 = (h2 ^ (h2 >>> 27)) * 0x94d049bb133111ebL
+          h2 = h2 ^ (h2 >>> 31)
+          var j = 0
+          while (j < NumHashes) {
+            val h = h1 ^ java.lang.Long.rotateLeft(h2, j)
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+          t += 1
+        }
+        sig
+      }
     }
   }
 
@@ -98,7 +144,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      signatureUdf(TextOps.tokens(col(textCol))).as("sig"))
+      signatureUdf(col(textCol)).as("sig"))
       .where(col("sig").isNotNull)
 
   /** Candidate pairs sharing at least one LSH band (16 bands × 4 rows),
@@ -133,18 +179,40 @@ object Dedup {
       .join(sigs.select(col(idCol).as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        (aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / NumHashes).as("est_jaccard"))
+        sigAgreement(col("a_sig"), col("b_sig")).as("est_jaccard"))
+  }
+
+  /** Fraction of agreeing minhash positions — one primitive loop per pair
+    * (the zip_with/aggregate HOF form runs interpreted per element).
+    */
+  private val sigAgreement = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var c = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      if (a(i) == b(i)) c += 1
+      i += 1
+    }
+    c.toDouble / NumHashes
   }
 
   /** Full MinHash near-dup pipeline: signatures → banded candidates →
     * threshold on estimated Jaccard.
+    *
+    * Signatures are PERSISTED for the pipeline's lifetime: the candidate
+    * stage consumes them three times (banding, then one join back per pair
+    * side), and recomputing the signature UDF over the corpus per consumer
+    * triples the dominant CPU cost. At scale this is the standard
+    * materialize-signatures design (a production pipeline writes them to
+    * storage); memory pressure safely evicts blocks — lineage recomputes.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame =
-    minhashCandidates(minhashSignatures(df, idCol, textCol), idCol)
+      threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashCandidates(sigs, idCol)
       .where(col("est_jaccard") >= threshold)
+  }
 
   /** Drop (band, bucket) groups larger than `maxBucket` before a bucket
     * self-join (skew guard shared by the banded-LSH operators).

