@@ -37,8 +37,11 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
   }
 
   /** Execute one AQL query with an HLL measure and return the
-    * `application/hll` binary body. Dimensions must be numeric (epoch
-    * buckets / integral dims) per the wire format.
+    * `application/hll` binary body in the REFERENCE's byte layout
+    * ([[RefHllWire]] — width-bucketed dim vectors, enum-case sections,
+    * 4-byte sparse registers, result envelope), so a client written
+    * against the reference parses the response unchanged. Dimensions must
+    * be integral or string-valued (strings ride as enum dictionaries).
     */
   def aqlBinary(queryJson: String): Array[Byte] = {
     val q = AqlJson.parseQuery(queryJson)
@@ -57,8 +60,8 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
     val grouped = sketchDf(q, inner, fromRegisters)
     val collected = grouped.collect()
 
-    // string dimensions ride as dictionary indexes + a per-dim dictionary
-    // section (the reference's enum-translation, query/hll.go + EnumDicts)
+    // string dimensions ride as dictionary indexes + a per-dim enum-cases
+    // section (the reference's enum translation, query/hll.go EnumDicts)
     val dicts: Map[Int, Seq[String]] = (0 until n).flatMap { i =>
       val strings = collected.flatMap(r =>
         if (r.isNullAt(i)) None
@@ -73,6 +76,26 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
         i -> cases.zipWithIndex.map { case (s, k) => s -> k.toLong }.toMap
       }
 
+    // per-dim AQL storage type + width: strings become Small/BigEnum by
+    // dictionary size; integral dims ride as Uint32 epoch/bucket values
+    // (the reference's time/numeric dim representation)
+    val dimTypes: Seq[Long] = (0 until n).map { i =>
+      dicts.get(i) match {
+        case Some(cases) if cases.length <= 256 => 0x00080008L // SmallEnum
+        case Some(_) => 0x00090010L // BigEnum
+        case None => 0x00060020L // Uint32
+      }
+    }
+    val widthOf: Long => Int = t => ((t & 0xFFFF) / 8).toInt
+    // slots are assigned in width-descending order (dim_util.go:43-58)
+    val slotOrder = (0 until n).sortBy(i => -widthOf(dimTypes(i)))
+    val dimIndexes = {
+      val slotOf = slotOrder.zipWithIndex.map { case (dim, slot) => dim -> slot }.toMap
+      (0 until n).map(slotOf)
+    }
+    val dimsPerWidth = Seq(16, 8, 4, 2, 1).map(w =>
+      (0 until n).count(i => widthOf(dimTypes(i)) == w))
+
     val rows = collected.map { r =>
       val dims = (0 until n).map { i =>
         if (r.isNullAt(i)) None
@@ -84,9 +107,17 @@ final class QueryService(catalog: Catalog, spark: SparkSession) {
             s"application/hll dims must be integral or string, got ${other.getClass.getSimpleName}", 0)
         }
       }
-      HllWire.HllRow(dims, graft.functions.Hll.decode(r.getAs[Array[Byte]](n)))
+      val regs = graft.functions.Hll.decode(r.getAs[Array[Byte]](n))
+      var nonZero = 0
+      regs.foreach(b => if (b != 0) nonZero += 1)
+      val stored =
+        if (nonZero < RefHllWire.DenseThreshold) nonZero
+        else RefHllWire.DenseDataLength
+      RefHllWire.RefRow(dims, regs, stored)
     }
-    HllWire.writeWithDicts(rows.toSeq, dicts)
+    val block = RefHllWire.RefBlock(dimsPerWidth, dimIndexes, dimTypes,
+      dicts, rows.toSeq)
+    RefHllWire.writeResults(Seq(Right(RefHllWire.writeBlock(block))))
   }
 
   /** The query re-planned to produce SKETCHES instead of estimates: a

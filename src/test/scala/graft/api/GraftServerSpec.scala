@@ -108,7 +108,7 @@ class GraftServerSpec extends SparkSpec {
       accept = Some("application/hll"))
     assert(resp.statusCode() == 200)
     assert(resp.headers().firstValue("Content-Type").orElse("") == "application/hll")
-    val result = graft.exec.HllWire.read(resp.body())
+    val result = graft.exec.RefHllWire.readResults(resp.body()).head.toOption.get
     assert(result.rows.nonEmpty && result.estimates.forall(_ > 0))
   }
 
@@ -120,7 +120,7 @@ class GraftServerSpec extends SparkSpec {
         "now": 1706659200}]}""",
       accept = Some("application/hll"))
     assert(resp.statusCode() == 200, new String(resp.body()))
-    val result = graft.exec.HllWire.read(resp.body())
+    val result = graft.exec.RefHllWire.readResults(resp.body()).head.toOption.get
     assert(result.rows.length == 5)
     val names = result.rows.indices.map(r => result.dimString(r, 0).get).toSet
     assert(names == Set("click", "signup", "purchase", "error", "view"))

@@ -48,7 +48,8 @@ class QueryServiceSpec extends SparkSpec {
       "timeFilter": {"from": "1706400000", "to": "1706659200"},
       "now": $Now
     }""")
-    val result = HllWire.read(bin)
+    // the endpoint emits the REFERENCE byte layout end to end
+    val result = RefHllWire.readResults(bin).head.toOption.get
     assert(result.rows.nonEmpty)
     // every row: day-aligned epoch dim + a plausible per-day user estimate
     result.rows.foreach { r =>
@@ -71,7 +72,7 @@ class QueryServiceSpec extends SparkSpec {
       "timeFilter": {"from": "1704067200", "to": "1706659200"},
       "now": $Now
     }"""
-    val bin = HllWire.read(service.aqlBinary(q))
+    val bin = RefHllWire.readResults(service.aqlBinary(q)).head.toOption.get
     val json = JsonMethods.parse(service.aql(s"""{"queries": [$q]}"""))
     val fromJson = (json \ "results")(0).asInstanceOf[JObject].values
       .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
