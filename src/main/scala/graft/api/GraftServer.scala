@@ -108,6 +108,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     respond(ex, 200, service.sql(body))
   })
 
+  // liveness + version probes (ref api/health_check_handler.go:39-53)
+  server.createContext("/health", (ex: HttpExchange) => handle(ex) {
+    respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
+  })
+  server.createContext("/version", (ex: HttpExchange) => handle(ex) {
+    respondBytes(ex, 200, "text/plain", "graft-0.3".getBytes(StandardCharsets.UTF_8))
+  })
+
+  // `/data/{table}` and the reference's `/data/{table}/{shard}` — the shard
+  // segment is accepted and ignored (Spark partitioning replaces shards)
   server.createContext("/data/", (ex: HttpExchange) => handle(ex) {
     val table = ex.getRequestURI.getPath.stripPrefix("/data/").takeWhile(_ != '/')
     val td = catalog(table)
@@ -232,30 +242,51 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       val updated = Upsert(current, withSeq, td.primaryKey, "__seq")
         .localCheckpoint(true) // pin the view; breaks unbounded lineage growth
       live.put(td.name, updated)
+      // the DELTA since the last drain (upsert batches folded among
+      // themselves) — what an incremental drain promotes
+      val delta = pending.get(td.name) match {
+        case Some(p) => Upsert(p, withSeq, td.primaryKey, "__seq")
+        case None => Upsert.dedupBatch(withSeq, td.primaryKey, "__seq")
+          .select(current.columns.map(col): _*)
+      }
+      pending.put(td.name, delta.localCheckpoint(true))
     }
     rows.length
   }
+
+  /** Rows ingested since the last drain, PK-deduped among themselves. */
+  private val pending = TrieMap.empty[String, DataFrame]
 
   /** Drain the table's live overlay into a day-partitioned archive at
     * `dir` and release the overlay — the reference's live→archive
     * promotion (/root/reference/memstore/archiving.go:59-141): after the
     * drain, queries answer from the archive scan path (partition-pruned
     * parquet) instead of pinned in-memory blocks, and the overlay's
-    * checkpoint blocks are unpinned. Dimension tables (no time column)
-    * snapshot wholesale instead (memstore/snapshot.go:25-87).
+    * checkpoint blocks are unpinned.
+    *
+    * The FIRST drain of a fact table writes the full day-partitioned
+    * archive; subsequent drains to the same directory promote only the
+    * DELTA through [[graft.ingest.Backfill]], rewriting just the affected
+    * day partitions — at scale that is the difference between a daily
+    * full rewrite and touching 1/retention of the data. Dimension tables
+    * (no time column) snapshot wholesale (memstore/snapshot.go:25-87).
     */
   def drain(table: String, dir: String): Unit = {
     val td = catalog(table)
     tableLocks.getOrElseUpdate(table, new Object).synchronized {
       live.get(table).foreach { view =>
-        td.timeColumn match {
-          case Some(tc) =>
+        (td.timeColumn, pending.get(table)) match {
+          case (Some(tc), Some(delta)) if drained.get(table).contains(dir) =>
+            graft.ingest.Backfill(spark, dir, delta, tc,
+              td.primaryKey, td.primaryKey.filterNot(_ == tc))
+          case (Some(tc), _) =>
             graft.ingest.Archiver.archive(view, tc,
               td.primaryKey.filterNot(_ == tc), dir)
-          case None => graft.ingest.Snapshot.write(view, dir)
+          case (None, _) => graft.ingest.Snapshot.write(view, dir)
         }
         drained.put(table, dir)
         live.remove(table)
+        pending.remove(table)
         view.unpersist(blocking = false)
       }
     }

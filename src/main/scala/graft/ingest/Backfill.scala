@@ -35,7 +35,12 @@ object Backfill {
   def apply(spark: SparkSession, dir: String, late: DataFrame, timeCol: String,
       pk: Seq[String], sortCols: Seq[String], numFiles: Int = 0): Seq[String] = {
     val day = Archiver.DayCol
-    val withDay = late.withColumn(day, date_format(col(timeCol), "yyyy-MM-dd"))
+    // TimestampType or integral epoch-seconds time column, like Archiver
+    val ts =
+      if (late.schema(timeCol).dataType == org.apache.spark.sql.types.TimestampType)
+        col(timeCol)
+      else timestamp_seconds(col(timeCol))
+    val withDay = late.withColumn(day, date_format(ts, "yyyy-MM-dd"))
     val days = withDay.select(day).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     if (days.isEmpty) return Nil

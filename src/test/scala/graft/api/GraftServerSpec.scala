@@ -136,6 +136,15 @@ class GraftServerSpec extends SparkSpec {
     assert((detail \ "timeColumn").extract[String] == "ts")
   }
 
+  test("health and version probes answer") {
+    assert(get("/health").body() == "OK")
+    assert(get("/version").body().nonEmpty)
+    // shard path segment accepted and ignored (Spark partitions ≠ shards)
+    val r = post("/data/documents/0", """[
+      {"doc_id": 9100001, "text": "sharded", "lang": "en", "source": "api", "n_chars": 7}]""")
+    assert(r.statusCode() == 200, new String(r.body()))
+  }
+
   test("bad requests get a 400 with an error body") {
     val resp = post("/data/unknown_table", "[]")
     assert(resp.statusCode() == 400)
@@ -243,14 +252,33 @@ class GraftServerSpec extends SparkSpec {
       "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
       "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
     assert(n1 == n0, s"$n0 -> $n1")
-    // and new ingestion layers a fresh overlay over the archive
+    // and new ingestion layers a fresh overlay over the archive —
+    // a NEXT-day row, so the incremental drain below touches only day 31
     val ingest = post("/data/rides",
-      """[{"request_at": 1706573040, "ride_id": 9, "city": "sf", "fare": 1.0}]""")
+      """[{"request_at": 1706659300, "ride_id": 9, "city": "sf", "fare": 1.0}]""")
     assert(ingest.statusCode() == 200, new String(ingest.body()))
     val n2 = aqlResult("""{"table": "rides",
       "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
-      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+      "timeFilter": {"from": "1706400000"}, "now": 1706999999}""")
     implicit val fmts: Formats = DefaultFormats
     assert((n2 \ "n").extract[Double] == (n0 \ "n").extract[Double] + 1)
+
+    // SECOND drain: incremental — only the delta's day is written, the
+    // first day's files stay byte-stable (no full-archive rewrite)
+    val day30 = java.nio.file.Paths.get(s"$dir/day=2024-01-30")
+    val mtimeBefore = java.nio.file.Files.list(day30).toArray
+      .map(p => java.nio.file.Files.getLastModifiedTime(
+        p.asInstanceOf[java.nio.file.Path]).toMillis).sorted.toSeq
+    server.drain("rides", dir)
+    val mtimeAfter = java.nio.file.Files.list(day30).toArray
+      .map(p => java.nio.file.Files.getLastModifiedTime(
+        p.asInstanceOf[java.nio.file.Path]).toMillis).sorted.toSeq
+    assert(mtimeAfter == mtimeBefore, "first day rewritten by incremental drain")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/day=2024-01-31")), "delta day not promoted")
+    val n3 = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706999999}""")
+    assert(n3 == n2, s"$n2 -> $n3")
   }
 }
