@@ -36,6 +36,15 @@ object Bench {
     // one-time write doesn't land on the first archive-backed query
     try Tables.eventsArchived(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // untimed codegen warmup: the alphabetically-first query was absorbing
+    // the suite's first whole-stage-codegen compilation (~1s of noise)
+    try Tables.lineitem(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("l_quantity") > 0)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

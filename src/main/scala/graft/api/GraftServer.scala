@@ -36,7 +36,8 @@ import graft.ingest.Upsert
   * batches layered over archive batches. Archiving the overlay back to
   * day-partitioned parquet is [[graft.ingest.Archiver]]'s job.
   */
-final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0) {
+final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
+    strictCompat: Boolean = false) {
 
   private val live = TrieMap.empty[String, DataFrame]
   private val seqCounter = new AtomicLong(0)
@@ -88,7 +89,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     baseCatalog.timezoneTable,
     dynamic = name => schemaStore.get(name).map(createdTableDef))
 
-  private val service = new QueryService(catalog, spark)
+  private val service = new QueryService(catalog, spark, strictCompat)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   server.createContext("/query/aql", (ex: HttpExchange) => handle(ex) {

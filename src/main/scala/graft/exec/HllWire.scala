@@ -4,9 +4,13 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import graft.functions.Hll
 
-/** Binary serialization of HLL query results — the `application/hll`
-  * response body (/root/reference/query/common/hll.go:30-70 format doc;
-  * writer at query/hll.go:27-108).
+/** ENGINE-NATIVE binary serialization of HLL query results (uniform
+  * 8-byte dims, 3-byte sparse registers) — a compact internal round-trip
+  * codec. The `application/hll` HTTP endpoint serves [[RefHllWire]], the
+  * byte-exact reference layout; this format remains for internal sketch
+  * transport where the uniform layout is simpler and smaller to produce.
+  * (Reference format doc: /root/reference/query/common/hll.go:30-70;
+  * writer at query/hll.go:27-108.)
   *
   * Layout implemented (little-endian, 8-byte aligned sections, magic
   * 0xACED0102):

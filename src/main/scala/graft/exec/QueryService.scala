@@ -15,9 +15,14 @@ import graft.aql._
   * independently; a failure lands in `errors[i]` (null on success) with
   * `results[i]` empty, matching AQLResponse (query/common/aql.go:161-166).
   */
-final class QueryService(catalog: Catalog, spark: SparkSession) {
+/** @param strictCompat compile queries in reference-exact compatibility
+  *   mode (see [[graft.aql.AqlCompiler]]) — a deployment diffing results
+  *   against a reference cluster flips this one flag
+  */
+final class QueryService(catalog: Catalog, spark: SparkSession,
+    strictCompat: Boolean = false) {
 
-  private val compiler = new AqlCompiler(catalog, spark)
+  private val compiler = new AqlCompiler(catalog, spark, strictCompat)
 
   /** Execute an AQLRequest JSON body: `{"queries": [{...}, ...]}`. */
   def aql(requestJson: String): String = {

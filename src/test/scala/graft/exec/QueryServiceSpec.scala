@@ -60,6 +60,21 @@ class QueryServiceSpec extends SparkSpec {
     assert(est > 0)
   }
 
+  test("strictCompat flag plumbs through the service to the compiler") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L)).toDF("t", "big")
+    val cat = graft.aql.Catalog(Map("w" -> graft.aql.TableDef("w", isFact = false,
+      columnTypes = Map("big" -> "Int64"), load = _ => rows)))
+    val q = """{"queries": [{"table": "w",
+      "measures": [{"alias": "v", "sqlExpression": "count(*)",
+                    "rowFilters": ["big + 1 > 0"]}]}]}"""
+    val strict = new QueryService(cat, spark, strictCompat = true).aql(q)
+    val err = (JsonMethods.parse(strict) \ "errors")(0)
+    assert(err.asInstanceOf[JString].s.contains("over 4 bytes"))
+    val loose = new QueryService(cat, spark).aql(q)
+    assert(JsonMethods.parse(loose) \ "errors" == JNull)
+  }
+
   test("binary hll() over a register column register-max merges — agrees with JSON") {
     // hll(reg) on the binary endpoint must produce the SAME estimates as
     // the JSON endpoint's register-merge path (not re-hash the packed
