@@ -58,13 +58,23 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** TableDef for a runtime-created table: schema from the metastore, rows
     * from the live overlay (empty before first ingestion). Fact tables
     * designate column 0 as the epoch time column (model.go:55-58).
+    *
+    * A drained fact table with NO live overlay is flagged `dayPartitioned`
+    * and keeps the archive's day column through its load, so compiled time
+    * filters statically prune its day partitions — the archive scan path
+    * applies to runtime-created tables too. Once fresh rows arrive (which
+    * carry no day column), the flag drops until the next drain; built
+    * per-lookup, so each compile sees the current state.
     */
   private def createdTableDef(ts: AqlTableSchema): TableDef = {
     def emptyDf(s: SparkSession): DataFrame =
       s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         ts.sparkSchema)
+    val dayPart = ts.isFactTable && drained.contains(ts.name) &&
+      !live.contains(ts.name)
     TableDef(ts.name, ts.isFactTable, ts.timeColumn,
       timestampColumns = Set.empty, primaryKey = ts.pkNames,
+      dayPartitioned = dayPart,
       columnTypes = ts.activeColumns.map(c => c.name -> c.tpe).toMap,
       load = s => {
         // reconcile the overlay with the CURRENT schema: columns added
@@ -72,22 +82,39 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         val df = layeredLoad(ts.name, emptyDf)(s)
         val latest = schemaStore.get(ts.name).getOrElse(ts)
         val present = df.columns.toSet
+        val dayCol =
+          if (dayPart && present.contains(graft.ingest.Archiver.DayCol))
+            Seq(col(graft.ingest.Archiver.DayCol))
+          else Nil
         latest.activeColumns.foldLeft(df) { (acc, c) =>
           if (present.contains(c.name)) acc
           else acc.withColumn(c.name, lit(null).cast(SchemaStore.sparkType(c.tpe)))
-        }.select(latest.activeColumns.map(c => col(c.name)): _*)
+        }.select(latest.activeColumns.map(c => col(c.name)) ++ dayCol: _*)
       })
   }
 
   /** Catalog whose loaders read through the live overlay, with runtime-
     * created tables resolved dynamically from the schema store.
+    *
+    * EVERY lookup goes through the dynamic function so the TableDef
+    * reflects the table's CURRENT layering: a day-partitioned base table
+    * with a live overlay must compile WITHOUT day-widening (overlay rows
+    * carry no day column — a static `dayPartitioned` flag would silently
+    * filter fresh rows out of every time-filtered query), and the day
+    * column is dropped from layered loads while an overlay is active.
     */
   private val catalog: Catalog = Catalog(
-    baseCatalog.tables.map { case (name, td) =>
-      name -> td.copy(load = layeredLoad(name, td.load))
-    },
+    Map.empty,
     baseCatalog.timezoneTable,
-    dynamic = name => schemaStore.get(name).map(createdTableDef))
+    dynamic = name =>
+      baseCatalog.tables.get(name).map { td =>
+        td.copy(
+          dayPartitioned = td.dayPartitioned && !live.contains(name),
+          load = s => {
+            val df = layeredLoad(name, td.load)(s)
+            if (live.contains(name)) df.drop(graft.ingest.Archiver.DayCol) else df
+          })
+      }.orElse(schemaStore.get(name).map(createdTableDef)))
 
   private val service = new QueryService(catalog, spark, strictCompat)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -150,11 +177,11 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
 
     (method, segs) match {
       case ("GET", Nil) =>
-        ok(JArray((catalog.tables.keys ++ schemaStore.names).toList.sorted
+        ok(JArray((baseCatalog.tables.keys ++ schemaStore.names).toList.sorted
           .map(JString(_))))
       case ("POST", Nil) =>
         val ts = SchemaStore.parseTable(body())
-        if (catalog.tables.contains(ts.name))
+        if (baseCatalog.tables.contains(ts.name))
           throw new IllegalArgumentException(s"table ${ts.name} already exists")
         schemaStore.create(ts)
         ok(JNull)
@@ -233,7 +260,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           if (cases.nonEmpty) schemaStore.extendEnumDict(ts.name, c.name, cases)
         }
       }
+      // the overlay never carries the archive's synthetic day column
       val current = live.get(td.name).getOrElse(td.load(spark))
+        .drop(graft.ingest.Archiver.DayCol)
       // arrival order within the batch: later record wins (ingestion.go:172+);
       // single-partition read makes monotonically_increasing_id the row order
       val seq0 = seqCounter.getAndAdd(rows.length)

@@ -136,6 +136,27 @@ class GraftServerSpec extends SparkSpec {
     assert((detail \ "timeColumn").extract[String] == "ts")
   }
 
+  test("ingestion into the archive-backed fact table keeps fresh rows visible") {
+    // events is day-partitioned archive-backed by DEFAULT; overlay rows
+    // carry no day column, so the compiler must NOT day-widen while an
+    // overlay is active (a static flag silently filtered fresh rows out)
+    implicit val fmts: Formats = DefaultFormats
+    def clicks(): Double = {
+      val r = aqlResult("""{"table": "events",
+        "measures": [{"alias": "n", "sqlExpression": "count(*)",
+                      "rowFilters": ["event_type = 'click'"]}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": 1706659200}""")
+      (r \ "n").extract[Double]
+    }
+    val before = clicks()
+    val ingest = post("/data/events", """[
+      {"event_id": 99999991, "ts": "2024-01-15T12:00:00.000Z",
+       "user_id": 7, "event_type": "click", "value": 1.0, "props": "x"}]""")
+    assert(ingest.statusCode() == 200, new String(ingest.body()))
+    assert(clicks() == before + 1, "fresh overlay row dropped by day-widening")
+  }
+
   test("health and version probes answer") {
     assert(get("/health").body() == "OK")
     assert(get("/version").body().nonEmpty)
