@@ -47,6 +47,10 @@ object Bench {
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // operators persist reused intermediates (signatures, LSH buckets);
+      // release them between queries so a 94-query session doesn't
+      // accumulate cached corpora
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val secs =
         try {

@@ -190,7 +190,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           case Some(ts) => ok(SchemaStore.renderTable(ts))
           case None =>
             val td = catalog(t)
-            val schema = td.load(spark).schema
+            // the synthetic archive partition day column is storage layout,
+            // not table schema
+            val schema = td.load(spark).drop(graft.ingest.Archiver.DayCol).schema
             ok(JObject(
               "name" -> JString(td.name),
               "isFactTable" -> JBool(td.isFact),
@@ -203,7 +205,11 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       case ("PUT", t :: Nil) => ok(SchemaStore.renderTable(schemaStore.updateConfig(t)))
       case ("DELETE", t :: Nil) =>
         schemaStore.delete(t)
+        // drop ALL layered state — a recreated same-name table must not
+        // inherit the deleted table's overlay, archive dir, or delta
         live.remove(t)
+        drained.remove(t)
+        pending.remove(t)
         ok(JNull)
       case ("POST", t :: "columns" :: Nil) =>
         val j = JsonMethods.parse(body())
@@ -240,29 +246,55 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** JSON array of row objects → PK upsert into the live overlay. */
   private def ingest(td: TableDef, jsonBody: String): Long = {
     import spark.implicits._
-    val rows = JsonMethods.parse(jsonBody) match {
-      case JArray(objs) => objs.map(o => JsonMethods.compact(JsonMethods.render(o)))
+    val parsed0 = JsonMethods.parse(jsonBody) match {
+      case JArray(objs) => objs
       case other => throw new IllegalArgumentException("expected a JSON array of rows")
     }
     tableLocks.getOrElseUpdate(td.name, new Object).synchronized {
-      // enum auto-expansion (ref memstore ingestion via enum_handler
-      // semantics): new cases arriving for an enum column without
-      // disableAutoExpand extend the dictionary; with auto-expansion
-      // disabled, unseen cases stay out of the dictionary (and any filter
-      // on them matches nothing)
+      // storage-semantics transform per declared column types (one parse,
+      // reused for the dictionary sweep and the batch):
+      //  - GeoPoint: 'Point(lng,lat)' WKT text → {lat, lng} struct values
+      //    (the reference ingests WKT and stores [2]float32)
+      //  - enums: caseInsensitive lowercases; with auto-expansion DISABLED,
+      //    an unseen case stores NULL (the reference converts unknown cases
+      //    to NULL, so filters on them match nothing)
+      val parsed = schemaStore.get(td.name).fold(parsed0) { ts =>
+        val geoCols = ts.activeColumns.filter(_.tpe == "GeoPoint").map(_.name).toSet
+        val enumCols = ts.activeColumns.filter(_.isEnum).map(c => c.name -> c).toMap
+        parsed0.map {
+          case JObject(fields) => JObject(fields.map {
+            case (k, JString(v)) if geoCols.contains(k) =>
+              val (lat, lng) = graft.aql.ExprCompiler.parseGeoPoint(v)
+              k -> (JObject("lat" -> JDouble(lat), "lng" -> JDouble(lng)): JValue)
+            case (k, JString(v)) if enumCols.contains(k) =>
+              val c = enumCols(k)
+              val vv = if (c.caseInsensitive) v.toLowerCase else v
+              if (c.disableAutoExpand &&
+                  !schemaStore.listEnumCases(td.name, k).contains(vv))
+                k -> (JNull: JValue)
+              else k -> (JString(vv): JValue)
+            case other => other
+          })
+          case other => other
+        }
+      }
+      // enum auto-expansion (ref api/enum_handler.go semantics)
       schemaStore.get(td.name).foreach { ts =>
-        val parsed = rows.map(JsonMethods.parse(_))
         ts.activeColumns.filter(c => c.isEnum && !c.disableAutoExpand).foreach { c =>
           val cases = parsed.flatMap(r => r \ c.name match {
-            case JString(s) => Some(if (c.caseInsensitive) s.toLowerCase else s)
+            case JString(s) => Some(s)
             case _ => None
           }).distinct
           if (cases.nonEmpty) schemaStore.extendEnumDict(ts.name, c.name, cases)
         }
       }
-      // the overlay never carries the archive's synthetic day column
-      val current = live.get(td.name).getOrElse(td.load(spark))
-        .drop(graft.ingest.Archiver.DayCol)
+      val rows = parsed.map(o => JsonMethods.compact(JsonMethods.render(o)))
+      // ALWAYS load through the TableDef: it reconciles the overlay to the
+      // CURRENT schema, so a column added since the last ingest appears in
+      // the batch read schema (reading live.get's raw overlay would
+      // silently drop the new column's values); the overlay never carries
+      // the archive's synthetic day column
+      val current = td.load(spark).drop(graft.ingest.Archiver.DayCol)
       // arrival order within the batch: later record wins (ingestion.go:172+);
       // single-partition read makes monotonically_increasing_id the row order
       val seq0 = seqCounter.getAndAdd(rows.length)
@@ -281,7 +313,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       }
       pending.put(td.name, delta.localCheckpoint(true))
     }
-    rows.length
+    parsed0.length
   }
 
   /** Rows ingested since the last drain, PK-deduped among themselves. */
@@ -301,17 +333,30 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     * full rewrite and touching 1/retention of the data. Dimension tables
     * (no time column) snapshot wholesale (memstore/snapshot.go:25-87).
     */
+  /** Archive sort columns: the schema's declared archivingSortColumns
+    * when present (the reference sorts archive batches by them so
+    * equality prefilters get zone-map skips), else the non-time primary
+    * key columns.
+    */
+  private def archiveSortCols(table: String, td: TableDef): Seq[String] =
+    schemaStore.get(table).map { ts =>
+      ts.archivingSortColumns.collect {
+        case i if i >= 0 && i < ts.columns.length && !ts.columns(i).deleted =>
+          ts.columns(i).name
+      }
+    }.filter(_.nonEmpty)
+      .getOrElse(td.primaryKey.filterNot(td.timeColumn.contains))
+
   def drain(table: String, dir: String): Unit = {
     val td = catalog(table)
     tableLocks.getOrElseUpdate(table, new Object).synchronized {
       live.get(table).foreach { view =>
+        val sortCols = archiveSortCols(table, td)
         (td.timeColumn, pending.get(table)) match {
           case (Some(tc), Some(delta)) if drained.get(table).contains(dir) =>
-            graft.ingest.Backfill(spark, dir, delta, tc,
-              td.primaryKey, td.primaryKey.filterNot(_ == tc))
+            graft.ingest.Backfill(spark, dir, delta, tc, td.primaryKey, sortCols)
           case (Some(tc), _) =>
-            graft.ingest.Archiver.archive(view, tc,
-              td.primaryKey.filterNot(_ == tc), dir)
+            graft.ingest.Archiver.archive(view, tc, sortCols, dir)
           case (None, _) => graft.ingest.Snapshot.write(view, dir)
         }
         drained.put(table, dir)

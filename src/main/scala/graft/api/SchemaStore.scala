@@ -52,10 +52,12 @@ final case class AqlTableSchema(
 object SchemaStore {
 
   /** AQL storage type → Spark type. Unsigned types widen one step (Spark
-    * has no unsigned integers; ref data_type.go:24-52). Enum / UUID / geo
-    * types surface as strings — dictionary encoding is the parquet
-    * layer's job in this engine, and geo values use WKT text
-    * (data_type.go:410-531 parses the same 'Point(lng,lat)' form).
+    * has no unsigned integers; ref data_type.go:24-52). Enum / UUID types
+    * surface as strings — dictionary encoding is the parquet layer's job
+    * in this engine. GeoPoint is a (lat, lng) float struct like the
+    * reference's [2]float32 (ingestion converts 'Point(lng,lat)' WKT text,
+    * data_type.go:440-478), so geo literal coercion compares point values;
+    * GeoShape stays WKT text.
     */
   def sparkType(aqlType: String): DataType = aqlType match {
     case "Bool" => BooleanType
@@ -67,7 +69,9 @@ object SchemaStore {
     case "Uint32" => LongType
     case "Int64" => LongType
     case "Float32" => FloatType
-    case "SmallEnum" | "BigEnum" | "UUID" | "GeoPoint" | "GeoShape" => StringType
+    case "SmallEnum" | "BigEnum" | "UUID" | "GeoShape" => StringType
+    case "GeoPoint" => StructType(Seq(
+      StructField("lat", FloatType), StructField("lng", FloatType)))
     case s if s.endsWith("[]") => ArrayType(sparkType(s.dropRight(2)))
     case other => throw ParseException(s"unknown AQL data type: $other", 0)
   }

@@ -213,9 +213,11 @@ object ExprCompiler {
   private def typedEquality(name: String, s: String, ctx: Ctx): Column =
     ctx.colType(name).get match {
       case "GeoPoint" =>
+        // float32 literals: the reference parses and stores points as
+        // [2]float32, so equality lives in float space
         val (lat, lng) = parseGeoPoint(s)
         val c = ctx.resolve(name)
-        c.getField("lat") === lit(lat) && c.getField("lng") === lit(lng)
+        c.getField("lat") === lit(lat.toFloat) && c.getField("lng") === lit(lng.toFloat)
       case _ =>
         // translate (not regexp_replace): character removal needs no regex
         // engine in the per-row hot path

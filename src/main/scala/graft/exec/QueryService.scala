@@ -115,10 +115,10 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
       val regs = graft.functions.Hll.decode(r.getAs[Array[Byte]](n))
       var nonZero = 0
       regs.foreach(b => if (b != 0) nonZero += 1)
-      val stored =
-        if (nonZero < RefHllWire.DenseThreshold) nonZero
-        else RefHllWire.DenseDataLength
-      RefHllWire.RefRow(dims, regs, stored)
+      // the count field is ALWAYS NonZeroRegisters (the reference's result
+      // writer, hll.go:1107-1121) — at >= DenseThreshold readers take the
+      // dense branch from the same value
+      RefHllWire.RefRow(dims, regs, nonZero)
     }
     val block = RefHllWire.RefBlock(dimsPerWidth, dimIndexes, dimTypes,
       dicts, rows.toSeq)

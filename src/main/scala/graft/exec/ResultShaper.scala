@@ -32,12 +32,14 @@ object ResultShaper {
 
   private val NullString = "NULL"
 
-  /** Hard cap on non-aggregate response rows. `limit: -1` compiles to an
-    * unbounded DataFrame; the reference streams non-agg rows and exits
-    * early (aql_nonaggr_batchexecutor.go:58-117) rather than materialize
-    * them — here the result streams through `toLocalIterator` (one
-    * partition held on the driver at a time) and stops at the cap, so an
-    * unlimited query over a 100 TB fact table cannot OOM the driver.
+  /** Hard cap on UNBOUNDED (`limit: -1`) non-aggregate responses. The
+    * reference streams non-agg rows and exits early
+    * (aql_nonaggr_batchexecutor.go:58-117) rather than materialize them —
+    * here the result streams through `toLocalIterator` (one partition held
+    * on the driver at a time) and an unbounded query stops at this cap, so
+    * `limit: -1` over a 100 TB fact table cannot OOM the driver. An
+    * EXPLICIT limit is always honored in full (the compiled plan already
+    * bounds the result; the caller chose the size).
     */
   val MaxNonAggResponseRows = 100000
 
@@ -104,11 +106,15 @@ object ResultShaper {
 
   private def shapeNonAgg(c: AqlCompiler.Compiled): JValue = {
     val dimDefs = dims(c)
-    // stream partitions instead of collect(): early exit at the row cap
+    // stream partitions instead of collect(); unbounded queries exit
+    // early at the cap, explicit limits stream to completion
+    val cap =
+      if (c.query.limit.exists(_ >= 0)) Int.MaxValue
+      else MaxNonAggResponseRows
     val it = c.df.toLocalIterator()
     val out = List.newBuilder[JValue]
     var count = 0
-    while (it.hasNext && count < MaxNonAggResponseRows) {
+    while (it.hasNext && count < cap) {
       val row = it.next()
       out += JArray((0 until c.dimNames.length).map { i =>
         val d = if (i < dimDefs.length) dimDefs(i) else AqlDimension()

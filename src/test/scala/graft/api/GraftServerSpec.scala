@@ -236,6 +236,18 @@ class GraftServerSpec extends SparkSpec {
     // pre-existing rows: the added column reads NULL everywhere
     assert(tips.asInstanceOf[JObject].values == Map("1" -> 4.0))
 
+    // ingestion AFTER the column add must keep the new column's values —
+    // the batch schema reconciles to the CURRENT table schema, not the
+    // pre-add overlay snapshot
+    val withTip = post("/data/rides", """[
+      {"request_at": 1706573100, "ride_id": 5, "city": "sf", "fare": 3.0, "tip": 2.5}]""")
+    assert(withTip.statusCode() == 200, new String(withTip.body()))
+    val tipSum = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "s", "sqlExpression": "sum(tip)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
+    assert((tipSum \ "s").extract[Double](DefaultFormats, manifest[Double]) == 2.5,
+      s"tip value dropped: $tipSum")
+
     val del = delete("/schema/tables/rides/columns/fare")
     assert(del.statusCode() == 200)
     // deleted column stays as a placeholder in the schema (model.go:46-47)...
@@ -301,5 +313,67 @@ class GraftServerSpec extends SparkSpec {
       "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
       "timeFilter": {"from": "1706400000"}, "now": 1706999999}""")
     assert(n3 == n2, s"$n2 -> $n3")
+  }
+
+  test("created-table GeoPoint and strict-enum storage semantics") {
+    val create = post("/schema/tables", """{
+      "name": "places", "isFactTable": false,
+      "columns": [
+        {"name": "place_id", "type": "Int64"},
+        {"name": "loc", "type": "GeoPoint"},
+        {"name": "kind", "type": "SmallEnum", "caseInsensitive": true,
+         "disableAutoExpand": true}
+      ],
+      "primaryKeyColumns": [0]
+    }""")
+    assert(create.statusCode() == 200, new String(create.body()))
+    post("/schema/tables/places/columns/kind/enum-cases", """{"enumCases": ["cafe"]}""")
+
+    // WKT text ingests into the (lat, lng) struct representation; the
+    // case-insensitive enum lowercases; the unseen case (auto-expansion
+    // disabled) stores NULL
+    val ingest = post("/data/places", """[
+      {"place_id": 1, "loc": "Point(5.5, 3.5)", "kind": "CAFE"},
+      {"place_id": 2, "loc": "Point(-1.0, 2.0)", "kind": "speakeasy"}]""")
+    assert(ingest.statusCode() == 200, new String(ingest.body()))
+
+    // geo literal coercion works end to end on the created table
+    val atPoint = aqlResult("""{"table": "places",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "rowFilters": ["loc = 'point(5.5,3.5)'"]}""")
+    implicit val fmts: Formats = DefaultFormats
+    assert((atPoint \ "n").extract[Double] == 1.0, s"geo literal missed: $atPoint")
+    // lowercased enum matches; the unseen case stored NULL so nothing matches
+    assert((aqlResult("""{"table": "places",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "rowFilters": ["kind = 'cafe'"]}""") \ "n").extract[Double] == 1.0)
+    assert(aqlResult("""{"table": "places",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "dimensions": [{"alias": "k", "sqlExpression": "kind"}],
+      "rowFilters": ["kind = 'speakeasy'"]}""") == JObject())
+    // the dictionary was NOT extended
+    assert(JsonMethods.parse(get("/schema/tables/places/columns/kind/enum-cases").body())
+      == JArray(List(JString("cafe"))))
+    // malformed WKT at ingestion is rejected
+    assert(post("/data/places",
+      """[{"place_id": 3, "loc": "Point(oops)", "kind": "cafe"}]""").statusCode() == 400)
+  }
+
+  test("DELETE table drops all layered state — a recreated table starts empty") {
+    val del = delete("/schema/tables/rides")
+    assert(del.statusCode() == 200)
+    val recreate = post("/schema/tables", """{
+      "name": "rides", "isFactTable": true,
+      "columns": [{"name": "request_at", "type": "Uint32"},
+                  {"name": "ride_id", "type": "Int64"}],
+      "primaryKeyColumns": [1]
+    }""")
+    assert(recreate.statusCode() == 200, new String(recreate.body()))
+    // no inherited overlay, drained archive, or pending delta
+    val n = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "timeFilter": {"from": "0"}, "now": 1706999999}""")
+    implicit val fmts: Formats = DefaultFormats
+    assert((n \ "n").extract[Double] == 0.0, s"recreated table not empty: $n")
   }
 }
