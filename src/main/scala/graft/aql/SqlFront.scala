@@ -196,6 +196,9 @@ object SqlFront {
           groupDims += groupItem(tzSink)
         }
       }
+      // the reference rejects HAVING explicitly (sql_parser.go:493-496)
+      if (p.isKw(p.cur, "having"))
+        throw ParseException("having not yet supported", 0)
 
       val sorts = ArrayBuffer.empty[AqlSortField]
       if (p.isKw(p.cur, "order")) {

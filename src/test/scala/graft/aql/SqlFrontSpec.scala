@@ -131,6 +131,14 @@ class SqlFrontSpec extends AnyFunSuite {
     }.getMessage.contains("2 query levels"))
   }
 
+  test("HAVING rejected with the reference's error") {
+    val e = intercept[ParseException] {
+      SqlFront.translate(
+        "SELECT count(*) AS value FROM trips GROUP BY status HAVING count(*) > 5")
+    }
+    assert(e.getMessage.contains("having not yet supported"))
+  }
+
   test("nested WITH rejected (one level max)") {
     intercept[ParseException] {
       SqlFront.translate(
