@@ -48,11 +48,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** Metastore for tables created through the schema mutation API. */
   val schemaStore = new SchemaStore
 
-  /** Layered load: live overlay → drained archive → base loader. */
+  /** Layered load: live overlay → drained archive → base loader. The
+    * archive read merges per-file schemas — day partitions written before
+    * a column add lack the new column, and the default single-footer
+    * schema inference would silently null it out everywhere.
+    */
   private def layeredLoad(name: String, base: SparkSession => DataFrame)
       (s: SparkSession): DataFrame =
     live.get(name)
-      .orElse(drained.get(name).map(dir => s.read.parquet(dir)))
+      .orElse(drained.get(name).map(dir =>
+        s.read.option("mergeSchema", "true").parquet(dir)))
       .getOrElse(base(s))
 
   /** TableDef for a runtime-created table: schema from the metastore, rows
@@ -305,9 +310,19 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         .localCheckpoint(true) // pin the view; breaks unbounded lineage growth
       live.put(td.name, updated)
       // the DELTA since the last drain (upsert batches folded among
-      // themselves) — what an incremental drain promotes
+      // themselves) — what an incremental drain promotes. The stored
+      // delta reconciles to the CURRENT schema first: Upsert keeps the
+      // existing side's columns, so a delta built before a column add
+      // would silently drop the new column's values
       val delta = pending.get(td.name) match {
-        case Some(p) => Upsert(p, withSeq, td.primaryKey, "__seq")
+        case Some(p) =>
+          val present = p.columns.toSet
+          val reconciled = current.columns.filterNot(present.contains)
+            .foldLeft(p) { (acc, c) =>
+              acc.withColumn(c, lit(null).cast(current.schema(c).dataType))
+            }
+            .select(current.columns.map(col): _*)
+          Upsert(reconciled, withSeq, td.primaryKey, "__seq")
         case None => Upsert.dedupBatch(withSeq, td.primaryKey, "__seq")
           .select(current.columns.map(col): _*)
       }

@@ -47,20 +47,26 @@ object Backfill {
 
     val existingDays = days.filter(d =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$day=$d")))
-    val outCols = (late.columns.toSeq :+ day).map(col)
+    // a late batch that already carries a day column gets it recomputed
+    val outCols = (late.columns.toSeq.filterNot(_ == day) :+ day).map(col)
 
     // archived rows of the affected days only (one partition-pruned read);
-    // seq 0 loses to the late batch's seq 1 on a PK hit within the day
+    // seq 0 loses to the late batch's seq 1 on a PK hit within the day.
+    // Schema may have evolved since the days were archived: columns the
+    // late batch carries but the archive lacks reconcile as nulls.
     val lateSeq = withDay.select(outCols: _*).withColumn("__seq", lit(1L))
     val union = existingDays match {
       case Nil => lateSeq
       case ds =>
-        lateSeq.unionByName(
-          spark.read.parquet(dir)
-            .where(col(day).isin(ds: _*))
-            .withColumn(day, col(day).cast("string"))
-            .select(outCols: _*)
-            .withColumn("__seq", lit(0L)))
+        val archived0 = spark.read.parquet(dir)
+          .where(col(day).isin(ds: _*))
+          .withColumn(day, col(day).cast("string"))
+        val present = archived0.columns.toSet
+        val archived = late.columns.filterNot(present.contains)
+          .foldLeft(archived0) { (acc, c) =>
+            acc.withColumn(c, lit(null).cast(late.schema(c).dataType))
+          }
+        lateSeq.unionByName(archived.select(outCols: _*).withColumn("__seq", lit(0L)))
     }
     val merged = Upsert.dedupBatch(union, day +: pk, "__seq").drop("__seq")
 

@@ -286,15 +286,21 @@ class GraftServerSpec extends SparkSpec {
       "timeFilter": {"from": "1706400000"}, "now": 1706659200}""")
     assert(n1 == n0, s"$n0 -> $n1")
     // and new ingestion layers a fresh overlay over the archive —
-    // a NEXT-day row, so the incremental drain below touches only day 31
+    // NEXT-day rows, so the incremental drain below touches only day 31;
+    // the schema ALSO evolves between drains (surge added after the first
+    // drain), so the backfill must reconcile against the older archive
     val ingest = post("/data/rides",
       """[{"request_at": 1706659300, "ride_id": 9, "city": "sf", "fare": 1.0}]""")
     assert(ingest.statusCode() == 200, new String(ingest.body()))
+    assert(post("/schema/tables/rides/columns",
+      """{"name": "surge", "type": "Float32"}""").statusCode() == 200)
+    assert(post("/data/rides", """[{"request_at": 1706659400, "ride_id": 10,
+      "city": "nyc", "fare": 2.0, "tip": 0.5, "surge": 1.5}]""").statusCode() == 200)
     val n2 = aqlResult("""{"table": "rides",
       "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
       "timeFilter": {"from": "1706400000"}, "now": 1706999999}""")
     implicit val fmts: Formats = DefaultFormats
-    assert((n2 \ "n").extract[Double] == (n0 \ "n").extract[Double] + 1)
+    assert((n2 \ "n").extract[Double] == (n0 \ "n").extract[Double] + 2)
 
     // SECOND drain: incremental — only the delta's day is written, the
     // first day's files stay byte-stable (no full-archive rewrite)
@@ -313,6 +319,12 @@ class GraftServerSpec extends SparkSpec {
       "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
       "timeFilter": {"from": "1706400000"}, "now": 1706999999}""")
     assert(n3 == n2, s"$n2 -> $n3")
+    // the evolved column survived the backfill; archived pre-surge rows
+    // reconcile as nulls
+    val surge = aqlResult("""{"table": "rides",
+      "measures": [{"alias": "s", "sqlExpression": "sum(surge)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706999999}""")
+    assert((surge \ "s").extract[Double](DefaultFormats, manifest[Double]) == 1.5)
   }
 
   test("created-table GeoPoint and strict-enum storage semantics") {
