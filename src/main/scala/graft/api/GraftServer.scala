@@ -209,12 +209,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         }
       case ("PUT", t :: Nil) => ok(SchemaStore.renderTable(schemaStore.updateConfig(t)))
       case ("DELETE", t :: Nil) =>
-        schemaStore.delete(t)
-        // drop ALL layered state — a recreated same-name table must not
-        // inherit the deleted table's overlay, archive dir, or delta
-        live.remove(t)
-        drained.remove(t)
-        pending.remove(t)
+        // under the table lock: a concurrent ingest/drain must not write
+        // the deleted table's overlay or delta back after the clear —
+        // drop ALL layered state so a recreated same-name table starts
+        // empty
+        tableLocks.getOrElseUpdate(t, new Object).synchronized {
+          schemaStore.delete(t)
+          live.remove(t)
+          drained.remove(t)
+          pending.remove(t)
+        }
         ok(JNull)
       case ("POST", t :: "columns" :: Nil) =>
         val j = JsonMethods.parse(body())
@@ -266,6 +270,15 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       val parsed = schemaStore.get(td.name).fold(parsed0) { ts =>
         val geoCols = ts.activeColumns.filter(_.tpe == "GeoPoint").map(_.name).toSet
         val enumCols = ts.activeColumns.filter(_.isEnum).map(c => c.name -> c).toMap
+        // dictionaries hoisted per batch (stable under the table lock) and
+        // case-folded for caseInsensitive columns — pre-registered
+        // mixed-case entries must match lowercased ingest values
+        val dicts: Map[String, Set[String]] = enumCols.collect {
+          case (name, c) if c.disableAutoExpand =>
+            val cases = schemaStore.listEnumCases(td.name, name)
+            name -> (if (c.caseInsensitive) cases.map(_.toLowerCase).toSet
+                     else cases.toSet)
+        }
         parsed0.map {
           case JObject(fields) => JObject(fields.map {
             case (k, JString(v)) if geoCols.contains(k) =>
@@ -274,8 +287,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
             case (k, JString(v)) if enumCols.contains(k) =>
               val c = enumCols(k)
               val vv = if (c.caseInsensitive) v.toLowerCase else v
-              if (c.disableAutoExpand &&
-                  !schemaStore.listEnumCases(td.name, k).contains(vv))
+              if (c.disableAutoExpand && !dicts(k).contains(vv))
                 k -> (JNull: JValue)
               else k -> (JString(vv): JValue)
             case other => other

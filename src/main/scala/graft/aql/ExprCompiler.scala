@@ -213,11 +213,14 @@ object ExprCompiler {
   private def typedEquality(name: String, s: String, ctx: Ctx): Column =
     ctx.colType(name).get match {
       case "GeoPoint" =>
-        // float32 literals: the reference parses and stores points as
-        // [2]float32, so equality lives in float space
+        // equality lives in FLOAT space on both sides: the reference
+        // parses and stores points as [2]float32, and a double-typed
+        // storage column compared against a float literal would promote
+        // the literal back to a non-matching double
         val (lat, lng) = parseGeoPoint(s)
         val c = ctx.resolve(name)
-        c.getField("lat") === lit(lat.toFloat) && c.getField("lng") === lit(lng.toFloat)
+        (c.getField("lat").cast("float") === lit(lat.toFloat)) &&
+          (c.getField("lng").cast("float") === lit(lng.toFloat))
       case _ =>
         // translate (not regexp_replace): character removal needs no regex
         // engine in the per-row hot path

@@ -23,10 +23,13 @@ import graft.functions.Hll
   *    bytes)][pad 8][u32 resultSize][u32 paddedDimVectorLength]
   *    [u8 dimIndexes…][pad 8][u32 dataTypes…][pad 8][enum sections…]`,
   *    then width-bucketed dim value vectors + per-slot validity bytes,
-  *    `[u16 counts…]`, and per-row HLL data: sparse rows are `count`
-  *    little-endian u32 registers (`rho<<16 | index`), dense rows are the
-  *    full 16 KiB register array with count stored as 16384
-  *    (DenseThreshold switch at count*4 >= 16384, hll.go:547-573)
+  *    `[u16 counts…]`, and per-row HLL data: the count field is the row's
+  *    non-zero register count (hll.go:1107-1121 writes NonZeroRegisters
+  *    unconditionally); below DenseThreshold the row is `count`
+  *    little-endian u32 sparse registers (`rho<<16 | index`), at or above
+  *    it the full 16 KiB dense register array (hll.go:547-573). Some GPU
+  *    fixtures store 16384 for dense rows — readers only branch on
+  *    `count >= DenseThreshold`, so both encodings parse
   */
 object RefHllWire {
 
@@ -40,7 +43,7 @@ object RefHllWire {
 
   /** One result row: logical dim values (raw, sign-interpreted) + the
     * dense 16 KiB register array (canonical in-memory form) + the stored
-    * count (sparse register count, or 16384 for dense rows).
+    * count (non-zero registers; >= DenseThreshold means dense encoding).
     */
   /** `sparse` preserves the file's register order (goldens are not always
     * index-ascending) so a decode→encode round trip is byte-exact.

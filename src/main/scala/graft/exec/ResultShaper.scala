@@ -32,14 +32,13 @@ object ResultShaper {
 
   private val NullString = "NULL"
 
-  /** Hard cap on UNBOUNDED (`limit: -1`) non-aggregate responses. The
-    * reference streams non-agg rows and exits early
-    * (aql_nonaggr_batchexecutor.go:58-117) rather than materialize them —
-    * here the result streams through `toLocalIterator` (one partition held
-    * on the driver at a time) and an unbounded query stops at this cap, so
-    * `limit: -1` over a 100 TB fact table cannot OOM the driver. An
-    * EXPLICIT limit is always honored in full (the compiled plan already
-    * bounds the result; the caller chose the size).
+  /** Hard cap on non-aggregate RESPONSE rows — the driver-memory
+    * protection invariant: the rows stream through `toLocalIterator` (one
+    * partition held at a time) but the serialized response itself lives on
+    * the driver, so both `limit: -1` and an oversized explicit limit stop
+    * here rather than OOM building the response. The reference streams
+    * non-agg rows with early exit (aql_nonaggr_batchexecutor.go:58-117);
+    * explicit limits are honored up to this cap.
     */
   val MaxNonAggResponseRows = 100000
 
@@ -106,11 +105,10 @@ object ResultShaper {
 
   private def shapeNonAgg(c: AqlCompiler.Compiled): JValue = {
     val dimDefs = dims(c)
-    // stream partitions instead of collect(); unbounded queries exit
-    // early at the cap, explicit limits stream to completion
-    val cap =
-      if (c.query.limit.exists(_ >= 0)) Int.MaxValue
-      else MaxNonAggResponseRows
+    // stream partitions instead of collect(), exiting early at the
+    // response cap (the compiled plan already bounds explicit limits;
+    // the cap protects the driver-side response builder)
+    val cap = MaxNonAggResponseRows
     val it = c.df.toLocalIterator()
     val out = List.newBuilder[JValue]
     var count = 0

@@ -58,7 +58,7 @@ object Backfill {
     val union = existingDays match {
       case Nil => lateSeq
       case ds =>
-        val archived0 = spark.read.parquet(dir)
+        val archived0 = spark.read.option("mergeSchema", "true").parquet(dir)
           .where(col(day).isin(ds: _*))
           .withColumn(day, col(day).cast("string"))
         val present = archived0.columns.toSet

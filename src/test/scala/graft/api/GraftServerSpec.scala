@@ -366,6 +366,15 @@ class GraftServerSpec extends SparkSpec {
     // the dictionary was NOT extended
     assert(JsonMethods.parse(get("/schema/tables/places/columns/kind/enum-cases").body())
       == JArray(List(JString("cafe"))))
+    // a MIXED-CASE pre-registered case matches lowercased ingest values on
+    // a caseInsensitive column (dictionary folds for the membership test)
+    post("/schema/tables/places/columns/kind/enum-cases", """{"enumCases": ["TeaHouse"]}""")
+    assert(post("/data/places",
+      """[{"place_id": 4, "loc": "Point(0.5, 0.5)", "kind": "TEAHOUSE"}]""")
+      .statusCode() == 200)
+    assert((aqlResult("""{"table": "places",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "rowFilters": ["kind = 'teahouse'"]}""") \ "n").extract[Double] == 1.0)
     // malformed WKT at ingestion is rejected
     assert(post("/data/places",
       """[{"place_id": 3, "loc": "Point(oops)", "kind": "cafe"}]""").statusCode() == 400)
