@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: repetition
+  * metrics (the Gopher-style quality filters), fixed-size token chunking
+  * (sequence-packing prep), PII redaction, and eval-set decontamination.
+  *
+  * Scale design: repetition / chunking / redaction are pure per-document
+  * column expressions (no UDFs — everything stays in whole-stage codegen,
+  * no shuffle). Decontamination shuffles only distinct n-grams and doc
+  * ids, with the (small) benchmark side broadcast.
+  */
+object Curation {
+
+  /** (total, distinct) n-gram counts per document — the inputs to the
+    * duplicate-n-gram-fraction repetition filter (Gopher's
+    * `duplicate_ngram_fraction`): a document whose text loops repeats
+    * n-grams, so distinct/total drops. Both counts are integers; express
+    * thresholds by cross-multiplication ((total - distinct) * 10 > total
+    * ⇔ dup fraction > 0.1) to keep the gate oracle float-free.
+    */
+  def ngramCounts(toks: Column, n: Int): (Column, Column) = {
+    val sh = TextOps.shingles(toks, n)
+    (size(sh), size(array_distinct(sh)))
+  }
+
+  /** Split each document into consecutive `chunkSize`-token chunks — the
+    * pre-tokenization step of sequence packing. Output: one row per chunk
+    * with (idCol, chunk_idx, n_tokens, chunk_text); the final chunk is the
+    * short remainder. Shuffle-free: the fan-out is a per-row explode.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize $chunkSize must be positive")
+    val k = lit(chunkSize)
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n_chunks", ceil(size(col("__toks")) / k.cast("double")).cast("int"))
+      .select(col(idCol),
+        explode(sequence(lit(0), greatest(col("__n_chunks"), lit(1)) - 1)).as("chunk_idx"),
+        col("__toks"))
+      .withColumn("__chunk", slice(col("__toks"), col("chunk_idx") * k + 1, k))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Cross-engine-safe PII patterns (identical semantics in Java regex and
+    * RE2): email addresses and +1-prefixed dashed phone numbers. Both
+    * avoid constructs the dialects disagree on (lookaround, \d vs POSIX).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone numbers (all occurrences). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Number of PII matches in a document (emails + phones). */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Ids of corpus documents sharing at least one word `n`-gram with any
+    * benchmark document — eval-set decontamination (the 13-gram-overlap
+    * check of GPT-3/PaLM appendix fame; `n` is a parameter since synthetic
+    * corpora need shorter grams). Distinct grams per document on both
+    * sides, benchmark grams broadcast (eval sets are small by nature), a
+    * left-semi probe, then a distinct on ids — the corpus text itself
+    * never shuffles. Output: one `idCol` row per contaminated document.
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)))
+        .as("__gram"))
+    val benchGrams = grams(benchmark).select("__gram").distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("__gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+}

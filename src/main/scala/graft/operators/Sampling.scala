@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * All variants key off a cryptographic content hash (md5 prefix) instead
+  * of `rand()`: the sample is a pure function of the data, so it is
+  * reproducible across runs, engines (the DuckDB oracle computes the same
+  * md5), partitionings, and cluster sizes — the property a 100 TB pipeline
+  * needs for resumable / auditable subsampling. No shuffle is introduced
+  * by [[hashSample]]/[[stratifiedSample]] (a pure filter that pushes into
+  * the scan's codegen stage); [[capPerKey]] shuffles once on the key, which
+  * is inherent to exact per-key caps.
+  */
+object Sampling {
+
+  /** Granularity of the md5-prefix threshold: 4 hex digits = 16 bits. */
+  private val Buckets = 0x10000
+
+  /** True iff the row's key hashes below the fraction threshold. The
+    * comparison is on the md5 hex PREFIX as a string — lowercase hex
+    * compares identically in every engine, so no integer parsing of hex is
+    * needed cross-engine. Resolution is 1/65536 (fractions round to the
+    * nearest 2^-16; 0 and 1 fold to constant false/true).
+    */
+  def hashKeep(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    val t = math.round(fraction * Buckets).toInt
+    if (t >= Buckets) lit(true)
+    else if (t <= 0) lit(false)
+    else substring(md5(key.cast("string")), 1, 4) < lit(f"$t%04x")
+  }
+
+  /** Deterministic Bernoulli sample: keep ~`fraction` of rows by content
+    * hash of `key` (use the stable row id, not the payload, so re-ingested
+    * rows sample identically).
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.where(hashKeep(key, fraction))
+
+  /** Per-stratum sampling rates (e.g. language rebalancing: downsample en,
+    * keep the long tail). Strata absent from `rates` fall back to
+    * `defaultRate`. Compiles to one `when` chain over the stratum column —
+    * still a pure pushed-down filter.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val keep = rates.foldLeft(hashKeep(key, defaultRate)) {
+      case (acc, (value, rate)) =>
+        when(stratum === lit(value), hashKeep(key, rate)).otherwise(acc)
+    }
+    df.where(keep)
+  }
+
+  /** Exact deterministic cap of `n` rows per key — the reservoir-sample
+    * shape with a content-hash order instead of a random one: rank rows
+    * within each key by (md5(tiebreak), tiebreak) and keep the first `n`.
+    * One hash-partitioned shuffle on the key; at scale prefer a two-phase
+    * (partial per-partition cap, then final) if keys are hot — Spark's
+    * window TopK pushes a partial `WindowGroupLimit` below the shuffle
+    * since 3.5, which achieves exactly that.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, tiebreakCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(tiebreakCol).cast("string")).asc, col(tiebreakCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum of squares / dot products as codegen'd higher-order functions,
-    * computed in double.
+  /** Sum of squares / dot products as higher-order functions, computed in
+    * double. HOF lambdas run INTERPRETED per element — these are the
+    * reference semantics the specs pin [[graft.functions.VectorOps]]
+    * against; the operators below score with the codegen'd
+    * [[graft.functions.VectorOps.cosine]] expression (bit-identical, ~10×
+    * cheaper per pair).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -26,7 +30,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosine(a, b)
+
+  /** The interpreted fold form of [[cosine]] (spec oracle only). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, cos) — rank ties broken by
@@ -191,6 +199,19 @@ object Similarity {
       }
       dists.zipWithIndex.sortBy(_._1).take(nProbe).map(_._2)
     }
+
+  /** Nearest-centroid cell assignment — the k-means assignment step and
+    * the IVF inverted-file build as a standalone operator (in production
+    * the cell id is precomputed and stored as a partition key). One UDF
+    * pass over the corpus, squared-L2 in double; centroids are
+    * caller-provided so the assignment is deterministic and cross-engine
+    * checkable (squared L2 is argmin-equivalent to DuckDB's euclidean
+    * `list_distance`).
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.withColumn("cell",
+      element_at(nearestCells(centroids, 1)(col(vecCol)), 1))
 
   /** IVF top-k: corpus rows are assigned to their nearest of `nlist`
     * coarse cells ONCE (the inverted file — in production this assignment
