@@ -1,11 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.{Bridge, CosineSim}
 
 /** Native vector math over `array<float>` embedding columns.
   *
@@ -49,29 +46,9 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Codegen'd cosine similarity of two `array<float>` columns. */
+  /** Codegen'd cosine similarity of two `array<float>` columns
+    * ([[org.apache.spark.sql.graftbridge.CosineSim]]).
+    */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
-}
-
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
-
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.cosineSimilarity(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorOps.cosineSimilarity($a, $b)")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSim =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "cosine_sim"
 }
