@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.TimeQueries.defs ++
     graft.queries.FunctionQueries.defs ++
     graft.queries.PipelineQueries.defs ++
+    graft.queries.CurationQueries.defs ++
     graft.queries.AqlQueries.defs ++
     graft.queries.IngestQueries.defs ++
     graft.queries.ArrayQueries.defs

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import graft.operators.{Curation, Sampling, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the corpus-curation operator suite added in round 4:
+  * repetition metrics, token chunking, PII redaction, eval-set
+  * decontamination ([[graft.operators.Curation]]), deterministic sampling
+  * ([[graft.operators.Sampling]]), the codegen'd cosine expression
+  * ([[graft.functions.VectorOps]]) and IVF cell assignment
+  * ([[graft.operators.Similarity.assignCells]]).
+  *
+  * Every operator here is fully SQL-expressible, so each gate gets a real
+  * DuckDB value compare (no rows-only entries): n-grams are rebuilt in SQL
+  * via zipped `unnest(ts)`/`unnest(range(...))` position joins, sampling
+  * thresholds are the same md5-prefix strings in both engines, and cell
+  * assignment uses one-hot centroids so argmin-L2 reduces to an exact
+  * argmax over the first four float components.
+  */
+object CurationQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- repetition metrics (duplicate-n-gram-fraction filter) -------------
+    // integer counts + a cross-multiplied threshold flag keep the oracle
+    // float-free; docs shorter than the gram width drop from both sides
+    QueryDef("q_curation_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(ts) AS t, unnest(range(1, len(ts)+1)) AS i
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |        FROM documents)),
+        |grams AS (
+        |  SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS gram
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |per_doc AS (
+        |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS total,
+        |         CAST(COUNT(DISTINCT gram) AS BIGINT) AS dist
+        |  FROM grams GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_with_grams,
+        |  CAST(SUM(total) AS BIGINT) AS total_grams,
+        |  CAST(SUM(dist) AS BIGINT) AS distinct_grams,
+        |  CAST(SUM(CASE WHEN (total - dist) * 10 > total THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS repetitive_docs
+        |FROM per_doc GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      val (total, dist) = Curation.ngramCounts(TextOps.tokens(col("text")), 2)
+      Tables.documents(s, d)
+        .select(col("lang"), total.as("total"), dist.as("dist"))
+        .where(col("total") > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs_with_grams"),
+          sum("total").cast("long").as("total_grams"),
+          sum("dist").cast("long").as("distinct_grams"),
+          sum(when((col("total") - col("dist")) * 10 > col("total"), 1)
+            .otherwise(0)).cast("long").as("repetitive_docs"))
+        .orderBy("lang")
+    },
+
+    // --- fixed-size token chunking (sequence-packing prep) -----------------
+    QueryDef("q_curation_chunks",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, GREATEST(CAST(ceil(len(toks) / 7.0) AS INT), 1)))
+        |          AS chunk_idx
+        |      FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, chunk_idx*7 + 1, chunk_idx*7 + 7)) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx*7 + 1, chunk_idx*7 + 7), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin) { (s, d) =>
+      Curation.chunkTokens(
+          Tables.documents(s, d).where(col("doc_id") < 50), "doc_id", "text", 7)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // --- PII redaction ------------------------------------------------------
+    // the synthetic corpus has no PII, so the gate plants a deterministic
+    // email + phone per doc; patterns are RE2/Java-identical by contract
+    // (Curation.EmailPattern scaladoc), DuckDB needs the 'g' flag for
+    // replace-all to match Spark's regexp_replace
+    QueryDef("q_curation_pii",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  regexp_replace(regexp_replace(
+        |      text || ' reach u' || doc_id || '@example.com or +1-555-123-4567',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(
+        |        text || ' reach u' || doc_id || '@example.com or +1-555-123-4567',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(
+        |        text || ' reach u' || doc_id || '@example.com or +1-555-123-4567',
+        |        '\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_pii
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val withPii = concat(col("text"), lit(" reach u"), col("doc_id"),
+        lit("@example.com or +1-555-123-4567"))
+      Tables.documents(s, d).where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          Curation.redactPii(withPii).as("redacted"),
+          Curation.piiCount(withPii).as("n_pii"))
+        .orderBy("doc_id")
+    },
+
+    // --- eval-set decontamination (n-gram overlap) --------------------------
+    QueryDef("q_curation_decontam",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts)+1)) AS i
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |        FROM documents)),
+        |g AS (
+        |  SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS gram
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        |SELECT DISTINCT CAST(g.doc_id AS BIGINT) AS doc_id
+        |FROM g JOIN bg USING (gram)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.contaminatedIds(docs, docs.where(col("doc_id") < 10),
+          "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+
+    // --- deterministic Bernoulli sample (content-hash threshold) ------------
+    // fraction 0.25 → 16384/65536 → md5 prefix < '4000'; the sample is a
+    // pure function of doc_id, so both engines select the identical rows
+    QueryDef("q_sample_hash",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""".stripMargin) { (s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 0.25)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+    },
+
+    // --- stratified sampling (per-language rebalancing rates) ---------------
+    QueryDef("q_sample_stratified",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |  WHEN lang = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  ELSE TRUE END
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), col("lang"), col("doc_id"),
+          Map("en" -> 0.1, "de" -> 0.5))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
+    // --- exact deterministic per-key cap (reservoir shape) ------------------
+    QueryDef("q_sample_cap",
+      """SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5
+        |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.capPerKey(Tables.documents(s, d), "lang", "doc_id", 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
+    // --- codegen'd cosine expression ----------------------------------------
+    // the exactness contract (CosineSim ≡ the interpreted HOF fold,
+    // bit-identical) asserted in-query over every adjacent-id pair; the
+    // oracle pins the pair count (the recall-flag gate pattern)
+    QueryDef("q_vector_cosine",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS codegen_matches_hof
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val shifted = emb.select((col("vec_id") + 1).as("vec_id"),
+        col("embedding").as("emb_b"))
+      emb.join(shifted, "vec_id")
+        .select(VectorOps.cosine(col("embedding"), col("emb_b")).as("cg"),
+          Similarity.cosineHof(col("embedding"), col("emb_b")).as("hof"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("cg") === col("hof")).as("codegen_matches_hof"))
+    },
+
+    // --- IVF cell assignment (k-means assignment step) ----------------------
+    // one-hot centroids e_0..e_3: argmin ||v - e_j||² ≡ argmax v[j], so the
+    // UDF's double-precision assignment is exactly reproducible in SQL over
+    // the float components (no ties in the corpus — verified per sf)
+    QueryDef("q_ivf_cells",
+      """SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT CASE
+        |    WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |     AND embedding[1] >= embedding[4] THEN 0
+        |    WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |    WHEN embedding[3] >= embedding[4] THEN 2
+        |    ELSE 3 END AS cell
+        |  FROM embeddings) t
+        |GROUP BY cell ORDER BY cell NULLS FIRST""".stripMargin) { (s, d) =>
+      val oneHot = Array.tabulate(4)(j => Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
+      Similarity.assignCells(Tables.embeddings(s, d), "vec_id", "embedding", oneHot)
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("cell")
+    }
+  )
+}

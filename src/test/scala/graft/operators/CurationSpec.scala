@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("duplicate-ngram fraction flags looped text, not normal text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat beside the old door"), // normal
+      (2L, "ab cd ab cd ab cd ab cd ab cd"),              // pure loop
+      (3L, "one two")                                     // single bigram
+    ).toDF("doc_id", "text")
+    val (total, dist) = Curation.ngramCounts(TextOps.tokens(col("text")), 2)
+    val rows = df.select(col("doc_id"), total.as("t"), dist.as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows(2L)._1 == 9 && rows(2L)._2 == 2)  // 9 bigrams, 2 distinct
+    assert(rows(3L) == ((1, 1)))
+    val (t1, d1) = rows(1L)
+    assert((t1 - d1) * 10 <= t1, "normal text must not trip the filter")
+    assert((rows(2L)._1 - rows(2L)._2) * 10 > rows(2L)._1, "loop must trip it")
+  }
+
+  test("chunking reassembles to the original token stream") {
+    val chunks = Curation.chunkTokens(docs.where(col("doc_id") < 30),
+      "doc_id", "text", 7)
+    // per-doc invariants: chunk indexes are contiguous from 0, every chunk
+    // but the last is full, and rejoining the chunk texts restores the
+    // whitespace-normalized document
+    val bad = chunks
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        max("chunk_idx").as("max_idx"),
+        sum(when(col("n_tokens") === 7, 1).otherwise(0)).as("full"))
+      .where(col("max_idx") =!= col("n") - 1 ||
+        col("full") < col("n") - 1)
+      .count()
+    assert(bad == 0)
+    val rejoined = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_compact(sort_array(
+        collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text"))).as("rejoined"))
+    val orig = docs.where(col("doc_id") < 30)
+      .select(col("doc_id"), array_join(TextOps.tokens(col("text")), " ").as("norm"))
+    val mismatches = rejoined.join(orig, "doc_id")
+      // empty chunks ("" from empty docs) are dropped by concat_ws either way
+      .where(col("rejoined") =!= col("norm"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("chunk sizes: full chunks then a remainder") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text") // 10 toks
+    val rows = Curation.chunkTokens(df, "doc_id", "text", 4)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens", "chunk_text")
+      .collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(4, 4, 2))
+    assert(rows(2).getString(2) == "i j")
+  }
+
+  test("redaction removes every PII match and piiCount counts them") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a@b.com and c.d+x@e.org or call +1-555-123-4567",
+      "no pii here at all",
+      "1-222-333-4444 bare phone").toDF("text")
+    val out = df.select(
+      Curation.redactPii(col("text")).as("red"),
+      Curation.piiCount(col("text")).as("n"),
+      Curation.piiCount(Curation.redactPii(col("text"))).as("n_after"))
+      .collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(3, 0, 1))
+    assert(out.forall(_.getInt(2) == 0), "redacted text must have zero PII")
+    assert(out(0).getString(0).contains("<EMAIL>") &&
+      out(0).getString(0).contains("<PHONE>"))
+  }
+
+  test("decontamination finds the benchmark docs themselves plus overlaps") {
+    val bench = docs.where(col("doc_id") < 5)
+    val hit = Curation.contaminatedIds(docs, bench, "doc_id", "text", 3)
+    val hitIds = hit.collect().map(_.getLong(0)).toSet
+    // every benchmark doc with >= 3 tokens shares all its grams with itself
+    val expectedSelf = bench
+      .where(size(TextOps.tokens(col("text"))) >= 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(expectedSelf.subsetOf(hitIds))
+    // and a doc disjoint from the benchmark vocabulary is never flagged
+    import spark.implicits._
+    val clean = Seq((999999L, "zzq wwk vvx uun ttm")).toDF("doc_id", "text")
+    val flagged = Curation.contaminatedIds(
+      docs.select("doc_id", "text").unionByName(clean), bench, "doc_id", "text", 3)
+      .where(col("doc_id") === 999999L).count()
+    assert(flagged == 0)
+  }
+}
