@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line of `sbt "runMain ..."`
+// as JSON. Two sbt behaviors break that: forked-run output is routed through
+// the logger (adding "[info] " prefixes), and sbt appends a
+// "[success] Total time: ..." line after the run. Inherit stdout directly and
+// suppress the success banner so graft.Bench's final println IS the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +34,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -62,6 +62,9 @@ object Bench {
             e.printStackTrace(System.err)
             -1.0
         }
+      // stderr progress (stdout must stay machine-parseable): timestamped so
+      // anomalous per-query stalls can be correlated with -Xlog:gc output
+      System.err.println(f"[bench ${System.currentTimeMillis}] $name $secs%.3f s")
       name -> secs
     }
     def r3(v: Double): String = "%.3f".format(v)

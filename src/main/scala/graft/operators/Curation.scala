@@ -14,17 +14,48 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** One-pass (total, distinct) n-gram counter over a token array. The
+    * expression form (transform/sequence/array_join/slice, inlined once per
+    * consumer) generated so much code that janino compilation + optimizer
+    * passes cost ~6 s per fresh plan regardless of data size; a tight-loop
+    * UDF keeps the plan tree tiny. Gram strings are space-joined exactly
+    * like [[TextOps.shingles]], so distinct counts match the SQL oracle.
+    */
+  case class NgramStats(total: Int, dist: Int)
+
+  private val ngramStatsUdf = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null || toks.length < n) NgramStats(0, 0)
+    else {
+      val total = toks.length - n + 1
+      val seen = new java.util.HashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder
+      var t = 0
+      while (t < total) {
+        sb.setLength(0)
+        var k = t
+        while (k < t + n) {
+          if (k > t) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        seen.add(sb.toString)
+        t += 1
+      }
+      NgramStats(total, seen.size)
+    }
+  }
+
   /** (total, distinct) n-gram counts per document — the inputs to the
     * duplicate-n-gram-fraction repetition filter (Gopher's
     * `duplicate_ngram_fraction`): a document whose text loops repeats
     * n-grams, so distinct/total drops. Both counts are integers; express
     * thresholds by cross-multiplication ((total - distinct) * 10 > total
     * ⇔ dup fraction > 0.1) to keep the gate oracle float-free.
+    *
+    * Returns a struct column (total, dist); select it once and read the
+    * fields from the materialized struct so the counter runs one pass.
     */
-  def ngramCounts(toks: Column, n: Int): (Column, Column) = {
-    val sh = TextOps.shingles(toks, n)
-    (size(sh), size(array_distinct(sh)))
-  }
+  def ngramStats(toks: Column, n: Int): Column = ngramStatsUdf(toks, lit(n))
 
   /** Split each document into consecutive `chunkSize`-token chunks — the
     * pre-tokenization step of sequence packing. Output: one row per chunk
@@ -72,10 +103,37 @@ object Curation {
     * left-semi probe, then a distinct on ids — the corpus text itself
     * never shuffles. Output: one `idCol` row per contaminated document.
     */
+  /** Distinct word n-grams of a token array in one pass (space-joined like
+    * [[TextOps.shingles]], first-occurrence order). Same plan-size rationale
+    * as [[ngramStats]]: the HOF expression form cost seconds of optimizer +
+    * janino time per fresh plan.
+    */
+  private val distinctGramsUdf = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null || toks.length < n) Array.empty[String]
+    else {
+      val total = toks.length - n + 1
+      val seen = new java.util.LinkedHashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder
+      var t = 0
+      while (t < total) {
+        sb.setLength(0)
+        var k = t
+        while (k < t + n) {
+          if (k > t) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        seen.add(sb.toString)
+        t += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     def grams(df: DataFrame): DataFrame = df.select(col(idCol),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)))
+      explode(distinctGramsUdf(TextOps.tokens(col(textCol)), lit(n)))
         .as("__gram"))
     val benchGrams = grams(benchmark).select("__gram").distinct()
     grams(corpus)

@@ -215,14 +215,17 @@ object Dedup {
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` before a bucket
-    * self-join (skew guard shared by the banded-LSH operators).
+    * self-join (skew guard shared by the banded-LSH operators). A window
+    * count over (band, bucket) shuffles the banded set ONCE — the earlier
+    * aggregate-then-join form shuffled it twice — and leaves the output
+    * hash-distributed on exactly the keys the downstream bucket self-join
+    * uses, so the join adds no re-exchange.
     */
   private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val ok = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    banded.withColumn("__n", count(lit(1)).over(w))
       .where(col("__n") <= maxBucket)
-      .select("band", "bucket")
-    banded.join(ok, Seq("band", "bucket"))
+      .drop("__n")
   }
 
   // ---- SimHash -----------------------------------------------------------

@@ -55,6 +55,35 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Deterministic token-budget rebalancing (training-data mixing): each
+    * `srcCol` stratum whose total tokens exceed `budgetTokens` is
+    * hash-downsampled to land at the budget in expectation; under-budget
+    * strata pass through whole. The per-stratum rate is derived in INTEGER
+    * arithmetic — `rate16 = (65536 * budget) DIV actual` — so the
+    * threshold string, and therefore the exact kept set, is reproducible
+    * in any engine (no float rounding at the rate boundary).
+    *
+    * Scale: one tiny aggregation (a row per stratum) joined back with an
+    * explicit broadcast; the keep decision remains a map-side filter, so
+    * the corpus itself never shuffles.
+    */
+  def tokenBudgetMix(df: DataFrame, srcCol: String, key: Column,
+      tokCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens $budgetTokens must be >= 0")
+    val scaled = Buckets.toLong * budgetTokens
+    val rates = df.groupBy(col(srcCol))
+      .agg(sum(col(tokCol).cast("long")).as("__actual"))
+      .select(col(srcCol),
+        when(col("__actual") <= budgetTokens, lit(Buckets.toLong))
+          .otherwise(expr(s"CAST($scaled DIV __actual AS BIGINT)"))
+          .as("__rate16"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .where(col("__rate16") >= Buckets.toLong ||
+        substring(md5(key.cast("string")), 1, 4) <
+          lpad(lower(hex(col("__rate16"))), 4, "0"))
+      .drop("__rate16")
+  }
+
   /** Exact deterministic cap of `n` rows per key — the reservoir-sample
     * shape with a content-hash order instead of a random one: rank rows
     * within each key by (md5(tiebreak), tiebreak) and keep the first `n`.

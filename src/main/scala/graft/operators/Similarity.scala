@@ -213,6 +213,34 @@ object Similarity {
     corpus.withColumn("cell",
       element_at(nearestCells(centroids, 1)(col(vecCol)), 1))
 
+  /** Semantic near-duplicate pairs, SemDeDup-style: assign every vector to
+    * its nearest coarse cell, then search for cosine >= `threshold` pairs
+    * ONLY within a cell. Cluster-then-dedup turns the O(n²) all-pairs
+    * problem into per-cell blocks of O((n/nlist)²) — the semantic-dedup
+    * recipe for web-scale corpora (pairs whose members land in different
+    * cells are missed; that is the documented recall trade, tuned by
+    * nlist). The within-cell join keys on the cell id, so candidates
+    * co-locate in one shuffle; cells larger than `maxCell` are dropped
+    * before the self-join (same degenerate-bucket guard as the LSH
+    * dedups).
+    */
+  def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val cells = assignCells(corpus, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("cell"))
+    val w = Window.partitionBy("cell")
+    val capped = cells.withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") <= maxCell).drop("__n")
+    val a = capped.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("cell"))
+    val b = capped.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("cell"))
+    a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("cell"), col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** IVF top-k: corpus rows are assigned to their nearest of `nlist`
     * coarse cells ONCE (the inverted file — in production this assignment
     * is precomputed and stored as a column / partition key); each query

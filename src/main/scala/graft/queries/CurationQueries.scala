@@ -43,9 +43,9 @@ object CurationQueries {
         |  CAST(SUM(CASE WHEN (total - dist) * 10 > total THEN 1 ELSE 0 END) AS BIGINT)
         |    AS repetitive_docs
         |FROM per_doc GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-      val (total, dist) = Curation.ngramCounts(TextOps.tokens(col("text")), 2)
       Tables.documents(s, d)
-        .select(col("lang"), total.as("total"), dist.as("dist"))
+        .select(col("lang"), Curation.ngramStats(TextOps.tokens(col("text")), 2).as("st"))
+        .select(col("lang"), col("st.total").as("total"), col("st.dist").as("dist"))
         .where(col("total") > 0)
         .groupBy("lang")
         .agg(count(lit(1)).as("docs_with_grams"),

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Packing, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the round-6 training-data operators: GPT-style
+  * sequence packing ([[graft.operators.Packing]]) and SemDeDup-style
+  * cluster-then-dedup ([[graft.operators.Similarity.semanticNearDups]]).
+  *
+  * Packing is fully SQL-expressible (the oracle rebuilds the exclusive
+  * prefix sum with a window); semantic dedup follows the planted-recall
+  * contract of the LSH gates — the planted copy is each vector SCALED by
+  * 2 (cosine exactly-ish 1, same argmin-L2 cell for any positive scale),
+  * so per-cell planted counts are pinned exactly by the oracle's one-hot
+  * cell CASE (the q_ivf_cells pattern).
+  */
+object PackQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- sequence packing: concat-and-chunk offsets -------------------------
+    QueryDef("q_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens, start AS start_tok,
+        |  start // 128 AS first_seq,
+        |  CASE WHEN n > 0 THEN (start + n - 1) // 128 ELSE start // 128 END AS last_seq
+        |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      Packing.packOffsets(docs, "doc_id", "n", 128).orderBy("doc_id")
+    },
+
+    // --- token-budget data mixing (integer-exact per-source rates) ----------
+    QueryDef("q_sample_token_budget",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS actual FROM t GROUP BY source),
+        |r AS (SELECT source, CASE WHEN actual <= 600 THEN CAST(65536 AS BIGINT)
+        |        ELSE CAST(39321600 // actual AS BIGINT) END AS rate16 FROM tot)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(n) AS BIGINT) AS kept_tokens
+        |FROM t JOIN r USING (source)
+        |WHERE rate16 >= 65536
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(rate16)), 4, '0')
+        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n"))
+      graft.operators.Sampling.tokenBudgetMix(docs, "source", col("doc_id"), "n", 600L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("n").cast("long").as("kept_tokens"))
+        .orderBy("source")
+    },
+
+    // --- semantic dedup (cluster-then-cosine, planted-recall contract) ------
+    QueryDef("q_semantic_dedup",
+      """SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS planted,
+        |  TRUE AS all_planted_found
+        |FROM (
+        |  SELECT CASE
+        |    WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |     AND embedding[1] >= embedding[4] THEN 0
+        |    WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |    WHEN embedding[3] >= embedding[4] THEN 2
+        |    ELSE 3 END AS cell
+        |  FROM embeddings) t
+        |GROUP BY cell ORDER BY cell NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // planted near-dup: the SAME direction at double length — cosine 1,
+      // identical argmin-L2 cell for the one-hot codebook at any scale
+      val copy = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 2f).as("embedding"))
+      val doubled = emb.select("vec_id", "embedding").unionByName(copy)
+      val oneHot = Array.tabulate(4)(j => Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
+      val found = Similarity.semanticNearDups(doubled, "vec_id", "embedding", oneHot, 0.99)
+        .where(col("b_id") === col("a_id") + 100000)
+        .groupBy("cell").agg(count(lit(1)).as("found"))
+      // per-cell planted counts: a second branch of the same job
+      val planted = Similarity.assignCells(emb, "vec_id", "embedding", oneHot)
+        .groupBy("cell").agg(count(lit(1)).as("planted"))
+      planted.join(found, Seq("cell"), "left")
+        .select(col("cell").cast("int").as("cell"), col("planted"),
+          (coalesce(col("found"), lit(0L)) === col("planted")).as("all_planted_found"))
+        .orderBy("cell")
+    }
+  )
+}

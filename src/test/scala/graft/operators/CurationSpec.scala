@@ -14,8 +14,8 @@ class CurationSpec extends SparkSpec {
       (2L, "ab cd ab cd ab cd ab cd ab cd"),              // pure loop
       (3L, "one two")                                     // single bigram
     ).toDF("doc_id", "text")
-    val (total, dist) = Curation.ngramCounts(TextOps.tokens(col("text")), 2)
-    val rows = df.select(col("doc_id"), total.as("t"), dist.as("d"))
+    val rows = df.select(col("doc_id"), Curation.ngramStats(TextOps.tokens(col("text")), 2).as("st"))
+      .select(col("doc_id"), col("st.total").as("t"), col("st.dist").as("d"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(rows(2L)._1 == 9 && rows(2L)._2 == 2)  // 9 bigrams, 2 distinct
     assert(rows(3L) == ((1, 1)))
