@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.PipelineQueries.defs ++
     graft.queries.CurationQueries.defs ++
     graft.queries.PackQueries.defs ++
+    graft.queries.ExtensionQueries.defs ++
     graft.queries.AqlQueries.defs ++
     graft.queries.IngestQueries.defs ++
     graft.queries.ArrayQueries.defs

@@ -318,4 +318,84 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter_cnt"),
         (col("na") + col("nb") - col("inter_cnt")).as("union_cnt"))
   }
+
+  // ---- connected components (dedup-group clustering) ----------------------
+
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise dedup output (minhash/simhash/semantic pairs) into
+    * canonical KEEP/DROP groups: every document in a component is a
+    * transitive near-duplicate of the representative (the component's
+    * minimum id), so a pipeline keeps the representative and drops the
+    * rest.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * published shuffle-friendly CC formulation. Each round is two
+    * aggregate+join passes over the edge list; the edge set converges to a
+    * star per component in O(log n) rounds even for path graphs (label
+    * propagation would need O(diameter)). Per-round `localCheckpoint`
+    * truncates lineage so the iteration count doesn't stack plans.
+    *
+    * Scale (100 TB): state is only the edge list (pairs of longs), hash
+    * partitioned; per-node neighborhood minima are aggregations (no
+    * collect_list, so a high-degree node costs one combiner cell, not a
+    * buffered array). The convergence check is a count+hash aggregate —
+    * one tiny job per round, no driver-side edge materialization.
+    *
+    * Input: any two id columns castable to long (self-loops dropped).
+    * Output: (id, component) for every node appearing in an edge, where
+    * component = min id of the node's component. Isolated rows never enter
+    * the edge list — callers left-join and coalesce to the row's own id.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def sig(df: DataFrame): (Long, Long) = {
+      // bit_xor (not sum): order-independent and overflow-free under ANSI;
+      // edges are distinct so xor cancellation can't mask a real change
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = sig(e)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (it < maxIter && !converged) {
+      // large-star: attach every neighbor v > u to the minimum of u's
+      // closed neighborhood
+      val bidir = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val nbrMin = bidir.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = bidir.join(nbrMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      // small-star: direct edges from the larger endpoint; attach each
+      // smaller neighborhood (and the node itself) to its minimum
+      val down = large.select(col("b").as("u"), col("a").as("v")) // u > v
+      val dMin = down.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withMin = down.join(dMin, Seq("u"))
+      val small = withMin
+        .select(col("m").as("a"), col("v").as("b")).where(col("a") =!= col("b"))
+        .unionAll(withMin.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = sig(small)
+      converged = cur == prev
+      prev = cur
+      e = small
+      it += 1
+    }
+    // fixpoint is a star per component: every edge is (root, member)
+    e.select(col("b").as("id"), col("a").as("component"))
+      .unionAll(e.select(col("a").as("id"), col("a").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
 }

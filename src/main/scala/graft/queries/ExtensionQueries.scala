@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Extension surface beyond the reference engine: operations the reference
+  * explicitly lacks (rollup/cube, percentiles, set ops, window functions —
+  * /root/reference/query/sql/readme:1-9's TODO list and the compiler
+  * rejections at aql_compiler.go:800-805) but that Spark provides natively
+  * and a user migrating OFF the reference immediately gains. Each is a
+  * first-class oracle-gated query, not a doc note.
+  *
+  * Scale: all four shapes are Catalyst-native (partial/final aggregation,
+  * window over hash-partitioned keys, shuffle-free rollup expansion), so
+  * they inherit the engine's pushdown/pruning/codegen behavior unchanged.
+  */
+object ExtensionQueries {
+  private val dec = DecimalType(18, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- ROLLUP subtotals (reference rejects grouping sets) -----------------
+    QueryDef("q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // --- exact interpolated percentiles (reference has no percentiles) ------
+    QueryDef("q_percentile_exact",
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+
+    // --- set operations (reference TODO sql/readme:7) -----------------------
+    QueryDef("q_set_ops",
+      """SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT DISTINCT c_nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT DISTINCT c_nationkey FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT DISTINCT c_nationkey FROM customer
+        |  UNION SELECT DISTINCT s_nationkey FROM supplier)
+        |ORDER BY op NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select("c_nationkey").distinct()
+      val su = Tables.supplier(s, d).select("s_nationkey").distinct()
+      def one(op: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("cnt")).select(lit(op).as("op"), col("cnt"))
+      one("except", c.except(su))
+        .unionByName(one("intersect", c.intersect(su)))
+        .unionByName(one("union", c.union(su).distinct()))
+        .orderBy("op")
+    },
+
+    // --- window functions (reference TODO sql/readme:8) ---------------------
+    // first 3 events per user by (ts, event_id) — a deterministic total
+    // order because event_id is unique
+    QueryDef("q_window_rank",
+      """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(rn AS BIGINT) AS rn,
+        |  CAST(event_id AS BIGINT) AS event_id
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 AND user_id < 50
+        |ORDER BY user_id NULLS FIRST, rn NULLS FIRST""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3 && col("user_id") < 50)
+        .select(col("user_id"), col("rn").cast("long").as("rn"), col("event_id"))
+        .orderBy("user_id", "rn")
+    },
+
+    // --- lag/lead analytics: inter-event gap seconds per user ---------------
+    QueryDef("q_window_lag",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_s
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |      - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+        |  FROM events) t
+        |WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .where(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_s"))
+        .orderBy(asc_nulls_first("event_type"))
+    }
+  )
+}

@@ -61,6 +61,28 @@ object PackQueries {
         .orderBy("source")
     },
 
+    // --- connected components over dedup pairs ------------------------------
+    // Planted contract: each doc with doc_id%4 = r > 0 contributes a CHAIN
+    // of r edges over synthetic node ids doc_id + k*10^7 (k = 0..r), so the
+    // component's node count is r+1 and its minimum is doc_id itself. Chains
+    // have diameter up to 3 — the result is only reachable by transitive
+    // propagation, which pins the CC algorithm (not just pair passthrough).
+    QueryDef("q_dedup_groups",
+      """SELECT CAST(doc_id AS BIGINT) AS component,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS csize
+        |FROM documents WHERE doc_id % 4 <> 0
+        |ORDER BY component NULLS FIRST""".stripMargin) { (s, d) =>
+      val off = 10000000L
+      val ids = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+      val edges = ids.where(col("id") % 4 =!= 0)
+        .select(col("id"), explode(sequence(lit(0L), col("id") % 4 - 1)).as("k"))
+        .select((col("id") + col("k") * off).as("s"),
+          (col("id") + (col("k") + 1) * off).as("d"))
+      graft.operators.Dedup.connectedComponents(edges, "s", "d")
+        .groupBy("component").agg(count(lit(1)).as("csize"))
+        .orderBy("component")
+    },
+
     // --- semantic dedup (cluster-then-cosine, planted-recall contract) ------
     QueryDef("q_semantic_dedup",
       """SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS planted,
