@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Pq, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -204,6 +204,30 @@ object PipelineQueries {
       ivf.groupBy("query_id")
         .agg(max(col("neighbor_id") === col("query_id") - 100000).as("found_planted"))
         .select((col("query_id") - 100000).as("query_id"), col("found_planted"))
+        .orderBy("query_id")
+    },
+
+    // --- similarity search: product quantization (the compression layer
+    // under IVF at billion scale). Train an (m=8 × k=16) codebook with
+    // distributed Lloyd, encode the corpus as 8 codes/vector, and ADC-score
+    // planted EXACT copies of 10 queries: a copy shares all m codes with its
+    // source, so its ADC distance (the query's own quantization error) ranks
+    // below any other row's. Flag-based oracle pins the query set and
+    // asserts every planted copy is recovered at rank 1.
+    QueryDef("q_ann_pq",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS copy_at_rank1
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val book = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+      val codes = Pq.encode(corpus, "vec_id", "embedding", book)
+      Pq.adcTopK(codes, "vec_id", queries, "vec_id", "embedding", book, 1)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") + 100000).as("copy_at_rank1"))
         .orderBy("query_id")
     },
 
