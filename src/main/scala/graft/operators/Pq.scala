@@ -68,13 +68,28 @@ object Pq {
   /** Train an (m × k) codebook by `iters` rounds of distributed Lloyd per
     * subspace. Initial centroids are the subvectors of the k smallest-id
     * rows (deterministic).
+    *
+    * Training is capped at `maxTrain` rows by a deterministic id-hash
+    * sample — codebook quality saturates long before the corpus does
+    * (k·m cells need ~256 samples each), so at 100 TB the Lloyd passes
+    * run over a fixed-size sample while encode/search stay full-corpus.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
-      iters: Int = 5): Codebook = {
+      iters: Int = 5, maxTrain: Int = 65536): Codebook = {
     val spark = df.sparkSession
-    val subs = subvectors(df, idCol, vecCol, m).localCheckpoint(true)
+    val nTotal = df.count()
+    val sampled =
+      if (nTotal <= maxTrain) df
+      else {
+        // keep every row whose id-hash falls under the acceptance bound;
+        // the pmod keeps the sample stable under corpus growth
+        val mod = 1 << 20
+        val bound = (mod.toLong * maxTrain / nTotal).toInt max 1
+        df.where(pmod(xxhash64(col(idCol)), lit(mod)) < bound)
+      }
+    val subs = subvectors(sampled, idCol, vecCol, m).localCheckpoint(true)
     val initRows = subs.where(col("__id").isin(
-        df.select(col(idCol).cast("long")).orderBy(idCol)
+        sampled.select(col(idCol).cast("long")).orderBy(idCol)
           .limit(k).collect().map(_.getLong(0)).toSeq: _*))
       .orderBy("j", "__id")
       .collect()
@@ -159,6 +174,90 @@ object Pq {
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         adc(col("query_id"), col("codes")).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  // ---- IVF-PQ (the billion-scale composition) -----------------------------
+
+  /** residual = vec − coarse_centroid[cell], kept as float to reuse the
+    * encode path (the sub-ulp loss is far below quantization error).
+    */
+  private def residualUdf(cents: Array[Array[Double]]) =
+    udf { (vec: Seq[Float], cell: Int) =>
+      val c = cents(cell)
+      Array.tabulate(vec.length)(i => (vec(i) - c(i)).toFloat)
+    }
+
+  /** IVF-PQ top-k (Jégou et al. §V): corpus vectors are assigned to a
+    * coarse cell ([[Similarity.assignCells]]) and their RESIDUALS
+    * (vector − cell centroid) are PQ-encoded — residual magnitudes are a
+    * fraction of vector magnitudes, so the same codebook budget quantizes
+    * much finer. Query-time probes the `nProbe` nearest cells and scores
+    * only their members with a per-(query, cell) LUT built from the
+    * query's residual against that cell.
+    *
+    * Scale shape: one assignment pass + one encode pass over the corpus
+    * (both map-side, centroids/codebook broadcast); search touches
+    * ~nProbe/nlist of the corpus via a broadcast join on the probed cell
+    * ids, then one per-query top-k window. Nothing but the nlist
+    * centroids, the k·d-float codebook, and the query set ever reaches
+    * the driver.
+    *
+    * Returns (query_id, rank, neighbor_id, adc_dist).
+    */
+  def ivfpqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nlist: Int = 32, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
+    // (id, cell, residual) — consumed twice (train + encode): checkpoint
+    // so the assignment UDF runs once per row
+    val resid = Similarity.assignCells(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .withColumn("__resid", residualUdf(cents)(col(vecCol), col("cell")))
+      .select(col(idCol), col("cell"), col("__resid"))
+      .localCheckpoint(true)
+    val book = train(resid, idCol, "__resid", m, kCodes, iters)
+    val codes = encode(resid, idCol, "__resid", book)
+      .join(resid.select(col(idCol), col("cell")), Seq(idCol))
+
+    // per-(query, probed-cell) LUT: lut(j)(c) = ||resid(q, cell)_j − book_jc||²
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+    val probeOf = { (vec: Array[Double]) =>
+      cents.zipWithIndex
+        .map { case (c, i) => (sqDist(vec, c), i) }
+        .sortBy(identity).take(nProbe).map(_._2)
+    }
+    val luts: Map[(Long, Int), Array[Array[Double]]] = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val vec = r.getSeq[Float](1).map(_.toDouble).toArray
+      val dSub = vec.length / m
+      probeOf(vec).map { cell =>
+        val res = Array.tabulate(vec.length)(i => vec(i) - cents(cell)(i))
+        (qid, cell) -> Array.tabulate(m, kCodes) { (j, c) =>
+          sqDist(java.util.Arrays.copyOfRange(res, j * dSub, (j + 1) * dSub),
+            book(j)(c))
+        }
+      }
+    }.toMap
+    val lutsB = spark.sparkContext.broadcast(luts)
+    val adc = udf { (qid: Long, cell: Int, codes: Seq[Int]) =>
+      val lut = lutsB.value((qid, cell))
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
+      s
+    }
+    import spark.implicits._
+    val probes = luts.keys.toSeq.sorted.toDF("query_id", "cell")
+    val scored = codes
+      .join(broadcast(probes), Seq("cell"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        adc(col("query_id"), col("cell"), col("codes")).as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

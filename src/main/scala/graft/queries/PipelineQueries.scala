@@ -231,6 +231,26 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- similarity search: IVF-PQ (coarse cells + residual codes — the
+    // billion-scale composition). Planted exact copies share their source's
+    // cell and residual codes, so ADC over the probed nProbe/nlist slice of
+    // the corpus must put the copy at rank 1. Flag-based oracle as above.
+    QueryDef("q_ann_ivfpq",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS copy_at_rank1
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+      Pq.ivfpqTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 1, nlist = 16, nProbe = 2)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") + 100000).as("copy_at_rank1"))
+        .orderBy("query_id")
+    },
+
     // --- text analysis: token counting (whitespace + BPE-ish subword) ------
     QueryDef("q_text_token_count",
       """SELECT lang,

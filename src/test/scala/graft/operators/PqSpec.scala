@@ -47,4 +47,27 @@ class PqSpec extends SparkSpec {
     assert(top1.count() == 10)
     assert(hits == 10, s"only $hits/10 queries recovered their planted copy at rank 1")
   }
+
+  test("training caps at maxTrain via a deterministic id-hash sample") {
+    val a = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2, maxTrain = 50)
+    val b = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2, maxTrain = 50)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    assert(a.length == 4 && a.forall(_.length == 8))
+    assert(a.flatten.flatten.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("IVF-PQ top-1 recovers a planted exact copy through the probed cells") {
+    // an exact copy lands in the same coarse cell as its source probes
+    // first, has an identical residual, hence identical codes — its ADC
+    // distance is the query's own quantization error, below any other row
+    val queries = emb.where(col("vec_id") < 10)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    val top1 = Pq.ivfpqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1, nlist = 16, nProbe = 2)
+    val hits = top1.where(col("neighbor_id") === col("query_id") + 100000).count()
+    assert(top1.count() == 10)
+    assert(hits == 10, s"only $hits/10 queries recovered their planted copy at rank 1")
+  }
 }
