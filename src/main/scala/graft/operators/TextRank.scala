@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked text retrieval and corpus n-gram statistics — the text-side
+  * counterpart of the embedding similarity operators: BM25 scoring against
+  * a (small) query set, and corpus-wide n-gram frequency tables.
+  *
+  * Scale design (100 TB):
+  *  - BM25 never builds a materialized inverted index: per-doc term
+  *    frequencies are computed map-side from the token array, then
+  *    IMMEDIATELY filtered to the query vocabulary (broadcast — a few
+  *    hundred terms), so the only shuffled rows are (doc, query-term)
+  *    hits. Document frequencies aggregate over that filtered set (the
+  *    per-term doc count is unchanged by dropping other terms). Corpus
+  *    scalars (N, avg length) ride a broadcast crossJoin of two 1-row
+  *    aggregates; scoring is one groupBy(doc, query) and top-k is the
+  *    standard per-query window.
+  *  - N-gram counting is explode → groupBy(ngram) with map-side partial
+  *    aggregation; the `minCount` cutoff applies before any ordering, and
+  *    the final top-k is a single `orderBy.limit` (Spark executes it as
+  *    TakeOrderedAndProject — per-partition heaps, no full sort).
+  */
+object TextRank {
+
+  /** Whitespace tokens, lowercased — matches [[TextOps.tokens]] splitting
+    * so BM25 and the text-stats operators agree on token identity.
+    */
+  def lowerTokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** BM25 top-k documents per query (Robertson–Spärck Jones idf in the
+    * `ln(1 + (N - n + 0.5)/(n + 0.5))` form — always positive).
+    *
+    * `queries` is a small in-memory set (query_id, text); its vocabulary
+    * is broadcast twice: once to prune the corpus term-frequency rows,
+    * once as the per-query term list for scoring. Output:
+    * (query_id, rank, doc_id, score) with score rounded to `roundTo`
+    * decimals so cross-engine float comparison is exact; rank ties break
+    * by doc id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qTerms = queries
+      .flatMap { case (qid, text) =>
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      .toDF("query_id", "tok")
+    val vocab = qTerms.select("tok").distinct()
+
+    // (doc, tok, tf, len) for query-vocabulary tokens only
+    val toks = docs.select(col(idCol).as("doc_id"),
+        lowerTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        explode(col("toks")).as("tok"))
+    val tf = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id", "len", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // corpus scalars: N and average doc length (over ALL docs)
+    val stats = docs.select(size(lowerTokens(col(textCol))).as("len"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("len")).as("avg_len"))
+
+    // per-term document frequency within the pruned set
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("nt"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("nt") + 0.5) / (col("nt") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + (col("len") / col("avg_len") * b + (1.0 - b)) * k1)
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("tok"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), roundTo).as("score"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Word n-grams of each document's token array as space-joined strings
+    * (documents shorter than n contribute none).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = lowerTokens(text)
+    // guard: sequence(1, x) DESCENDS for x < 1, it is not empty
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Top-k corpus n-grams by document-independent occurrence count,
+    * keeping only n-grams with at least `minCount` occurrences. Ties
+    * break lexicographically. Output: (ngram, cnt).
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int,
+      minCount: Long = 2): DataFrame =
+    docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextRankSpec extends SparkSpec {
+
+  test("bm25 ranks a doc saturated with the query term first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "spark query engine"),
+      (3L, "duck pond water"),
+      (4L, "engine room")).toDF("doc_id", "text")
+    val out = TextRank.bm25TopK(docs, "doc_id", "text",
+      Seq((0L, "spark")), k = 3).collect()
+    // docs 3 and 4 contain no query term — never scored
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
+    val top = out.find(_.getInt(1) == 1).get
+    assert(top.getLong(2) == 1L)
+    assert(out.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("bm25 idf downweights terms present in every doc") {
+    import spark.implicits._
+    // "the" is in all docs, "rare" in one; the rare-term doc must beat a
+    // doc matching only the ubiquitous term
+    val docs = Seq(
+      (1L, "the rare find"),
+      (2L, "the the the"),
+      (3L, "the common word"),
+      (4L, "the other thing")).toDF("doc_id", "text")
+    val out = TextRank.bm25TopK(docs, "doc_id", "text",
+      Seq((0L, "the rare")), k = 4).collect()
+    assert(out.find(_.getInt(1) == 1).get.getLong(2) == 1L)
+  }
+
+  test("bm25 scores queries independently") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val out = TextRank.bm25TopK(docs, "doc_id", "text",
+      Seq((0L, "hash join"), (1L, "vector scan")), k = 5)
+    val byQ = out.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byQ == Map(0L -> 5L, 1L -> 5L))
+  }
+
+  test("ngrams emits size-n windows and nothing for short docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x"), (3L, "")).toDF("id", "text")
+      .select(col("id"), TextRank.ngrams(col("text"), 2).as("ng"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b", "b c", "c d"))
+    assert(m(2L).isEmpty)
+    assert(m(3L).isEmpty)
+  }
+
+  test("topNgrams orders by count then lexicographically with a min cutoff") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // "a b" ×3, "b a" ×2
+      (2L, "c d"),         // "c d" ×1 — cut by minCount=2
+      (3L, "b a")).toDF("doc_id", "text")
+    val out = TextRank.topNgrams(docs, "text", n = 2, k = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 3L)))
+  }
+}
