@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions for the pipeline operators: the scale story
+  * depends on joins broadcasting (not sort-merging) and top-k executing as
+  * per-partition heaps — assert the plans, not just the results.
+  */
+class OperatorPlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    // materialize so AQE finalizes its join strategy choices
+    df.collect()
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val root = finalPlan(df.queryExecution.executedPlan)
+    (root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan })
+      .map(_.treeString).mkString("\n")
+  }
+
+  test("bm25 joins all broadcast — no sort-merge join at any scale of the doc side") {
+    val plan = planString(TextRank.bm25TopK(Tables.documents(spark, sfDir),
+      "doc_id", "text", Seq((0L, "hash join"), (1L, "vector scan")), k = 5))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"doc-side shuffle join crept into bm25:\n${plan.take(2000)}")
+  }
+
+  test("topNgrams executes the global top-k as TakeOrderedAndProject") {
+    val plan = planString(
+      TextRank.topNgrams(Tables.documents(spark, sfDir), "text", 2, 20, 20))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("brute-force ANN broadcasts the query set") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = planString(Similarity.topKCosine(emb, "vec_id", "embedding",
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 3), 2))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("IVF-PQ search side joins the probed cells by broadcast") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val plan = planString(Pq.ivfpqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1, nlist = 8, nProbe = 2))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
