@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events table: gap-based
+  * sessionization and ordered funnel conversion — the user-behavior
+  * queries a real-time analytics store serves (the reference's domain is
+  * exactly this workload: rides/trips event streams).
+  *
+  * Scale design: both operators are ONE shuffle on the user key and one
+  * within-partition sort — every window below shares the same
+  * (partitionBy user, orderBy ts) spec, so Catalyst plans a single
+  * Window operator over a single Sort, no repeated exchanges. No
+  * driver-side state; user-key skew is the natural partitioning bound
+  * (a user's event history must be sortable in one task — true at any
+  * realistic per-user event count).
+  */
+object Sessions {
+
+  /** Assign a session index per user: a new session starts when the gap
+    * since the user's previous event exceeds `gapSeconds`. Output: input
+    * columns + `session_idx` (1-based per user). Deterministic tie-break
+    * on `tieCol` for equal timestamps.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gap = unix_timestamp(col(tsCol)) -
+      unix_timestamp(lag(col(tsCol), 1).over(w))
+    events
+      .withColumn("__new_session",
+        when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+
+  /** Ordered funnel: a user reaches stage i when an event of type
+    * `stages(i)` occurs STRICTLY AFTER some event that itself reached
+    * stage i-1 (the classic min-timestamp-chaining funnel). Output: one
+    * row per user with boolean `reached_1 .. reached_N`.
+    *
+    * Each stage's reach condition references only window minima over rows
+    * strictly before the current one, so the whole funnel is N window
+    * expressions over one shared sort.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val wPrev = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // flag_i: this row advances the funnel to stage i
+    val flags = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val hit = col(typeCol) === stage
+      val flag =
+        if (i == 0) hit
+        else hit && min(when(col(s"__flag_${i - 1}"), col(tsCol)))
+          .over(wPrev).isNotNull
+      df.withColumn(s"__flag_$i", flag)
+    }
+    flags.groupBy(col(userCol))
+      .agg(max(col("__flag_0")).as("reached_1"),
+        stages.indices.drop(1).map(i =>
+          max(col(s"__flag_$i")).as(s"reached_${i + 1}")): _*)
+  }
+
+  /** Per-stage user counts for a funnel — the headline funnel report.
+    * Output: (stage 1..N, users).
+    */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    val reached = funnel(events, userCol, tsCol, tieCol, typeCol, stages)
+    val perStage = stages.indices.map(i =>
+      sum(when(col(s"reached_${i + 1}"), 1L).otherwise(0L))
+        .as(s"u_${i + 1}"))
+    val totals = reached.agg(perStage.head, perStage.tail: _*)
+    val stacked = stages.indices.map(i =>
+      totals.select(lit(i + 1).as("stage"), col(s"u_${i + 1}").as("users")))
+    stacked.reduce(_ unionByName _)
+  }
+}

@@ -50,6 +50,96 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("l_returnflag"))
     },
 
+    // --- approximate percentiles (the mergeable-sketch scale path next to
+    // q_percentile_exact: partial/final combinable, bounded memory at any
+    // cardinality). The approx value is engine-specific, so the gate emits
+    // the EXACT percentile plus a tolerance flag the oracle asserts (the
+    // HLL gate pattern); l_quantity is integral 1..50, so accuracy=10000
+    // puts approx within 0.5 of exact.
+    QueryDef("q_percentile_approx",
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.50), 4) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("exact_p50"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("__approx"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("__approx") - col("exact_p50")) <= 0.5).as("approx_ok"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+
+    // --- gap-based sessionization (events: one shuffle on user_id, one
+    // sort, two window functions over the same spec) -------------------------
+    QueryDef("q_sessionize",
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |            - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s),
+        |per_session AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS ub,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS big_sessions
+        |FROM per_session GROUP BY 1 ORDER BY ub NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.sessionize(Tables.events(s, d),
+          "user_id", "ts", "event_id", 21600L)
+        .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n"))
+        .groupBy((col("user_id") % 8).as("ub"))
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+          sum(when(col("n") >= 3, 1L).otherwise(0L)).as("big_sessions"))
+        .orderBy(asc_nulls_first("ub"))
+    },
+
+    // --- ordered funnel (view → click → purchase, strict ts order; N
+    // window exprs over ONE sort — SessionsSpec asserts the single
+    // Window node) ----------------------------------------------------------
+    QueryDef("q_funnel",
+      """WITH f1 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    (event_type = 'view') AS flag1
+        |  FROM events),
+        |f2 AS (
+        |  SELECT *, (event_type = 'click' AND
+        |    MIN(CASE WHEN flag1 THEN ts END) OVER wprev IS NOT NULL) AS flag2
+        |  FROM f1
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f3 AS (
+        |  SELECT *, (event_type = 'purchase' AND
+        |    MIN(CASE WHEN flag2 THEN ts END) OVER wprev IS NOT NULL) AS flag3
+        |  FROM f2
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |per_user AS (
+        |  SELECT user_id, MAX(flag1) AS r1, MAX(flag2) AS r2, MAX(flag3) AS r3
+        |  FROM f3 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage,
+        |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS users FROM per_user
+        |UNION ALL SELECT CAST(2 AS INT),
+        |  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) FROM per_user
+        |UNION ALL SELECT CAST(3 AS INT),
+        |  CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) FROM per_user
+        |ORDER BY stage NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.funnelCounts(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage")
+    },
+
     // --- set operations (reference TODO sql/readme:7) -----------------------
     QueryDef("q_set_ops",
       """SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

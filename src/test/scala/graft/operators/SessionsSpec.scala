@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "event_id", "sec", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+
+  test("sessionize splits on gaps over the threshold, per user") {
+    val df = ev(
+      (1L, 1L, 0L, "view"), (1L, 2L, 100L, "view"),
+      (1L, 3L, 2000L, "view"), (1L, 4L, 2100L, "view"),
+      (2L, 5L, 0L, "view"))
+    val out = Sessions.sessionize(df, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("funnel requires stages strictly in order") {
+    val df = ev(
+      // full conversion
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "purchase"),
+      // click BEFORE view: stage 2 never reached
+      (2L, 4L, 10L, "click"), (2L, 5L, 20L, "view"), (2L, 6L, 30L, "purchase"),
+      // skipped stage: purchase without click
+      (3L, 7L, 10L, "view"), (3L, 8L, 20L, "purchase"),
+      // stops at stage 2
+      (4L, 9L, 10L, "view"), (4L, 10L, 20L, "click"))
+    val out = Sessions.funnel(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((true, true, true)))
+    assert(out(2L) == ((true, false, false)))
+    assert(out(3L) == ((true, false, false)))
+    assert(out(4L) == ((true, true, false)))
+  }
+
+  test("funnelCounts stacks per-stage user counts") {
+    val df = ev(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "purchase"),
+      (2L, 4L, 10L, "view"), (2L, 5L, 20L, "click"),
+      (3L, 6L, 10L, "view"))
+    val out = Sessions.funnelCounts(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("sessionize and funnel share one sort: a single Window exchange") {
+    val df = ev((1L, 1L, 0L, "view"), (1L, 2L, 10L, "click"))
+    val plan = Sessions.funnel(df, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase")).queryExecution.optimizedPlan.toString
+    val windows = plan.split("\n").count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"funnel fragmented into $windows Window nodes:\n$plan")
+  }
+}
