@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as single operators: AS-OF (point-in-time)
+  * join and bucketized range join — composed from existing relational ops
+  * (the (a) option of the custom-operator ladder) so Catalyst keeps
+  * optimizing them; no custom physical plan needed.
+  *
+  * AS-OF scale design: the naive formulation (join on key + rightTs <=
+  * leftTs, then keep the max rightTs per left row) explodes to the full
+  * history fan-out before pruning. This operator instead UNIONS the two
+  * tagged sides and takes `last(right attrs, ignoreNulls)` over a
+  * (key, ts)-sorted prefix window — ONE shuffle on the key, one sort, no
+  * fan-out, any history depth. That is the classic time-series
+  * merge-as-of re-expressed in Catalyst window form.
+  *
+  * Range-join scale design: equi-join on overlapping fixed-width buckets
+  * (each interval/point lands in its covering buckets) then verify the
+  * exact predicate — turning an O(n·m) theta-join Spark would
+  * BroadcastNestedLoop into a hash join whose fan-out is bounded by
+  * interval length / bucket width.
+  */
+object TemporalJoin {
+
+  /** For each left row, attach the LATEST right row with the same key and
+    * `rightTs <= leftTs` (strict point-in-time semantics: a right row at
+    * exactly leftTs matches; ties among right rows break by the later
+    * `rightSeq`). Right-side payload columns arrive null when no right row
+    * precedes the left row.
+    *
+    * Output: all left columns + `valCols` from the right side.
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      valCols: Seq[String], rightSeqCol: String): DataFrame = {
+    val leftCols = left.columns
+    val valSchema = org.apache.spark.sql.types.StructType(
+      right.select(valCols.map(col): _*).schema.fields)
+    // tag and union: right rows sort BEFORE left rows at equal ts so a
+    // same-instant right row is visible to the left row (side asc:
+    // right=0, left=1); right ties at equal ts resolve by seq
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .withColumn("__seq", lit(Long.MaxValue))
+      .withColumn("__payload", lit(null).cast(valSchema))
+    val taggedRight = right
+      .select((Seq(col(keyCol), col(tsCol)) :+
+        lit(0).as("__side") :+ col(rightSeqCol).cast("long").as("__seq") :+
+        struct(valCols.map(col): _*).as("__payload")): _*)
+    val aligned = taggedLeft.select(
+      (Seq(col(keyCol), col(tsCol), col("__side"), col("__seq"), col("__payload")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
+      .unionByName(taggedRight, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = aligned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    matched.select(leftCols.map(col) ++
+      valCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Join points to intervals: each left point row matches right rows
+    * whose `[startCol, endCol)` interval contains the point. Both sides
+    * bucket at `bucketWidth`; intervals explode to their covering buckets
+    * (fan-out = ceil(len/width) + 1, bounded by `maxBucketsPerRow`), the
+    * join is a plain equi-join on (bucket), and the exact containment
+    * predicate verifies. Columns from both sides survive.
+    */
+  def rangeJoinPointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, maxBucketsPerRow: Int = 1024): DataFrame = {
+    require(bucketWidth > 0)
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol).cast("double") / bucketWidth).cast("long"))
+    val i = intervals
+      .withColumn("__b0", floor(col(startCol).cast("double") / bucketWidth).cast("long"))
+      .withColumn("__b1", floor(col(endCol).cast("double") / bucketWidth).cast("long"))
+      .withColumn("__bucket",
+        explode(sequence(col("__b0"),
+          least(col("__b1"), col("__b0") + (maxBucketsPerRow - 1)))))
+      .drop("__b0", "__b1")
+    p.join(i, Seq("__bucket"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}
