@@ -68,6 +68,27 @@ object Sessions {
           max(col(s"__flag_$i")).as(s"reached_${i + 1}")): _*)
   }
 
+  /** Cohort retention matrix: users cohort by the period of their FIRST
+    * event; each later event marks its user retained at
+    * `offset = period(event) - period(first)`. Output:
+    * (cohort_period, period_offset, users) — the classic retention
+    * triangle. `periodSeconds` sets the granularity (86400·7 = weekly).
+    *
+    * Shape: one groupBy(user) for first-event periods (partial/final
+    * min), a key-partitioned join back (both sides hash on user), then
+    * one distinct-count aggregation — no window, no driver state.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    val period = floor(unix_timestamp(col(tsCol)) / periodSeconds).cast("long")
+    val withPeriod = events.select(col(userCol).as("__u"), period.as("__p"))
+    val firsts = withPeriod.groupBy("__u").agg(min("__p").as("cohort_period"))
+    withPeriod.join(firsts, "__u")
+      .groupBy(col("cohort_period"),
+        (col("__p") - col("cohort_period")).as("period_offset"))
+      .agg(count_distinct(col("__u")).as("users"))
+  }
+
   /** Per-stage user counts for a funnel — the headline funnel report.
     * Output: (stage 1..N, users).
     */

@@ -140,6 +140,24 @@ object ExtensionQueries {
         .orderBy("stage")
     },
 
+    // --- weekly cohort retention triangle (users cohort by first-event
+    // week; one groupBy + key-partitioned join + distinct count) ------------
+    QueryDef("q_cohort_retention",
+      """WITH wp AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS p
+        |  FROM events),
+        |firsts AS (SELECT user_id, MIN(p) AS cohort_period FROM wp GROUP BY 1)
+        |SELECT cohort_period, p - cohort_period AS period_offset,
+        |  CAST(COUNT(DISTINCT wp.user_id) AS BIGINT) AS users
+        |FROM wp JOIN firsts ON wp.user_id = firsts.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_period NULLS FIRST, period_offset NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.cohortRetention(Tables.events(s, d),
+          "user_id", "ts", 604800L)
+        .orderBy("cohort_period", "period_offset")
+    },
+
     // --- AS-OF (point-in-time) join: each event attaches the latest
     // reference row at or before its ts. Our operator is the union+window
     // merge-as-of (one shuffle, no history fan-out); the oracle is

@@ -53,6 +53,21 @@ class SessionsSpec extends SparkSpec {
     assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("cohortRetention buckets users by first-seen period") {
+    // periods of 100s; user 1 first in p0, returns p1 and p3; user 2
+    // first in p1, returns p1 (same period twice counts once); user 3
+    // only p0
+    val df = ev(
+      (1L, 1L, 10L, "view"), (1L, 2L, 150L, "view"), (1L, 3L, 399L, "view"),
+      (2L, 4L, 110L, "view"), (2L, 5L, 190L, "view"),
+      (3L, 6L, 50L, "view"))
+    val out = Sessions.cohortRetention(df, "user_id", "ts", 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
   test("sessionize and funnel share one sort: a single Window exchange") {
     val df = ev((1L, 1L, 0L, "view"), (1L, 2L, 10L, "click"))
     val plan = Sessions.funnel(df, "user_id", "ts", "event_id", "event_type",
