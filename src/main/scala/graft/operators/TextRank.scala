@@ -95,10 +95,13 @@ object TextRank {
     */
   def ngrams(text: Column, n: Int): Column = {
     val toks = lowerTokens(text)
-    // guard: sequence(1, x) DESCENDS for x < 1, it is not empty
+    // guard: sequence(1, x) DESCENDS for x < 1, it is not empty.
+    // concat_ws over element_at is O(n) per window; a slice-per-window
+    // formulation allocates an array per window (O(len·n) garbage) and
+    // dominated the gate's profile.
     when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

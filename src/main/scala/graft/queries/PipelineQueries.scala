@@ -300,6 +300,31 @@ object PipelineQueries {
         minCount = 20)
     },
 
+    // --- corpus statistics: Misra–Gries heavy hitters (mergeable top-k
+    // frequency summary, the cardinality-HLL's frequency sibling). A
+    // planted token at ~n/4 occurrences dwarfs the MG error bound
+    // n/(capacity+1), so the summary MUST rank it first at any sf; the
+    // oracle pins the planted count exactly and asserts both flags.
+    QueryDef("q_freq_items",
+      """SELECT 'zzheavy' AS top1_item,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')) // 4) AS BIGINT) AS planted,
+        |  TRUE AS est_within_bound
+        |FROM documents""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("t"))
+        .select(explode(concat(col("t"),
+          array_repeat(lit("zzheavy"), (size(col("t")) / 4).cast("int")))).as("tok"))
+      val agg = toks.agg(
+        graft.functions.FreqItems.freqItems(col("tok"), 16).as("fi"),
+        count(lit(1)).as("n"),
+        sum(when(col("tok") === "zzheavy", 1L).otherwise(0L)).as("planted"))
+      val top1 = element_at(col("fi"), 1)
+      agg.select(top1.getField("item").as("top1_item"), col("planted"),
+        (top1.getField("est") <= col("planted") &&
+          top1.getField("est") >= col("planted") - col("n") * 2 / 17)
+          .as("est_within_bound"))
+    },
+
     // --- text analysis: token counting (whitespace + BPE-ish subword) ------
     QueryDef("q_text_token_count",
       """SELECT lang,
