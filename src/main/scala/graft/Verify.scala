@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // flagship entry smoke (the driver's other contract check)
+    val entryRows = SparkEntry.entry(spark).count()
+    println(s"[verify] entry rows=$entryRows")
+    require(entryRows > 0, "SparkEntry.entry returned no rows")
     SparkEntry.queries.foreach { case (name, fn) =>
       spark.catalog.clearCache() // release operator-persisted intermediates
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -28,9 +28,9 @@ import org.apache.spark.sql.functions._
   *    until the per-query top-k window on (dist, id).
   *
   * Determinism: centroid init takes the subvectors of the `k` smallest-id
-  * rows and Lloyd runs a FIXED number of iterations with floats upcast to
-  * double, so the codebook is a pure function of the input (empty cells
-  * keep their previous centroid).
+  * sampled rows and Lloyd runs a FIXED number of iterations with floats
+  * upcast to double, so the codebook is a pure function of the input
+  * (empty cells keep their previous centroid).
   */
 object Pq {
 
@@ -67,30 +67,57 @@ object Pq {
 
   /** Train an (m × k) codebook by `iters` rounds of distributed Lloyd per
     * subspace. Initial centroids are the subvectors of the k smallest-id
-    * rows (deterministic).
+    * sampled rows (deterministic).
     *
     * Training is capped at `maxTrain` rows by a deterministic id-hash
     * sample — codebook quality saturates long before the corpus does
     * (k·m cells need ~256 samples each), so at 100 TB the Lloyd passes
     * run over a fixed-size sample while encode/search stay full-corpus.
+    *
+    * The sample is ONE bounded pass, with no corpus count and no global
+    * sort: each input partition keeps its `~2·maxTrain/numPartitions`
+    * smallest-(hash, id) rows in a fixed-size heap, and the global
+    * maxTrain smallest are then selected from those ≤ 2·maxTrain
+    * survivors. The winners are the corpus-wide smallest hashes — a
+    * uniform sample that is a pure function of the input rows (hashes are
+    * uniform, so a partition holding more than 2× its expected share of
+    * global winners has negligible probability; the failure mode merely
+    * shrinks the sample). Every later training job runs over the
+    * checkpointed sample, never the corpus.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       iters: Int = 5, maxTrain: Int = 65536): Codebook = {
     val spark = df.sparkSession
-    val nTotal = df.count()
-    val sampled =
-      if (nTotal <= maxTrain) df
-      else {
-        // keep every row whose id-hash falls under the acceptance bound;
-        // the pmod keeps the sample stable under corpus growth
-        val mod = 1 << 20
-        val bound = (mod.toLong * maxTrain / nTotal).toInt max 1
-        df.where(pmod(xxhash64(col(idCol)), lit(mod)) < bound)
+    val src = df.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__vec"),
+      xxhash64(col(idCol)).as("__h"))
+    val parts = math.max(1, src.rdd.getNumPartitions)
+    val quota = math.max(1, math.min(maxTrain,
+      math.ceil(2.0 * maxTrain / parts).toInt))
+    val rowEnc = org.apache.spark.sql.Encoders.row(src.schema)
+    // max-heap on (hash, id): evict the largest once over quota, so the
+    // partition's smallest `quota` survive with bounded memory
+    val pruned = src.mapPartitions { it =>
+      val ord = Ordering.by[org.apache.spark.sql.Row, (Long, Long)](r =>
+        (r.getLong(2), r.getLong(0)))
+      val heap = new scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]()(ord)
+      it.foreach { r =>
+        heap.enqueue(r)
+        if (heap.size > quota) heap.dequeue()
       }
-    val subs = subvectors(sampled, idCol, vecCol, m).localCheckpoint(true)
-    val initRows = subs.where(col("__id").isin(
-        sampled.select(col(idCol).cast("long")).orderBy(idCol)
-          .limit(k).collect().map(_.getLong(0)).toSeq: _*))
+      heap.iterator
+    }(rowEnc)
+    val sampled = pruned.orderBy(col("__h"), col("__id")).limit(maxTrain)
+      .localCheckpoint(true)
+    val subs = subvectors(sampled, "__id", "__vec", m).localCheckpoint(true)
+    // init ids: the k smallest-id SAMPLED rows — a tiny job over the
+    // checkpointed sample, not a corpus round-trip. (Smallest-id, not
+    // smallest-hash: when the corpus fits in maxTrain the sample is the
+    // whole corpus and the codebook is bit-identical to untrained-sample
+    // runs; on a hash sample the smallest ids are arbitrary rows anyway.)
+    val initIds = sampled.orderBy(col("__id"))
+      .limit(k).select("__id").collect().map(_.getLong(0)).toSeq
+    val initRows = subs.where(col("__id").isin(initIds: _*))
       .orderBy("j", "__id")
       .collect()
     val dSub = initRows.head.getSeq[Double](2).length

@@ -223,10 +223,23 @@ object Similarity {
     * co-locate in one shuffle; cells larger than `maxCell` are dropped
     * before the self-join (same degenerate-bucket guard as the LSH
     * dedups).
+    *
+    * The default `maxCell` derives from a per-cell PAIR budget: a cell of
+    * n rows self-joins into n(n-1)/2 cosine evaluations, so the cap is
+    * the largest n whose pair count stays under ~2M — a bounded task, not
+    * a 10^10-pair straggler, no matter how degenerate the hot cell.
+    * Callers whose recall contract needs every cell searched (and who
+    * know their cell-size distribution) pass an explicit cap.
     */
+  val DefaultCellPairBudget: Long = 2L * 1000 * 1000
+
+  /** Largest cell size whose self-join stays within `pairBudget` pairs. */
+  def maxCellForPairBudget(pairBudget: Long): Int =
+    math.floor((1.0 + math.sqrt(1.0 + 8.0 * pairBudget)) / 2.0).toInt
+
   def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
-      maxCell: Int = 100000): DataFrame = {
+      maxCell: Int = maxCellForPairBudget(DefaultCellPairBudget)): DataFrame = {
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("cell"))
     val w = Window.partitionBy("cell")

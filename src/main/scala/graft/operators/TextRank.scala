@@ -105,15 +105,79 @@ object TextRank {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** 64-bit hash of each token window, WITHOUT materializing the n-gram
+    * string: multi-arg xxhash64 folds the n tokens directly, so the
+    * counting pass allocates no per-window strings and shuffles 8-byte
+    * keys. (xxhash64 chains per argument, so ("ab") and ("a","b") hash
+    * differently — window identity is the token tuple, matching the
+    * space-joined string 1:1 up to 64-bit collisions.)
+    */
+  private def ngramHashes(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Top-k corpus n-grams by document-independent occurrence count,
     * keeping only n-grams with at least `minCount` occurrences. Ties
     * break lexicographically. Output: (ngram, cnt).
+    *
+    * Two phases, neither of which ever shuffles an n-gram string for a
+    * non-finalist window:
+    *  1. COUNT on the 64-bit window hash (map-side partial agg on long
+    *    keys; the post-cutoff (hash, cnt) summary is persisted
+    *    spill-safely — 16 bytes per surviving n-gram). The k-th highest
+    *    count becomes the finalist threshold; every hash at or above it
+    *    is a finalist (boundary ties inflate the candidate set, never
+    *    truncate it).
+    *  2. RESOLVE strings for finalists only: re-scan builds the display
+    *    string just for windows whose hash is in the (tiny, broadcast)
+    *    finalist set, dedups map-side, and joins counts back.
+    *
+    * Exactness caveat (documented trade): distinct n-grams colliding at
+    * 64 bits would merge counts — probability ~(distinct windows)²/2⁶⁴,
+    * negligible below ~2³⁰ distinct n-grams.
     */
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int,
-      minCount: Long = 2): DataFrame =
-    docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
-      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      minCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = lowerTokens(col(textCol))
+
+    val counts = docs.select(explode(ngramHashes(toks, n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-      .orderBy(col("cnt").desc, col("ngram").asc)
-      .limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val topCnts = counts.orderBy(col("cnt").desc).limit(k)
+        .select("cnt").collect().map(_.getLong(0))
+      if (topCnts.isEmpty) return Seq.empty[(String, Long)].toDF("ngram", "cnt")
+      // with fewer than k survivors everything above the cutoff is final
+      val cStar = if (topCnts.length < k) minCount else topCnts.min
+      val cands = counts.where(col("cnt") >= cStar)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val candHashes = cands.map(_._1)
+
+      // resolve pass: hash first, concat only on a finalist hit (CaseWhen
+      // evaluates the string branch lazily)
+      val hit = (i: Column) =>
+        xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)
+      val matches = when(size(toks) >= n,
+        filter(
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            when(hit(i).isin(candHashes: _*),
+              struct(hit(i).as("h"),
+                concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
+                  .as("ngram")))),
+          x => x.isNotNull))
+      val resolved = docs.select(explode(matches).as("m"))
+        .select(col("m.h").as("h"), col("m.ngram").as("ngram"))
+        .distinct()
+      val candDf = cands.toSeq.toDF("h", "cnt")
+      resolved.join(broadcast(candDf), Seq("h"))
+        .select(col("ngram"), col("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(k)
+    } finally counts.unpersist(false)
+  }
 }

@@ -103,7 +103,11 @@ object PackQueries {
         transform(col("embedding"), x => x * 2f).as("embedding"))
       val doubled = emb.select("vec_id", "embedding").unionByName(copy)
       val oneHot = Array.tabulate(4)(j => Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
-      val found = Similarity.semanticNearDups(doubled, "vec_id", "embedding", oneHot, 0.99)
+      // explicit cap: the planted-recall contract needs every cell searched,
+      // and this gate's 4-cell corpus is bounded by the fixture size — the
+      // pair-budget DEFAULT cap is for open-ended production cells
+      val found = Similarity.semanticNearDups(doubled, "vec_id", "embedding", oneHot, 0.99,
+          maxCell = 1 << 20)
         .where(col("b_id") === col("a_id") + 100000)
         .groupBy("cell").agg(count(lit(1)).as("found"))
       // per-cell planted counts: a second branch of the same job

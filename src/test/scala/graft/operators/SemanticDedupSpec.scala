@@ -31,6 +31,19 @@ class SemanticDedupSpec extends SparkSpec {
     assert(pairs.count() == 0, "cross-cell pairs must not be generated")
   }
 
+  test("the DEFAULT cap bounds a hot cell by the pair budget") {
+    import spark.implicits._
+    // 2100 identical vectors land in one cell: 2.2M pairs, above the ~2M
+    // default pair budget (maxCell ≈ 2000) — the cell must be dropped
+    // without an explicit cap from the caller
+    assert(Similarity.maxCellForPairBudget(Similarity.DefaultCellPairBudget) <= 10000)
+    val hot = (1L to 2100L).map(i => (i, Array(1f) ++ Array.fill(63)(0f)))
+    val df = hot.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDups(df, "vec_id", "embedding", oneHot,
+      threshold = 0.99)
+    assert(pairs.count() == 0, "a 2100-vector cell exceeds the default pair-budget cap")
+  }
+
   test("degenerate cells are dropped by the cap before the self-join") {
     import spark.implicits._
     val same = (1L to 50L).map(i => (i, Array(1f) ++ Array.fill(63)(0f)))
