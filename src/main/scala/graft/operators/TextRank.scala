@@ -105,34 +105,55 @@ object TextRank {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** 64-bit hash of each token window, WITHOUT materializing the n-gram
-    * string: multi-arg xxhash64 folds the n tokens directly, so the
-    * counting pass allocates no per-window strings and shuffles 8-byte
-    * keys. (xxhash64 chains per argument, so ("ab") and ("a","b") hash
-    * differently — window identity is the token tuple, matching the
-    * space-joined string 1:1 up to 64-bit collisions.)
+  /** Compiled tokenizer matching [[lowerTokens]] exactly (split keeps
+    * trailing empties via limit -1, like Spark's `split`).
     */
-  private def ngramHashes(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<bigint>"))
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private def tokenize(text: String): Array[String] =
+    wsPattern.split(text.trim.toLowerCase, -1)
+
+  /** FNV-1a 64-bit over the chars of `n` consecutive tokens with a
+    * per-token frame byte — the INTERNAL window key for the counting
+    * pass (never user-visible; both phases use this same function, so
+    * only its self-consistency matters, up to 64-bit collisions).
+    */
+  private def windowHash(toks: Array[String], start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = 0
+    while (t < n) {
+      val s = toks(start + t)
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h ^= 0x1eL // frame separator: ("ab") never collides with ("a","b")
+      h *= 0x100000001b3L
+      t += 1
+    }
+    h
+  }
 
   /** Top-k corpus n-grams by document-independent occurrence count,
     * keeping only n-grams with at least `minCount` occurrences. Ties
     * break lexicographically. Output: (ngram, cnt).
     *
     * Two phases, neither of which ever shuffles an n-gram string for a
-    * non-finalist window:
-    *  1. COUNT on the 64-bit window hash (map-side partial agg on long
-    *    keys; the post-cutoff (hash, cnt) summary is persisted
-    *    spill-safely — 16 bytes per surviving n-gram). The k-th highest
+    * non-finalist window — and neither of which runs an interpreted
+    * higher-order-function lambda per window (the HOF formulation of
+    * this operator evaluated ~2-3× slower than the scan itself):
+    *  1. COUNT on a compiled 64-bit window hash (one tokenize + one
+    *    rolling hash per doc in a single UDF; map-side partial agg on
+    *    long keys; the post-cutoff (hash, cnt) summary persists
+    *    spill-safely at 16 bytes per surviving n-gram). The k-th highest
     *    count becomes the finalist threshold; every hash at or above it
     *    is a finalist (boundary ties inflate the candidate set, never
     *    truncate it).
-    *  2. RESOLVE strings for finalists only: re-scan builds the display
-    *    string just for windows whose hash is in the (tiny, broadcast)
-    *    finalist set, dedups map-side, and joins counts back.
+    *  2. RESOLVE strings for finalists only: a re-scan builds the
+    *    display string just for windows whose hash is in the (tiny,
+    *    task-shipped) finalist set, dedups map-side, and joins counts
+    *    back; the final k-of-finalists ordering is TakeOrderedAndProject.
     *
     * Exactness caveat (documented trade): distinct n-grams colliding at
     * 64 bits would merge counts — probability ~(distinct windows)²/2⁶⁴,
@@ -142,9 +163,16 @@ object TextRank {
       minCount: Long = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = lowerTokens(col(textCol))
 
-    val counts = docs.select(explode(ngramHashes(toks, n)).as("h"))
+    val hashUdf = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = tokenize(text)
+        if (toks.length < n) Array.empty[Long]
+        else Array.tabulate(toks.length - n + 1)(i => windowHash(toks, i, n))
+      }
+    }
+    val counts = docs.select(explode(hashUdf(col(textCol))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -156,22 +184,23 @@ object TextRank {
       val cStar = if (topCnts.length < k) minCount else topCnts.min
       val cands = counts.where(col("cnt") >= cStar)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val candHashes = cands.map(_._1)
+      val candSet = cands.map(_._1).toSet
 
-      // resolve pass: hash first, concat only on a finalist hit (CaseWhen
-      // evaluates the string branch lazily)
-      val hit = (i: Column) =>
-        xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)
-      val matches = when(size(toks) >= n,
-        filter(
-          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-            when(hit(i).isin(candHashes: _*),
-              struct(hit(i).as("h"),
-                concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
-                  .as("ngram")))),
-          x => x.isNotNull))
-      val resolved = docs.select(explode(matches).as("m"))
-        .select(col("m.h").as("h"), col("m.ngram").as("ngram"))
+      val resolveUdf = udf { (text: String) =>
+        if (text == null) Array.empty[(Long, String)]
+        else {
+          val toks = tokenize(text)
+          if (toks.length < n) Array.empty[(Long, String)]
+          else (0 to toks.length - n).iterator.flatMap { i =>
+            val h = windowHash(toks, i, n)
+            if (candSet(h))
+              Iterator.single((h, toks.slice(i, i + n).mkString(" ")))
+            else Iterator.empty
+          }.toArray
+        }
+      }
+      val resolved = docs.select(explode(resolveUdf(col(textCol))).as("m"))
+        .select(col("m._1").as("h"), col("m._2").as("ngram"))
         .distinct()
       val candDf = cands.toSeq.toDF("h", "cnt")
       resolved.join(broadcast(candDf), Seq("h"))
