@@ -45,8 +45,13 @@ object Bench {
         org.apache.spark.sql.functions.lit(1)))
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // optional name filter (regex, unanchored) for local family-isolation
+    // experiments — the driver sets no filter and times the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       // operators persist reused intermediates (signatures, LSH buckets);
       // release them between queries so a 94-query session doesn't
       // accumulate cached corpora

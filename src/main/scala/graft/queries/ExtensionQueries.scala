@@ -95,7 +95,7 @@ object ExtensionQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS big_sessions
         |FROM per_session GROUP BY 1 ORDER BY ub NULLS FIRST""".stripMargin) { (s, d) =>
-      graft.operators.Sessions.sessionize(Tables.events(s, d),
+      graft.operators.Sessions.sessionize(Tables.eventsByUser(s, d),
           "user_id", "ts", "event_id", 21600L)
         .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n"))
         .groupBy((col("user_id") % 8).as("ub"))
@@ -134,7 +134,7 @@ object ExtensionQueries {
         |UNION ALL SELECT CAST(3 AS INT),
         |  CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) FROM per_user
         |ORDER BY stage NULLS FIRST""".stripMargin) { (s, d) =>
-      graft.operators.Sessions.funnelCounts(Tables.events(s, d),
+      graft.operators.Sessions.funnelCounts(Tables.eventsByUser(s, d),
           "user_id", "ts", "event_id", "event_type",
           Seq("view", "click", "purchase"))
         .orderBy("stage")
@@ -153,7 +153,7 @@ object ExtensionQueries {
         |FROM wp JOIN firsts ON wp.user_id = firsts.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_period NULLS FIRST, period_offset NULLS FIRST""".stripMargin) { (s, d) =>
-      graft.operators.Sessions.cohortRetention(Tables.events(s, d),
+      graft.operators.Sessions.cohortRetention(Tables.eventsByUser(s, d),
           "user_id", "ts", 604800L)
         .orderBy("cohort_period", "period_offset")
     },
@@ -175,7 +175,7 @@ object ExtensionQueries {
         |FROM ev e ASOF LEFT JOIN ref r
         |  ON e.user_id = r.user_id AND r.ts <= e.ts
         |ORDER BY e.event_id NULLS FIRST""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d).select(col("user_id"),
+      val ev = Tables.eventsByUser(s, d).select(col("user_id"),
         unix_timestamp(col("ts")).as("ts"), col("event_id"), col("value"))
       val ref = ev.where(col("event_id") % 3 === 0)
         .groupBy("user_id", "ts")

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Sessions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+
+/** The user-keyed gates (sessionize / funnel / cohort / as-of) read the
+  * user_id-bucketed events layout (Tables.eventsByUser) as their DEFAULT
+  * input. These tests pin the point of that layout: the fact table is
+  * never re-shuffled at query time — the only exchanges left in any gate
+  * carry post-aggregation rows (a %8 rollup, a global funnel total, a
+  * deduped cohort re-key), never event-grain data.
+  *
+  * Counting is AQE-aware: adaptive execution hides ShuffleExchangeExec
+  * inside QueryStageExec wrappers whose `children` is Nil, so a naive
+  * children-walk under-counts (passes vacuously). We recurse into stage
+  * plans and reused exchanges explicitly.
+  */
+class BucketedGatesSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def countShuffles(p: SparkPlan): Int = {
+    val self = p match {
+      case _: ShuffleExchangeExec => 1
+      case _ => 0
+    }
+    val nested: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    self + (p.children ++ nested).map(countShuffles).sum
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+    val nested: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    (p match {
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }) ++ (p.children ++ nested).flatMap(scans)
+  }
+
+  private lazy val ev = Tables.eventsByUser(spark, sfDir)
+
+  test("eventsByUser scan is a bucketed scan") {
+    val plan = executed(ev.groupBy("user_id").agg(count(lit(1))))
+    val s = scans(plan)
+    assert(s.nonEmpty && s.forall(_.bucketedScan), plan.toString)
+  }
+
+  test("sessionize + per-session counts run with zero shuffles") {
+    val df = Sessions.sessionize(ev, "user_id", "ts", "event_id", 21600L)
+      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n"))
+    val plan = executed(df)
+    assert(countShuffles(plan) == 0, plan.toString)
+  }
+
+  test("funnel per-user reach frame runs with zero shuffles") {
+    val df = Sessions.funnel(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+    val plan = executed(df)
+    assert(countShuffles(plan) == 0, plan.toString)
+  }
+
+  test("cohort retention shuffles only the deduped re-key, not events") {
+    // first-period agg (user-keyed: free) + join back (user-keyed: free);
+    // the single remaining exchange carries distinct (cohort, offset, user)
+    // tuples for the final re-key — post-dedup, not event-grain
+    val df = Sessions.cohortRetention(ev, "user_id", "ts", 604800L)
+    val plan = executed(df)
+    assert(countShuffles(plan) <= 1, plan.toString)
+  }
+
+  test("as-of join from the bucketed table shuffles once (union merge only)") {
+    // ref derivation (groupBy user_id, ts) rides the bucket partitioning;
+    // the one exchange is the union->window merge, whose partitioning a
+    // UnionExec cannot advertise
+    val evSel = ev.select(col("user_id"),
+      unix_timestamp(col("ts")).as("ts"), col("event_id"), col("value"))
+    val ref = evSel.where(col("event_id") % 3 === 0)
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("seq"),
+        max_by(col("value"), col("event_id")).as("ref_value"))
+    val df = graft.operators.TemporalJoin.asof(
+      evSel.select("user_id", "ts", "event_id"), ref,
+      "user_id", "ts", Seq("seq", "ref_value"), "seq")
+    val plan = executed(df)
+    assert(countShuffles(plan) == 1, plan.toString)
+  }
+
+  test("bucketed-path sessionize result equals raw-path result") {
+    val viaBucket = Sessions.sessionize(ev, "user_id", "ts", "event_id", 21600L)
+      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n"))
+    val viaRaw = Sessions.sessionize(Tables.events(spark, sfDir),
+        "user_id", "ts", "event_id", 21600L)
+      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n"))
+    assert(viaBucket.exceptAll(viaRaw).isEmpty && viaRaw.exceptAll(viaBucket).isEmpty)
+  }
+}
