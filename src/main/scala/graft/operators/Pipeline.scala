@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end curation pipeline: the composition a training-data run
+  * actually executes as ONE job over a raw corpus —
+  *
+  *   exact dedup (keep-min) → MinHash near-dup pairs → connected
+  *   components (keep each component's min id) → n-gram benchmark
+  *   decontamination → per-source token-budget mixing → sequence packing.
+  *
+  * Each stage is the already-gated operator ([[Dedup]], [[Curation]],
+  * [[Sampling]], [[Packing]]); this object pins their composition: stage
+  * boundaries persist exactly once (the deduped corpus feeds signature
+  * computation, the component join, AND the decontamination grams —
+  * without the persist the signature UDF re-runs per consumer), and
+  * everything downstream of the pair join operates on ids + token counts,
+  * never re-shuffling text.
+  *
+  * Scale: inherits each operator's design — 16-byte exact-dedup keys,
+  * banded LSH with bucket caps, edge-list-only CC, broadcast decontam
+  * grams, map-side mix filter, two-phase packing scan. The only full-text
+  * shuffles in the whole pipeline are the exact-dedup key group and the
+  * one-time corpus persist.
+  */
+object Pipeline {
+
+  /** Run the full pipeline. Output: one row per surviving document with
+    * (idCol, srcCol, n_tokens, start_tok, first_seq, last_seq) — the
+    * packed training-sequence manifest.
+    *
+    * @param decontamBenchmark documents whose `decontamN`-grams must not
+    *   appear in the output corpus (the held-out eval set)
+    * @param budgetTokens per-`srcCol` token budget for the mixing stage
+    * @param packBudget tokens per packed training sequence
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      minhashThreshold: Double, decontamBenchmark: DataFrame, decontamN: Int,
+      budgetTokens: Long, packBudget: Int): DataFrame = {
+    // stage 1: exact dedup, keep the smallest id per text; join the
+    // surviving ids back for the payload (exactKeepMin shuffles only
+    // (16-byte hash, id) pairs — never the text)
+    val s1Ids = Dedup.exactKeepMin(docs, textCol, idCol).select(idCol)
+    val s1 = docs.join(s1Ids, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // stage 2: near-dup pairs -> components -> keep each component's min.
+    // minhashNearDups persists the signatures internally (three consumers);
+    // connectedComponents keeps only the edge list as state
+    val pairs = Dedup.minhashNearDups(s1, idCol, textCol, minhashThreshold)
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", idCol)
+    val s2 = s1.join(comp, Seq(idCol), "left")
+      .where(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+
+    // stage 3: benchmark decontamination (n-gram overlap, benchmark grams
+    // broadcast — the corpus side never shuffles)
+    val contaminated = Curation.contaminatedIds(
+      s2, decontamBenchmark, idCol, textCol, decontamN)
+    val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
+      .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
+
+    // stage 4: per-source token-budget mix (integer-exact rates, map-side
+    // keep filter)
+    val s4 = Sampling.tokenBudgetMix(s3, srcCol, col(idCol), "__n", budgetTokens)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // stage 5: pack the kept docs into fixed-budget training sequences
+    val packed = Packing.packOffsets(
+      s4.select(col(idCol), col("__n")), idCol, "__n", packBudget)
+    s4.select(col(idCol), col(srcCol)).join(packed, Seq(idCol))
+  }
+}

@@ -453,6 +453,96 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- end-to-end curation pipeline: exact dedup → minhash near-dup →
+    // CC keep-min → decontam → token-budget mix → sequence packing, as ONE
+    // job. The oracle recomputes EVERY stage exactly — including the
+    // near-dup components, via exact 3-shingle jaccard + a recursive-CTE
+    // transitive closure. That is sound on this corpus because its exact
+    // pairwise-jaccard distribution has a measured gap: every organic pair
+    // is either >= 0.9 or < 0.1 (nothing in [0.1, 0.9) at sf0.01), and the
+    // planted mutated copies sit at s/(s+4) >= 0.67 (min 8 shingles/doc) —
+    // so the 64-hash MinHash estimate and banding cannot move any pair
+    // across the 0.35 threshold, and the engine-found COMPONENTS (which is
+    // all keep-min consumes; individual edges may differ inside a
+    // component) equal the exact-jaccard components. Planted signal: exact
+    // copies (+100000) must die in stage 1, mutated copies (+200000) in
+    // stage 2 — the output's doc_id range pins both.
+    QueryDef("q_pipeline_e2e",
+      """WITH RECURSIVE input AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz yy xx', source FROM documents),
+        |s1 AS (
+        |  SELECT i.* FROM input i
+        |  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM input GROUP BY text) k
+        |    ON i.doc_id = k.doc_id),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |    i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM s1)
+        |  WHERE len(ts) >= 3),
+        |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |e0 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT a, b FROM e0
+        |  JOIN szs sa ON sa.doc_id = e0.a JOIN szs sb ON sb.doc_id = e0.b
+        |  WHERE 100 * e0.i >= 35 * (sa.n + sb.n - e0.i)),
+        |bidir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM bidir
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |reps AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a),
+        |s2 AS (
+        |  SELECT s1.* FROM s1 LEFT JOIN reps USING (doc_id)
+        |  WHERE rep IS NULL OR rep = doc_id),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(ts)-7),
+        |    i -> array_to_string(ts[i:i+7], ' '))) AS g
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS ts
+        |        FROM documents WHERE doc_id < 5)
+        |  WHERE len(ts) >= 8),
+        |g8 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-7),
+        |    i -> array_to_string(ts[i:i+7], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM s2)
+        |  WHERE len(ts) >= 8),
+        |contam AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bg USING (g)),
+        |s3 AS (
+        |  SELECT s2.*, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS actual FROM s3 GROUP BY source),
+        |r16 AS (SELECT source, CASE WHEN actual <= 1000 THEN CAST(65536 AS BIGINT)
+        |         ELSE CAST(65536000 // actual AS BIGINT) END AS rate16 FROM tot),
+        |s4 AS (
+        |  SELECT s3.* FROM s3 JOIN r16 USING (source)
+        |  WHERE rate16 >= 65536
+        |     OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(rate16)), 4, '0')),
+        |p AS (
+        |  SELECT doc_id, source, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM s4)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n AS n_tokens,
+        |  start AS start_tok, start // 128 AS first_seq,
+        |  CASE WHEN n > 0 THEN (start + n - 1) // 128 ELSE start // 128 END AS last_seq
+        |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val input = docs
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
+      graft.operators.Pipeline.curate(input, "doc_id", "text", "source",
+          minhashThreshold = 0.35,
+          decontamBenchmark = docs.where(col("doc_id") < 5),
+          decontamN = 8, budgetTokens = 1000L, packBudget = 128)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_tok"), col("first_seq"), col("last_seq"))
+        .orderBy("doc_id")
+    },
+
     // decode itself is a declared stub (width = 64 + payload[0] & 0x7F), but
     // on this ASCII corpus the stub IS SQL-expressible, so the full
     // mapPartitions plumbing (schema, batching, typed output) gets a real

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline: stage-composition invariants and the
+  * persist-boundary contract (signatures and the deduped corpus are
+  * computed once and CACHED — the candidate join's executed plan must read
+  * in-memory scans, never re-derive from parquet, or the dominant
+  * signature-UDF cost multiplies by the number of consumers).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val nested: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    pf.lift(p).toSeq ++ (p.children ++ nested).flatMap(collectAll(_)(pf))
+  }
+
+  private def input: DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    docs
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
+  }
+
+  test("pipeline output: planted dupes dead, benchmark decontaminated, packing contiguous") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    val out = graft.operators.Pipeline.curate(input, "doc_id", "text", "source",
+        minhashThreshold = 0.35, decontamBenchmark = docs.where(col("doc_id") < 5),
+        decontamN = 8, budgetTokens = 1000L, packBudget = 128)
+      .orderBy("doc_id").collect()
+    assert(out.nonEmpty)
+    // exact copies (stage 1) and mutated copies (stage 2) are all dead
+    assert(out.forall(_.getAs[Long]("doc_id") < 100000))
+    // the benchmark docs removed themselves via decontamination
+    assert(out.forall(_.getAs[Long]("doc_id") >= 5))
+    // packing: start offsets are the exclusive prefix sum in doc_id order
+    var acc = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == acc,
+        s"doc ${r.getAs[Long]("doc_id")}: start ${r.getAs[Long]("start_tok")} != $acc")
+      acc += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("first_seq") == r.getAs[Long]("start_tok") / 128)
+    }
+  }
+
+  test("persist boundaries: the candidate join reads cached signatures, not parquet") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    val s1Ids = Dedup.exactKeepMin(input, "text", "doc_id").select("doc_id")
+    val s1 = input.join(s1Ids, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = Dedup.minhashNearDups(s1, "doc_id", "text", 0.35)
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan
+      val memScans = collectAll(plan) { case m: InMemoryTableScanExec => m }
+      val fileScans = collectAll(plan) { case f: FileSourceScanExec => f }
+      // banding side + both signature join-backs read the cache; nothing
+      // in the candidate join re-derives the corpus from storage
+      assert(memScans.size >= 3, s"expected >=3 cached scans:\n${plan.treeString.take(3000)}")
+      assert(fileScans.isEmpty,
+        s"candidate join re-read parquet:\n${plan.treeString.take(3000)}")
+    } finally s1.unpersist()
+  }
+}
