@@ -121,7 +121,10 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           })
       }.orElse(schemaStore.get(name).map(createdTableDef)))
 
-  private val service = new QueryService(catalog, spark, strictCompat)
+  /** Per-server query metrics, served at GET /metrics. */
+  val metrics = new Metrics
+
+  private val service = new QueryService(catalog, spark, strictCompat, Some(metrics))
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   server.createContext("/query/aql", (ex: HttpExchange) => handle(ex) {
@@ -141,6 +144,28 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     respond(ex, 200, service.sql(body))
   })
 
+  // operational metrics: query counts + per-query wall time / rows scanned
+  // (ref utils/reporter.go's metric families, surfaced as one JSON doc)
+  server.createContext("/metrics", (ex: HttpExchange) => handle(ex) {
+    respond(ex, 200, metrics.renderJson)
+  })
+
+  // plan inspection: `GET /dbg/plan?query=<url-encoded AQL JSON>` or the
+  // AQL JSON as a POST body → the formatted physical plan, unexecuted
+  // (ref api/debug_handler.go:40+ exposes per-shard internals; the Spark
+  // analogue of "what will this query do" is the Catalyst plan)
+  server.createContext("/dbg/plan", (ex: HttpExchange) => handle(ex) {
+    val q =
+      if (ex.getRequestMethod == "GET")
+        Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").collectFirst {
+            case p if p.startsWith("query=") =>
+              java.net.URLDecoder.decode(p.stripPrefix("query="), "UTF-8")
+          }.getOrElse(throw new IllegalArgumentException("missing ?query="))
+      else new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    respondBytes(ex, 200, "text/plain", service.plan(q).getBytes(StandardCharsets.UTF_8))
+  })
+
   // liveness + version probes (ref api/health_check_handler.go:39-53)
   server.createContext("/health", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
@@ -150,16 +175,72 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   })
 
   // `/data/{table}` and the reference's `/data/{table}/{shard}` — the shard
-  // segment is accepted and ignored (Spark partitioning replaces shards)
+  // segment is accepted and ignored (Spark partitioning replaces shards).
+  // Accepts EITHER a JSON row array or the reference's serialized binary
+  // upsert batch (`Content-Type: application/upsert-data`, or sniffed by
+  // its version word) — a client built against the reference's wire format
+  // can POST here unmodified (ref api/data_handler.go:50-67).
   server.createContext("/data/", (ex: HttpExchange) => handle(ex) {
     val table = ex.getRequestURI.getPath.stripPrefix("/data/").takeWhile(_ != '/')
     val td = catalog(table)
     if (td.primaryKey.isEmpty)
       throw new IllegalArgumentException(s"table $table has no primary key")
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val raw = ex.getRequestBody.readAllBytes()
+    val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val body =
+      if (contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw))
+        binaryBatchToJson(table, UpsertBatchWire.decode(raw))
+      else new String(raw, StandardCharsets.UTF_8)
     val n = ingest(td, body)
     respond(ex, 200, s"""{"rowsInserted":$n}""")
   })
+
+  /** Decoded binary upsert batch → the JSON row array the overlay ingest
+    * consumes. Logical column ids index the table's column list (the
+    * reference's schema contract, memstore/common/upsert_batch.go:223-230);
+    * enum indexes resolve through the column's dictionary, GeoPoints arrive
+    * as (lat, lng) structs.
+    */
+  private def binaryBatchToJson(table: String,
+      batch: UpsertBatchWire.Batch): String = {
+    val ts = schemaStore.get(table)
+    def colName(id: Int): String = ts match {
+      case Some(t) =>
+        require(id >= 0 && id < t.columns.length, s"column id $id out of range")
+        val c = t.columns(id)
+        require(!c.deleted, s"column id $id (${c.name}) is deleted")
+        c.name
+      case None =>
+        val schema = catalog(table).load(spark)
+          .drop(graft.ingest.Archiver.DayCol).schema
+        require(id >= 0 && id < schema.length, s"column id $id out of range")
+        schema(id).name
+    }
+    val names = batch.columns.map(c => colName(c.columnId))
+    val rows = (0 until batch.numRows).map { r =>
+      JObject(batch.columns.zip(names).flatMap { case (c, name) =>
+        c.values(r).map { v =>
+          val jv: JValue = (c.dataType, v) match {
+            case (UpsertBatchWire.SmallEnum | UpsertBatchWire.BigEnum, idx: Long) =>
+              // dictionary index → case string (unknown index → null, the
+              // reference's unknown-enum semantics)
+              val cases = ts.map(_ => schemaStore.listEnumCases(table, name))
+                .getOrElse(Nil)
+              if (idx >= 0 && idx < cases.length) JString(cases(idx.toInt)) else JNull
+            case (UpsertBatchWire.GeoPoint, (lat: Float, lng: Float)) =>
+              JObject("lat" -> JDouble(lat), "lng" -> JDouble(lng))
+            case (_, b: Boolean) => JBool(b)
+            case (_, l: Long) => JInt(l)
+            case (_, f: Float) => JDouble(f)
+            case (_, s: String) => JString(s)
+            case (_, other) => JString(other.toString)
+          }
+          name -> jv
+        }
+      }.toList)
+    }
+    JsonMethods.compact(JsonMethods.render(JArray(rows.toList)))
+  }
 
   // schema read + mutation surface (ref api/schema_handler.go:47-254,
   // api/enum_handler.go:47-110):

@@ -1,0 +1,140 @@
+package graft.api
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Decoder for the reference's serialized upsert-batch wire format — the
+  * unit a reference client POSTs to `/data/{table}` (and writes to redo
+  * logs). Layout (all little-endian, byte-aligned;
+  * /root/reference/memstore/common/upsert_batch.go:119-148):
+  *
+  *   [uint32] version (V1 = 0xFEED0001, upsert_batch_builder.go:46)
+  *   [int32]  num_rows            (read at offset 4, upsert_batch.go:446)
+  *   [uint16] num_columns         (offset 8, :457)
+  *   <14 reserved bytes>
+  *   [uint32] arrival_time        (offset 24, :463)
+  *   column headers at offset 28 (upsert_batch_header.go:21-29):
+  *     [(n+1) x uint32] column data offsets (absolute into this buffer)
+  *     [n x uint32]     enum dict lengths
+  *     [n x uint32]     reserved
+  *     [n x uint32]     data types
+  *     [n x uint16]     logical column ids
+  *     [n x uint8]      mode (bits 0-2) | update mode (bits 3-5)
+  *   per column at its offset (upsert_batch.go:512-532):
+  *     mode 0: nothing (all values default)
+  *     mode 2: null bitvector, ceil8(num_rows)/8 bytes, bit i = row i valid
+  *     mode 1|2: value vector at the next 8-byte alignment
+  *
+  * Data-type codes are `width | baseType<<16 | isArray<<24`
+  * (data_type.go:38-74). Fixed-width scalar types are supported — the
+  * reference itself notes "only fixed size values are supported currently"
+  * (upsert_batch.go:151). Bool values are bit-packed like the null vector.
+  *
+  * This is an independent implementation of the published layout (the
+  * RefHllWire precedent): wire constants necessarily match, code does not.
+  */
+object UpsertBatchWire {
+
+  val VersionV1: Int = 0xFEED0001
+
+  // data_type.go:43-58
+  val Bool = 0x00000001
+  val Int8 = 0x00010008
+  val Uint8 = 0x00020008
+  val Int16 = 0x00030010
+  val Uint16 = 0x00040010
+  val Int32 = 0x00050020
+  val Uint32 = 0x00060020
+  val Float32 = 0x00070020
+  val SmallEnum = 0x00080008
+  val BigEnum = 0x00090010
+  val Uuid = 0x000a0080
+  val GeoPoint = 0x000b0040
+  val Int64 = 0x000d0040
+
+  /** One decoded column: logical id, type code, and per-row values
+    * (None = null / all-default).
+    */
+  final case class Column(columnId: Int, dataType: Int, values: IndexedSeq[Option[Any]])
+
+  final case class Batch(numRows: Int, arrivalTime: Long, columns: Seq[Column])
+
+  /** Does this body look like a V1 upsert batch? (Content sniff for
+    * clients that do not set the application/upsert-data content type.)
+    */
+  def looksLikeBatch(body: Array[Byte]): Boolean =
+    body.length >= 28 &&
+      ByteBuffer.wrap(body, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt == VersionV1
+
+  private def align(v: Int, to: Int): Int = (v + to - 1) / to * to
+
+  def decode(body: Array[Byte]): Batch = {
+    val buf = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt(0) == VersionV1,
+      f"unsupported upsert batch version 0x${buf.getInt(0)}%08x")
+    val numRows = buf.getInt(4)
+    require(numRows >= 0, s"negative row count $numRows")
+    val numCols = buf.getShort(8) & 0xFFFF
+    val arrival = buf.getInt(24).toLong & 0xFFFFFFFFL
+    val headerBase = 28
+    val offsetsBase = headerBase
+    val typesBase = offsetsBase + (numCols + 1) * 4 + numCols * 4 + numCols * 4
+    val idsBase = typesBase + numCols * 4
+    val modesBase = idsBase + numCols * 2
+    require(body.length >= modesBase + numCols, "incomplete header section")
+
+    def bit(base: Int, i: Int): Boolean =
+      (body(base + i / 8) & (1 << (i % 8))) != 0
+
+    val cols = (0 until numCols).map { c =>
+      val start = buf.getInt(offsetsBase + c * 4)
+      val dataType = buf.getInt(typesBase + c * 4)
+      val columnId = buf.getShort(idsBase + c * 2) & 0xFFFF
+      val mode = body(modesBase + c) & 0x07
+      require((dataType >>> 24) == 0, f"array type 0x$dataType%08x not supported")
+
+      val values: IndexedSeq[Option[Any]] = mode match {
+        case 0 => IndexedSeq.fill(numRows)(None) // all default
+        case 1 | 2 =>
+          var cur = start
+          val nullBase = if (mode == 2) {
+            val b = cur; cur += align(numRows, 8) / 8; Some(b)
+          } else None
+          val valueBase = align(cur, 8)
+          def valid(row: Int): Boolean = nullBase.forall(bit(_, row))
+          (0 until numRows).map { row =>
+            if (!valid(row)) None
+            else Some(readValue(buf, body, valueBase, row, dataType))
+          }
+        case other =>
+          throw new IllegalArgumentException(s"column mode $other not supported")
+      }
+      Column(columnId, dataType, values)
+    }
+    Batch(numRows, arrival, cols)
+  }
+
+  /** Fixed-width scalar read at `base + row*width`. UUIDs render in
+    * canonical 8-4-4-4-12 hex; GeoPoint as (lat, lng) — the reference
+    * stores [2]float32 in that order (data_type.go:56).
+    */
+  private def readValue(buf: ByteBuffer, body: Array[Byte], base: Int,
+      row: Int, dataType: Int): Any = dataType match {
+    case Bool => (body(base + row / 8) & (1 << (row % 8))) != 0
+    case Int8 => body(base + row).toLong
+    case Uint8 | SmallEnum => (body(base + row) & 0xFF).toLong
+    case Int16 => buf.getShort(base + row * 2).toLong
+    case Uint16 | BigEnum => (buf.getShort(base + row * 2) & 0xFFFF).toLong
+    case Int32 => buf.getInt(base + row * 4).toLong
+    case Uint32 => buf.getInt(base + row * 4).toLong & 0xFFFFFFFFL
+    case Float32 => buf.getFloat(base + row * 4)
+    case Int64 => buf.getLong(base + row * 8)
+    case Uuid =>
+      val hex = (0 until 16).map(i => f"${body(base + row * 16 + i) & 0xFF}%02x").mkString
+      s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+        s"${hex.substring(16, 20)}-${hex.substring(20)}"
+    case GeoPoint =>
+      (buf.getFloat(base + row * 8), buf.getFloat(base + row * 8 + 4))
+    case other =>
+      throw new IllegalArgumentException(f"data type 0x$other%08x not supported")
+  }
+}

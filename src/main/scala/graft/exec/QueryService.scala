@@ -20,14 +20,15 @@ import graft.aql._
   *   against a reference cluster flips this one flag
   */
 final class QueryService(catalog: Catalog, spark: SparkSession,
-    strictCompat: Boolean = false) {
+    strictCompat: Boolean = false,
+    metrics: Option[graft.api.Metrics] = None) {
 
   private val compiler = new AqlCompiler(catalog, spark, strictCompat)
 
   /** Execute an AQLRequest JSON body: `{"queries": [{...}, ...]}`. */
   def aql(requestJson: String): String = {
     val request = AqlJson.parseRequest(requestJson)
-    respond(request.queries.map(q => () => compiler.compile(q)))
+    respond(request.queries.map(q => () => compiler.compile(q)), "aql")
   }
 
   /** Execute SQL statements: `{"queries": ["SELECT ...", ...]}` bodies or a
@@ -38,7 +39,18 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
       if (body.trim.startsWith("{")) {
         (JsonMethods.parse(body) \ "queries").children.map(_.values.toString)
       } else Seq(body)
-    respond(statements.map(s => () => compiler.compile(SqlFront.translate(s))))
+    respond(statements.map(s => () => compiler.compile(SqlFront.translate(s))), "sql")
+  }
+
+  /** Compile one AQL query and return its formatted physical plan WITHOUT
+    * executing it — the reference's debug surface
+    * (/root/reference/api/debug_handler.go:40+) re-expressed as Catalyst
+    * plan inspection.
+    */
+  def plan(queryJson: String): String = {
+    val compiled = compiler.compile(AqlJson.parseQuery(queryJson))
+    compiled.df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
   }
 
   /** Execute one AQL query with an HLL measure and return the
@@ -146,10 +158,21 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
     proj.df.groupBy(dimCols: _*).agg(sketch.as("__sketch"))
   }
 
-  private def respond(thunks: Seq[() => AqlCompiler.Compiled]): String = {
+  private def respond(thunks: Seq[() => AqlCompiler.Compiled],
+      endpoint: String): String = {
     val outcomes = thunks.map { t =>
-      try Right(ResultShaper.shape(t()))
-      catch { case NonFatal(e) => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val t0 = System.nanoTime()
+      try {
+        val compiled = t()
+        val shaped = ResultShaper.shape(compiled)
+        metrics.foreach(_.record(graft.api.Metrics.stat(
+          endpoint, compiled, (System.nanoTime() - t0) / 1000000)))
+        Right(shaped)
+      } catch {
+        case NonFatal(e) =>
+          metrics.foreach(_.recordError())
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
     }
     val results = JArray(outcomes.map {
       case Right(j) => j
