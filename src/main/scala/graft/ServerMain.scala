@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone server entrypoint: the deployment unit DEPLOYMENT.md
+  * describes. Builds (or joins) a SparkSession and serves the full HTTP
+  * facade — query (AQL/SQL/HLL), ingestion (JSON + reference binary
+  * upsert batches), schema mutation, metrics, plan debug.
+  *
+  *   SPARK_GRAFT_SF_DIR  table directory (default /root/testdata/sf0.01)
+  *   SPARK_GRAFT_PORT    HTTP port (default 19374; 0 = ephemeral)
+  *   SPARK_GRAFT_CPUS    local[] parallelism when not under spark-submit
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val port = sys.env.getOrElse("SPARK_GRAFT_PORT", "19374").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // under spark-submit the master/conf come from the submit command; the
+    // setIfMissing-style defaults below only bind for bare `java -cp` runs
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = new graft.api.GraftServer(
+      graft.aql.Catalog.testdata(sfDir), spark, port)
+    server.start()
+    println(s"[graft] serving on port ${server.boundPort}, tables from $sfDir")
+    Thread.currentThread().join() // serve until killed
+  }
+}
