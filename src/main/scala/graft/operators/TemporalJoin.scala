@@ -38,21 +38,26 @@ object TemporalJoin {
     val leftCols = left.columns
     val valSchema = org.apache.spark.sql.types.StructType(
       right.select(valCols.map(col): _*).schema.fields)
-    // tag and union: right rows sort BEFORE left rows at equal ts so a
-    // same-instant right row is visible to the left row (side asc:
-    // right=0, left=1); right ties at equal ts resolve by seq
-    val taggedLeft = left
-      .withColumn("__side", lit(1))
-      .withColumn("__seq", lit(Long.MaxValue))
-      .withColumn("__payload", lit(null).cast(valSchema))
-    val taggedRight = right
-      .select((Seq(col(keyCol), col(tsCol)) :+
-        lit(0).as("__side") :+ col(rightSeqCol).cast("long").as("__seq") :+
-        struct(valCols.map(col): _*).as("__payload")): _*)
-    val aligned = taggedLeft.select(
-      (Seq(col(keyCol), col(tsCol), col("__side"), col("__seq"), col("__payload")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
-      .unionByName(taggedRight, allowMissingColumns = true)
+    val extras = leftCols.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val extraTypes = extras.map(c => left.schema(c).dataType)
+    // tag both sides POSITIONALLY (key first): right rows sort BEFORE left
+    // rows at equal ts so a same-instant right row is visible to the left
+    // row (side asc: right=0, left=1); right ties at equal ts resolve by seq
+    val taggedLeft = left.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__seq"), lit(null).cast(valSchema).as("__payload")) ++
+        extras.map(col)): _*)
+    val taggedRight = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        col(rightSeqCol).cast("long").as("__seq"),
+        struct(valCols.map(col): _*).as("__payload")) ++
+        extras.zip(extraTypes).map { case (c, t) => lit(null).cast(t).as(c) }): _*)
+    // partitioning-preserving union on the key: when both sides are
+    // already hash-distributed on it (a bucketed fact table; the ref
+    // aggregation that rides it), the downstream window adds NO exchange —
+    // Spark's Union would discard that partitioning and re-shuffle the
+    // whole merged stream
+    val aligned = graft.plans.CoPartitionedUnion.coUnion(taggedLeft, taggedRight, 1)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc, col("__seq").asc)

@@ -85,10 +85,10 @@ class BucketedGatesSpec extends SparkSpec {
     assert(countShuffles(plan) <= 1, plan.toString)
   }
 
-  test("as-of join from the bucketed table shuffles once (union merge only)") {
-    // ref derivation (groupBy user_id, ts) rides the bucket partitioning;
-    // the one exchange is the union->window merge, whose partitioning a
-    // UnionExec cannot advertise
+  test("as-of join from the bucketed table runs with zero shuffles") {
+    // ref derivation (groupBy user_id, ts) rides the bucket partitioning,
+    // and the merge union PRESERVES it (CoPartitionedUnion), so the
+    // window re-sorts within partitions but never exchanges
     val evSel = ev.select(col("user_id"),
       unix_timestamp(col("ts")).as("ts"), col("event_id"), col("value"))
     val ref = evSel.where(col("event_id") % 3 === 0)
@@ -99,7 +99,7 @@ class BucketedGatesSpec extends SparkSpec {
       evSel.select("user_id", "ts", "event_id"), ref,
       "user_id", "ts", Seq("seq", "ref_value"), "seq")
     val plan = executed(df)
-    assert(countShuffles(plan) == 1, plan.toString)
+    assert(countShuffles(plan) == 0, plan.toString)
   }
 
   test("bucketed-path sessionize result equals raw-path result") {
