@@ -342,19 +342,30 @@ object Dedup {
     * buffered array). The convergence check is a count+hash aggregate —
     * one tiny job per round, no driver-side edge materialization.
     *
+    * Small graphs short-circuit to a driver-side union-find: below
+    * `localThreshold` edges (default 2^20 ≈ 16 MB of id pairs) the
+    * distributed iteration's ~2 jobs × O(log n) rounds are pure scheduling
+    * overhead — near-dup graphs are pair lists proportional to true
+    * duplicates, usually tiny relative to the corpus. The dispatch is one
+    * count over the deduped edge list (the job the convergence signature
+    * would run anyway); at 100 TB a giant edge list takes the distributed
+    * branch unchanged.
+    *
     * Input: any two id columns castable to long (self-loops dropped).
     * Output: (id, component) for every node appearing in an edge, where
     * component = min id of the node's component. Isolated rows never enter
     * the edge list — callers left-join and coalesce to the row's own id.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localThreshold: Long = 1L << 20): DataFrame = {
     var e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    if (localThreshold > 0 && e.count() <= localThreshold)
+      return localComponents(e)
     def sig(df: DataFrame): (Long, Long) = {
       // bit_xor (not sum): order-independent and overflow-free under ANSI;
       // edges are distinct so xor cancellation can't mask a real change
@@ -397,5 +408,49 @@ object Dedup {
     e.select(col("b").as("id"), col("a").as("component"))
       .unionAll(e.select(col("a").as("id"), col("a").as("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+
+  /** Driver-side union-find (path halving + union by min) for small edge
+    * lists — same output contract as the distributed branch.
+    */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val it = e.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) {
+        // union by min so the representative is the component minimum
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      } else {
+        parent.putIfAbsent(ra, ra)
+      }
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val keys = parent.keySet().iterator()
+    val seen = new java.util.HashSet[Long]()
+    while (keys.hasNext) {
+      val k = keys.next()
+      rows += ((k, find(k)))
+      seen.add(k)
+    }
+    // roots that never appear as a key (e.g. the minimum of a two-node
+    // component is only ever a VALUE in the parent map)
+    val vals = rows.map(_._2).distinct.filterNot(seen.contains)
+    vals.foreach(v => rows += ((v, v)))
+    import spark.implicits._
+    rows.toSeq.toDF("id", "component")
   }
 }

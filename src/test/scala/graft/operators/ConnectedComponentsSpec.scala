@@ -19,9 +19,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     touched.map(v => v -> find(v.toInt).toLong).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("s", "d"), "s", "d")
+  /** Every shape runs through BOTH implementations — the driver
+    * union-find (default dispatch at this scale) and the distributed
+    * large-star/small-star (localThreshold = 0 disables the shortcut) —
+    * and they must agree exactly.
+    */
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = Dedup.connectedComponents(edges.toDF("s", "d"), "s", "d")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.connectedComponents(edges.toDF("s", "d"), "s", "d",
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == distributed,
+      s"local union-find and distributed CC disagree: $local vs $distributed")
+    local
+  }
 
   test("path graph collapses to its minimum (needs transitive propagation)") {
     val chain = (0L until 9L).map(i => (i, i + 1))
