@@ -158,16 +158,23 @@ object Dedup {
     * whose signatures collide with >maxBucket other docs, which at that
     * frequency are boilerplate, not near-duplicates.
     */
+  /** LSH band buckets for a signature frame: one (id, band, bucket) row
+    * per band — the shared candidate-blocking key for batch and streaming
+    * near-dup.
+    */
+  def bandBuckets(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(
+      col(idCol),
+      posexplode(array((0 until Bands).map { b =>
+        xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+
   def minhashCandidates(sigs: DataFrame, idCol: String,
       maxBucket: Int = 10000): DataFrame = {
     // band on (id, bucket) ONLY — shipping the 512-byte signature through
     // every band replicates it ×16 through the widest shuffle; signatures
     // join back by id once per side, and only for surviving candidates
-    val banded0 = sigs.select(
-      col(idCol),
-      posexplode(array((0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    val banded0 = bandBuckets(sigs, idCol)
     val banded = capBuckets(banded0, maxBucket)
     val pairs = banded.select(col(idCol).as("a_id"), col("band"), col("bucket"))
       .join(banded.select(col(idCol).as("b_id"), col("band"), col("bucket")),
@@ -185,7 +192,7 @@ object Dedup {
   /** Fraction of agreeing minhash positions — one primitive loop per pair
     * (the zip_with/aggregate HOF form runs interpreted per element).
     */
-  private val sigAgreement = udf { (a: Seq[Long], b: Seq[Long]) =>
+  private[graft] val sigAgreement = udf { (a: Seq[Long], b: Seq[Long]) =>
     var c = 0
     var i = 0
     val n = math.min(a.length, b.length)

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Cross-batch NEAR-duplicate dedup at the ingestion edge — the streaming
+  * form of [[graft.operators.Dedup.minhashNearDups]], completing the pair
+  * with [[StreamingDedup]] (exact content keys).
+  *
+  * Shape: `foreachBatch` against a persistent BUCKET STORE — the
+  * production pattern for stateful streaming whose state is corpus-sized.
+  * Keyed executor state (flatMapGroupsWithState) would have to hold one
+  * signature per (band, bucket) for the whole corpus in memory, and a
+  * doc's verdict spans 16 band keys (multiple stateful operators per
+  * query). Instead each micro-batch:
+  *
+  *   1. computes map-side MinHash signatures for the new docs;
+  *   2. resolves IN-BATCH near-dups with the batch operator
+  *      (banded candidates → threshold → keep smallest id);
+  *   3. joins the batch reps' band buckets against the accumulated store
+  *      (band, bucket, repId, sig) — an equi-join on the band key, the
+  *      same blocking the batch path uses — and drops docs whose
+  *      signature agrees >= threshold with any stored representative;
+  *   4. appends the survivors' bucket rows to the store under
+  *      `batch=<id>/` with overwrite — a REPLAYED batch rewrites the same
+  *      directory, so exactly-once follows from the sink's idempotence
+  *      plus Structured Streaming's checkpointed batch ids.
+  *
+  * Store size is O(corpus × bands) rows of (2 longs, id, 64-long sig) on
+  * storage, not executor memory; day-partition compaction/retention is
+  * the archive job's concern, as with the fact tables.
+  */
+object StreamingNearDedup {
+
+  /** Process one micro-batch of (idCol, textCol) docs against the store at
+    * `storeDir`. Returns decisions: (idCol, kept, dup_of) — `dup_of` is
+    * the kept representative (in-store or in-batch) for dropped docs, null
+    * for kept ones. Docs too short to carry a signature (< 3 tokens) pass
+    * through kept.
+    */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+      storeDir: String, batchId: Long, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigs = Dedup.minhashSignatures(batch, idCol, textCol).persist(mem)
+
+    // ---- in-batch near-dups: representative = component minimum --------
+    val inBatchPairs = Dedup.minhashCandidates(sigs, idCol)
+      .where(col("est_jaccard") >= threshold)
+    val comp = Dedup.connectedComponents(inBatchPairs, "a_id", "b_id")
+      .withColumnRenamed("id", idCol)
+    val withComp = sigs.join(comp, Seq(idCol), "left")
+      .select(col(idCol), col("sig"),
+        coalesce(col("component"), col(idCol)).as("__rep"))
+      .persist(mem)
+    val batchReps = withComp.where(col(idCol) === col("__rep"))
+
+    // ---- store lookup for the batch representatives --------------------
+    // the CURRENT batch id's directory is excluded: a replayed batch must
+    // not match against its own previous (possibly partial) write — it
+    // re-derives and overwrites it instead
+    val store = readStore(spark, storeDir, excludeBatchId = batchId)
+    val repBuckets = Dedup.bandBuckets(
+      batchReps.select(col(idCol), col("sig")), idCol)
+    val hits = store match {
+      case Some(st) =>
+        repBuckets.join(st.withColumnRenamed("sig", "__store_sig")
+            .withColumnRenamed("rep_id", "__store_rep"), Seq("band", "bucket"))
+          .join(batchReps.select(col(idCol), col("sig")), Seq(idCol))
+          .where(Dedup.sigAgreement(col("sig"), col("__store_sig")) >= threshold)
+          .groupBy(col(idCol))
+          .agg(min(col("__store_rep")).as("__dup_of"))
+      case None =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            batchReps.schema(idCol),
+            org.apache.spark.sql.types.StructField("__dup_of",
+              batchReps.schema(idCol).dataType))))
+    }
+
+    // ---- survivors extend the store (idempotent per-batch directory) ---
+    val survivors = batchReps.join(hits, Seq(idCol), "left_anti")
+    Dedup.bandBuckets(survivors.select(col(idCol), col("sig")), idCol)
+      .join(survivors.select(col(idCol), col("sig")), Seq(idCol))
+      .select(col("band"), col("bucket"), col(idCol).as("rep_id"), col("sig"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/batch=$batchId")
+
+    // ---- decisions ------------------------------------------------------
+    val shortDocs = batch.select(col(idCol)).join(sigs.select(col(idCol)),
+      Seq(idCol), "left_anti")
+      .select(col(idCol), lit(true).as("kept"),
+        lit(null).cast(batch.schema(idCol).dataType).as("dup_of"))
+    // store hits attach to REPRESENTATIVES; members resolve through their
+    // rep (a member of a store-hit rep traces to the STORE's keeper)
+    val repHits = hits.select(col(idCol).as("__rep"), col("__dup_of"))
+    val decided = withComp.select(col(idCol), col("__rep"))
+      .join(repHits, Seq("__rep"), "left")
+      .select(col(idCol),
+        (col(idCol) === col("__rep") && col("__dup_of").isNull).as("kept"),
+        when(col("__dup_of").isNotNull, col("__dup_of"))
+          .when(col(idCol) =!= col("__rep"), col("__rep"))
+          .otherwise(lit(null).cast(batch.schema(idCol).dataType)).as("dup_of"))
+    val out = decided.unionByName(shortDocs)
+    sigs.unpersist()
+    withComp.unpersist()
+    out
+  }
+
+  private def readStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, excludeBatchId: Long): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    val parts =
+      if (!root.exists()) Array.empty[java.io.File]
+      else root.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("batch=") &&
+        f.getName != s"batch=$excludeBatchId")
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.getPath).toIndexedSeq: _*))
+  }
+}
