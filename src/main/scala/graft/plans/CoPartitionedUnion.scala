@@ -68,8 +68,18 @@ final case class CoPartitionedUnionExec(left: SparkPlan, right: SparkPlan,
   /** The concatenation of co-partitioned inputs keeps their partitioning. */
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
-  override protected def doExecute(): RDD[InternalRow] =
-    left.execute().zipPartitions(right.execute()) { (a, b) => a ++ b }
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (l, r) = (left.execute(), right.execute())
+    // EnsureRequirements co-partitions children of binary nodes with
+    // clustered requirements (the SortMergeJoin machinery); this guard
+    // turns any future planner regression into a readable error instead
+    // of a zip failure deep in the scheduler
+    require(l.getNumPartitions == r.getNumPartitions,
+      s"CoPartitionedUnion children not co-partitioned: " +
+        s"${l.getNumPartitions} vs ${r.getNumPartitions} " +
+        s"($outputPartitioning vs ${right.outputPartitioning})")
+    l.zipPartitions(r) { (a, b) => a ++ b }
+  }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
       newRight: SparkPlan): CoPartitionedUnionExec =
