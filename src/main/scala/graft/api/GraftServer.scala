@@ -204,6 +204,11 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private def binaryBatchToJson(table: String,
       batch: UpsertBatchWire.Batch): String = {
     val ts = schemaStore.get(table)
+    // resolve names and enum dictionaries ONCE per column — a 65k-row
+    // batch must not re-list enum cases (or re-load the catalog schema)
+    // inside the row loop
+    lazy val baseSchema = catalog(table).load(spark)
+      .drop(graft.ingest.Archiver.DayCol).schema
     def colName(id: Int): String = ts match {
       case Some(t) =>
         require(id >= 0 && id < t.columns.length, s"column id $id out of range")
@@ -211,21 +216,27 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         require(!c.deleted, s"column id $id (${c.name}) is deleted")
         c.name
       case None =>
-        val schema = catalog(table).load(spark)
-          .drop(graft.ingest.Archiver.DayCol).schema
-        require(id >= 0 && id < schema.length, s"column id $id out of range")
-        schema(id).name
+        require(id >= 0 && id < baseSchema.length, s"column id $id out of range")
+        baseSchema(id).name
     }
     val names = batch.columns.map(c => colName(c.columnId))
+    val dicts: Seq[IndexedSeq[String]] = batch.columns.zip(names).map {
+      case (c, name)
+          if c.dataType == UpsertBatchWire.SmallEnum ||
+            c.dataType == UpsertBatchWire.BigEnum =>
+        ts.map(_ => schemaStore.listEnumCases(table, name).toIndexedSeq)
+          .getOrElse(IndexedSeq.empty)
+      case _ => IndexedSeq.empty
+    }
     val rows = (0 until batch.numRows).map { r =>
-      JObject(batch.columns.zip(names).flatMap { case (c, name) =>
+      JObject(batch.columns.indices.flatMap { i =>
+        val c = batch.columns(i)
         c.values(r).map { v =>
           val jv: JValue = (c.dataType, v) match {
             case (UpsertBatchWire.SmallEnum | UpsertBatchWire.BigEnum, idx: Long) =>
               // dictionary index → case string (unknown index → null, the
               // reference's unknown-enum semantics)
-              val cases = ts.map(_ => schemaStore.listEnumCases(table, name))
-                .getOrElse(Nil)
+              val cases = dicts(i)
               if (idx >= 0 && idx < cases.length) JString(cases(idx.toInt)) else JNull
             case (UpsertBatchWire.GeoPoint, (lat: Float, lng: Float)) =>
               JObject("lat" -> JDouble(lat), "lng" -> JDouble(lng))
@@ -235,7 +246,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
             case (_, s: String) => JString(s)
             case (_, other) => JString(other.toString)
           }
-          name -> jv
+          names(i) -> jv
         }
       }.toList)
     }

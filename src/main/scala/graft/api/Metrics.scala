@@ -42,8 +42,16 @@ final class Metrics {
       while (it.hasNext) b += it.next()
       b.result()
     }
+    // table names are caller-supplied (schema API) — escape them, or a
+    // quote in a name corrupts the whole /metrics document
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val rows = stats.map { s =>
-      s"""{"endpoint":"${s.endpoint}","table":"${s.table}","wallMs":${s.wallMs},""" +
+      s"""{"endpoint":${q(s.endpoint)},"table":${q(s.table)},"wallMs":${s.wallMs},""" +
         s""""rowsScanned":${s.rowsScanned},"rowsReturned":${s.rowsReturned},"atEpochMs":${s.atEpochMs}}"""
     }.mkString("[", ",", "]")
     s"""{"queries":${nQueries.get},"errors":${nErrors.get},"recent":$rows}"""

@@ -72,7 +72,10 @@ object UpsertBatchWire {
     require(buf.getInt(0) == VersionV1,
       f"unsupported upsert batch version 0x${buf.getInt(0)}%08x")
     val numRows = buf.getInt(4)
-    require(numRows >= 0, s"negative row count $numRows")
+    // the reference constrains batches to 0..65535 rows
+    // (upsert_batch.go:153); the bound also stops a tiny crafted body
+    // from driving numRows-sized allocations on the server
+    require(numRows >= 0 && numRows <= 65535, s"row count $numRows out of range")
     val numCols = buf.getShort(8) & 0xFFFF
     val arrival = buf.getInt(24).toLong & 0xFFFFFFFFL
     val headerBase = 28
@@ -91,6 +94,8 @@ object UpsertBatchWire {
       val columnId = buf.getShort(idsBase + c * 2) & 0xFFFF
       val mode = body(modesBase + c) & 0x07
       require((dataType >>> 24) == 0, f"array type 0x$dataType%08x not supported")
+      require(start >= 0 && start <= body.length,
+        s"column $c data offset $start outside the ${body.length}-byte buffer")
 
       val values: IndexedSeq[Option[Any]] = mode match {
         case 0 => IndexedSeq.fill(numRows)(None) // all default

@@ -74,40 +74,43 @@ object Pq {
     * (k·m cells need ~256 samples each), so at 100 TB the Lloyd passes
     * run over a fixed-size sample while encode/search stay full-corpus.
     *
-    * The sample is ONE bounded pass, with no corpus count and no global
-    * sort: each input partition keeps its `~2·maxTrain/numPartitions`
-    * smallest-(hash, id) rows in a fixed-size heap, and the global
-    * maxTrain smallest are then selected from those ≤ 2·maxTrain
-    * survivors. The winners are the corpus-wide smallest hashes — a
-    * uniform sample that is a pure function of the input rows (hashes are
-    * uniform, so a partition holding more than 2× its expected share of
-    * global winners has negligible probability; the failure mode merely
-    * shrinks the sample). Every later training job runs over the
-    * checkpointed sample, never the corpus.
+    * The sample needs no corpus count and no global sort, and is EXACT —
+    * the corpus-wide maxTrain smallest (hash, id) pairs, a pure function
+    * of the input rows independent of partition layout or skew. Phase 1
+    * scans (hash, id) PAIRS only, each partition keeping its smallest
+    * maxTrain in a fixed heap (16 bytes × maxTrain ≈ 1 MB per task — the
+    * cap any single partition could contribute, so no winner is ever
+    * lost to a skewed layout; an earlier 2·maxTrain/numPartitions quota
+    * made the sample depend on how rows were split). Phase 2 fetches the
+    * winners' vectors with one broadcast semi-join (≤ maxTrain ids).
+    * Every later training job runs over the checkpointed sample, never
+    * the corpus.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       iters: Int = 5, maxTrain: Int = 65536): Codebook = {
     val spark = df.sparkSession
     val src = df.select(col(idCol).cast("long").as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__vec"),
-      xxhash64(col(idCol)).as("__h"))
-    val parts = math.max(1, src.rdd.getNumPartitions)
-    val quota = math.max(1, math.min(maxTrain,
-      math.ceil(2.0 * maxTrain / parts).toInt))
-    val rowEnc = org.apache.spark.sql.Encoders.row(src.schema)
-    // max-heap on (hash, id): evict the largest once over quota, so the
-    // partition's smallest `quota` survive with bounded memory
-    val pruned = src.mapPartitions { it =>
+      transform(col(vecCol), x => x.cast("double")).as("__vec"))
+    // phase 1: (hash, id) pairs only; per-partition max-heap capped at
+    // maxTrain — the most any one partition could contribute to the
+    // global winners — then the global smallest maxTrain among the
+    // survivors (≤ parts × maxTrain pairs, tiny)
+    val idsOnly = df.select(xxhash64(col(idCol)).as("__h"),
+      col(idCol).cast("long").as("__id"))
+    val rowEnc = org.apache.spark.sql.Encoders.row(idsOnly.schema)
+    val pruned = idsOnly.mapPartitions { it =>
       val ord = Ordering.by[org.apache.spark.sql.Row, (Long, Long)](r =>
-        (r.getLong(2), r.getLong(0)))
+        (r.getLong(0), r.getLong(1)))
       val heap = new scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]()(ord)
       it.foreach { r =>
         heap.enqueue(r)
-        if (heap.size > quota) heap.dequeue()
+        if (heap.size > maxTrain) heap.dequeue()
       }
       heap.iterator
     }(rowEnc)
-    val sampled = pruned.orderBy(col("__h"), col("__id")).limit(maxTrain)
+    val winners = pruned.orderBy(col("__h"), col("__id")).limit(maxTrain)
+    // phase 2: fetch the winners' vectors (broadcast semi-join on ids)
+    val sampled = src.join(broadcast(winners.select("__id")), Seq("__id"), "left_semi")
       .localCheckpoint(true)
     val subs = subvectors(sampled, "__id", "__vec", m).localCheckpoint(true)
     // init ids: the k smallest-id SAMPLED rows — a tiny job over the

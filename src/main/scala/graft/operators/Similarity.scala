@@ -230,6 +230,14 @@ object Similarity {
     * a 10^10-pair straggler, no matter how degenerate the hot cell.
     * Callers whose recall contract needs every cell searched (and who
     * know their cell-size distribution) pass an explicit cap.
+    *
+    * NOTE (round-7 default change): the default cap dropped from 100000
+    * to maxCellForPairBudget(2M) ≈ 2000 — a cell of 2001..100000 rows is
+    * now DROPPED by default where it was previously searched. That is
+    * deliberate (the old default let one hot cell run 10^10 cosine
+    * pairs), but it is a silent recall change for default-arg callers:
+    * audit call sites and pass an explicit `maxCell` where full-cell
+    * search is part of the contract (the q_semantic_dedup gate does).
     */
   val DefaultCellPairBudget: Long = 2L * 1000 * 1000
 

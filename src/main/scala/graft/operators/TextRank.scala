@@ -105,12 +105,22 @@ object TextRank {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Compiled tokenizer matching [[lowerTokens]] exactly (split keeps
-    * trailing empties via limit -1, like Spark's `split`).
+  /** Compiled tokenizer matching [[lowerTokens]] exactly: SQL `trim`
+    * strips SPACES only (Java's String.trim strips every char <= 0x20,
+    * which would swallow leading/trailing tabs/newlines and change the
+    * token list), and split keeps trailing empties via limit -1, like
+    * Spark's `split`.
     */
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private def sqlTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
   private def tokenize(text: String): Array[String] =
-    wsPattern.split(text.trim.toLowerCase, -1)
+    wsPattern.split(sqlTrim(text.toLowerCase), -1)
 
   /** FNV-1a 64-bit over the chars of `n` consecutive tokens with a
     * per-token frame byte — the INTERNAL window key for the counting
@@ -182,8 +192,17 @@ object TextRank {
       if (topCnts.isEmpty) return Seq.empty[(String, Long)].toDF("ngram", "cnt")
       // with fewer than k survivors everything above the cutoff is final
       val cStar = if (topCnts.length < k) minCount else topCnts.min
-      val cands = counts.where(col("cnt") >= cStar)
+      // boundary ties inflate the finalist set (all cnt == cStar hashes
+      // are needed for exact lexicographic tie-breaks), and on a
+      // heavy-tailed corpus where cStar lands on the tail count that set
+      // can be corpus-sized — cap what reaches the driver/task closures
+      // and fall back to a distributed resolve past the cap
+      val MaxFinalistSet = 262144 // 4 MB of hashes in each task closure
+      val candDf0 = counts.where(col("cnt") >= cStar)
+      val cands = candDf0.limit(MaxFinalistSet + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (cands.length > MaxFinalistSet)
+        return resolveByJoin(docs, textCol, n, k, candDf0)
       val candSet = cands.map(_._1).toSet
 
       val resolveUdf = udf { (text: String) =>
@@ -208,5 +227,47 @@ object TextRank {
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(k)
     } finally counts.unpersist(false)
+  }
+
+  /** Tie-flood fallback: when the finalist set is too large to ship as a
+    * task closure, resolve strings with a distributed join instead —
+    * every window materializes its (hash, string) pair once (map-side
+    * deduped per document by the windowed string builder upstream being
+    * skipped here), joins the finalist counts, and the same
+    * TakeOrderedAndProject picks the k. Slower than the closure path but
+    * bounded at any tie width; exactness is identical.
+    */
+  private def resolveByJoin(docs: DataFrame, textCol: String, n: Int, k: Int,
+      candDf: DataFrame): DataFrame = {
+    val pairUdf = udf { (text: String) =>
+      if (text == null) Array.empty[(Long, String)]
+      else {
+        val toks = tokenize(text)
+        if (toks.length < n) Array.empty[(Long, String)]
+        else {
+          // per-doc dedup: one (hash, string) per distinct window
+          val seen = new java.util.HashMap[Long, String]()
+          var i = 0
+          while (i <= toks.length - n) {
+            val h = windowHash(toks, i, n)
+            if (!seen.containsKey(h))
+              seen.put(h, toks.slice(i, i + n).mkString(" "))
+            i += 1
+          }
+          val out = new Array[(Long, String)](seen.size)
+          val it = seen.entrySet().iterator()
+          var j = 0
+          while (it.hasNext) { val e = it.next(); out(j) = (e.getKey, e.getValue); j += 1 }
+          out
+        }
+      }
+    }
+    docs.select(explode(pairUdf(col(textCol))).as("m"))
+      .select(col("m._1").as("h"), col("m._2").as("ngram"))
+      .dropDuplicates("h")
+      .join(candDf, Seq("h"))
+      .select(col("ngram"), col("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
   }
 }

@@ -60,14 +60,21 @@ object FailureHandling {
   def runWithFailover(starters: Seq[() => StreamingQuery]): (Int, StreamingQuery) = {
     require(starters.nonEmpty)
     var last: Throwable = null
-    starters.zipWithIndex.foreach { case (start, i) =>
+    var i = 0
+    // plain while + method-level return: a `return` inside a foreach
+    // lambda compiles to a thrown NonLocalReturnControl, which a
+    // `catch Throwable` in the same try would swallow — the successful
+    // cluster would NOT short-circuit and the next one would spuriously
+    // start
+    while (i < starters.length) {
       try {
-        val q = start()
+        val q = starters(i)()
         q.awaitTermination() // throws if the query failed
         return (i, q)
       } catch {
-        case e: Throwable => last = e
+        case scala.util.control.NonFatal(e) => last = e
       }
+      i += 1
     }
     throw last
   }

@@ -103,7 +103,12 @@ object StreamingNearDedup {
         when(col("__dup_of").isNotNull, col("__dup_of"))
           .when(col(idCol) =!= col("__rep"), col("__rep"))
           .otherwise(lit(null).cast(batch.schema(idCol).dataType)).as("dup_of"))
-    val out = decided.unionByName(shortDocs)
+    // materialize BEFORE releasing the caches: the caller consumes the
+    // result lazily (foreachBatch writes it after we return), and an
+    // unpersisted lineage would re-run the signature UDF — the dominant
+    // per-batch cost — from scratch. A micro-batch's decisions are small;
+    // localCheckpoint pins them eagerly.
+    val out = decided.unionByName(shortDocs).localCheckpoint(true)
     sigs.unpersist()
     withComp.unpersist()
     out
@@ -111,13 +116,17 @@ object StreamingNearDedup {
 
   private def readStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, excludeBatchId: Long): Option[DataFrame] = {
-    val root = new java.io.File(dir)
+    // list through the Hadoop filesystem of the path, NOT java.io.File:
+    // the store lives wherever the deployment's parquet does (s3a/hdfs),
+    // and a local-only listing would silently return an empty store there
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
-      if (!root.exists()) Array.empty[java.io.File]
-      else root.listFiles().filter(f => f.isDirectory &&
-        f.getName.startsWith("batch=") &&
-        f.getName != s"batch=$excludeBatchId")
+      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(path).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch=") &&
+        st.getPath.getName != s"batch=$excludeBatchId")
     if (parts.isEmpty) None
-    else Some(spark.read.parquet(parts.map(_.getPath).toIndexedSeq: _*))
+    else Some(spark.read.parquet(parts.map(_.getPath.toString).toIndexedSeq: _*))
   }
 }

@@ -34,6 +34,23 @@ class FailureHandlingSpec extends SparkSpec {
     assert(attempts.get() == 3)
   }
 
+  test("a successful cluster short-circuits: later starters never run") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Long]
+    src.addData(1L, 2L)
+    val secondStarted = new AtomicInteger(0)
+    def startOk() = {
+      val q = src.toDF().writeStream
+        .format("memory").queryName("failover_first_sink").start()
+      q.processAllAvailable(); q.stop(); q
+    }
+    val (idx, _) = FailureHandling.runWithFailover(Seq(
+      () => startOk(),
+      () => { secondStarted.incrementAndGet(); sys.error("must not run") }))
+    assert(idx == 0)
+    assert(secondStarted.get() == 0, "standby started despite active success")
+  }
+
   test("failover: the standby cluster's query processes after the active dies") {
     implicit val sqlCtx = spark.sqlContext
     val active = MemoryStream[Long]
