@@ -169,8 +169,12 @@ object TextRank {
     * 64 bits would merge counts — probability ~(distinct windows)²/2⁶⁴,
     * negligible below ~2³⁰ distinct n-grams.
     */
+  /** @param maxFinalistSet largest finalist set shipped as a task
+    *   closure before the distributed-join fallback engages (tests
+    *   shrink it to force the fallback; both paths are exact)
+    */
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int,
-      minCount: Long = 2): DataFrame = {
+      minCount: Long = 2, maxFinalistSet: Int = 262144): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -197,11 +201,10 @@ object TextRank {
       // heavy-tailed corpus where cStar lands on the tail count that set
       // can be corpus-sized — cap what reaches the driver/task closures
       // and fall back to a distributed resolve past the cap
-      val MaxFinalistSet = 262144 // 4 MB of hashes in each task closure
       val candDf0 = counts.where(col("cnt") >= cStar)
-      val cands = candDf0.limit(MaxFinalistSet + 1)
+      val cands = candDf0.limit(maxFinalistSet + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      if (cands.length > MaxFinalistSet)
+      if (cands.length > maxFinalistSet)
         return resolveByJoin(docs, textCol, n, k, candDf0)
       val candSet = cands.map(_._1).toSet
 

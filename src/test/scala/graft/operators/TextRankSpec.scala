@@ -64,4 +64,16 @@ class TextRankSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 3L)))
   }
+
+  test("tie-flood fallback (distributed resolve) matches the closure path") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val viaClosure = TextRank.topNgrams(docs, "text", n = 2, k = 20, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // maxFinalistSet = 1 forces every finalist set over the cap
+    val viaJoin = TextRank.topNgrams(docs, "text", n = 2, k = 20, minCount = 2,
+        maxFinalistSet = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaClosure == viaJoin, s"$viaClosure vs $viaJoin")
+  }
 }
