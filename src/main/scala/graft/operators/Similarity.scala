@@ -213,6 +213,16 @@ object Similarity {
     corpus.withColumn("cell",
       element_at(nearestCells(centroids, 1)(col(vecCol)), 1))
 
+  /** Per-query probe cells: one row per (query, probed cell) — the IVF
+    * probe fan-out as a standalone frame (`ivfTopK` and the persisted
+    * [[IvfIndex]] share it).
+    */
+  def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("probes", nearestCells(centroids, nProbe)(col("q_vec")))
+      .select(col("query_id"), col("q_vec"), explode(col("probes")).as("cell"))
+
   /** Semantic near-duplicate pairs, SemDeDup-style: assign every vector to
     * its nearest coarse cell, then search for cosine >= `threshold` pairs
     * ONLY within a cell. Cluster-then-dedup turns the O(n²) all-pairs
@@ -281,9 +291,7 @@ object Similarity {
       .withColumn("cell", element_at(nearestCells(centroids, 1)(col("c_vec")), 1))
 
     // per-query probe cells: nProbe nearest centroids
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("probes", nearestCells(centroids, nProbe)(col("q_vec")))
-      .select(col("query_id"), col("q_vec"), explode(col("probes")).as("cell"))
+    val q = probeCells(queries, idCol, vecCol, centroids, nProbe)
 
     val scored = assigned.join(broadcast(q), "cell")
       .where(col("neighbor_id") =!= col("query_id"))

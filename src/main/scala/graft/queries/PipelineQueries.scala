@@ -207,6 +207,33 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- similarity search: PERSISTED IVF index (build once, search many
+    // — the production form; search reads only the probed cell partitions
+    // via dynamic partition pruning, IvfIndexSpec asserts). Same planted
+    // contract as q_ann_ivf.
+    QueryDef("q_ann_ivf_index",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS found_planted
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Paths.get(
+        s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .toAbsolutePath.toString
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        nlist = 32, dir = dir)
+      val queries = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+      graft.operators.IvfIndex.search(s, dir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") - 100000).as("found_planted"))
+        .select((col("query_id") - 100000).as("query_id"), col("found_planted"))
+        .orderBy("query_id")
+    },
+
     // --- similarity search: product quantization (the compression layer
     // under IVF at billion scale). Train an (m=8 × k=16) codebook with
     // distributed Lloyd, encode the corpus as 8 codes/vector, and ADC-score

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build-once/search-many, planted recall, and the
+  * storage-level contract — search scans only the probed cells (dynamic
+  * partition pruning on the cell partition column).
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("ivfindex").toString
+    IvfIndex.build(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      nlist = 16, dir = d)
+    d
+  }
+
+  private def queries = Tables.embeddings(spark, sfDir)
+    .where(col("vec_id") < 10)
+    .withColumn("vec_id", col("vec_id") + 100000)
+    .withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+
+  test("planted sources surface from the persisted index") {
+    val found = IvfIndex.search(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .groupBy("query_id")
+      .agg(max(col("neighbor_id") === col("query_id") - 100000).as("hit"))
+      .collect()
+    assert(found.length == 10)
+    assert(found.forall(_.getBoolean(1)), found.mkString(", "))
+  }
+
+  test("search prunes to the probed cells (dynamic partition pruning)") {
+    val df = IvfIndex.search(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"assignments scan not dynamically pruned:\n${plan.take(3000)}")
+  }
+
+  test("index reloads in a fresh read path (no rebuild between searches)") {
+    // second search touches only the persisted files
+    val again = IvfIndex.search(spark, dir, queries.limit(3),
+      "vec_id", "embedding", k = 1, nProbe = 4)
+    assert(again.count() == 3)
+  }
+}
