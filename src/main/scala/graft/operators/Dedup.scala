@@ -206,19 +206,21 @@ object Dedup {
   /** Full MinHash near-dup pipeline: signatures → banded candidates →
     * threshold on estimated Jaccard.
     *
-    * Signatures are PERSISTED for the pipeline's lifetime: the candidate
+    * Signatures are PERSISTED while the operator computes: the candidate
     * stage consumes them three times (banding, then one join back per pair
     * side), and recomputing the signature UDF over the corpus per consumer
-    * triples the dominant CPU cost. At scale this is the standard
-    * materialize-signatures design (a production pipeline writes them to
-    * storage); memory pressure safely evicts blocks — lineage recomputes.
+    * triples the dominant CPU cost. The pair RESULT (bounded — proportional
+    * to true near-duplicates, not the corpus) is materialized via [[Staged]]
+    * and the signature cache released before returning, so repeated
+    * invocations in a long-lived session leave no resident blocks.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashCandidates(sigs, idCol)
-      .where(col("est_jaccard") >= threshold)
+    try Staged.materialize(
+      minhashCandidates(sigs, idCol).where(col("est_jaccard") >= threshold))
+    finally sigs.unpersist(false)
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` before a bucket
@@ -371,8 +373,17 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint(true)
-    if (localThreshold > 0 && e.count() <= localThreshold)
-      return localComponents(e)
+    // localCheckpoint persists its RDD outside the CacheManager; track each
+    // round's blocks and release them as soon as the next round (or the
+    // staged result) is materialized — otherwise every round's edge list
+    // stays resident until driver GC
+    var live = checkpointRdd(e)
+    if (localThreshold > 0 && e.count() <= localThreshold) {
+      // toLocalIterator consumes the edge list fully inside localComponents
+      // (driver rows), so the checkpoint can be released immediately after
+      val out = try localComponents(e) finally live.foreach(_.unpersist(false))
+      return out
+    }
     def sig(df: DataFrame): (Long, Long) = {
       // bit_xor (not sum): order-independent and overflow-free under ANSI;
       // edges are distinct so xor cancellation can't mask a real change
@@ -405,17 +416,35 @@ object Dedup {
         .unionAll(withMin.select(col("m").as("a"), col("u").as("b")))
         .distinct()
         .localCheckpoint(true)
+      // the new checkpoint is materialized — the prior round's edge blocks
+      // are dead state; release them now instead of at driver GC
+      live.foreach(_.unpersist(false))
+      live = checkpointRdd(small)
       val cur = sig(small)
       converged = cur == prev
       prev = cur
       e = small
       it += 1
     }
-    // fixpoint is a star per component: every edge is (root, member)
-    e.select(col("b").as("id"), col("a").as("component"))
-      .unionAll(e.select(col("a").as("id"), col("a").as("component")))
-      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    // fixpoint is a star per component: every edge is (root, member).
+    // The component map (one row per node touched by an edge — bounded by
+    // 2× the pair count) is staged so the final checkpoint can be released.
+    val out = Staged.materialize(
+      e.select(col("b").as("id"), col("a").as("component"))
+        .unionAll(e.select(col("a").as("id"), col("a").as("component")))
+        .groupBy(col("id")).agg(min(col("component")).as("component")))
+    live.foreach(_.unpersist(false))
+    out
   }
+
+  /** The RDD a `localCheckpoint` persisted for `df` (its analyzed plan is a
+    * single `LogicalRDD` scan), for explicit release — `Dataset.unpersist`
+    * only covers CacheManager entries, not checkpoint blocks.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 
   /** Driver-side union-find (path halving + union by min) for small edge
     * lists — same output contract as the distributed branch.

@@ -45,32 +45,37 @@ object Pipeline {
     val s1Ids = Dedup.exactKeepMin(docs, textCol, idCol).select(idCol)
     val s1 = docs.join(s1Ids, Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage 2: near-dup pairs -> components -> keep each component's min.
+      // minhashNearDups and connectedComponents are each self-cleaning:
+      // they stage their bounded results and release their own caches
+      val pairs = Dedup.minhashNearDups(s1, idCol, textCol, minhashThreshold)
+      val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("id", idCol)
+      val s2 = s1.join(comp, Seq(idCol), "left")
+        .where(col("component").isNull || col("component") === col(idCol))
+        .drop("component")
 
-    // stage 2: near-dup pairs -> components -> keep each component's min.
-    // minhashNearDups persists the signatures internally (three consumers);
-    // connectedComponents keeps only the edge list as state
-    val pairs = Dedup.minhashNearDups(s1, idCol, textCol, minhashThreshold)
-    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
-      .withColumnRenamed("id", idCol)
-    val s2 = s1.join(comp, Seq(idCol), "left")
-      .where(col("component").isNull || col("component") === col(idCol))
-      .drop("component")
+      // stage 3: benchmark decontamination (n-gram overlap, benchmark grams
+      // broadcast — the corpus side never shuffles)
+      val contaminated = Curation.contaminatedIds(
+        s2, decontamBenchmark, idCol, textCol, decontamN)
+      val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
+        .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
 
-    // stage 3: benchmark decontamination (n-gram overlap, benchmark grams
-    // broadcast — the corpus side never shuffles)
-    val contaminated = Curation.contaminatedIds(
-      s2, decontamBenchmark, idCol, textCol, decontamN)
-    val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
-      .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
-
-    // stage 4: per-source token-budget mix (integer-exact rates, map-side
-    // keep filter)
-    val s4 = Sampling.tokenBudgetMix(s3, srcCol, col(idCol), "__n", budgetTokens)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // stage 5: pack the kept docs into fixed-budget training sequences
-    val packed = Packing.packOffsets(
-      s4.select(col(idCol), col("__n")), idCol, "__n", packBudget)
-    s4.select(col(idCol), col(srcCol)).join(packed, Seq(idCol))
+      // stage 4: per-source token-budget mix (integer-exact rates, map-side
+      // keep filter)
+      val s4 = Sampling.tokenBudgetMix(s3, srcCol, col(idCol), "__n", budgetTokens)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // stage 5: pack the kept docs into fixed-budget training sequences.
+        // The manifest (one row per surviving doc, ids + offsets only) is
+        // staged so both corpus-stage caches can be released before return.
+        val packed = Packing.packOffsets(
+          s4.select(col(idCol), col("__n")), idCol, "__n", packBudget)
+        Staged.materialize(
+          s4.select(col(idCol), col(srcCol)).join(packed, Seq(idCol)))
+      } finally s4.unpersist(false)
+    } finally s1.unpersist(false)
   }
 }

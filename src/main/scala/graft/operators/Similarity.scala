@@ -108,29 +108,37 @@ object Similarity {
     // bucket UDF runs ONCE per row and the 256-byte vector payload never
     // rides the ×tables explode shuffle: banding ships (id, table, bucket)
     // only, vectors join back for surviving candidates (the minhash
-    // ids-only banding shape). Eviction is safe — lineage recomputes.
+    // ids-only banding shape). The verified-pair RESULT (bounded by true
+    // near-neighbors) is staged and both caches released before returning
+    // — no resident blocks survive the call.
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).persist(mem)
     val bucketed0 = vecs
       .select(col("id"), posexplode(allBuckets(dim, bits, tables)(col("v")))
         .as(Seq("table", "bucket")))
       .persist(mem)
-    // degenerate-bucket skew guard (e.g. zero vectors all land in bucket 0):
-    // a bucket larger than maxBucket fans out quadratically — drop it before
-    // the self-join; at that density its members are not meaningful neighbors
-    val ok = bucketed0.groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-      .select("table", "bucket")
-    val bucketed = bucketed0.join(ok, Seq("table", "bucket"))
-    val a = bucketed.select(col("id").as("a_id"), col("table"), col("bucket"))
-    val b = bucketed.select(col("id").as("b_id"), col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
-      .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
-      .where(col("cos") >= threshold)
+    try {
+      // degenerate-bucket skew guard (e.g. zero vectors all land in bucket 0):
+      // a bucket larger than maxBucket fans out quadratically — drop it before
+      // the self-join; at that density its members are not meaningful neighbors
+      val ok = bucketed0.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+        .select("table", "bucket")
+      val bucketed = bucketed0.join(ok, Seq("table", "bucket"))
+      val a = bucketed.select(col("id").as("a_id"), col("table"), col("bucket"))
+      val b = bucketed.select(col("id").as("b_id"), col("table"), col("bucket"))
+      Staged.materialize(
+        a.join(b, Seq("table", "bucket"))
+          .where(col("a_id") < col("b_id"))
+          .dropDuplicates("a_id", "b_id")
+          .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+          .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+          .where(col("cos") >= threshold))
+    } finally {
+      bucketed0.unpersist(false)
+      vecs.unpersist(false)
+    }
   }
 
   // ---- IVF (inverted-file) ANN -------------------------------------------

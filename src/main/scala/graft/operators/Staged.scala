@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped staging for eager operator results.
+  *
+  * The pipeline operators persist large intermediates (minhash signatures,
+  * LSH bucket assignments, corpus stage boundaries) that are consumed
+  * several times while the operator computes. Returning a LAZY frame would
+  * pin those intermediates for the caller's lifetime — the caller may
+  * materialize (or re-materialize) at any point, so the operator could
+  * never safely unpersist, and a long-lived server accumulated cached
+  * corpora monotonically. Instead the operators materialize their SMALL
+  * result here (one parquet round-trip under `target/graft-staged/<jvm>`)
+  * and release every intermediate before returning. The returned frame is
+  * a plain parquet scan with no cache footprint:
+  * `sparkContext.getPersistentRDDs` is empty after each operator returns
+  * (PersistLifecycleSpec pins this for the gates).
+  *
+  * This mirrors the production shape — stage outputs land on storage at
+  * job boundaries (the reference archives its batches the same way,
+  * /root/reference/memstore/archiving.go:59-141). Staged results are
+  * bounded (near-dup pairs, component maps, pack manifests — never the
+  * corpus); the per-JVM directory is removed on exit.
+  */
+object Staged {
+  private lazy val root: java.nio.file.Path = {
+    val dir = java.nio.file.Paths
+      .get("target", "graft-staged", java.util.UUID.randomUUID().toString)
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(dir)
+    sys.addShutdownHook {
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    dir
+  }
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Materialize `df` (a SMALL result frame) to staging and return a
+    * self-contained scan of it. Parquet round-trips every Spark SQL type
+    * the operators emit (long/double/string/bool) exactly.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val path = root.resolve(s"s${seq.incrementAndGet()}")
+    df.write.mode("overwrite").parquet(path.toString)
+    val spark = df.sparkSession
+    // a zero-partition frame writes only _SUCCESS; fall back to an empty
+    // frame with the original schema rather than failing schema inference
+    val hasData = java.nio.file.Files.list(path)
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().isPresent
+    if (hasData) spark.read.schema(df.schema).parquet(path.toString)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
+  }
+}

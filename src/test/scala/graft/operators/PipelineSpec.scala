@@ -56,14 +56,40 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("persist boundaries: the candidate join reads cached signatures, not parquet") {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
-    val s1Ids = Dedup.exactKeepMin(input, "text", "doc_id").select("doc_id")
-    val s1 = input.join(s1Ids, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // minhashNearDups materializes its result internally (staged write) and
+    // releases the signature cache before returning — so the plan to audit
+    // is the STAGED WRITE's, captured via a QueryExecutionListener, not the
+    // returned frame's (that one is a plain staging scan by design).
+    val captured = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.QueryExecution]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // other suites share this session and may hold their own persisted
+    // blocks — scope the leak assertion to NEW entries from this call
+    val residentBefore = spark.sparkContext.getPersistentRDDs.keySet
     try {
-      val pairs = Dedup.minhashNearDups(s1, "doc_id", "text", 0.35)
-      pairs.collect()
-      val plan = pairs.queryExecution.executedPlan
+      val pairs = Dedup.minhashNearDups(input, "doc_id", "text", 0.35)
+      assert(pairs.count() > 0)
+      // listener delivery is asynchronous — poll for the write whose plan
+      // read the signature cache
+      val deadline = System.currentTimeMillis() + 30000
+      def findWrite() = captured.synchronized {
+        captured.find(qe =>
+          collectAll(qe.executedPlan) { case m: InMemoryTableScanExec => m }.nonEmpty)
+      }
+      var write = findWrite()
+      while (write.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        write = findWrite()
+      }
+      assert(write.nonEmpty, "no captured execution read the signature cache")
+      val plan = write.get.executedPlan
       val memScans = collectAll(plan) { case m: InMemoryTableScanExec => m }
       val fileScans = collectAll(plan) { case f: FileSourceScanExec => f }
       // banding side + both signature join-backs read the cache; nothing
@@ -71,6 +97,9 @@ class PipelineSpec extends SparkSpec {
       assert(memScans.size >= 3, s"expected >=3 cached scans:\n${plan.treeString.take(3000)}")
       assert(fileScans.isEmpty,
         s"candidate join re-read parquet:\n${plan.treeString.take(3000)}")
-    } finally s1.unpersist()
+      // and the operator released the cache on completion
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- residentBefore
+      assert(leaked.isEmpty, s"minhashNearDups left persisted RDDs resident: $leaked")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
