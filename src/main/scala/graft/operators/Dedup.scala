@@ -377,7 +377,7 @@ object Dedup {
     // round's blocks and release them as soon as the next round (or the
     // staged result) is materialized — otherwise every round's edge list
     // stays resident until driver GC
-    var live = checkpointRdd(e)
+    var live = Staged.checkpointRdd(e)
     if (localThreshold > 0 && e.count() <= localThreshold) {
       // toLocalIterator consumes the edge list fully inside localComponents
       // (driver rows), so the checkpoint can be released immediately after
@@ -419,7 +419,7 @@ object Dedup {
       // the new checkpoint is materialized — the prior round's edge blocks
       // are dead state; release them now instead of at driver GC
       live.foreach(_.unpersist(false))
-      live = checkpointRdd(small)
+      live = Staged.checkpointRdd(small)
       val cur = sig(small)
       converged = cur == prev
       prev = cur
@@ -436,15 +436,6 @@ object Dedup {
     live.foreach(_.unpersist(false))
     out
   }
-
-  /** The RDD a `localCheckpoint` persisted for `df` (its analyzed plan is a
-    * single `LogicalRDD` scan), for explicit release — `Dataset.unpersist`
-    * only covers CacheManager entries, not checkpoint blocks.
-    */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
 
   /** Driver-side union-find (path halving + union by min) for small edge
     * lists — same output contract as the distributed branch.

@@ -149,6 +149,10 @@ object Pq {
       bookB.destroy()
       it += 1
     }
+    // training is fully driver-eager — release the sample checkpoints so
+    // repeated training jobs leave no resident blocks
+    Staged.releaseCheckpoint(subs)
+    Staged.releaseCheckpoint(sampled)
     book
   }
 
@@ -238,20 +242,40 @@ object Pq {
     *
     * Returns (query_id, rank, neighbor_id, adc_dist).
     */
+  /** Train the IVF-PQ model alone: coarse centroids + residual codebook.
+    * Both are pure functions of the corpus (hash-sampled centroids, fixed
+    * Lloyd rounds), so callers may cache them per corpus fingerprint and
+    * skip retraining on every query batch — at production scale the model
+    * is trained once and served for months.
+    */
+  def ivfpqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 32, m: Int = 8, kCodes: Int = 16, iters: Int = 3)
+      : (Array[Array[Double]], Codebook) = {
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
+    val resid = Similarity.assignCells(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .withColumn("__resid", residualUdf(cents)(col(vecCol), col("cell")))
+      .select(col(idCol), col("cell"), col("__resid"))
+    val book = train(resid, idCol, "__resid", m, kCodes, iters)
+    (cents, book)
+  }
+
   def ivfpqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       nlist: Int = 32, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      trained: Option[(Array[Array[Double]], Codebook)] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
-    // (id, cell, residual) — consumed twice (train + encode): checkpoint
-    // so the assignment UDF runs once per row
+    val (cents, book) = trained.getOrElse(
+      ivfpqTrain(corpus, idCol, vecCol, nlist, m, kCodes, iters))
+    // (id, cell, residual) — consumed twice by encode+join: checkpoint so
+    // the assignment UDF runs once per row; released after the staged
+    // result materializes
     val resid = Similarity.assignCells(
         corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
       .withColumn("__resid", residualUdf(cents)(col(vecCol), col("cell")))
       .select(col(idCol), col("cell"), col("__resid"))
       .localCheckpoint(true)
-    val book = train(resid, idCol, "__resid", m, kCodes, iters)
     val codes = encode(resid, idCol, "__resid", book)
       .join(resid.select(col(idCol), col("cell")), Seq(idCol))
 
@@ -290,7 +314,12 @@ object Pq {
         adc(col("query_id"), col("cell"), col("codes")).as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // top-k result is bounded (k × queries); stage it so the residual
+    // checkpoint can be released before returning
+    val out = Staged.materialize(
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k))
+    Staged.releaseCheckpoint(resid)
+    out
   }
 }

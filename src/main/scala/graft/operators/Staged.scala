@@ -40,6 +40,19 @@ object Staged {
   }
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** The RDD a `localCheckpoint` persisted for `df` (its analyzed plan is
+    * a single `LogicalRDD` scan), for explicit release —
+    * `Dataset.unpersist` only covers CacheManager entries, not checkpoint
+    * blocks, which otherwise stay resident until driver GC.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(false))
+
   /** Materialize `df` (a SMALL result frame) to staging and return a
     * self-contained scan of it. Parquet round-trips every Spark SQL type
     * the operators emit (long/double/string/bool) exactly.

@@ -216,11 +216,9 @@ object PipelineQueries {
         |FROM embeddings WHERE vec_id < 20
         |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Paths.get(
-        s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9._-]", "_")}")
-        .toAbsolutePath.toString
-      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
-        nlist = 32, dir = dir)
+      // build-once fixture: the index is rebuilt only when the source
+      // fingerprint changes (AnnFixtures — atomic promote, race-safe)
+      val dir = AnnFixtures.ivfIndexDir(s, d, nlist = 32)
       val queries = emb.where(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
@@ -246,7 +244,8 @@ object PipelineQueries {
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val book = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      // build-once fixture: codebook trained once per source fingerprint
+      val book = AnnFixtures.pqBook(s, d, m = 8, k = 16, iters = 3)
       val queries = emb.where(col("vec_id") < 10)
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
@@ -271,8 +270,16 @@ object PipelineQueries {
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
           col("embedding")))
+      // build-once fixture: coarse centroids + residual codebook trained
+      // once per source fingerprint (the gate corpus is a pure function of
+      // the table); encode+search stay per-run
+      val model = AnnFixtures.cachedModel(d, "ivfpq-gate-n16-m8-k16-i3") {
+        Pq.ivfpqTrain(corpus, "vec_id", "embedding",
+          nlist = 16, m = 8, kCodes = 16, iters = 3)
+      }
       Pq.ivfpqTopK(corpus, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 1, nlist = 16, nProbe = 2)
+          queries, "vec_id", "embedding", k = 1, nlist = 16, nProbe = 2,
+          trained = Some(model))
         .groupBy("query_id")
         .agg(max(col("neighbor_id") === col("query_id") + 100000).as("copy_at_rank1"))
         .orderBy("query_id")
