@@ -1,0 +1,236 @@
+package graft.exec
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.DurationInt
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.aql.{AqlJson, AqlQuery, Expr, ExprParser, Render}
+import graft.functions.Hll
+
+/** Scatter-gather broker over N running [[graft.api.GraftServer]]
+  * instances — the reference's broker tier re-expressed for the HTTP
+  * facade. The reference builds a merge tree over datanode partials
+  * (/root/reference/broker/query_plan_agg.go:218-255) and folds results
+  * recursively in place (result_merge.go:42-141); the fold algebra is:
+  *
+  *   - sum / count → add,  min / max → compare
+  *   - avg → TWO scattered subqueries (sum + count(*),
+  *     query_plan_agg.go:239-245 + splitAvgQuery:439-469), each merged
+  *     additively, divided leaf-wise at the root (result_merge.go Avg)
+  *   - HLL → the `application/hll` binary bodies are fetched instead of
+  *     JSON estimates, registers merged by element-wise max (the HLL
+  *     semilattice), and the ESTIMATE computed once over the merged
+  *     sketch — merging estimates would double-count overlap
+  *   - non-agg → matrixData concatenated, explicit limit re-applied
+  *
+  * Deployment shape: each instance owns a slice of the fact table
+  * (disjoint day ranges / shard assignments, ref util.CalculateShardAssignment);
+  * dimension-table queries go to a single instance. `sorts`/`limit` on
+  * grouped aggregates are NOT pushed to instances — a group absent from
+  * one instance's local top-k would merge incompletely, and the reference
+  * broker never executes sorts at all — the broker fans the full group set.
+  *
+  * HLL dimension keys are rebuilt from the wire's raw values (enum dims
+  * decode through their dictionaries, numeric dims print as numbers) —
+  * time-FORMATTED dimension labels are a JSON-path nicety the binary wire
+  * does not carry, matching the reference's HLL response contract.
+  */
+final class Broker(hosts: Seq[String],
+    timeout: Duration = Duration.ofSeconds(120)) {
+  require(hosts.nonEmpty, "broker needs at least one instance")
+
+  private val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  /** Execute one AQL query (the JSON document) across every instance and
+    * return the merged AQLQueryResult JSON.
+    */
+  def aql(queryJson: String): String =
+    JsonMethods.compact(JsonMethods.render(merged(AqlJson.parseQuery(queryJson))))
+
+  def merged(q0: AqlQuery): JValue = {
+    require(q0.measures.length == 1,
+      "broker merges single-measure queries (the reference compiler enforces the same)")
+    val parsed = ExprParser.parse(q0.measures.head.sqlExpression)
+    parsed match {
+      case Expr.Num(1.0, _, true) => mergeNonAgg(q0)
+      case Expr.Call("avg", Seq(arg)) =>
+        // ref splitAvgQuery: same filters/dims, measure rewritten; aliases
+        // kept identical so the two trees share leaf keys
+        val m = q0.measures.head
+        val sums = scatterJson(stripSort(q0).copy(measures =
+          Seq(m.copy(sqlExpression = s"sum(${Render(arg)})"))))
+          .reduce(mergeTrees("sum"))
+        val counts = scatterJson(stripSort(q0).copy(measures =
+          Seq(m.copy(sqlExpression = "count(*)"))))
+          .reduce(mergeTrees("count"))
+        mergeTrees("avg")(sums, counts)
+      case Expr.Call(op, _) if op == "sum" || op == "count" || op == "min" || op == "max" =>
+        scatterJson(stripSort(q0)).reduce(mergeTrees(op))
+      case Expr.Call(op, _) if op == "countdistincthll" || op == "hll" =>
+        mergeHll(stripSort(q0))
+      case other => throw new IllegalArgumentException(
+        s"broker cannot merge measure '${q0.measures.head.sqlExpression}'")
+    }
+  }
+
+  /** Grouped top-k cannot be distributed by truncating per-instance
+    * results; the full group set is fanned and merged (see class doc).
+    */
+  private def stripSort(q: AqlQuery): AqlQuery =
+    q.copy(sorts = None, limit = Some(-1))
+
+  // ---- scatter ------------------------------------------------------------
+
+  private def post(host: String, body: String, accept: String): Array[Byte] = {
+    val req = HttpRequest.newBuilder(URI.create(s"$host/query/aql"))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .header("Accept", accept)
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"instance $host returned ${resp.statusCode()}: " +
+          new String(resp.body(), StandardCharsets.UTF_8).take(200))
+    resp.body()
+  }
+
+  private def requestBody(q: AqlQuery): String = {
+    implicit val formats: Formats = DefaultFormats
+    org.json4s.jackson.Serialization.write(Map("queries" -> Seq(q)))
+  }
+
+  /** One AQLQueryResult per instance (concurrent fan-out, ref
+    * query_plan_agg.go fetches datanodes in parallel goroutines).
+    */
+  private def scatterJson(q: AqlQuery): Seq[JValue] = {
+    val body = requestBody(q)
+    val futures = hosts.map(h => Future {
+      val resp = JsonMethods.parse(
+        new String(post(h, body, "application/json"), StandardCharsets.UTF_8))
+      resp \ "errors" match {
+        case JArray(errs) if errs.exists(_ != JNull) =>
+          throw new IllegalStateException(
+            s"instance $h failed: ${errs.collectFirst { case JString(s) => s }.getOrElse("?")}")
+        case _ =>
+      }
+      (resp \ "results") (0)
+    })
+    Await.result(Future.sequence(futures), 600.seconds)
+  }
+
+  // ---- merge algebra (result_merge.go:42-141) -----------------------------
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JDouble(d) => Some(d)
+    case JInt(i) => Some(i.toDouble)
+    case JLong(l) => Some(l.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def mergeTrees(op: String)(lhs: JValue, rhs: JValue): JValue = (lhs, rhs) match {
+    // a NULL leaf (key present, value null — e.g. sum over an all-null
+    // group): for avg the quotient is null (single-node parity; the
+    // reference errors here, a strictness we deliberately soften), for the
+    // other aggregates nulls are identity elements
+    case (JNull, r) => if (op == "avg") JNull else r
+    case (l, JNull) => if (op == "avg") JNull else l
+    // a key MISSING on one side: passes through for fold aggregates; for
+    // the avg root it means sum and count grouped differently — impossible
+    // for well-formed partials, error like the reference (result_merge.go:55-67)
+    case (JNothing, r) =>
+      if (op == "avg") throw new IllegalStateException(
+        "avg merge: dimension has only a count branch")
+      else r
+    case (l, JNothing) =>
+      if (op == "avg") throw new IllegalStateException(
+        "avg merge: dimension has only a sum branch")
+      else l
+    case (JObject(lf), JObject(rf)) =>
+      val keys = (lf.map(_._1) ++ rf.map(_._1)).distinct
+      JObject(keys.map(k => k -> mergeTrees(op)(lhs \ k, rhs \ k)): _*)
+    case (l, r) =>
+      (num(l), num(r)) match {
+        case (Some(a), Some(b)) => op match {
+          case "sum" | "count" => JDouble(a + b)
+          case "min" => JDouble(math.min(a, b))
+          case "max" => JDouble(math.max(a, b))
+          case "avg" => if (b == 0) JNull else JDouble(a / b)
+        }
+        case _ => throw new IllegalStateException(
+          s"merge type mismatch: ${l.getClass.getSimpleName} vs ${r.getClass.getSimpleName}")
+      }
+  }
+
+  // ---- HLL (register-max over binary partials) ----------------------------
+
+  private def mergeHll(q: AqlQuery): JValue = {
+    val body = requestBody(q)
+    val futures = hosts.map(h => Future(post(h, body, "application/hll")))
+    val bodies = Await.result(Future.sequence(futures), 600.seconds)
+    // per-instance blocks → (dim keys → registers), merged by register max
+    val merged = scala.collection.mutable.LinkedHashMap.empty[List[String], Array[Byte]]
+    bodies.foreach { bytes =>
+      val block = RefHllWire.readResults(bytes).head match {
+        case Right(b) => b
+        case Left(err) => throw new IllegalStateException(s"instance error: $err")
+      }
+      block.rows.zipWithIndex.foreach { case (row, r) =>
+        val key = row.dims.indices
+          .map(d => block.dimString(r, d).getOrElse("NULL")).toList
+        merged.get(key) match {
+          case Some(regs) => Hll.mergeInto(regs, row.registers)
+          case None => merged(key) = row.registers.clone()
+        }
+      }
+    }
+    val measureName = q.measures.head.alias.filter(_.nonEmpty).getOrElse("value")
+    if (q.dimensionList.isEmpty) {
+      val est = merged.headOption
+        .map(kv => JDouble(Hll.estimate(kv._2).toDouble)).getOrElse(JNull)
+      return JObject(measureName -> est)
+    }
+    merged.foldLeft(JObject(): JValue) { case (tree, (key, regs)) =>
+      insert(tree, key, JDouble(Hll.estimate(regs).toDouble))
+    }
+  }
+
+  private def insert(tree: JValue, keys: List[String], leaf: JValue): JValue =
+    keys match {
+      case Nil => leaf
+      case k :: rest =>
+        val obj = tree match { case o: JObject => o; case _ => JObject() }
+        val child = insert(obj \ k, rest, leaf)
+        JObject(obj.obj.filterNot(_._1 == k) :+ (k -> child): _*)
+    }
+
+  // ---- non-agg (concat + limit, ref broker's streaming plan) --------------
+
+  private def mergeNonAgg(q0: AqlQuery): JValue = {
+    // sorts are stripped (per-instance top-k does not concatenate into a
+    // global order; the reference parses but never executes sorts); the
+    // limit stays pushed — concat-then-take of per-instance limits is the
+    // standard distributed limit
+    val parts = scatterJson(q0.copy(sorts = None))
+    val headers = parts.head \ "headers"
+    val rows = parts.flatMap(p => (p \ "matrixData") match {
+      case JArray(rs) => rs
+      case _ => Nil
+    })
+    val limited = q0.limit match {
+      case Some(l) if l >= 0 => rows.take(l)
+      case _ => rows
+    }
+    JObject("headers" -> headers, "matrixData" -> JArray(limited.toList))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.exec
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.api.GraftServer
+import graft.aql.Catalog
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Broker scatter-gather: two embedded GraftServer instances each serve a
+  * DISJOINT DAY RANGE of the events fact table (the reference's shard
+  * deployment shape); the broker fans one AQL query over both and merges
+  * partials. Every merged result must equal the single-instance answer
+  * over the whole table — sum/count add, min/max compare, avg via
+  * sum+count subplans, HLL via register-max over binary sketch bodies.
+  */
+class BrokerSpec extends SparkSpec {
+
+  private val Split = "2024-01-15"
+
+  private def sliced(lower: Boolean): Catalog = {
+    val base = Catalog.testdata(sfDir)
+    val ev = base.tables("events")
+    val pred =
+      if (lower) col(graft.ingest.Archiver.DayCol) < lit(Split)
+      else col(graft.ingest.Archiver.DayCol) >= lit(Split)
+    base.copy(tables = base.tables +
+      ("events" -> ev.copy(load = s => ev.load(s).where(pred))))
+  }
+
+  private lazy val serverA = { val s = new GraftServer(sliced(lower = true), spark); s.start(); s }
+  private lazy val serverB = { val s = new GraftServer(sliced(lower = false), spark); s.start(); s }
+  private lazy val whole = { val s = new GraftServer(Catalog.testdata(sfDir), spark); s.start(); s }
+  private lazy val broker = new Broker(Seq(
+    s"http://localhost:${serverA.boundPort}",
+    s"http://localhost:${serverB.boundPort}"))
+
+  private val client = HttpClient.newHttpClient()
+
+  private def singleAnswer(queryJson: String): JValue = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://localhost:${whole.boundPort}/query/aql"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"""{"queries": [$queryJson]}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    (JsonMethods.parse(resp.body()) \ "results") (0)
+  }
+
+  /** Key-order-insensitive, numeric-type-insensitive comparison form. */
+  private def normalize(v: JValue): Any = v match {
+    case JObject(fields) =>
+      fields.map { case (k, c) => k -> normalize(c) }.sortBy(_._1)
+    case JArray(vs) => vs.map(normalize)
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => other
+  }
+
+  /** Structural equality with relative tolerance on numeric leaves: a
+    * distributed fold sums partials in a different order than the
+    * single-node aggregate, so double measures may differ in the last ulp
+    * (true of the reference's float64 merge too). Shape, keys, and
+    * integral leaves must match exactly.
+    */
+  private def close(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) =>
+      x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+    case (xs: List[_], ys: List[_]) =>
+      xs.length == ys.length && xs.zip(ys).forall { case (x, y) => close(x, y) }
+    case ((kx: String, vx), (ky: String, vy)) => kx == ky && close(vx, vy)
+    case (x, y) => x == y
+  }
+
+  private def assertClose(merged: JValue, expected: JValue, hint: String): Unit =
+    assert(close(normalize(merged), normalize(expected)),
+      s"$hint diverged:\n  merged:   ${JsonMethods.compact(JsonMethods.render(merged))}\n" +
+        s"  expected: ${JsonMethods.compact(JsonMethods.render(expected))}")
+
+  private def query(measure: String): String =
+    s"""{"table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "$measure"}],
+        "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200"}, "now": 1706659200}"""
+
+  test("sum / count / min / max merge to the single-table answer") {
+    Seq("sum(value)", "count(*)", "min(value)", "max(value)").foreach { m =>
+      val merged = JsonMethods.parse(broker.aql(query(m)))
+      val expected = singleAnswer(query(m))
+      assertClose(merged, expected, s"measure $m")
+      // and the scatter actually spanned both instances: each slice alone
+      // must NOT reproduce the whole-table count
+      if (m == "count(*)") {
+        val alone = JsonMethods.parse(
+          new Broker(Seq(s"http://localhost:${serverA.boundPort}")).aql(query(m)))
+        assert(normalize(alone) != normalize(expected), "slice A saw all rows")
+      }
+    }
+  }
+
+  test("avg merges through sum + count subplans") {
+    val merged = JsonMethods.parse(broker.aql(query("avg(value)")))
+    val expected = singleAnswer(query("avg(value)"))
+    assertClose(merged, expected, "avg(value)")
+  }
+
+  test("dimensionless aggregate merges to a single leaf") {
+    val q = s"""{"table": "events",
+        "measures": [{"alias": "total", "sqlExpression": "sum(value)"}],
+        "timeFilter": {"from": "1704067200"}, "now": 1706659200}"""
+    assertClose(JsonMethods.parse(broker.aql(q)), singleAnswer(q), "dimensionless sum")
+  }
+
+  test("HLL merges sketch registers, not estimates") {
+    val m = "countDistinctHLL(user_id)"
+    val merged = JsonMethods.parse(broker.aql(query(m)))
+    val expected = singleAnswer(query(m))
+    // register max over disjoint slices reconstructs the whole-table
+    // sketch exactly, so the estimates are identical — no tolerance needed
+    assert(normalize(merged) == normalize(expected))
+  }
+
+  test("non-agg rows concatenate with the limit re-applied") {
+    val q = s"""{"table": "events",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"sqlExpression": "event_id"}],
+        "timeFilter": {"from": "1704067200"}, "now": 1706659200, "limit": 50}"""
+    val merged = JsonMethods.parse(broker.aql(q))
+    val rows = (merged \ "matrixData").asInstanceOf[JArray].arr
+    assert(rows.length == 50)
+    // every row came from one of the slices (event_ids are unique)
+    assert(rows.map(_.asInstanceOf[JArray].arr.head).distinct.length == 50)
+  }
+}
