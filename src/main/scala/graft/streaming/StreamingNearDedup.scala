@@ -29,8 +29,11 @@ import graft.operators.Dedup
   *      plus Structured Streaming's checkpointed batch ids.
   *
   * Store size is O(corpus × bands) rows of (2 longs, id, 64-long sig) on
-  * storage, not executor memory; day-partition compaction/retention is
-  * the archive job's concern, as with the fact tables.
+  * storage, not executor memory. [[compactStore]] bounds the DIRECTORY
+  * count: per-batch appendices behind the replay horizon fold into one
+  * consolidated `base=` partition, so a long-running stream lists a
+  * handful of directories per batch instead of one per micro-batch ever
+  * processed.
   */
 object StreamingNearDedup {
 
@@ -121,12 +124,64 @@ object StreamingNearDedup {
     // and a local-only listing would silently return an empty store there
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // consolidated base partitions (compactStore output) + per-batch
+    // appendices newer than the compaction horizon
     val parts =
       if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(path).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("batch=") &&
-        st.getPath.getName != s"batch=$excludeBatchId")
+      else fs.listStatus(path).filter(st => st.isDirectory && (
+        st.getPath.getName.startsWith("base=") ||
+          (st.getPath.getName.startsWith("batch=") &&
+            st.getPath.getName != s"batch=$excludeBatchId")))
     if (parts.isEmpty) None
     else Some(spark.read.parquet(parts.map(_.getPath.toString).toIndexedSeq: _*))
+  }
+
+  /** Fold every `batch=<id>` directory with id <= `upToBatchId` — plus any
+    * older consolidated base — into ONE `base=<upToBatchId>` partition, so
+    * the store stops accreting a directory per micro-batch (the archive
+    * job plays the same role for the fact tables). Returns the number of
+    * directories folded.
+    *
+    * Horizon contract: `upToBatchId` must be BELOW any batch Structured
+    * Streaming could still replay (i.e. strictly less than the last
+    * committed batch id). A replayed batch excludes its own partial write
+    * from lookups BY DIRECTORY NAME, which stops working once its rows are
+    * folded into the base — keeping the horizon behind the commit point
+    * preserves the exactly-once argument unchanged.
+    *
+    * Crash-safety: the new base is fully written and renamed into place
+    * BEFORE the folded directories are removed. A crash in the cleanup
+    * window leaves duplicate rows (batch dir + base copy), which are
+    * harmless to lookups (store hits fold through min(rep_id)) and are
+    * re-canonicalized by the next compaction's dropDuplicates; a re-run
+    * with the same horizon skips the (already promoted) base and finishes
+    * the cleanup.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+      upToBatchId: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    def idOf(name: String, prefix: String): Option[Long] =
+      if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption else None
+    val all = fs.listStatus(root).filter(_.isDirectory)
+    val folded = all.filter { st =>
+      val n = st.getPath.getName
+      idOf(n, "batch=").exists(_ <= upToBatchId) ||
+        idOf(n, "base=").exists(_ < upToBatchId)
+    }
+    if (folded.isEmpty) return 0
+    val target = new org.apache.hadoop.fs.Path(root, s"base=$upToBatchId")
+    if (!fs.exists(target)) {
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".compact-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.read.parquet(folded.map(_.getPath.toString).toIndexedSeq: _*)
+        .dropDuplicates("band", "bucket", "rep_id")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"compaction rename failed: $tmp -> $target")
+    }
+    folded.foreach(st => fs.delete(st.getPath, true))
+    folded.length
   }
 }

@@ -48,6 +48,54 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(b2(21L) == ((false, Some(11L))), b2.toString)
   }
 
+  test("compaction folds old batch dirs; hits, replay and growth bound survive") {
+    val dir = java.nio.file.Files.createTempDirectory("neardedup-compact").toString
+    def dirs(): Set[String] = {
+      val f = new java.io.File(dir)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSet
+    }
+    // four batches, each storing one fresh doc
+    StreamingNearDedup.processBatch(docs(1L -> base), "doc_id", "text", dir, 0L, 0.35)
+    StreamingNearDedup.processBatch(
+      docs(2L -> "totally different content about joins and exchanges in query plans today"),
+      "doc_id", "text", dir, 1L, 0.35)
+    StreamingNearDedup.processBatch(
+      docs(3L -> "yet another unrelated body of text describing archives and snapshots"),
+      "doc_id", "text", dir, 2L, 0.35)
+    StreamingNearDedup.processBatch(
+      docs(4L -> "fourth subject matter entirely about brokers and merged partial results"),
+      "doc_id", "text", dir, 3L, 0.35)
+    assert(dirs().count(_.startsWith("batch=")) == 4)
+
+    // compact everything behind the replay horizon (last committed = 3)
+    val folded = StreamingNearDedup.compactStore(spark, dir, upToBatchId = 2L)
+    assert(folded == 3, s"folded $folded")
+    assert(dirs() == Set("base=2", "batch=3"), dirs().toString)
+
+    // cross-batch hit against a representative that now lives in the base
+    val b4 = decisions(StreamingNearDedup.processBatch(
+      docs(40L -> (base + " qq")), "doc_id", "text", dir, 4L, 0.35))
+    assert(b4(40L) == ((false, Some(1L))), b4.toString)
+
+    // replaying the post-horizon batch still overwrites, not duplicates
+    StreamingNearDedup.processBatch(
+      docs(4L -> "fourth subject matter entirely about brokers and merged partial results"),
+      "doc_id", "text", dir, 3L, 0.35)
+    val afterReplay = spark.read.parquet(s"$dir/batch=3").count()
+    assert(afterReplay > 0)
+
+    // a second compaction advances the horizon and stays bounded
+    StreamingNearDedup.compactStore(spark, dir, upToBatchId = 4L)
+    assert(dirs().count(d => d.startsWith("base=") || d.startsWith("batch=")) <= 2,
+      dirs().toString)
+    // and the folded store still answers: near-dup of doc 2 resolves to 2
+    val b6 = decisions(StreamingNearDedup.processBatch(
+      docs(60L -> "totally different content about joins and exchanges in query plans today ok"),
+      "doc_id", "text", dir, 6L, 0.35))
+    assert(b6(60L) == ((false, Some(2L))), b6.toString)
+  }
+
   test("replaying a batch rewrites its store directory: no duplicate state") {
     val dir = java.nio.file.Files.createTempDirectory("neardedup-replay").toString
     val batch = docs(1L -> base, 2L -> "some completely other words that share nothing with the fox text at all")
