@@ -1,0 +1,113 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.aql.Catalog
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Client → server → AQL round trip over the reference binary wire: the
+  * connector fetches the schema, auto-expands enum dictionaries, encodes
+  * the batch and POSTs it; the server's decoder ingests it; AQL reads it
+  * back. Closes the reference's client/ surface from both ends
+  * (client/connector.go:148-190 ↔ api/UpsertBatchWire).
+  */
+class UpsertClientSpec extends SparkSpec {
+
+  private lazy val server = {
+    val s = new GraftServer(Catalog.testdata(sfDir), spark)
+    s.start()
+    s
+  }
+  private lazy val base = s"http://localhost:${server.boundPort}"
+  private lazy val client = new UpsertClient(base)
+  private val http = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String) =
+    http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("client insert round-trips: schema fetch, enum auto-expand, query back") {
+    val create = post("/schema/tables", """{
+      "name": "client_rides", "isFactTable": true,
+      "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "ride_id", "type": "Int64"},
+        {"name": "city", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"},
+        {"name": "surge", "type": "Bool"},
+        {"name": "rider", "type": "UUID"}
+      ],
+      "primaryKeyColumns": [1]
+    }""")
+    assert(create.statusCode() == 200, create.body())
+    // seed ONE case; the client must auto-expand "nyc" and "chi"
+    assert(post("/schema/tables/client_rides/columns/city/enum-cases",
+      """{"enumCases": ["sf"]}""").statusCode() == 200)
+
+    val inserted = client.insert("client_rides",
+      Seq("request_at", "ride_id", "city", "fare", "surge", "rider"),
+      Seq(
+        Seq(1706572800L, 1L, "sf", 10.5f, true, "0f0e0d0c-0b0a-0908-0706-050403020100"),
+        Seq(1706572860L, 2L, "nyc", null, false, "00112233-4455-6677-8899-aabbccddeeff"),
+        Seq(1706572920L, 3L, "chi", 4.5f, true, null),
+        Seq(1706572980L, 4L, "sf", 2.0f, null, null)))
+    assert(inserted == 4L)
+
+    val q = post("/query/aql", """{"queries": [{"table": "client_rides",
+      "measures": [{"alias": "total_fare", "sqlExpression": "sum(fare)"}],
+      "dimensions": [{"alias": "city", "sqlExpression": "city"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+    assert(q.statusCode() == 200, q.body())
+    val result = (JsonMethods.parse(q.body()) \ "results")(0)
+      .asInstanceOf[JObject].values
+    assert(result("sf") == 12.5, result)
+    assert(result("chi") == 4.5, result)
+
+    // the UUID column survives the 16-byte wire round trip
+    val u = post("/query/aql", """{"queries": [{"table": "client_rides",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "rowFilters": ["rider = '00112233-4455-6677-8899-aabbccddeeff'"],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+    assert(u.statusCode() == 200, u.body())
+    val un = (JsonMethods.parse(u.body()) \ "results")(0).asInstanceOf[JObject].values
+    assert(un("n") == 1.0, u.body())
+  }
+
+  test("client validates primary key and fact-table time column presence") {
+    val pkErr = intercept[IllegalArgumentException] {
+      client.insert("client_rides", Seq("request_at", "city"),
+        Seq(Seq(1706573000L, "sf")))
+    }
+    assert(pkErr.getMessage.contains("primary key"), pkErr.getMessage)
+    val timeErr = intercept[IllegalArgumentException] {
+      client.insert("client_rides", Seq("ride_id", "city"),
+        Seq(Seq(9L, "sf")))
+    }
+    assert(timeErr.getMessage.contains("time column"), timeErr.getMessage)
+    val widthErr = intercept[IllegalArgumentException] {
+      client.insert("client_rides", Seq("request_at", "ride_id", "extra"),
+        Seq(Seq(1706573000L, 9L, 1L)))
+    }
+    assert(widthErr.getMessage.contains("not in"), widthErr.getMessage)
+  }
+
+  test("encoder output decodes bit-exactly through the server-side reader") {
+    val bytes = UpsertClient.encode(3, 1706659200L, Seq(
+      (0, UpsertBatchWire.Uint32, IndexedSeq(Some(1L), Some(2L), Some(3L))),
+      (1, UpsertBatchWire.Int64, IndexedSeq(Some(-7L), None, Some(9L))),
+      (2, UpsertBatchWire.Bool, IndexedSeq(Some(true), Some(false), Some(true))),
+      (3, UpsertBatchWire.GeoPoint, IndexedSeq(Some((1.5f, -2.5f)), None, None)),
+      (4, UpsertBatchWire.BigEnum, IndexedSeq(None, None, None))))
+    val batch = UpsertBatchWire.decode(bytes)
+    assert(batch.numRows == 3)
+    assert(batch.columns.map(_.columnId) == Seq(0, 1, 2, 3, 4))
+    assert(batch.columns(0).values == IndexedSeq(Some(1L), Some(2L), Some(3L)))
+    assert(batch.columns(1).values == IndexedSeq(Some(-7L), None, Some(9L)))
+    assert(batch.columns(2).values == IndexedSeq(Some(true), Some(false), Some(true)))
+    assert(batch.columns(3).values == IndexedSeq(Some((1.5f, -2.5f)), None, None))
+    assert(batch.columns(4).values == IndexedSeq(None, None, None))
+  }
+}
