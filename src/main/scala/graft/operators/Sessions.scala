@@ -80,13 +80,39 @@ object Sessions {
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       periodSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val period = floor(unix_timestamp(col(tsCol)) / periodSeconds).cast("long")
     val withPeriod = events.select(col(userCol).as("__u"), period.as("__p"))
     val firsts = withPeriod.groupBy("__u").agg(min("__p").as("cohort_period"))
-    withPeriod.join(firsts, "__u")
-      .groupBy(col("cohort_period"),
-        (col("__p") - col("cohort_period")).as("period_offset"))
-      .agg(count_distinct(col("__u")).as("users"))
+    // dedup to one (cohort, offset, user) triple — the group keys INCLUDE
+    // the user, so off a user-partitioned source (the bucketed events
+    // layout) the aggregate rides the existing partitioning with no
+    // exchange, and each distinct triple exists exactly once globally
+    val dedup = withPeriod.join(firsts, "__u")
+      .select(col("cohort_period"),
+        (col("__p") - col("cohort_period")).as("period_offset"),
+        col("__u"))
+      .dropDuplicates()
+    // count WITHOUT a re-key shuffle: every triple is globally unique, so
+    // per-partition counts are disjoint contributions — one narrow
+    // partial-count pass (≤ triangle-size rows per partition, weeks² not
+    // corpus-sized), then coalesce(1) whose SinglePartition satisfies the
+    // final aggregation's distribution with no Exchange node. This is the
+    // partial/final merge shape with the exchange replaced by a narrow
+    // read of bounded partials.
+    val partials = dedup.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      it.foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      m.iterator.map { case ((c, o), n) => (c, o, n) }
+    }
+    partials.toDF("cohort_period", "period_offset", "__n")
+      .coalesce(1)
+      .groupBy("cohort_period", "period_offset")
+      .agg(sum("__n").as("users"))
   }
 
   /** Per-stage user counts for a funnel — the headline funnel report.

@@ -76,13 +76,13 @@ class BucketedGatesSpec extends SparkSpec {
     assert(countShuffles(plan) == 0, plan.toString)
   }
 
-  test("cohort retention shuffles only the deduped re-key, not events") {
-    // first-period agg (user-keyed: free) + join back (user-keyed: free);
-    // the single remaining exchange carries distinct (cohort, offset, user)
-    // tuples for the final re-key — post-dedup, not event-grain
+  test("cohort retention runs with zero shuffles off the bucketed layout") {
+    // first-period agg (user-keyed: free) + join back (user-keyed: free) +
+    // triple dedup (group keys include user: free) + partial counts merged
+    // through coalesce(1) — no exchange anywhere, event-grain or otherwise
     val df = Sessions.cohortRetention(ev, "user_id", "ts", 604800L)
     val plan = executed(df)
-    assert(countShuffles(plan) <= 1, plan.toString)
+    assert(countShuffles(plan) == 0, plan.toString)
   }
 
   test("as-of join from the bucketed table runs with zero shuffles") {
