@@ -491,14 +491,13 @@ object PipelineQueries {
     // CC keep-min → decontam → token-budget mix → sequence packing, as ONE
     // job. The oracle recomputes EVERY stage exactly — including the
     // near-dup components, via exact 3-shingle jaccard + a recursive-CTE
-    // transitive closure. That is sound on this corpus because its exact
-    // pairwise-jaccard distribution has a measured gap: every organic pair
-    // is either >= 0.9 or < 0.1 (nothing in [0.1, 0.9) at sf0.01), and the
-    // planted mutated copies sit at s/(s+4) >= 0.67 (min 8 shingles/doc) —
-    // so the 64-hash MinHash estimate and banding cannot move any pair
-    // across the 0.35 threshold, and the engine-found COMPONENTS (which is
-    // all keep-min consumes; individual edges may differ inside a
-    // component) equal the exact-jaccard components. Planted signal: exact
+    // transitive closure. That is sound on this corpus because the
+    // engine's minhash+banding pair set at the 0.35 threshold EQUALS the
+    // exact-jaccard pair set — a fixture property (the corpus keeps clear
+    // of the estimate boundary; measured at sf0.01: organic pairs <= 0.103
+    // or >= 0.666) that q_pipeline_oracle_guard CHECKS cross-engine every
+    // round instead of assuming: a regenerated fixture that breaks the
+    // equality fails the guard gate loudly by name. Planted signal: exact
     // copies (+100000) must die in stage 1, mutated copies (+200000) in
     // stage 2 — the output's doc_id range pins both.
     QueryDef("q_pipeline_e2e",
@@ -575,6 +574,52 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("start_tok"), col("first_seq"), col("last_seq"))
         .orderBy("doc_id")
+    },
+
+    // --- pipeline-oracle soundness guard. q_pipeline_e2e's exact oracle
+    // (recursive-CTE closure over exact-jaccard edges) equals the engine
+    // ONLY while minhash estimation + banding agree with exact 3-shingle
+    // jaccard about which pairs cross the 0.35 threshold — a property of
+    // the FIXTURE's pairwise distribution (the sf0.01 corpus keeps clear
+    // of the boundary: nothing in (0.103, 0.666)). This gate checks the
+    // precondition DIRECTLY: the engine's pair set (est_jaccard >= 0.35,
+    // banding and all) must EQUAL the exact-jaccard pair set (integer
+    // inequality, same definition as the oracle's edges CTE) — edge-set
+    // equality is strictly stronger than the component equality the
+    // pipeline oracle needs. The oracle recomputes the exact pair count
+    // and pins the equality flag to a literal TRUE, so a regenerated
+    // fixture that lands a pair on the wrong side of an estimate or a
+    // banding miss fails THIS gate loudly by name instead of silently
+    // flaking q_pipeline_e2e.
+    // The engine side emits its PAIR SET (one minhash run, cheap at any
+    // sf); the oracle recomputes the exact-jaccard pair set in DuckDB, so
+    // the driver's row-hash compare IS the edge-set equality check and
+    // the bench never pays for an all-pairs exact join.
+    QueryDef("q_pipeline_oracle_guard",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz yy xx' FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |    i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM input)
+        |  WHERE len(ts) >= 3),
+        |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |e0 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT CAST(a AS BIGINT) AS a_id, CAST(b AS BIGINT) AS b_id
+        |FROM e0
+        |JOIN szs sa ON sa.doc_id = e0.a JOIN szs sb ON sb.doc_id = e0.b
+        |WHERE 100 * e0.i >= 35 * (sa.n + sb.n - e0.i)
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val input = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
+      Dedup.minhashNearDups(input, "doc_id", "text", 0.35)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
     },
 
     // decode itself is a declared stub (width = 64 + payload[0] & 0x7F), but
