@@ -36,8 +36,13 @@ import graft.ingest.Upsert
   * batches layered over archive batches. Archiving the overlay back to
   * day-partitioned parquet is [[graft.ingest.Archiver]]'s job.
   */
+/** @param schemaSyncDir shared directory for cross-instance schema
+  *   propagation (see [[SchemaSync]]): mutations publish the schema-store
+  *   snapshot there, and a poller applies newer snapshots from peers
+  */
 final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
-    strictCompat: Boolean = false) {
+    strictCompat: Boolean = false, schemaSyncDir: Option[String] = None,
+    schemaSyncPollMillis: Long = 2000) {
 
   private val live = TrieMap.empty[String, DataFrame]
   private val seqCounter = new AtomicLong(0)
@@ -47,6 +52,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private val drained = TrieMap.empty[String, String]
   /** Metastore for tables created through the schema mutation API. */
   val schemaStore = new SchemaStore
+
+  /** Cross-instance schema propagation (the controller-tier analogue): a
+    * fresh instance pulls the shared snapshot before serving; every local
+    * schema mutation publishes.
+    */
+  private val schemaSync = schemaSyncDir.map { d =>
+    val s = new SchemaSync(schemaStore, d, schemaSyncPollMillis)
+    s.pull()
+    s
+  }
 
   /** Layered load: live overlay → drained archive → base loader. The
     * archive read merges per-file schemas — day partitions written before
@@ -150,6 +165,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     respond(ex, 200, metrics.renderJson)
   })
 
+  // debug console — the reference ships a swagger + debug UI under
+  // api/ui/; this is the equivalent single-page console over the data
+  // endpoints that already exist: /metrics (live counters + recent query
+  // table), /schema/tables (catalog browser), /dbg/plan (paste an AQL
+  // document, read the formatted physical plan)
+  server.createContext("/ui", (ex: HttpExchange) => handle(ex) {
+    respondBytes(ex, 200, "text/html; charset=utf-8",
+      GraftServer.ConsoleHtml.getBytes(StandardCharsets.UTF_8))
+  })
+
   // plan inspection: `GET /dbg/plan?query=<url-encoded AQL JSON>` or the
   // AQL JSON as a POST body → the formatted physical plan, unexecuted
   // (ref api/debug_handler.go:40+ exposes per-shard internals; the Spark
@@ -187,11 +212,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       throw new IllegalArgumentException(s"table $table has no primary key")
     val raw = ex.getRequestBody.readAllBytes()
     val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-    val body =
+    val n =
       if (contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw))
-        binaryBatchToJson(table, UpsertBatchWire.decode(raw))
-      else new String(raw, StandardCharsets.UTF_8)
-    val n = ingest(td, body)
+        // enum-dictionary resolution and the ingest run under ONE table
+        // lock (reentrant with ingest's own): a concurrent enum-case
+        // extension can no longer slip between dictionary read and row
+        // decode and null out fresh cases mid-batch
+        tableLocks.getOrElseUpdate(table, new Object).synchronized {
+          ingest(td, binaryBatchToJson(table, UpsertBatchWire.decode(raw)))
+        }
+      else ingest(td, new String(raw, StandardCharsets.UTF_8))
     respond(ex, 200, s"""{"rowsInserted":$n}""")
   })
 
@@ -224,8 +254,13 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       case (c, name)
           if c.dataType == UpsertBatchWire.SmallEnum ||
             c.dataType == UpsertBatchWire.BigEnum =>
-        ts.map(_ => schemaStore.listEnumCases(table, name).toIndexedSeq)
-          .getOrElse(IndexedSeq.empty)
+        // a wire enum column needs a dictionary to mean anything; a table
+        // outside the schema store has none, and silently decoding every
+        // value to null would corrupt the batch — fail the request instead
+        if (ts.isEmpty) throw new IllegalArgumentException(
+          s"binary enum column $name: table $table has no enum dictionary " +
+            "(enum wire columns require a schema-store table)")
+        schemaStore.listEnumCases(table, name).toIndexedSeq
       case _ => IndexedSeq.empty
     }
     val rows = (0 until batch.numRows).map { r =>
@@ -270,7 +305,12 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
     val method = ex.getRequestMethod
     def body() = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    def ok(j: JValue): Unit = respond(ex, 200, JsonMethods.compact(JsonMethods.render(j)))
+    // every successful schema MUTATION publishes the snapshot to the
+    // shared sync directory before the response goes out
+    def ok(j: JValue): Unit = {
+      if (method != "GET") schemaSync.foreach(_.publish())
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(j)))
+    }
 
     (method, segs) match {
       case ("GET", Nil) =>
@@ -510,7 +550,70 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     ex.getResponseBody.write(body)
   }
 
-  def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def start(): Unit = {
+    schemaSync.foreach(_.start())
+    server.start()
+  }
+  def stop(): Unit = {
+    schemaSync.foreach(_.close())
+    server.stop(0)
+  }
   def boundPort: Int = server.getAddress.getPort
+}
+
+object GraftServer {
+  /** The debug console page (served at GET /ui). Static, dependency-free
+    * HTML+JS over the JSON endpoints — the Spark-side counterpart of the
+    * reference's bundled debug UI (/root/reference/api/ui/).
+    */
+  private[api] val ConsoleHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft console</title>
+      |<style>
+      | body{font-family:ui-monospace,Menlo,monospace;margin:1.5rem;background:#111;color:#ddd}
+      | h1{font-size:1.1rem} h2{font-size:.95rem;margin-top:1.4rem;color:#9cf}
+      | table{border-collapse:collapse;font-size:.8rem}
+      | td,th{border:1px solid #333;padding:.25rem .5rem;text-align:left}
+      | th{background:#1b1b1b} tr:nth-child(even){background:#161616}
+      | textarea{width:100%;height:8rem;background:#161616;color:#ddd;border:1px solid #333}
+      | pre{background:#161616;border:1px solid #333;padding:.6rem;overflow:auto;font-size:.75rem}
+      | button{background:#234;border:1px solid #456;color:#ddd;padding:.3rem .8rem;cursor:pointer}
+      | .stat{display:inline-block;margin-right:1.5rem}
+      | .stat b{color:#9f9;font-size:1.1rem}
+      |</style></head><body>
+      |<h1>graft console</h1>
+      |<div id="stats"></div>
+      |<h2>recent queries</h2>
+      |<table id="recent"><thead><tr><th>endpoint</th><th>table</th>
+      |<th>wall ms</th><th>rows scanned</th><th>rows out</th></tr></thead>
+      |<tbody></tbody></table>
+      |<h2>tables</h2><pre id="tables"></pre>
+      |<h2>plan debugger</h2>
+      |<p>paste an AQL query document and read the formatted physical plan (unexecuted):</p>
+      |<textarea id="aql">{"table": "events",
+      | "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      | "dimensions": [{"alias": "et", "sqlExpression": "event_type"}]}</textarea>
+      |<p><button onclick="plan()">explain</button></p>
+      |<pre id="plan"></pre>
+      |<script>
+      |async function refresh(){
+      |  const m = await (await fetch('/metrics')).json();
+      |  document.getElementById('stats').innerHTML =
+      |    ['queries','errors','ingestedRows','ingestBatches']
+      |      .filter(k => k in m)
+      |      .map(k => `<span class="stat">${k} <b>${m[k]}</b></span>`).join('');
+      |  const tb = document.querySelector('#recent tbody');
+      |  tb.innerHTML = (m.recent||[]).slice(-20).reverse().map(r =>
+      |    `<tr><td>${r.endpoint||''}</td><td>${r.table||''}</td>`+
+      |    `<td>${r.wallMs??''}</td><td>${r.rowsScanned??''}</td><td>${r.rowsOut??''}</td></tr>`).join('');
+      |  const ts = await (await fetch('/schema/tables')).json();
+      |  document.getElementById('tables').textContent = ts.join('  ');
+      |}
+      |async function plan(){
+      |  const r = await fetch('/dbg/plan', {method:'POST',
+      |    body: document.getElementById('aql').value});
+      |  document.getElementById('plan').textContent = await r.text();
+      |}
+      |refresh(); setInterval(refresh, 5000);
+      |</script></body></html>""".stripMargin
 }

@@ -267,4 +267,22 @@ final class SchemaStore {
 
   private def require(name: String): AqlTableSchema =
     tables.getOrElse(name, throw ParseException(s"unknown table: $name", 0))
+
+  /** Full state for cross-instance propagation ([[SchemaSync]]). */
+  def snapshot: (Seq[AqlTableSchema], Map[(String, String), Vector[String]]) =
+    synchronized {
+      (tables.values.toSeq.sortBy(_.name), enums.toMap)
+    }
+
+  /** Replace the whole store with a shared snapshot (applied only for
+    * snapshots strictly newer than the last — [[SchemaSync]] guards the
+    * version ordering).
+    */
+  def applySnapshot(newTables: Seq[AqlTableSchema],
+      newEnums: Map[(String, String), Vector[String]]): Unit = synchronized {
+    tables.clear()
+    newTables.foreach(t => tables.put(t.name, t))
+    enums.clear()
+    newEnums.foreach { case (k, v) => enums.put(k, v) }
+  }
 }

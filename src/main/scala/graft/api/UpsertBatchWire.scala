@@ -105,6 +105,16 @@ object UpsertBatchWire {
             val b = cur; cur += align(numRows, 8) / 8; Some(b)
           } else None
           val valueBase = align(cur, 8)
+          // a truncated or crafted batch must fail as a layout error, not
+          // surface as a bare IndexOutOfBoundsException from a row read:
+          // require the column's full null+value extent inside the body
+          val valueBytes =
+            if (dataType == Bool) align(numRows, 8) / 8
+            else numRows * ((dataType & 0xFFFF) / 8)
+          require(valueBase + valueBytes <= body.length,
+            s"column $c (id $columnId, mode $mode) needs bytes " +
+              s"[$start, ${valueBase + valueBytes}) but the batch body has " +
+              s"${body.length} bytes — truncated or malformed batch")
           def valid(row: Int): Boolean = nullBase.forall(bit(_, row))
           (0 until numRows).map { row =>
             if (!valid(row)) None

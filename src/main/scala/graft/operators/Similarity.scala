@@ -268,6 +268,20 @@ object Similarity {
       maxCell: Int = maxCellForPairBudget(DefaultCellPairBudget)): DataFrame = {
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("cell"))
+    // no-silent-caps: when running under the DEFAULT pair budget (the
+    // round-7 cap change dropped it from 100000 to ~2000), detect and log
+    // dropped cells eagerly so default-arg callers see the recall change
+    // at runtime instead of in a comment. Callers who pass an explicit
+    // cap opted in knowingly and skip the detection pass.
+    if (maxCell == maxCellForPairBudget(DefaultCellPairBudget)) {
+      val dropped = cells.groupBy("cell").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxCell).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semanticNearDups: $dropped cell(s) exceed the default pair-budget " +
+            s"cap maxCell=$maxCell and are DROPPED from the pair search; " +
+            "pass an explicit maxCell to search them")
+    }
     val w = Window.partitionBy("cell")
     val capped = cells.withColumn("__n", count(lit(1)).over(w))
       .where(col("__n") <= maxCell).drop("__n")

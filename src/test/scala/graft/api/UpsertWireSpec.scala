@@ -158,6 +158,33 @@ class UpsertWireSpec extends SparkSpec {
     assert(resp.body().contains("\"rowsInserted\":1"))
   }
 
+  test("enum wire column against a table without a dictionary is rejected, not nulled") {
+    // `documents` lives in the base catalog, not the schema store — an
+    // enum wire column has no dictionary there and must fail loudly
+    // (silently decoding every value to null corrupts the batch)
+    val batch = encodeBatch(1, Seq(
+      (0, UpsertBatchWire.Int64, Seq(Some(999999L))),
+      (1, UpsertBatchWire.SmallEnum, Seq(Some(0L)))))
+    val resp = postBytes("/data/documents", batch, "application/upsert-data")
+    assert(resp.statusCode() == 400, s"${resp.statusCode()}: ${resp.body()}")
+    assert(resp.body().contains("enum dictionary"), resp.body())
+  }
+
+  test("truncated batch fails with a layout error, not an index exception") {
+    val full = encodeBatch(2, Seq(
+      (0, UpsertBatchWire.Uint32, Seq(Some(1706573000L), Some(1706573060L))),
+      (1, UpsertBatchWire.Int64, Seq(Some(21L), Some(22L)))))
+    val truncated = java.util.Arrays.copyOf(full, full.length - 8)
+    val err = intercept[IllegalArgumentException] {
+      UpsertBatchWire.decode(truncated)
+    }
+    assert(err.getMessage.contains("truncated or malformed"), err.getMessage)
+    // and over HTTP it surfaces as a 400 with the descriptive message
+    val resp = postBytes("/data/wire_rides", truncated, "application/upsert-data")
+    assert(resp.statusCode() == 400, s"${resp.statusCode()}: ${resp.body()}")
+    assert(resp.body().contains("truncated or malformed"), resp.body())
+  }
+
   test("GET /metrics reports per-query wall time and rows scanned") {
     val q = post("/query/aql", """{"queries": [{"table": "documents",
       "measures": [{"alias": "n", "sqlExpression": "count(*)"}]}]}""")
@@ -173,6 +200,16 @@ class UpsertWireSpec extends SparkSpec {
       (s \ "table").extract[String] == "documents").get
     assert((docStat \ "rowsScanned").extract[Long] > 0L, m.body())
     assert((docStat \ "wallMs").extract[Long] >= 0L)
+  }
+
+  test("GET /ui serves the debug console over the data endpoints") {
+    val resp = get("/ui")
+    assert(resp.statusCode() == 200, resp.body().take(200))
+    assert(resp.body().contains("graft console"))
+    // the console drives exactly the endpoints that exist
+    assert(resp.body().contains("/metrics"))
+    assert(resp.body().contains("/dbg/plan"))
+    assert(resp.body().contains("/schema/tables"))
   }
 
   test("GET /dbg/plan returns the formatted physical plan, unexecuted") {

@@ -47,10 +47,36 @@ class OperatorPlanSpec extends SparkSpec {
   }
 
   test("IVF-PQ search side joins the probed cells by broadcast") {
-    val emb = Tables.embeddings(spark, sfDir)
-    val queries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
-    val plan = planString(Pq.ivfpqTopK(emb, "vec_id", "embedding",
-      queries, "vec_id", "embedding", k = 1, nlist = 8, nProbe = 2))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // ivfpqTopK materializes its result internally (staged write + cache
+    // release), so the plan to audit is the staged write's — captured via
+    // a QueryExecutionListener, not the returned staging scan
+    val captured = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.QueryExecution]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      Pq.ivfpqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, nlist = 8, nProbe = 2)
+      val deadline = System.currentTimeMillis() + 30000
+      def hasBroadcast = captured.synchronized {
+        captured.exists { qe =>
+          def planOf(p: SparkPlan): SparkPlan = p match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case other => other
+          }
+          planOf(qe.executedPlan).treeString.contains("BroadcastHashJoin")
+        }
+      }
+      while (!hasBroadcast && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(hasBroadcast, "no captured execution broadcast the probed cells")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
