@@ -427,15 +427,25 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           case other => other
         }
       }
-      // enum auto-expansion (ref api/enum_handler.go semantics)
+      // enum auto-expansion (ref api/enum_handler.go semantics). If the
+      // dictionary grew, PUBLISH to the schema-sync directory — dictionary
+      // ids are part of the cross-instance wire contract, and a peer's
+      // later publish would otherwise wipe the locally added cases
       schemaStore.get(td.name).foreach { ts =>
+        var dictsGrew = false
         ts.activeColumns.filter(c => c.isEnum && !c.disableAutoExpand).foreach { c =>
           val cases = parsed.flatMap(r => r \ c.name match {
             case JString(s) => Some(s)
             case _ => None
           }).distinct
-          if (cases.nonEmpty) schemaStore.extendEnumDict(ts.name, c.name, cases)
+          if (cases.nonEmpty) {
+            val before = schemaStore.listEnumCases(ts.name, c.name).size
+            schemaStore.extendEnumDict(ts.name, c.name, cases)
+            if (schemaStore.listEnumCases(ts.name, c.name).size > before)
+              dictsGrew = true
+          }
         }
+        if (dictsGrew) schemaSync.foreach(_.publish())
       }
       val rows = parsed.map(o => JsonMethods.compact(JsonMethods.render(o)))
       // ALWAYS load through the TableDef: it reconciles the overlay to the

@@ -30,18 +30,31 @@ final class SchemaSync(store: SchemaStore, dir: String,
     pollMillis: Long = 2000) extends AutoCloseable {
 
   private val file: Path = Paths.get(dir, "schemas.json")
-  @volatile private var lastApplied: Long = -1L
+  /** Convergence is gated on file CONTENT, not version ordering: two
+    * concurrent publishers can both write version N+1 and the rename
+    * loser would otherwise ignore the winner's (equal-versioned) file
+    * forever, leaving the instances diverged. Hashing the bytes makes
+    * every instance converge to whatever is on storage — true
+    * last-writer-wins, losing mutations only in the concurrent-writer
+    * case the single-writer deployment contract already excludes.
+    */
+  @volatile private var lastAppliedHash: String = ""
   @volatile private var running = false
   private var poller: Option[Thread] = None
 
   Files.createDirectories(Paths.get(dir))
 
-  /** Publish the store's current snapshot, bumping past both the last
-    * version we saw and whatever is currently on storage.
+  private def hashOf(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+
+  /** Publish the store's current snapshot, version-bumped past whatever
+    * is currently on storage (the version is observability metadata; the
+    * poller keys on content).
     */
   def publish(): Unit = synchronized {
     val onDisk = readFile().map(_._1).getOrElse(-1L)
-    val version = math.max(onDisk, lastApplied) + 1
+    val version = onDisk + 1
     val (tables, enums) = store.snapshot
     val body = JObject(
       "version" -> JInt(version),
@@ -51,33 +64,46 @@ final class SchemaSync(store: SchemaStore, dir: String,
           "table" -> JString(table), "column" -> JString(column),
           "cases" -> JArray(cases.map(JString(_)).toList)): JValue
       }))
+    val bytes = JsonMethods.compact(JsonMethods.render(body))
+      .getBytes(StandardCharsets.UTF_8)
     val tmp = file.resolveSibling(
       s"schemas.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, JsonMethods.compact(JsonMethods.render(body))
-      .getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // our own publish is by definition applied locally
-    lastApplied = version
+    lastAppliedHash = hashOf(bytes)
   }
 
-  /** Apply the shared snapshot if it is newer than the last applied one.
-    * Returns true when something was applied.
+  /** Apply the shared snapshot if its content differs from the last one
+    * applied. Returns true when something was applied.
     */
   def pull(): Boolean = synchronized {
-    readFile() match {
-      case Some((version, tables, enums)) if version > lastApplied =>
+    if (!Files.exists(file)) return false
+    val bytes =
+      try Files.readAllBytes(file)
+      catch { case _: Throwable => return false }
+    val h = hashOf(bytes)
+    if (h == lastAppliedHash) return false
+    parseSnapshot(bytes) match {
+      case Some((_, tables, enums)) =>
         store.applySnapshot(tables, enums)
-        lastApplied = version
+        lastAppliedHash = h
         true
-      case _ => false
+      case None => false
     }
   }
 
   private def readFile(): Option[(Long, Seq[AqlTableSchema], Map[(String, String), Vector[String]])] = {
     if (!Files.exists(file)) return None
+    try parseSnapshot(Files.readAllBytes(file))
+    catch { case _: Throwable => None }
+  }
+
+  private def parseSnapshot(bytes: Array[Byte])
+      : Option[(Long, Seq[AqlTableSchema], Map[(String, String), Vector[String]])] = {
     try {
-      val j = JsonMethods.parse(new String(Files.readAllBytes(file), StandardCharsets.UTF_8))
+      val j = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
       val version = j \ "version" match {
         case JInt(v) => v.toLong
         case _ => return None

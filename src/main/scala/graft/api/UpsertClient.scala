@@ -94,7 +94,13 @@ final class UpsertClient(baseUrl: String) {
     // ---- enum dictionaries: auto-expand then index -----------------------
     val dicts: Map[Int, Map[String, Long]] = resolved.zipWithIndex.collect {
       case ((name, _, t), colIdx) if t == SmallEnum || t == BigEnum =>
-        val seen = rows.flatMap(r => Option(r(colIdx)).collect { case s: String => s }).distinct
+        // unwrap Option-wrapped values the same way toWireValue does, or
+        // Some("case") would skip auto-expansion and silently write null
+        val seen = rows.flatMap(r => r(colIdx) match {
+          case s: String => Some(s)
+          case Some(s: String) => Some(s)
+          case _ => None
+        }).distinct
         val existing = getJson(s"/schema/tables/$table/columns/$name/enum-cases")
           .extract[List[String]]
         val unseen = seen.filterNot(existing.toSet)

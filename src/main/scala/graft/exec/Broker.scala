@@ -139,15 +139,11 @@ final class Broker(hosts: Seq[String],
   }
 
   private def mergeTrees(op: String)(lhs: JValue, rhs: JValue): JValue = (lhs, rhs) match {
-    // a NULL leaf (key present, value null — e.g. sum over an all-null
-    // group): for avg the quotient is null (single-node parity; the
-    // reference errors here, a strictness we deliberately soften), for the
-    // other aggregates nulls are identity elements
-    case (JNull, r) => if (op == "avg") JNull else r
-    case (l, JNull) => if (op == "avg") JNull else l
-    // a key MISSING on one side: passes through for fold aggregates; for
-    // the avg root it means sum and count grouped differently — impossible
-    // for well-formed partials, error like the reference (result_merge.go:55-67)
+    // a key MISSING on one side (matched FIRST so a null-on-A/absent-on-B
+    // group folds to null, not to a render-dropped JNothing): passes
+    // through for fold aggregates; for the avg root it means sum and count
+    // grouped differently — impossible for well-formed partials, error
+    // like the reference (result_merge.go:55-67)
     case (JNothing, r) =>
       if (op == "avg") throw new IllegalStateException(
         "avg merge: dimension has only a count branch")
@@ -156,6 +152,12 @@ final class Broker(hosts: Seq[String],
       if (op == "avg") throw new IllegalStateException(
         "avg merge: dimension has only a sum branch")
       else l
+    // a NULL leaf (key present, value null — e.g. sum over an all-null
+    // group): for avg the quotient is null (single-node parity; the
+    // reference errors here, a strictness we deliberately soften), for the
+    // other aggregates nulls are identity elements
+    case (JNull, r) => if (op == "avg") JNull else r
+    case (l, JNull) => if (op == "avg") JNull else l
     case (JObject(lf), JObject(rf)) =>
       val keys = (lf.map(_._1) ++ rf.map(_._1)).distinct
       JObject(keys.map(k => k -> mergeTrees(op)(lhs \ k, rhs \ k)): _*)

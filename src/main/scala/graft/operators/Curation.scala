@@ -130,11 +130,6 @@ object Curation {
     }
   }
 
-  /** Distinct word n-grams as a column (the decontamination gram set and
-    * the pipeline-oracle jaccard guard share it).
-    */
-  def distinctGrams(toks: Column, n: Int): Column = distinctGramsUdf(toks, lit(n))
-
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     def grams(df: DataFrame): DataFrame = df.select(col(idCol),

@@ -248,15 +248,23 @@ object Pq {
     * skip retraining on every query batch — at production scale the model
     * is trained once and served for months.
     */
+  private def residFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    Similarity.assignCells(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .withColumn("__resid", residualUdf(cents)(col(vecCol), col("cell")))
+      .select(col(idCol), col("cell"), col("__resid"))
+
   def ivfpqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 32, m: Int = 8, kCodes: Int = 16, iters: Int = 3)
       : (Array[Array[Double]], Codebook) = {
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
-    val resid = Similarity.assignCells(
-        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
-      .withColumn("__resid", residualUdf(cents)(col(vecCol), col("cell")))
-      .select(col(idCol), col("cell"), col("__resid"))
-    val book = train(resid, idCol, "__resid", m, kCodes, iters)
+    // checkpoint: train's sampling + fetch passes would otherwise run the
+    // assignment UDF over the corpus more than once
+    val resid = residFrame(corpus, idCol, vecCol, cents).localCheckpoint(true)
+    val book =
+      try train(resid, idCol, "__resid", m, kCodes, iters)
+      finally Staged.releaseCheckpoint(resid)
     (cents, book)
   }
 
@@ -266,16 +274,15 @@ object Pq {
       iters: Int = 3,
       trained: Option[(Array[Array[Double]], Codebook)] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val (cents, book) = trained.getOrElse(
-      ivfpqTrain(corpus, idCol, vecCol, nlist, m, kCodes, iters))
-    // (id, cell, residual) — consumed twice by encode+join: checkpoint so
-    // the assignment UDF runs once per row; released after the staged
+    val cents = trained.map(_._1).getOrElse(
+      Similarity.ivfCentroids(corpus, idCol, vecCol, nlist))
+    // (id, cell, residual) — consumed by encode+join AND (when training
+    // here) by train's sample passes: ONE checkpoint serves all consumers
+    // so the assignment UDF runs once per row; released after the staged
     // result materializes
-    val resid = Similarity.assignCells(
-        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
-      .withColumn("__resid", residualUdf(cents)(col(vecCol), col("cell")))
-      .select(col(idCol), col("cell"), col("__resid"))
-      .localCheckpoint(true)
+    val resid = residFrame(corpus, idCol, vecCol, cents).localCheckpoint(true)
+    val book = trained.map(_._2).getOrElse(
+      train(resid, idCol, "__resid", m, kCodes, iters))
     val codes = encode(resid, idCol, "__resid", book)
       .join(resid.select(col(idCol), col("cell")), Seq(idCol))
 

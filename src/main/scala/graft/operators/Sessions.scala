@@ -94,23 +94,27 @@ object Sessions {
         (col("__p") - col("cohort_period")).as("period_offset"),
         col("__u"))
       .dropDuplicates()
-    // count WITHOUT a re-key shuffle: every triple is globally unique, so
-    // per-partition counts are disjoint contributions — one narrow
-    // partial-count pass (≤ triangle-size rows per partition, weeks² not
-    // corpus-sized), then coalesce(1) whose SinglePartition satisfies the
-    // final aggregation's distribution with no Exchange node. This is the
-    // partial/final merge shape with the exchange replaced by a narrow
-    // read of bounded partials.
+    // every triple is globally unique, so per-partition counts are
+    // disjoint contributions: one narrow partial-count pass reduces each
+    // partition to ≤ triangle-size rows (weeks², not corpus-sized) IN
+    // PARALLEL, and only those partials ride the final re-key exchange —
+    // group-grain, ~|users|/|groups| smaller than shuffling the deduped
+    // triples. (A zero-exchange variant via coalesce(1) exists but its
+    // narrow dependency collapses the whole upstream job — scan, join,
+    // dedup — into a single task; a bounded-volume exchange is the plan
+    // that survives scale.) Null periods (null/unparseable timestamps)
+    // pass through as null group keys, matching the groupBy semantics.
     val partials = dedup.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      val m = scala.collection.mutable.HashMap
+        .empty[(java.lang.Long, java.lang.Long), Long]
       it.foreach { r =>
-        val k = (r.getLong(0), r.getLong(1))
-        m.update(k, m.getOrElse(k, 0L) + 1L)
+        val c: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
+        val o: java.lang.Long = if (r.isNullAt(1)) null else r.getLong(1)
+        m.update((c, o), m.getOrElse((c, o), 0L) + 1L)
       }
       m.iterator.map { case ((c, o), n) => (c, o, n) }
     }
     partials.toDF("cohort_period", "period_offset", "__n")
-      .coalesce(1)
       .groupBy("cohort_period", "period_offset")
       .agg(sum("__n").as("users"))
   }

@@ -268,23 +268,23 @@ object Similarity {
       maxCell: Int = maxCellForPairBudget(DefaultCellPairBudget)): DataFrame = {
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("cell"))
-    // no-silent-caps: when running under the DEFAULT pair budget (the
-    // round-7 cap change dropped it from 100000 to ~2000), detect and log
-    // dropped cells eagerly so default-arg callers see the recall change
-    // at runtime instead of in a comment. Callers who pass an explicit
-    // cap opted in knowingly and skip the detection pass.
-    if (maxCell == maxCellForPairBudget(DefaultCellPairBudget)) {
-      val dropped = cells.groupBy("cell").agg(count(lit(1)).as("__n"))
-        .where(col("__n") > maxCell).count()
-      if (dropped > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"semanticNearDups: $dropped cell(s) exceed the default pair-budget " +
-            s"cap maxCell=$maxCell and are DROPPED from the pair search; " +
-            "pass an explicit maxCell to search them")
-    }
-    val w = Window.partitionBy("cell")
-    val capped = cells.withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n") <= maxCell).drop("__n")
+    // cell ids are bounded by the centroid count, so per-cell sizes are a
+    // driver-sized aggregate (≤ nlist rows). ONE pass serves both the
+    // skew cap (hot cells filtered map-side by id — no corpus-wide window
+    // shuffle) and the no-silent-caps warning: dropped cells are logged
+    // on every call, so default-arg callers see the recall trade at
+    // runtime instead of in a comment.
+    val hot = cells.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxCell).select("cell")
+      .collect().map(_.getInt(0))
+    if (hot.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticNearDups: ${hot.length} cell(s) exceed maxCell=$maxCell " +
+          "and are DROPPED from the pair search (pair-budget skew cap); " +
+          "pass a larger explicit maxCell to search them")
+    val capped =
+      if (hot.isEmpty) cells
+      else cells.where(!col("cell").isin(hot.map(Integer.valueOf).toSeq: _*))
     val a = capped.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("cell"))
     val b = capped.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("cell"))
     a.join(b, Seq("cell"))

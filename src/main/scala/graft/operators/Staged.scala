@@ -58,15 +58,21 @@ object Staged {
     * the operators emit (long/double/string/bool) exactly.
     */
   def materialize(df: DataFrame): DataFrame = {
-    val path = root.resolve(s"s${seq.incrementAndGet()}")
-    df.write.mode("overwrite").parquet(path.toString)
+    val path = root.resolve(s"s${seq.incrementAndGet()}").toString
+    df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
     // a zero-partition frame writes only _SUCCESS; fall back to an empty
-    // frame with the original schema rather than failing schema inference
-    val hasData = java.nio.file.Files.list(path)
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().isPresent
-    if (hasData) spark.read.schema(df.schema).parquet(path.toString)
+    // frame with the original schema rather than failing schema inference.
+    // The existence check goes through the HADOOP filesystem of the path
+    // (like the streaming store's listings) — the write itself resolves
+    // through it, and a driver-local java.nio listing would silently see
+    // an empty directory on any deployment whose default FS is not the
+    // driver's local disk, turning results into empty frames.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("part-"))
+    if (hasData) spark.read.schema(df.schema).parquet(path)
     else spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
   }

@@ -81,6 +81,16 @@ class SchemaSyncSpec extends SparkSpec {
       assert((JsonMethods.parse(q.body()) \ "results")(0)
         .asInstanceOf[JObject].values("n") == 1.0, q.body())
 
+      // ingest-path enum auto-expansion also publishes: a case first seen
+      // in DATA on B must reach A's dictionary (ids are wire contract)
+      val grow = post(baseB, "/data/sync_rides",
+        """[{"request_at": 1706572900, "ride_id": 8, "city": "chi"}]""")
+      assert(grow.statusCode() == 200, grow.body())
+      eventually() {
+        val r = get(baseA, "/schema/tables/sync_rides/columns/city/enum-cases")
+        if (r.statusCode() == 200 && r.body().contains("chi")) Some(()) else None
+      }
+
       // a late joiner applies the shared snapshot at construction
       val c = new GraftServer(Catalog.testdata(sfDir), spark,
         schemaSyncDir = Some(dir), schemaSyncPollMillis = 100)

@@ -47,14 +47,17 @@ class UpsertClientSpec extends SparkSpec {
     assert(post("/schema/tables/client_rides/columns/city/enum-cases",
       """{"enumCases": ["sf"]}""").statusCode() == 200)
 
+    // "chi" (bare) and "den" (Option-wrapped — must auto-expand the same
+    // way) are both unseen cases the client registers before encoding
     val inserted = client.insert("client_rides",
       Seq("request_at", "ride_id", "city", "fare", "surge", "rider"),
       Seq(
         Seq(1706572800L, 1L, "sf", 10.5f, true, "0f0e0d0c-0b0a-0908-0706-050403020100"),
         Seq(1706572860L, 2L, "nyc", null, false, "00112233-4455-6677-8899-aabbccddeeff"),
         Seq(1706572920L, 3L, "chi", 4.5f, true, null),
-        Seq(1706572980L, 4L, "sf", 2.0f, null, null)))
-    assert(inserted == 4L)
+        Seq(1706572980L, 4L, "sf", 2.0f, null, null),
+        Seq(1706573040L, 5L, Some("den"), 3.0f, false, None)))
+    assert(inserted == 5L)
 
     val q = post("/query/aql", """{"queries": [{"table": "client_rides",
       "measures": [{"alias": "total_fare", "sqlExpression": "sum(fare)"}],
@@ -65,6 +68,7 @@ class UpsertClientSpec extends SparkSpec {
       .asInstanceOf[JObject].values
     assert(result("sf") == 12.5, result)
     assert(result("chi") == 4.5, result)
+    assert(result("den") == 3.0, result)
 
     // the UUID column survives the 16-byte wire round trip
     val u = post("/query/aql", """{"queries": [{"table": "client_rides",

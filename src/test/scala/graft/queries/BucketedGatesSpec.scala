@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * input. These tests pin the point of that layout: the fact table is
   * never re-shuffled at query time — the only exchanges left in any gate
   * carry post-aggregation rows (a %8 rollup, a global funnel total, a
-  * deduped cohort re-key), never event-grain data.
+  * partial-count cohort re-key), never event-grain data.
   *
   * Counting is AQE-aware: adaptive execution hides ShuffleExchangeExec
   * inside QueryStageExec wrappers whose `children` is Nil, so a naive
@@ -76,13 +76,35 @@ class BucketedGatesSpec extends SparkSpec {
     assert(countShuffles(plan) == 0, plan.toString)
   }
 
-  test("cohort retention runs with zero shuffles off the bucketed layout") {
+  test("cohort retention: event grain never shuffles; the one exchange is partial-grain") {
     // first-period agg (user-keyed: free) + join back (user-keyed: free) +
-    // triple dedup (group keys include user: free) + partial counts merged
-    // through coalesce(1) — no exchange anywhere, event-grain or otherwise
+    // triple dedup (group keys include user: free) + per-partition partial
+    // counts. The single exchange carries ONLY the partials — bounded by
+    // partitions × triangle size, not events and not deduped user triples
+    // — asserted via the exchange's own records-written metric.
     val df = Sessions.cohortRetention(ev, "user_id", "ts", 604800L)
-    val plan = executed(df)
-    assert(countShuffles(plan) == 0, plan.toString)
+    val groups = df.collect().length
+    val plan = df.queryExecution.executedPlan
+    assert(countShuffles(plan) == 1, plan.toString)
+    def shuffleRecords(p: SparkPlan): Long = {
+      val self = p match {
+        case s: ShuffleExchangeExec =>
+          s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        case _ => 0L
+      }
+      val nested: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Seq.empty
+      }
+      self + (p.children ++ nested).map(shuffleRecords).sum
+    }
+    val records = shuffleRecords(plan)
+    // the map side runs one task per bucket of the bucketed layout
+    val bound = groups.toLong * graft.Tables.EventsBuckets
+    assert(records <= bound,
+      s"exchange carried $records rows — more than buckets × groups = $bound")
   }
 
   test("as-of join from the bucketed table runs with zero shuffles") {
