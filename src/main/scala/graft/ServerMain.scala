@@ -7,15 +7,19 @@ import org.apache.spark.sql.SparkSession
   * facade — query (AQL/SQL/HLL), ingestion (JSON + reference binary
   * upsert batches), schema mutation, metrics, plan debug.
   *
-  *   SPARK_GRAFT_SF_DIR  table directory (default /root/testdata/sf0.01)
-  *   SPARK_GRAFT_PORT    HTTP port (default 19374; 0 = ephemeral)
-  *   SPARK_GRAFT_CPUS    local[] parallelism when not under spark-submit
+  *   SPARK_GRAFT_SF_DIR      table directory (default /root/testdata/sf0.01)
+  *   SPARK_GRAFT_PORT        HTTP port (default 19374; 0 = ephemeral)
+  *   SPARK_GRAFT_CPUS        local[] parallelism when not under spark-submit
+  *   SPARK_GRAFT_SCHEMA_DIR  shared schema-sync directory (optional) —
+  *                           instances pointed at the same dir propagate
+  *                           schema mutations to each other (SchemaSync)
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val port = sys.env.getOrElse("SPARK_GRAFT_PORT", "19374").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val schemaDir = sys.env.get("SPARK_GRAFT_SCHEMA_DIR").filter(_.nonEmpty)
     // under spark-submit the master/conf come from the submit command; the
     // setIfMissing-style defaults below only bind for bare `java -cp` runs
     val spark = SparkSession.builder()
@@ -26,7 +30,8 @@ object ServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val server = new graft.api.GraftServer(
-      graft.aql.Catalog.testdata(sfDir), spark, port)
+      graft.aql.Catalog.testdata(sfDir), spark, port,
+      schemaSyncDir = schemaDir)
     server.start()
     println(s"[graft] serving on port ${server.boundPort}, tables from $sfDir")
     Thread.currentThread().join() // serve until killed

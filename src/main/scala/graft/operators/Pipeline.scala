@@ -46,13 +46,23 @@ object Pipeline {
     val s1 = docs.join(s1Ids, Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // stage 2: near-dup pairs -> components -> keep each component's min.
-      // minhashNearDups and connectedComponents are each self-cleaning:
-      // they stage their bounded results and release their own caches
-      val pairs = Dedup.minhashNearDups(s1, idCol, textCol, minhashThreshold)
-      val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
-        .withColumnRenamed("id", idCol)
-      val s2 = s1.join(comp, Seq(idCol), "left")
+      // stage 2: near-dup pairs -> components -> keep each component's
+      // min. The signature cache is managed HERE instead of calling the
+      // staged minhashNearDups: connectedComponents' first step already
+      // materializes the candidate pairs (edge-list checkpoint), so the
+      // standalone operator's pair-staging round trip would be a second,
+      // redundant materialization. Signatures release as soon as the edge
+      // list exists; CC itself is self-cleaning.
+      val sigs = Dedup.minhashSignatures(s1, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val comp =
+        try Dedup.connectedComponents(
+          Dedup.minhashCandidates(sigs, idCol)
+            .where(col("est_jaccard") >= minhashThreshold),
+          "a_id", "b_id")
+        finally sigs.unpersist(false)
+      val compRenamed = comp.withColumnRenamed("id", idCol)
+      val s2 = s1.join(compRenamed, Seq(idCol), "left")
         .where(col("component").isNull || col("component") === col(idCol))
         .drop("component")
 
