@@ -1,0 +1,79 @@
+package graft.exec
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.aql.AqlJson
+
+/** HTTP front for the scatter-gather [[Broker]] — the runnable broker
+  * tier. Serves the same `POST /query/aql` contract as a single
+  * [[graft.api.GraftServer]] (AQLRequest in, AQLResponse out), but
+  * resolves each query by fanning it over the configured instances and
+  * merging partials, so a client can point at the broker unchanged (the
+  * reference's broker/handler.go plays exactly this role in front of its
+  * datanodes). Per-query failures land in `errors[i]` with an empty
+  * result, matching the AQLResponse contract.
+  *
+  * Needs no SparkSession: the broker's work is HTTP fan-out plus the
+  * merge algebra over partial results.
+  */
+final class BrokerServer(hosts: Seq[String], port: Int = 0) {
+
+  private val broker = new Broker(hosts)
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  server.createContext("/query/aql", (ex: HttpExchange) => {
+    try {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val request = AqlJson.parseRequest(body)
+      val outcomes = request.queries.map { q =>
+        try Right(broker.merged(q))
+        catch {
+          case NonFatal(e) =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      }
+      val response = JObject(
+        "results" -> JArray(outcomes.map {
+          case Right(j) => j
+          case Left(_) => JObject()
+        }.toList),
+        "errors" -> (if (outcomes.exists(_.isLeft))
+          JArray(outcomes.map {
+            case Right(_) => JNull
+            case Left(msg) => JString(msg): JValue
+          }.toList)
+        else JNull))
+      respond(ex, 200, JsonMethods.compact(JsonMethods.render(response)))
+    } catch {
+      case NonFatal(e) =>
+        respond(ex, 400, JsonMethods.compact(JsonMethods.render(
+          JObject("error" -> JString(Option(e.getMessage).getOrElse(e.getClass.getName))))))
+    } finally ex.close()
+  })
+
+  // liveness + the instance list, for operators pointing clients at the tier
+  server.createContext("/health", (ex: HttpExchange) => {
+    try respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+      "status" -> JString("up"),
+      "instances" -> JArray(hosts.map(JString(_)).toList)))))
+    finally ex.close()
+  })
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}

@@ -126,6 +126,35 @@ class BrokerSpec extends SparkSpec {
     assert(normalize(merged) == normalize(expected))
   }
 
+  test("BrokerServer front serves the AQLRequest contract over the tier") {
+    val front = new BrokerServer(Seq(
+      s"http://localhost:${serverA.boundPort}",
+      s"http://localhost:${serverB.boundPort}"))
+    front.start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${front.boundPort}/query/aql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"queries": [${query("sum(value)")}, ${query("bogus(value)")}]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val parsed = JsonMethods.parse(resp.body())
+      // query 0 merges to the single-table answer; query 1's failure is
+      // isolated per the AQLResponse contract
+      assertClose((parsed \ "results") (0), singleAnswer(query("sum(value)")),
+        "broker front sum(value)")
+      assert((parsed \ "errors") (0) == JNull, resp.body())
+      assert((parsed \ "errors") (1) != JNull, resp.body())
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${front.boundPort}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200 && health.body().contains("up"))
+    } finally front.stop()
+  }
+
   test("non-agg rows concatenate with the limit re-applied") {
     val q = s"""{"table": "events",
         "measures": [{"sqlExpression": "1"}],
