@@ -237,6 +237,92 @@ object Dedup {
       .drop("__n")
   }
 
+  // ---- duplicated-span detection (exact substring-dedup signal) ----------
+
+  /** FNV-1a hash of every `spanTokens`-token window, one UDF pass over the
+    * raw char buffer (token boundaries scanned in place, same tokenizer as
+    * the minhash shingles). Null for docs shorter than spanTokens tokens.
+    */
+  private def spanHashUdf(spanTokens: Int) = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val n = text.length
+      var starts = new Array[Int](64)
+      var ends = new Array[Int](64)
+      var count = 0
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(text.charAt(i))) i += 1
+        if (i < n) {
+          val s = i
+          while (i < n && !isWs(text.charAt(i))) i += 1
+          if (count == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, count * 2)
+            ends = java.util.Arrays.copyOf(ends, count * 2)
+          }
+          starts(count) = s
+          ends(count) = i
+          count += 1
+        }
+      }
+      if (count < spanTokens) null
+      else Array.tabulate(count - spanTokens + 1) { t =>
+        var h = 0xcbf29ce484222325L
+        var k = t
+        while (k < t + spanTokens) {
+          var p = starts(k)
+          val e = ends(k)
+          while (p < e) {
+            h ^= text.charAt(p)
+            h *= 0x100000001b3L
+            p += 1
+          }
+          if (k < t + spanTokens - 1) {
+            h ^= ' '
+            h *= 0x100000001b3L
+          }
+          k += 1
+        }
+        h
+      }
+    }
+  }
+
+  /** One (id, span_start, span_hash) row per `spanTokens`-token window —
+    * span_start is the 0-based token index of the window.
+    */
+  def spanHashes(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(spanHashUdf(spanTokens)(col(textCol)))
+          .as(Seq("span_start", "span_hash")))
+
+  /** Every occurrence of a DUPLICATED span: a window whose content occurs
+    * at least twice in the corpus (within- or cross-document) — the exact
+    * substring-dedup signal of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022), whose suffix-array pass
+    * this is the shuffle-friendly window form of. Output:
+    * (idCol, span_start, span_hash, occurrences, docs) per occurrence —
+    * a trimming pass drops or splits documents at the flagged windows.
+    *
+    * Scale (100 TB): linear end to end — span rows are (id, int, 8-byte
+    * hash) and shuffle ONCE on the hash for the multiplicity count; the
+    * occurrence join keys on the same hash (no re-exchange of the
+    * grouped side), there is no self-join and therefore no quadratic
+    * pair space, and a boilerplate span repeated a million times costs
+    * its million linear occurrence rows, not a 10^12 pair fan-out.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val spans = spanHashes(df, idCol, textCol, spanTokens)
+    val dup = spans.groupBy("span_hash")
+      .agg(count(lit(1)).as("occurrences"), count_distinct(col(idCol)).as("docs"))
+      .where(col("occurrences") >= 2)
+    spans.join(dup, Seq("span_hash"))
+      .select(col(idCol), col("span_start"), col("span_hash"),
+        col("occurrences"), col("docs"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** Per-document SimHash in one pass: hash each token once (FNV-1a),

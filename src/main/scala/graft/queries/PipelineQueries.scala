@@ -72,6 +72,36 @@ object PipelineQueries {
           (col("found") === col("planted")).as("all_planted_found"))
     },
 
+    // --- dedup: duplicated spans (exact substring-dedup signal, Lee et
+    // al. ACL 2022 — repeated >= L-token windows are the trimming
+    // target). Duplication depends only on span CONTENT equality, so the
+    // oracle recomputes multiplicities over the span STRINGS while the
+    // engine counts by 64-bit span hash — identical answers (collisions
+    // at corpus scale ~2^-30). Planted signal: the exact copies make
+    // every window of every long-enough doc duplicated.
+    QueryDef("q_dedup_spans",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM input),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 18),
+        |    i -> array_to_string(ts[i:i+19], ' '))) AS s
+        |  FROM tk WHERE len(ts) >= 20),
+        |occ AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+        |FROM sp JOIN occ USING (s) WHERE doc_id < 100000
+        |GROUP BY 1 ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val input = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.duplicateSpans(input, "doc_id", "text", spanTokens = 20)
+        .where(col("doc_id") < 100000)
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+        .orderBy("doc_id")
+    },
+
     // --- dedup: SimHash. Banding recall contract: the banded join must
     // find EXACTLY the planted pairs within the Hamming radius (ground
     // truth computed in-query via direct id join — no LSH involved).

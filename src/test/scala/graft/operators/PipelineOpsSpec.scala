@@ -53,6 +53,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(1) > r.getLong(0))) // a_id < b_id once
     assert(pairs.forall(r => r.getLong(2) <= r.getLong(3))) // inter <= union
   }
+
+  test("duplicated spans: planted repeats found, unique and short docs clean") {
+    import spark.implicits._
+    val boiler = (1 to 25).map(i => s"tok$i").mkString(" ") // 25 shared tokens
+    val input = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),     // carries the repeat
+      (2L, s"$boiler completely other trailing words here"), // carries it too
+      (3L, (1 to 40).map(i => s"unique${i}x").mkString(" ")), // long, unique
+      (4L, "way too short for any span")           // < spanTokens tokens
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicateSpans(input, "doc_id", "text", spanTokens = 20)
+      .collect()
+    val byDoc = dup.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // docs 1 and 2 share >= one full 20-token window of the boilerplate
+    assert(byDoc.getOrElse(1L, 0) > 0, s"doc 1 clean: $byDoc")
+    assert(byDoc.getOrElse(2L, 0) > 0, s"doc 2 clean: $byDoc")
+    // the unique long doc and the short doc are untouched
+    assert(!byDoc.contains(3L), byDoc.toString)
+    assert(!byDoc.contains(4L), byDoc.toString)
+    // every reported occurrence names a hash seen >= 2 times over >= 2 docs here
+    assert(dup.forall(r => r.getLong(3) >= 2))
+    // within-doc repetition is also a duplicate: one doc repeating its own span
+    val selfRep = Seq((9L, (boiler + " ") * 2 + "tail words")).toDF("doc_id", "text")
+    val selfDup = Dedup.duplicateSpans(selfRep, "doc_id", "text", 20).collect()
+    assert(selfDup.nonEmpty, "within-doc repeat not flagged")
+    assert(selfDup.forall(_.getLong(4) == 1L)) // docs=1, occurrences>=2
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
