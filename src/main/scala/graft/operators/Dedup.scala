@@ -323,6 +323,64 @@ object Dedup {
         col("occurrences"), col("docs"))
   }
 
+  /** Rebuild text from the tokens NOT covered by any removed span window:
+    * tokenize, drop token indexes in [s, s+L) for each removed start,
+    * join survivors with single spaces (whitespace normalizes — the same
+    * contract as every token-level operator here).
+    */
+  private def trimUdf(spanTokens: Int) = udf { (text: String, starts: Seq[Int]) =>
+    if (text == null || starts == null || starts.isEmpty) text
+    else {
+      val toks = text.trim.split("\\s+")
+      val removed = new Array[Boolean](toks.length)
+      starts.foreach { s =>
+        var i = s
+        while (i < s + spanTokens && i < toks.length) { removed(i) = true; i += 1 }
+      }
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < toks.length) {
+        if (!removed(i)) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(toks(i))
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Trim duplicated spans, keeping ONE canonical occurrence of each
+    * (the minimum (id, span_start) — Lee et al. keep a single copy of
+    * every repeated substring): all other occurrences' token windows are
+    * removed and each document is rebuilt from its surviving tokens.
+    * Output: (idCol, textCol) for EVERY input row, trimmed where flagged,
+    * whitespace-normalized only where rebuilt.
+    *
+    * Window-grain, single-pass: overlapping flagged windows union into
+    * one removed region, and windows newly formed across a cut are not
+    * re-examined — the standard one-pass approximation of the
+    * suffix-array trim.
+    *
+    * Scale: [[duplicateSpans]]' linear shape plus one per-doc
+    * collect_list of removed starts (bounded by the doc's own token
+    * count) and a map-side rebuild — no new shuffle classes.
+    */
+  def trimDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val dup = duplicateSpans(df, idCol, textCol, spanTokens)
+    val canon = dup.groupBy("span_hash")
+      .agg(min(struct(col(idCol), col("span_start"))).as("__c"))
+    val removeStarts = dup.join(canon, Seq("span_hash"))
+      .where(!(col(idCol) === col(s"__c.$idCol") &&
+        col("span_start") === col("__c.span_start")))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("span_start").cast("int")).as("__starts"))
+    df.join(removeStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        trimUdf(spanTokens)(col(textCol), col("__starts")).as(textCol))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** Per-document SimHash in one pass: hash each token once (FNV-1a),

@@ -102,6 +102,61 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- dedup: span TRIMMING (the actionable half of q_dedup_spans —
+    // keep one canonical occurrence per repeated window, cut the rest,
+    // rebuild the text). The oracle reproduces the whole pipeline in SQL
+    // — window extraction, canonical pick by (doc_id, start), token-index
+    // removal, string_agg rebuild — and the gate compares the REBUILT
+    // TEXT by md5, so the trim semantics are pinned byte-exactly.
+    QueryDef("q_dedup_span_trim",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 120),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM input),
+        |sp AS (
+        |  SELECT doc_id, i - 1 AS start, array_to_string(ts[i:i+19], ' ') AS s
+        |  FROM tk, unnest(range(1, len(ts) - 18)) AS u(i)
+        |  WHERE len(ts) >= 20),
+        |occ AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
+        |flagged AS (
+        |  SELECT sp.doc_id, sp.start, sp.s,
+        |    row_number() OVER (PARTITION BY sp.s ORDER BY sp.doc_id, sp.start) AS rn
+        |  FROM sp JOIN occ USING (s)),
+        |removed AS (
+        |  SELECT DISTINCT doc_id, CAST(unnest(range(start, start + 20)) AS BIGINT) AS ti
+        |  FROM flagged WHERE rn > 1),
+        |toks AS (
+        |  SELECT tk.doc_id, i - 1 AS ti, ts[i] AS tok
+        |  FROM tk, unnest(range(1, len(ts) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.ti, t.tok FROM toks t
+        |  LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.ti = t.ti
+        |  WHERE r.ti IS NULL),
+        |rebuilt AS (
+        |  SELECT i.doc_id,
+        |    CASE WHEN i.doc_id IN (SELECT doc_id FROM removed)
+        |      THEN COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.ti)
+        |                     FROM kept k WHERE k.doc_id = i.doc_id), '')
+        |      ELSE i.text END AS txt
+        |  FROM input i)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN txt = '' THEN 0
+        |       ELSE len(string_split_regex(trim(txt), '\s+')) END AS BIGINT) AS n_tokens,
+        |  md5(txt) AS fp
+        |FROM rebuilt ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") < 120)
+        .select("doc_id", "text")
+      val input = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.trimDuplicateSpans(input, "doc_id", "text", spanTokens = 20)
+        .select(col("doc_id"),
+          when(col("text") === "", 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("n_tokens"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // --- dedup: SimHash. Banding recall contract: the banded join must
     // find EXACTLY the planted pairs within the Hamming radius (ground
     // truth computed in-query via direct id join — no LSH involved).

@@ -80,6 +80,28 @@ class DedupSpec extends SparkSpec {
     assert(selfDup.nonEmpty, "within-doc repeat not flagged")
     assert(selfDup.forall(_.getLong(4) == 1L)) // docs=1, occurrences>=2
   }
+
+  test("span trimming keeps the canonical occurrence and empties exact copies") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val input = Seq(
+      (1L, body),                  // canonical (min id) — untouched
+      (2L, body),                  // exact copy — every token covered, empties
+      (3L, "short unique text")    // unaffected
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicateSpans(input, "doc_id", "text", spanTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == body, "canonical doc was modified")
+    assert(out(2L) == "", s"copy not emptied: '${out(2L).take(60)}'")
+    assert(out(3L) == "short unique text")
+    // within-doc repeat: the FIRST occurrence survives, the second is cut
+    val rep = Seq((9L, (body + " ") * 2 + "tail")).toDF("doc_id", "text")
+    val trimmed = Dedup.trimDuplicateSpans(rep, "doc_id", "text", 20)
+      .collect().head.getString(1)
+    assert(trimmed.startsWith(body), s"first occurrence damaged: ${trimmed.take(60)}")
+    assert(trimmed.length < (body.length * 2), "second occurrence survived")
+    assert(trimmed.endsWith("tail"))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
