@@ -615,7 +615,7 @@ object GraftServer {
       |  const tb = document.querySelector('#recent tbody');
       |  tb.innerHTML = (m.recent||[]).slice(-20).reverse().map(r =>
       |    `<tr><td>${r.endpoint||''}</td><td>${r.table||''}</td>`+
-      |    `<td>${r.wallMs??''}</td><td>${r.rowsScanned??''}</td><td>${r.rowsOut??''}</td></tr>`).join('');
+      |    `<td>${r.wallMs??''}</td><td>${r.rowsScanned??''}</td><td>${r.rowsReturned??''}</td></tr>`).join('');
       |  const ts = await (await fetch('/schema/tables')).json();
       |  document.getElementById('tables').textContent = ts.join('  ');
       |}
