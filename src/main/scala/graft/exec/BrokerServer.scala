@@ -31,26 +31,41 @@ final class BrokerServer(hosts: Seq[String], port: Int = 0) {
   server.createContext("/query/aql", (ex: HttpExchange) => {
     try {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val request = AqlJson.parseRequest(body)
-      val outcomes = request.queries.map { q =>
-        try Right(broker.merged(q))
-        catch {
-          case NonFatal(e) =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+      if (accept == "application/hll") {
+        // merged binary sketch body for the first query (the same
+        // content negotiation as a single instance). NOTE: no early
+        // `return` in this lambda — NonLocalReturnControl from a stored
+        // handler escapes at invocation time and kills the response.
+        val first = AqlJson.parseRequest(body).queries.head
+        implicit val formats: Formats = DefaultFormats
+        val bin = broker.aqlHllBinary(
+          org.json4s.jackson.Serialization.write(first))
+        ex.getResponseHeaders.set("Content-Type", "application/hll")
+        ex.sendResponseHeaders(200, bin.length)
+        ex.getResponseBody.write(bin)
+      } else {
+        val request = AqlJson.parseRequest(body)
+        val outcomes = request.queries.map { q =>
+          try Right(broker.merged(q))
+          catch {
+            case NonFatal(e) =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
         }
+        val response = JObject(
+          "results" -> JArray(outcomes.map {
+            case Right(j) => j
+            case Left(_) => JObject()
+          }.toList),
+          "errors" -> (if (outcomes.exists(_.isLeft))
+            JArray(outcomes.map {
+              case Right(_) => JNull
+              case Left(msg) => JString(msg): JValue
+            }.toList)
+          else JNull))
+        respond(ex, 200, JsonMethods.compact(JsonMethods.render(response)))
       }
-      val response = JObject(
-        "results" -> JArray(outcomes.map {
-          case Right(j) => j
-          case Left(_) => JObject()
-        }.toList),
-        "errors" -> (if (outcomes.exists(_.isLeft))
-          JArray(outcomes.map {
-            case Right(_) => JNull
-            case Left(msg) => JString(msg): JValue
-          }.toList)
-        else JNull))
-      respond(ex, 200, JsonMethods.compact(JsonMethods.render(response)))
     } catch {
       case NonFatal(e) =>
         respond(ex, 400, JsonMethods.compact(JsonMethods.render(

@@ -126,6 +126,30 @@ class BrokerSpec extends SparkSpec {
     assert(normalize(merged) == normalize(expected))
   }
 
+  test("broker binary HLL equals the single-instance binary sketch") {
+    val q = query("countDistinctHLL(user_id)")
+    val mergedBin = broker.aqlHllBinary(q)
+    val single = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://localhost:${whole.boundPort}/query/aql"))
+        .header("Accept", "application/hll")
+        .POST(HttpRequest.BodyPublishers.ofString(s"""{"queries": [$q]}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(single.statusCode() == 200)
+    def decode(bytes: Array[Byte]) = RefHllWire.readResults(bytes).head match {
+      case Right(b) =>
+        b.rows.indices.map(r =>
+          (0 until b.dataTypes.length).map(d => b.dimString(r, d).getOrElse("NULL"))
+            .mkString("|") -> graft.functions.Hll.estimate(b.rows(r).registers))
+          .toMap
+      case Left(err) => fail(err)
+    }
+    // register max over disjoint slices reconstructs the whole-table
+    // sketch: per-group estimates match EXACTLY, group for group
+    assert(decode(mergedBin) == decode(single.body()))
+  }
+
   test("BrokerServer front serves the AQLRequest contract over the tier") {
     val front = new BrokerServer(Seq(
       s"http://localhost:${serverA.boundPort}",
@@ -152,6 +176,18 @@ class BrokerSpec extends SparkSpec {
           s"http://localhost:${front.boundPort}/health")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(health.statusCode() == 200 && health.body().contains("up"))
+      // content negotiation: Accept application/hll returns the merged
+      // binary sketch body over HTTP
+      val bin = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${front.boundPort}/query/aql"))
+          .header("Accept", "application/hll")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"queries": [${query("countDistinctHLL(user_id)")}]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(bin.statusCode() == 200)
+      assert(RefHllWire.readResults(bin.body()).head.isRight)
     } finally front.stop()
   }
 
