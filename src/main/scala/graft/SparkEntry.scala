@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.FunctionQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.CurationQueries.defs ++
+    graft.queries.DataOpsQueries.defs ++
     graft.queries.PackQueries.defs ++
     graft.queries.ExtensionQueries.defs ++
     graft.queries.AqlQueries.defs ++

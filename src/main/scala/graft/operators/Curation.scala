@@ -57,6 +57,58 @@ object Curation {
     */
   def ngramStats(toks: Column, n: Int): Column = ngramStatsUdf(toks, lit(n))
 
+  /** One-pass per-document token statistics for the rule filter:
+    * (n_words, n_wchars, n_types, n_stop, max_freq). Same shape choice as
+    * [[ngramStatsUdf]]: a tight-loop UDF keeps the plan tree tiny where
+    * five HOF folds over the token array would each run interpreted.
+    */
+  case class QualityStats(nWords: Long, nWchars: Long, nTypes: Long,
+      nStop: Long, maxFreq: Long)
+
+  /** English stopword set shared with the oracle (and with
+    * [[TextOps.langVocabs]]'s `en` entry).
+    */
+  val StopwordsEn: Set[String] = Set("the", "a", "of", "and", "to", "in", "is")
+
+  private val qualityStatsUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) QualityStats(0L, 0L, 0L, 0L, 0L)
+    else {
+      val counts = new java.util.HashMap[String, Int](toks.length * 2)
+      var nw = 0L; var wc = 0L; var ns = 0L; var mf = 0L
+      toks.foreach { t =>
+        nw += 1; wc += t.length
+        if (StopwordsEn(t)) ns += 1
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > mf) mf = c.toLong
+      }
+      QualityStats(nw, wc, counts.size.toLong, ns, mf)
+    }
+  }
+
+  /** Gopher-style document-quality rule filter (Rae et al. 2021 §A.1.1
+    * shape, thresholds adapted to the gate corpus): per-document flags for
+    * word count, mean word length, stopword evidence, type-token ratio and
+    * max single-token frequency, plus the conjunction as `keep`. All
+    * arithmetic is integer cross-multiplication (mean length ∈ [3,10] ⇔
+    * 4·n ≤ chars ≤ 10·n etc.), so the oracle compare is float-free. Pure
+    * map-side: one UDF pass per document, no shuffle at any scale.
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val flag = (c: Column) => when(c, 1).otherwise(0)
+    df.select(col(idCol),
+        qualityStatsUdf(TextOps.tokens(col(textCol))).as("__s"))
+      .select(col(idCol),
+        flag(col("__s.nWords") >= 30).as("r_nwords"),
+        flag(col("__s.nWchars") >= col("__s.nWords") * 4 &&
+          col("__s.nWchars") <= col("__s.nWords") * 10).as("r_wordlen"),
+        flag(col("__s.nStop") >= 2).as("r_stop"),
+        flag(col("__s.nTypes") * 2 >= col("__s.nWords")).as("r_ttr"),
+        flag(col("__s.maxFreq") * 10 <= col("__s.nWords")).as("r_maxfreq"))
+      .withColumn("keep",
+        col("r_nwords") * col("r_wordlen") * col("r_stop") *
+          col("r_ttr") * col("r_maxfreq"))
+  }
+
   /** Split each document into consecutive `chunkSize`-token chunks — the
     * pre-tokenization step of sequence packing. Output: one row per chunk
     * with (idCol, chunk_idx, n_tokens, chunk_text); the final chunk is the

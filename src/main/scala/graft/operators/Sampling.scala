@@ -92,6 +92,29 @@ object Sampling {
     * window TopK pushes a partial `WindowGroupLimit` below the shuffle
     * since 3.5, which achieves exactly that.
     */
+  /** Deterministic global shuffle into `nShards` training shards: shard =
+    * 32-bit md5 prefix of the content mod `nShards`, position within the
+    * shard by full-hash order. A pure function of the data (same
+    * reproducibility contract as [[hashSample]]) — re-running the pipeline
+    * on any cluster size yields byte-identical shard files, and the order
+    * is content-random, which is the "globally shuffle before training"
+    * requirement. Exactly one shuffle (hash-partition on shard +
+    * sort within); in production each shard then writes one file
+    * (`repartitionByRange`/`sortWithinPartitions` keep the same plan shape
+    * at 100 TB — no global sort ever happens).
+    */
+  def shardShuffle(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val hx = md5(col(textCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hx").asc, col(idCol).asc)
+    df.select(col(idCol), hx.as("__hx"))
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, tiebreakCol: String,
       n: Int): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -55,6 +55,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Radius (range) search: every corpus vector with cosine ≥ `minCosine`
+    * to each query — the "give me everything similar enough" companion to
+    * top-k (dedup sweeps and contamination checks want a threshold, not a
+    * rank). Queries broadcast, scoring map-side over the corpus scan: no
+    * shuffle at all, output rows bounded by the threshold. Exact by
+    * construction; the ANN paths (LSH/IVF) are the recall-traded variants.
+    */
+  def rangeSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, minCosine: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
+  /** Cluster-balanced sampling: assign every vector to its nearest
+    * centroid ([[assignCells]] — one map-side UDF pass, centroids
+    * broadcast) and keep at most `cap` rows per cluster by smallest id —
+    * the topic-balancing idiom for training mixes (cap the over-represented
+    * clusters instead of sampling the corpus uniformly). One shuffle on the
+    * cell key; Spark ≥3.5 pushes a partial `WindowGroupLimit` below the
+    * exchange, so hot cells cap map-side before shuffling.
+    */
+  def clusterBalance(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("cell")).orderBy(col(idCol).asc)
+    assignCells(corpus, idCol, vecCol, centroids)
+      .select(col(idCol), col("cell"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bit LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

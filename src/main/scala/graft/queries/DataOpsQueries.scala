@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Curation, Sampling, Similarity, Sq}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the round-8 data-pipeline additions: cosine radius
+  * search and cluster-balanced sampling ([[graft.operators.Similarity]]),
+  * the Gopher-style quality-rule filter ([[graft.operators.Curation]]),
+  * SQ8 scalar-quantized ANN ([[graft.operators.Sq]]) and the
+  * deterministic training-shard shuffle ([[graft.operators.Sampling]]).
+  *
+  * Oracle strategy per gate: range search and cluster balance emit ids
+  * only, so DuckDB recomputes the same double-precision cosine / argmin-L2
+  * exactly (the q_emb_near_dup precedent); quality rules are integer
+  * cross-multiplications (float-free); the shard shuffle is the same md5
+  * hex arithmetic in both engines; SQ8 uses the planted-copy flag contract
+  * (the q_ann_pq pattern — quantization internals are engine-side, the
+  * oracle pins the query set and asserts recovery).
+  */
+object DataOpsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- similarity search: radius (range) query. Exact by construction —
+    // queries broadcast, map-side cosine filter, ids-only output.
+    QueryDef("q_ann_range",
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.rangeSearch(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), 0.3)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // --- cluster-balanced sampling: assign to the nearest of 8
+    // deterministic centroids (the vectors of ids 0..7), keep ≤25 per
+    // cluster by smallest id. DuckDB recomputes the argmin exactly
+    // (sqrt-L2 is argmin-equivalent to the engine's squared L2; ties —
+    // which only the centroid rows themselves could hit — break toward the
+    // smaller cell in both engines).
+    QueryDef("q_cluster_balance",
+      """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+        |               FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |kept AS (SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        |         FROM assigned)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell
+        |FROM kept WHERE rn <= 25
+        |ORDER BY vec_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      Similarity.clusterBalance(emb, "vec_id", "embedding", centroids, cap = 25)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy("vec_id")
+    },
+
+    // --- quality-rule filter (Gopher §A.1.1 shape): five integer rule
+    // flags + their conjunction. All thresholds cross-multiplied so the
+    // oracle compare is float-free.
+    QueryDef("q_quality_rules",
+      """WITH toks AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |              FROM documents),
+        |perdoc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(tok)) AS BIGINT) AS n_wchars,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks GROUP BY 1),
+        |maxf AS (SELECT id, CAST(MAX(c) AS BIGINT) AS max_freq
+        |         FROM (SELECT id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |flags AS (SELECT id,
+        |  CAST(CASE WHEN n_words >= 30 THEN 1 ELSE 0 END AS INT) AS r_nwords,
+        |  CAST(CASE WHEN n_wchars >= 4*n_words AND n_wchars <= 10*n_words
+        |       THEN 1 ELSE 0 END AS INT) AS r_wordlen,
+        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+        |  CAST(CASE WHEN 2*n_types >= n_words THEN 1 ELSE 0 END AS INT) AS r_ttr,
+        |  CAST(CASE WHEN 10*max_freq <= n_words THEN 1 ELSE 0 END AS INT) AS r_maxfreq
+        |  FROM perdoc JOIN maxf USING (id))
+        |SELECT CAST(id AS BIGINT) AS doc_id, r_nwords, r_wordlen, r_stop,
+        |  r_ttr, r_maxfreq,
+        |  CAST(r_nwords*r_wordlen*r_stop*r_ttr*r_maxfreq AS INT) AS keep
+        |FROM flags ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Curation.qualityRules(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("keep", col("keep").cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // --- similarity search: SQ8 scalar-quantized ANN. Planted EXACT
+    // copies of 10 queries (+100000): a copy shares all d codes with its
+    // source, so its ADC distance is the query's own (tiny — 255 levels
+    // per dimension) quantization error and must rank 1 once the source id
+    // itself is self-excluded. Flag-based oracle pins the query set.
+    QueryDef("q_ann_sq8",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS copy_at_rank1
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding")))
+      val bounds = Sq.train(emb, "embedding")
+      val codes = Sq.encode(corpus, "vec_id", "embedding", bounds)
+      Sq.adcTopK(codes, "vec_id", queries, "vec_id", "embedding", bounds, 1)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") + 100000).as("copy_at_rank1"))
+        .orderBy("query_id")
+    },
+
+    // --- deterministic training-shard shuffle: content-hash shard + within-
+    // shard order, a pure function of the data (identical md5 hex
+    // arithmetic in both engines).
+    QueryDef("q_shuffle_shards",
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |        CAST(('0x' || substring(hx, 1, 8)) AS BIGINT) % 16 AS shard
+        |      FROM h)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.shardShuffle(Tables.documents(s, d), "doc_id", "text", nShards = 16)
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-8 data-pipeline additions: radius search, cluster-balanced
+  * sampling, the quality-rule filter, SQ8 quantization, and the
+  * deterministic shard shuffle.
+  */
+class DataOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- rangeSearch ---------------------------------------------------------
+
+  test("rangeSearch matches the brute-force cosine filter") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.rangeSearch(emb, "vec_id", "embedding", queries, 0.3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = emb.select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .where(col("query_id") < 3)
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c")))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .where(Similarity.cosineHof(col("q"), col("c")) >= 0.3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  // --- clusterBalance ------------------------------------------------------
+
+  test("clusterBalance assigns to the nearest centroid and caps per cluster") {
+    // two well-separated crafted centroids; vectors near each
+    val dim = 4
+    val c0 = Array.fill(dim)(0.0)
+    val c1 = Array.fill(dim)(10.0)
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i, Array.tabulate(dim)(d => base + (i % 3) * 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.clusterBalance(df, "vec_id", "embedding",
+      Array(c0, c1), cap = 3)
+    val byCell = kept.as[(Long, Int)].collect().groupBy(_._2)
+    assert(byCell.keySet == Set(0, 1))
+    // cap respected, smallest ids kept
+    assert(byCell(0).map(_._1).sorted.toSeq == Seq(0L, 2L, 4L))
+    assert(byCell(1).map(_._1).sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  // --- qualityRules --------------------------------------------------------
+
+  test("qualityRules flags each rule independently") {
+    // 30 distinct 6-char words + 7 stopwords: 37 words, mean length ≈ 5.2,
+    // TTR = 1, max frequency 1/37 — passes every rule
+    val good = (0 until 30).map(i => f"word$i%02d").mkString(" ") +
+      " the a of and to in is"
+    val docs = Seq(
+      (1L, good), // passes everything
+      (2L, "short text only here"), // fails r_nwords (<30 words)
+      (3L, ("spark " * 40).trim), // fails r_ttr + r_maxfreq (one token repeated)
+      (4L, (("internationalization " * 3) + ("the a of and to in is " * 5)).trim)
+    ).toDF("doc_id", "text")
+    val flags = Curation.qualityRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("r_nwords", "r_wordlen", "r_stop", "r_ttr", "r_maxfreq", "keep")
+      .as[(Int, Int, Int, Int, Int, Int)].collect()
+
+    assert(flags(0) == ((1, 1, 1, 1, 1, 1)), s"good doc: ${flags(0)}")
+    assert(flags(1)._1 == 0, "doc 2 fails word count")
+    assert(flags(1)._6 == 0)
+    assert(flags(2)._4 == 0, "doc 3 fails type-token ratio")
+    assert(flags(2)._5 == 0, "doc 3 fails max token frequency")
+    // doc 4: 38 words, mean length fine? 'internationalization' ×3 (20
+    // chars) + 35 short stopwords — mean < 4 → r_wordlen fails
+    assert(flags(3)._2 == 0, s"doc 4 fails mean word length: ${flags(3)}")
+  }
+
+  test("qualityRules agrees with a DataFrame recomputation on real docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Curation.qualityRules(docs, "doc_id", "text")
+    // recompute n_words / n_types / stopword count with spark built-ins
+    val toks = TextOps.tokens(col("text"))
+    val want = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      size(filter(toks, t => t.isInCollection(Curation.StopwordsEn.toSeq)))
+        .cast("long").as("n_stop"))
+    val joined = got.join(want, "doc_id")
+      .where(
+        (col("r_nwords") === 1) =!= (col("n_words") >= 30) ||
+        (col("r_stop") === 1) =!= (col("n_stop") >= 2) ||
+        (col("r_ttr") === 1) =!= (col("n_types") * 2 >= col("n_words")))
+    assert(joined.count() == 0)
+    assert(got.where(col("keep") === 1).count() > 0)
+  }
+
+  // --- SQ8 -----------------------------------------------------------------
+
+  test("Sq bounds reconstruct within half a quantization step") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bounds = Sq.train(emb, "embedding")
+    assert(bounds.mins.length == 64)
+    // reconstruction error per dim ≤ scale/2 + eps for in-range values
+    val codes = Sq.encode(emb, "vec_id", "embedding", bounds)
+    val joined = codes.join(emb, "vec_id")
+      .select(col("codes"), col("embedding")).as[(Seq[Int], Seq[Float])]
+      .collect()
+    joined.foreach { case (cs, vs) =>
+      cs.indices.foreach { i =>
+        val recon = bounds.mins(i) + cs(i) * bounds.scales(i)
+        assert(math.abs(recon - vs(i)) <= bounds.scales(i) / 2 + 1e-9,
+          s"dim $i: recon $recon vs ${vs(i)} scale ${bounds.scales(i)}")
+      }
+    }
+  }
+
+  test("Sq handles constant dimensions (zero scale)") {
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val bounds = Sq.train(df, "embedding")
+    assert(bounds.scales(0) == 0.0)
+    val codes = Sq.encode(df, "vec_id", "embedding", bounds)
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(codes(0)._2(0) == 0 && codes(1)._2(0) == 0)
+    assert(codes(0)._2(1) == 0 && codes(1)._2(1) == 255)
+  }
+
+  test("Sq ADC puts a planted exact copy at rank 1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    val bounds = Sq.train(emb, "embedding")
+    val codes = Sq.encode(corpus, "vec_id", "embedding", bounds)
+    val top1 = Sq.adcTopK(codes, "vec_id", queries, "vec_id", "embedding",
+        bounds, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length == 10)
+    top1.foreach { case (q, n) => assert(n == q + 100000, s"query $q -> $n") }
+  }
+
+  // --- shardShuffle --------------------------------------------------------
+
+  test("shardShuffle is deterministic, bounded, and position-contiguous") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sampling.shardShuffle(docs, "doc_id", "text", 16)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // stable under a different partitioning of the same data
+    val b = Sampling.shardShuffle(docs.repartition(13), "doc_id", "text", 16)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == docs.count())
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 16 })
+    // positions within each shard are 1..n with no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+}
