@@ -70,4 +70,58 @@ object Packing {
       StructField("first_seq", LongType, nullable = false),
       StructField("last_seq", LongType, nullable = false))))
   }
+
+  /** No-split sequence packing: documents never straddle a sequence
+    * boundary (the padded-pack form — the complement of [[packOffsets]]'s
+    * concat-and-chunk). Bin packing is inherently sequential, so the
+    * scalable shape is per-shard packing: each document hash-shards by
+    * content-independent id hash (md5 prefix, the [[Sampling]]
+    * reproducibility contract — DuckDB computes the identical shard), and
+    * within a shard documents pack next-fit in id order: stay in the
+    * current bin while the fill fits `budget`, else open a new bin. A
+    * document larger than `budget` occupies a bin alone (oversized — never
+    * split). Waste is bounded by one partial bin per shard; global bin ids
+    * are (shard, bin).
+    *
+    * Determinism: shard is a pure function of the id and the per-shard
+    * scan order is total (id), so the output is independent of cluster
+    * size and input partitioning — unlike range-sampled partitioning,
+    * which would move shard boundaries between runs. Each shard's
+    * sequential scan parallelizes across shards (`nShards` ≫ executors at
+    * scale).
+    *
+    * Output: (idCol, shard, bin, n_tokens).
+    */
+  def packBinsNoSplit(df: DataFrame, idCol: String, nTokCol: String,
+      budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val spark = df.sparkSession
+    val sharded = df
+      .select(col(idCol).cast("long").as("__id"), col(nTokCol).cast("long").as("__n"))
+      .withColumn("__shard",
+        (conv(substring(md5(col("__id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).cast("int"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__id")
+    val rows = sharded.queryExecution.toRdd.mapPartitions { iter =>
+      var shard = -1
+      var bin = 0L
+      var fill = 0L
+      iter.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val s = r.getInt(2)
+        if (s != shard) { shard = s; bin = 0L; fill = n }
+        else if (fill + n <= budget) fill += n
+        else { bin += 1; fill = n }
+        Row(id, s, bin, n)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("shard", IntegerType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false))))
+  }
 }

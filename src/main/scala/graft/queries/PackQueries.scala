@@ -37,6 +37,34 @@ object PackQueries {
       Packing.packOffsets(docs, "doc_id", "n", 128).orderBy("doc_id")
     },
 
+    // --- no-split packing: doc never straddles a sequence (padded-pack
+    // form). Deterministic hash shards (same md5 arithmetic in DuckDB) +
+    // within-shard next-fit replayed exactly by a recursive CTE.
+    QueryDef("q_pack_bins",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, shard, n,
+        |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n,
+        |    CASE WHEN p.fill + o.n <= 128 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + o.n <= 128 THEN p.fill + o.n ELSE o.n END
+        |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS INT) AS shard,
+        |  bin, n AS n_tokens
+        |FROM pack ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      Packing.packBinsNoSplit(docs, "doc_id", "n", budget = 128, nShards = 16)
+        .orderBy("doc_id")
+    },
+
     // --- token-budget data mixing (integer-exact per-source rates) ----------
     QueryDef("q_sample_token_budget",
       """WITH t AS (

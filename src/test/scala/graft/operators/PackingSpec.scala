@@ -34,4 +34,50 @@ class PackingSpec extends SparkSpec {
     val expectedStart = (1L until 500L).map(_ % 7).sum
     assert(one(499) == (500L, expectedStart))
   }
+
+  test("no-split packing matches a sequential next-fit simulation") {
+    import spark.implicits._
+    val budget = 16
+    val nShards = 4
+    val df = (1L to 300L).map(i => (i, (i % 23).toInt)).toDF("id", "n")
+    val got = Packing.packBinsNoSplit(df.repartition(7), "id", "n", budget, nShards)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+    // driver-side simulation over the same shard function + id order
+    def shard(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % nShards).toInt
+    }
+    val state = scala.collection.mutable.Map[Int, (Long, Long)]()
+    val want = (1L to 300L).map { id =>
+      val n = (id % 23).toInt
+      val s = shard(id)
+      val (bin, fill) = state.get(s) match {
+        case None => (0L, n.toLong)
+        case Some((b, f)) if f + n <= budget => (b, f + n)
+        case Some((b, _)) => (b + 1, n.toLong)
+      }
+      state(s) = (bin, fill)
+      (id, s, bin, n.toLong)
+    }
+    assert(got.toSeq == want)
+    // no bin over budget unless it holds a single oversized doc
+    got.groupBy(r => (r._2, r._3)).foreach { case (_, docs) =>
+      val total = docs.map(_._4).sum
+      assert(total <= budget || docs.length == 1,
+        s"overfull bin with ${docs.length} docs, $total tokens")
+    }
+  }
+
+  test("no-split packing oversized docs get a bin alone") {
+    import spark.implicits._
+    val df = Seq((1L, 50), (2L, 3), (3L, 4)).toDF("id", "n")
+    // single shard so the order is 1,2,3
+    val rows = Packing.packBinsNoSplit(df, "id", "n", budget = 8, nShards = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L)))
+  }
 }
