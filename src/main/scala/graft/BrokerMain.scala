@@ -5,8 +5,10 @@ package graft
   * `graft.ServerMain` instances; clients POST the usual AQLRequest to the
   * broker's `/query/aql` and receive merged results.
   *
-  *   SPARK_GRAFT_INSTANCES    comma-separated instance base URLs
-  *                            (e.g. "http://a:19374,http://b:19374")
+  *   SPARK_GRAFT_INSTANCES    comma-separated instance base URLs, one per
+  *                            data slice (e.g. "http://a:19374,http://b:19374");
+  *                            `|`-separate replicas of the same slice for
+  *                            failover ("http://a1:19374|http://a2:19374,...")
   *   SPARK_GRAFT_BROKER_PORT  HTTP port (default 19380; 0 = ephemeral)
   *
   * Runs without a SparkSession — the broker is HTTP fan-out + merge.

@@ -43,11 +43,48 @@ import graft.functions.Hll
   * does not carry, matching the reference's HLL response contract.
   */
 final class Broker(hosts: Seq[String],
-    timeout: Duration = Duration.ofSeconds(120)) {
+    timeout: Duration = Duration.ofSeconds(120), trials: Int = 3) {
   require(hosts.nonEmpty, "broker needs at least one instance")
+  require(trials > 0, s"trials $trials must be positive")
+
+  /** Each entry of `hosts` is one data SLICE; `|`-separated URLs within an
+    * entry are replicas serving the same slice
+    * (`"http://a:9000|http://b:9000"`). A failed fetch retries the next
+    * replica round-robin, up to `trials` full cycles — the reference's
+    * datanode retry loop with host-health demotion
+    * (/root/reference/broker/query_plan_agg.go:170-215, where a connect
+    * failure marks the host unhealthy and the trial loop re-resolves).
+    */
+  private val slices: Seq[Seq[String]] =
+    hosts.map(_.split('|').map(_.trim).filter(_.nonEmpty).toSeq)
+  require(slices.forall(_.nonEmpty), "every slice needs at least one replica URL")
 
   private val client = HttpClient.newBuilder().connectTimeout(timeout).build()
   private implicit val ec: ExecutionContext = ExecutionContext.global
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Fetch one slice's result, failing over across its replicas: replica
+    * i of attempt t is `slice(t % n)`, so a flaky instance is retried and
+    * a dead one is routed around; gives up after `trials` full cycles.
+    */
+  private def fetch(slice: Seq[String], body: String, accept: String): Array[Byte] = {
+    var last: Throwable = null
+    var attempt = 0
+    val max = trials * slice.length
+    while (attempt < max) {
+      val host = slice(attempt % slice.length)
+      try return post(host, body, accept)
+      catch {
+        case e: Exception =>
+          last = e
+          attempt += 1
+          log.warn(s"fetch from $host failed (attempt $attempt/$max): ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException(
+      s"all ${slice.length} replica(s) of slice ${slice.mkString("|")} " +
+        s"failed after $max attempts", last)
+  }
 
   /** Execute one AQL query (the JSON document) across every instance and
     * return the merged AQLQueryResult JSON.
@@ -114,13 +151,13 @@ final class Broker(hosts: Seq[String],
     */
   private def scatterJson(q: AqlQuery): Seq[JValue] = {
     val body = requestBody(q)
-    val futures = hosts.map(h => Future {
+    val futures = slices.map(s => Future {
       val resp = JsonMethods.parse(
-        new String(post(h, body, "application/json"), StandardCharsets.UTF_8))
+        new String(fetch(s, body, "application/json"), StandardCharsets.UTF_8))
       resp \ "errors" match {
         case JArray(errs) if errs.exists(_ != JNull) =>
           throw new IllegalStateException(
-            s"instance $h failed: ${errs.collectFirst { case JString(s) => s }.getOrElse("?")}")
+            s"slice ${s.mkString("|")} failed: ${errs.collectFirst { case JString(x) => x }.getOrElse("?")}")
         case _ =>
       }
       (resp \ "results") (0)
@@ -194,7 +231,7 @@ final class Broker(hosts: Seq[String],
         "application/hll requires an HLL measure")
     }
     val body = requestBody(q)
-    val futures = hosts.map(h => Future(post(h, body, "application/hll")))
+    val futures = slices.map(s => Future(fetch(s, body, "application/hll")))
     val bodies = Await.result(Future.sequence(futures), 600.seconds)
     val blocks = bodies.map { bytes =>
       RefHllWire.readResults(bytes).head match {
@@ -264,7 +301,7 @@ final class Broker(hosts: Seq[String],
 
   private def mergeHll(q: AqlQuery): JValue = {
     val body = requestBody(q)
-    val futures = hosts.map(h => Future(post(h, body, "application/hll")))
+    val futures = slices.map(s => Future(fetch(s, body, "application/hll")))
     val bodies = Await.result(Future.sequence(futures), 600.seconds)
     // per-instance blocks → (dim keys → registers), merged by register max
     val merged = scala.collection.mutable.LinkedHashMap.empty[List[String], Array[Byte]]

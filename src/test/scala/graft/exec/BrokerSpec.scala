@@ -202,4 +202,63 @@ class BrokerSpec extends SparkSpec {
     // every row came from one of the slices (event_ids are unique)
     assert(rows.map(_.asInstanceOf[JArray].arr.head).distinct.length == 50)
   }
+
+  // ---- replica failover (ref query_plan_agg.go:170-215 retry loop) --------
+
+  /** A port with nothing listening: bind-then-close an ephemeral socket. */
+  private def deadUrl: String = {
+    val sock = new java.net.ServerSocket(0)
+    val port = sock.getLocalPort
+    sock.close()
+    s"http://127.0.0.1:$port"
+  }
+
+  test("a flaky instance is retried until it answers") {
+    // stub that 500s its first N requests, then proxies to serverA
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val stub = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    stub.createContext("/query/aql", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes())
+      if (failures.getAndDecrement() > 0) {
+        exchange.sendResponseHeaders(500, -1)
+        exchange.close()
+      } else {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://localhost:${serverA.boundPort}/query/aql"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        exchange.sendResponseHeaders(resp.statusCode(), resp.body().length)
+        exchange.getResponseBody.write(resp.body())
+        exchange.close()
+      }
+    })
+    stub.start()
+    try {
+      val flakyBroker = new Broker(Seq(
+        s"http://localhost:${stub.getAddress.getPort}",
+        s"http://localhost:${serverB.boundPort}"))
+      val merged = JsonMethods.parse(flakyBroker.aql(query("count(*)")))
+      assertClose(merged, singleAnswer(query("count(*)")), "flaky retry")
+    } finally stub.stop(0)
+  }
+
+  test("a dead replica fails over to the healthy one in the same slice") {
+    val failover = new Broker(Seq(
+      s"$deadUrl|http://localhost:${serverA.boundPort}",
+      s"http://localhost:${serverB.boundPort}"))
+    val merged = JsonMethods.parse(failover.aql(query("count(*)")))
+    assertClose(merged, singleAnswer(query("count(*)")), "replica failover")
+  }
+
+  test("a slice with no live replica fails after bounded trials") {
+    val hopeless = new Broker(
+      Seq(deadUrl, s"http://localhost:${serverB.boundPort}"),
+      trials = 1)
+    val e = intercept[Exception](hopeless.aql(query("count(*)")))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("failed after 1 attempts")), messages(e))
+  }
 }
