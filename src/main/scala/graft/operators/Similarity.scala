@@ -91,6 +91,40 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Label-constrained top-k: each query's k most-similar corpus vectors
+    * whose label differs from (`excludeSameLabel = true` — HARD-NEGATIVE
+    * MINING for contrastive training: the closest wrong-label examples
+    * are the informative negatives) or matches (`false` — positive-pair
+    * mining) the query's own label. Same plan as [[topKCosine]]: queries
+    * broadcast, map-side codegen'd cosine, per-query top-k window; the
+    * label predicate filters BEFORE the window, so discarded pairs never
+    * shuffle. At full corpus scale, feed the probed candidate slice of
+    * [[ivfTopK]]/[[IvfIndex]] as `corpus` instead of the whole table —
+    * the constraint composes with any candidate generator.
+    *
+    * Output: (query_id, rank, neighbor_id, cos), rank ties broken by id.
+    */
+  def labelConstrainedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int,
+      excludeSameLabel: Boolean): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_label"))
+    val labelPred =
+      if (excludeSameLabel) col("c_label") =!= col("q_label")
+      else col("c_label") === col("q_label")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id") && labelPred)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bit LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -122,6 +122,27 @@ object DataOpsQueries {
         .orderBy("query_id")
     },
 
+    // --- hard-negative mining: each query's top-3 most-similar vectors
+    // with a DIFFERENT label (the informative negatives for contrastive
+    // training). Exact oracle mirrors q_ann_topk with the label predicate.
+    QueryDef("q_hard_negatives",
+      """SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id AND c.label != q.label)
+        |WHERE rank <= 3
+        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.labelConstrainedTopK(emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 5), k = 3, excludeSameLabel = true)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
     // --- deterministic training-shard shuffle: content-hash shard + within-
     // shard order, a pure function of the data (identical md5 hex
     // arithmetic in both engines).

@@ -49,6 +49,41 @@ class DataOpsSpec extends SparkSpec {
     assert(byCell(1).map(_._1).sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("labelConstrainedTopK respects the label predicate both ways") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val neg = Similarity.labelConstrainedTopK(emb, "vec_id", "embedding",
+        "label", queries, k = 5, excludeSameLabel = true)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(neg.nonEmpty)
+    neg.foreach { case (q, n) =>
+      assert(labels(n) != labels(q), s"negative $n shares label with query $q")
+    }
+    val pos = Similarity.labelConstrainedTopK(emb, "vec_id", "embedding",
+        "label", queries, k = 5, excludeSameLabel = false)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    pos.foreach { case (q, n) =>
+      assert(labels(n) == labels(q), s"positive $n differs in label from $q")
+      assert(n != q, "self must be excluded")
+    }
+    // the hardest negative is at least as similar as the 5th unconstrained
+    // neighbor is NOT guaranteed — but the negative set must be exactly the
+    // top of the label-filtered similarity order; cross-check one query
+    val q0 = queries.orderBy("vec_id").select("vec_id").as[Long].head()
+    val brute = emb.where(col("vec_id") =!= q0)
+      .crossJoin(broadcast(queries.where(col("vec_id") === q0)
+        .select(col("embedding").as("q_vec"), col("label").as("q_label"))))
+      .where(col("label") =!= col("q_label"))
+      .select(col("vec_id"),
+        Similarity.cosineHof(col("q_vec"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .select("vec_id").as[Long].take(5).toSeq
+    assert(neg.filter(_._1 == q0).map(_._2).toSeq == brute)
+  }
+
   // --- qualityRules --------------------------------------------------------
 
   test("qualityRules flags each rule independently") {
