@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB):
   *  - TRAINING is one aggregation pass producing 2·d doubles (per-dim
-  *    min/max). At full scale the same deterministic hash-sample cap as
-  *    [[Pq.train]] applies — bounds saturate on a fixed-size sample; the
-  *    gate trains exact (the pass is one partial-aggregated shuffle of
-  *    d·partitions rows, nothing reaches the driver but 2·d doubles).
+  *    min/max) and is exact at ANY scale — unlike Lloyd, min/max partial-
+  *    aggregates, so each partition reduces to d rows map-side and the
+  *    shuffle carries d·partitions rows; nothing reaches the driver but
+  *    2·d doubles. No training sample is needed. (Min/max bounds are
+  *    outlier-sensitive; production SQ variants train on quantiles — the
+  *    same pass with `percentile_approx` slots in unchanged.)
   *  - ENCODE is a map-side UDF pass with the (tiny) bounds broadcast.
   *  - ADC SEARCH broadcasts the query set and scores each corpus code
   *    row against the true (unquantized) query in the dequantized space —

@@ -46,6 +46,40 @@ class OperatorPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("rangeSearch broadcasts queries and stays shuffle-free") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = planString(Similarity.rangeSearch(emb, "vec_id", "embedding",
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 3), 0.3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("SortMergeJoin"),
+      s"rangeSearch must not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
+  test("qualityRules is a pure map-side pass — no exchange at all") {
+    val plan = planString(
+      Curation.qualityRules(Tables.documents(spark, sfDir), "doc_id", "text"))
+    assert(!plan.contains("Exchange"),
+      s"qualityRules must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("clusterBalance caps hot cells below the exchange (WindowGroupLimit)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Array.tabulate(4)(j => Array.tabulate(64)(i =>
+      if (i == j) 1.0 else 0.0))
+    val plan = planString(
+      Similarity.clusterBalance(emb, "vec_id", "embedding", centroids, cap = 10))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cell cap must push a partial group limit below the shuffle:\n${plan.take(2000)}")
+  }
+
+  test("shardShuffle is exactly one hash exchange") {
+    val plan = planString(Sampling.shardShuffle(
+      Tables.documents(spark, sfDir), "doc_id", "text", 16))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("IVF-PQ search side joins the probed cells by broadcast") {
     // ivfpqTopK materializes its result internally (staged write + cache
     // release), so the plan to audit is the staged write's — captured via
