@@ -63,9 +63,23 @@ final class Broker(hosts: Seq[String],
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Scatter deadline: the worst case one slice can legitimately take is
+    * `trials` full replica cycles each bounded by the per-request
+    * `timeout`, so the gather Await must sit ABOVE that — otherwise a
+    * slice of hanging replicas surfaces as a bare TimeoutException (masking
+    * the per-replica diagnostics) while orphaned retries keep burning
+    * global-pool threads.
+    */
+  private val gatherWait: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.FiniteDuration(
+      timeout.toSeconds * trials * slices.map(_.length).max + 30,
+      java.util.concurrent.TimeUnit.SECONDS)
+
   /** Fetch one slice's result, failing over across its replicas: replica
     * i of attempt t is `slice(t % n)`, so a flaky instance is retried and
     * a dead one is routed around; gives up after `trials` full cycles.
+    * Only non-fatal failures retry — interruption (cancellation) is
+    * propagated, not swallowed into another attempt.
     */
   private def fetch(slice: Seq[String], body: String, accept: String): Array[Byte] = {
     var last: Throwable = null
@@ -75,7 +89,8 @@ final class Broker(hosts: Seq[String],
       val host = slice(attempt % slice.length)
       try return post(host, body, accept)
       catch {
-        case e: Exception =>
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           log.warn(s"fetch from $host failed (attempt $attempt/$max): ${e.getMessage}")
@@ -162,7 +177,7 @@ final class Broker(hosts: Seq[String],
       }
       (resp \ "results") (0)
     })
-    Await.result(Future.sequence(futures), 600.seconds)
+    Await.result(Future.sequence(futures), gatherWait)
   }
 
   // ---- merge algebra (result_merge.go:42-141) -----------------------------
@@ -232,7 +247,7 @@ final class Broker(hosts: Seq[String],
     }
     val body = requestBody(q)
     val futures = slices.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = Await.result(Future.sequence(futures), 600.seconds)
+    val bodies = Await.result(Future.sequence(futures), gatherWait)
     val blocks = bodies.map { bytes =>
       RefHllWire.readResults(bytes).head match {
         case Right(b) => b
@@ -302,7 +317,7 @@ final class Broker(hosts: Seq[String],
   private def mergeHll(q: AqlQuery): JValue = {
     val body = requestBody(q)
     val futures = slices.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = Await.result(Future.sequence(futures), 600.seconds)
+    val bodies = Await.result(Future.sequence(futures), gatherWait)
     // per-instance blocks → (dim keys → registers), merged by register max
     val merged = scala.collection.mutable.LinkedHashMap.empty[List[String], Array[Byte]]
     bodies.foreach { bytes =>

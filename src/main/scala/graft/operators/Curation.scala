@@ -65,10 +65,12 @@ object Curation {
   case class QualityStats(nWords: Long, nWchars: Long, nTypes: Long,
       nStop: Long, maxFreq: Long)
 
-  /** English stopword set shared with the oracle (and with
-    * [[TextOps.langVocabs]]'s `en` entry).
+  /** English stopword set — derived from [[TextOps.langVocabs]]'s `en`
+    * entry (single source of truth shared with language id; the gate
+    * oracle inlines the same seven words).
     */
-  val StopwordsEn: Set[String] = Set("the", "a", "of", "and", "to", "in", "is")
+  val StopwordsEn: Set[String] =
+    TextOps.langVocabs.collectFirst { case ("en", words) => words.toSet }.get
 
   private val qualityStatsUdf = udf { (toks: Seq[String]) =>
     if (toks == null) QualityStats(0L, 0L, 0L, 0L, 0L)
@@ -86,16 +88,20 @@ object Curation {
   }
 
   /** Gopher-style document-quality rule filter (Rae et al. 2021 §A.1.1
-    * shape, thresholds adapted to the gate corpus): per-document flags for
-    * word count, mean word length, stopword evidence, type-token ratio and
-    * max single-token frequency, plus the conjunction as `keep`. All
-    * arithmetic is integer cross-multiplication (mean length ∈ [3,10] ⇔
-    * 4·n ≤ chars ≤ 10·n etc.), so the oracle compare is float-free. Pure
-    * map-side: one UDF pass per document, no shuffle at any scale.
+    * shape; thresholds adapted to the gate corpus — mean word length ∈
+    * [4,10] ⇔ 4·n ≤ chars ≤ 10·n, where Gopher's lower bound is 3, because
+    * the synthetic corpus floor is 3.7): per-document flags for word
+    * count, mean word length, stopword evidence, type-token ratio and max
+    * single-token frequency, plus the conjunction as `keep`. All
+    * arithmetic is integer cross-multiplication, so the oracle compare is
+    * float-free. Pure map-side: one UDF pass per document, no shuffle at
+    * any scale. Null-text documents are dropped (the SQL oracle's unnest
+    * drops them from its GROUP BY; filtering keeps both sides agreeing).
     */
   def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val flag = (c: Column) => when(c, 1).otherwise(0)
-    df.select(col(idCol),
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
         qualityStatsUdf(TextOps.tokens(col(textCol))).as("__s"))
       .select(col(idCol),
         flag(col("__s.nWords") >= 30).as("r_nwords"),

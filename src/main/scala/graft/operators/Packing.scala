@@ -40,10 +40,18 @@ object Packing {
       .sortWithinPartitions("__id")
     // phase 1: one local token sum per partition (tiny driver collect —
     // O(#partitions) longs, independent of row count)
+    // InternalRow getters read SQL NULL as 0 silently — a null id or token
+    // count would corrupt offsets instead of failing, so both passes guard.
     val partSums = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { (idx, iter) =>
         var s = 0L
-        while (iter.hasNext) s += iter.next().getLong(1)
+        while (iter.hasNext) {
+          val r = iter.next()
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new IllegalArgumentException(
+              "packOffsets: null id or token count (clean the corpus first)")
+          s += r.getLong(1)
+        }
         Iterator((idx, s))
       }
       .collect()
@@ -109,6 +117,10 @@ object Packing {
       var bin = 0L
       var fill = 0L
       iter.map { r =>
+        // InternalRow getters read SQL NULL as 0 silently — fail instead
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalArgumentException(
+            "packBinsNoSplit: null id or token count (clean the corpus first)")
         val id = r.getLong(0)
         val n = r.getLong(1)
         val s = r.getInt(2)

@@ -92,6 +92,15 @@ object Sampling {
     * window TopK pushes a partial `WindowGroupLimit` below the shuffle
     * since 3.5, which achieves exactly that.
     */
+  def capPerKey(df: DataFrame, keyCol: String, tiebreakCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(tiebreakCol).cast("string")).asc, col(tiebreakCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * 32-bit md5 prefix of the content mod `nShards`, position within the
     * shard by full-hash order. A pure function of the data (same
@@ -113,14 +122,5 @@ object Sampling {
         (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
-  }
-
-  def capPerKey(df: DataFrame, keyCol: String, tiebreakCol: String,
-      n: Int): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(md5(col(tiebreakCol).cast("string")).asc, col(tiebreakCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .drop("__rn")
   }
 }

@@ -36,24 +36,44 @@ object Similarity {
   /** The interpreted fold form of [[cosine]] (spec oracle only). */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k neighbors for each query vector.
-    * Output: (query_id, rank, neighbor_id, cos) — rank ties broken by
-    * neighbor id for determinism.
+  /** Shared scaffold for the exact search variants: broadcast the query
+    * set against the corpus scan (map-side, no corpus shuffle), exclude
+    * self-pairs, optionally carry a label column from both sides. One
+    * definition so tie-break / broadcast-hint changes can't silently
+    * diverge between top-k, range, and label-constrained search.
     */
-  def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.crossJoin(broadcast(q))
+  private def broadcastPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, carryLabel: Option[String]): DataFrame = {
+    val qCols = Seq(col(idCol).as("query_id"), col(vecCol).as("q_vec")) ++
+      carryLabel.map(l => col(l).as("q_label"))
+    val cCols = Seq(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")) ++
+      carryLabel.map(l => col(l).as("c_label"))
+    corpus.select(cCols: _*)
+      .crossJoin(broadcast(queries.select(qCols: _*)))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos"))
+  }
+
+  /** Per-query top-k over scored (query_id, neighbor_id, cos) pairs; rank
+    * ties broken by neighbor id for determinism.
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Brute-force cosine top-k neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame =
+    perQueryTopK(
+      broadcastPairs(corpus, idCol, vecCol, queries, None)
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_vec"), col("c_vec")).as("cos")),
+      k)
 
   /** Radius (range) search: every corpus vector with cosine ≥ `minCosine`
     * to each query — the "give me everything similar enough" companion to
@@ -63,15 +83,11 @@ object Similarity {
     * construction; the ANN paths (LSH/IVF) are the recall-traded variants.
     */
   def rangeSearch(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, minCosine: Double): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
+      queries: DataFrame, minCosine: Double): DataFrame =
+    broadcastPairs(corpus, idCol, vecCol, queries, None)
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
       .where(col("cos") >= minCosine)
-  }
 
   /** Cluster-balanced sampling: assign every vector to its nearest
     * centroid ([[assignCells]] — one map-side UDF pass, centroids
@@ -107,22 +123,15 @@ object Similarity {
   def labelConstrainedTopK(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, k: Int,
       excludeSameLabel: Boolean): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      col(labelCol).as("q_label"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      col(labelCol).as("c_label"))
     val labelPred =
       if (excludeSameLabel) col("c_label") =!= col("q_label")
       else col("c_label") === col("q_label")
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id") && labelPred)
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    perQueryTopK(
+      broadcastPairs(corpus, idCol, vecCol, queries, Some(labelCol))
+        .where(labelPred)
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_vec"), col("c_vec")).as("cos")),
+      k)
   }
 
   /** Deterministic random hyperplanes (fixed seed) for sign-bit LSH. */
