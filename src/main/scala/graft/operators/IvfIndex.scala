@@ -62,17 +62,38 @@ object IvfIndex {
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(spark, dir)
-    val assigned = spark.read.parquet(s"$dir/assignments")
-    val q = Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
-    val scored = assigned.join(broadcast(q), "cell")
-      .where(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        Similarity.cosine(col("q_vec"), col(vecCol)).as("cos"))
+    val scored = probedPairs(spark, dir, queries, idCol, vecCol, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Radius search from the persisted index: every indexed vector with
+    * cosine ≥ `minCosine` among the probed cells — the scale path of
+    * [[Similarity.rangeSearch]] (which scans the whole corpus): the
+    * threshold filter runs only over the ~nProbe/nlist partition-pruned
+    * slice, with the same recall trade as [[search]].
+    * Output: (query_id, neighbor_id, cos).
+    */
+  def searchRange(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double, nProbe: Int): DataFrame =
+    probedPairs(spark, dir, queries, idCol, vecCol, nProbe)
+      .where(col("cos") >= minCosine)
+
+  /** Shared probe scaffold: broadcast each query's nProbe cells against
+    * the cell-partitioned assignments (dynamic partition pruning reads
+    * only the probed files) and score the surviving pairs.
+    */
+  private def probedPairs(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val cents = centroids(spark, dir)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    val q = Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
+    assigned.join(broadcast(q), "cell")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        Similarity.cosine(col("q_vec"), col(vecCol)).as("cos"))
   }
 }

@@ -59,6 +59,22 @@ object Sq {
     Bounds(mins, scales)
   }
 
+  /** The per-value quantization kernel: nearest of 256 levels on the
+    * affine grid, clamped to [0, 255]; a flat dimension (scale 0) codes to
+    * 0. Pure — property-tested directly (PropertySpec: round-trip error ≤
+    * scale/2 in-range, clamping out-of-range, per-dim monotonicity).
+    */
+  def quantize(x: Double, min: Double, scale: Double): Int =
+    if (scale == 0.0) 0
+    else {
+      val c = Math.round((x - min) / scale).toInt
+      if (c < 0) 0 else if (c > 255) 255 else c
+    }
+
+  /** Inverse of [[quantize]] up to the grid: the level's reconstruction. */
+  def dequantize(code: Int, min: Double, scale: Double): Double =
+    min + code * scale
+
   /** Encode each vector as d 8-bit codes (carried as `array<int>`, same
     * carrier choice as [[Pq.encode]]). Map-side; bounds broadcast by UDF
     * closure capture (2·d doubles).
@@ -70,13 +86,7 @@ object Sq {
       val out = new Array[Int](n)
       var i = 0
       while (i < n) {
-        val s = bounds.scales(i)
-        out(i) =
-          if (s == 0.0) 0
-          else {
-            val c = Math.round((vec(i).toDouble - bounds.mins(i)) / s).toInt
-            if (c < 0) 0 else if (c > 255) 255 else c
-          }
+        out(i) = quantize(vec(i).toDouble, bounds.mins(i), bounds.scales(i))
         i += 1
       }
       out
@@ -105,7 +115,7 @@ object Sq {
       var i = 0
       val n = math.min(q.length, cs.length)
       while (i < n) {
-        val d = q(i) - (mins(i) + cs(i) * scales(i))
+        val d = q(i) - dequantize(cs(i), mins(i), scales(i))
         s += d * d
         i += 1
       }

@@ -122,6 +122,30 @@ object DataOpsQueries {
         .orderBy("query_id")
     },
 
+    // --- similarity search: radius query from the PERSISTED IVF index —
+    // the scale path of q_ann_range (threshold filter over only the probed
+    // ~nProbe/nlist partition-pruned slice). Planted contract as q_ann_ivf:
+    // each query is a lightly-perturbed copy (cos ≈ 0.999) of a corpus
+    // vector, which must fall inside the 0.9-radius of its source.
+    QueryDef("q_ann_ivf_range",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS found_planted
+        |FROM embeddings WHERE vec_id < 15
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dir = AnnFixtures.ivfIndexDir(s, d, nlist = 32)
+      val queries = emb.where(col("vec_id") < 15)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+      graft.operators.IvfIndex.searchRange(s, dir, queries, "vec_id", "embedding",
+          minCosine = 0.9, nProbe = 4)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") - 100000).as("found_planted"))
+        .select((col("query_id") - 100000).as("query_id"), col("found_planted"))
+        .orderBy("query_id")
+    },
+
     // --- hard-negative mining: each query's top-3 most-similar vectors
     // with a DIFFERENT label (the informative negatives for contrastive
     // training). Exact oracle mirrors q_ann_topk with the label predicate.

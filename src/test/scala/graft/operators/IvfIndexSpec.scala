@@ -33,6 +33,18 @@ class IvfIndexSpec extends SparkSpec {
     assert(found.forall(_.getBoolean(1)), found.mkString(", "))
   }
 
+  test("range search finds planted copies and respects the threshold") {
+    import spark.implicits._
+    val got = IvfIndex.searchRange(spark, dir, queries, "vec_id", "embedding",
+      minCosine = 0.9, nProbe = 4)
+    // every returned pair clears the threshold
+    assert(got.where(col("cos") < 0.9).count() == 0)
+    // every planted source (cos ≈ 0.999 with its query) is inside the radius
+    val hits = got.where(col("neighbor_id") === col("query_id") - 100000)
+      .select("query_id").as[Long].collect().toSet
+    assert(hits == (100000L until 100010L).toSet, s"missing: ${hits.size}/10")
+  }
+
   test("search prunes to the probed cells (dynamic partition pruning)") {
     val df = IvfIndex.search(spark, dir, queries, "vec_id", "embedding",
       k = 5, nProbe = 4)
