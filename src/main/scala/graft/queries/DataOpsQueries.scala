@@ -167,6 +167,49 @@ object DataOpsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- composition: quality-gated no-split packing as ONE job (the
+    // round's new operators chained — rule filter, map-side, feeds the
+    // deterministic hash-shard next-fit pack). Oracle composes the two
+    // exact replays: the quality CTE gates the recursive pack CTE.
+    QueryDef("q_pipeline_quality_pack",
+      """WITH RECURSIVE toks AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |              FROM documents),
+        |perdoc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(tok)) AS BIGINT) AS n_wchars,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks GROUP BY 1),
+        |maxf AS (SELECT id, CAST(MAX(c) AS BIGINT) AS max_freq
+        |         FROM (SELECT id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |kept AS (SELECT id AS doc_id, n_words AS n FROM perdoc JOIN maxf USING (id)
+        |  WHERE n_words >= 30 AND n_wchars >= 4*n_words AND n_wchars <= 10*n_words
+        |    AND n_stop >= 2 AND 2*n_types >= n_words AND 10*max_freq <= n_words),
+        |t AS (SELECT doc_id, n,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        |  FROM kept),
+        |o AS (SELECT doc_id, shard, n,
+        |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n,
+        |    CASE WHEN p.fill + o.n <= 128 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + o.n <= 128 THEN p.fill + o.n ELSE o.n END
+        |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT CAST(shard AS INT) AS shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM pack GROUP BY 1, 2
+        |ORDER BY shard NULLS FIRST, bin NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Pipeline.qualityPack(Tables.documents(s, d),
+          "doc_id", "text", packBudget = 128, nShards = 8)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("shard", "bin")
+    },
+
     // --- deterministic training-shard shuffle: content-hash shard + within-
     // shard order, a pure function of the data (identical md5 hex
     // arithmetic in both engines).

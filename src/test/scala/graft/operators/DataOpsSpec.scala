@@ -177,6 +177,22 @@ class DataOpsSpec extends SparkSpec {
     top1.foreach { case (q, n) => assert(n == q + 100000, s"query $q -> $n") }
   }
 
+  // --- qualityPack composition ---------------------------------------------
+
+  test("qualityPack packs exactly the quality-kept docs, bins within budget") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = Pipeline.qualityPack(docs, "doc_id", "text",
+      packBudget = 128, nShards = 8)
+    val keptIds = Curation.qualityRules(docs, "doc_id", "text")
+      .where(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val rows = packed.select("doc_id", "shard", "bin", "n_tokens")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == keptIds)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, bin) =>
+      assert(bin.map(_._4).sum <= 128 || bin.length == 1)
+    }
+  }
+
   // --- shardShuffle --------------------------------------------------------
 
   test("shardShuffle is deterministic, bounded, and position-contiguous") {
