@@ -273,4 +273,42 @@ object TextRank {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** Hybrid retrieval: BM25 lexical candidate generation → embedding
+    * cosine rerank (the standard two-stage retrieval stack — cheap sparse
+    * recall, dense precision on the short list). Stage 1 is [[bm25TopK]]
+    * over the full corpus (broadcast query vocabulary, no corpus
+    * shuffle); stage 2 joins only the ≤ queries×`kCandidates` surviving
+    * ids against the embedding table and reranks with the codegen'd
+    * cosine — the corpus-scale vector column is touched only for
+    * candidates, which is what makes the stack viable when the embedding
+    * table is 100 TB.
+    *
+    * `queries`: (query_id, text, query vector). Output:
+    * (query_id, rank, doc_id) with rank by (cosine desc, doc_id).
+    */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, embIdCol: String, vecCol: String,
+      queries: Seq[(Long, String, Array[Float])], kCandidates: Int,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cands = bm25TopK(docs, idCol, textCol,
+        queries.map(q => (q._1, q._2)), kCandidates)
+      .select(col("query_id"), col("doc_id"))
+    val qVecs = queries.map(q => (q._1, q._2, q._3.toSeq))
+      .toDF("query_id", "qtext", "q_vec")
+      .select(col("query_id"), col("q_vec").cast("array<float>").as("q_vec"))
+    val emb = embeddings.select(col(embIdCol).as("doc_id"), col(vecCol).as("c_vec"))
+    val reranked = cands
+      .join(emb, Seq("doc_id")) // candidate ids only — never the full table
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorOps.cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
 }

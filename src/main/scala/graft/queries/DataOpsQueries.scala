@@ -167,6 +167,53 @@ object DataOpsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- hybrid retrieval: BM25 lexical candidates → embedding cosine
+    // rerank (two-stage retrieval; the vector column is touched only for
+    // the ≤ queries×20 candidate ids). Query vectors are the embeddings of
+    // ids 0/1, so the oracle can recompute both stages exactly.
+    QueryDef("q_hybrid_search",
+      """WITH q(query_id, qtext) AS (VALUES (0, 'hash join batch'), (1, 'vector scan')),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(lower(qtext)), '\s+'))) AS tok FROM q),
+        |dt AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS len,
+        |              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |       FROM documents),
+        |tf AS (SELECT doc_id, len, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dt
+        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
+        |          FROM documents),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS nt FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1 + (n_docs - nt + 0.5) / (nt + 0.5)) *
+        |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.len / avg_len))), 4) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats JOIN qt USING (tok)
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, doc_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |    FROM scored) WHERE rank <= 20),
+        |rer AS (SELECT c.query_id, c.doc_id,
+        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.doc_id
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id
+        |FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, doc_id) AS rank FROM rer)
+        |WHERE rank <= 5
+        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") < 2).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.operators.TextRank.hybridTopK(
+          Tables.documents(s, d), "doc_id", "text", emb, "vec_id", "embedding",
+          Seq((0L, "hash join batch", qv(0)), (1L, "vector scan", qv(1))),
+          kCandidates = 20, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // --- composition: quality-gated no-split packing as ONE job (the
     // round's new operators chained — rule filter, map-side, feeds the
     // deterministic hash-shard next-fit pack). Oracle composes the two

@@ -177,6 +177,30 @@ class DataOpsSpec extends SparkSpec {
     top1.foreach { case (q, n) => assert(n == q + 100000, s"query $q -> $n") }
   }
 
+  // --- hybrid retrieval ------------------------------------------------------
+
+  test("hybridTopK reranks exactly the BM25 candidate set by cosine") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val queries = Seq((0L, "hash join batch", qv))
+    val got = TextRank.hybridTopK(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", queries, kCandidates = 10, k = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    // recompute: BM25 candidates then cosine-sort driver-side
+    val cands = TextRank.bm25TopK(docs, "doc_id", "text",
+        Seq((0L, "hash join batch")), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val byCos = emb.where(col("vec_id").isInCollection(cands))
+      .select(col("vec_id"),
+        Similarity.cosineHof(
+          lit(qv).cast("array<float>"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .select("vec_id").as[Long].take(3).toSeq
+    assert(got == byCos)
+  }
+
   // --- qualityPack composition ---------------------------------------------
 
   test("qualityPack packs exactly the quality-kept docs, bins within budget") {
