@@ -72,8 +72,8 @@ final class Broker(hosts: Seq[String],
     */
   private val gatherWait: scala.concurrent.duration.FiniteDuration =
     scala.concurrent.duration.FiniteDuration(
-      timeout.toSeconds * trials * slices.map(_.length).max + 30,
-      java.util.concurrent.TimeUnit.SECONDS)
+      timeout.toMillis * trials * slices.map(_.length).max + 30000,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Fetch one slice's result, failing over across its replicas: replica
     * i of attempt t is `slice(t % n)`, so a flaky instance is retried and

@@ -98,7 +98,16 @@ object Curation {
     * any scale. Null-text documents are dropped (the SQL oracle's unnest
     * drops them from its GROUP BY; filtering keeps both sides agreeing).
     */
-  def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityRulesWithCount(df, idCol, textCol).drop("n_words")
+
+  /** [[qualityRules]] plus the word count from the SAME stats pass — for
+    * compositions (e.g. [[Pipeline.qualityPack]]) that need token counts
+    * downstream: re-deriving them would scan and tokenize the corpus a
+    * second time.
+    */
+  def qualityRulesWithCount(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val flag = (c: Column) => when(c, 1).otherwise(0)
     df.where(col(textCol).isNotNull)
       .select(col(idCol),
@@ -109,7 +118,8 @@ object Curation {
           col("__s.nWchars") <= col("__s.nWords") * 10).as("r_wordlen"),
         flag(col("__s.nStop") >= 2).as("r_stop"),
         flag(col("__s.nTypes") * 2 >= col("__s.nWords")).as("r_ttr"),
-        flag(col("__s.maxFreq") * 10 <= col("__s.nWords")).as("r_maxfreq"))
+        flag(col("__s.maxFreq") * 10 <= col("__s.nWords")).as("r_maxfreq"),
+        col("__s.nWords").as("n_words"))
       .withColumn("keep",
         col("r_nwords") * col("r_wordlen") * col("r_stop") *
           col("r_ttr") * col("r_maxfreq"))

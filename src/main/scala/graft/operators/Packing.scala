@@ -63,6 +63,12 @@ object Packing {
     val rows = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (idx, iter) =>
       var acc = basesB.value(idx)
       iter.map { r =>
+        // phase 2 re-executes the scan (nothing is persisted), so it needs
+        // its own null guard — a source that turned null between passes
+        // would otherwise read as 0 and corrupt every later offset
+        if (r.isNullAt(0) || r.isNullAt(1))
+          throw new IllegalArgumentException(
+            "packOffsets: null id or token count (clean the corpus first)")
         val id = r.getLong(0)
         val n = r.getLong(1)
         val start = acc

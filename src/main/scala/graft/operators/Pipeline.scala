@@ -90,20 +90,21 @@ object Pipeline {
   }
 
   /** The quality-gated packing composition: rule-filter the corpus
-    * ([[Curation.qualityRules]], map-side) and pack the surviving
-    * documents into no-split training bins ([[Packing.packBinsNoSplit]],
-    * deterministic hash shards). The filter never shuffles, so the whole
-    * composition costs exactly the pack's one shard exchange; output is a
-    * pure function of the data (cluster-size / partitioning independent).
+    * ([[Curation.qualityRulesWithCount]], map-side — the word count rides
+    * along from the same stats pass, so the corpus is scanned and
+    * tokenized exactly once and there is NO join back) and pack the
+    * surviving documents into no-split training bins
+    * ([[Packing.packBinsNoSplit]], deterministic hash shards). The filter
+    * never shuffles, so the whole composition costs exactly the pack's
+    * one shard exchange; output is a pure function of the data
+    * (cluster-size / partitioning independent).
     * Output: one row per kept doc — (idCol, shard, bin, n_tokens).
     */
   def qualityPack(docs: DataFrame, idCol: String, textCol: String,
       packBudget: Int, nShards: Int): DataFrame = {
-    val kept = Curation.qualityRules(docs, idCol, textCol)
-      .where(col("keep") === 1).select(idCol)
-    val withN = docs.join(kept, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
-    Packing.packBinsNoSplit(withN, idCol, "__n", packBudget, nShards)
+    val kept = Curation.qualityRulesWithCount(docs, idCol, textCol)
+      .where(col("keep") === 1)
+      .select(col(idCol), col("n_words"))
+    Packing.packBinsNoSplit(kept, idCol, "n_words", packBudget, nShards)
   }
 }

@@ -300,8 +300,12 @@ object TextRank {
       .toDF("query_id", "qtext", "q_vec")
       .select(col("query_id"), col("q_vec").cast("array<float>").as("q_vec"))
     val emb = embeddings.select(col(embIdCol).as("doc_id"), col(vecCol).as("c_vec"))
-    val reranked = cands
-      .join(emb, Seq("doc_id")) // candidate ids only — never the full table
+    // candidates are ≤ queries×kCandidates ids — broadcast them so the
+    // corpus-scale embedding table is probed, never shuffled (cands comes
+    // through a shuffle+window, so without the hint Catalyst has no size
+    // estimate and would sort-merge the full table)
+    val reranked = emb
+      .join(broadcast(cands), Seq("doc_id"))
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         graft.functions.VectorOps.cosine(col("q_vec"), col("c_vec")).as("cos"))
