@@ -5,18 +5,24 @@ import graft.operators.{Curation, Sampling, Similarity, Sq}
 import org.apache.spark.sql.functions._
 
 /** Gate queries for the round-8 data-pipeline additions: cosine radius
-  * search and cluster-balanced sampling ([[graft.operators.Similarity]]),
-  * the Gopher-style quality-rule filter ([[graft.operators.Curation]]),
-  * SQ8 scalar-quantized ANN ([[graft.operators.Sq]]) and the
-  * deterministic training-shard shuffle ([[graft.operators.Sampling]]).
+  * search (exact and IVF-indexed), cluster-balanced sampling and
+  * hard-negative mining ([[graft.operators.Similarity]] /
+  * [[graft.operators.IvfIndex]]), the Gopher-style quality-rule filter
+  * ([[graft.operators.Curation]]), SQ8 scalar-quantized ANN
+  * ([[graft.operators.Sq]]), the deterministic training-shard shuffle
+  * ([[graft.operators.Sampling]]), hybrid BM25→cosine retrieval
+  * ([[graft.operators.TextRank]]) and the quality-gated packing
+  * composition ([[graft.operators.Pipeline.qualityPack]]).
   *
-  * Oracle strategy per gate: range search and cluster balance emit ids
-  * only, so DuckDB recomputes the same double-precision cosine / argmin-L2
-  * exactly (the q_emb_near_dup precedent); quality rules are integer
-  * cross-multiplications (float-free); the shard shuffle is the same md5
-  * hex arithmetic in both engines; SQ8 uses the planted-copy flag contract
-  * (the q_ann_pq pattern — quantization internals are engine-side, the
-  * oracle pins the query set and asserts recovery).
+  * Oracle strategy per gate: searches emit ids only, so DuckDB recomputes
+  * the same double-precision cosine / argmin-L2 exactly (the
+  * q_emb_near_dup precedent); quality rules are integer
+  * cross-multiplications (float-free); the shard shuffle and pack shards
+  * are the same md5 hex arithmetic in both engines; SQ8 and the indexed
+  * radius search use planted-copy flag contracts (the q_ann_pq pattern —
+  * quantization/index internals are engine-side, the oracle pins the
+  * query set and asserts recovery); hybrid retrieval composes the rounded
+  * BM25 oracle with an exact cosine rerank.
   */
 object DataOpsQueries {
 
