@@ -82,6 +82,18 @@ object AnnFixtures {
         m, k, iters))
     }._2
 
+  /** SQ8 per-dimension bounds over the embeddings table (q_ann_sq8) —
+    * reusing the model file layout with the two bound vectors in the
+    * centroid slot and an empty codebook.
+    */
+  def sqBounds(s: SparkSession, d: String): graft.operators.Sq.Bounds = {
+    val (vecs, _) = cachedModel(d, "sq8-bounds") {
+      val b = graft.operators.Sq.train(Tables.embeddings(s, d), "embedding")
+      (Array(b.mins, b.scales), Array.empty)
+    }
+    graft.operators.Sq.Bounds(vecs(0), vecs(1))
+  }
+
   /** Persisted IVF index over the embeddings table (q_ann_ivf_index),
     * built into a fingerprinted directory exactly once; the search half of
     * the gate reads only the probed cell partitions via DPP.

@@ -120,7 +120,8 @@ object DataOpsQueries {
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .unionByName(queries.select((col("vec_id") + 100000).as("vec_id"),
           col("embedding")))
-      val bounds = Sq.train(emb, "embedding")
+      // build-once fixture: bounds trained once per source fingerprint
+      val bounds = AnnFixtures.sqBounds(s, d)
       val codes = Sq.encode(corpus, "vec_id", "embedding", bounds)
       Sq.adcTopK(codes, "vec_id", queries, "vec_id", "embedding", bounds, 1)
         .groupBy("query_id")

@@ -73,6 +73,25 @@ class OperatorPlanSpec extends SparkSpec {
       s"per-cell cap must push a partial group limit below the shuffle:\n${plan.take(2000)}")
   }
 
+  test("qualityPack composition is exactly one shuffle (filter rides the scan)") {
+    // the pack returns an RDD-backed frame, so the exchange lives in the
+    // RDD lineage, not the frame's plan — count ShuffleDependency edges
+    val df = Pipeline.qualityPack(Tables.documents(spark, sfDir),
+      "doc_id", "text", packBudget = 128, nShards = 8)
+    val rdd = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.get
+    val seen = scala.collection.mutable.Set[Int]()
+    def shuffles(r: org.apache.spark.rdd.RDD[_]): Int =
+      if (!seen.add(r.id)) 0
+      else r.dependencies.map {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] => 1 + shuffles(s.rdd)
+        case d => shuffles(d.rdd)
+      }.sum
+    val n = shuffles(rdd)
+    assert(n == 1, s"expected exactly the pack's shard shuffle, got $n")
+  }
+
   test("shardShuffle is exactly one hash exchange") {
     val plan = planString(Sampling.shardShuffle(
       Tables.documents(spark, sfDir), "doc_id", "text", 16))

@@ -93,4 +93,23 @@ class SkewStressSpec extends SparkSpec {
       pairs.unpersist()
     } finally ()
   }
+
+  test("clusterBalance: a degenerate hot cell still caps at the limit") {
+    // one centroid at the origin attracts DegenerateCopies zero vectors;
+    // the cap must hold and the other cell keeps its normal members
+    val zeros = spark.range(DegenerateCopies)
+      .select((col("id") + 1000000L).as("vec_id"),
+        array_repeat(lit(0.0f), 8).as("embedding"))
+    val far = spark.range(20)
+      .select(col("id").as("vec_id"),
+        array_repeat(lit(10.0f), 8).as("embedding"))
+    val corpus = zeros.unionByName(far)
+    val centroids = Array(Array.fill(8)(0.0), Array.fill(8)(10.0))
+    val kept = Similarity.clusterBalance(corpus, "vec_id", "embedding",
+        centroids, cap = 25)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept(0) == 25L, s"hot cell must cap at 25: $kept")
+    assert(kept(1) == 20L, s"normal cell keeps all members: $kept")
+  }
 }
