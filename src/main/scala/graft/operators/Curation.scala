@@ -208,4 +208,35 @@ object Curation {
       .join(broadcast(benchGrams), Seq("__gram"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /** Graded companion to [[contaminatedIds]]: per-document overlap COUNTS
+    * against the benchmark gram set — (n_grams, n_shared, flagged) where
+    * `flagged = 1` iff `n_shared / n_grams >= 1/flagDenom` (cross-
+    * multiplied, so the decision is integer-exact). The binary decontam
+    * filter drops a document for a single colliding n-gram; real curation
+    * wants the overlap FRACTION so borderline docs (one boilerplate
+    * phrase) can be kept while verbatim eval leaks are dropped.
+    *
+    * Same scale shape as [[contaminatedIds]]: distinct grams per doc
+    * map-side, benchmark grams broadcast, and the only shuffle is the
+    * partial-aggregated groupBy on the doc id. Documents shorter than `n`
+    * tokens have no grams and are absent from the output (consistent with
+    * the oracle's join semantics).
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, flagDenom: Int = 20): DataFrame = {
+    require(flagDenom > 0, s"flagDenom $flagDenom must be positive")
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol),
+      explode(distinctGramsUdf(TextOps.tokens(col(textCol)), lit(n)))
+        .as("__gram"))
+    val benchGrams = grams(benchmark).select("__gram").distinct()
+      .withColumn("__hit", lit(1L))
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("__gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("flagged",
+        (col("n_shared") * flagDenom >= col("n_grams")).cast("int"))
+  }
 }

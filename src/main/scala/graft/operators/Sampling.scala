@@ -101,6 +101,61 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Leakage-safe train/val/test assignment: the split is a pure function
+    * of the GROUP key (source domain, author, url host …), so every row of
+    * a group lands in the same split — the standard guard against
+    * train/eval contamination through near-duplicate documents that share
+    * a provenance group. `splits` are (label, weight) pairs summing to 1;
+    * boundaries are 16-bit md5-prefix thresholds (same resolution contract
+    * as [[hashKeep]]). Pure map-side `when` chain: zero shuffle, pushes
+    * into the scan's codegen stage, and re-running on any cluster size (or
+    * a grown corpus) never reassigns an existing group.
+    */
+  def groupSplit(df: DataFrame, group: Column, splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val hx = substring(md5(group.cast("string")), 1, 4)
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.round(c * Buckets).toInt)
+    val first = when(hx < lit(f"${cuts.head}%04x"), lit(splits.head._1))
+    val chain = splits.tail.init.zip(cuts.tail).foldLeft(first) {
+      case (acc, ((name, _), cut)) => acc.when(hx < lit(f"$cut%04x"), lit(name))
+    }
+    df.withColumn(outCol, chain.otherwise(lit(splits.last._1)))
+  }
+
+  /** Temperature-weighted mixture sampling (the multilingual-pretraining
+    * rebalance: sample source s proportional to `count_s^alpha` with
+    * alpha = 0.5, so head sources are tamed and tail sources boosted
+    * relative to their natural frequency). Per-source keep rates are
+    * derived entirely in INTEGER arithmetic — `w_s = floor(sqrt(count_s))`
+    * (IEEE sqrt is correctly rounded, so the floor is engine-exact),
+    * `rate16_s = min(2^16, (2^16 * budget * w_s) DIV (SUM(w) * count_s))` —
+    * which makes the exact kept set reproducible in any engine, the same
+    * contract as [[tokenBudgetMix]]. One tiny per-source aggregate joined
+    * back broadcast; the corpus itself never shuffles (map-side filter).
+    */
+  def mixtureSample(df: DataFrame, srcCol: String, key: Column,
+      budgetRows: Long): DataFrame = {
+    require(budgetRows >= 0, s"budgetRows $budgetRows must be >= 0")
+    val weights = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val rates = weights
+      .crossJoin(broadcast(weights.agg(sum("__w").as("__tw"))))
+      .select(col(srcCol),
+        least(lit(Buckets.toLong),
+          expr(s"CAST((${Buckets.toLong} * $budgetRows * __w) DIV (__tw * __n) AS BIGINT)"))
+          .as("__rate16"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .where(col("__rate16") >= Buckets.toLong ||
+        conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") <
+          col("__rate16"))
+      .drop("__rate16")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * 32-bit md5 prefix of the content mod `nShards`, position within the
     * shard by full-hash order. A pure function of the data (same

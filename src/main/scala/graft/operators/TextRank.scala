@@ -90,6 +90,41 @@ object TextRank {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Top-`k` TF-IDF terms per document — the keyword-extraction /
+    * sparse-feature primitive (idf in the smoothed `ln((N+1)/(df+1)) + 1`
+    * form, always positive, so single-occurrence terms still rank).
+    * Output: (idCol, rank, term, score) with score rounded to `roundTo`
+    * decimals and rank ties broken by term, making the result engine-exact.
+    *
+    * Scale shape: explode → groupBy(doc, term) carries one partial-agg
+    * shuffle keyed by (doc, term); the document-frequency table is |vocab|
+    * rows (orders of magnitude below the corpus) aggregated from the tf
+    * rows, then joined back BY TERM — hot terms ("the") are one vocab row
+    * against that term's tf rows, the shape AQE's shuffle-hash join
+    * handles without skew mitigation. The per-doc top-k window pushes a
+    * partial WindowGroupLimit below its shuffle (Spark ≥3.5), so only ~k
+    * candidate rows per document reach the final exchange.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      roundTo: Int = 4): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("__tf") * (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0),
+          roundTo))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Word n-grams of each document's token array as space-joined strings
     * (documents shorter than n contribute none).
     */

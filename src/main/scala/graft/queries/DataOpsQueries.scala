@@ -267,6 +267,81 @@ object DataOpsQueries {
     // --- deterministic training-shard shuffle: content-hash shard + within-
     // shard order, a pure function of the data (identical md5 hex
     // arithmetic in both engines).
+    // --- leakage-safe split: train/val/test assigned by md5 of the SOURCE
+    // group, so near-duplicate docs sharing provenance can never straddle
+    // train and eval. Pure map-side when-chain — identical hex-prefix
+    // thresholds in both engines (0.8/0.1/0.1 → 'cccd'/'e666').
+    QueryDef("q_group_split",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CASE WHEN substring(md5(source),1,4) < 'cccd' THEN 'train'
+        |       WHEN substring(md5(source),1,4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.groupSplit(Tables.documents(s, d), col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    // --- temperature mixture sampling: per-language keep rates from
+    // sqrt-count weights (alpha = 0.5), derived in integer arithmetic so
+    // both engines select the identical rows. en (218 docs) is tamed to
+    // its temperature share while tail languages keep ~45%.
+    QueryDef("q_mixture_sample",
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |tot AS (SELECT SUM(w) AS tw FROM w),
+        |r AS (SELECT lang, LEAST(CAST(65536 AS BIGINT), (65536 * 200 * w) // (tw * n)) AS rate16
+        |      FROM w CROSS JOIN tot)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.rate16 >= 65536
+        |   OR CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,4)) AS BIGINT) < r.rate16
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.mixtureSample(Tables.documents(s, d), "lang", col("doc_id"),
+          budgetRows = 200)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // --- keyword extraction: top-3 TF-IDF terms per document (smoothed
+    // ln((N+1)/(df+1))+1 idf; scores rounded to 4dp, ties by term).
+    QueryDef("q_tfidf_topk",
+      """WITH dt AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dt GROUP BY 1,2),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, tok, ROUND(tf * (ln((n_docs + 1) / (df + 1)) + 1), 4) AS score
+        |           FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INT) AS rank, tok AS term, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // --- graded decontamination: per-doc 3-gram overlap counts against
+    // the doc_id<10 benchmark (the q_curation_decontam fixture), flagged
+    // at >= 1/20 overlap via cross-multiplication — integer-exact.
+    QueryDef("q_contamination_score",
+      """WITH tok AS (SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts)+1)) AS i
+        |             FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)),
+        |g AS (SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS gram
+        |      FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |                 JOIN tok c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+        |per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |        FROM g LEFT JOIN bg ON bg.gram = g.gram GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams, n_shared,
+        |  CAST(CASE WHEN 20*n_shared >= n_grams THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM per ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.contaminationScore(docs, docs.where(col("doc_id") < 10),
+          "doc_id", "text", n = 3, flagDenom = 20)
+        .orderBy("doc_id")
+    },
+
     QueryDef("q_shuffle_shards",
       """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
         |s AS (SELECT doc_id, hx,

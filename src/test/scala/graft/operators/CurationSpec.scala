@@ -98,4 +98,38 @@ class CurationSpec extends SparkSpec {
       .where(col("doc_id") === 999999L).count()
     assert(flagged == 0)
   }
+
+  test("contaminationScore counts distinct-gram overlap exactly") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // grams: "a b c","b c d" — both in bench → 2/2 shared
+      (1L, "a b c d"),
+      // grams: "a b c","b c x","c x y" — 1/3 shared
+      (2L, "a b c x y"),
+      // no overlap at all → 0/3
+      (3L, "p q r s t"),
+      // shorter than n → absent from the output
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Curation.contaminationScore(corpus, bench, "doc_id", "text",
+        n = 3, flagDenom = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1)), out.toString)   // 2/2 >= 1/2 → flagged
+    assert(out(2L) == ((3L, 1L, 0)), out.toString)   // 1/3 <  1/2 → kept
+    assert(out(3L) == ((3L, 0L, 0)), out.toString)
+    assert(!out.contains(4L), "docs below the gram length have no score")
+  }
+
+  test("contaminationScore counts DISTINCT grams (repeats don't inflate)") {
+    import spark.implicits._
+    val bench = Seq((100L, "x y z")).toDF("doc_id", "text")
+    // "x y z" appears twice but is ONE distinct gram of the doc
+    val corpus = Seq((1L, "x y z w x y z")).toDF("doc_id", "text")
+    val out = Curation.contaminationScore(corpus, bench, "doc_id", "text",
+      n = 3, flagDenom = 20).collect()
+    assert(out.length == 1)
+    // distinct grams: "x y z","y z w","z w x","w x y" → 4 total, 1 shared
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 1L)
+  }
 }

@@ -92,6 +92,39 @@ class OperatorPlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly the pack's shard shuffle, got $n")
   }
 
+  test("groupSplit is a pure map-side pass — no exchange at all") {
+    val plan = planString(Sampling.groupSplit(Tables.documents(spark, sfDir),
+      org.apache.spark.sql.functions.col("source"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(!plan.contains("Exchange"),
+      s"groupSplit must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("mixtureSample joins the per-source rates by broadcast — corpus never shuffles") {
+    val plan = planString(Sampling.mixtureSample(Tables.documents(spark, sfDir),
+      "lang", org.apache.spark.sql.functions.col("doc_id"), budgetRows = 200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"rate join must broadcast, not sort-merge:\n${plan.take(2000)}")
+  }
+
+  test("tfidfTopK pushes a partial group limit below the per-doc window") {
+    val plan = planString(TextRank.tfidfTopK(
+      Tables.documents(spark, sfDir), "doc_id", "text", k = 3))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k must cap candidates below the exchange:\n${plan.take(2000)}")
+  }
+
+  test("contaminationScore broadcasts the benchmark gram set") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = planString(Curation.contaminationScore(docs,
+      docs.where(org.apache.spark.sql.functions.col("doc_id") < 10),
+      "doc_id", "text", n = 3))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"benchmark grams must broadcast:\n${plan.take(2000)}")
+  }
+
   test("shardShuffle is exactly one hash exchange") {
     val plan = planString(Sampling.shardShuffle(
       Tables.documents(spark, sfDir), "doc_id", "text", 16))

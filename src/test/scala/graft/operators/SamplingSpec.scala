@@ -71,6 +71,67 @@ class SamplingSpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("groupSplit never splits a group and respects the weight order") {
+    val split = Sampling.groupSplit(docs, col("source"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val perGroup = split.groupBy("source")
+      .agg(countDistinct("split").as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a provenance group must map to exactly one split")
+    val labels = split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+    // every row is labeled; re-run is identical (pure function of the data)
+    assert(split.where(col("split").isNull).count() == 0)
+    val again = Sampling.groupSplit(docs, col("source"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.select("doc_id", "split").collect()
+      .forall(r => again(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("groupSplit statistics: synthetic groups land near their weights") {
+    import spark.implicits._
+    // 2000 groups of 1 row: binomial bounds are tight (>5 sigma at ±8%)
+    val data = (1 to 2000).map(i => (s"g$i", i.toLong)).toDF("grp", "id")
+    val n = Sampling.groupSplit(data, col("grp"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("train") > 2000 * 0.72 && n("train") < 2000 * 0.88, n.toString)
+    assert(n("val") > 2000 * 0.05 && n("val") < 2000 * 0.15, n.toString)
+    assert(n("test") > 2000 * 0.05 && n("test") < 2000 * 0.15, n.toString)
+  }
+
+  test("mixtureSample tames the head stratum and boosts the tail") {
+    val kept = Sampling.mixtureSample(docs, "lang", col("doc_id"), budgetRows = 200)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt temperature: the head's keep RATE must drop below the tail's
+    val headRate = kept("en").toDouble / full("en")
+    val tailRate = kept.filter(_._1 != "en").map { case (l, k) =>
+      k.toDouble / full(l)
+    }
+    assert(tailRate.forall(_ > headRate),
+      s"alpha=0.5 must downsample the head hardest: en=$headRate vs $tailRate")
+    // rates derive from integer arithmetic → exact reproducibility
+    val again = Sampling.mixtureSample(docs, "lang", col("doc_id"), budgetRows = 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == Sampling.mixtureSample(docs, "lang", col("doc_id"), 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixtureSample honors the budget in expectation and the zero edge") {
+    assert(Sampling.mixtureSample(docs, "lang", col("doc_id"), 0L).count() == 0)
+    val n = Sampling.mixtureSample(docs, "lang", col("doc_id"), 200L).count()
+    assert(n > 200 * 0.75 && n < 200 * 1.25, s"kept $n for budget 200")
+    // a budget at/above the corpus keeps everything (rate folds to 2^16)
+    val all = docs.count()
+    assert(Sampling.mixtureSample(docs, "lang", col("doc_id"), all * 2).count() == all)
+  }
+
   test("capPerKey keeps exactly min(n, group size) rows per key, deterministically") {
     val capped = Sampling.capPerKey(docs, "lang", "doc_id", 5)
     val sizes = capped.groupBy("lang").count().collect()

@@ -65,6 +65,37 @@ class TextRankSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 3L)))
   }
 
+  test("tfidf ranks a doc's distinctive term above corpus-wide terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common zebra"),
+      (2L, "common word word"),
+      (3L, "common other thing")).toDF("doc_id", "text")
+    val out = TextRank.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // "common" is in every doc → minimal idf; "zebra" is unique to doc 1
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.head._3 == "zebra", doc1.mkString(", "))
+    // idf floor is +1, so even the ubiquitous term scores > 0
+    assert(out.forall(_._4 > 0.0))
+    // scores within a doc are non-increasing by rank
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("tfidf k caps per-doc output and tf scales the score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y"),
+      (2L, "y z")).toDF("doc_id", "text")
+    val out = TextRank.tfidfTopK(docs, "doc_id", "text", k = 1).collect()
+    assert(out.length == 2, "exactly one row per doc at k=1")
+    // doc 1: x has tf=3 and df=1 → beats y (tf=1, df=2)
+    assert(out.find(_.getLong(0) == 1L).get.getString(2) == "x")
+  }
+
   test("tie-flood fallback (distributed resolve) matches the closure path") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
