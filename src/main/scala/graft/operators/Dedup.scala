@@ -223,6 +223,118 @@ object Dedup {
     finally sigs.unpersist(false)
   }
 
+  // ---- incremental dedup (new batch vs an existing corpus) ---------------
+
+  /** Exact incremental dedup: rows of `batch` whose content key (md5 of
+    * `keyCols`) does NOT already occur in `corpus` — the daily-delta shape
+    * (dedup a new crawl against the accumulated 100 TB corpus without
+    * reprocessing the corpus).
+    *
+    * Scale shape: the batch is the small side by construction, so its
+    * distinct keys broadcast; the corpus is probed MAP-SIDE by a
+    * broadcast semi-join (never shuffled, never collected), and only the
+    * matching keys — bounded by the batch size — come back to drive the
+    * anti-join. Two corpus-free broadcast joins; the corpus is read once.
+    */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val bKeys = batch.select(contentKey(keyCols).as("__ck")).distinct()
+    val hits = corpus.select(contentKey(keyCols).as("__ck"))
+      .join(broadcast(bKeys), Seq("__ck"), "left_semi")
+      .distinct()
+    batch.withColumn("__ck", contentKey(keyCols))
+      .join(broadcast(Staged.materialize(hits)), Seq("__ck"), "left_anti")
+      .drop("__ck")
+  }
+
+  /** Near-dup pairs between a new `batch` and an existing `corpus`:
+    * (b_id, c_id, est_jaccard) for every batch document whose minhash
+    * signature agrees with a corpus document's at >= `threshold` and
+    * shares at least one LSH band — the near-dup half of incremental
+    * ingestion (the batch analogue of StreamingNearDedup's cross-batch
+    * probe, without the persistent store).
+    *
+    * Scale shape: batch signatures persist for the duration of the call
+    * (the batch is small); the corpus is scanned twice but NEVER persisted
+    * and never fully shuffled — its banded keys are pruned map-side
+    * against the broadcast batch band set (≤ |batch|×16 keys), and the
+    * second scan ships only signatures of candidate ids (bounded by the
+    * batch's bucket fan-out) through a broadcast semi-join. Bucket-cap
+    * skew guard applies to the pruned band set, which contains every
+    * corpus member of a probed bucket, so degenerate buckets still cap.
+    * Callers pass disjoint id spaces (a shared id would pair a row with
+    * itself).
+    */
+  def nearDupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    val bSigs = minhashSignatures(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bBands = bandBuckets(bSigs, idCol)
+      val probeKeys = bBands.select("band", "bucket").distinct()
+      val cSigs = minhashSignatures(corpus, idCol, textCol)
+      val cBands = bandBuckets(cSigs, idCol)
+        .join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
+      val cand = bBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+        .join(capBuckets(cBands, maxBucket)
+          .select(col(idCol).as("c_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select("b_id", "c_id")
+        .dropDuplicates("b_id", "c_id")
+      val cHitSigs = cSigs.select(col(idCol).as("c_id"), col("sig").as("c_sig"))
+        .join(broadcast(cand.select("c_id").distinct()), Seq("c_id"), "left_semi")
+      Staged.materialize(cand
+        .join(bSigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+        .join(cHitSigs, Seq("c_id"))
+        .select(col("b_id"), col("c_id"),
+          sigAgreement(col("b_sig"), col("c_sig")).as("est_jaccard"))
+        .where(col("est_jaccard") >= threshold))
+    } finally bSigs.unpersist(false)
+  }
+
+  /** Full incremental dedup: `batch` rows that survive BOTH the exact
+    * content check and the minhash near-dup check against `corpus`. The
+    * exact stage runs first so verbatim re-crawls never reach the
+    * signature stage (the common case for a daily delta), mirroring
+    * [[graft.operators.Pipeline.curate]]'s stage order within one corpus.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val exactSurvivors = dedupAgainst(batch, corpus, Seq(textCol))
+    val nearHits = nearDupAgainst(exactSurvivors, corpus, idCol, textCol, threshold)
+      .select(col("b_id").cast("long").as("__hit"))
+      .distinct()
+    exactSurvivors.join(broadcast(nearHits),
+        col(idCol).cast("long") === col("__hit"), "left_anti")
+  }
+
+  /** Quality-aware canonical selection: keep the BEST-scoring member of
+    * every near-dup cluster (ties broken by smallest id) instead of the
+    * smallest-id member — dedup that preserves the highest-quality copy
+    * (longest, cleanest, most recent …), which is what a curation pipeline
+    * actually wants when a boilerplate-stripped mirror outscores the
+    * original. Singletons (documents in no cluster) always survive.
+    *
+    * One near-dup pass (signatures → banded candidates → threshold), the
+    * component map from [[connectedComponents]] (bounded by true
+    * duplicates), then a single hash shuffle on the cluster key for the
+    * per-cluster arg-max window — `WindowGroupLimit` caps candidates below
+    * the exchange, so the shuffle carries ~1 row per (cluster, partition).
+    */
+  def keepBestNearDups(df: DataFrame, idCol: String, textCol: String,
+      score: Column, threshold: Double): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+    val comps = connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "__cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__grp").orderBy(score.desc, col(idCol).asc)
+    df.join(comps, col(idCol).cast("long") === col("__cid"), "left_outer")
+      .withColumn("__grp", coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__cid", "component", "__grp", "__rn")
+  }
+
   /** Drop (band, bucket) groups larger than `maxBucket` before a bucket
     * self-join (skew guard shared by the banded-LSH operators). A window
     * count over (band, bucket) shuffles the banded set ONCE — the earlier

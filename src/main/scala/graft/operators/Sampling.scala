@@ -156,6 +156,46 @@ object Sampling {
       .drop("__rate16")
   }
 
+  /** Epoch-aware mixture building — [[mixtureSample]]'s upsampling
+    * counterpart. Training mixes REPEAT under-represented sources (multiple
+    * epochs of a tail language per single epoch of the head) rather than
+    * only downsampling: here each source's temperature rate may exceed 1,
+    * and a row with rate `r` is emitted `floor(r)` times plus one more iff
+    * its 16-bit content hash lands below the fractional remainder — so the
+    * output multiset is exact integer arithmetic end to end (same
+    * `floor(sqrt)` weights and 2^16 hash space as [[mixtureSample]]), and
+    * a `epoch` column (0-based copy index) distinguishes the repeats.
+    * `maxEpochs` caps the repeat factor (unbounded tail repetition hurts
+    * more than it helps).
+    *
+    * Scale shape: the rate table is one tiny per-source aggregate joined
+    * back broadcast; the fan-out is a per-row explode (no shuffle), so the
+    * corpus is read once at any scale.
+    */
+  def mixtureEpochs(df: DataFrame, srcCol: String, key: Column,
+      budgetRows: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budgetRows >= 0, s"budgetRows $budgetRows must be >= 0")
+    require(maxEpochs >= 1, s"maxEpochs $maxEpochs must be >= 1")
+    val weights = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val rates = weights
+      .crossJoin(broadcast(weights.agg(sum("__w").as("__tw"))))
+      .select(col(srcCol),
+        least(lit(maxEpochs.toLong * Buckets),
+          expr(s"CAST((${Buckets.toLong} * $budgetRows * __w) DIV (__tw * __n) AS BIGINT)"))
+          .as("__rate16"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .withColumn("__copies",
+        expr(s"CAST(__rate16 DIV ${Buckets.toLong} AS BIGINT)") +
+          when(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") <
+            col("__rate16") % Buckets, 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__rate16", "__copies")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * 32-bit md5 prefix of the content mod `nShards`, position within the
     * shard by full-hash order. A pure function of the data (same

@@ -32,6 +32,18 @@ object TextOps {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * everything outside `[a-z0-9]` and whitespace, collapse whitespace
+    * runs to one space, trim. Exact dedup on the normalized form catches
+    * the near-identical documents that differ only in case, punctuation or
+    * spacing — the cheap first rung below minhash. Character classes only
+    * (no \w, no lookaround), so Java regex and RE2 agree and the oracle
+    * can replay it verbatim. Pure codegen'd expression: no shuffle, no UDF.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** Count of tokens that belong to a fixed vocabulary. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(vocab)))

@@ -342,6 +342,55 @@ object DataOpsQueries {
         .orderBy("doc_id")
     },
 
+    // --- epoch-aware mixture: upsampling counterpart of q_mixture_sample.
+    // Tail sources repeat (epoch column) up to the 4-epoch cap; the repeat
+    // count per row is integer-exact ((rate16 DIV 2^16) + hash-fraction),
+    // so both engines emit the identical multiset.
+    QueryDef("q_mixture_epochs",
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |tot AS (SELECT SUM(w) AS tw FROM w),
+        |r AS (SELECT lang, LEAST(CAST(262144 AS BIGINT), (65536 * 1000 * w) // (tw * n)) AS rate16
+        |      FROM w CROSS JOIN tot),
+        |d2 AS (SELECT d.doc_id, d.lang, r.rate16,
+        |       CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,4)) AS BIGINT) AS h
+        |       FROM documents d JOIN r USING (lang)),
+        |cp AS (SELECT doc_id, lang,
+        |       CAST((rate16 // 65536) + CASE WHEN h < rate16 % 65536 THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |       FROM d2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |FROM cp WHERE copies > 0 ORDER BY doc_id NULLS FIRST, epoch NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.mixtureEpochs(Tables.documents(s, d), "lang", col("doc_id"),
+          budgetRows = 1000, maxEpochs = 4)
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
+    // --- normalized-key dedup: exact dedup one rung below minhash — the
+    // planted copies differ only by case and punctuation, and collapse
+    // onto their originals under the canonical form. Pure character-class
+    // regex chain, identical in Java regex and RE2.
+    QueryDef("q_norm_dedup",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |n AS (SELECT doc_id,
+        |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |      FROM input)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM n GROUP BY norm ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val input = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(upper(col("text")), lit(" !!"))))
+      input.select(graft.operators.TextOps.normalizeText(col("text")).as("__norm"),
+          col("doc_id"))
+        .groupBy("__norm")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_members"))
+        .select("doc_id", "n_members")
+        .orderBy("doc_id")
+    },
+
     QueryDef("q_shuffle_shards",
       """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
         |s AS (SELECT doc_id, hx,

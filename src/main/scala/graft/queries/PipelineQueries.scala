@@ -661,6 +661,94 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- incremental dedup: the last 50 documents play a "daily delta"
+    // against the rest of the corpus, plus planted exact copies (+100000,
+    // must die in the exact stage) and mutated copies (+200000, must die
+    // in the near-dup stage). The oracle recomputes both stages exactly —
+    // text anti-join, then exact 3-shingle jaccard between batch survivors
+    // and the corpus at the 0.35 threshold. Sound on this corpus for the
+    // same reason as q_pipeline_e2e's oracle (the jaccard gap), which
+    // q_pipeline_oracle_guard checks cross-engine every round.
+    QueryDef("q_dedup_incremental",
+      """WITH cutv AS (SELECT MAX(doc_id) - 49 AS cut FROM documents),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT cut FROM cutv)),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT cut FROM cutv)
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz yy xx' FROM documents WHERE doc_id < 20),
+        |ex AS (SELECT b.doc_id, b.text FROM batch b
+        |       WHERE b.text NOT IN (SELECT text FROM corpus)),
+        |shb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |          i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM ex)
+        |        WHERE len(ts) >= 3),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |          i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM corpus)
+        |        WHERE len(ts) >= 3),
+        |szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
+        |szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        |e0 AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS i
+        |       FROM shb b JOIN shc c ON b.g = c.g GROUP BY 1, 2),
+        |hits AS (SELECT DISTINCT bid FROM e0
+        |         JOIN szb ON szb.doc_id = e0.bid JOIN szc ON szc.doc_id = e0.cid
+        |         WHERE 100 * e0.i >= 35 * (szb.n + szc.n - e0.i))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ex
+        |WHERE doc_id NOT IN (SELECT bid FROM hits)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val cut = docs.agg(max("doc_id")).head.getLong(0) - 49L
+      val corpus = docs.where(col("doc_id") < cut)
+      val batch = docs.where(col("doc_id") >= cut)
+        .unionByName(docs.where(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
+      Dedup.incrementalDedup(batch, corpus, "doc_id", "text", threshold = 0.35)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // --- quality-aware canonical selection: every original near-dups its
+    // longer mutated copy, so "keep best by length" must pick the MUTATED
+    // side of each cluster (where keep-min would pick the original) and
+    // merge organic near-dup clusters on the way. Oracle recomputes the
+    // exact-jaccard closure (same fragment as q_pipeline_e2e, same guard)
+    // and the per-cluster arg-max.
+    QueryDef("q_dedup_keep_best",
+      """WITH RECURSIVE input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz yy xx' FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |        i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM input)
+        |       WHERE len(ts) >= 3),
+        |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (SELECT a, b FROM e0
+        |          JOIN szs sa ON sa.doc_id = e0.a JOIN szs sb ON sb.doc_id = e0.b
+        |          WHERE 100 * e0.i >= 35 * (sa.n + sb.n - e0.i)),
+        |bidir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(a, b) AS (SELECT a, b FROM bidir
+        |  UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |grp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS grp FROM reach GROUP BY a),
+        |m AS (SELECT i.doc_id, length(i.text) AS score, COALESCE(g.grp, i.doc_id) AS grp
+        |      FROM input i LEFT JOIN grp g USING (doc_id)),
+        |r AS (SELECT doc_id, grp, row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rn FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rn = 1
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val input = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
+      Dedup.keepBestNearDups(input, "doc_id", "text",
+          length(col("text")), threshold = 0.35)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // --- pipeline-oracle soundness guard. q_pipeline_e2e's exact oracle
     // (recursive-CTE closure over exact-jaccard edges) equals the engine
     // ONLY while minhash estimation + banding agree with exact 3-shingle

@@ -125,6 +125,28 @@ class OperatorPlanSpec extends SparkSpec {
       s"benchmark grams must broadcast:\n${plan.take(2000)}")
   }
 
+  test("dedupAgainst probes the corpus with broadcasts only — corpus never shuffles") {
+    val docs = Tables.documents(spark, sfDir)
+    // batch re-uses corpus texts so the staged hit set is NON-empty — an
+    // empty hit frame elides the anti-join and the assertion sees no join
+    val corpus = docs
+    val batch = docs.where(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 500000)
+    val plan = planString(Dedup.dedupAgainst(batch, corpus, Seq("text")))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept into dedupAgainst:\n${plan.take(2000)}")
+  }
+
+  test("mixtureEpochs fans out map-side off a broadcast rate table") {
+    val plan = planString(Sampling.mixtureEpochs(Tables.documents(spark, sfDir),
+      "lang", org.apache.spark.sql.functions.col("doc_id"), budgetRows = 1000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"rate join must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), "the epoch fan-out must be an explode")
+  }
+
   test("shardShuffle is exactly one hash exchange") {
     val plan = planString(Sampling.shardShuffle(
       Tables.documents(spark, sfDir), "doc_id", "text", 16))

@@ -28,6 +28,8 @@ class PersistLifecycleSpec extends SparkSpec {
   test("q_ann_lsh leaves no persisted RDDs")(assertClean("q_ann_lsh"))
   test("q_pipeline_e2e leaves no persisted RDDs")(assertClean("q_pipeline_e2e"))
   test("q_dedup_groups leaves no persisted RDDs")(assertClean("q_dedup_groups"))
+  test("q_dedup_incremental leaves no persisted RDDs")(assertClean("q_dedup_incremental"))
+  test("q_dedup_keep_best leaves no persisted RDDs")(assertClean("q_dedup_keep_best"))
 
   test("distributed connected components leaves no persisted RDDs") {
     import spark.implicits._

@@ -47,6 +47,61 @@ class DedupSpec extends SparkSpec {
     assert(truth >= (n * 0.85).toLong, s"only $truth of $n planted pairs within h=8")
   }
 
+  test("incremental dedup: exact copies die in stage 1, mutated in stage 2, fresh docs survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),          // exact copy of 1
+      (11L, "one two three four five six seven extra"),      // near-dup of 2
+      (12L, "completely different content about planets here"), // fresh
+      (13L, "moons orbit gas giants in the outer system")).toDF("doc_id", "text") // fresh
+    // stage 1 alone: only the exact copy dies
+    val ex = Dedup.dedupAgainst(batch, corpus, Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ex == Set(11L, 12L, 13L), ex.toString)
+    // stage 2: the near-dup pair is found with its corpus partner
+    val near = Dedup.nearDupAgainst(batch.where(col("doc_id") =!= 10L), corpus,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.map(_._1).toSet == Set(11L), near.mkString(", "))
+    assert(near.map(_._2).toSet == Set(2L), near.mkString(", "))
+    // composed: fresh docs only
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 13L), out.toString)
+  }
+
+  test("incremental dedup against the corpus fixture catches planted cross-dups") {
+    val n = docs.count()
+    val corpus = docs
+    val batch = docs.where(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 500000)
+      .withColumn("text", concat(col("text"), lit(" zz yy xx")))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 600000))
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text", 0.35)
+    // every planted row (mutated or exact) has a corpus partner → all die
+    assert(out.count() == 0, s"expected all 25 planted rows dropped of $n corpus docs")
+  }
+
+  test("keepBestNearDups keeps the longest member per cluster, singletons always") {
+    import spark.implicits._
+    val input = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // longer near-dup of 1
+      (3L, "totally unrelated text about something else entirely"),
+      (4L, "one two three four five six"),
+      (5L, "one two three four five six")).toDF("doc_id", "text") // exact dup of 4, equal length
+    val out = Dedup.keepBestNearDups(input, "doc_id", "text",
+        length(col("text")), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2} → 2 (longer); singleton 3 survives; {4,5} tie → min id 4
+    assert(out == Set(2L, 3L, 4L), out.toString)
+  }
+
   test("word-set jaccard pairs are symmetric-free and exact") {
     val pairs = Dedup.wordSetPairs(docs.where(col("doc_id") < 10), "doc_id", "text")
       .collect()
@@ -191,6 +246,23 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("text")
       .select(TextOps.predictLang(TextOps.tokens(col("text"))).as("l"))
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und", "und"))
+  }
+
+  test("normalizeText: case, punctuation and whitespace runs collapse; alnum kept") {
+    val df = Seq(
+      "Hello, World!",
+      "hello world",
+      "  HELLO   world  ",
+      "h3llo w0rld",
+      "a-b c_d").toDF("text")
+      .select(TextOps.normalizeText(col("text")).as("n"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == "hello world")
+    assert(out(1) == "hello world")
+    assert(out(2) == "hello world")
+    assert(out(3) == "h3llo w0rld")
+    // punctuation is STRIPPED, not replaced by space (joined fragments)
+    assert(out(4) == "ab cd")
   }
 
   test("rolling fingerprint is order-sensitive and stable") {

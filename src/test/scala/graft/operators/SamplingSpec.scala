@@ -132,6 +132,44 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureSample(docs, "lang", col("doc_id"), all * 2).count() == all)
   }
 
+  test("mixtureEpochs upsamples the tail with repeats and respects the cap") {
+    val out = Sampling.mixtureEpochs(docs, "lang", col("doc_id"),
+      budgetRows = 1000, maxEpochs = 4)
+    // epoch indexes are dense 0..copies-1 per doc
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .collect()
+    assert(perDoc.forall(r => r.getLong(3) == 0L && r.getLong(2) == r.getLong(1) - 1))
+    assert(perDoc.forall(_.getLong(1) <= 4L), "maxEpochs cap")
+    // total lands near the budget
+    val n = out.count()
+    assert(n > 750 && n < 1250, s"emitted $n rows for budget 1000")
+    // tail languages repeat more than the head in EXPECTATION (mean epochs)
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emitted = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headRate = emitted("en").toDouble / full("en")
+    assert(full.keys.filter(_ != "en")
+      .forall(l => emitted(l).toDouble / full(l) > headRate),
+      s"tail must out-repeat the head: $emitted vs $full")
+  }
+
+  test("mixtureEpochs edges: zero budget empties, downsampling budget never repeats") {
+    assert(Sampling.mixtureEpochs(docs, "lang", col("doc_id"), 0L).count() == 0)
+    val small = Sampling.mixtureEpochs(docs, "lang", col("doc_id"), 100L)
+    assert(small.agg(max("epoch")).head.getLong(0) == 0L,
+      "a sub-corpus budget must only downsample")
+    // deterministic: identical multiset on re-run
+    val a = Sampling.mixtureEpochs(docs, "lang", col("doc_id"), 1000L)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.mixtureEpochs(docs, "lang", col("doc_id"), 1000L)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("capPerKey keeps exactly min(n, group size) rows per key, deterministically") {
     val capped = Sampling.capPerKey(docs, "lang", "doc_id", 5)
     val sizes = capped.groupBy("lang").count().collect()
