@@ -225,6 +225,19 @@ object Dedup {
 
   // ---- incremental dedup (new batch vs an existing corpus) ---------------
 
+  /** The id-join operators cast ids to long (connected components, the
+    * near-dup anti-joins). A non-numeric id would cast to NULL and fail
+    * SILENTLY — every comparison turns NULL, anti-joins stop removing
+    * anything, window groups collapse — so fail loudly up front instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    require(integral,
+      s"$op requires an integral id column (ids are joined as long); '$idCol' is $dt")
+  }
+
   /** Exact incremental dedup: rows of `batch` whose content key (md5 of
     * `keyCols`) does NOT already occur in `corpus` — the daily-delta shape
     * (dedup a new crawl against the accumulated 100 TB corpus without
@@ -267,6 +280,8 @@ object Dedup {
     */
   def nearDupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    requireIntegralId(batch, idCol, "nearDupAgainst")
+    requireIntegralId(corpus, idCol, "nearDupAgainst")
     val bSigs = minhashSignatures(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -300,6 +315,7 @@ object Dedup {
     */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
+    requireIntegralId(batch, idCol, "incrementalDedup")
     val exactSurvivors = dedupAgainst(batch, corpus, Seq(textCol))
     val nearHits = nearDupAgainst(exactSurvivors, corpus, idCol, textCol, threshold)
       .select(col("b_id").cast("long").as("__hit"))
@@ -323,16 +339,24 @@ object Dedup {
     */
   def keepBestNearDups(df: DataFrame, idCol: String, textCol: String,
       score: Column, threshold: Double): DataFrame = {
+    requireIntegralId(df, idCol, "keepBestNearDups")
     val pairs = minhashNearDups(df, idCol, textCol, threshold)
     val comps = connectedComponents(pairs, "a_id", "b_id")
-      .withColumnRenamed("id", "__cid")
+      .withColumnRenamed("id", idCol)
+    // the arg-max window runs over cluster MEMBERS only, on a narrow
+    // (id, score, component) frame — the corpus (text included) must not
+    // ride through a window exchange for the sake of its singletons, which
+    // by definition win their own group. Losers (members minus one winner
+    // per cluster) are bounded by true duplicate volume, the same size
+    // contract as the component map in Pipeline.curate's stage 2.
+    val members = df.select(col(idCol), score.as("__score"))
+      .join(comps, Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__grp").orderBy(score.desc, col(idCol).asc)
-    df.join(comps, col(idCol).cast("long") === col("__cid"), "left_outer")
-      .withColumn("__grp", coalesce(col("component"), col(idCol).cast("long")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__cid", "component", "__grp", "__rn")
+      .partitionBy("component").orderBy(col("__score").desc, col(idCol).asc)
+    val losers = members.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(idCol)
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` before a bucket

@@ -114,6 +114,8 @@ object Sampling {
   def groupSplit(df: DataFrame, group: Column, splits: Seq[(String, Double)],
       outCol: String = "split"): DataFrame = {
     require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0),
+      s"split weights must be positive, got ${splits.map(_._2).mkString(",")}")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val hx = substring(md5(group.cast("string")), 1, 4)
@@ -140,16 +142,8 @@ object Sampling {
   def mixtureSample(df: DataFrame, srcCol: String, key: Column,
       budgetRows: Long): DataFrame = {
     require(budgetRows >= 0, s"budgetRows $budgetRows must be >= 0")
-    val weights = df.groupBy(col(srcCol))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
-    val rates = weights
-      .crossJoin(broadcast(weights.agg(sum("__w").as("__tw"))))
-      .select(col(srcCol),
-        least(lit(Buckets.toLong),
-          expr(s"CAST((${Buckets.toLong} * $budgetRows * __w) DIV (__tw * __n) AS BIGINT)"))
-          .as("__rate16"))
-    df.join(broadcast(rates), Seq(srcCol))
+    df.join(broadcast(temperatureRates(df, srcCol, budgetRows, Buckets.toLong)),
+        Seq(srcCol))
       .where(col("__rate16") >= Buckets.toLong ||
         conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") <
           col("__rate16"))
@@ -176,16 +170,9 @@ object Sampling {
       budgetRows: Long, maxEpochs: Int = 4): DataFrame = {
     require(budgetRows >= 0, s"budgetRows $budgetRows must be >= 0")
     require(maxEpochs >= 1, s"maxEpochs $maxEpochs must be >= 1")
-    val weights = df.groupBy(col(srcCol))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
-    val rates = weights
-      .crossJoin(broadcast(weights.agg(sum("__w").as("__tw"))))
-      .select(col(srcCol),
-        least(lit(maxEpochs.toLong * Buckets),
-          expr(s"CAST((${Buckets.toLong} * $budgetRows * __w) DIV (__tw * __n) AS BIGINT)"))
-          .as("__rate16"))
-    df.join(broadcast(rates), Seq(srcCol))
+    df.join(broadcast(
+        temperatureRates(df, srcCol, budgetRows, maxEpochs.toLong * Buckets)),
+        Seq(srcCol))
       .withColumn("__copies",
         expr(s"CAST(__rate16 DIV ${Buckets.toLong} AS BIGINT)") +
           when(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") <
@@ -194,6 +181,30 @@ object Sampling {
       .withColumn("epoch",
         explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__rate16", "__copies")
+  }
+
+  /** Shared sqrt-temperature rate table for [[mixtureSample]] /
+    * [[mixtureEpochs]]: one row per source with
+    * `__rate16 = min(capRate16, (2^16 * budget * floor(sqrt(n))) DIV (Σw * n))`.
+    * The numerator runs in DECIMAL(38,0): at the corpus scales the
+    * operators document (billions of rows, billion-row budgets)
+    * `2^16 * budget * w` exceeds Long.MaxValue, and non-ANSI BIGINT
+    * arithmetic would wrap negative and silently drop whole sources —
+    * DuckDB's BIGINT multiply promotes to HUGEINT, so 128-bit-exact on
+    * both engines keeps the kept sets identical.
+    */
+  private def temperatureRates(df: DataFrame, srcCol: String,
+      budgetRows: Long, capRate16: Long): DataFrame = {
+    val weights = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    weights
+      .crossJoin(broadcast(weights.agg(sum("__w").as("__tw"))))
+      .select(col(srcCol),
+        least(lit(capRate16),
+          expr(s"CAST((CAST(${Buckets.toLong} AS DECIMAL(38,0)) * $budgetRows * __w) " +
+            s"DIV (CAST(__tw AS DECIMAL(38,0)) * __n) AS BIGINT)"))
+          .as("__rate16"))
   }
 
   /** Deterministic global shuffle into `nShards` training shards: shard =

@@ -36,13 +36,18 @@ object TextOps {
     * everything outside `[a-z0-9]` and whitespace, collapse whitespace
     * runs to one space, trim. Exact dedup on the normalized form catches
     * the near-identical documents that differ only in case, punctuation or
-    * spacing — the cheap first rung below minhash. Character classes only
-    * (no \w, no lookaround), so Java regex and RE2 agree and the oracle
-    * can replay it verbatim. Pure codegen'd expression: no shuffle, no UDF.
+    * spacing — the cheap first rung below minhash. The whitespace class is
+    * spelled out as `[ \t\n\f\r]` rather than `\s` because the dialects
+    * genuinely disagree on `\s`: Java includes vertical tab (\x0B), RE2
+    * does not, so a crawled document containing \x0B would normalize
+    * differently in the engine and the oracle. The explicit class equals
+    * RE2's `\s` exactly, letting the DuckDB oracle keep `\s`. Pure
+    * codegen'd expression: no shuffle, no UDF.
     */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(c), "[^a-z0-9 \\t\\n\\f\\r]", ""),
+      "[ \\t\\n\\f\\r]+", " "))
 
   /** Count of tokens that belong to a fixed vocabulary. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =

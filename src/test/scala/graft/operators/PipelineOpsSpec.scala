@@ -265,6 +265,15 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4) == "ab cd")
   }
 
+  test("normalizeText strips vertical tab (the one char Java \\s and RE2 \\s disagree on)") {
+    // \x0B is whitespace to Java but NOT to RE2; the explicit class treats
+    // it as a strippable char in BOTH engines → "ab", not "a b"
+    val out = Seq("a\u000Bb").toDF("text")
+      .select(TextOps.normalizeText(col("text")).as("n"))
+      .head.getString(0)
+    assert(out == "ab", s"got '$out'")
+  }
+
   test("rolling fingerprint is order-sensitive and stable") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
       .select(TextOps.fingerprintRolling(TextOps.tokens(col("text"))).as("fp"))
