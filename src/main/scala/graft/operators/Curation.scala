@@ -223,6 +223,78 @@ object Curation {
     * tokens have no grams and are absent from the output (consistent with
     * the oracle's join semantics).
     */
+  /** Every n-gram window of a token array in order (one string per start
+    * position — NOT distinct, the index under posexplode IS the 0-based
+    * token start). Same tight-loop shape as [[distinctGramsUdf]].
+    */
+  private val allGramsUdf = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null || toks.length < n) Array.empty[String]
+    else {
+      val total = toks.length - n + 1
+      val out = new Array[String](total)
+      val sb = new java.lang.StringBuilder
+      var t = 0
+      while (t < total) {
+        sb.setLength(0)
+        var k = t
+        while (k < t + n) {
+          if (k > t) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        out(t) = sb.toString
+        t += 1
+      }
+      out
+    }
+  }
+
+  /** SURGICAL decontamination: remove only the token windows that overlap
+    * a benchmark n-gram, instead of dropping the whole document
+    * ([[contaminatedIds]]) — the right call when contamination is one
+    * quoted benchmark sentence inside an otherwise-good document. Every
+    * input row comes back; contaminated windows are cut and the text
+    * rebuilt from the surviving tokens (whitespace normalized only where
+    * rebuilt — the [[Dedup.trimDuplicateSpans]] contract).
+    *
+    * Scale shape: benchmark grams broadcast; the corpus's gram stream is
+    * filtered by the broadcast semi-join map-side, so only HIT positions
+    * (bounded by benchmark overlap, not corpus size) reach the per-doc
+    * collect_list; the rebuild is a map-side UDF.
+    */
+  def trimContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = benchmark.select(
+      explode(distinctGramsUdf(TextOps.tokens(col(textCol)), lit(n)))
+        .as("__gram")).distinct()
+    val hits = corpus.select(col(idCol),
+        posexplode(allGramsUdf(TextOps.tokens(col(textCol)), lit(n)))
+          .as(Seq("__start", "__gram")))
+      .join(broadcast(benchGrams), Seq("__gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__start").cast("int")).as("__starts"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn(textCol, Dedup.trimUdf(n)(col(textCol), col("__starts")))
+      .drop("__starts")
+  }
+
+  /** Token-length histogram per source — the mix-planning /
+    * packing-budget report (how long are my documents, per provenance):
+    * one row per (source, bucket) with the doc count and the token mass
+    * in the bucket, bucket = floor(n_tokens / bucketWidth). Integer
+    * arithmetic end to end; one partial-aggregated shuffle on the tiny
+    * (source, bucket) key space.
+    */
+  def tokenHistogram(df: DataFrame, srcCol: String, textCol: String,
+      bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    df.select(col(srcCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+      .withColumn("bucket", expr(s"CAST(__n DIV $bucketWidth AS BIGINT)"))
+      .groupBy(col(srcCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+  }
+
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, flagDenom: Int = 20): DataFrame = {
     require(flagDenom > 0, s"flagDenom $flagDenom must be positive")

@@ -324,6 +324,26 @@ object Dedup {
         col(idCol).cast("long") === col("__hit"), "left_anti")
   }
 
+  /** Snapshot diff between two corpus versions keyed on `idCol`: one row
+    * per id with `status` ∈ added / removed / changed / unchanged — the
+    * audit primitive for incremental pipelines ("what did crawl N+1
+    * actually change"). Only (id, 16-byte content hash) pairs go through
+    * the full-outer join — the payloads never shuffle — and the statuses
+    * depend solely on hash equality, so a SQL oracle can replay them with
+    * plain value equality.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    val o = oldDf.select(col(idCol), contentKey(cols).as("__ofp"))
+    val n = newDf.select(col(idCol), contentKey(cols).as("__nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ofp").isNull, "added")
+          .when(col("__nfp").isNull, "removed")
+          .when(col("__ofp") === col("__nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Quality-aware canonical selection: keep the BEST-scoring member of
     * every near-dup cluster (ties broken by smallest id) instead of the
     * smallest-id member — dedup that preserves the highest-quality copy
@@ -464,7 +484,7 @@ object Dedup {
     * join survivors with single spaces (whitespace normalizes — the same
     * contract as every token-level operator here).
     */
-  private def trimUdf(spanTokens: Int) = udf { (text: String, starts: Seq[Int]) =>
+  private[operators] def trimUdf(spanTokens: Int) = udf { (text: String, starts: Seq[Int]) =>
     if (text == null || starts == null || starts.isEmpty) text
     else {
       val toks = text.trim.split("\\s+")

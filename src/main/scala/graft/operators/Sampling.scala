@@ -183,6 +183,24 @@ object Sampling {
       .drop("__rate16", "__copies")
   }
 
+  /** Exact-size deterministic sample: the `n` rows whose md5(key) is hex-
+    * smallest — a content-hash total order, so the pick is a pure function
+    * of the data (the [[hashSample]] reproducibility contract) with an
+    * EXACT row count, where the Bernoulli variants only land in
+    * expectation. `key` should be unique per row (the id); ordering is
+    * (md5, key) so even a hash collision cannot make the pick ambiguous.
+    * Executes as TakeOrderedAndProject — per-partition n-row heaps, one
+    * driver merge of the #partitions × n finalists, no global sort — so
+    * keep `n` driver-mergeable (≲10^6); beyond that use [[hashSample]].
+    */
+  def exactSample(df: DataFrame, key: Column, n: Int): DataFrame = {
+    require(n >= 0, s"n $n must be >= 0")
+    df.withColumn("__hx", md5(key.cast("string")))
+      .orderBy(col("__hx").asc, key.asc)
+      .limit(n)
+      .drop("__hx")
+  }
+
   /** Shared sqrt-temperature rate table for [[mixtureSample]] /
     * [[mixtureEpochs]]: one row per source with
     * `__rate16 = min(capRate16, (2^16 * budget * floor(sqrt(n))) DIV (Σw * n))`.

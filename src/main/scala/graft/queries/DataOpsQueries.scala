@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Curation, Sampling, Similarity, Sq}
+import graft.operators.{Curation, Dedup, Sampling, Similarity, Sq}
 import org.apache.spark.sql.functions._
 
 /** Gate queries for the round-8 data-pipeline additions: cosine radius
@@ -388,6 +388,99 @@ object DataOpsQueries {
         .groupBy("__norm")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_members"))
         .select("doc_id", "n_members")
+        .orderBy("doc_id")
+    },
+
+    // --- exact-size deterministic sample: the 100 hash-smallest ids.
+    // TakeOrderedAndProject in the engine; identical (md5, id) order in
+    // DuckDB, so the picked set matches exactly.
+    QueryDef("q_sample_exact_n",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM
+        | (SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.exactSample(Tables.documents(s, d), col("doc_id"), 100)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // --- token-length histogram per source (mix/packing planning):
+    // integer bucket = n_tokens DIV 50, counts and token mass per cell.
+    QueryDef("q_token_histogram",
+      """SELECT source, CAST(len(string_split_regex(trim(text), '\s+')) // 50 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY source NULLS FIRST, bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      Curation.tokenHistogram(Tables.documents(s, d), "source", "text", 50)
+        .orderBy("source", "bucket")
+    },
+
+    // --- snapshot diff: crawl N (doc_id < 480) vs crawl N+1 (doc_id >=
+    // 20, every 7th text mutated) — added/removed/changed/unchanged per
+    // id. Statuses depend only on content-hash equality, so the oracle
+    // replays them with plain text equality.
+    QueryDef("q_snapshot_diff",
+      """WITH oldv AS (SELECT doc_id, text FROM documents WHERE doc_id < 480),
+        |newv AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' mutated' ELSE text END AS text
+        |         FROM documents WHERE doc_id >= 20)
+        |SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val oldv = docs.where(col("doc_id") < 480)
+      val newv = docs.where(col("doc_id") >= 20)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" mutated"))).otherwise(col("text")))
+      Dedup.snapshotDiff(oldv, newv, "doc_id", Seq("text"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+
+    // --- surgical decontamination: cut only the token windows overlapping
+    // a benchmark 3-gram (benchmark = doc_id < 10) and rebuild; benchmark
+    // member docs empty out entirely, everything else keeps its clean
+    // tokens. Compared by rebuilt-text md5, the q_dedup_span_trim
+    // precedent.
+    QueryDef("q_curation_trim",
+      """WITH bench AS (SELECT text FROM documents WHERE doc_id < 10),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |        i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |       FROM (SELECT string_split_regex(trim(text), '\s+') AS ts FROM bench)
+        |       WHERE len(ts) >= 3),
+        |tk AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |pos AS (SELECT tk.doc_id, i - 1 AS start
+        |        FROM tk, unnest(range(1, len(ts) - 1)) AS u(i)
+        |        WHERE len(ts) >= 3 AND array_to_string(ts[i:i+2], ' ') IN (SELECT g FROM bg)),
+        |removed AS (SELECT DISTINCT doc_id, CAST(unnest(range(start, start + 3)) AS BIGINT) AS ti FROM pos),
+        |toks AS (SELECT tk.doc_id, i - 1 AS ti, ts[i] AS tok
+        |         FROM tk, unnest(range(1, len(ts) + 1)) AS u(i)),
+        |kept AS (SELECT t.doc_id, t.ti, t.tok FROM toks t
+        |         LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.ti = t.ti
+        |         WHERE r.ti IS NULL),
+        |rebuilt AS (
+        |  SELECT tk.doc_id,
+        |    CASE WHEN tk.doc_id IN (SELECT doc_id FROM removed)
+        |      THEN COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.ti)
+        |                     FROM kept k WHERE k.doc_id = tk.doc_id), '')
+        |      ELSE tk.text END AS txt
+        |  FROM tk)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN txt = '' THEN 0
+        |       ELSE len(string_split_regex(trim(txt), '\s+')) END AS BIGINT) AS n_tokens,
+        |  md5(txt) AS fp
+        |FROM rebuilt ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Curation.trimContaminated(docs, docs.where(col("doc_id") < 10),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          when(col("text") === "", 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("n_tokens"),
+          md5(col("text")).as("fp"))
         .orderBy("doc_id")
     },
 

@@ -121,6 +121,47 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(4L), "docs below the gram length have no score")
   }
 
+  test("trimContaminated cuts only the overlapping windows and rebuilds") {
+    import spark.implicits._
+    val bench = Seq((100L, "x y z")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c x y z d e f"),   // one hit at start=3 → tokens 3,4,5 cut
+      (2L, "p q r s t"),           // clean → text UNCHANGED (not re-joined)
+      (3L, "x y z"),               // fully covered → empties
+      (4L, "a b")).toDF("doc_id", "text") // shorter than n → untouched
+    val out = Curation.trimContaminated(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f", out.toString)
+    assert(out(2L) == "p q r s t")
+    assert(out(3L) == "")
+    assert(out(4L) == "a b")
+    assert(out.size == 4, "every input row must come back")
+  }
+
+  test("trimContaminated: overlapping hit windows union, partial overlaps cut wide") {
+    import spark.implicits._
+    val bench = Seq((100L, "x y z w")).toDF("doc_id", "text") // grams: "x y z","y z w"
+    // hits at starts 1 and 2 → covered tokens 1..4 union
+    val corpus = Seq((1L, "a x y z w b")).toDF("doc_id", "text")
+    val out = Curation.trimContaminated(corpus, bench, "doc_id", "text", n = 3)
+      .head.getString(1)
+    assert(out == "a b", s"got '$out'")
+  }
+
+  test("tokenHistogram buckets integer-exactly and sums token mass") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a b c"),            // 3 tokens → bucket 0
+      ("s1", "a b c d e"),        // 5 tokens → bucket 1
+      ("s2", "a b c d e f g h")   // 8 tokens → bucket 2
+    ).toDF("source", "text")
+    val out = Curation.tokenHistogram(df, "source", "text", bucketWidth = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("s1", 0L)) == ((1L, 3L)), out.toString)
+    assert(out(("s1", 1L)) == ((1L, 5L)), out.toString)
+    assert(out(("s2", 2L)) == ((1L, 8L)), out.toString)
+  }
+
   test("contaminationScore counts DISTINCT grams (repeats don't inflate)") {
     import spark.implicits._
     val bench = Seq((100L, "x y z")).toDF("doc_id", "text")

@@ -147,6 +147,22 @@ class OperatorPlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), "the epoch fan-out must be an explode")
   }
 
+  test("exactSample executes as TakeOrderedAndProject — no global sort") {
+    val plan = planString(Sampling.exactSample(Tables.documents(spark, sfDir),
+      org.apache.spark.sql.functions.col("doc_id"), 100))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("trimContaminated broadcasts the benchmark gram set") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = planString(Curation.trimContaminated(docs,
+      docs.where(org.apache.spark.sql.functions.col("doc_id") < 10),
+      "doc_id", "text", n = 3))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"benchmark grams must broadcast:\n${plan.take(2000)}")
+  }
+
   test("shardShuffle is exactly one hash exchange") {
     val plan = planString(Sampling.shardShuffle(
       Tables.documents(spark, sfDir), "doc_id", "text", 16))

@@ -87,6 +87,18 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0, s"expected all 25 planted rows dropped of $n corpus docs")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by content") {
+    import spark.implicits._
+    val oldv = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val newv = Seq((1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldv, newv, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), out.toString)
+  }
+
   test("keepBestNearDups keeps the longest member per cluster, singletons always") {
     import spark.implicits._
     val input = Seq(

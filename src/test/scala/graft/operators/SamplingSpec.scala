@@ -170,6 +170,19 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactSample: exact size, deterministic, nested under a larger sample") {
+    val s100 = Sampling.exactSample(docs, col("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s100.size == 100)
+    val s50 = Sampling.exactSample(docs, col("doc_id"), 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // hash-order prefix property: the 50-sample is a subset of the 100-sample
+    assert(s50.subsetOf(s100), "smaller exact sample must nest in the larger")
+    // n >= corpus keeps everything; n = 0 keeps nothing
+    assert(Sampling.exactSample(docs, col("doc_id"), 100000).count() == docs.count())
+    assert(Sampling.exactSample(docs, col("doc_id"), 0).count() == 0)
+  }
+
   test("capPerKey keeps exactly min(n, group size) rows per key, deterministically") {
     val capped = Sampling.capPerKey(docs, "lang", "doc_id", 5)
     val sizes = capped.groupBy("lang").count().collect()
