@@ -31,14 +31,7 @@ object Curation {
       val sb = new java.lang.StringBuilder
       var t = 0
       while (t < total) {
-        sb.setLength(0)
-        var k = t
-        while (k < t + n) {
-          if (k > t) sb.append(' ')
-          sb.append(toks(k))
-          k += 1
-        }
-        seen.add(sb.toString)
+        seen.add(gramAt(toks, t, n, sb))
         t += 1
       }
       NgramStats(total, seen.size)
@@ -184,14 +177,7 @@ object Curation {
       val sb = new java.lang.StringBuilder
       var t = 0
       while (t < total) {
-        sb.setLength(0)
-        var k = t
-        while (k < t + n) {
-          if (k > t) sb.append(' ')
-          sb.append(toks(k))
-          k += 1
-        }
-        seen.add(sb.toString)
+        seen.add(gramAt(toks, t, n, sb))
         t += 1
       }
       seen.toArray(new Array[String](seen.size))
@@ -223,6 +209,23 @@ object Curation {
     * tokens have no grams and are absent from the output (consistent with
     * the oracle's join semantics).
     */
+  /** The space-joined gram starting at token `t` — the ONE definition of
+    * gram text shared by every counter/extractor in this file: grams only
+    * match across operators (and against [[TextOps.shingles]]' SQL-oracle
+    * form) while all producers build byte-identical strings.
+    */
+  private def gramAt(toks: Seq[String], t: Int, n: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var k = t
+    while (k < t + n) {
+      if (k > t) sb.append(' ')
+      sb.append(toks(k))
+      k += 1
+    }
+    sb.toString
+  }
+
   /** Every n-gram window of a token array in order (one string per start
     * position — NOT distinct, the index under posexplode IS the 0-based
     * token start). Same tight-loop shape as [[distinctGramsUdf]].
@@ -235,17 +238,41 @@ object Curation {
       val sb = new java.lang.StringBuilder
       var t = 0
       while (t < total) {
-        sb.setLength(0)
-        var k = t
-        while (k < t + n) {
-          if (k > t) sb.append(' ')
-          sb.append(toks(k))
-          k += 1
-        }
-        out(t) = sb.toString
+        out(t) = gramAt(toks, t, n, sb)
         t += 1
       }
       out
+    }
+  }
+
+  /** Rebuild a document from the tokens not covered by a removed window —
+    * [[Dedup.trimUdf]]'s job, but tokenized EXACTLY like
+    * [[TextOps.tokens]] (SQL trim strips only spaces; Java String.trim
+    * strips all whitespace, which would shift every index by one on a
+    * doc with a leading tab and cut the WRONG tokens), and joined like
+    * the oracle's string_agg (unconditional single-space separator, so an
+    * empty first token — the SQL-tokenization artifact of leading
+    * non-space whitespace — round-trips identically in both engines).
+    */
+  private def rebuildUdf(n: Int) = udf { (text: String, starts: Seq[Int]) =>
+    if (text == null || starts == null || starts.isEmpty) text
+    else {
+      var b = 0; var e = text.length
+      while (b < e && text.charAt(b) == ' ') b += 1
+      while (e > b && text.charAt(e - 1) == ' ') e -= 1
+      val toks = text.substring(b, e).split("\\s+", -1)
+      val removed = new Array[Boolean](toks.length)
+      starts.foreach { s =>
+        var i = s
+        while (i < s + n && i < toks.length) { removed(i) = true; i += 1 }
+      }
+      val kept = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        if (!removed(i)) kept += toks(i)
+        i += 1
+      }
+      kept.mkString(" ")
     }
   }
 
@@ -274,7 +301,7 @@ object Curation {
       .groupBy(col(idCol))
       .agg(collect_list(col("__start").cast("int")).as("__starts"))
     corpus.join(hits, Seq(idCol), "left")
-      .withColumn(textCol, Dedup.trimUdf(n)(col(textCol), col("__starts")))
+      .withColumn(textCol, rebuildUdf(n)(col(textCol), col("__starts")))
       .drop("__starts")
   }
 

@@ -330,7 +330,9 @@ object Dedup {
     * actually change"). Only (id, 16-byte content hash) pairs go through
     * the full-outer join — the payloads never shuffle — and the statuses
     * depend solely on hash equality, so a SQL oracle can replay them with
-    * plain value equality.
+    * NULL-SAFE value equality (`IS NOT DISTINCT FROM` — the content hash
+    * maps equal-including-both-null columns to equal keys, so null==null
+    * reads 'unchanged', not SQL-NULL).
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       cols: Seq[String]): DataFrame = {

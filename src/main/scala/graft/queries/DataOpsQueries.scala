@@ -416,8 +416,10 @@ object DataOpsQueries {
 
     // --- snapshot diff: crawl N (doc_id < 480) vs crawl N+1 (doc_id >=
     // 20, every 7th text mutated) — added/removed/changed/unchanged per
-    // id. Statuses depend only on content-hash equality, so the oracle
-    // replays them with plain text equality.
+    // id. Statuses depend only on content-hash equality; the oracle
+    // replays them with NULL-SAFE text equality (IS NOT DISTINCT FROM —
+    // the engine hashes null columns to equal keys, so null==null must be
+    // 'unchanged' on the oracle side too, not SQL-NULL → 'changed').
     QueryDef("q_snapshot_diff",
       """WITH oldv AS (SELECT doc_id, text FROM documents WHERE doc_id < 480),
         |newv AS (SELECT doc_id,
@@ -426,7 +428,7 @@ object DataOpsQueries {
         |SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text = n.text THEN 'unchanged'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM oldv o FULL OUTER JOIN newv n USING (doc_id)
         |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>

@@ -138,6 +138,18 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 4, "every input row must come back")
   }
 
+  test("trimContaminated: leading non-space whitespace does not shift the cut window") {
+    import spark.implicits._
+    val bench = Seq((100L, "x y z")).toDF("doc_id", "text")
+    // SQL trim strips only spaces, so the leading tab yields an empty
+    // first token: the hit sits at start=1 and the rebuild must index
+    // against the SAME tokenization (a Java-trim rebuild would cut y z d)
+    val corpus = Seq((1L, "\tx y z d")).toDF("doc_id", "text")
+    val out = Curation.trimContaminated(corpus, bench, "doc_id", "text", n = 3)
+      .head.getString(1)
+    assert(out == " d", s"got '$out'")
+  }
+
   test("trimContaminated: overlapping hit windows union, partial overlaps cut wide") {
     import spark.implicits._
     val bench = Seq((100L, "x y z w")).toDF("doc_id", "text") // grams: "x y z","y z w"

@@ -158,9 +158,13 @@ class OperatorPlanSpec extends SparkSpec {
     val plan = planString(Curation.trimContaminated(docs,
       docs.where(org.apache.spark.sql.functions.col("doc_id") < 10),
       "doc_id", "text", n = 3))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
-    assert(!plan.contains("SortMergeJoin"),
-      s"benchmark grams must broadcast:\n${plan.take(2000)}")
+    // scope the assertion to the GRAM probe (the semi-join against the
+    // broadcast benchmark set) — the outer corpus⟕hits join's build side
+    // is bounded by contamination volume, not benchmark size, and may
+    // legitimately stop broadcasting at scale
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"benchmark gram probe must be a broadcast semi-join:\n${plan.take(2000)}")
   }
 
   test("shardShuffle is exactly one hash exchange") {
