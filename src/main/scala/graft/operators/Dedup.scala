@@ -21,7 +21,7 @@ object Dedup {
     * at 2^64 docs are ~2^-1 (birthday) — at realistic corpus sizes (<2^40)
     * they are negligible (<2^-48).
     */
-  private def contentKey(cols: Seq[String]): Column =
+  private[operators] def contentKey(cols: Seq[String]): Column =
     md5(to_json(struct(cols.map(col): _*)))
 
   /** Exact dedup on arbitrary key columns. Hash shuffle keyed on a 16-byte
@@ -230,7 +230,7 @@ object Dedup {
     * SILENTLY — every comparison turns NULL, anti-joins stop removing
     * anything, window groups collapse — so fail loudly up front instead.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
     val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
@@ -285,26 +285,38 @@ object Dedup {
     val bSigs = minhashSignatures(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bBands = bandBuckets(bSigs, idCol)
-      val probeKeys = bBands.select("band", "bucket").distinct()
       val cSigs = minhashSignatures(corpus, idCol, textCol)
-      val cBands = bandBuckets(cSigs, idCol)
-        .join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
-      val cand = bBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
-        .join(capBuckets(cBands, maxBucket)
-          .select(col(idCol).as("c_id"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .select("b_id", "c_id")
-        .dropDuplicates("b_id", "c_id")
-      val cHitSigs = cSigs.select(col(idCol).as("c_id"), col("sig").as("c_sig"))
-        .join(broadcast(cand.select("c_id").distinct()), Seq("c_id"), "left_semi")
-      Staged.materialize(cand
-        .join(bSigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-        .join(cHitSigs, Seq("c_id"))
-        .select(col("b_id"), col("c_id"),
-          sigAgreement(col("b_sig"), col("c_sig")).as("est_jaccard"))
-        .where(col("est_jaccard") >= threshold))
+      bandProbe(bSigs, cSigs, bandBuckets(cSigs, idCol), idCol, threshold, maxBucket)
     } finally bSigs.unpersist(false)
+  }
+
+  /** The probe half of [[nearDupAgainst]], shared with the persisted
+    * [[BandStore]]: batch bands against corpus (sigs, bands) frames —
+    * computed inline by `nearDupAgainst`, read from storage by the store.
+    * Corpus bands are pruned map-side against the broadcast batch band
+    * set before the bucket cap and join; the second corpus pass ships
+    * only candidate-id signatures through a broadcast semi.
+    */
+  private[operators] def bandProbe(bSigs: DataFrame, cSigs: DataFrame,
+      cBands: DataFrame, idCol: String, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val bBands = bandBuckets(bSigs, idCol)
+    val probeKeys = bBands.select("band", "bucket").distinct()
+    val pruned = cBands.join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
+    val cand = bBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+      .join(capBuckets(pruned, maxBucket)
+        .select(col(idCol).as("c_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("b_id", "c_id")
+      .dropDuplicates("b_id", "c_id")
+    val cHitSigs = cSigs.select(col(idCol).as("c_id"), col("sig").as("c_sig"))
+      .join(broadcast(cand.select("c_id").distinct()), Seq("c_id"), "left_semi")
+    Staged.materialize(cand
+      .join(bSigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .join(cHitSigs, Seq("c_id"))
+      .select(col("b_id"), col("c_id"),
+        sigAgreement(col("b_sig"), col("c_sig")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold))
   }
 
   /** Full incremental dedup: `batch` rows that survive BOTH the exact
