@@ -606,16 +606,28 @@ object GraftServer {
       |<p><button onclick="plan()">explain</button></p>
       |<pre id="plan"></pre>
       |<script>
+      |// metric fields are attacker-influenced (a table name is free text via
+      |// the schema API) — build DOM nodes with textContent, never innerHTML,
+      |// or the console becomes stored XSS for whoever views it
+      |function cell(tag, text){
+      |  const el = document.createElement(tag); el.textContent = text; return el;
+      |}
       |async function refresh(){
       |  const m = await (await fetch('/metrics')).json();
-      |  document.getElementById('stats').innerHTML =
-      |    ['queries','errors','ingestedRows','ingestBatches']
-      |      .filter(k => k in m)
-      |      .map(k => `<span class="stat">${k} <b>${m[k]}</b></span>`).join('');
+      |  const stats = document.getElementById('stats');
+      |  stats.replaceChildren(...['queries','errors','ingestedRows','ingestBatches']
+      |    .filter(k => k in m)
+      |    .map(k => {
+      |      const s = cell('span', k + ' '); s.className = 'stat';
+      |      s.appendChild(cell('b', m[k])); return s;
+      |    }));
       |  const tb = document.querySelector('#recent tbody');
-      |  tb.innerHTML = (m.recent||[]).slice(-20).reverse().map(r =>
-      |    `<tr><td>${r.endpoint||''}</td><td>${r.table||''}</td>`+
-      |    `<td>${r.wallMs??''}</td><td>${r.rowsScanned??''}</td><td>${r.rowsReturned??''}</td></tr>`).join('');
+      |  tb.replaceChildren(...(m.recent||[]).slice(-20).reverse().map(r => {
+      |    const tr = document.createElement('tr');
+      |    [r.endpoint||'', r.table||'', r.wallMs??'', r.rowsScanned??'',
+      |     r.rowsReturned??''].forEach(v => tr.appendChild(cell('td', v)));
+      |    return tr;
+      |  }));
       |  const ts = await (await fetch('/schema/tables')).json();
       |  document.getElementById('tables').textContent = ts.join('  ');
       |}

@@ -214,6 +214,13 @@ final class Broker(hosts: Seq[String],
       val keys = (lf.map(_._1) ++ rf.map(_._1)).distinct
       JObject(keys.map(k => k -> mergeTrees(op)(lhs \ k, rhs \ k)): _*)
     case (l, r) =>
+      // Wire contract: measure leaves are float64, exactly as a single
+      // instance renders them (ResultShaper.leafOf coerces every numeric
+      // leaf via doubleValue(), matching the reference's float64 result
+      // values — result_merge.go merges float64s too). The broker
+      // therefore re-emits JDouble without changing the shape a client
+      // sees: `199.0` from one instance stays `199.0` behind the broker.
+      // BrokerSpec pins broker-leaf-type == instance-leaf-type.
       (num(l), num(r)) match {
         case (Some(a), Some(b)) => op match {
           case "sum" | "count" => JDouble(a + b)

@@ -497,11 +497,30 @@ object Dedup {
     * tokenize, drop token indexes in [s, s+L) for each removed start,
     * join survivors with single spaces (whitespace normalizes — the same
     * contract as every token-level operator here).
+    *
+    * Tokenization MUST mirror [[spanHashUdf]]'s isWs scan exactly:
+    * `text.trim.split("\\s+")` is NOT equivalent — Java trim strips every
+    * char <= U+0020 (including control chars outside regex `\s`), so a doc
+    * starting with e.g. " " would lose a token and shift every
+    * span_start, cutting the wrong windows.
     */
   private[operators] def trimUdf(spanTokens: Int) = udf { (text: String, starts: Seq[Int]) =>
     if (text == null || starts == null || starts.isEmpty) text
     else {
-      val toks = text.trim.split("\\s+")
+      val toks = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val n = text.length
+        var i = 0
+        while (i < n) {
+          while (i < n && isWs(text.charAt(i))) i += 1
+          if (i < n) {
+            val s = i
+            while (i < n && !isWs(text.charAt(i))) i += 1
+            buf += text.substring(s, i)
+          }
+        }
+        buf.toArray
+      }
       val removed = new Array[Boolean](toks.length)
       starts.foreach { s =>
         var i = s

@@ -24,19 +24,31 @@ import org.apache.spark.sql.DataFrame
   * corpus); the per-JVM directory is removed on exit.
   */
 object Staged {
-  private lazy val root: java.nio.file.Path = {
-    val dir = java.nio.file.Paths
-      .get("target", "graft-staged", java.util.UUID.randomUUID().toString)
-      .toAbsolutePath
-    java.nio.file.Files.createDirectories(dir)
-    sys.addShutdownHook {
-      try {
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+  // The staging root is created AND removed through the Hadoop FileSystem
+  // of the path (resolved from the live session's hadoopConfiguration):
+  // the parquet writes below land on the DEFAULT FS, so a driver-local
+  // java.nio cleanup would leak every staged result on any deployment
+  // whose default FS is not the driver's local disk — the long-lived
+  // server scenario this staging design exists for.
+  @volatile private var rootPath: String = _
+  private val rootLock = new Object
+  private def root(spark: org.apache.spark.sql.SparkSession): String = {
+    if (rootPath == null) rootLock.synchronized {
+      if (rootPath == null) {
+        val dir = java.nio.file.Paths
+          .get("target", "graft-staged", java.util.UUID.randomUUID().toString)
+          .toAbsolutePath.toString
+        val hPath = new org.apache.hadoop.fs.Path(dir)
+        val conf = spark.sparkContext.hadoopConfiguration
+        hPath.getFileSystem(conf).mkdirs(hPath)
+        sys.addShutdownHook {
+          try hPath.getFileSystem(conf).delete(hPath, true)
+          catch { case _: Throwable => () }
+        }
+        rootPath = dir
+      }
     }
-    dir
+    rootPath
   }
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -58,9 +70,9 @@ object Staged {
     * the operators emit (long/double/string/bool) exactly.
     */
   def materialize(df: DataFrame): DataFrame = {
-    val path = root.resolve(s"s${seq.incrementAndGet()}").toString
-    df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
+    val path = s"${root(spark)}/s${seq.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(path)
     // a zero-partition frame writes only _SUCCESS; fall back to an empty
     // frame with the original schema rather than failing schema inference.
     // The existence check goes through the HADOOP filesystem of the path

@@ -172,16 +172,41 @@ object StreamingNearDedup {
     }
     if (folded.isEmpty) return 0
     val target = new org.apache.hadoop.fs.Path(root, s"base=$upToBatchId")
+    val manifest = new org.apache.hadoop.fs.Path(target, "_folded")
     if (!fs.exists(target)) {
       val tmp = new org.apache.hadoop.fs.Path(root,
         s".compact-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       spark.read.parquet(folded.map(_.getPath.toString).toIndexedSeq: _*)
         .dropDuplicates("band", "bucket", "rep_id")
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // record WHICH dirs this base covers before it becomes visible: a
+      // re-run (same horizon, prior crash) must not assume every currently
+      // listed dir <= horizon is folded — after a checkpoint reset, NEW
+      // batch dirs can land at ids <= an old horizon and deleting them
+      // unverified would silently lose their signatures.
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_folded"), true)
+      out.write(folded.map(_.getPath.getName).sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
       if (!fs.rename(tmp, target))
         throw new java.io.IOException(s"compaction rename failed: $tmp -> $target")
     }
-    folded.foreach(st => fs.delete(st.getPath, true))
-    folded.length
+    // delete only dirs the base provably covers (its manifest); a legacy
+    // base without one gets no unverified cleanup — refuse and keep them.
+    val covered: Set[String] =
+      if (!fs.exists(manifest)) Set.empty
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+        val in = fs.open(manifest)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSet
+      }
+    val deletable = folded.filter(st => covered.contains(st.getPath.getName))
+    deletable.foreach(st => fs.delete(st.getPath, true))
+    if (deletable.length < folded.length)
+      System.err.println(s"[compactStore] kept ${folded.length - deletable.length} " +
+        s"dir(s) <= horizon $upToBatchId not covered by ${target.getName}'s manifest")
+    deletable.length
   }
 }

@@ -104,6 +104,28 @@ class BrokerSpec extends SparkSpec {
     }
   }
 
+  test("merged leaves keep the single-instance wire shape (float64 contract)") {
+    // normalize() above deliberately erases numeric-type differences, so
+    // pin the raw leaf types here: the wire contract is float64 measure
+    // leaves (ResultShaper renders every numeric leaf via doubleValue(),
+    // like the reference's float64 result values), and a client must see
+    // the SAME leaf shape behind the broker as against one instance —
+    // count(*) renders `199.0` on both, never integer-on-one-side.
+    def leaves(v: JValue): List[JValue] = v match {
+      case JObject(fields) => fields.flatMap { case (_, c) => leaves(c) }
+      case other => List(other)
+    }
+    Seq("count(*)", "min(value)").foreach { m =>
+      val merged = leaves(JsonMethods.parse(broker.aql(query(m)))).filter(_ != JNull)
+      val single = leaves(singleAnswer(query(m))).filter(_ != JNull)
+      assert(merged.nonEmpty && single.nonEmpty)
+      def shapes(ls: List[JValue]) = ls.map(_.getClass.getSimpleName).toSet
+      assert(shapes(merged) == shapes(single),
+        s"$m leaf shapes diverge: broker ${shapes(merged)} vs instance ${shapes(single)}")
+      assert(shapes(single) == Set("JDouble"), s"$m instance contract: ${shapes(single)}")
+    }
+  }
+
   test("avg merges through sum + count subplans") {
     val merged = JsonMethods.parse(broker.aql(query("avg(value)")))
     val expected = singleAnswer(query("avg(value)"))

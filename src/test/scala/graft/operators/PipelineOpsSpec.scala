@@ -169,6 +169,26 @@ class DedupSpec extends SparkSpec {
     assert(trimmed.length < (body.length * 2), "second occurrence survived")
     assert(trimmed.endsWith("tail"))
   }
+
+  test("span trim indexes align when text leads with a control char") {
+    import spark.implicits._
+    // " " is stripped by Java trim but is NOT regex-\s whitespace:
+    // a trim-based tokenizer sees one fewer leading token than the isWs
+    // span scanner and cuts windows one token off. The control char must
+    // count as a token of its own in BOTH passes.
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val input = Seq(
+      (1L, body),                    // canonical
+      (2L, "\u0001 " + body)       // copy behind a control-char token
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicateSpans(input, "doc_id", "text", spanTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == body, "canonical doc was modified")
+    // doc 2's duplicated windows cover token indexes 1..30 (index 0 is the
+    // control-char token, which survives); a trim-side tokenizer that
+    // Java-trims the control char away shifts every index and leaves "w1"
+    assert(out(2L) == "\u0001", s"misaligned trim: '${out(2L).take(60)}'")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
