@@ -80,8 +80,6 @@ object Sessions {
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       periodSeconds: Long): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val period = floor(unix_timestamp(col(tsCol)) / periodSeconds).cast("long")
     val withPeriod = events.select(col(userCol).as("__u"), period.as("__p"))
     val firsts = withPeriod.groupBy("__u").agg(min("__p").as("cohort_period"))
@@ -94,29 +92,20 @@ object Sessions {
         (col("__p") - col("cohort_period")).as("period_offset"),
         col("__u"))
       .dropDuplicates()
-    // every triple is globally unique, so per-partition counts are
-    // disjoint contributions: one narrow partial-count pass reduces each
-    // partition to ≤ triangle-size rows (weeks², not corpus-sized) IN
-    // PARALLEL, and only those partials ride the final re-key exchange —
-    // group-grain, ~|users|/|groups| smaller than shuffling the deduped
-    // triples. (A zero-exchange variant via coalesce(1) exists but its
+    // every triple is globally unique, so the final count is a plain
+    // aggregate over them. Catalyst's HashAggregateExec already runs the
+    // partial map-side BEFORE the exchange — each task reduces its
+    // partition to ≤ triangle-size rows (weeks², not corpus-sized) and
+    // only those partials ride the one re-key exchange, inside whole-stage
+    // codegen (an earlier hand-rolled mapPartitions partial produced the
+    // identical exchange volume through an opaque RDD stage; the
+    // BucketedGatesSpec 1-exchange + bounded-records assertions guard the
+    // shape). A zero-exchange variant via coalesce(1) exists but its
     // narrow dependency collapses the whole upstream job — scan, join,
     // dedup — into a single task; a bounded-volume exchange is the plan
-    // that survives scale.) Null periods (null/unparseable timestamps)
-    // pass through as null group keys, matching the groupBy semantics.
-    val partials = dedup.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap
-        .empty[(java.lang.Long, java.lang.Long), Long]
-      it.foreach { r =>
-        val c: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
-        val o: java.lang.Long = if (r.isNullAt(1)) null else r.getLong(1)
-        m.update((c, o), m.getOrElse((c, o), 0L) + 1L)
-      }
-      m.iterator.map { case ((c, o), n) => (c, o, n) }
-    }
-    partials.toDF("cohort_period", "period_offset", "__n")
-      .groupBy("cohort_period", "period_offset")
-      .agg(sum("__n").as("users"))
+    // that survives scale.
+    dedup.groupBy("cohort_period", "period_offset")
+      .agg(count(lit(1)).as("users"))
   }
 
   /** Per-stage user counts for a funnel — the headline funnel report.

@@ -105,6 +105,14 @@ class BucketedGatesSpec extends SparkSpec {
     val bound = groups.toLong * graft.Tables.EventsBuckets
     assert(records <= bound,
       s"exchange carried $records rows — more than buckets × groups = $bound")
+    // the partial count is Catalyst's own HashAggregate (codegen'd,
+    // map-side before the exchange) — not an opaque RDD stage: a
+    // hand-rolled mapPartitions partial produced the same exchange volume
+    // but opted the stage out of whole-stage codegen
+    val planStr = plan.toString
+    assert(planStr.contains("HashAggregate"), planStr)
+    assert(!planStr.contains("SerializeFromObject"),
+      s"opaque RDD stage in cohort plan:\n$planStr")
   }
 
   test("as-of join from the bucketed table runs with zero shuffles") {
