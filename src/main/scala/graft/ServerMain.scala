@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_SCHEMA_DIR  shared schema-sync directory (optional) —
   *                           instances pointed at the same dir propagate
   *                           schema mutations to each other (SchemaSync)
+  *   SPARK_GRAFT_ARCHIVE_ROOT  root directory for scheduler-driven drains
+  *                           (default target/graft-archive); the periodic
+  *                           job scheduler archives/backfills/snapshots/
+  *                           purges per table-config intervals
+  *   SPARK_GRAFT_TICK_SECONDS  scheduler tick (default 60, like the
+  *                           reference's minute-grain scheduler loop;
+  *                           0 disables the scheduler)
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
@@ -33,6 +40,13 @@ object ServerMain {
       graft.aql.Catalog.testdata(sfDir), spark, port,
       schemaSyncDir = schemaDir)
     server.start()
+    val tickSeconds = sys.env.getOrElse("SPARK_GRAFT_TICK_SECONDS", "60").toLong
+    if (tickSeconds > 0) {
+      val root = sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT", "target/graft-archive")
+      val sched = new graft.ingest.JobScheduler(server, root, tickSeconds = tickSeconds)
+      server.jobScheduler = Some(sched)
+      sched.start()
+    }
     println(s"[graft] serving on port ${server.boundPort}, tables from $sfDir")
     Thread.currentThread().join() // serve until killed
   }

@@ -42,7 +42,7 @@ import graft.ingest.Upsert
   */
 final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
     strictCompat: Boolean = false, schemaSyncDir: Option[String] = None,
-    schemaSyncPollMillis: Long = 2000) {
+    schemaSyncPollMillis: Long = 2000) extends graft.ingest.SchedulableStore {
 
   private val live = TrieMap.empty[String, DataFrame]
   private val seqCounter = new AtomicLong(0)
@@ -189,6 +189,15 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           }.getOrElse(throw new IllegalArgumentException("missing ?query="))
       else new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     respondBytes(ex, 200, "text/plain", service.plan(q).getBytes(StandardCharsets.UTF_8))
+  })
+
+  /** Attached periodic-job scheduler (ServerMain wires one up); its job
+    * details serve at GET /dbg/jobs — the reference's GetJobDetails debug
+    * surface (memstore/scheduler.go:124-130 via api/debug_handler.go).
+    */
+  @volatile var jobScheduler: Option[graft.ingest.JobScheduler] = None
+  server.createContext("/dbg/jobs", (ex: HttpExchange) => handle(ex) {
+    respond(ex, 200, jobScheduler.map(_.detailsJson).getOrElse("{}"))
   })
 
   // liveness + version probes (ref api/health_check_handler.go:39-53)
@@ -339,7 +348,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
                 "name" -> JString(f.name),
                 "type" -> JString(f.dataType.simpleString))).toList)))
         }
-      case ("PUT", t :: Nil) => ok(SchemaStore.renderTable(schemaStore.updateConfig(t)))
+      case ("PUT", t :: Nil) => ok(SchemaStore.renderTable(schemaStore.updateConfig(t, body())))
       case ("DELETE", t :: Nil) =>
         // under the table lock: a concurrent ingest/drain must not write
         // the deleted table's overlay or delta back after the clear —
@@ -350,6 +359,8 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           live.remove(t)
           drained.remove(t)
           pending.remove(t)
+          mutationCounts.remove(t)
+          pendingByteCounts.remove(t)
         }
         ok(JNull)
       case ("POST", t :: "columns" :: Nil) =>
@@ -481,12 +492,33 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           .select(current.columns.map(col): _*)
       }
       pending.put(td.name, delta.localCheckpoint(true))
+      mutationCounts.updateWith(td.name)(c => Some(c.getOrElse(0L) + parsed0.length))
+      // accumulate the batch's serialized size — the backfill buffer size
+      // the scheduler's size trigger compares against the threshold (ref
+      // backfill_manager.go CurrentBufferSize grows per appended batch)
+      val batchBytes = rows.iterator.map(_.length.toLong).sum
+      pendingByteCounts.updateWith(td.name)(c => Some(c.getOrElse(0L) + batchBytes))
     }
     parsed0.length
   }
 
   /** Rows ingested since the last drain, PK-deduped among themselves. */
   private val pending = TrieMap.empty[String, DataFrame]
+
+  /** Mutations since the last drain per table (the snapshot-eligibility
+    * marker, ref snapshot_manager.go NumMutations — reset when a drain
+    * persists them).
+    */
+  private val mutationCounts = TrieMap.empty[String, Long]
+
+  /** Serialized bytes ingested since the last drain per table (the
+    * backfill buffer size, ref backfill_manager.go CurrentBufferSize).
+    * Tracked at ingest time: a localCheckpoint'd delta frame has no
+    * reliable optimizer size estimate (LogicalRDD stats fall back to
+    * defaultSizeInBytes = Long.MaxValue, which would make EVERY delta
+    * cross EVERY threshold).
+    */
+  private val pendingByteCounts = TrieMap.empty[String, Long]
 
   /** Drain the table's live overlay into a day-partitioned archive at
     * `dir` and release the overlay — the reference's live→archive
@@ -531,10 +563,42 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         drained.put(table, dir)
         live.remove(table)
         pending.remove(table)
+        mutationCounts.remove(table)
+        pendingByteCounts.remove(table)
         view.unpersist(blocking = false)
       }
     }
   }
+
+  // ---- SchedulableStore (the periodic-job scheduler's view) ---------------
+
+  def tableNames: Seq[String] =
+    (baseCatalog.tables.keys ++ schemaStore.names).toSeq.distinct.sorted
+
+  def isFactTable(table: String): Boolean = catalog(table).isFact
+
+  def jobConfig(table: String): graft.ingest.TableJobConfig =
+    schemaStore.get(table).map(_.config).getOrElse(graft.ingest.TableJobConfig())
+
+  def hasLiveRows(table: String): Boolean = live.contains(table)
+
+  def mutationsSinceDrain(table: String): Long =
+    mutationCounts.getOrElse(table, 0L)
+
+  /** Serialized bytes ingested since the last drain — the backfill
+    * buffer size analogue (see [[pendingByteCounts]]).
+    */
+  def pendingBytes(table: String): Long =
+    pendingByteCounts.getOrElse(table, 0L)
+
+  def archiveDir(table: String): Option[String] = drained.get(table)
+
+  def purge(table: String, retainFromDay: String): Seq[String] =
+    drained.get(table)
+      .map(dir => tableLocks.getOrElseUpdate(table, new Object).synchronized {
+        graft.ingest.Archiver.purge(dir, retainFromDay)
+      })
+      .getOrElse(Nil)
 
   private def write(q: graft.aql.AqlQuery): String = {
     implicit val formats: Formats = DefaultFormats

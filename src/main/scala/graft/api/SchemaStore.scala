@@ -32,7 +32,8 @@ final case class AqlTableSchema(
     primaryKeyColumns: Seq[Int],
     isFactTable: Boolean,
     archivingSortColumns: Seq[Int] = Nil,
-    version: Int = 0) {
+    version: Int = 0,
+    config: graft.ingest.TableJobConfig = graft.ingest.TableJobConfig()) {
 
   def activeColumns: Vector[AqlColumn] = columns.filterNot(_.deleted)
 
@@ -120,8 +121,60 @@ object SchemaStore {
       case _ => false
     }
     AqlTableSchema(name, cols, ints("primaryKeyColumns"), isFact,
-      ints("archivingSortColumns"))
+      ints("archivingSortColumns"), config = parseConfig(j \ "config"))
   }
+
+  /** Parse a `tableConfig` document (model.go:76-124 wire fields), with
+    * the reference defaults (disk_metastore.go:35-48) for absent fields.
+    */
+  def parseConfig(j: JValue): graft.ingest.TableJobConfig =
+    parseConfigOver(j, graft.ingest.TableJobConfig())
+
+  /** Parse with an explicit fallback config for absent fields (the
+    * config-update overlay semantics).
+    */
+  def parseConfigOver(j: JValue, d: graft.ingest.TableJobConfig)
+      : graft.ingest.TableJobConfig = {
+    def num(field: String, dflt: Long): Long = j \ field match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDouble(v) => v.toLong
+      case _ => dflt
+    }
+    def int(field: String, dflt: Int): Int = num(field, dflt).toInt
+    graft.ingest.TableJobConfig(
+      batchSize = int("batchSize", d.batchSize),
+      redoLogRotationInterval = int("redoLogRotationInterval", d.redoLogRotationInterval),
+      maxRedoLogFileSize = int("maxRedoLogFileSize", d.maxRedoLogFileSize),
+      archivingDelayMinutes = num("archivingDelayMinutes", d.archivingDelayMinutes),
+      archivingIntervalMinutes = num("archivingIntervalMinutes", d.archivingIntervalMinutes),
+      backfillIntervalMinutes = num("backfillIntervalMinutes", d.backfillIntervalMinutes),
+      backfillMaxBufferSize = num("backfillMaxBufferSize", d.backfillMaxBufferSize),
+      backfillThresholdInBytes = num("backfillThresholdInBytes", d.backfillThresholdInBytes),
+      backfillStoreBatchSize = int("backfillStoreBatchSize", d.backfillStoreBatchSize),
+      recordRetentionInDays = int("recordRetentionInDays", d.recordRetentionInDays),
+      snapshotIntervalMinutes = num("snapshotIntervalMinutes", d.snapshotIntervalMinutes),
+      snapshotThreshold = num("snapshotThreshold", d.snapshotThreshold),
+      allowMissingEventTime = j \ "allowMissingEventTime" match {
+        case JBool(b) => b
+        case _ => d.allowMissingEventTime
+      })
+  }
+
+  def renderConfig(c: graft.ingest.TableJobConfig): JValue = JObject(
+    "batchSize" -> JInt(c.batchSize),
+    "redoLogRotationInterval" -> JInt(c.redoLogRotationInterval),
+    "maxRedoLogFileSize" -> JInt(c.maxRedoLogFileSize),
+    "archivingDelayMinutes" -> JLong(c.archivingDelayMinutes),
+    "archivingIntervalMinutes" -> JLong(c.archivingIntervalMinutes),
+    "backfillIntervalMinutes" -> JLong(c.backfillIntervalMinutes),
+    "backfillMaxBufferSize" -> JLong(c.backfillMaxBufferSize),
+    "backfillThresholdInBytes" -> JLong(c.backfillThresholdInBytes),
+    "backfillStoreBatchSize" -> JInt(c.backfillStoreBatchSize),
+    "recordRetentionInDays" -> JInt(c.recordRetentionInDays),
+    "snapshotIntervalMinutes" -> JLong(c.snapshotIntervalMinutes),
+    "snapshotThreshold" -> JLong(c.snapshotThreshold),
+    "allowMissingEventTime" -> JBool(c.allowMissingEventTime))
 
   def renderColumn(c: AqlColumn): JValue = JObject(List(
     Some("name" -> JString(c.name): JField),
@@ -140,7 +193,8 @@ object SchemaStore {
     "primaryKeyColumns" -> JArray(t.primaryKeyColumns.map(i => JInt(i)).toList),
     "isFactTable" -> JBool(t.isFactTable),
     "archivingSortColumns" -> JArray(t.archivingSortColumns.map(i => JInt(i)).toList),
-    "version" -> JInt(t.version))
+    "version" -> JInt(t.version),
+    "config" -> renderConfig(t.config))
 }
 
 /** In-memory metastore for user-created tables + enum dictionaries — the
@@ -178,11 +232,20 @@ final class SchemaStore {
       enums.putIfAbsent((schema.name, c.name), Vector.empty))
   }
 
-  def updateConfig(name: String): AqlTableSchema = synchronized {
+  def updateConfig(name: String, body: String = ""): AqlTableSchema = synchronized {
     val t = require(name)
-    // table config is operational metadata (batch sizes, intervals) with no
-    // effect on this engine's query semantics; accept and bump the version
-    val bumped = t.copy(version = t.version + 1)
+    // table config is operational metadata (batch sizes, job intervals —
+    // the scheduler's knobs) with no effect on query semantics; absent
+    // fields keep their current values, like the reference's mutable
+    // TableConfig update (schema_handler.go UpdateTableConfig)
+    val cfg =
+      if (body.trim.isEmpty) t.config
+      else {
+        val j = JsonMethods.parse(body)
+        // overlay: parse against the CURRENT config as defaults
+        SchemaStore.parseConfigOver(j, t.config)
+      }
+    val bumped = t.copy(version = t.version + 1, config = cfg)
     tables.put(name, bumped)
     bumped
   }
