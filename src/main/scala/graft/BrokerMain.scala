@@ -9,6 +9,12 @@ package graft
   *                            data slice (e.g. "http://a:19374,http://b:19374");
   *                            `|`-separate replicas of the same slice for
   *                            failover ("http://a1:19374|http://a2:19374,...")
+  *   SPARK_GRAFT_MEMBERS_DIR  alternative to SPARK_GRAFT_INSTANCES: shared
+  *                            membership directory (BrokerTopology) —
+  *                            instances registering there join the
+  *                            fan-out at runtime, stale ones are demoted
+  *                            (the reference's etcd-watched
+  *                            HealthTrackingDynamicTopology role)
   *   SPARK_GRAFT_BROKER_PORT  HTTP port (default 19380; 0 = ephemeral)
   *
   * Runs without a SparkSession — the broker is HTTP fan-out + merge.
@@ -17,12 +23,19 @@ object BrokerMain {
   def main(args: Array[String]): Unit = {
     val hosts = sys.env.getOrElse("SPARK_GRAFT_INSTANCES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(hosts.nonEmpty,
-      "SPARK_GRAFT_INSTANCES must list at least one instance base URL")
+    val membersDir = sys.env.get("SPARK_GRAFT_MEMBERS_DIR").filter(_.nonEmpty)
+    require(hosts.nonEmpty || membersDir.isDefined,
+      "set SPARK_GRAFT_INSTANCES (static) or SPARK_GRAFT_MEMBERS_DIR (dynamic)")
     val port = sys.env.getOrElse("SPARK_GRAFT_BROKER_PORT", "19380").toInt
-    val server = new graft.exec.BrokerServer(hosts, port)
+    val server = membersDir match {
+      case Some(dir) =>
+        graft.exec.BrokerServer.dynamic(new graft.exec.BrokerTopology(dir), port)
+      case None => new graft.exec.BrokerServer(hosts, port)
+    }
     server.start()
-    println(s"[graft] broker on port ${server.boundPort} over ${hosts.mkString(", ")}")
+    val over = membersDir.map(d => s"membership dir $d")
+      .getOrElse(hosts.mkString(", "))
+    println(s"[graft] broker on port ${server.boundPort} over $over")
     Thread.currentThread().join() // serve until killed
   }
 }

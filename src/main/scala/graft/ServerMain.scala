@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_TICK_SECONDS  scheduler tick (default 60, like the
   *                           reference's minute-grain scheduler loop;
   *                           0 disables the scheduler)
+  *   SPARK_GRAFT_MEMBERS_DIR  shared broker-membership directory
+  *                           (optional): the instance registers itself
+  *                           and heartbeats, joining any dynamic broker's
+  *                           fan-out (BrokerTopology)
+  *   SPARK_GRAFT_SLICE       slice id for membership registration
+  *                           (default "s0"); instances sharing a slice id
+  *                           are replicas of the same data slice
+  *   SPARK_GRAFT_ADVERTISE   base URL to register (default
+  *                           http://localhost:<boundPort>)
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
@@ -46,6 +55,13 @@ object ServerMain {
       val sched = new graft.ingest.JobScheduler(server, root, tickSeconds = tickSeconds)
       server.jobScheduler = Some(sched)
       sched.start()
+    }
+    sys.env.get("SPARK_GRAFT_MEMBERS_DIR").filter(_.nonEmpty).foreach { dir =>
+      val slice = sys.env.getOrElse("SPARK_GRAFT_SLICE", "s0")
+      val url = sys.env.getOrElse("SPARK_GRAFT_ADVERTISE",
+        s"http://localhost:${server.boundPort}")
+      new graft.exec.BrokerTopology(dir).register(slice, url)
+      println(s"[graft] registered $url as slice $slice in $dir")
     }
     println(s"[graft] serving on port ${server.boundPort}, tables from $sfDir")
     Thread.currentThread().join() // serve until killed

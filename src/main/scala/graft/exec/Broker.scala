@@ -42,22 +42,33 @@ import graft.functions.Hll
   * time-FORMATTED dimension labels are a JSON-path nicety the binary wire
   * does not carry, matching the reference's HLL response contract.
   */
-final class Broker(hosts: Seq[String],
-    timeout: Duration = Duration.ofSeconds(120), trials: Int = 3) {
-  require(hosts.nonEmpty, "broker needs at least one instance")
+final class Broker private (sliceProvider: () => Seq[Seq[String]],
+    timeout: Duration, trials: Int) {
   require(trials > 0, s"trials $trials must be positive")
 
-  /** Each entry of `hosts` is one data SLICE; `|`-separated URLs within an
-    * entry are replicas serving the same slice
-    * (`"http://a:9000|http://b:9000"`). A failed fetch retries the next
-    * replica round-robin, up to `trials` full cycles — the reference's
-    * datanode retry loop with host-health demotion
+  /** Static topology. Each entry of `hosts` is one data SLICE;
+    * `|`-separated URLs within an entry are replicas serving the same
+    * slice (`"http://a:9000|http://b:9000"`). A failed fetch retries the
+    * next replica round-robin, up to `trials` full cycles — the
+    * reference's datanode retry loop with host-health demotion
     * (/root/reference/broker/query_plan_agg.go:170-215, where a connect
     * failure marks the host unhealthy and the trial loop re-resolves).
     */
-  private val slices: Seq[Seq[String]] =
-    hosts.map(_.split('|').map(_.trim).filter(_.nonEmpty).toSeq)
-  require(slices.forall(_.nonEmpty), "every slice needs at least one replica URL")
+  def this(hosts: Seq[String], timeout: Duration = Duration.ofSeconds(120),
+      trials: Int = 3) =
+    this(() => Broker.staticSlices(hosts), timeout, trials)
+
+  /** The slice map is RESOLVED PER QUERY through the provider — under a
+    * [[BrokerTopology]] a newly registered instance joins the next
+    * query's fan-out and a stale one is demoted, with no broker restart
+    * (the reference's HealthTrackingDynamicTopology role).
+    */
+  private def slices: Seq[Seq[String]] = {
+    val s = sliceProvider()
+    require(s.nonEmpty, "broker topology has no live instances")
+    require(s.forall(_.nonEmpty), "every slice needs at least one replica URL")
+    s
+  }
 
   private val client = HttpClient.newBuilder().connectTimeout(timeout).build()
   private implicit val ec: ExecutionContext = ExecutionContext.global
@@ -70,9 +81,9 @@ final class Broker(hosts: Seq[String],
     * the per-replica diagnostics) while orphaned retries keep burning
     * global-pool threads.
     */
-  private val gatherWait: scala.concurrent.duration.FiniteDuration =
+  private def gatherWait(ss: Seq[Seq[String]]): scala.concurrent.duration.FiniteDuration =
     scala.concurrent.duration.FiniteDuration(
-      timeout.toMillis * trials * slices.map(_.length).max + 30000,
+      timeout.toMillis * trials * ss.map(_.length).max + 30000,
       java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Fetch one slice's result, failing over across its replicas: replica
@@ -166,7 +177,8 @@ final class Broker(hosts: Seq[String],
     */
   private def scatterJson(q: AqlQuery): Seq[JValue] = {
     val body = requestBody(q)
-    val futures = slices.map(s => Future {
+    val ss = slices
+    val futures = ss.map(s => Future {
       val resp = JsonMethods.parse(
         new String(fetch(s, body, "application/json"), StandardCharsets.UTF_8))
       resp \ "errors" match {
@@ -177,7 +189,7 @@ final class Broker(hosts: Seq[String],
       }
       (resp \ "results") (0)
     })
-    Await.result(Future.sequence(futures), gatherWait)
+    Await.result(Future.sequence(futures), gatherWait(ss))
   }
 
   // ---- merge algebra (result_merge.go:42-141) -----------------------------
@@ -253,8 +265,9 @@ final class Broker(hosts: Seq[String],
         "application/hll requires an HLL measure")
     }
     val body = requestBody(q)
-    val futures = slices.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = Await.result(Future.sequence(futures), gatherWait)
+    val ss = slices
+    val futures = ss.map(s => Future(fetch(s, body, "application/hll")))
+    val bodies = Await.result(Future.sequence(futures), gatherWait(ss))
     val blocks = bodies.map { bytes =>
       RefHllWire.readResults(bytes).head match {
         case Right(b) => b
@@ -323,8 +336,9 @@ final class Broker(hosts: Seq[String],
 
   private def mergeHll(q: AqlQuery): JValue = {
     val body = requestBody(q)
-    val futures = slices.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = Await.result(Future.sequence(futures), gatherWait)
+    val ss = slices
+    val futures = ss.map(s => Future(fetch(s, body, "application/hll")))
+    val bodies = Await.result(Future.sequence(futures), gatherWait(ss))
     // per-instance blocks → (dim keys → registers), merged by register max
     val merged = scala.collection.mutable.LinkedHashMap.empty[List[String], Array[Byte]]
     bodies.foreach { bytes =>
@@ -380,4 +394,22 @@ final class Broker(hosts: Seq[String],
     }
     JObject("headers" -> headers, "matrixData" -> JArray(limited.toList))
   }
+}
+
+object Broker {
+  /** Parse the static `hosts` encoding: one entry per slice, `|`-separated
+    * replica URLs within an entry.
+    */
+  private[exec] def staticSlices(hosts: Seq[String]): Seq[Seq[String]] = {
+    require(hosts.nonEmpty, "broker needs at least one instance")
+    hosts.map(_.split('|').map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Broker over a [[BrokerTopology]]: the slice map re-resolves per
+    * query, so instances registered after construction join the fan-out
+    * and stale members are demoted without a restart.
+    */
+  def dynamic(topology: BrokerTopology,
+      timeout: Duration = Duration.ofSeconds(120), trials: Int = 3): Broker =
+    new Broker(() => topology.slices(), timeout, trials)
 }

@@ -23,9 +23,12 @@ import graft.aql.AqlJson
   * Needs no SparkSession: the broker's work is HTTP fan-out plus the
   * merge algebra over partial results.
   */
-final class BrokerServer(hosts: Seq[String], port: Int = 0) {
+final class BrokerServer private (broker: Broker, instances: () => Seq[String],
+    port: Int) {
 
-  private val broker = new Broker(hosts)
+  /** Static instance list (one entry per slice, `|`-separated replicas). */
+  def this(hosts: Seq[String], port: Int = 0) =
+    this(new Broker(hosts), () => hosts, port)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   server.createContext("/query/aql", (ex: HttpExchange) => {
@@ -73,11 +76,12 @@ final class BrokerServer(hosts: Seq[String], port: Int = 0) {
     } finally ex.close()
   })
 
-  // liveness + the instance list, for operators pointing clients at the tier
+  // liveness + the CURRENT instance list (re-resolved per request under a
+  // dynamic topology), for operators pointing clients at the tier
   server.createContext("/health", (ex: HttpExchange) => {
     try respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
       "status" -> JString("up"),
-      "instances" -> JArray(hosts.map(JString(_)).toList)))))
+      "instances" -> JArray(instances().map(JString(_)).toList)))))
     finally ex.close()
   })
 
@@ -91,4 +95,14 @@ final class BrokerServer(hosts: Seq[String], port: Int = 0) {
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
+}
+
+object BrokerServer {
+  /** Broker front over a [[BrokerTopology]]: instances joining/leaving
+    * the shared membership directory reshape the fan-out per query, no
+    * broker restart (the reference's etcd-watched dynamic topology role).
+    */
+  def dynamic(topology: BrokerTopology, port: Int = 0): BrokerServer =
+    new BrokerServer(Broker.dynamic(topology),
+      () => topology.slices().map(_.mkString("|")), port)
 }

@@ -1,0 +1,138 @@
+package graft.exec
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Health-tracked dynamic broker membership over shared storage — the
+  * role the reference's `HealthTrackingDynamicTopology` plays for its
+  * broker (/root/reference/broker/executor.go:33, cluster/topology/:
+  * instances join/leave an etcd-watched membership set and shard
+  * assignments follow). The deployment substrate here is the same
+  * shared-directory pattern [[graft.api.SchemaSync]] established:
+  *
+  *   - each instance REGISTERS one file `members/<id>.json` holding its
+  *     slice id, URL, and a heartbeat timestamp, re-written (atomic
+  *     rename) every `beatMillis` by a daemon heartbeater;
+  *   - the broker lists the directory and groups fresh members by slice
+  *     id — a member whose heartbeat is older than `staleMillis` is
+  *     DEMOTED (dropped from its slice's replica list) with no restart,
+  *     and a newly registered member joins the fan-out on the next
+  *     topology read;
+  *   - reads are cached for `cacheMillis` so per-query refresh costs one
+  *     directory listing at most twice a second.
+  *
+  * The slice id is the shard-assignment key: members sharing a slice id
+  * are replicas of the same data slice (the reference's
+  * util.CalculateShardAssignment distributes shards over instances; here
+  * the deployment names its slices and the broker fans over the distinct
+  * ids in sorted order).
+  */
+final class BrokerTopology(dir: String,
+    staleMillis: Long = 15000, cacheMillis: Long = 500,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val root = Paths.get(dir, "members")
+  Files.createDirectories(root)
+
+  @volatile private var cached: (Long, Seq[Seq[String]]) = (Long.MinValue, Nil)
+
+  /** Fresh members grouped into replica lists by slice id, sorted by
+    * slice id for a deterministic scatter order.
+    */
+  def slices(): Seq[Seq[String]] = {
+    val now = clock()
+    val (at, snap) = cached
+    // the initial sentinel must never satisfy the cache window (now -
+    // Long.MinValue overflows negative and would pin the empty snapshot)
+    if (at != Long.MinValue && now - at < cacheMillis) return snap
+    val members = list()
+    val fresh = members.filter(m => now - m.heartbeat <= staleMillis)
+    val grouped = fresh.groupBy(_.slice).toSeq.sortBy(_._1)
+      .map { case (_, ms) => ms.map(_.url).distinct }
+    cached = (now, grouped)
+    grouped
+  }
+
+  /** Every registered member, fresh or stale (observability). */
+  def list(): Seq[BrokerTopology.Member] = {
+    if (!Files.isDirectory(root)) return Nil
+    val files = Files.list(root)
+    try files.iterator.asScala.filter(_.toString.endsWith(".json")).flatMap { p =>
+      try {
+        val j = JsonMethods.parse(Files.readString(p))
+        for {
+          JString(slice) <- Option(j \ "slice")
+          JString(url) <- Option(j \ "url")
+        } yield BrokerTopology.Member(
+          p.getFileName.toString.stripSuffix(".json"), slice, url,
+          j \ "heartbeat" match {
+            case JInt(h) => h.toLong
+            case JLong(h) => h
+            case _ => 0L
+          })
+      } catch { case _: Throwable => None } // partially-written file: skip
+    }.toSeq
+    finally files.close()
+  }
+
+  /** Register this instance and start heartbeating; returns a handle that
+    * deregisters on close. `id` must be unique per process (default
+    * derives from the URL).
+    */
+  def register(slice: String, url: String, id: String = "",
+      beatMillis: Long = 2000): BrokerTopology.Registration = {
+    val memberId =
+      if (id.nonEmpty) id
+      else url.replaceAll("[^A-Za-z0-9._-]", "_")
+    val file = root.resolve(s"$memberId.json")
+    def beat(): Unit = {
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "slice" -> JString(slice),
+        "url" -> JString(url),
+        "heartbeat" -> JLong(clock()))))
+      val tmp = root.resolve(s".$memberId.tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    beat()
+    val reg = new BrokerTopology.Registration(file, () => beat())
+    val th = new Thread(() => {
+      while (reg.active) {
+        try Thread.sleep(beatMillis)
+        catch { case _: InterruptedException => () }
+        if (reg.active)
+          try beat() catch { case _: Throwable => () }
+      }
+    }, s"graft-heartbeat-$memberId")
+    th.setDaemon(true)
+    th.start()
+    reg.thread = Some(th)
+    reg
+  }
+}
+
+object BrokerTopology {
+  final case class Member(id: String, slice: String, url: String, heartbeat: Long)
+
+  /** Live registration: heartbeats until closed; close deregisters
+    * (deletes the member file). `pause()` stops heartbeating WITHOUT
+    * deregistering — the crash simulation (the member goes stale and the
+    * broker demotes it).
+    */
+  final class Registration(file: Path, doBeat: () => Unit) extends AutoCloseable {
+    @volatile private[BrokerTopology] var active = true
+    private[BrokerTopology] var thread: Option[Thread] = None
+    def beatNow(): Unit = doBeat()
+    def pause(): Unit = { active = false; thread.foreach(_.interrupt()) }
+    override def close(): Unit = {
+      pause()
+      try Files.deleteIfExists(file) catch { case _: Throwable => () }
+    }
+  }
+}

@@ -21,12 +21,17 @@ class BrokerSpec extends SparkSpec {
 
   private val Split = "2024-01-15"
 
-  private def sliced(lower: Boolean): Catalog = {
+  private def sliced(lower: Boolean): Catalog =
+    slicedBetween(if (lower) None else Some(Split),
+      if (lower) Some(Split) else None)
+
+  /** Catalog serving only events with day in [from, to). */
+  private def slicedBetween(from: Option[String], to: Option[String]): Catalog = {
     val base = Catalog.testdata(sfDir)
     val ev = base.tables("events")
-    val pred =
-      if (lower) col(graft.ingest.Archiver.DayCol) < lit(Split)
-      else col(graft.ingest.Archiver.DayCol) >= lit(Split)
+    val day = col(graft.ingest.Archiver.DayCol)
+    val pred = (from.map(day >= lit(_)).toSeq ++ to.map(day < lit(_)))
+      .reduceOption(_ && _).getOrElse(lit(true))
     base.copy(tables = base.tables +
       ("events" -> ev.copy(load = s => ev.load(s).where(pred))))
   }
@@ -282,5 +287,57 @@ class BrokerSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("failed after 1 attempts")), messages(e))
+  }
+
+  test("dynamic topology: instances join the fan-out at runtime, stale members demote") {
+    // three disjoint day slices; p3 is NOT registered at first
+    val D1 = "2024-01-10"
+    val p1 = new GraftServer(slicedBetween(None, Some(D1)), spark)
+    val p2 = new GraftServer(slicedBetween(Some(D1), Some(Split)), spark)
+    val p3 = new GraftServer(slicedBetween(Some(Split), None), spark)
+    Seq(p1, p2, p3).foreach(_.start())
+    var now = 0L // manual clock: heartbeats and staleness fully deterministic
+    val dir = java.nio.file.Files.createTempDirectory("topo").toString
+    val topo = new BrokerTopology(dir, staleMillis = 5000,
+      cacheMillis = 0, clock = () => now)
+    // beatMillis huge: heartbeats only when the test calls beatNow()
+    val hour = 3600 * 1000L
+    val r1 = topo.register("a", s"http://localhost:${p1.boundPort}", beatMillis = hour)
+    val r2 = topo.register("b", s"http://localhost:${p2.boundPort}", beatMillis = hour)
+    try {
+      val dyn = Broker.dynamic(topo)
+      val expected = singleAnswer(query("count(*)"))
+      // two of three slices registered: the merge answers, but NOT the
+      // whole-table result (days >= Split are missing)
+      val partial = JsonMethods.parse(dyn.aql(query("count(*)")))
+      assert(normalize(partial) != normalize(expected), "partial == whole?")
+      // third instance registers at runtime → the NEXT query fans over 3
+      // and merges to the whole-table answer; same broker object, no
+      // restart
+      val r3 = topo.register("c", s"http://localhost:${p3.boundPort}", beatMillis = hour)
+      assertClose(JsonMethods.parse(dyn.aql(query("count(*)"))), expected,
+        "post-join count(*)")
+      assert(topo.slices().length == 3)
+
+      // a second replica joins slice "a", then goes silent: after
+      // staleMillis it is demoted from the replica list with no restart —
+      // and the live replica keeps answering for the slice
+      val rDead = topo.register("a", "http://localhost:1", id = "dead-a",
+        beatMillis = hour)
+      assert(topo.slices().map(_.length).sum == 4)
+      now += 6000 // everyone's heartbeat is now stale...
+      Seq(r1, r2, r3).foreach(_.beatNow()) // ...except the live three re-beat
+      assert(topo.slices().map(_.length).sum == 3,
+        s"stale replica not demoted: ${topo.list()}")
+      assertClose(JsonMethods.parse(dyn.aql(query("count(*)"))), expected,
+        "post-demotion count(*)")
+      // deregistration (close) removes the member file entirely
+      rDead.close()
+      r3.close()
+      assert(topo.slices().length == 2, topo.list().toString)
+    } finally {
+      Seq(r1, r2).foreach(_.close())
+      Seq(p1, p2, p3).foreach(_.stop())
+    }
   }
 }
