@@ -96,4 +96,123 @@ object IvfIndex {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         Similarity.cosine(col("q_vec"), col(vecCol)).as("cos"))
   }
+
+  // ---- IVF-SQ8: coarse cells + scalar-quantized residual codes ----------
+
+  /** Build the IVF-SQ8 index: coarse cells as in [[build]], but members
+    * store d 8-bit [[Sq]] codes of their RESIDUAL (vector − cell centroid)
+    * instead of the raw floats — 4× smaller at rest, and residual
+    * magnitudes are a fraction of vector magnitudes so the 255-level
+    * per-dimension grid quantizes far finer than it would raw (the same
+    * residual trick [[Pq.ivfpqTopK]] uses, FAISS's `IndexIVFScalarQuantizer`
+    * with by-residual encoding). This is the composition that turns [[Sq]]
+    * from a compression layer into a search structure: [[Sq.adcTopK]] scans
+    * the whole corpus per query batch, while [[searchSq8]] touches only the
+    * probed ~nProbe/nlist cell partitions via dynamic partition pruning.
+    *
+    * Layout on storage:
+    *   - `dir/centroids` — (cell, centroid: array<double>), nlist rows
+    *   - `dir/sqbounds`  — one row (mins, scales): residual-trained
+    *                       per-dimension affine bounds (2·d doubles)
+    *   - `dir/codes`     — (id, codes: array<int>) parquet PARTITIONED BY
+    *                       cell
+    *
+    * Scale shape: one assignment pass over the corpus (centroids
+    * broadcast), the bounds pass partial-aggregates min/max map-side
+    * (shuffle carries d rows per partition — see [[Sq.train]]), encode is
+    * map-side; the assignment UDF runs once per row (the residual frame is
+    * checkpointed across the bounds and encode consumers, then released).
+    */
+  def buildSq8(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      dir: String, refineIterations: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
+    val cents =
+      if (refineIterations > 0)
+        Similarity.refineCentroids(corpus, idCol, vecCol, sampled, refineIterations)
+      else sampled
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val centsB = spark.sparkContext.broadcast(cents)
+    val residUdf = udf { (vec: Seq[Float], cell: Int) =>
+      val c = centsB.value(cell)
+      val n = math.min(vec.length, c.length)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = vec(i).toDouble - c(i); i += 1 }
+      out
+    }
+    val resid = Similarity.assignCells(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .withColumn("__resid", residUdf(col(vecCol), col("cell")))
+      .select(col(idCol), col("cell"), col("__resid"))
+      .localCheckpoint(true)
+    try {
+      val bounds = Sq.train(resid, "__resid")
+      Seq((bounds.mins.toSeq, bounds.scales.toSeq)).toDF("mins", "scales")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sqbounds")
+      val enc = udf { (r: Seq[Double]) =>
+        val n = math.min(r.length, bounds.mins.length)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = Sq.quantize(r(i), bounds.mins(i), bounds.scales(i))
+          i += 1
+        }
+        out
+      }
+      resid.select(col(idCol), col("cell"), enc(col("__resid")).as("codes"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(s"$dir/codes")
+    } finally Staged.releaseCheckpoint(resid)
+  }
+
+  /** ADC top-k from the persisted IVF-SQ8 index: squared L2 between each
+    * TRUE (unquantized) query vector and `centroid(cell) + dequantized
+    * residual` for every member of the query's nProbe nearest cells,
+    * smallest first, ties broken by neighbor id; self-ids excluded (same
+    * contract as [[Sq.adcTopK]]). The probe join keys on the `cell`
+    * partition column, so dynamic partition pruning reads only the probed
+    * ~nProbe/nlist of the code files; only the nlist centroids and 2·d
+    * bounds reach the driver. Output: (query_id, rank, neighbor_id,
+    * adc_dist).
+    */
+  def searchSq8(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(spark, dir)
+    val bRow = spark.read.parquet(s"$dir/sqbounds").collect().head
+    val bounds = Sq.Bounds(bRow.getSeq[Double](0).toArray,
+      bRow.getSeq[Double](1).toArray)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val q = Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
+    val adc = udf { (qv: Seq[Float], cell: Int, cs: Seq[Int]) =>
+      val cent = cents(cell)
+      val mins = bounds.mins
+      val scales = bounds.scales
+      var s = 0.0
+      var i = 0
+      val n = math.min(qv.length, cs.length)
+      while (i < n) {
+        val d = qv(i) - cent(i) - Sq.dequantize(cs(i), mins(i), scales(i))
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    val scored = codes.join(broadcast(q), "cell")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        adc(col("q_vec"), col("cell"), col("codes")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
 }

@@ -99,13 +99,33 @@ object AnnFixtures {
     * the gate reads only the probed cell partitions via DPP.
     */
   def ivfIndexDir(s: SparkSession, d: String, nlist: Int): String =
+    cachedDir(d, s"ivf-n$nlist") { tmp =>
+      IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist, tmp)
+    }
+
+  /** Persisted IVF-SQ8 index over the embeddings table (q_ann_ivf_sq8):
+    * coarse cells + residual SQ8 codes, built once per source fingerprint;
+    * search reads only the probed cell partitions via DPP.
+    */
+  def ivfSq8IndexDir(s: SparkSession, d: String, nlist: Int): String =
+    cachedDir(d, s"ivfsq8-n$nlist") { tmp =>
+      IvfIndex.buildSq8(Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist, tmp)
+    }
+
+  /** Build-once directory fixture: `build` writes into a private temp path
+    * that is atomically promoted to `leaf` — first writer wins, losers
+    * discard (the builds are deterministic, so any winner's bytes are THE
+    * bytes).
+    */
+  private def cachedDir(d: String, leaf: String)(build: String => Unit): String =
     AnnFixtures.synchronized {
-      val dir = root(d).resolve(s"ivf-n$nlist")
+      val dir = root(d).resolve(leaf)
       if (!Files.exists(dir)) {
         val tmp = dir.resolveSibling(
-          s"ivf-n$nlist.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        IvfIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
-          nlist, tmp.toString)
+          s"$leaf.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        build(tmp.toString)
         try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.io.IOException => // a concurrent winner promoted first

@@ -317,6 +317,35 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- similarity search: PERSISTED IVF-SQ8 index (coarse cells +
+    // residual scalar-quantized codes — the composition that makes SQ8 a
+    // search structure instead of a flat-scan compression layer; ADC runs
+    // only over the probed nProbe/nlist cell partitions via dynamic
+    // partition pruning, IvfIndexSpec asserts). Perturbed-query planted
+    // contract as q_ann_ivf_index: each query is a lightly-perturbed copy
+    // (cos ≈ 0.999) of a corpus vector whose source must surface in the
+    // ADC top-5.
+    QueryDef("q_ann_ivf_sq8",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS found_planted
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // build-once fixture: rebuilt only when the source fingerprint
+      // changes (AnnFixtures — atomic promote, race-safe)
+      val dir = AnnFixtures.ivfSq8IndexDir(s, d, nlist = 32)
+      val queries = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+      graft.operators.IvfIndex.searchSq8(s, dir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") - 100000).as("found_planted"))
+        .select((col("query_id") - 100000).as("query_id"), col("found_planted"))
+        .orderBy("query_id")
+    },
+
     // --- similarity search: product quantization (the compression layer
     // under IVF at billion scale). Train an (m=8 × k=16) codebook with
     // distributed Lloyd, encode the corpus as 8 codes/vector, and ADC-score

@@ -60,4 +60,44 @@ class IvfIndexSpec extends SparkSpec {
       "vec_id", "embedding", k = 1, nProbe = 4)
     assert(again.count() == 3)
   }
+
+  // ---- IVF-SQ8 -----------------------------------------------------------
+
+  private lazy val sq8Dir = {
+    val d = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    IvfIndex.buildSq8(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      nlist = 16, dir = d)
+    d
+  }
+
+  test("IVF-SQ8: planted sources surface from residual ADC over probed cells") {
+    val found = IvfIndex.searchSq8(spark, sq8Dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .groupBy("query_id")
+      .agg(max(col("neighbor_id") === col("query_id") - 100000).as("hit"))
+      .collect()
+    assert(found.length == 10)
+    assert(found.forall(_.getBoolean(1)), found.mkString(", "))
+  }
+
+  test("IVF-SQ8: search prunes to the probed cells (dynamic partition pruning)") {
+    val df = IvfIndex.searchSq8(spark, sq8Dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"codes scan not dynamically pruned:\n${plan.take(3000)}")
+  }
+
+  test("IVF-SQ8: an exact corpus copy ranks 1 (ADC = source's own quant error)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = emb.where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 200000)
+    val top1 = IvfIndex.searchSq8(spark, sq8Dir, exact, "vec_id", "embedding",
+        k = 1, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 5)
+    top1.foreach { case (q, n) => assert(n == q - 200000, s"$q -> $n") }
+  }
 }
