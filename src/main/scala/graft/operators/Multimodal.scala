@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,18 +12,22 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extraction runs
   * per partition in bounded batches.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container): [[decodeImageStub]] derives deterministic fake dimensions
-  * from the payload bytes. The Spark-side plumbing — schema, partition
-  * batching, column pruning (metadata queries never touch the payload
-  * bytes) — is real and tested. At 100 TB the payload column lives in its
-  * own parquet column chunk, so metadata-only queries scan only the small
-  * columns.
+  * The image path is REAL: [[decodeImages]] and [[resizeImages]] parse and
+  * re-encode actual PNG/JPEG bytes through `javax.imageio` (JDK-builtin —
+  * no new dependency). Test images come from [[synthPng]], whose pixel
+  * function is simple enough that a SQL oracle predicts any decoded pixel,
+  * so the gates assert REAL decoded dimensions and pixel values
+  * cross-engine, not stub constants. Video frame EXTRACTION
+  * ([[sampleFrames]]) remains a byte-slice stand-in (no video codec in the
+  * JDK); its distributed shape — one pass, n× fan-out, no shuffle, frames
+  * off the driver — is real and oracle-checked.
+  *
+  * At 100 TB the payload column lives in its own parquet column chunk, so
+  * metadata-only queries scan only the small columns; decode/resize are
+  * map-side per-partition streams whose output is bounded by the target
+  * dimensions regardless of input size.
   */
 object Multimodal {
-
-  case class MediaMeta(doc_id: Long, byte_len: Int, magic: Int,
-      width: Int, height: Int)
 
   /** Attach a binary payload column (here synthesized from text; in a real
     * pipeline this is the raw media bytes) plus cheap metadata columns.
@@ -28,29 +37,63 @@ object Multimodal {
       .withColumn("byte_len", length(col("payload")))
       .withColumn("magic", expr("CAST(conv(hex(substring(payload, 1, 1)), 16, 10) AS INT)"))
 
-  /** STUB media decoder: a real implementation would parse image headers /
-    * decode frames here. Deterministic fake so the distributed plumbing is
-    * testable: width/height derived from the payload's first bytes.
+  /** Deterministic grayscale test image, PNG-encoded: pixel (x, y) carries
+    * value `(x + y + seed) mod 256` in all three channels. PNG is lossless,
+    * so a decoder recovers every value exactly — which is what lets a SQL
+    * oracle predict the decoded pixels of a REAL codec round trip.
     */
-  def decodeImageStub(payload: Array[Byte]): (Int, Int) = {
-    val w = 64 + (if (payload.length > 0) payload(0) & 0x7F else 0)
-    val h = 64 + (if (payload.length > 1) payload(1) & 0x7F else 0)
-    (w, h)
+  def synthPng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x + y + seed) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Batched per-partition decode — the Scala analog of mapInPandas: one
-    * decoder context per partition, streaming through rows without
-    * materializing the partition.
+  /** Attach a REAL PNG payload per row, dimensions and seed derived
+    * SQL-expressibly from the id:
+    * `width = 16 + id mod 32`, `height = 16 + (id·7) mod 32`,
+    * `seed = id mod 251`. The generation runs map-side (one encoder per
+    * row inside the partition stream).
     */
-  def decodeFeatures(spark: SparkSession, payloads: DataFrame,
-      idCol: String): Dataset[MediaMeta] = {
+  def withImagePayload(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      synthPng(16 + (id % 32).toInt, 16 + (id * 7 % 32).toInt, (id % 251).toInt)
+    }
+    df.select(col(idCol).cast("long").as(idCol))
+      .withColumn("payload", gen(col(idCol)))
+  }
+
+  case class ImageMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
+      top_left: Int)
+
+  /** REAL image decode — `javax.imageio` handles PNG/JPEG/BMP/GIF out of
+    * the JDK box. Batched per-partition (the Scala analog of mapInPandas):
+    * rows stream through the decoder without materializing the partition;
+    * only bounded metadata (dims + the top-left sample) flows out, the
+    * pixel buffer dies with each row. A payload that no installed reader
+    * understands fails loudly with the row id rather than passing nulls
+    * downstream.
+    */
+  def decodeImages(spark: SparkSession, payloads: DataFrame,
+      idCol: String): Dataset[ImageMeta] = {
     import spark.implicits._
     payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder setup would go here (codec contexts etc.)
         it.map { case (id, bytes) =>
-          val (w, h) = decodeImageStub(bytes)
-          MediaMeta(id, bytes.length, if (bytes.nonEmpty) bytes(0) & 0xFF else -1, w, h)
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"row $id: payload is not a decodable image")
+          ImageMeta(id, bytes.length, img.getWidth, img.getHeight,
+            img.getRGB(0, 0) & 0xFF)
         }
       }
   }
@@ -58,35 +101,37 @@ object Multimodal {
   case class Resized(doc_id: Long, payload: Array[Byte], width: Int,
       height: Int, orig_len: Int)
 
-  /** Resize plumbing: payload → bounded-size payload + target dimension
-    * metadata. The pixel resample is the stub (deterministic stride
-    * sampling of the byte stream down to targetW×targetH bytes — a real
-    * image library plugs into the same mapPartitions); the distributed
-    * shape is real: per-partition streaming transform, output size bounded
-    * by the target regardless of input size (the property that matters at
-    * 100 TB — resized corpora shrink to target × row-count).
+  /** REAL image resize: decode via `javax.imageio`, resample with explicit
+    * nearest-neighbor indexing — output pixel (x, y) takes source pixel
+    * `(floor(x·srcW/dstW), floor(y·srcH/dstH))`, deterministic arithmetic
+    * rather than the AWT rendering pipeline — and re-encode as PNG. The
+    * property that matters at 100 TB holds by construction: output size is
+    * bounded by the target dimensions regardless of input size, so resized
+    * corpora shrink to target × row-count.
     */
-  def resizeStub(spark: SparkSession, payloads: DataFrame, idCol: String,
+  def resizeImages(spark: SparkSession, payloads: DataFrame, idCol: String,
       targetW: Int, targetH: Int): Dataset[Resized] = {
     import spark.implicits._
-    val target = targetW * targetH
     payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val out =
-            if (bytes.length <= target) bytes
-            else {
-              // stride sampling: element k of the output takes byte
-              // floor(k * len / target) — deterministic downsample
-              val o = new Array[Byte](target)
-              var k = 0
-              while (k < target) {
-                o(k) = bytes((k.toLong * bytes.length / target).toInt)
-                k += 1
-              }
-              o
+          val src = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(src != null, s"row $id: payload is not a decodable image")
+          val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * src.getHeight / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * src.getWidth / targetW).toInt
+              out.setRGB(x, y, src.getRGB(sx, sy))
+              x += 1
             }
-          Resized(id, out, targetW, targetH, bytes.length)
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          Resized(id, bos.toByteArray, targetW, targetH, bytes.length)
         }
       }
   }
@@ -96,9 +141,10 @@ object Multimodal {
 
   /** Frame sampling plumbing for video-shaped payloads: each payload yields
     * `n` evenly spaced frames. The frame EXTRACTION is the stub (byte
-    * slices standing in for decoded frames — a real codec plugs into the
-    * same mapPartitions); the distributed shape is real: one pass, output
-    * fan-out n× without shuffles, frame bytes stay off the driver.
+    * slices standing in for decoded frames — the JDK ships no video codec;
+    * a real one plugs into the same mapPartitions); the distributed shape
+    * is real: one pass, output fan-out n× without shuffles, frame bytes
+    * stay off the driver.
     */
   def sampleFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
       n: Int): Dataset[Frame] = {

@@ -569,19 +569,24 @@ object PipelineQueries {
         .orderBy("magic")
     },
 
-    // resize: output payload bounded at targetW×targetH bytes (stride-
-    // sampled stub); bounded-output property is SQL-expressible → oracle
+    // resize: REAL codec round trip — synth PNGs (dims/seed SQL-derived
+    // from doc_id), nearest-neighbor resample to 24×24, re-encode as PNG,
+    // then DECODE THE RESIZED BYTES and emit their actual dimensions and
+    // top-left pixel. out(0,0) samples src(0,0) = seed, so the oracle pins
+    // real decoded pixel values through resize + re-encode, not stub
+    // constants.
     QueryDef("q_multimodal_resize",
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(LEAST(octet_length(encode(text)), 1024)) AS BIGINT) AS resized_bytes,
-        |  TRUE AS all_bounded
-        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
-      val payloads = Multimodal.withPayload(
-        Tables.documents(s, d).where(col("doc_id") < 100), "doc_id", "text")
-      Multimodal.resizeStub(s, payloads, "doc_id", 32, 32)
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("payload"))).cast("long").as("resized_bytes"),
-          min(length(col("payload")) <= 1024).as("all_bounded"))
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(24 AS INT) AS width, CAST(24 AS INT) AS height,
+        |  CAST(doc_id % 251 AS INT) AS top_left
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val payloads = Multimodal.withImagePayload(
+        Tables.documents(s, d).where(col("doc_id") < 100), "doc_id")
+      val resized = Multimodal.resizeImages(s, payloads, "doc_id", 24, 24)
+      Multimodal.decodeImages(s, resized.toDF(), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("top_left"))
+        .orderBy("doc_id")
     },
 
     // frame sampling: n deterministic byte-slice "frames" per payload; the
@@ -824,20 +829,22 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // decode itself is a declared stub (width = 64 + payload[0] & 0x7F), but
-    // on this ASCII corpus the stub IS SQL-expressible, so the full
-    // mapPartitions plumbing (schema, batching, typed output) gets a real
-    // cross-engine oracle instead of a rows-only check.
+    // decode is REAL (javax.imageio PNG): each row carries an actual PNG
+    // whose dims/seed derive SQL-expressibly from doc_id, and the engine
+    // emits what the CODEC decoded — dimensions and the top-left pixel —
+    // so the oracle cross-checks a genuine decode, not stub arithmetic.
     QueryDef("q_multimodal_decode",
-      """SELECT CAST(w - (w % 16) AS INT) AS width_bucket,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM (SELECT 64 + (ascii(substring(text, 1, 1)) % 128) AS w FROM documents)
-        |GROUP BY 1 ORDER BY width_bucket NULLS FIRST""".stripMargin) { (s, d) =>
-      Multimodal.decodeFeatures(s,
-          Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
-        .groupBy((col("width") - (col("width") % 16)).as("width_bucket"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy("width_bucket")
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |  CAST(doc_id % 251 AS INT) AS top_left
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Multimodal.decodeImages(s,
+          Multimodal.withImagePayload(
+            Tables.documents(s, d).where(col("doc_id") < 200), "doc_id"), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("top_left"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -317,19 +317,62 @@ class TextOpsSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
-  test("payload plumbing: byte lengths and stub decode are deterministic") {
+  test("payload plumbing: byte lengths equal source chars on the ASCII corpus") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val payloads = Multimodal.withPayload(docs, "doc_id", "text")
-    val meta = Multimodal.decodeFeatures(spark, payloads, "doc_id").collect()
-    assert(meta.length == 50)
-    meta.foreach { m =>
-      assert(m.byte_len > 0)
-      assert(m.width >= 64 && m.width < 192)
-      assert(m.height >= 64 && m.height < 192)
-    }
-    // byte_len equals n_chars for this ASCII corpus
     val nChars = docs.select("doc_id", "n_chars").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    meta.foreach(m => assert(m.byte_len.toLong == nChars(m.doc_id)))
+    payloads.select("doc_id", "byte_len").collect()
+      .foreach(r => assert(r.getInt(1).toLong == nChars(r.getLong(0))))
+  }
+
+  test("synthPng is a real PNG and javax.imageio round-trips it pixel-exactly") {
+    val bytes = Multimodal.synthPng(20, 17, seed = 42)
+    // PNG magic: \x89 P N G
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 20 && img.getHeight == 17)
+    for (y <- 0 until 17; x <- 0 until 20)
+      assert((img.getRGB(x, y) & 0xFF) == ((x + y + 42) & 0xFF), s"($x,$y)")
+  }
+
+  test("decodeImages reports the codec's dimensions and pixels, distributed") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 40)
+    val meta = Multimodal
+      .decodeImages(spark, Multimodal.withImagePayload(docs, "doc_id"), "doc_id")
+      .collect()
+    assert(meta.length == 40)
+    meta.foreach { m =>
+      assert(m.width == 16 + (m.doc_id % 32).toInt, m)
+      assert(m.height == 16 + (m.doc_id * 7 % 32).toInt, m)
+      assert(m.top_left == (m.doc_id % 251).toInt, m)
+    }
+  }
+
+  test("decodeImages fails loudly with the row id on a non-image payload") {
+    import spark.implicits._
+    val bad = Seq((7L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeImages(spark, bad, "doc_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("row 7")), messages(e))
+  }
+
+  test("resizeImages re-encodes real PNGs at the target size, every pixel " +
+      "the nearest-neighbor sample of the source") {
+    import spark.implicits._
+    val src = Multimodal.synthPng(40, 30, seed = 9)
+    val df = Seq((1L, src)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(spark, df, "doc_id", 24, 24).collect().head
+    assert(out.width == 24 && out.height == 24 && out.orig_len == src.length)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(img.getWidth == 24 && img.getHeight == 24)
+    for (y <- 0 until 24; x <- 0 until 24) {
+      val (sx, sy) = (x * 40 / 24, y * 30 / 24)
+      assert((img.getRGB(x, y) & 0xFF) == ((sx + sy + 9) & 0xFF), s"($x,$y)")
+    }
   }
 }
