@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.concurrent.TrieMap
 import scala.util.control.NonFatal
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
@@ -142,7 +142,17 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private val service = new QueryService(catalog, spark, strictCompat, Some(metrics))
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
-  server.createContext("/query/aql", (ex: HttpExchange) => handle(ex) {
+  // route registry: every mounted context path, in mount order — the
+  // OpenApiSpec asserts the served API description covers each of these
+  private val mountedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def mount(path: String, h: HttpHandler): Unit = {
+    mountedPaths += path
+    server.createContext(path, h)
+  }
+  /** Every mounted HTTP context path. */
+  def routes: Seq[String] = mountedPaths.toList
+
+  mount("/query/aql", (ex: HttpExchange) => handle(ex) {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
     if (accept == "application/hll") {
@@ -154,14 +164,14 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     }
   })
 
-  server.createContext("/query/sql", (ex: HttpExchange) => handle(ex) {
+  mount("/query/sql", (ex: HttpExchange) => handle(ex) {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     respond(ex, 200, service.sql(body))
   })
 
   // operational metrics: query counts + per-query wall time / rows scanned
   // (ref utils/reporter.go's metric families, surfaced as one JSON doc)
-  server.createContext("/metrics", (ex: HttpExchange) => handle(ex) {
+  mount("/metrics", (ex: HttpExchange) => handle(ex) {
     respond(ex, 200, metrics.renderJson)
   })
 
@@ -170,16 +180,23 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // endpoints that already exist: /metrics (live counters + recent query
   // table), /schema/tables (catalog browser), /dbg/plan (paste an AQL
   // document, read the formatted physical plan)
-  server.createContext("/ui", (ex: HttpExchange) => handle(ex) {
+  mount("/ui", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/html; charset=utf-8",
       GraftServer.ConsoleHtml.getBytes(StandardCharsets.UTF_8))
+  })
+
+  // machine-readable API description (the swagger half of the reference's
+  // api/ui tree; the console above is the human half)
+  mount("/openapi.json", (ex: HttpExchange) => handle(ex) {
+    respondBytes(ex, 200, "application/json",
+      OpenApi.spec.getBytes(StandardCharsets.UTF_8))
   })
 
   // plan inspection: `GET /dbg/plan?query=<url-encoded AQL JSON>` or the
   // AQL JSON as a POST body → the formatted physical plan, unexecuted
   // (ref api/debug_handler.go:40+ exposes per-shard internals; the Spark
   // analogue of "what will this query do" is the Catalyst plan)
-  server.createContext("/dbg/plan", (ex: HttpExchange) => handle(ex) {
+  mount("/dbg/plan", (ex: HttpExchange) => handle(ex) {
     val q =
       if (ex.getRequestMethod == "GET")
         Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -196,15 +213,15 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     * surface (memstore/scheduler.go:124-130 via api/debug_handler.go).
     */
   @volatile var jobScheduler: Option[graft.ingest.JobScheduler] = None
-  server.createContext("/dbg/jobs", (ex: HttpExchange) => handle(ex) {
+  mount("/dbg/jobs", (ex: HttpExchange) => handle(ex) {
     respond(ex, 200, jobScheduler.map(_.detailsJson).getOrElse("{}"))
   })
 
   // liveness + version probes (ref api/health_check_handler.go:39-53)
-  server.createContext("/health", (ex: HttpExchange) => handle(ex) {
+  mount("/health", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
   })
-  server.createContext("/version", (ex: HttpExchange) => handle(ex) {
+  mount("/version", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "graft-0.3".getBytes(StandardCharsets.UTF_8))
   })
 
@@ -214,7 +231,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // upsert batch (`Content-Type: application/upsert-data`, or sniffed by
   // its version word) — a client built against the reference's wire format
   // can POST here unmodified (ref api/data_handler.go:50-67).
-  server.createContext("/data/", (ex: HttpExchange) => handle(ex) {
+  mount("/data/", (ex: HttpExchange) => handle(ex) {
     val table = ex.getRequestURI.getPath.stripPrefix("/data/").takeWhile(_ != '/')
     val td = catalog(table)
     if (td.primaryKey.isEmpty)
@@ -309,7 +326,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   //   DELETE /schema/tables/{t}/columns/{c}       → delete column
   //   GET    /schema/tables/{t}/columns/{c}/enum-cases  → list enum cases
   //   POST   /schema/tables/{t}/columns/{c}/enum-cases  → extend enum dict
-  server.createContext("/schema/tables", (ex: HttpExchange) => handle(ex) {
+  mount("/schema/tables", (ex: HttpExchange) => handle(ex) {
     val segs = ex.getRequestURI.getPath.stripPrefix("/schema/tables")
       .stripPrefix("/").split("/").toList.filter(_.nonEmpty)
     val method = ex.getRequestMethod

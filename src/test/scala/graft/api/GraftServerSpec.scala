@@ -397,4 +397,23 @@ class GraftServerSpec extends SparkSpec {
     implicit val fmts: Formats = DefaultFormats
     assert((n \ "n").extract[Double] == 0.0, s"recreated table not empty: $n")
   }
+
+  test("GET /openapi.json is a valid OpenAPI document covering every mounted route") {
+    val resp = get("/openapi.json")
+    assert(resp.statusCode() == 200)
+    val doc = JsonMethods.parse(resp.body())
+    assert((doc \ "openapi") == JString("3.0.3"))
+    val JObject(paths) = (doc \ "paths"): @unchecked
+    assert(paths.nonEmpty)
+    // every context path the server actually mounts is described
+    val missing = server.routes.filterNot(OpenApi.covers)
+    assert(missing.isEmpty, s"undocumented routes: $missing")
+    // and every documented operation carries a summary
+    paths.foreach { case (p, JObject(fields)) =>
+      fields.collect { case (m, op) if m != "parameters" =>
+        assert((op \ "summary") != JNothing, s"$p $m has no summary")
+      }
+    case (p, other) => fail(s"$p: $other")
+    }
+  }
 }
