@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Scale the driver-generated documents/embeddings tables by an integer
+factor for throughput checkpoints (BENCH_NOTES scale table). Driver-side
+utility (pyarrow), never a library dependency.
+
+Construction — the point is 10x MORE data with the SAME statistical
+shape, not 10x copies:
+
+- documents: replica r keeps replica 0's rows verbatim at r=0; for r>0
+  every word w is rewritten w~r (a per-replica word codebook). Word-level
+  shingles map elementwise through the codebook, so within-replica
+  jaccard/minhash/exact-dup structure is preserved EXACTLY (organic dup
+  clusters replicate as r independent clusters), while cross-replica
+  similarity is zero (no shared words). doc_id' = doc_id + r*1_000_000
+  stays clear of the gates' +100000/+200000 planted-id shifts.
+- embeddings: replica r>0 perturbs each value relatively
+  (e*(1+eps*sin(vec_id*31+i*7+r*131)), eps=0.02) — same distribution, no
+  cross-replica exact duplicates; vec_id' = vec_id + r*1_000_000.
+
+Usage: tools/scale_up.py SRC_DIR DST_DIR FACTOR
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def scale_documents(src, dst, factor):
+    t = pq.read_table(src)
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    lang = t.column("lang")
+    source = t.column("source")
+    parts = []
+    for r in range(factor):
+        if r == 0:
+            rt = texts
+        else:
+            suf = f"~{r}"
+            rt = [" ".join(w + suf for w in x.split(" ")) for x in texts]
+        parts.append(pa.table({
+            "doc_id": pa.array(ids + r * 1_000_000, pa.int64()),
+            "text": pa.array(rt, pa.string()),
+            "lang": lang,
+            "source": source,
+            "n_chars": pa.array([len(x) for x in rt], pa.int64()),
+        }))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
+def scale_embeddings(src, dst, factor):
+    t = pq.read_table(src)
+    ids = t.column("vec_id").to_numpy()
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    label = t.column("label")
+    dim = emb.shape[1]
+    i_idx = np.arange(dim, dtype=np.float64)
+    parts = []
+    for r in range(factor):
+        if r == 0:
+            re_ = emb
+        else:
+            phase = (ids[:, None] * 31.0 + i_idx[None, :] * 7.0 + r * 131.0)
+            re_ = (emb * (1.0 + 0.02 * np.sin(phase))).astype(np.float32)
+        parts.append(pa.table({
+            "vec_id": pa.array(ids + r * 1_000_000, pa.int64()),
+            "embedding": pa.array(list(re_), pa.list_(pa.float32())),
+            "label": label,
+        }))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
+def main():
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(dst, exist_ok=True)
+    n = scale_documents(f"{src}/documents.parquet",
+                        f"{dst}/documents.parquet", factor)
+    print(f"documents: {n} rows")
+    n = scale_embeddings(f"{src}/embeddings.parquet",
+                         f"{dst}/embeddings.parquet", factor)
+    print(f"embeddings: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
