@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * no new dependency). Test images come from [[synthPng]], whose pixel
   * function is simple enough that a SQL oracle predicts any decoded pixel,
   * so the gates assert REAL decoded dimensions and pixel values
-  * cross-engine, not stub constants. Video frame EXTRACTION
-  * ([[sampleFrames]]) remains a byte-slice stand-in (no video codec in the
-  * JDK); its distributed shape — one pass, n× fan-out, no shuffle, frames
-  * off the driver — is real and oracle-checked.
+  * cross-engine, not stub constants. Multi-frame extraction is real for
+  * the one animated container the JDK decodes ([[decodeFrames]] over
+  * animated GIF); [[sampleFrames]] keeps the byte-slice stand-in for
+  * codecs the JDK lacks (mp4 etc.) — its distributed shape (one pass, n×
+  * fan-out, no shuffle, frames off the driver) is real and oracle-checked.
   *
   * At 100 TB the payload column lives in its own parquet column chunk, so
   * metadata-only queries scan only the small columns; decode/resize are
@@ -132,6 +133,95 @@ object Multimodal {
           val bos = new ByteArrayOutputStream()
           ImageIO.write(out, "png", bos)
           Resized(id, bos.toByteArray, targetW, targetH, bytes.length)
+        }
+      }
+  }
+
+  /** Deterministic animated GIF: frame f's pixel (x, y) carries gray value
+    * `(x + y + seed + f·17) mod 256`. The image is TYPE_BYTE_INDEXED over
+    * an exact 256-gray palette, so GIF's palettization is lossless and a
+    * decoder recovers every value — the animated counterpart of
+    * [[synthPng]].
+    */
+  def synthGif(width: Int, height: Int, frames: Int, seed: Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(width, height,
+          BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (x + y + seed + f * 17) & 0xFF
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Attach a REAL animated-GIF payload per row, geometry SQL-derived from
+    * the id: `width = 16 + id mod 16`, `height = 16 + (id·3) mod 16`,
+    * `frames = 4 + id mod 5`, `seed = id mod 251`.
+    */
+  def withGifPayload(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      synthGif(16 + (id % 16).toInt, 16 + (id * 3 % 16).toInt,
+        4 + (id % 5).toInt, (id % 251).toInt)
+    }
+    df.select(col(idCol).cast("long").as(idCol))
+      .withColumn("payload", gen(col(idCol)))
+  }
+
+  case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, top_left: Int)
+
+  /** REAL frame extraction for the one animated container the JDK decodes
+    * (GIF): open an ImageReader on the payload, count its frames, decode
+    * `n` evenly spaced ones (frame k samples index `k·F/n`) and emit their
+    * codec-reported geometry + top-left pixel. Same distributed shape as
+    * [[sampleFrames]] — one pass, n× fan-out, no shuffle, pixel buffers
+    * die per row; only bounded per-frame metadata flows out.
+    */
+  def decodeFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
+      n: Int): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"row $id: payload is not a decodable image")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val total = reader.getNumImages(true)
+            (0 until n).map { k =>
+              val img = reader.read(k * total / n)
+              DecodedFrame(id, k, img.getWidth, img.getHeight,
+                img.getRGB(0, 0) & 0xFF)
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
         }
       }
   }

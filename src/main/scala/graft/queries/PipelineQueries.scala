@@ -606,6 +606,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL multi-frame extraction: each row carries an actual animated GIF
+    // (frame count + geometry + pixel function SQL-derived from doc_id);
+    // the engine decodes 4 evenly spaced frames (index k·F/4) through
+    // javax.imageio and emits codec-reported geometry + top-left pixel —
+    // the oracle replays the sampling arithmetic and pins the decoded
+    // values cross-engine.
+    QueryDef("q_multimodal_gif_frames",
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(k.k AS INT) AS frame_idx,
+        |  CAST(16 + d.doc_id % 16 AS INT) AS width,
+        |  CAST(16 + (d.doc_id * 3) % 16 AS INT) AS height,
+        |  CAST((d.doc_id % 251 + ((k.k * (4 + d.doc_id % 5)) // 4) * 17) % 256 AS INT)
+        |    AS top_left
+        |FROM documents d CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+        |WHERE d.doc_id < 60
+        |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin) { (s, d) =>
+      val payloads = Multimodal.withGifPayload(
+        Tables.documents(s, d).where(col("doc_id") < 60), "doc_id")
+      Multimodal.decodeFrames(s, payloads, "doc_id", 4)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("top_left"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // --- end-to-end curation pipeline: exact dedup → minhash near-dup →
     // CC keep-min → decontam → token-budget mix → sequence packing, as ONE
     // job. The oracle recomputes EVERY stage exactly — including the

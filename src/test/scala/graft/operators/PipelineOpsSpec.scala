@@ -360,6 +360,22 @@ class MultimodalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("row 7")), messages(e))
   }
 
+  test("synthGif + decodeFrames: animated GIF round-trips frame-exactly") {
+    import spark.implicits._
+    val gif = Multimodal.synthGif(18, 14, frames = 6, seed = 30)
+    // GIF magic: G I F 8
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' && gif(3) == '8')
+    val df = Seq((3L, gif)).toDF("doc_id", "payload")
+    val frames = Multimodal.decodeFrames(spark, df, "doc_id", 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    frames.foreach { f =>
+      assert(f.width == 18 && f.height == 14)
+      val idx = f.frame_idx * 6 / 3
+      assert(f.top_left == ((30 + idx * 17) & 0xFF), f)
+    }
+  }
+
   test("resizeImages re-encodes real PNGs at the target size, every pixel " +
       "the nearest-neighbor sample of the source") {
     import spark.implicits._
