@@ -55,6 +55,26 @@ object IvfIndex {
     spark.read.parquet(s"$dir/centroids").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** Append a batch of new vectors to an existing index WITHOUT rebuilding:
+    * assign each to its nearest existing centroid and append files under
+    * the matching cell partitions. The production maintenance path — at
+    * corpus scale an index is built once and grows incrementally; searches
+    * pick the new files up on their next partition read, and the probe
+    * math is unchanged because the centroids are. (Centroid drift from
+    * accumulated appends is the documented trade — FAISS's add-with-ids
+    * makes the same one; rebuild when cell-size skew says so, cheaply
+    * observable from the partition file sizes.)
+    */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cents = centroids(spark, dir)
+    Similarity.assignCells(batch.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$dir/assignments")
+  }
+
   /** Top-k cosine neighbors for each query from the persisted index.
     * Output: (query_id, rank, neighbor_id, cos) — same contract as
     * [[Similarity.ivfTopK]], same recall trade (pairs whose cells are not

@@ -317,6 +317,36 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- similarity search: incremental index maintenance. Build a small
+    // IVF index, APPEND perturbed twins of the queries (assign-to-existing-
+    // centroids, files appended under the cell partitions — no rebuild),
+    // and search: every appended twin (cos ≈ 0.999 with its query) must
+    // surface at rank 1, proving searches see appended vectors with
+    // unchanged probe math. The production maintenance path at corpus
+    // scale, where an index is built once and grows.
+    QueryDef("q_ann_ivf_append",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS found_appended
+        |FROM embeddings WHERE vec_id < 15
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") < 500)
+      val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+      graft.operators.IvfIndex.build(base, "vec_id", "embedding",
+        nlist = 8, dir, refineIterations = 1)
+      val queries = emb.where(col("vec_id") < 15)
+      val twins = queries
+        .withColumn("vec_id", col("vec_id") + 300000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 1.7) * 0.01).cast("float")))
+      graft.operators.IvfIndex.append(s, dir, twins, "vec_id", "embedding")
+      graft.operators.IvfIndex.search(s, dir, queries, "vec_id", "embedding",
+          k = 1, nProbe = 2)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") + 300000).as("found_appended"))
+        .orderBy("query_id")
+    },
+
     // --- similarity search: PERSISTED IVF-SQ8 index (coarse cells +
     // residual scalar-quantized codes — the composition that makes SQ8 a
     // search structure instead of a flat-scan compression layer; ADC runs

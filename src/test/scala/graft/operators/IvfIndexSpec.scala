@@ -61,6 +61,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(again.count() == 3)
   }
 
+  test("append adds vectors under existing cell partitions, centroids untouched") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val base = Tables.embeddings(spark, sfDir).where(col("vec_id") < 300)
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 8, dir = d,
+      refineIterations = 1)
+    val centsBefore = IvfIndex.centroids(spark, d).map(_.toSeq)
+    val twins = Tables.embeddings(spark, sfDir).where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 300000)
+    IvfIndex.append(spark, d, twins, "vec_id", "embedding")
+    // append never re-trains: centroid file is bit-identical
+    assert(IvfIndex.centroids(spark, d).map(_.toSeq).toSeq == centsBefore.toSeq)
+    // appended rows landed inside the existing cell partition layout and
+    // searches see them: each original vector's twin shares its cell, so
+    // probing from the original surfaces the twin (self-id is NOT excluded
+    // here because ids differ)
+    val assigned = spark.read.parquet(s"$d/assignments")
+    assert(assigned.where(col("vec_id") >= 300000).count() == 5)
+    val queries = Tables.embeddings(spark, sfDir).where(col("vec_id") < 5)
+    val hits = IvfIndex.search(spark, d, queries, "vec_id", "embedding",
+        k = 1, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    queries.select("vec_id").as[Long].collect().foreach { q =>
+      assert(hits(q) == q + 300000, s"$q -> ${hits(q)}")
+    }
+  }
+
   // ---- IVF-SQ8 -----------------------------------------------------------
 
   private lazy val sq8Dir = {
