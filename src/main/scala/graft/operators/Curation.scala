@@ -322,6 +322,51 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
   }
 
+  /** Line-level boilerplate removal (the CCNet-style web-curation pass):
+    * a line that recurs across at least `minDocFrac` of the documents OF
+    * THE SAME SOURCE is navigation / header / footer chrome rather than
+    * content — every occurrence is stripped and the text rebuilt from the
+    * surviving lines. Returns all input rows with `textCol` rewritten and
+    * an `n_removed` line count.
+    *
+    * Scale shape: document frequency per (source, line) needs one shuffle
+    * over per-document DISTINCT lines (`array_distinct` runs map-side, so
+    * a line repeated inside one document costs one triple, and the
+    * partial aggregate combines before the exchange). The surviving
+    * boilerplate set is SMALL by construction — a line qualifies only by
+    * recurring across a large share of a source's documents, so there can
+    * be at most lines-per-doc / minDocFrac of them per source — and
+    * collapses to one array row per source, which broadcast-joins back;
+    * the rebuild is a map-side `filter` over the split array. The corpus
+    * itself is never shuffled.
+    *
+    * The line separator is the literal `\n` and the threshold compare is
+    * `docFreq >= nDocs * minDocFrac` — with halves/quarters as the
+    * fraction this is exact in binary, keeping the DuckDB oracle
+    * integer-equivalent.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minDocFrac: Double): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac $minDocFrac must be in (0, 1]")
+    val lines = split(col(textCol), "\n", -1)
+    val docFreq = df
+      .select(col(srcCol), explode(array_distinct(lines)).as("__line"))
+      .groupBy(col(srcCol), col("__line"))
+      .agg(count(lit(1)).as("__dw"))
+    val srcDocs = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__nd"))
+    val boiler = docFreq.join(broadcast(srcDocs), Seq(srcCol))
+      .where(col("__dw") >= col("__nd") * minDocFrac)
+      .groupBy(col(srcCol))
+      .agg(collect_list(col("__line")).as("__bp"))
+    df.join(broadcast(boiler), Seq(srcCol), "left")
+      .withColumn("__keep",
+        filter(lines, l => !coalesce(array_contains(col("__bp"), l), lit(false))))
+      .withColumn("n_removed", (size(lines) - size(col("__keep"))).cast("long"))
+      .withColumn(textCol, array_join(col("__keep"), "\n"))
+      .drop("__bp", "__keep")
+  }
+
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, flagDenom: Int = 20): DataFrame = {
     require(flagDenom > 0, s"flagDenom $flagDenom must be positive")

@@ -225,6 +225,40 @@ object Sampling {
           .as("__rate16"))
   }
 
+  /** Length-curriculum binning: split the corpus into `nBins` equal-mass
+    * difficulty tiers by an INTEGER score column (document length is the
+    * classic curriculum signal) and report per-bin composition — the plan
+    * a curriculum-ordered training run is built from.
+    *
+    * Scale shape: the bin boundaries are the exact (nBins−1) interior
+    * quantiles, computed in ONE tiny aggregate row, broadcast, and
+    * applied map-side (`score > boundary` fold), then one
+    * partial-aggregated shuffle on the nBins-sized key. No global sort,
+    * no ntile window — the ntile formulation would sort the full corpus
+    * on one reducer, which is exactly the shape that dies at 100 TB.
+    *
+    * The score must be integral: interior quantiles interpolate to
+    * non-integer boundaries (or land exactly on a score value), so the
+    * strict `>` compare is unambiguous cross-engine — with a float score
+    * an ulp difference in the interpolated boundary could flip a row's
+    * bin. Bins are 1-based; rows equal to a boundary fall in the lower
+    * bin (quantile_cont semantics in both engines).
+    */
+  def curriculumBins(df: DataFrame, scoreCol: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins $nBins must be >= 2")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = df.agg(
+      percentile(scoreCol, typedLit(ps)).as("__qs"))
+    df.select(scoreCol.cast("long").as("__score"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        aggregate(col("__qs"), lit(1),
+          (acc, q) => acc + when(col("__score") > q, 1).otherwise(0)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("__score").as("score_mass"),
+        min("__score").as("min_score"), max("__score").as("max_score"))
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * 32-bit md5 prefix of the content mod `nShards`, position within the
     * shard by full-hash order. A pure function of the data (same

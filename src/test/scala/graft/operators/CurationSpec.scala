@@ -24,6 +24,47 @@ class CurationSpec extends SparkSpec {
     assert((rows(2L)._1 - rows(2L)._2) * 10 > rows(2L)._1, "loop must trip it")
   }
 
+  test("boilerplate removal: threshold is per-source document frequency") {
+    import spark.implicits._
+    // source A: 4 docs; line "NAV" in 2 of them (2 >= 4*0.5 → boilerplate,
+    // removed — including BOTH its occurrences in doc 1), line "rare" in 1
+    // (kept). Source B: 2 docs; "NAV" appears in only 1 (1 < 2*0.5 is
+    // false — 1 >= 1 → removed there too at exactly the boundary), while
+    // "only b" in 1 of 2 docs is also exactly at the 0.5 boundary.
+    val df = Seq(
+      (1L, "A", "NAV\nbody one\nNAV"),
+      (2L, "A", "NAV\nbody two"),
+      (3L, "A", "body three\nrare"),
+      (4L, "A", "body four"),
+      (5L, "B", "NAV\nbeta"),
+      (6L, "B", "beta two")
+    ).toDF("doc_id", "src", "text")
+    val out = Curation.removeBoilerplate(df, "doc_id", "text", "src", 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L) == (("body one", 2L)), "both occurrences of a boilerplate line go")
+    assert(out(2L) == (("body two", 1L)))
+    assert(out(3L)._1.contains("rare"), "sub-threshold line is kept")
+    assert(out(4L) == (("body four", 0L)))
+    // boundary: docFreq == nDocs * 0.5 counts as boilerplate (>=)
+    assert(out(5L)._1 == "", "1 of 2 docs is exactly the 0.5 boundary — removed")
+    assert(out(5L)._2 == 2L)
+    assert(out(6L) == (("", 1L)))
+  }
+
+  test("boilerplate sets are isolated per source") {
+    import spark.implicits._
+    // "PROMO" saturates source A but appears once among many B docs: it
+    // must be stripped from A and preserved in B.
+    val a = (1 to 4).map(i => (i.toLong, "A", s"PROMO\ncontent a$i"))
+    val b = (11 to 20).map(i => (i.toLong, "B", if (i == 11) "PROMO\ncontent b" else s"content b$i"))
+    val out = Curation.removeBoilerplate((a ++ b).toDF("doc_id", "src", "text"),
+        "doc_id", "text", "src", 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(a.forall { case (id, _, _) => !out(id).contains("PROMO") })
+    assert(out(11L).contains("PROMO"), "line must survive in the source where it is rare")
+  }
+
   test("chunking reassembles to the original token stream") {
     val chunks = Curation.chunkTokens(docs.where(col("doc_id") < 30),
       "doc_id", "text", 7)

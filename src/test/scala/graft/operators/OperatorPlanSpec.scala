@@ -100,6 +100,39 @@ class OperatorPlanSpec extends SparkSpec {
       s"groupSplit must not shuffle:\n${plan.take(2000)}")
   }
 
+  test("curriculumBins has no window and no global sort — boundaries broadcast") {
+    val plan = planString(Sampling.curriculumBins(
+      Tables.documents(spark, sfDir),
+      org.apache.spark.sql.functions.col("n_chars"), 4))
+    assert(!plan.contains("Window"),
+      s"curriculum tiers must not use ntile:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"quantile boundaries must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("removeBoilerplate joins the boilerplate set by broadcast — corpus never shuffles") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // plant a universal header so the boilerplate set is non-empty —
+    // on a boilerplate-free corpus AQE's empty-relation propagation
+    // correctly erases the join altogether (covered by the gate corpus)
+    val injected = Tables.documents(spark, sfDir).withColumn("text",
+      concat(lit("NAV "), col("source"), lit("\n"), col("text")))
+    val plan = planString(Curation.removeBoilerplate(
+      injected, "doc_id", "text", "source", 0.5))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"boilerplate-set join must broadcast, not sort-merge:\n${plan.take(2000)}")
+  }
+
+  test("bigramScore probes the LM by broadcast — the gram stream never sort-merges") {
+    val plan = planString(Lm.bigramScore(
+      Tables.documents(spark, sfDir).where(
+        org.apache.spark.sql.functions.col("doc_id") < 100), "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"LM probe must broadcast, not sort-merge:\n${plan.take(2000)}")
+  }
+
   test("mixtureSample joins the per-source rates by broadcast — corpus never shuffles") {
     val plan = planString(Sampling.mixtureSample(Tables.documents(spark, sfDir),
       "lang", org.apache.spark.sql.functions.col("doc_id"), budgetRows = 200))

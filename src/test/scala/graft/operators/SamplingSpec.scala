@@ -196,4 +196,26 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("curriculumBins: equal-mass tiers with quantile_cont boundary semantics") {
+    import spark.implicits._
+    // scores 1..8, 4 bins: boundaries (n-1)*q interpolation = 2.75 / 4.5
+    // / 6.25 → bins {1,2} {3,4} {5,6} {7,8}
+    val df = (1 to 8).map(i => (i.toLong, i.toLong)).toDF("id", "score")
+    val bins = Sampling.curriculumBins(df, col("score"), 4)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_score"), r.getAs[Long]("max_score"))).toMap
+    assert(bins == Map(1 -> ((2L, 1L, 2L)), 2 -> ((2L, 3L, 4L)),
+      3 -> ((2L, 5L, 6L)), 4 -> ((2L, 7L, 8L))))
+  }
+
+  test("curriculumBins: a score equal to an integer boundary falls in the lower bin") {
+    import spark.implicits._
+    // [1,2,2,3] median = 2.0 exactly → the 2s are NOT > 2.0 → lower bin
+    val df = Seq(1L, 2L, 2L, 3L).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+    val bins = Sampling.curriculumBins(df, col("score"), 2)
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n_docs")).toMap
+    assert(bins == Map(1 -> 3L, 2 -> 1L))
+  }
 }
