@@ -495,4 +495,48 @@ object Similarity {
       }
       .toDF("a_id", "b_id", "cos")
   }
+
+  /** Greedy farthest-point (k-center) selection — the coreset / diversity
+    * subset pick: start from the smallest id, then `k−1` times add the
+    * point whose cosine distance to its NEAREST already-selected center
+    * is largest (ties → smallest id). Returns one row per pick:
+    * (pick_order 1-based, id, radius), where radius is the selected
+    * point's distance at selection time — the classic 2-approximation
+    * coverage radius sequence, non-increasing.
+    *
+    * Scale shape: the selected set is the ONLY driver-side state (k
+    * centers, k ≪ corpus by contract); each step is one distributed pass
+    * — centers inlined as literals, codegen'd cosine per row, argmax via
+    * `orderBy.limit(1)` = TakeOrderedAndProject (per-partition 1-row
+    * heaps, no global sort). Total cost k scans, the textbook
+    * distributed greedy k-center. The min-distance fold uses
+    * `1 − greatest(cos…)`, which equals min(1−cos) exactly (1−x is
+    * monotone, so the identity survives FP rounding) — keeping the
+    * DuckDB oracle's MIN(1−cos) form bit-compatible.
+    */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seed = corpus.orderBy(col(idCol).asc).limit(1)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()(0)
+    var picked = Vector[(Long, Seq[Float], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Float](1), None))
+    while (picked.size < k) {
+      val maxCos = picked.map(p =>
+          cosine(col(vecCol), typedlit(p._2))).reduce(greatest(_, _))
+      val next = corpus
+        .where(!col(idCol).isin(picked.map(_._1): _*))
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+          (lit(1.0) - maxCos).as("d"))
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).collect()(0)
+      picked :+= ((next.getLong(0), next.getSeq[Float](1),
+        Some(next.getDouble(2))))
+    }
+    picked.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1, id, r) }
+      .toDF("pick_order", "id", "radius")
+  }
 }

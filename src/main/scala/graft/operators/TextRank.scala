@@ -204,6 +204,22 @@ object TextRank {
     * 64 bits would merge counts — probability ~(distinct windows)²/2⁶⁴,
     * negligible below ~2³⁰ distinct n-grams.
     */
+  /** Token frequency-of-frequency spectrum (the Zipf audit): how many
+    * token TYPES occur ~2^b times, and how much token mass they carry —
+    * the one-glance corpus-health report (a missing head or bloated
+    * singleton tail flags crawl/tokenizer pathologies before training).
+    * Bucket = floor(log2(freq)), computed as binary-digit count − 1 so it
+    * is integer-exact cross-engine (an FP log2 can land a power of two in
+    * the wrong bucket). Two partial-aggregated shuffles: vocabulary, then
+    * the ~64-key bucket fold.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(lowerTokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .select((length(bin(col("__c"))) - 1).cast("int").as("bucket"), col("__c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum("__c").as("mass"))
+
   /** @param maxFinalistSet largest finalist set shipped as a task
     *   closure before the distributed-join fallback engages (tests
     *   shrink it to force the fallback; both paths are exact)

@@ -127,6 +127,89 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // --- graph analytics: PageRank over the symmetric cosine-similarity
+    // graph (canonical-document centrality). Exact edge set cross-engine
+    // (the q_emb_near_dup bit-identical-cosine precedent); 3 power
+    // iterations from uniform; rounded-rank order with id tiebreak.
+    QueryDef("q_graph_pagerank",
+      """WITH pool AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+        |              FROM embeddings WHERE vec_id < 300),
+        |pairs AS (SELECT a.id AS s, b.id AS d FROM pool a JOIN pool b
+        |          ON a.id <> b.id
+        |          WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+        |nodes AS (SELECT DISTINCT s AS id FROM pairs),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM pairs GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT p.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r0.r / deg.deg) AS r
+        |       FROM pairs p JOIN r0 ON p.s = r0.id JOIN deg ON p.s = deg.s
+        |       CROSS JOIN nn GROUP BY p.d),
+        |r2 AS (SELECT p.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r1.r / deg.deg) AS r
+        |       FROM pairs p JOIN r1 ON p.s = r1.id JOIN deg ON p.s = deg.s
+        |       CROSS JOIN nn GROUP BY p.d),
+        |r3 AS (SELECT p.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r2.r / deg.deg) AS r
+        |       FROM pairs p JOIN r2 ON p.s = r2.id JOIN deg ON p.s = deg.s
+        |       CROSS JOIN nn GROUP BY p.d)
+        |SELECT CAST(id AS BIGINT) AS node_id, ROUND(r, 4) AS rank
+        |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+      val pool = Tables.embeddings(s, d).where(col("vec_id") < 300)
+      val edges = graft.operators.Similarity.exactPairsBlocked(
+          pool, "vec_id", "embedding", 0.3)
+        .select(col("a_id").as("s"), col("b_id").as("d"))
+      val sym = edges.unionByName(
+        edges.select(col("d").as("s"), col("s").as("d")))
+      graft.operators.GraphRank.pageRank(sym, "s", "d", iters = 3)
+        .select(col("id").as("node_id"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("node_id").asc)
+        .limit(20)
+    },
+
+    // --- selection: greedy k-center (farthest-point) diverse subset.
+    // Sequential greedy replayed exactly by a recursive CTE with a
+    // carried selected-set list (the q_pack_bins precedent); the radius
+    // sequence is the 2-approximation coverage certificate.
+    QueryDef("q_sample_kcenter",
+      """WITH RECURSIVE pool AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 100),
+        |sel(step, ids, radius) AS (
+        |  SELECT 1, [(SELECT MIN(id) FROM pool)], CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT step + 1, list_append(ids, nxt.id), nxt.d
+        |  FROM sel, LATERAL (
+        |    SELECT v.id AS id, MIN(1 - list_cosine_similarity(v.e, s.e)) AS d
+        |    FROM pool v JOIN pool s ON list_contains(sel.ids, s.id)
+        |    WHERE NOT list_contains(sel.ids, v.id)
+        |    GROUP BY v.id
+        |    ORDER BY d DESC, v.id
+        |    LIMIT 1) nxt
+        |  WHERE step < 5)
+        |SELECT CAST(step AS INT) AS pick_order, CAST(ids[step] AS BIGINT) AS id,
+        |       ROUND(radius, 4) AS radius
+        |FROM sel ORDER BY pick_order NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Similarity.kCenterSelect(
+          Tables.embeddings(s, d).where(col("vec_id") < 100),
+          "vec_id", "embedding", k = 5)
+        .select(col("pick_order"), col("id"), round(col("radius"), 4).as("radius"))
+        .orderBy("pick_order")
+    },
+
+    // --- corpus statistics: token frequency-of-frequency spectrum (Zipf
+    // audit). Bucket via binary-digit count so powers of two cannot land
+    // in the wrong bucket through an FP log.
+    QueryDef("q_text_zipf",
+      """WITH freq AS (
+        |  SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1)
+        |SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket,
+        |       COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS mass
+        |FROM freq GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.freqSpectrum(Tables.documents(s, d), "text")
+        .orderBy("bucket")
+    },
+
     // --- curriculum: equal-mass length tiers from broadcast exact
     // quantile boundaries (no ntile global sort).
     QueryDef("q_curriculum_bins",

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphRankSpec extends SparkSpec {
+
+  test("pageRank matches the hand-iterated values on a 3-node path") {
+    import spark.implicits._
+    // undirected path 1–2–3 (symmetrized): deg(1)=deg(3)=1, deg(2)=2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("s", "d")
+    val got = GraphRank.pageRank(edges, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand iteration, damping .85, uniform 1/3 start:
+    // r1(1) = .15/3 + .85*(r0(2)/2)        = .05 + .85/6
+    // r1(2) = .15/3 + .85*(r0(1) + r0(3))  = .05 + .85*2/3
+    // r1(3) = r1(1)
+    val r11 = 0.05 + 0.85 * (1.0 / 3 / 2)
+    val r12 = 0.05 + 0.85 * (2.0 / 3)
+    val r21 = 0.05 + 0.85 * (r12 / 2)
+    val r22 = 0.05 + 0.85 * (r11 + r11)
+    assert(math.abs(got(1L) - r21) < 1e-12, s"$got vs $r21")
+    assert(math.abs(got(2L) - r22) < 1e-12)
+    assert(math.abs(got(3L) - r21) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      "rank mass is conserved on a dangling-free graph")
+  }
+
+  test("pageRank centrality: the hub of a star outranks the spokes") {
+    import spark.implicits._
+    val spokes = (2L to 9L)
+    val edges = (spokes.map(s => (1L, s)) ++ spokes.map(s => (s, 1L))).toDF("s", "d")
+    val got = GraphRank.pageRank(edges, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(spokes.forall(s => got(1L) > got(s) * 3),
+      s"hub must dominate: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("freqSpectrum buckets exactly at powers of two") {
+    import spark.implicits._
+    // token a ×1 (bucket 0), b ×2 (bucket 1), c ×4 (bucket 2), d ×7 (bucket 2)
+    val df = Seq("a b b", "c c c c d d d", "d d d d").toDF("text")
+    val got = TextRank.freqSpectrum(df, "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0 -> ((1L, 1L)), 1 -> ((1L, 2L)), 2 -> ((2L, 11L))))
+  }
+
+  test("kCenterSelect picks one point per planted orthogonal cluster first") {
+    import spark.implicits._
+    // 4 tight clusters along orthogonal axes; 3 points each. Greedy
+    // farthest-point must cover all 4 clusters within the first 4 picks
+    // (cosine distance between clusters = 1, within ≈ 0).
+    val pts = for {
+      c <- 0 until 4
+      j <- 0 until 3
+    } yield {
+      val v = Array.fill(8)(0.001f * (j + 1))
+      v(c * 2) = 1f
+      ((c * 10 + j).toLong, v.toSeq)
+    }
+    val df = pts.toDF("id", "vec")
+    val sel = Similarity.kCenterSelect(df, "id", "vec", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), Option(r.get(2))))
+    assert(sel.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(sel.map(_._2 / 10).toSet == Set(0L, 1L, 2L, 3L),
+      s"first 4 picks must cover the 4 clusters: ${sel.toSeq}")
+    assert(sel.head._3.isEmpty, "seed has no radius")
+    val radii = sel.tail.map(_._3.get.asInstanceOf[Double]).toSeq
+    assert(radii == radii.sorted.reverse,
+      s"coverage radius must be non-increasing: ${radii.toSeq}")
+    // 5th pick falls inside a covered cluster → radius collapses near 0
+    val five = Similarity.kCenterSelect(df, "id", "vec", k = 5)
+      .collect().map(r => Option(r.get(2))).last.get.asInstanceOf[Double]
+    assert(five < 0.1, s"5th radius must be within-cluster: $five")
+  }
+}
