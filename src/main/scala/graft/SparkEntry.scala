@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.AqlQueries.defs ++
     graft.queries.IngestQueries.defs ++
     graft.queries.ArrayQueries.defs ++
-    graft.queries.CorpusQueries.defs
+    graft.queries.CorpusQueries.defs ++
+    graft.queries.MatchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * AresDB's flagship shape — time-filtered, dimension-joined,

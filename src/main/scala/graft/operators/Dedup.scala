@@ -358,6 +358,75 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** Per-source duplication profile: for every source, how many documents
+    * it contributes, how many DISTINCT texts those are (in-source dup
+    * ratio), and how many of its distinct texts also appear in at least
+    * one OTHER source (cross-source contamination — the "mirror sites in
+    * my crawl mix" audit a data-mixing pipeline runs before assigning
+    * per-source sampling rates). Returns (source, n_docs, n_distinct,
+    * n_cross).
+    *
+    * Only (source, 16-byte hash) pairs shuffle — three partial-aggregated
+    * exchanges (per-(source,hash) fold, per-hash source spread, per-source
+    * fold), each input already deduped by the previous, so the heaviest
+    * exchange is bounded by distinct-text volume, never corpus text.
+    */
+  def sourceProfile(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val h = df.select(col(srcCol).as("source"), md5(col(textCol)).as("__h"))
+    val perSrcHash = h.groupBy("source", "__h").agg(count(lit(1)).as("__c"))
+    val spread = perSrcHash.groupBy("__h").agg(count(lit(1)).as("__nsrc"))
+    perSrcHash.join(spread, Seq("__h"))
+      .groupBy("source")
+      .agg(sum("__c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__nsrc") >= 2, 1L).otherwise(0L)).as("n_cross"))
+  }
+
+  /** Corpus-wide paragraph dedup (the RefinedWeb / CCNet rung between
+    * line-level boilerplate removal and token-window span dedup): split
+    * every document on `sep`, keep only the globally FIRST occurrence of
+    * each distinct paragraph (ordered by (id, position)), and rebuild the
+    * documents from their surviving paragraphs. Returns (`idCol`,
+    * `textCol` rebuilt, `n_removed`) for every input document — a document
+    * whose every paragraph is a repeat comes back with empty text.
+    *
+    * Scale shape: the winner per distinct paragraph is `min(struct(id,
+    * pos, para))` under a groupBy on the paragraph hash — a partial-
+    * aggregatable min, so a paragraph duplicated a million times
+    * corpus-wide collapses map-side to one candidate per input partition
+    * BEFORE the exchange (the window-rank formulation would instead sort
+    * the whole hot key in one partition). The paragraph text rides inside
+    * the min struct (id is compared first), so no join-back against the
+    * exploded set is needed: duplicates never reach the rebuild, whose
+    * groupBy(id) + the final per-doc count join share one hash
+    * partitioning on id.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("__pos", "__para")))
+    val winners = paras
+      .groupBy(md5(col("__para")).as("__h"))
+      .agg(min(struct(col("__id"), col("__pos"), col("__para"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.__pos").as("__pos"),
+        col("__w.__para").as("__para"))
+    val rebuilt = winners
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            s => s.getField("__para")),
+          sep).as("__text"))
+    df.select(col(idCol), size(split(col(textCol), quoted)).as("__n"))
+      .join(rebuilt, col(idCol) === rebuilt("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
   /** Quality-aware canonical selection: keep the BEST-scoring member of
     * every near-dup cluster (ties broken by smallest id) instead of the
     * smallest-id member — dedup that preserves the highest-quality copy

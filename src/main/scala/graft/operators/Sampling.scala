@@ -259,6 +259,78 @@ object Sampling {
         min("__score").as("min_score"), max("__score").as("max_score"))
   }
 
+  /** Systematic weighted sampling: walk the id-ordered corpus's cumulative
+    * integer weight axis and keep every document whose weight interval
+    * crosses one of `k` evenly-spaced thresholds — weight-proportional
+    * selection (a document with twice the tokens is twice as likely in),
+    * ~k rows out, fully deterministic, NO floating point anywhere: the
+    * threshold test is `(cum·k) div total > ((cum−w)·k) div total` in
+    * exact long arithmetic, so an oracle replays it bit-for-bit (the
+    * Efraimidis–Spirakis exponential-key scheme this replaces needs
+    * pow/ln whose last-ulp behavior differs across engines). Headroom:
+    * cum·k stays under 2⁶³ up to ~10¹⁵ total tokens × k=1000.
+    *
+    * Gate-scale plan: one global-sort window for the prefix sum.
+    * Production shape at 100 TB is the standard two-pass split — per-
+    * partition weight sums to the driver (one long each), broadcast
+    * offsets back, map-side cum + threshold test — same numbers, no
+    * global sort; the window form is kept here because it is the
+    * Catalyst-native expression of the same prefix sum.
+    */
+  def systematicWeightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val w = Window.orderBy(col(idCol))
+    val tot = df.agg(sum(weight.cast("long")).as("__tot"))
+    df.select(col(idCol), weight.cast("long").as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .crossJoin(broadcast(tot))
+      .where(expr(s"__cum * $k DIV __tot") > expr(s"(__cum - __w) * $k DIV __tot"))
+      .select(col(idCol), col("__w").as("weight"))
+  }
+
+  /** Per-group score calibration: map a raw integral quality score to its
+    * percentile rank and z-score WITHIN its group (language, source, …),
+    * so thresholds compare like-with-like — a single global cutoff on a
+    * raw score silently drops whole languages whose score distribution
+    * sits lower (the CCNet/fastText-filter lesson). Returns (`idCol`,
+    * group, raw score, `pct` = percent_rank in-group, `z` = in-group
+    * z-score), both rounded to `roundTo`.
+    *
+    * Determinism contract (cross-engine hashable): percent_rank orders by
+    * (score, id) so ties are total-ordered identically everywhere; the
+    * variance comes from EXACT integer aggregates (sum, sum of squares,
+    * count — partial-aggregatable longs, no float summation order
+    * dependence), combined in a fixed handful of double ops. Spark's
+    * stddev would be order-dependent streaming variance; this is not.
+    * Shape: one window exchange on the group key + one broadcast-joined
+    * per-group moment table — hot groups hit the window sort, acceptable
+    * because rows carry only (id, group, score).
+    */
+  def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
+      score: Column, roundTo: Int = 4): DataFrame = {
+    val slim = df.select(col(idCol), col(groupCol), score.cast("long").as("raw"))
+    val moments = slim.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum("raw").as("__s"),
+        sum(col("raw") * col("raw")).as("__ss"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("raw").asc, col(idCol).asc)
+    slim
+      .withColumn("pct", round(percent_rank().over(w), roundTo))
+      .join(broadcast(moments), Seq(groupCol))
+      .withColumn("__mean", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        // guarded: ANSI mode makes the n=1 division an error, not a null
+        when(col("__n") > 1,
+          (col("__ss").cast("double") - col("__s").cast("double") * col("__s") / col("__n")) /
+            (col("__n") - 1)))
+      .withColumn("z",
+        when(col("__n") > 1 && col("__var") > 0,
+          round((col("raw") - col("__mean")) / sqrt(col("__var")), roundTo))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col(groupCol), col("raw"), col("pct"), col("z"))
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: shard =
     * 32-bit md5 prefix of the content mod `nShards`, position within the
     * shard by full-hash order. A pure function of the data (same

@@ -204,6 +204,41 @@ object TextRank {
     * 64 bits would merge counts — probability ~(distinct windows)²/2⁶⁴,
     * negligible below ~2³⁰ distinct n-grams.
     */
+  /** Per-document n-gram uniqueness profile: of each document's DISTINCT
+    * word n-grams, what fraction occur in no other document (corpus
+    * document-frequency 1). A near-zero fraction flags templated /
+    * boilerplate-heavy documents that exact and minhash dedup both miss
+    * (each copy differs, but every phrase is borrowed); a high fraction
+    * marks genuinely novel text. Complements [[graft.operators.Curation]]
+    * contamination scoring, which compares against an EXTERNAL benchmark —
+    * this is the corpus measured against itself.
+    *
+    * Shape: distinct (doc, gram) pairs via map-side `array_distinct`
+    * before the explode, one partial-aggregated shuffle for the
+    * document-frequency table (|distinct n-grams| rows), a join back BY
+    * GRAM (hot grams are one df row vs that gram's doc rows — AQE
+    * shuffle-hash territory), and a final groupBy(id) fold. Documents
+    * shorter than n tokens surface with n_grams=0 and null fraction.
+    */
+  def ngramUniqueness(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, roundTo: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingles(lowerTokens(col(textCol)), n)))
+          .as("__gram"))
+    val dfreq = grams.groupBy("__gram").agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(dfreq, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__uniq"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__uniq").cast("double") / col("n_grams"), roundTo)
+          .as("uniq_frac"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("uniq_frac"))
+  }
+
   /** Token frequency-of-frequency spectrum (the Zipf audit): how many
     * token TYPES occur ~2^b times, and how much token mass they carry —
     * the one-glance corpus-health report (a missing head or bloated
