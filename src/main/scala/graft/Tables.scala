@@ -126,15 +126,17 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) rejects outright. Read it as a raw Long (ns since epoch) and
-    * floor-truncate to µs (true floor via pmod, correct for pre-epoch
-    * values too). Floor-truncation preserves every comparison against
-    * whole-second boundaries, so filters/bucketizers stay exactly
-    * consistent with engines that read the full ns value.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session construction (Verify / Bench / SparkSpec) — not mutated here.
+  /** `events.ts` has shipped in two parquet layouts across driver
+    * generations: TIMESTAMP(NANOS) — which Spark's TimestampType (µs)
+    * rejects outright, so it is read as a raw Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and floor-truncated to
+    * µs here (true floor via pmod, correct for pre-epoch values too) —
+    * and TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+    * infers as TIMESTAMP_NTZ. `events` normalizes BOTH to TimestampType
+    * µs so every downstream filter/bucketizer sees one type: floor
+    * truncation preserves comparisons against whole-second boundaries,
+    * and the NTZ→TimestampType cast is instant-identical under the UTC
+    * session timezone every entrypoint pins.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
@@ -146,9 +148,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn("ts",
-      timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case LongType => // ns-as-long layout: floor-truncate to µs
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (µs, not UTC-adjusted): same instant under UTC session tz
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

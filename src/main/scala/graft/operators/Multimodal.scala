@@ -226,6 +226,109 @@ object Multimodal {
       }
   }
 
+  /** Deterministic 16-bit mono PCM WAV: sample n of a sawtooth at `freq` Hz
+    * over `SampleRate` Hz is the pure-integer value
+    * `((n·freq) mod SampleRate) · 8 − 32000` — exactly replayable in SQL
+    * (no trig, no floats), while the container round trip runs through the
+    * REAL `javax.sound.sampled` WAV codec (JDK-builtin, no new
+    * dependency): [[synthWav]] writes via `AudioSystem.write`,
+    * [[decodeAudio]] re-parses header + PCM frames via
+    * `AudioSystem.getAudioInputStream`.
+    */
+  val SampleRate = 8000
+
+  def synthWav(frames: Int, freq: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      SampleRate.toFloat, 16, 1, true /* signed */, false /* little-endian */)
+    val pcm = new Array[Byte](frames * 2)
+    var n = 0
+    while (n < frames) {
+      val v = (n.toLong * freq % SampleRate).toInt * 8 - 32000
+      pcm(2 * n) = (v & 0xFF).toByte
+      pcm(2 * n + 1) = ((v >> 8) & 0xFF).toByte
+      n += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL WAV payload per row, parameters SQL-derived from the id:
+    * `frames = 200 + (id mod 100)·4`, `freq = 100 + id mod 400`.
+    */
+  def withWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      synthWav(200 + (id % 100).toInt * 4, 100 + (id % 400).toInt)
+    }
+    df.select(col(idCol).cast("long").as(idCol))
+      .withColumn("payload", gen(col(idCol)))
+  }
+
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, peak: Int, sum_sq: Long)
+
+  /** REAL audio decode: parse the WAV container through
+    * `javax.sound.sampled.AudioSystem` — format fields come from the codec,
+    * not from the synth parameters — then stream the PCM frames computing
+    * peak amplitude and the integer sum of squares (the loudness/energy
+    * feature a filtering pipeline keys on). Same distributed contract as
+    * [[decodeImages]]: batched per partition, bounded metadata out, sample
+    * buffers die per row, non-audio payloads fail loudly with the row id.
+    */
+  def decodeAudio(spark: SparkSession, payloads: DataFrame,
+      idCol: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"row $id: payload is not a decodable audio stream", e)
+            }
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"row $id: expected 16-bit little-endian PCM, got $fmt")
+            val frames = ais.getFrameLength
+            val buf = new Array[Byte](4096)
+            var peak = 0
+            var sumSq = 0L
+            var carry = -1 // low byte of a sample split across reads
+            var read = ais.read(buf)
+            while (read > 0) {
+              var i = 0
+              if (carry >= 0 && read >= 1) {
+                val v = (buf(0) << 8) | carry
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumSq += v.toLong * v
+                carry = -1
+                i = 1
+              }
+              while (i + 1 < read) {
+                val v = (buf(i + 1) << 8) | (buf(i) & 0xFF)
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumSq += v.toLong * v
+                i += 2
+              }
+              if (i < read) carry = buf(i) & 0xFF
+              read = ais.read(buf)
+            }
+            AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, frames, peak, sumSq)
+          } finally ais.close()
+        }
+      }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte],
       offset: Int)
 
