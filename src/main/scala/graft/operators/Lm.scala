@@ -16,26 +16,59 @@ import org.apache.spark.sql.functions._
   *     "Data Selection for Language Models via Importance Resampling"):
   *     score raw-pool documents by Σ_f c_f(doc)·ln(p_target(f)/p_raw(f))
   *     over bigram features, so the raw documents that look most like the
-  *     target domain rank first.
+  *     target domain rank first. `featureBuckets > 0` switches to the
+  *     paper's actual estimator — HASHED n-gram features: bigrams are
+  *     hashed into a fixed bucket space before counting, so the model is
+  *     bounded by construction (2^k rows regardless of corpus size) and
+  *     always broadcast-safe. The raw-bigram feature map stays available
+  *     at `featureBuckets = 0` for exact-feature analyses.
   *
   * Scale shape (both): ONE exploded shuffle builds the count table
   * (partial-aggregated map-side, key space = corpus vocabulary, not
-  * corpus size); the fitted model broadcasts (an n-gram quality LM is
-  * pruned/bounded by construction — if yours is bigger than the broadcast
-  * threshold, pre-prune it like every production KenLM deployment does);
-  * scoring is then a map-side broadcast join over the document n-gram
-  * stream plus one per-document aggregation. The corpus itself is
-  * shuffled only on the document id for the final fold.
+  * corpus size). The fitted model is NOT blindly broadcast: it is staged
+  * once ([[Staged]]), its row count checked against `maxModelRows`, and
+  * only a bounded model gets the broadcast hint — an open-vocabulary
+  * model on a 100 TB corpus has billions of bigram rows, and a forced
+  * broadcast there is an executor OOM, not a plan. Past the threshold the
+  * probe runs as a shuffled hash join on the gram key — linear, no
+  * driver/executor residency requirement ([[LmSpec]] pins the non-
+  * broadcast plan and its output parity with the broadcast path).
+  * `minCount` optionally prunes rare grams from the model first (the
+  * KenLM pruning knob); pruned grams fall back to the unseen-gram path of
+  * the same null-safe join. The corpus itself is shuffled only on the
+  * document id for the final fold.
   *
   * Cross-engine contract: tokenization is `TextOps.tokens(lower(text))`
-  * (the BM25 convention), counts are exact integers, and scores round to
-  * 4 decimals so the DuckDB oracle hash-matches (the established
-  * `q_text_bm25` float protocol).
+  * (the BM25 convention), counts are exact integers, hashed features use
+  * the established md5-hex arithmetic (`q_shuffle_shards` precedent), and
+  * scores round to 4 decimals so the DuckDB oracle hash-matches (the
+  * established `q_text_bm25` float protocol).
   */
 object Lm {
 
+  /** Above this many model rows the broadcast hint is dropped and the
+    * model probe runs as a shuffled hash join. Sized so the broadcast
+    * stays comfortably inside a default executor: ~2M gram rows × ~50 B
+    * ≈ 100 MB built once per executor.
+    */
+  val DefaultMaxModelRows: Long = 2L * 1000 * 1000
+
   private def lowerToks(textCol: String): Column =
     TextOps.tokens(lower(col(textCol)))
+
+  /** Stage the fitted model once and pick the probe-side strategy by its
+    * actual size: bounded → broadcast hint; unbounded → shuffled hash
+    * join (the hint pins the join shape so AQE cannot silently flip a
+    * huge build side back to broadcast, and a sort on the gram key is
+    * never needed). The staged count costs one scan of the SMALL model
+    * parquet, not a recompute of the corpus aggregation.
+    */
+  private def boundedModel(model: DataFrame, maxModelRows: Long): DataFrame = {
+    require(maxModelRows > 0, s"maxModelRows $maxModelRows must be positive")
+    val staged = Staged.materialize(model)
+    if (staged.count() <= maxModelRows) broadcast(staged)
+    else staged.hint("shuffle_hash")
+  }
 
   /** Per-document mean bigram log-probability under an add-k bigram LM
     * trained on the corpus itself:
@@ -46,11 +79,14 @@ object Lm {
     * Documents with fewer than two tokens score NULL with n_bigrams = 0.
     * Self-trained means every document bigram exists in the model, but
     * the join stays null-safe (unseen bigram → c=0 backoff) so the same
-    * code scores against a foreign count table.
+    * code scores against a foreign count table — and so `minCount`-pruned
+    * grams degrade to the same backoff instead of erroring.
     */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String,
-      addK: Double = 1.0): DataFrame = {
+      addK: Double = 1.0, minCount: Long = 0,
+      maxModelRows: Long = DefaultMaxModelRows): DataFrame = {
     require(addK > 0, s"addK $addK must be positive")
+    require(minCount >= 0, s"minCount $minCount must be non-negative")
     val toks = lowerToks(textCol)
     val grams = docs.select(col(idCol),
       explode(TextOps.shingles(toks, 2)).as("__gram"))
@@ -59,15 +95,18 @@ object Lm {
     val uni = docs.select(explode(toks).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__c1"))
     val bi = grams.groupBy("__gram").agg(count(lit(1)).as("__c2"))
+      .where(col("__c2") >= minCount)
       .withColumn("__w1", split(col("__gram"), " ").getItem(0))
     val model = bi.join(uni, Seq("__w1")).select("__gram", "__c2", "__c1")
     val vocab = uni.agg(count(lit(1)).as("__v"))
 
-    // score: map-side broadcast probe of the model, one per-doc fold. A
+    // score: size-guarded probe of the model, one per-doc fold. A
     // document's LAST token also ends a unigram that never opens a bigram,
-    // so __c1 comes from the unigram table, not from summing __c2.
+    // so __c1 comes from the unigram table, not from summing __c2. An
+    // unseen (or minCount-pruned) gram misses the whole model row and
+    // backs off to (0 + k) / (0 + k·V) — the uniform-smoothing floor.
     val logp = grams
-      .join(broadcast(model), Seq("__gram"), "left")
+      .join(boundedModel(model, maxModelRows), Seq("__gram"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         log((coalesce(col("__c2"), lit(0L)) + addK) /
@@ -87,32 +126,50 @@ object Lm {
     *            ln( (c_target(f)+k)/(N_target+k·F) )
     *          − ln( (c_raw(f)+k)/(N_raw+k·F) )
     *
-    * with F = |union feature space|, N = total feature occurrences on
-    * each side — i.e. the log-ratio of two add-k unigram-over-features
-    * models, the paper's hashed-n-gram estimator with raw bigrams as the
-    * feature map. High weight = "this raw document looks like the
-    * target"; resample the raw pool by weight to match the target
-    * distribution. Returns all raw-pool rows with `dsir_weight` rounded
-    * to 4 decimals (top-k selection is the caller's `orderBy.limit`,
-    * which executes as TakeOrderedAndProject — no global sort).
+    * with F = |observed feature space|, N = total feature occurrences on
+    * each side — the log-ratio of two add-k unigram-over-features models.
+    * High weight = "this raw document looks like the target"; resample
+    * the raw pool by weight to match the target distribution. Returns all
+    * raw-pool rows with `dsir_weight` rounded to 4 decimals (top-k
+    * selection is the caller's `orderBy.limit`, which executes as
+    * TakeOrderedAndProject — no global sort).
+    *
+    * `featureBuckets > 0` hashes each bigram into `featureBuckets`
+    * buckets (md5-hex arithmetic, exactly replayable in the SQL oracle)
+    * before counting — the paper's hashed-n-gram estimator. The model is
+    * then ≤ `featureBuckets` rows by construction and broadcasts
+    * unconditionally; the raw-bigram feature map (`featureBuckets = 0`)
+    * goes through the same `maxModelRows` size guard as [[bigramScore]].
     *
     * Both sides' count tables come out of ONE exploded pass (conditional
-    * aggregation on the target flag), then broadcast.
+    * aggregation on the target flag).
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, addK: Double = 1.0): DataFrame = {
+      isTarget: Column, addK: Double = 1.0, featureBuckets: Int = 0,
+      maxModelRows: Long = DefaultMaxModelRows): DataFrame = {
     require(addK > 0, s"addK $addK must be positive")
-    val grams = docs.select(col(idCol), isTarget.as("__t"),
-      explode(TextOps.shingles(lowerToks(textCol), 2)).as("__gram"))
+    require(featureBuckets >= 0, s"featureBuckets $featureBuckets must be >= 0")
+    val gram = explode(TextOps.shingles(lowerToks(textCol), 2))
+    // feature = the bigram itself, or its fixed-space hash bucket
+    // (conv(md5-prefix) mod buckets — the cross-engine q_shuffle_shards
+    // arithmetic; 8 hex digits keep conv inside positive long range)
+    val feature: Column => Column =
+      if (featureBuckets == 0) identity
+      else g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % featureBuckets
+    val grams = docs.select(col(idCol), isTarget.as("__t"), gram.as("__g0"))
+      .select(col(idCol), col("__t"), feature(col("__g0")).as("__gram"))
 
     val model = grams.groupBy("__gram").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
-    val totals = model.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"),
+    val probe =
+      if (featureBuckets > 0) broadcast(Staged.materialize(model))
+      else boundedModel(model, maxModelRows)
+    val totals = probe.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"),
       count(lit(1)).as("__f"))
 
     grams.where(!col("__t"))
-      .join(broadcast(model), Seq("__gram"))
+      .join(probe, Seq("__gram"))
       .crossJoin(broadcast(totals))
       .select(col(idCol),
         (log((col("__ct") + addK) / (col("__nt") + lit(addK) * col("__f"))) -

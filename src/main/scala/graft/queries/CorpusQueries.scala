@@ -127,6 +127,43 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // --- selection: hashed-feature DSIR (the paper's actual estimator —
+    // bigrams hashed into a FIXED 4096-bucket space before counting, so
+    // the model is bounded by construction and broadcast-safe at any
+    // corpus size). Bucket hash is the established md5-hex arithmetic
+    // (q_shuffle_shards precedent), identical in both engines.
+    QueryDef("q_sample_dsir_hashed",
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |         string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t, unnest(list_transform(range(1, len(tk)),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS g0
+        |  FROM toks WHERE len(tk) >= 2),
+        |hashed AS (
+        |  SELECT doc_id, t,
+        |    CAST(('0x' || substring(md5(g0), 1, 8)) AS BIGINT) % 4096 AS gram
+        |  FROM grams),
+        |model AS (
+        |  SELECT gram, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |               SUM(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+        |  FROM hashed GROUP BY 1),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS f FROM model),
+        |w AS (
+        |  SELECT h.doc_id,
+        |    ROUND(SUM(ln((ct + 1.0) / (nt + 1.0 * f))
+        |            - ln((cr + 1.0) / (nr + 1.0 * f))), 4) AS dsir_weight
+        |  FROM hashed h JOIN model USING (gram) CROSS JOIN tot
+        |  WHERE NOT h.t GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, dsir_weight
+        |FROM w ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Lm.importanceWeights(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", featureBuckets = 4096)
+        .orderBy(col("dsir_weight").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // --- graph analytics: PageRank over the symmetric cosine-similarity
     // graph (canonical-document centrality). Exact edge set cross-engine
     // (the q_emb_near_dup bit-identical-cosine precedent); 3 power

@@ -33,6 +33,97 @@ class LmSpec extends SparkSpec {
       s"rare-bigram doc must score lower: ${scores(99L)} vs ${scores(1L)}")
   }
 
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect() // materialize so AQE finalizes its join strategy choices
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val root = finalPlan(df.queryExecution.executedPlan)
+    (root +: root.collect { case a: AdaptiveSparkPlanExec => a.executedPlan })
+      .map(_.treeString).mkString("\n")
+  }
+
+  test("bigramScore past maxModelRows drops the broadcast and matches the broadcast path") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c a b"), (2L, "b c a"), (3L, "c a b a")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).sortBy(_._1).toSeq
+    val viaBroadcast = Lm.bigramScore(df, "doc_id", "text")
+    val viaShuffle = Lm.bigramScore(df, "doc_id", "text", maxModelRows = 1)
+    // model (4 distinct bigrams) exceeds maxModelRows=1: the GRAM-keyed
+    // model probe must NOT execute as a broadcast hash join — the 100 TB
+    // guard, where a forced broadcast of an open-vocabulary model is an
+    // executor OOM. (The final doc_id-keyed join of the bounded per-doc
+    // aggregate may still broadcast — that side is bounded by docs, and
+    // AQE is free to pick it.)
+    def gramJoins(plan: String, shape: String): Int =
+      plan.linesIterator.count(l => l.contains(shape) && l.contains("[__gram"))
+    val plan = planString(viaShuffle)
+    assert(gramJoins(plan, "BroadcastHashJoin") == 0,
+      s"oversize model still broadcast on the gram key:\n${plan.take(2000)}")
+    assert(gramJoins(plan, "ShuffledHashJoin") > 0, plan.take(2000))
+    assert(rows(viaShuffle) == rows(viaBroadcast),
+      "join strategy must not change the scores")
+    val planSmall = planString(viaBroadcast)
+    assert(gramJoins(planSmall, "BroadcastHashJoin") > 0,
+      s"in-bounds model should broadcast:\n${planSmall.take(2000)}")
+  }
+
+  test("bigramScore minCount prunes rare grams to the unseen backoff") {
+    import spark.implicits._
+    // "a b" occurs twice, "b a" once → minCount=2 prunes "b a"
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // unigrams a:2 b:2 → V=2; grams: "a b"×2, "b a"×1
+    val got = Lm.bigramScore(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getDouble(2)).head
+    val pAB = math.log((2 + 1.0) / (2 + 2.0))
+    val pBA = math.log((0 + 1.0) / (0 + 2.0)) // pruned → unseen backoff
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == r4((pAB + pAB + pBA) / 3), s"got $got")
+  }
+
+  test("importanceWeights raw-feature path honors the maxModelRows guard") {
+    import spark.implicits._
+    val target = (1 to 10).map(i => (i.toLong, "alpha beta gamma delta", true))
+    val raw = Seq((100L, "alpha beta gamma", false), (101L, "omega psi chi phi", false))
+    val df = (target ++ raw).toDF("doc_id", "text", "t")
+    def weights(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    val viaBroadcast = Lm.importanceWeights(df, "doc_id", "text", col("t"))
+    val viaShuffle = Lm.importanceWeights(df, "doc_id", "text", col("t"),
+      maxModelRows = 1)
+    val plan = planString(viaShuffle)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("[__gram")),
+      s"oversize model still broadcast on the gram key:\n${plan.take(2000)}")
+    assert(weights(viaShuffle) == weights(viaBroadcast))
+  }
+
+  test("hashed-feature DSIR is bounded and separates the pools like the raw estimator") {
+    import spark.implicits._
+    val target = (1 to 10).map(i => (i.toLong, "alpha beta gamma delta", true))
+    val rawLike = Seq((100L, "alpha beta gamma", false))
+    val rawFar = Seq((101L, "omega psi chi phi", false))
+    val df = (target ++ rawLike ++ rawFar).toDF("doc_id", "text", "t")
+    // collision-free bucket space: hashed weights EQUAL raw weights
+    val raw = Lm.importanceWeights(df, "doc_id", "text", col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hashed = Lm.importanceWeights(df, "doc_id", "text", col("t"),
+        featureBuckets = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hashed == raw,
+      s"collision-free hashing must reproduce raw weights: $hashed vs $raw")
+    // tiny bucket space (forced collisions) still executes, still scores
+    // only the raw pool, and the model is bounded by the bucket count
+    val tiny = Lm.importanceWeights(df, "doc_id", "text", col("t"),
+      featureBuckets = 4)
+    assert(tiny.collect().map(_.getLong(0)).toSet == Set(100L, 101L))
+  }
+
   test("importanceWeights favors raw docs resembling the target") {
     import spark.implicits._
     val target = (1 to 10).map(i => (i.toLong, "alpha beta gamma delta", true))
