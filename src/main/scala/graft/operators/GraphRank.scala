@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * pairs, similarity edges, citation links) — the graph-centrality signal
   * a curation pass uses to pick canonical documents or weight sources.
   *
-  * Contract: the edge list must be out-degree-complete — every node that
-  * appears anywhere appears as a source (a symmetrized similarity graph
-  * satisfies this by construction). Dangling-mass redistribution is
-  * deliberately out of scope: the curation graphs this serves are
-  * undirected.
+  * Textbook semantics on GENERAL directed graphs: the node set is
+  * src ∪ dst (a node that only ever appears as a destination still holds
+  * rank), every node keeps its `(1-d)/n` teleport mass every iteration
+  * (zero in-degree included, via the left join + coalesce(0)), and the
+  * mass parked on DANGLING nodes (no out-edges) is redistributed
+  * uniformly — so total rank mass is exactly 1 after every iteration, on
+  * sink-bearing citation graphs as much as on symmetric similarity
+  * graphs ([[GraphRankSpec]] pins a sink graph by hand;
+  * `q_graph_pagerank_directed` pins one against a textbook SQL oracle).
   *
   * Scale shape: the degree-annotated edge list is materialized ONCE to
   * staging ([[Staged]] — it is read every iteration, and for the
@@ -19,15 +23,18 @@ import org.apache.spark.sql.functions._
   * search); each iteration is one hash-join of the rank table against the
   * edges plus one partial-aggregated shuffle on the destination id — the
   * standard Pregel/GraphX shape, expressed relationally so Catalyst/AQE
-  * size the exchanges. Iterations form a lazy linear chain (each stage
-  * computed once per action); the rank table is never collected to the
-  * driver.
+  * size the exchanges. The rank table is materialized per iteration
+  * (node-sized, (id, rank) only): it is consumed twice each round (the
+  * dangling-mass scalar and the contribution join), and staging it keeps
+  * the plan depth CONSTANT per iteration instead of letting the lazy
+  * lineage chain double — the relational analog of GraphX's periodic
+  * checkpoint. The rank table is never collected to the driver.
   */
 object GraphRank {
 
   /** Ranks after `iters` power iterations at `damping`, from a uniform
-    * start. Returns (id, rank) for every node, rank UNROUNDED — gate
-    * consumers round for cross-engine compare.
+    * start over src ∪ dst. Returns (id, rank) for every node, rank
+    * UNROUNDED — gate consumers round for cross-engine compare.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
@@ -36,19 +43,32 @@ object GraphRank {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val withDeg = Staged.materialize(e.join(deg, Seq("__src")))
-    val nodes = withDeg.select(col("__src").as("id")).distinct()
+    val nodes = Staged.materialize(
+      e.select(col("__src").as("id"))
+        .unionByName(e.select(col("__dst").as("id")))
+        .distinct())
+    val outNodes = withDeg.select(col("__src").as("id")).distinct()
     val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    var ranks = nodes.crossJoin(broadcast(nAgg))
-      .select(col("id"), (lit(1.0) / col("__n")).as("rank"))
+    var ranks = Staged.materialize(
+      nodes.crossJoin(broadcast(nAgg))
+        .select(col("id"), (lit(1.0) / col("__n")).as("rank")))
     for (_ <- 1 to iters) {
-      ranks = withDeg.join(ranks, col("__src") === col("id"))
-        .select(col("__dst"), (col("rank") / col("__deg")).as("__c"))
-        .groupBy(col("__dst"))
+      // mass sitting on dangling nodes (no out-edges) this iteration —
+      // a 1-row scalar, redistributed uniformly below
+      val dangling = ranks.join(outNodes, Seq("id"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      val contrib = withDeg.join(ranks, col("__src") === col("id"))
+        .select(col("__dst").as("__cid"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy(col("__cid"))
         .agg(sum("__c").as("__in"))
-        .crossJoin(broadcast(nAgg))
-        .select(col("__dst").as("id"),
-          (lit(1.0 - damping) / col("__n") + lit(damping) * col("__in"))
-            .as("rank"))
+      ranks = Staged.materialize(
+        nodes.join(contrib, col("id") === col("__cid"), "left")
+          .crossJoin(broadcast(nAgg))
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit(1.0 - damping) / col("__n") +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                col("__dm") / col("__n"))).as("rank")))
     }
     ranks
   }

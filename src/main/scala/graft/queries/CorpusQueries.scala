@@ -201,6 +201,55 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // --- graph analytics: PageRank on a DIRECTED citation-style graph
+    // with genuine sinks (nodes ≡ 0 mod 5 appear only as destinations —
+    // no out-edges) and zero-in-degree sources. The oracle computes
+    // TEXTBOOK PageRank: nodes = src ∪ dst, dangling mass redistributed
+    // uniformly, teleport mass kept by every node via the left join.
+    QueryDef("q_graph_pagerank_directed",
+      """WITH e AS (
+        |  SELECT doc_id AS s, (doc_id*7+3) % 200 AS d FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13+1) % 200 FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 5 <> 0 AND doc_id % 3 = 0),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT s AS id FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0/n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.d AS id, SUM(r0.r/deg.deg) AS cin
+        |       FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d1 AS (SELECT COALESCE(SUM(r0.r), 0) AS dm FROM r0
+        |       LEFT JOIN deg ON r0.id = deg.s WHERE deg.s IS NULL),
+        |r1 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c1.cin, 0) + d1.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c1 USING (id) CROSS JOIN nn CROSS JOIN d1),
+        |c2 AS (SELECT e.d AS id, SUM(r1.r/deg.deg) AS cin
+        |       FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d2 AS (SELECT COALESCE(SUM(r1.r), 0) AS dm FROM r1
+        |       LEFT JOIN deg ON r1.id = deg.s WHERE deg.s IS NULL),
+        |r2 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c2.cin, 0) + d2.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c2 USING (id) CROSS JOIN nn CROSS JOIN d2),
+        |c3 AS (SELECT e.d AS id, SUM(r2.r/deg.deg) AS cin
+        |       FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d3 AS (SELECT COALESCE(SUM(r2.r), 0) AS dm FROM r2
+        |       LEFT JOIN deg ON r2.id = deg.s WHERE deg.s IS NULL),
+        |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c3.cin, 0) + d3.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c3 USING (id) CROSS JOIN nn CROSS JOIN d3)
+        |SELECT CAST(id AS BIGINT) AS node_id, ROUND(r, 4) AS rank
+        |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .where(col("doc_id") < 200 && col("doc_id") % 5 =!= 0)
+      val e1 = docs.select(col("doc_id").as("s"),
+        ((col("doc_id") * 7 + 3) % 200).as("d"))
+      val e2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("s"), ((col("doc_id") * 13 + 1) % 200).as("d"))
+      graft.operators.GraphRank.pageRank(e1.unionByName(e2), "s", "d", iters = 3)
+        .select(col("id").as("node_id"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("node_id").asc)
+        .limit(25)
+    },
+
     // --- selection: greedy k-center (farthest-point) diverse subset.
     // Sequential greedy replayed exactly by a recursive CTE with a
     // carried selected-set list (the q_pack_bins precedent); the radius

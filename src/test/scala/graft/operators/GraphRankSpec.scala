@@ -38,6 +38,38 @@ class GraphRankSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRank handles sinks: dangling mass redistributes, totals stay 1") {
+    import spark.implicits._
+    // 1 → 2, node 2 is a pure sink (appears only as a destination)
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val got = GraphRank.pageRank(edges, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand iteration, damping .85, n=2, uniform 1/2 start:
+    // iter1: dm = r0(2) = .5; r1(1) = .075 + .85*(.5/2)        = .2875
+    //                         r1(2) = .075 + .85*(.5 + .5/2)   = .7125
+    // iter2: dm = r1(2);      r2(1) = .075 + .85*(.7125/2)     = .3778125
+    //                         r2(2) = .075 + .85*(.2875 + .7125/2)
+    assert(got.keySet == Set(1L, 2L), s"dst-only node must hold rank: $got")
+    assert(math.abs(got(1L) - 0.3778125) < 1e-12, s"$got")
+    assert(math.abs(got(2L) - 0.6221875) < 1e-12, s"$got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12,
+      "rank mass must be conserved on a sink-bearing graph")
+  }
+
+  test("pageRank keeps teleport mass for zero-in-degree nodes") {
+    import spark.implicits._
+    // 1 → 2 → 3: node 1 has no in-links and must keep (1-d)/n + dangling
+    // share every iteration, not drop out of the rank table
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = GraphRank.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) > 0, s"zero-in-degree node lost its rank: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // chain order: the sink accumulates, the source holds least
+    assert(got(3L) > got(2L) && got(2L) > got(1L), s"$got")
+  }
+
   test("freqSpectrum buckets exactly at powers of two") {
     import spark.implicits._
     // token a ×1 (bucket 0), b ×2 (bucket 1), c ×4 (bucket 2), d ×7 (bucket 2)
