@@ -149,14 +149,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = eventsRaw(s, d)
     raw.schema("ts").dataType match {
       case LongType => // ns-as-long layout: floor-truncate to µs
         raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (µs, not UTC-adjusted): same instant under UTC session tz
+      case TimestampNTZType => // µs, not UTC-adjusted: same instant under UTC session tz
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => // anything else is a corrupted fixture — fail loudly,
+        // a silent cast would mask the schema regression downstream
+        throw new IllegalStateException(
+          s"events.ts has unexpected parquet type $other " +
+            "(expected TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

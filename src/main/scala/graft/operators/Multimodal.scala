@@ -260,8 +260,12 @@ object Multimodal {
     * `frames = 200 + (id mod 100)·4`, `freq = 100 + id mod 400`.
     */
   def withWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    // floorMod: Scala's % is negative for negative ids, which would feed
+    // synthWav a negative frame count (NegativeArraySizeException); pmod
+    // semantics match the SQL derivation for every id
     val gen = udf { (id: Long) =>
-      synthWav(200 + (id % 100).toInt * 4, 100 + (id % 400).toInt)
+      synthWav(200 + java.lang.Math.floorMod(id, 100L).toInt * 4,
+        100 + java.lang.Math.floorMod(id, 400L).toInt)
     }
     df.select(col(idCol).cast("long").as(idCol))
       .withColumn("payload", gen(col(idCol)))
@@ -294,8 +298,9 @@ object Multimodal {
             }
           try {
             val fmt = ais.getFormat
-            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-              s"row $id: expected 16-bit little-endian PCM, got $fmt")
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"row $id: expected 16-bit little-endian signed PCM, got $fmt")
             val frames = ais.getFrameLength
             val buf = new Array[Byte](4096)
             var peak = 0

@@ -659,6 +659,34 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // REAL audio decode: each row carries an actual WAV container
+    // (synthWav's pure-integer sawtooth, frames/freq SQL-derived from
+    // doc_id); the engine re-parses header + PCM frames through
+    // javax.sound.sampled and emits codec-reported format fields plus
+    // peak / sum-of-squares — the oracle replays the integer sample
+    // function exactly, so real decoded amplitudes pin cross-engine.
+    QueryDef("q_multimodal_audio",
+      """WITH p AS (
+        |  SELECT doc_id, 200 + (doc_id % 100) * 4 AS frames,
+        |         100 + doc_id % 400 AS freq
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (SELECT doc_id, frames, freq, unnest(range(0, frames)) AS n FROM p),
+        |v AS (SELECT doc_id, frames, ((n * freq) % 8000) * 8 - 32000 AS val FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(MAX(ABS(val)) AS INT) AS peak,
+        |  CAST(SUM(val * val) AS BIGINT) AS sum_sq
+        |FROM v GROUP BY doc_id, frames
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val payloads = Multimodal.withWavPayload(
+        Tables.documents(s, d).where(col("doc_id") < 40), "doc_id")
+      Multimodal.decodeAudio(s, payloads, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+          col("n_frames"), col("peak"), col("sum_sq"))
+        .orderBy("doc_id")
+    },
+
     // --- end-to-end curation pipeline: exact dedup → minhash near-dup →
     // CC keep-min → decontam → token-budget mix → sequence packing, as ONE
     // job. The oracle recomputes EVERY stage exactly — including the

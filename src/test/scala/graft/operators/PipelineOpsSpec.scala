@@ -376,6 +376,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthWav + decodeAudio: WAV container round-trips sample-exactly") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(frames = 250, freq = 120)
+    // RIFF/WAVE magic
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val df = Seq((7L, wav)).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeAudio(spark, df, "doc_id").collect().head
+    // codec-reported format fields, not the synth parameters
+    assert(meta.sample_rate == 8000 && meta.channels == 1 && meta.bits == 16)
+    assert(meta.n_frames == 250L)
+    // replay the pure-integer sawtooth driver-side
+    val samples = (0 until 250).map(n => (n.toLong * 120 % 8000).toInt * 8 - 32000)
+    assert(meta.peak == samples.map(math.abs).max)
+    assert(meta.sum_sq == samples.map(v => v.toLong * v).sum)
+  }
+
+  test("decodeAudio fails loudly with the row id on a non-audio payload") {
+    import spark.implicits._
+    val df = Seq((42L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(spark, df, "doc_id").collect()
+    }
+    assert(e.getMessage.contains("42") ||
+      Option(e.getCause).exists(_.getMessage.contains("42")))
+  }
+
+  test("withWavPayload is total on negative ids (floorMod derivation)") {
+    import spark.implicits._
+    val df = Seq((-3L, "x")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeAudio(spark,
+      Multimodal.withWavPayload(df, "doc_id"), "doc_id").collect().head
+    // floorMod(-3, 100) = 97 → 200 + 97*4 = 588 frames
+    assert(meta.n_frames == 588L, meta.toString)
+  }
+
   test("resizeImages re-encodes real PNGs at the target size, every pixel " +
       "the nearest-neighbor sample of the source") {
     import spark.implicits._
