@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * function is simple enough that a SQL oracle predicts any decoded pixel,
   * so the gates assert REAL decoded dimensions and pixel values
   * cross-engine, not stub constants. Multi-frame extraction is real for
-  * the one animated container the JDK decodes ([[decodeFrames]] over
-  * animated GIF); [[sampleFrames]] keeps the byte-slice stand-in for
-  * codecs the JDK lacks (mp4 etc.) — its distributed shape (one pass, n×
-  * fan-out, no shuffle, frames off the driver) is real and oracle-checked.
+  * BOTH containers a bare JDK decodes: animated GIF ([[decodeFrames]])
+  * and MJPEG video ([[decodeVideoFrames]] — SOI-split concatenated
+  * JPEGs, each through `javax.imageio`); audio is a real WAV codec round
+  * trip ([[decodeAudio]]). [[sampleFrames]] is the codec-agnostic
+  * byte-chunking sibling — its distributed shape (one pass, n× fan-out,
+  * no shuffle, frames off the driver) is the one the decoders share.
   *
   * At 100 TB the payload column lives in its own parquet column chunk, so
   * metadata-only queries scan only the small columns; decode/resize are
@@ -334,15 +336,128 @@ object Multimodal {
       }
   }
 
+  /** One flat-color baseline JPEG at compression quality 1.0. A constant
+    * image is DC-only after the DCT, and at quality 1.0 the JDK's
+    * quantization table is all ones — so the decode returns every channel
+    * value EXACTLY (verified for all 256 gray values in MultimodalSpec),
+    * which is what lets a SQL oracle pin real decoded pixels through a
+    * nominally lossy codec.
+    */
+  def synthJpegFlat(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val v = gray & 0xFF
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG clip: `frames` concatenated baseline JPEGs
+    * (M-JPEG is exactly that — the stream format of security cameras and
+    * AVI MJPG payloads), frame f a flat gray of value
+    * `(seed + f·17) mod 256`. The video counterpart of [[synthGif]].
+    */
+  def synthMjpeg(width: Int, height: Int, frames: Int, seed: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      bos.write(synthJpegFlat(width, height, (seed + f * 17) & 0xFF))
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Attach a REAL MJPEG payload per row, geometry SQL-derived from the
+    * id (floorMod, so the derivation is total): `width = 16 + id mod 16`,
+    * `height = 16 + (id·3) mod 16`, `frames = 4 + id mod 5`,
+    * `seed = id mod 251`.
+    */
+  def withMjpegPayload(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      synthMjpeg(16 + java.lang.Math.floorMod(id, 16L).toInt,
+        16 + java.lang.Math.floorMod(id * 3, 16L).toInt,
+        4 + java.lang.Math.floorMod(id, 5L).toInt,
+        java.lang.Math.floorMod(id, 251L).toInt)
+    }
+    df.select(col(idCol).cast("long").as(idCol))
+      .withColumn("payload", gen(col(idCol)))
+  }
+
+  /** Offsets of every JPEG start-of-image in an MJPEG stream: positions
+    * of `FF D8 FF`. Safe as a frame splitter: inside entropy-coded JPEG
+    * data a raw FF is always byte-stuffed (FF 00) or a restart marker
+    * (FF D0-D7), so SOI-followed-by-a-marker can only open a new frame.
+    */
+  private[operators] def mjpegFrameOffsets(bytes: Array[Byte]): IndexedSeq[Int] = {
+    val out = IndexedSeq.newBuilder[Int]
+    var i = 0
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+        bytes(i + 2) == 0xFF.toByte) out += i
+      i += 1
+    }
+    out.result()
+  }
+
+  /** REAL video-frame extraction for the one video container a bare JDK
+    * decodes end-to-end: MJPEG. The stream is split on SOI markers
+    * ([[mjpegFrameOffsets]]), `n` evenly spaced frames are selected
+    * (frame k samples index `k·F/n`, the [[decodeFrames]] convention) and
+    * each decodes through `javax.imageio`, emitting codec-reported
+    * geometry + the top-left pixel. Same distributed contract as the
+    * image/GIF/audio decoders: batched per partition, bounded metadata
+    * out, pixel buffers die per row, non-MJPEG payloads fail loudly with
+    * the row id.
+    */
+  def decodeVideoFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
+      n: Int): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val offs = mjpegFrameOffsets(bytes)
+          require(offs.nonEmpty, s"row $id: payload is not an MJPEG stream")
+          val total = offs.length
+          (0 until n).map { k =>
+            val fi = k * total / n
+            val from = offs(fi)
+            val until = if (fi + 1 < total) offs(fi + 1) else bytes.length
+            val img = ImageIO.read(new ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(bytes, from, until)))
+            require(img != null, s"row $id: frame $fi is not a decodable JPEG")
+            DecodedFrame(id, k, img.getWidth, img.getHeight,
+              img.getRGB(0, 0) & 0xFF)
+          }
+        }
+      }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte],
       offset: Int)
 
-  /** Frame sampling plumbing for video-shaped payloads: each payload yields
-    * `n` evenly spaced frames. The frame EXTRACTION is the stub (byte
-    * slices standing in for decoded frames — the JDK ships no video codec;
-    * a real one plugs into the same mapPartitions); the distributed shape
-    * is real: one pass, output fan-out n× without shuffles, frame bytes
-    * stay off the driver.
+  /** Fixed-rate binary chunking: each payload yields `n` evenly sized
+    * byte slices — the generic shard-splitting plumbing for opaque
+    * payloads (its oracle gate checks the slice arithmetic end to end).
+    * For CODEC-aware frame extraction use [[decodeFrames]] (animated GIF)
+    * or [[decodeVideoFrames]] (MJPEG); this operator is content-agnostic
+    * by design. The distributed shape is shared: one pass, output fan-out
+    * n× without shuffles, chunk bytes stay off the driver.
     */
   def sampleFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
       n: Int): Dataset[Frame] = {

@@ -659,6 +659,31 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // REAL video-frame extraction: each row carries an actual MJPEG clip
+    // (concatenated baseline JPEGs; frame count / geometry / flat-gray
+    // pixel value SQL-derived from doc_id). The engine SOI-splits the
+    // stream, decodes 2 evenly spaced frames (index k·F/2) through
+    // javax.imageio and emits codec-reported geometry + top-left pixel —
+    // exact cross-engine because a flat frame at quality 1.0 is DC-only
+    // over an all-ones quantization table (MultimodalSpec pins all 256
+    // gray values round-trip).
+    QueryDef("q_multimodal_video_frames",
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(k.k AS INT) AS frame_idx,
+        |  CAST(16 + d.doc_id % 16 AS INT) AS width,
+        |  CAST(16 + (d.doc_id * 3) % 16 AS INT) AS height,
+        |  CAST((d.doc_id % 251 + ((k.k * (4 + d.doc_id % 5)) // 2) * 17) % 256 AS INT)
+        |    AS top_left
+        |FROM documents d CROSS JOIN (VALUES (0),(1)) k(k)
+        |WHERE d.doc_id < 60
+        |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin) { (s, d) =>
+      val payloads = Multimodal.withMjpegPayload(
+        Tables.documents(s, d).where(col("doc_id") < 60), "doc_id")
+      Multimodal.decodeVideoFrames(s, payloads, "doc_id", 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("top_left"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // REAL audio decode: each row carries an actual WAV container
     // (synthWav's pure-integer sawtooth, frames/freq SQL-derived from
     // doc_id); the engine re-parses header + PCM frames through

@@ -376,6 +376,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("flat JPEG at quality 1.0 round-trips every gray value exactly") {
+    // the property the MJPEG oracle rests on: a constant image is DC-only
+    // and the quality-1.0 quantization table is all ones
+    for (v <- 0 until 256) {
+      val jp = Multimodal.synthJpegFlat(20, 12, v)
+      assert((jp(0) & 0xFF) == 0xFF && (jp(1) & 0xFF) == 0xD8, "JPEG SOI")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
+      assert((img.getRGB(3, 5) & 0xFF) == v, s"gray $v")
+      assert(((img.getRGB(3, 5) >> 8) & 0xFF) == v, s"gray $v (G channel)")
+    }
+  }
+
+  test("synthMjpeg + decodeVideoFrames: MJPEG stream splits and decodes frame-exactly") {
+    import spark.implicits._
+    val clip = Multimodal.synthMjpeg(20, 12, frames = 5, seed = 40)
+    // splitter finds exactly the 5 planted SOIs — no false positive inside
+    // entropy data or tables
+    assert(Multimodal.mjpegFrameOffsets(clip).length == 5)
+    val df = Seq((9L, clip)).toDF("doc_id", "payload")
+    val all = Multimodal.decodeVideoFrames(spark, df, "doc_id", 5)
+      .collect().sortBy(_.frame_idx)
+    assert(all.length == 5)
+    all.foreach { f =>
+      assert(f.width == 20 && f.height == 12)
+      assert(f.top_left == ((40 + f.frame_idx * 17) & 0xFF), f)
+    }
+    // n < F samples evenly: k·F/n → frames 0 and 2 of 5
+    val two = Multimodal.decodeVideoFrames(spark, df, "doc_id", 2)
+      .collect().sortBy(_.frame_idx)
+    assert(two.map(_.top_left).toSeq ==
+      Seq((40 + 0 * 17) & 0xFF, (40 + 2 * 17) & 0xFF))
+  }
+
+  test("decodeVideoFrames fails loudly with the row id on a non-MJPEG payload") {
+    import spark.implicits._
+    val df = Seq((77L, "definitely not a jpeg".getBytes)).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(spark, df, "doc_id", 2).collect()
+    }
+    assert(e.getMessage.contains("77") ||
+      Option(e.getCause).exists(_.getMessage.contains("77")))
+  }
+
   test("synthWav + decodeAudio: WAV container round-trips sample-exactly") {
     import spark.implicits._
     val wav = Multimodal.synthWav(frames = 250, freq = 120)
