@@ -375,24 +375,86 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
         JObject(obj.obj.filterNot(_._1 == k) :+ (k -> child): _*)
     }
 
-  // ---- non-agg (concat + limit, ref broker's streaming plan) --------------
+  // ---- non-agg (concat + limit; sorted → distributed top-k) ---------------
 
+  /** Unsorted: concat per-instance rows, re-apply the limit (the
+    * reference broker's streaming plan). Sorted: the sorts AND limit stay
+    * pushed — each instance returns its LOCAL top-k (executed as
+    * TakeOrderedAndProject) — and the root re-sorts the concatenation on
+    * the same keys before taking the limit, which is exactly distributed
+    * top-k (the union of per-slice top-k contains the global top-k). The
+    * single-instance ORDER BY extension thus survives the broker tier
+    * instead of silently degrading to arbitrary concat order; an unknown
+    * sort field fails loudly. The reference itself parses but never
+    * executes `sorts` — this mirrors our single-instance behavior choice
+    * (AqlCompiler's documented deliberate difference).
+    */
   private def mergeNonAgg(q0: AqlQuery): JValue = {
-    // sorts are stripped (per-instance top-k does not concatenate into a
-    // global order; the reference parses but never executes sorts); the
-    // limit stays pushed — concat-then-take of per-instance limits is the
-    // standard distributed limit
-    val parts = scatterJson(q0.copy(sorts = None))
+    val sortFields = q0.sorts.getOrElse(Nil).filter(_.name.nonEmpty)
+    val parts = scatterJson(if (sortFields.isEmpty) q0.copy(sorts = None) else q0)
     val headers = parts.head \ "headers"
+    val headerNames = headers match {
+      case JArray(hs) => hs.collect { case JString(h) => h }
+      case _ => Nil
+    }
     val rows = parts.flatMap(p => (p \ "matrixData") match {
       case JArray(rs) => rs
       case _ => Nil
     })
+    val ordered =
+      if (sortFields.isEmpty) rows
+      else {
+        val keys = sortFields.map { f =>
+          val i = headerNames.indexOf(f.name)
+          if (i < 0) throw new IllegalArgumentException(
+            s"sort field '${f.name}' is not a reported dimension " +
+              s"(headers: ${headerNames.mkString(", ")})")
+          (i, f.order.exists(_.equalsIgnoreCase("desc")))
+        }
+        rows.sortWith((a, b) => compareByKeys(a, b, keys) < 0)
+      }
     val limited = q0.limit match {
-      case Some(l) if l >= 0 => rows.take(l)
-      case _ => rows
+      case Some(l) if l >= 0 => ordered.take(l)
+      case _ => ordered
     }
     JObject("headers" -> headers, "matrixData" -> JArray(limited.toList))
+  }
+
+  /** Wire rows are formatted strings; compare numerically when both
+    * cells parse as numbers (the dimval number formats), lexicographically
+    * otherwise. NULL follows Spark's defaults: first under asc, last
+    * under desc — so the root order matches what one instance renders.
+    */
+  private def compareByKeys(a: JValue, b: JValue,
+      keys: Seq[(Int, Boolean)]): Int = {
+    def cell(r: JValue, i: Int): Option[String] = r match {
+      case JArray(cs) if i < cs.length => cs(i) match {
+        // the wire renders SQL NULL as the string "NULL"
+        // (ResultShaper.NullString) — map it back so null placement
+        // matches the instance-local Spark sort
+        case JString("NULL") => None
+        case JString(s) => Some(s)
+        case JNull => None
+        case other => Some(JsonMethods.compact(JsonMethods.render(other)))
+      }
+      case _ => None
+    }
+    keys.foreach { case (i, desc) =>
+      val (x, y) = (cell(a, i), cell(b, i))
+      val cmp = (x, y) match {
+        case (None, None) => 0
+        case (None, _) => if (desc) 1 else -1
+        case (_, None) => if (desc) -1 else 1
+        case (Some(s), Some(t)) =>
+          val n = (s.toDoubleOption, t.toDoubleOption) match {
+            case (Some(u), Some(v)) => java.lang.Double.compare(u, v)
+            case _ => s.compareTo(t)
+          }
+          if (desc) -n else n
+      }
+      if (cmp != 0) return cmp
+    }
+    0
   }
 }
 

@@ -230,6 +230,38 @@ class BrokerSpec extends SparkSpec {
     assert(rows.map(_.asInstanceOf[JArray].arr.head).distinct.length == 50)
   }
 
+  test("sorted non-agg merges as distributed top-k in the single-instance order") {
+    // ORDER BY event_id DESC LIMIT 40: each slice returns its LOCAL top-40
+    // (sorts + limit pushed), the root re-sorts the concat and takes 40 —
+    // which must equal the whole-table answer ROW FOR ROW (event_id is
+    // unique, so the order is total and the comparison exact)
+    val q = s"""{"table": "events",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"alias": "eid", "sqlExpression": "event_id"}],
+        "sorts": [{"name": "eid", "order": "desc"}],
+        "timeFilter": {"from": "1704067200"}, "now": 1706659200, "limit": 40}"""
+    val merged = JsonMethods.parse(broker.aql(q))
+    val expected = singleAnswer(q)
+    assert((merged \ "matrixData") == (expected \ "matrixData"),
+      s"sorted non-agg diverged from the single-instance order:\n" +
+        s"  merged:   ${JsonMethods.compact(JsonMethods.render(merged \ "matrixData")).take(400)}\n" +
+        s"  expected: ${JsonMethods.compact(JsonMethods.render(expected \ "matrixData")).take(400)}")
+    // numeric, not lexicographic: descending event_ids must start at the
+    // true maximum (a string sort would rank "99..." above "100...")
+    val ids = (merged \ "matrixData").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JArray].arr.head.asInstanceOf[JString].s.toLong)
+    assert(ids == ids.sorted.reverse && ids.length == 40)
+    // an unknown sort field fails loudly instead of silently concatenating
+    // — either at the instance (unresolved column) or at the broker's own
+    // root-side header check, never as an unordered 200
+    val bad = q.replace(""""name": "eid"""", """"name": "nope"""")
+    val e = intercept[Exception](broker.aql(bad))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("sort field") || m.contains("cannot be resolved")), messages(e))
+  }
+
   // ---- replica failover (ref query_plan_agg.go:170-215 retry loop) --------
 
   /** A port with nothing listening: bind-then-close an ephemeral socket. */
