@@ -1,0 +1,99 @@
+package graft.exec
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.aql.{Catalog, TableDef}
+import graft.ingest.Archiver
+
+/** Slice bootstrap for the broker tier — the role the reference's
+  * datanode bootstrap plays when an instance is added or replaced
+  * (/root/reference/memstore/bootstrap.go:49-225 fetches a table shard's
+  * batches from a peer into local storage and marks the shard
+  * bootstrapped; /root/reference/datanode/bootstrap_manager.go drives
+  * it on membership change). In this engine a slice's authoritative
+  * bytes live in the shared day-partitioned archive, so "bootstrap" is a
+  * day-range copy job instead of a gRPC batch stream: the replacement
+  * instance copies its slice's day partitions into its own storage,
+  * builds a catalog over the local copy, and registers into the
+  * [[BrokerTopology]] — after which the broker's next fan-out gets
+  * answers identical to the member it replaced (`SliceBootstrapSpec`).
+  *
+  * Idempotent and restart-safe like the reference's
+  * `IsDiskDataAvailable` check: day partitions already complete locally
+  * are skipped, so a crashed bootstrap re-runs to completion. All I/O
+  * goes through the Hadoop FileSystem of the paths, so the same job
+  * copies from an object store on a real deployment.
+  *
+  * At 100 TB a slice copy is one distcp-shaped job per replacement —
+  * bounded by the slice's share of the table, touched once; the
+  * alternative (serving the slice straight from shared storage) is the
+  * zero-copy fast path the catalog already supports, and this job
+  * exists for deployments that want instance-local storage, exactly the
+  * split the reference's `needPeerCopy` flag encodes.
+  */
+object SliceBootstrap {
+
+  /** Copy the day partitions of `sharedArchiveDir` with
+    * `fromDay <= day < toDay` (either bound open) into `localDir`.
+    * Returns the days copied NOW — days already present locally are
+    * skipped (idempotent re-run), days in flight are written to a
+    * temporary name and renamed so a crash never leaves a half partition
+    * that a re-run would skip.
+    */
+  def copySlice(spark: SparkSession, sharedArchiveDir: String, localDir: String,
+      fromDay: Option[String] = None, toDay: Option[String] = None): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(sharedArchiveDir)
+    val dst = new Path(localDir)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    require(srcFs.exists(src), s"shared archive $sharedArchiveDir does not exist")
+    dstFs.mkdirs(dst)
+    val prefix = s"${Archiver.DayCol}="
+    val copied = Seq.newBuilder[String]
+    srcFs.listStatus(src).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .foreach { part =>
+        val day = part.getName.stripPrefix(prefix)
+        val inRange = fromDay.forall(day >= _) && toDay.forall(day < _)
+        val target = new Path(dst, part.getName)
+        if (inRange && !dstFs.exists(target)) {
+          val tmp = new Path(dst, s".${part.getName}.copying")
+          if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
+          FileUtil.copy(srcFs, part, dstFs, tmp, false, conf)
+          require(dstFs.rename(tmp, target),
+            s"bootstrap rename failed for $target")
+          copied += day
+        }
+      }
+    copied.result()
+  }
+
+  /** Days present in a (local or shared) archive directory — the
+    * bootstrap observability surface (`IsBootstrapped` analog: a
+    * replacement is ready when its local days cover its slice range).
+    */
+  def localDays(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val prefix = s"${Archiver.DayCol}="
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted.toSeq
+  }
+
+  /** `base` with its `events` fact table re-pointed at the bootstrapped
+    * local copy — same schema (the partition column is re-inferred from
+    * the identical layout), same day pruning, different storage root.
+    */
+  def eventsCatalog(base: Catalog, localDir: String): Catalog = {
+    val ev = base.tables("events")
+    base.copy(tables = base.tables +
+      ("events" -> ev.copy(load = loadLocal(localDir, ev))))
+  }
+
+  private def loadLocal(dir: String, ev: TableDef): SparkSession => DataFrame =
+    s => s.read.parquet(dir)
+}
