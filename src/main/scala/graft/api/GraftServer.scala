@@ -217,6 +217,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     respond(ex, 200, jobScheduler.map(_.detailsJson).getOrElse("{}"))
   })
 
+  /** Attached hot-partition cache manager; its residency report serves
+    * at GET /dbg/cache — the reference's host-memory-manager debug
+    * surface (memstore/host_memory_manager.go totalMemorySize /
+    * managedMemorySize accounting via api/debug_handler.go).
+    */
+  @volatile var memoryManager: Option[graft.ingest.HostMemoryManager] = None
+  mount("/dbg/cache", (ex: HttpExchange) => handle(ex) {
+    respond(ex, 200, memoryManager.map(_.statusJson).getOrElse("{}"))
+  })
+
   // liveness + version probes (ref api/health_check_handler.go:39-53)
   mount("/health", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))

@@ -73,7 +73,10 @@ object OpenApi {
       "post" -> op("Formatted physical plan for the AQL JSON body, unexecuted")),
     "/dbg/jobs" -> JObject("get" -> op(
       "Periodic-job scheduler details (per-table archive/backfill/" +
-        "snapshot/purge run records)")))
+        "snapshot/purge run records)")),
+    "/dbg/cache" -> JObject("get" -> op(
+      "Hot-partition cache residency: byte budget, resident bytes, " +
+        "per-day entries with priority")))
 
   /** The rendered OpenAPI 3.0 document. */
   val spec: String = JsonMethods.compact(JsonMethods.render(JObject(
