@@ -29,6 +29,11 @@ import org.apache.spark.sql.SparkSession
   *                           are replicas of the same data slice
   *   SPARK_GRAFT_ADVERTISE   base URL to register (default
   *                           http://localhost:<boundPort>)
+  *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
+  *                           (0/unset = no cache manager); column-config
+  *                           preloadingDays/priority updates then pin
+  *                           recent archive days in executor memory
+  *                           (HostMemoryManager, /dbg/cache)
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
@@ -49,6 +54,11 @@ object ServerMain {
       graft.aql.Catalog.testdata(sfDir), spark, port,
       schemaSyncDir = schemaDir)
     server.start()
+    sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
+      .filter(_ > 0).foreach { budget =>
+        server.memoryManager = Some(new graft.ingest.HostMemoryManager(spark, budget))
+        println(s"[graft] hot-partition cache manager attached, budget $budget bytes")
+      }
     val tickSeconds = sys.env.getOrElse("SPARK_GRAFT_TICK_SECONDS", "60").toLong
     if (tickSeconds > 0) {
       val root = sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT", "target/graft-archive")

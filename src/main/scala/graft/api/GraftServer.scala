@@ -227,6 +227,24 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     respond(ex, 200, memoryManager.map(_.statusJson).getOrElse("{}"))
   })
 
+  /** The reference fires a preloadJob when a column's
+    * preloadingDays/priority config changes (host_memory_manager.go's
+    * preloadJobChan); here the table-level effective policy is the max
+    * over active columns (Spark's columnar cache gives per-column
+    * residency within a cached day for free) applied to the table's
+    * archive, when one exists and a manager is attached.
+    */
+  private def applyPreloadPolicy(table: String, schema: AqlTableSchema): Unit =
+    for {
+      mgr <- memoryManager
+      dir <- archiveDir(table)
+    } {
+      val active = schema.activeColumns
+      val days = active.map(_.preloadingDays).maxOption.getOrElse(0)
+      val prio = active.map(_.priority).maxOption.getOrElse(0L)
+      if (days > 0) mgr.preload(table, dir, days, prio)
+    }
+
   // liveness + version probes (ref api/health_check_handler.go:39-53)
   mount("/health", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
@@ -399,7 +417,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         ok(SchemaStore.renderTable(
           schemaStore.addColumn(t, SchemaStore.parseColumn(j), addToSort)))
       case ("PUT", t :: "columns" :: c :: Nil) =>
-        ok(SchemaStore.renderTable(schemaStore.updateColumn(t, c)))
+        val updated = schemaStore.updateColumn(t, c, body())
+        applyPreloadPolicy(t, updated)
+        ok(SchemaStore.renderTable(updated))
       case ("DELETE", t :: "columns" :: c :: Nil) =>
         ok(SchemaStore.renderTable(schemaStore.deleteColumn(t, c)))
       case ("GET", t :: "columns" :: c :: "enum-cases" :: Nil) =>

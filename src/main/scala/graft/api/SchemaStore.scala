@@ -15,6 +15,13 @@ import graft.aql.ParseException
   * column ID lists, and a fact/dimension flag. Column 0 of a fact table is
   * its designated time column (model.go:55-58 validation).
   */
+/** @param preloadingDays / @param priority the reference's per-column
+  *   ColumnConfig eviction knobs (model.go:20-36) — how many recent days
+  *   to pin in host memory and the eviction priority (high number = high
+  *   priority). Honored by [[graft.ingest.HostMemoryManager]] at
+  *   table-level granularity (Spark's columnar cache stores per-column
+  *   batches, so per-column residency is the cache format's job).
+  */
 final case class AqlColumn(
     name: String,
     tpe: String,
@@ -22,7 +29,9 @@ final case class AqlColumn(
     defaultValue: Option[String] = None,
     caseInsensitive: Boolean = false,
     disableAutoExpand: Boolean = false,
-    isHLLColumn: Boolean = false) {
+    isHLLColumn: Boolean = false,
+    preloadingDays: Int = 0,
+    priority: Long = 0) {
   def isEnum: Boolean = tpe == "SmallEnum" || tpe == "BigEnum"
 }
 
@@ -96,6 +105,16 @@ object SchemaStore {
       isHLLColumn = j \ "hllConfig" \ "isHLLColumn" match {
         case JBool(b) => b
         case _ => false
+      },
+      preloadingDays = j \ "config" \ "preloadingDays" match {
+        case JInt(i) => i.toInt
+        case JLong(l) => l.toInt
+        case _ => 0
+      },
+      priority = j \ "config" \ "priority" match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case _ => 0L
       })
   }
 
@@ -184,7 +203,11 @@ object SchemaStore {
     if (c.caseInsensitive) Some("caseInsensitive" -> JBool(true): JField) else None,
     if (c.disableAutoExpand) Some("disableAutoExpand" -> JBool(true): JField) else None,
     if (c.isHLLColumn)
-      Some("hllConfig" -> (JObject("isHLLColumn" -> JBool(true)): JValue)) else None
+      Some("hllConfig" -> (JObject("isHLLColumn" -> JBool(true)): JValue)) else None,
+    if (c.preloadingDays != 0 || c.priority != 0)
+      Some("config" -> (JObject(
+        "preloadingDays" -> JInt(c.preloadingDays),
+        "priority" -> JLong(c.priority)): JValue)) else None
   ).flatten)
 
   def renderTable(t: AqlTableSchema): JValue = JObject(
@@ -273,15 +296,33 @@ final class SchemaStore {
       updated
     }
 
-  def updateColumn(name: String, colName: String): AqlTableSchema = synchronized {
+  /** Update a column's config — only preloadingDays/priority are
+    * updatable (schema_request.go:82-94's ColumnConfig). The stored knobs
+    * drive [[graft.ingest.HostMemoryManager]] preloading (the reference's
+    * preloadJob fires on exactly this update, host_memory_manager.go:30-35).
+    */
+  def updateColumn(name: String, colName: String,
+      configBody: String = "{}"): AqlTableSchema = synchronized {
     val t = require(name)
-    if (!t.columns.exists(c => c.name == colName && !c.deleted))
-      throw ParseException(s"column $colName does not exist", 0)
-    // only preloadingDays/priority are updatable (schema_request.go:82-94) —
-    // neither affects this engine; accept and bump the version
-    val bumped = t.copy(version = t.version + 1)
-    tables.put(name, bumped)
-    bumped
+    val id = t.columns.indexWhere(c => c.name == colName && !c.deleted)
+    if (id < 0) throw ParseException(s"column $colName does not exist", 0)
+    val j = try JsonMethods.parse(configBody) catch { case _: Throwable => JNothing }
+    def num(field: String, dflt: Long): Long =
+      (j \ field, j \ "config" \ field) match {
+        case (JInt(i), _) => i.toLong
+        case (JLong(l), _) => l
+        case (_, JInt(i)) => i.toLong
+        case (_, JLong(l)) => l
+        case _ => dflt
+      }
+    val c = t.columns(id)
+    val updated = t.copy(
+      columns = t.columns.updated(id, c.copy(
+        preloadingDays = num("preloadingDays", c.preloadingDays).toInt,
+        priority = num("priority", c.priority))),
+      version = t.version + 1)
+    tables.put(name, updated)
+    updated
   }
 
   def deleteColumn(name: String, colName: String): AqlTableSchema = synchronized {

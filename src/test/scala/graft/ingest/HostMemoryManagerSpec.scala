@@ -119,6 +119,66 @@ class HostMemoryManagerSpec extends SparkSpec {
     } finally mgr.clear()
   }
 
+  test("a column-config update (preloadingDays/priority) fires the preload " +
+      "against the table's archive — the reference's preloadJob") {
+    val server = new graft.api.GraftServer(graft.aql.Catalog.testdata(sfDir), spark)
+    server.start()
+    val mgr = new HostMemoryManager(spark, budgetBytes = 1L << 30)
+    try {
+      server.memoryManager = Some(mgr)
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${server.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def put(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${server.boundPort}$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      assert(post("/schema/tables", """{
+        "name": "hot_rides", "isFactTable": true,
+        "columns": [
+          {"name": "request_at", "type": "Uint32"},
+          {"name": "ride_id", "type": "Int64"},
+          {"name": "fare", "type": "Float32"}
+        ],
+        "primaryKeyColumns": [1]
+      }""").statusCode() == 200)
+      // two days of rows, then drain to a day-partitioned archive
+      assert(post("/data/hot_rides", """[
+        {"request_at": 1706572800, "ride_id": 1, "fare": 10.5},
+        {"request_at": 1706659200, "ride_id": 2, "fare": 20.25}
+      ]""").statusCode() == 200)
+      val dir = java.nio.file.Files.createTempDirectory("hot_drain").toString
+      server.drain("hot_rides", dir)
+
+      // BEFORE the config update: nothing resident
+      assert(mgr.residentBytes == 0)
+      val upd = put("/schema/tables/hot_rides/columns/fare",
+        """{"config": {"preloadingDays": 1, "priority": 7}}""")
+      assert(upd.statusCode() == 200, upd.body())
+      // the update fired the preload: most recent day resident at prio 7
+      val status = mgr.statusJson
+      assert(mgr.residentBytes > 0, status)
+      assert(status.contains(""""table":"hot_rides"""") &&
+        status.contains(""""priority":7"""), status)
+      // and the stored knobs survive a schema read-back
+      val schema = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${server.boundPort}/schema/tables/hot_rides"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(schema.contains(""""preloadingDays":1""") &&
+        schema.contains(""""priority":7"""), schema)
+    } finally {
+      mgr.clear()
+      server.stop()
+    }
+  }
+
   test("/dbg/cache serves the residency report and the wrapped catalog " +
       "answers identically through the server") {
     val dir = archiveDir
