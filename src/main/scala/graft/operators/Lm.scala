@@ -87,12 +87,16 @@ object Lm {
       maxModelRows: Long = DefaultMaxModelRows): DataFrame = {
     require(addK > 0, s"addK $addK must be positive")
     require(minCount >= 0, s"minCount $minCount must be non-negative")
-    val toks = lowerToks(textCol)
-    val grams = docs.select(col(idCol),
-      explode(TextOps.shingles(toks, 2)).as("__gram"))
+    // tokenize ONCE into a bound column before shingling: the regex split
+    // referenced straight inside the transform lambda would re-evaluate
+    // per gram index (O(tokens²·regex) per doc); projecting it first
+    // makes the lambda see an attribute, evaluated once per row
+    val tokenized = docs.select(col(idCol), lowerToks(textCol).as("__toks"))
+    val grams = tokenized.select(col(idCol),
+      explode(TextOps.shingles(col("__toks"), 2)).as("__gram"))
 
     // model: bigram counts + the left token's unigram continuation count.
-    val uni = docs.select(explode(toks).as("__w1"))
+    val uni = tokenized.select(explode(col("__toks")).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__c1"))
     val bi = grams.groupBy("__gram").agg(count(lit(1)).as("__c2"))
       .where(col("__c2") >= minCount)
@@ -149,14 +153,17 @@ object Lm {
       maxModelRows: Long = DefaultMaxModelRows): DataFrame = {
     require(addK > 0, s"addK $addK must be positive")
     require(featureBuckets >= 0, s"featureBuckets $featureBuckets must be >= 0")
-    val gram = explode(TextOps.shingles(lowerToks(textCol), 2))
     // feature = the bigram itself, or its fixed-space hash bucket
     // (conv(md5-prefix) mod buckets — the cross-engine q_shuffle_shards
     // arithmetic; 8 hex digits keep conv inside positive long range)
     val feature: Column => Column =
       if (featureBuckets == 0) identity
       else g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % featureBuckets
-    val grams = docs.select(col(idCol), isTarget.as("__t"), gram.as("__g0"))
+    // tokenize once into a bound column (see bigramScore note)
+    val grams = docs
+      .select(col(idCol), isTarget.as("__t"), lowerToks(textCol).as("__toks"))
+      .select(col(idCol), col("__t"),
+        explode(TextOps.shingles(col("__toks"), 2)).as("__g0"))
       .select(col(idCol), col("__t"), feature(col("__g0")).as("__gram"))
 
     val model = grams.groupBy("__gram").agg(

@@ -25,6 +25,13 @@ object TextOps {
 
   /** Word n-gram shingles as space-joined strings; empty array when the
     * document is shorter than n tokens.
+    *
+    * PASS A BOUND COLUMN (project the tokenizer into a named column
+    * first): `toks` is referenced inside the transform lambda, so an
+    * embedded expression like `tokens(lower(col))` re-evaluates the regex
+    * split once PER WINDOW — O(tokens²·regex) per document, measured as
+    * a 3-4× slowdown on the gram-heavy gates. An attribute reference
+    * evaluates once per row.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
