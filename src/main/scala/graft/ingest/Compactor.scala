@@ -1,0 +1,80 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the day-partitioned archive — the Spark
+  * analog of the reference's archiving merge, which folds each batch's
+  * patch files back into one sorted archive batch per day
+  * (/root/reference/memstore/archiving.go:59-141: archiving merges the
+  * live-store batches into the existing sorted batch;
+  * backfill_manager.go re-merges patches). In this engine every
+  * incremental drain/backfill APPENDS files to a day partition, so a
+  * long-lived table accumulates small files — the classic 100 TB lake
+  * pathology: file-listing cost grows, scans lose run length, parquet
+  * row-group stats (the zone-map skip layer, Tables.EventsSortCols)
+  * fragment.
+  *
+  * `compact` rewrites only the day partitions that exceed `maxFiles`,
+  * re-sorting rows by `sortCols` inside the single rewritten file set so
+  * the zone-map clustering the Archiver established is RESTORED, not
+  * just preserved. Each day rewrites to a temporary sibling then swaps
+  * by rename — a crash mid-compaction leaves either the old complete
+  * partition or the new complete partition, never a mix (the temp dir
+  * is re-deleted on the next run). Days within budget are untouched, so
+  * the job's cost is proportional to the fragmented tail (typically the
+  * recent backfill days), not the table.
+  */
+object Compactor {
+
+  final case class DayReport(day: String, filesBefore: Int, filesAfter: Int)
+
+  /** Compact every `day=` partition of `dir` holding more than
+    * `maxFiles` parquet files down to `targetFiles` sorted files.
+    * Returns a report per REWRITTEN day (untouched days are absent).
+    */
+  def compact(spark: SparkSession, dir: String, sortCols: Seq[String],
+      maxFiles: Int = 8, targetFiles: Int = 1): Seq[DayReport] = {
+    require(maxFiles >= 1, s"maxFiles $maxFiles must be >= 1")
+    require(targetFiles >= 1, s"targetFiles $targetFiles must be >= 1")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"archive $dir does not exist")
+    val prefix = s"${Archiver.DayCol}="
+    val reports = Seq.newBuilder[DayReport]
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .foreach { part =>
+        val dataFiles = fs.listStatus(part)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        if (dataFiles.length > maxFiles) {
+          val day = part.getName.stripPrefix(prefix)
+          val tmp = new Path(root, s".compact-tmp-${part.getName}")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          // read THIS day's files directly (no partition-column recovery
+          // needed — the day value is re-encoded in the directory name on
+          // swap), restore the sort clustering, write the target file set
+          spark.read.parquet(part.toString)
+            .repartition(targetFiles)
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+          // swap: old → trash, tmp → live, trash deleted. A crash between
+          // the two renames loses no data (trash still holds the old
+          // partition and the tmp dir holds the new one — the next run
+          // deletes the stale tmp and the operator restores from trash);
+          // a crash after the swap leaves only cleanup.
+          val trash = new Path(root, s".compact-old-${part.getName}")
+          if (fs.exists(trash)) fs.delete(trash, true)
+          require(fs.rename(part, trash), s"compact: rename $part -> $trash failed")
+          require(fs.rename(tmp, part), s"compact: rename $tmp -> $part failed")
+          fs.delete(trash, true)
+          val after = fs.listStatus(part)
+            .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          reports += DayReport(day, dataFiles.length, after)
+        }
+      }
+    reports.result()
+  }
+}
