@@ -60,8 +60,10 @@ object Lm {
     * actual size: bounded → broadcast hint; unbounded → shuffled hash
     * join (the hint pins the join shape so AQE cannot silently flip a
     * huge build side back to broadcast, and a sort on the gram key is
-    * never needed). The staged count costs one scan of the SMALL model
-    * parquet, not a recompute of the corpus aggregation.
+    * never needed). The staged count costs one scan of the model parquet
+    * (vocabulary-sized, not corpus-sized), not a recompute of the corpus
+    * aggregation — and the staging write is itself what lets the count
+    * and the probe share one computation of the model.
     */
   private def boundedModel(model: DataFrame, maxModelRows: Long): DataFrame = {
     require(maxModelRows > 0, s"maxModelRows $maxModelRows must be positive")
