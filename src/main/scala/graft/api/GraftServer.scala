@@ -647,6 +647,18 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       })
       .getOrElse(Nil)
 
+  /** Scheduler-driven archive compaction: fold fragmented day partitions
+    * (incremental drains append files) back to sorted files, restoring
+    * the one-sorted-batch-per-day invariant of the reference's archiving
+    * merge. Under the table lock like drain/purge — a concurrent drain
+    * must not append into a partition mid-swap.
+    */
+  override def compact(table: String, dir: String): Unit =
+    tableLocks.getOrElseUpdate(table, new Object).synchronized {
+      graft.ingest.Compactor.compact(spark, dir,
+        archiveSortCols(table, catalog(table)))
+    }
+
   private def write(q: graft.aql.AqlQuery): String = {
     implicit val formats: Formats = DefaultFormats
     org.json4s.jackson.Serialization.write(q)

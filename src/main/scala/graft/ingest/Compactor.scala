@@ -56,9 +56,10 @@ object Compactor {
           // read THIS day's files directly (no partition-column recovery
           // needed — the day value is re-encoded in the directory name on
           // swap), restore the sort clustering, write the target file set
-          spark.read.parquet(part.toString)
-            .repartition(targetFiles)
-            .sortWithinPartitions(sortCols.map(col): _*)
+          val rewritten = spark.read.parquet(part.toString).repartition(targetFiles)
+          (if (sortCols.nonEmpty)
+            rewritten.sortWithinPartitions(sortCols.map(col): _*)
+          else rewritten)
             .write.mode("overwrite").parquet(tmp.toString)
           // swap: old → trash, tmp → live, trash deleted. A crash between
           // the two renames loses no data (trash still holds the old

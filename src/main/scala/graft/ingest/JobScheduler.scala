@@ -47,6 +47,13 @@ trait SchedulableStore {
   def drain(table: String, dir: String): Unit
   /** Drop archive day partitions strictly older than `retainFromDay`. */
   def purge(table: String, retainFromDay: String): Seq[String]
+  /** Fold fragmented archive day partitions back to few sorted files
+    * (the reference's archiving merge half — its archiving job rewrites
+    * each day to ONE sorted batch, archiving.go:59-141; our drains
+    * append, so compaction restores that invariant). Default no-op so
+    * non-archiving stores need not implement it.
+    */
+  def compact(table: String, dir: String): Unit = ()
 }
 
 /** Periodic job scheduler — the reference's memstore scheduler tier
@@ -176,6 +183,18 @@ final class JobScheduler(store: SchedulableStore, archiveRoot: String,
             }
           }
         }
+        // ---- compaction: daily — restore the one-sorted-batch-per-day
+        // invariant the reference's archiving merge maintains (our
+        // incremental drains append files instead)
+        if (isJobTypeEnabled(Compaction)) {
+          val d = jobDetail(t, Compaction)
+          if (!d.seeded) { d.seeded = true; d.lastRun = now }
+          else if (now >= d.lastRun + PurgeIntervalSeconds) {
+            store.archiveDir(t).foreach { dir =>
+              execute(t, Compaction)(store.compact(t, dir))
+            }
+          }
+        }
       } else {
         // ---- snapshot (dimension tables) -------------------------------
         if (isJobTypeEnabled(Snapshot)) {
@@ -247,6 +266,7 @@ object JobScheduler {
   val Backfill = "backfill"
   val Snapshot = "snapshot"
   val Purge = "purge"
+  val Compaction = "compaction"
   /** purge_manager.go:41 PurgeInterval = 24h. */
   val PurgeIntervalSeconds: Long = 86400
 }

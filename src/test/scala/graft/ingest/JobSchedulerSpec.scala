@@ -6,6 +6,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import graft.SparkSpec
 import graft.api.GraftServer
 import graft.aql.Catalog
+import org.apache.spark.sql.functions.col
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -148,6 +149,64 @@ class JobSchedulerSpec extends SparkSpec {
     val dbg = get("/dbg/jobs").body()
     assert(dbg.contains("sensor|archiving"), dbg)
     assert(dbg.contains("\"numRuns\":2"), dbg)
+  }
+
+  test("compaction job folds fragmented archive days on the daily interval") {
+    val create = post("/schema/tables", """{
+      "name": "frag", "isFactTable": true,
+      "columns": [
+        {"name": "ts", "type": "Uint32"},
+        {"name": "frag_id", "type": "Int64"},
+        {"name": "v", "type": "Float32"}
+      ],
+      "primaryKeyColumns": [1],
+      "config": {
+        "archivingDelayMinutes": 0,
+        "archivingIntervalMinutes": 10,
+        "backfillIntervalMinutes": 100000,
+        "backfillThresholdInBytes": 1000000000000,
+        "recordRetentionInDays": 0
+      }
+    }""")
+    assert(create.statusCode() == 200, create.body())
+    var now = T0
+    val sched = new JobScheduler(server, tmp("sched-compact"), clock = () => now)
+    assert(post("/data/frag",
+      s"""[{"ts": $T0, "frag_id": 1, "v": 1.0}]""").statusCode() == 200)
+    sched.tick() // archives; seeds the compaction timer
+    val dir = server.archiveDir("frag").get
+    val dayDir = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.map(_.toString).find(_.contains("day=")).get
+      finally s.close()
+    }
+    def partFiles = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dayDir))
+      try s.toArray.map(_.toString).count(_.matches(".*/part-[^/]*"))
+      finally s.close()
+    }
+    // fragment the day: append 12 small files with the archive's schema
+    import spark.implicits._
+    (1 to 120).map(i => (T0 + i, 1000L + i, 2.0f))
+      .toDF("ts", "frag_id", "v")
+      .select(col("ts").cast("long"), col("frag_id").cast("long"),
+        col("v").cast("float"))
+      .repartition(12)
+      .write.mode("append").parquet(dayDir)
+    assert(partFiles > 8, s"fixture not fragmented: $partFiles files")
+    val total = countOf("frag", T0 - 86400, T0 + 3600)
+    assert(total == 121.0, total.toString)
+
+    // same day: compaction timer seeded, not yet due
+    sched.tick()
+    assert(sched.jobDetail("frag", JobScheduler.Compaction).numRuns == 0)
+    // a day later: the job runs, folds the partition, answers unchanged
+    now = T0 + JobScheduler.PurgeIntervalSeconds + 1
+    sched.tick()
+    assert(sched.jobDetail("frag", JobScheduler.Compaction).numRuns == 1)
+    assert(sched.jobDetail("frag", JobScheduler.Compaction).status == "succeeded")
+    assert(partFiles == 1, s"day not compacted: $partFiles files")
+    assert(countOf("frag", T0 - 86400, T0 + 3600) == total)
   }
 
   test("fact table: size-triggered backfill drains as soon as the delta crosses the threshold") {
