@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * Textbook semantics on GENERAL directed graphs: the node set is
   * src ∪ dst (a node that only ever appears as a destination still holds
   * rank), every node keeps its `(1-d)/n` teleport mass every iteration
-  * (zero in-degree included, via the left join + coalesce(0)), and the
-  * mass parked on DANGLING nodes (no out-edges) is redistributed
-  * uniformly — so total rank mass is exactly 1 after every iteration, on
-  * sink-bearing citation graphs as much as on symmetric similarity
-  * graphs ([[GraphRankSpec]] pins a sink graph by hand;
-  * `q_graph_pagerank_directed` pins one against a textbook SQL oracle).
+  * (zero in-degree included), and the mass parked on DANGLING nodes (no
+  * out-edges) is redistributed uniformly — so total rank mass is exactly
+  * 1 after every iteration, on sink-bearing citation graphs as much as
+  * on symmetric similarity graphs ([[GraphRankSpec]] pins a sink graph
+  * by hand; `q_graph_pagerank_directed` pins one against a textbook SQL
+  * oracle).
   *
   * Scale shape: the degree-annotated edge list is materialized ONCE to
   * staging ([[Staged]] — it is read every iteration, and for the
@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
   * search); each iteration is one hash-join of the rank table against the
   * edges plus one partial-aggregated shuffle on the destination id — the
   * standard Pregel/GraphX shape, expressed relationally so Catalyst/AQE
-  * size the exchanges. Dangling nodes are detected ONCE up front: on a
-  * dangling-free graph (symmetrized similarity graphs, the common
-  * caller) the rank table is consumed once per iteration and chains
-  * lazily with no staging; with dangling nodes present it is consumed
-  * twice each round (the dangling-mass scalar and the contribution
-  * join), so it is materialized per iteration (node-sized, (id, rank)
-  * only) to keep the plan depth CONSTANT instead of letting the lazy
-  * lineage chain double — the relational analog of GraphX's periodic
-  * checkpoint. The rank table is never collected to the driver.
+  * size the exchanges. ONE up-front per-node flag aggregation classifies
+  * the graph and picks the cheapest correct plan:
+  *
+  *   - every node has out-edges AND in-links (symmetrized similarity
+  *     graphs, the common caller): the per-dst rebuild already covers
+  *     every node, so iterations chain lazily with no node join, no
+  *     dangling scalar and no staging — the minimal plan;
+  *   - zero-in-degree nodes but no dangling: a per-iteration left join
+  *     onto the node set keeps their teleport mass; still one rank-table
+  *     consumer per iteration, still lazy;
+  *   - dangling nodes: the dangling-mass scalar is a SECOND rank-table
+  *     consumer per iteration, so the rank table is materialized each
+  *     round (node-sized, (id, rank) only) to keep plan depth CONSTANT
+  *     instead of letting the lazy lineage chain double — the relational
+  *     analog of GraphX's periodic checkpoint.
+  *
+  * The node count n comes out of the same flag aggregation and is
+  * embedded as a LITERAL, so no scalar-subquery broadcast rides every
+  * iteration. The rank table is never collected to the driver.
   */
 object GraphRank {
 
@@ -46,36 +56,36 @@ object GraphRank {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val withDeg = Staged.materialize(e.join(deg, Seq("__src")))
-    // src ∪ dst from the STAGED edge list — deriving it from `e` would
-    // recompute the (possibly expensive) upstream edge search a second
-    // time; every row of e survives the degree join, so the node set is
-    // identical
+
+    // per-node (has-out, has-in) flags from the STAGED edge list —
+    // deriving from `e` would recompute the (possibly expensive)
+    // upstream edge search; every edge survives the degree join, so the
+    // node set is identical. One driver action yields n, the dangling
+    // count and the zero-in-degree count together.
+    val flags = withDeg.select(col("__src").as("id"), lit(1).as("__s"), lit(0).as("__d"))
+      .unionByName(withDeg.select(col("__dst").as("id"), lit(0).as("__s"), lit(1).as("__d")))
+      .groupBy("id").agg(max("__s").as("__s"), max("__d").as("__d"))
+    val stats = flags.agg(count(lit(1)),
+      sum(when(col("__s") === 0, 1L).otherwise(0L)),
+      sum(when(col("__d") === 0, 1L).otherwise(0L))).head()
+    require(stats.getLong(0) > 0, "pageRank needs a non-empty edge list")
+    val n = stats.getLong(0).toDouble
+    val hasDangling = stats.getLong(1) > 0
+    val hasZeroIn = stats.getLong(2) > 0
+
     val nodesLazy = withDeg.select(col("__src").as("id"))
       .unionByName(withDeg.select(col("__dst").as("id")))
       .distinct()
-    val outNodes = withDeg.select(col("__src").as("id")).distinct()
-    // checked ONCE up front: on a dangling-free graph (every node has
-    // out-edges — true by construction for symmetrized similarity
-    // graphs, the common caller) the dangling scalar is identically 0,
-    // the rank table is consumed just ONCE per iteration (the
-    // contribution join), and the lazy linear chain needs no
-    // per-iteration staging — the dangling-aware path would pay a
-    // node-table parquet round trip per iteration for nothing. Only the
-    // dangling path stages the node set (its second per-iteration
-    // consumer); the fast path re-derives it per consumer as a cheap
-    // distinct over the staged edge parquet, saving a staging job.
-    val hasDangling = !nodesLazy.join(outNodes, Seq("id"), "left_anti").isEmpty
+    // only the dangling path consumes the node set twice per iteration —
+    // stage it there; elsewhere it is a cheap distinct over the staged
+    // edge parquet (or not needed at all)
     val nodes = if (hasDangling) Staged.materialize(nodesLazy) else nodesLazy
-    val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    var ranks = nodes.crossJoin(broadcast(nAgg))
-      .select(col("id"), (lit(1.0) / col("__n")).as("rank"))
+    val outNodes = withDeg.select(col("__src").as("id")).distinct()
+    val teleport = lit((1.0 - damping) / n)
+
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     if (hasDangling) ranks = Staged.materialize(ranks)
     for (_ <- 1 to iters) {
-      // mass sitting on dangling nodes (no out-edges) this iteration —
-      // a 1-row scalar, redistributed uniformly below. Reading `ranks`
-      // here is the second consumer per iteration, which is why the
-      // dangling path stages the rank table each round (constant plan
-      // depth instead of doubling).
       val dangling =
         if (!hasDangling) null
         else ranks.join(outNodes, Seq("id"), "left_anti")
@@ -84,19 +94,23 @@ object GraphRank {
         .select(col("__dst").as("__cid"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("__cid"))
         .agg(sum("__c").as("__in"))
-      val joined = nodes.join(contrib, col("id") === col("__cid"), "left")
-        .crossJoin(broadcast(nAgg))
       val next =
-        if (!hasDangling)
-          joined.select(col("id"),
-            (lit(1.0 - damping) / col("__n") +
-              lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        else
-          joined.crossJoin(broadcast(dangling))
-            .select(col("id"),
-              (lit(1.0 - damping) / col("__n") +
-                lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-                  col("__dm") / col("__n"))).as("rank"))
+        if (!hasDangling && !hasZeroIn)
+          // every node receives in-links: the per-dst rebuild IS the
+          // full node set — no node join needed (the minimal plan)
+          contrib.select(col("__cid").as("id"),
+            (teleport + lit(damping) * col("__in")).as("rank"))
+        else {
+          val joined = nodes.join(contrib, col("id") === col("__cid"), "left")
+          if (!hasDangling)
+            joined.select(col("id"),
+              (teleport + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+          else
+            joined.crossJoin(broadcast(dangling))
+              .select(col("id"),
+                (teleport + lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                  col("__dm") / lit(n))).as("rank"))
+        }
       ranks = if (hasDangling) Staged.materialize(next) else next
     }
     ranks
