@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.IngestQueries.defs ++
     graft.queries.ArrayQueries.defs ++
     graft.queries.CorpusQueries.defs ++
-    graft.queries.MatchQueries.defs
+    graft.queries.MatchQueries.defs ++
+    graft.queries.SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * AresDB's flagship shape — time-filtered, dimension-joined,
