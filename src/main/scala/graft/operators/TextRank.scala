@@ -405,4 +405,37 @@ object TextRank {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
+    * corpus vocabulary by PageRank centrality over the word co-occurrence
+    * graph — adjacent-token pairs, undirected, deduplicated (the paper's
+    * unweighted variant with window 2). A word that co-occurs with many
+    * well-connected words outranks a merely frequent one, which is what
+    * separates keywords from stopword-tier fillers.
+    *
+    * Scale shape: the edge list is one explode + one distinct, bounded by
+    * the distinct co-occurring pair count (vocabulary², not corpus
+    * tokens); [[GraphRank.pageRank]] then classifies the symmetric graph
+    * and runs the minimal no-node-join plan. Nothing corpus-sized rides
+    * an iteration.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col(textCol)).as("tk"))
+    val adj = toks.where(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("a"),
+          element_at(col("tk"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val canon = adj
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+    GraphRank.pageRank(sym, "a", "b", iters)
+      .select(col("id").as("word"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(k)
+  }
 }

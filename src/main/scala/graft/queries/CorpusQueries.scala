@@ -313,5 +313,39 @@ object CorpusQueries {
         |FROM binned GROUP BY 1 ORDER BY bin NULLS FIRST""".stripMargin) { (s, d) =>
       Sampling.curriculumBins(Tables.documents(s, d), col("n_chars"), 4)
         .orderBy("bin")
+    },
+
+    // --- TextRank keyword extraction: PageRank over the adjacent-token
+    // co-occurrence graph (undirected, deduplicated — Mihalcea & Tarau
+    // 2004, window 2). The oracle builds the identical edge set and
+    // replays the 3 power iterations; the graph is symmetric so every
+    // node has in- and out-edges and the engine runs the minimal plan.
+    QueryDef("q_text_textrank",
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |              FROM documents),
+        |adj AS (SELECT tk[i] AS a, tk[i+1] AS b
+        |        FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+        |        WHERE len(tk) >= 2),
+        |canon AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+        |          FROM adj WHERE a <> b),
+        |edges AS (SELECT a AS s, b AS d FROM canon
+        |          UNION ALL SELECT b, a FROM canon),
+        |nodes AS (SELECT DISTINCT s AS id FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT e.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r0.r / deg.deg) AS r
+        |       FROM edges e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s
+        |       CROSS JOIN nn GROUP BY e.d),
+        |r2 AS (SELECT e.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r1.r / deg.deg) AS r
+        |       FROM edges e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s
+        |       CROSS JOIN nn GROUP BY e.d),
+        |r3 AS (SELECT e.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r2.r / deg.deg) AS r
+        |       FROM edges e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s
+        |       CROSS JOIN nn GROUP BY e.d)
+        |SELECT id AS word, ROUND(r, 4) AS rank
+        |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.textRankKeywords(Tables.documents(s, d), "text",
+        iters = 3, k = 20)
     })
 }

@@ -107,4 +107,30 @@ class TextRankSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaClosure == viaJoin, s"$viaClosure vs $viaJoin")
   }
+
+  test("textrank: the co-occurrence hub outranks peripheral words") {
+    import spark.implicits._
+    // hub co-occurs with 6 distinct words; each leaf sees only hub (+ one
+    // disconnected pair u-v). Degree centrality must surface hub first.
+    val docs = Seq(
+      "hub alpha", "hub beta", "hub gamma", "hub delta",
+      "hub epsilon", "hub zeta", "u v")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextRank.textRankKeywords(docs, "text", iters = 3, k = 3).collect()
+    assert(out.head.getString(0) == "hub", s"expected hub first: ${out.toSeq}")
+    assert(out.head.getDouble(1) > out(1).getDouble(1),
+      "hub must strictly outrank the runner-up")
+  }
+
+  test("textrank: repeated co-occurrence does not inflate the unweighted graph") {
+    import spark.implicits._
+    // (a,b) appears 50 times, (c,d) once: identical graphs after dedup →
+    // identical ranks. (a b) and (b a) directions also collapse.
+    val docs = (Seq.fill(25)("a b") ++ Seq.fill(25)("b a") ++ Seq("c d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextRank.textRankKeywords(docs, "text", iters = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out("a") == out("c") && out("b") == out("d"),
+      s"edge multiplicity leaked into the unweighted ranks: $out")
+  }
 }
