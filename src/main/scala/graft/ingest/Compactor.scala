@@ -35,9 +35,12 @@ object Compactor {
     * Returns a report per REWRITTEN day (untouched days are absent).
     */
   def compact(spark: SparkSession, dir: String, sortCols: Seq[String],
-      maxFiles: Int = 8, targetFiles: Int = 1): Seq[DayReport] = {
+      maxFiles: Int = 8, targetFiles: Int = 1,
+      zorderCols: Seq[String] = Nil): Seq[DayReport] = {
     require(maxFiles >= 1, s"maxFiles $maxFiles must be >= 1")
     require(targetFiles >= 1, s"targetFiles $targetFiles must be >= 1")
+    require(zorderCols.isEmpty || sortCols.isEmpty,
+      "pass either sortCols (linear clustering) or zorderCols (multi-column), not both")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"archive $dir does not exist")
@@ -56,11 +59,20 @@ object Compactor {
           // read THIS day's files directly (no partition-column recovery
           // needed — the day value is re-encoded in the directory name on
           // swap), restore the sort clustering, write the target file set
-          val rewritten = spark.read.parquet(part.toString).repartition(targetFiles)
-          (if (sortCols.nonEmpty)
-            rewritten.sortWithinPartitions(sortCols.map(col): _*)
-          else rewritten)
-            .write.mode("overwrite").parquet(tmp.toString)
+          val dayDf = spark.read.parquet(part.toString)
+          val rewritten =
+            if (zorderCols.nonEmpty)
+              // z-curve clustering: per-file min/max stats bound EVERY
+              // zorder column (ranges computed per day — zone maps are
+              // per-file, so day-local normalization is exactly right)
+              ZOrder.clusterToFiles(dayDf, zorderCols, targetFiles)
+            else {
+              val rep = dayDf.repartition(targetFiles)
+              if (sortCols.nonEmpty)
+                rep.sortWithinPartitions(sortCols.map(col): _*)
+              else rep
+            }
+          rewritten.write.mode("overwrite").parquet(tmp.toString)
           // swap: old → trash, tmp → live, trash deleted. A crash between
           // the two renames loses no data (trash still holds the old
           // partition and the tmp dir holds the new one — the next run

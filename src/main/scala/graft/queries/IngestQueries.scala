@@ -61,6 +61,32 @@ object IngestQueries {
       Archiver.scan(s, Tables.eventsArchivePath(d), "ts", 1704412800L, 1704672000L)
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
+    },
+
+    // z-order layout correctness: the Morton z-value that drives the
+    // multi-column clustered rewrite (ZOrder/Compactor zorderCols) is
+    // exact 64-bit integer arithmetic, replayed term-for-term by the
+    // oracle — the layout decision itself sits under the hash gate.
+    QueryDef("q_zorder_value", {
+      val z = graft.ingest.ZOrder.oracleSql(
+        Seq("user_id", "event_id"),
+        Seq("st.amin", "st.bmin"), Seq("st.amax", "st.bmax"))
+      s"""WITH st AS (SELECT MIN(user_id) AS amin, MAX(user_id) AS amax,
+         |              MIN(event_id) AS bmin, MAX(event_id) AS bmax
+         |            FROM events),
+         |z AS (SELECT $z AS zv FROM events CROSS JOIN st)
+         |SELECT CAST(zv >> 28 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(zv) AS BIGINT) AS zmin, CAST(MAX(zv) AS BIGINT) AS zmax
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      graft.ingest.ZOrder.withZValue(
+          Tables.events(s, d).select("user_id", "event_id"),
+          Seq("user_id", "event_id"))
+        .groupBy(shiftright(col("__z"), 28).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("__z").as("zmin"), max("__z").as("zmax"))
+        .orderBy("bucket")
     }
   )
 }
