@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Deduplication operators for large-scale text pipelines.
   *
@@ -425,6 +426,33 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("__text"), lit("")).as(textCol),
         (col("__n") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /** WITHIN-document repeated-paragraph removal: keep the first
+    * occurrence of each distinct paragraph inside a document, drop later
+    * copies, rebuild byte-exactly — the intra-doc sibling of
+    * [[paragraphDedup]] (which dedups ACROSS documents). Scraped pages
+    * repeat nav blocks and footers inside one document; this is the CCNet
+    * per-document pass that runs before any corpus-wide dedup.
+    *
+    * Scale shape: a single higher-order-function fold over the split
+    * array — per-row state only, NO shuffle at any size (the cross-doc
+    * variant necessarily shuffles paragraph hashes; this one never leaves
+    * the row). Quadratic in a document's paragraph count, which is small
+    * by construction.
+    */
+  def dedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    df.select(col(idCol), split(col(textCol), quoted).as("__ps"))
+      .select(col(idCol), col("__ps"),
+        aggregate(col("__ps"),
+          array().cast(ArrayType(StringType)),
+          (acc, x) => when(array_contains(acc, x), acc)
+            .otherwise(concat(acc, array(x)))).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), sep).as(textCol),
+        (size(col("__ps")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** Quality-aware canonical selection: keep the BEST-scoring member of

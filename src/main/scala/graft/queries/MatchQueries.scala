@@ -152,6 +152,43 @@ object MatchQueries {
         .orderBy("doc_id")
     },
 
+    // --- WITHIN-doc repeated-paragraph removal (the CCNet per-document
+    // pass): planted fixture wraps each doc as A|text|text|A, so exactly
+    // the second text copy and the trailing A are removed per doc — and,
+    // unlike q_paragraph_dedup, identical paragraphs in OTHER docs must
+    // NOT interfere. Shuffle-free on the engine side (one array fold);
+    // rebuilt text pinned by md5.
+    QueryDef("q_dedup_within_doc",
+      s"""WITH injected AS (
+        |  SELECT doc_id, 'A ' || (doc_id % 7) || $SqlSep || text ||
+        |         $SqlSep || text || $SqlSep || 'A ' || (doc_id % 7) AS t
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, i AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(t, $SqlSep) AS ps FROM injected),
+        |       UNNEST(range(1, len(ps) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, pos, para,
+        |         row_number() OVER (PARTITION BY doc_id, para ORDER BY pos) AS rn
+        |  FROM flat),
+        |rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(para, $SqlSep ORDER BY pos) AS t2
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id),
+        |orig AS (SELECT doc_id, len(string_split(t, $SqlSep)) AS n FROM injected)
+        |SELECT o.doc_id, CAST(o.n - r.n_kept AS BIGINT) AS n_removed,
+        |       md5(r.t2) AS text_fp
+        |FROM orig o JOIN rebuilt r ON o.doc_id = r.doc_id
+        |ORDER BY o.doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("A "), (col("doc_id") % 7).cast("string"), lit(Sep),
+          col("text"), lit(Sep), col("text"),
+          lit(Sep), lit("A "), (col("doc_id") % 7).cast("string")).as("text"))
+      Dedup.dedupWithinDoc(injected, "doc_id", "text", Sep)
+        .select(col("doc_id"), col("n_removed"), md5(col("text")).as("text_fp"))
+        .orderBy("doc_id")
+    },
+
     // --- n-gram uniqueness: the templated-text detector (low fraction =
     // every phrase borrowed from elsewhere in the corpus; contamination
     // scoring's inward-facing sibling). Trigrams, distinct per doc.

@@ -105,6 +105,29 @@ class MatchOpsSpec extends SparkSpec {
       s"winner selection must not be a window sort:\n$plan")
   }
 
+  // --- Dedup.dedupWithinDoc ------------------------------------------------
+
+  test("dedupWithinDoc removes only same-document copies, in order") {
+    val docs = Seq(
+      (1L, "nav\n\nbody one\n\nnav\n\nbody one"), // both repeats drop
+      (2L, "nav\n\nbody two"),                    // cross-doc 'nav' survives
+      (3L, "x\n\nx\n\nx\n\nx"))                   // 3 of 4 drop
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupWithinDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "nav\n\nbody one", 2L)))
+    assert(out(1) == ((2L, "nav\n\nbody two", 0L)))
+    assert(out(2) == ((3L, "x", 3L)))
+  }
+
+  test("dedupWithinDoc is shuffle-free (per-row fold, no exchange)") {
+    val docs = Seq((1L, "a\n\nb\n\na")).toDF("doc_id", "text")
+    val plan = Dedup.dedupWithinDoc(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"within-doc dedup must not shuffle:\n$plan")
+  }
+
   // --- TextRank.ngramUniqueness --------------------------------------------
 
   test("ngramUniqueness profiles borrowed vs novel phrases") {
