@@ -516,6 +516,38 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // --- text analysis: LEARNED subword segmentation. Vocabulary = top-64
+    // word prefixes (len 2-6) by occurrence, ties lexicographic; encoding
+    // is greedy longest-prefix max-match with a 1-char fallback. The
+    // oracle learns the identical vocabulary and replays the greedy loop
+    // as a recursive CTE with a correlated longest-match subquery —
+    // segmentation is pinned exactly, not statistically.
+    QueryDef("q_text_subword",
+      """WITH RECURSIVE toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pref AS (
+        |  SELECT substring(t.w, 1, l) AS p
+        |  FROM toks t, UNNEST(range(2, least(6, len(t.w)) + 1)) AS u(l)),
+        |vocab AS (SELECT p FROM (SELECT p, COUNT(*) AS c FROM pref GROUP BY 1)
+        |          ORDER BY c DESC, p LIMIT 64),
+        |words AS (SELECT DISTINCT w FROM toks),
+        |r(w, pos, n) AS (
+        |  SELECT w, 1, 0 FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + COALESCE((SELECT MAX(len(v.p)) FROM vocab v
+        |           WHERE v.p = substring(r.w, r.pos, len(v.p))), 1),
+        |         r.n + 1
+        |  FROM r WHERE r.pos <= len(r.w)),
+        |pieces AS (SELECT w, n FROM r WHERE pos > len(w))
+        |SELECT t.lang, CAST(SUM(p.n) AS BIGINT) AS subword_tokens
+        |FROM toks t JOIN pieces p ON p.w = t.w
+        |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Subword.subwordTokens(
+          Tables.documents(s, d), "text", "lang", vocabSize = 64, maxLen = 6)
+        .orderBy("lang")
+    },
+
     // --- text analysis -------------------------------------------------------
     QueryDef("q_text_stats",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
