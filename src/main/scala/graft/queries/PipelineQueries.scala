@@ -841,6 +841,30 @@ object PipelineQueries {
     // and the corpus at the 0.35 threshold. Sound on this corpus for the
     // same reason as q_pipeline_e2e's oracle (the jaccard gap), which
     // q_pipeline_oracle_guard checks cross-engine every round.
+    // --- bloom pre-filtered incremental dedup: the corpus key set rides
+    // a constant-size Bloom filter instead of an exact broadcast (the
+    // both-sides-huge shape). Output is EXACTLY the anti-join — false
+    // positives are verified away — so the oracle needs no bloom replay.
+    QueryDef("q_dedup_bloom_incremental",
+      """WITH cutv AS (SELECT MAX(doc_id) - 49 AS cut FROM documents),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < (SELECT cut FROM cutv)),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT cut FROM cutv)
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id FROM batch b
+        |WHERE b.text NOT IN (SELECT text FROM corpus)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val cut = docs.agg(max("doc_id")).head().getLong(0) - 49
+      val corpus = docs.where(col("doc_id") < cut)
+      val batch = docs.where(col("doc_id") >= cut).unionByName(
+        docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.bloomDedupAgainst(batch, corpus, Seq("text"), mBits = 1 << 17)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     QueryDef("q_dedup_incremental",
       """WITH cutv AS (SELECT MAX(doc_id) - 49 AS cut FROM documents),
         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT cut FROM cutv)),

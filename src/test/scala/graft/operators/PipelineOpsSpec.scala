@@ -74,6 +74,32 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(12L, 13L), out.toString)
   }
 
+  test("bloom pre-filtered incremental dedup equals the exact anti-join") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // exact copy of 1
+      (11L, "red green blue yellow purple orange"),  // exact copy of 3
+      (12L, "completely different content about planets here"),
+      (13L, "moons orbit gas giants in the outer system")).toDF("doc_id", "text")
+    val exact = Dedup.dedupAgainst(batch, corpus, Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = Dedup.bloomDedupAgainst(batch, corpus, Seq("text"),
+        mBits = 4096, seeds = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact, s"$viaBloom vs $exact")
+    assert(viaBloom == Set(12L, 13L))
+    // a saturated filter (every probe a false positive) still verifies
+    // everything away exactly — output semantics never degrade
+    val saturated = Dedup.bloomDedupAgainst(batch, corpus, Seq("text"),
+        mBits = 64, seeds = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(saturated == exact, s"saturated filter changed semantics: $saturated")
+  }
+
   test("incremental dedup against the corpus fixture catches planted cross-dups") {
     val n = docs.count()
     val corpus = docs
