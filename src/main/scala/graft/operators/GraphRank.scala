@@ -48,13 +48,22 @@ object GraphRank {
   /** Ranks after `iters` power iterations at `damping`, from a uniform
     * start over src ∪ dst. Returns (id, rank) for every node, rank
     * UNROUNDED — gate consumers round for cross-engine compare.
+    *
+    * `weightCol`: optional positive edge weight — a node's rank flows to
+    * its neighbours proportionally to edge weight over its total
+    * outgoing weight (textbook weighted PageRank; with no weight every
+    * edge carries 1 and the sum degenerates to the out-degree, so the
+    * unweighted path is the same arithmetic).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping $damping must be in (0,1)")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      w.as("__w"))
+    val deg = e.groupBy("__src").agg(sum("__w").as("__deg"))
     val withDeg = Staged.materialize(e.join(deg, Seq("__src")))
 
     // per-node (has-out, has-in) flags from the STAGED edge list —
@@ -91,7 +100,8 @@ object GraphRank {
         else ranks.join(outNodes, Seq("id"), "left_anti")
           .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contrib = withDeg.join(ranks, col("__src") === col("id"))
-        .select(col("__dst").as("__cid"), (col("rank") / col("__deg")).as("__c"))
+        .select(col("__dst").as("__cid"),
+          (col("rank") * col("__w") / col("__deg")).as("__c"))
         .groupBy(col("__cid"))
         .agg(sum("__c").as("__in"))
       val next =

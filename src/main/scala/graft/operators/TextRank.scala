@@ -438,4 +438,32 @@ object TextRank {
       .orderBy(col("rank").desc, col("word").asc)
       .limit(k)
   }
+
+  /** Weighted TextRank: like [[textRankKeywords]] but edges carry the
+    * CO-OCCURRENCE COUNT (the Mihalcea & Tarau weighted formulation) —
+    * rank flows proportionally to how often two words are adjacent, so a
+    * pair glued together across the corpus transfers more mass than an
+    * incidental one. Same scale shape: the weighted edge list is one
+    * partial-agg shuffle bounded by distinct pairs.
+    */
+  def textRankKeywordsWeighted(docs: DataFrame, textCol: String, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col(textCol)).as("tk"))
+    val adj = toks.where(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("a"),
+          element_at(col("tk"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val canon = adj
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("double").as("w"))
+    val sym = canon.unionByName(
+      canon.select(col("b").as("a"), col("a").as("b"), col("w")))
+    GraphRank.pageRank(sym, "a", "b", iters, weightCol = Some("w"))
+      .select(col("id").as("word"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(k)
+  }
 }

@@ -347,5 +347,39 @@ object CorpusQueries {
         |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 20""".stripMargin) { (s, d) =>
       graft.operators.TextRank.textRankKeywords(Tables.documents(s, d), "text",
         iters = 3, k = 20)
+    },
+
+    // --- weighted TextRank: edges carry co-occurrence counts and rank
+    // flows proportionally to weight over total outgoing weight — the
+    // paper's weighted formulation. Oracle replays the weighted degree
+    // and all three iterations.
+    QueryDef("q_text_textrank_weighted",
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |              FROM documents),
+        |adj AS (SELECT tk[i] AS a, tk[i+1] AS b
+        |        FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+        |        WHERE len(tk) >= 2),
+        |canon AS (SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b,
+        |            CAST(COUNT(*) AS DOUBLE) AS w
+        |          FROM adj WHERE a <> b GROUP BY 1, 2),
+        |edges AS (SELECT a AS s, b AS d, w FROM canon
+        |          UNION ALL SELECT b, a, w FROM canon),
+        |nodes AS (SELECT DISTINCT s AS id FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT s, SUM(w) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT e.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r0.r * e.w / deg.deg) AS r
+        |       FROM edges e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s
+        |       CROSS JOIN nn GROUP BY e.d),
+        |r2 AS (SELECT e.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r1.r * e.w / deg.deg) AS r
+        |       FROM edges e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s
+        |       CROSS JOIN nn GROUP BY e.d),
+        |r3 AS (SELECT e.d AS id, 0.15 / any_value(nn.n) + 0.85 * SUM(r2.r * e.w / deg.deg) AS r
+        |       FROM edges e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s
+        |       CROSS JOIN nn GROUP BY e.d)
+        |SELECT id AS word, ROUND(r, 4) AS rank
+        |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.textRankKeywordsWeighted(Tables.documents(s, d),
+        "text", iters = 3, k = 20)
     })
 }

@@ -70,6 +70,35 @@ class GraphRankSpec extends SparkSpec {
     assert(got(3L) > got(2L) && got(2L) > got(1L), s"$got")
   }
 
+  test("weighted pageRank flows rank proportionally to edge weight") {
+    import spark.implicits._
+    // node 1 sends 3/4 of its mass to 2 and 1/4 to 3 (weights 3 and 1);
+    // 2 and 3 each return everything to 1. One iteration, by hand.
+    val edges = Seq(
+      (1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("s", "d", "w")
+    val got = GraphRank.pageRank(edges, "s", "d", iters = 1,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = 0.15 / 3
+    assert(math.abs(got(1L) - (t + 0.85 * (1.0 / 3 + 1.0 / 3))) < 1e-12, got.toString)
+    assert(math.abs(got(2L) - (t + 0.85 * (1.0 / 3 * 3 / 4))) < 1e-12, got.toString)
+    assert(math.abs(got(3L) - (t + 0.85 * (1.0 / 3 * 1 / 4))) < 1e-12, got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("weighted pageRank with unit weights equals the unweighted path") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L))
+      .toDF("s", "d")
+    val unweighted = GraphRank.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val unit = GraphRank.pageRank(edges.withColumn("w", lit(1.0)), "s", "d",
+        iters = 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unweighted == unit, s"$unweighted vs $unit")
+  }
+
   test("freqSpectrum buckets exactly at powers of two") {
     import spark.implicits._
     // token a ×1 (bucket 0), b ×2 (bucket 1), c ×4 (bucket 2), d ×7 (bucket 2)
