@@ -261,6 +261,49 @@ object Dedup {
       .drop("__ck")
   }
 
+  /** Precision audit of the banded MinHash pass: every flagged candidate
+    * pair re-scored with its EXACT 3-shingle Jaccard (the signature's own
+    * shingle size) and histogrammed by
+    * integer decile — the observability report that tells a curation run
+    * whether its LSH threshold/banding are surfacing true near-dups or
+    * noise, BEFORE committing to a destructive dedup. (The estimate can
+    * only be audited against exact overlap; a pair count alone says
+    * nothing about quality.)
+    *
+    * Scale shape: exact Jaccard is recomputed ONLY for documents that
+    * appear in a flagged pair (broadcast semi-join on the pair ids, which
+    * are bounded by true duplicates) — the corpus at large never joins on
+    * shingles. Bucket arithmetic is integer (`10*i div union`), so the
+    * histogram is engine-exact.
+    */
+  def minhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+      .select("a_id", "b_id")
+    val ids = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    val sh = df
+      .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+      .join(broadcast(Staged.materialize(ids)), Seq("id"))
+      .where(size(col("__tk")) >= 3)
+      .select(col("id"),
+        explode(array_distinct(TextOps.shingles(col("__tk"), 3))).as("g"))
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("id").as("a_id"), col("g"))
+      .join(sh.select(col("id").as("b_id"), col("g")), Seq("g"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      .join(pairs, Seq("a_id", "b_id"), "left_semi")
+    val scored = pairs
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sz.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .select((lit(10) * coalesce(col("i"), lit(0L)) /
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))))
+        .cast("long").cast("int").as("bucket"))
+    scored.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact incremental dedup via a Bloom pre-filter — the variant of
     * [[dedupAgainst]] for when the BATCH is itself too large to broadcast
     * its exact key set (week-sized deltas, corpus-vs-corpus audits).

@@ -991,6 +991,39 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // --- minhash precision audit: flagged pairs re-scored with exact
+    // 2-shingle jaccard, histogrammed by integer decile. The oracle
+    // computes the exact >= 0.35 pair set (the banding == exact equality
+    // that q_pipeline_oracle_guard pins loudly every round) and replays
+    // the same integer bucket arithmetic.
+    QueryDef("q_dedup_minhash_audit",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz yy xx' FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
+        |    i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM input)
+        |  WHERE len(ts) >= 3),
+        |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |e0 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT e0.i, sa.n AS na, sb.n AS nb
+        |  FROM e0 JOIN szs sa ON sa.doc_id = e0.a JOIN szs sb ON sb.doc_id = e0.b
+        |  WHERE 100 * e0.i >= 35 * (sa.n + sb.n - e0.i))
+        |SELECT CAST((10 * i) // (na + nb - i) AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM flagged GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val input = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
+      Dedup.minhashPrecisionAudit(input, "doc_id", "text", 0.35)
+        .orderBy("bucket")
+    },
+
     // decode is REAL (javax.imageio PNG): each row carries an actual PNG
     // whose dims/seed derive SQL-expressibly from doc_id, and the engine
     // emits what the CODEC decoded — dimensions and the top-left pixel —

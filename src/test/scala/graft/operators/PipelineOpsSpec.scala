@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(12L, 13L), out.toString)
   }
 
+  test("minhashPrecisionAudit: exact copies land in bucket 10, mutations lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),      // j = 1.0
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"), // j = 6/7 vs 1/2
+      (4L, "totally unrelated content with other words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashPrecisionAudit(docs, "doc_id", "text", 0.35)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.exists { case (b, _) => b == 10 }, s"exact pair missing: ${out.toSeq}")
+    assert(out.map(_._2).sum >= 2, s"expected >= 2 audited pairs: ${out.toSeq}")
+    assert(out.forall { case (b, _) => b >= 3 },
+      s"no audited pair can sit below the 0.35 threshold decile: ${out.toSeq}")
+  }
+
   test("bloom pre-filtered incremental dedup equals the exact anti-join") {
     import spark.implicits._
     val corpus = Seq(
