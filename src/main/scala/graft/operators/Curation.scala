@@ -138,6 +138,36 @@ object Curation {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Sliding-window (strided) token chunking — the RAG indexing shape:
+    * chunk i covers tokens `[i*stride, i*stride + chunkSize)`, so
+    * consecutive chunks overlap by `chunkSize - stride` tokens and no
+    * retrieval boundary can split a fact that [[chunkTokens]]'s disjoint
+    * windows would cut. Chunk count is the minimal cover
+    * `1 + ceil((n - chunkSize) / stride)` (integer arithmetic, exact in
+    * any engine); the final window is clipped at the document end.
+    * Map-side only — one explode, no shuffle.
+    */
+  def chunkTokensOverlap(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize $chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride $stride must be in [1, chunkSize]")
+    val k = lit(chunkSize)
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__n_chunks",
+        when(col("__n") <= k, lit(1))
+          .otherwise(lit(1) +
+            ((col("__n") - k + stride - 1) / stride).cast("int")))
+      .select(col(idCol),
+        explode(sequence(lit(0), col("__n_chunks") - 1)).as("chunk_idx"),
+        col("__toks"))
+      .withColumn("__chunk", slice(col("__toks"), col("chunk_idx") * stride + 1, k))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Cross-engine-safe PII patterns (identical semantics in Java regex and
     * RE2): email addresses and +1-prefixed dashed phone numbers. Both
     * avoid constructs the dialects disagree on (lookaround, \d vs POSIX).

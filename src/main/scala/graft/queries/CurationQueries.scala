@@ -74,6 +74,27 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // --- overlapping (strided) chunks: the RAG indexing window. Chunk i
+    // starts at i*stride; count = 1 + ceil((n - size)/stride) in integer
+    // arithmetic, identical in both engines; final window clipped.
+    QueryDef("q_curation_chunks_overlap",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, CASE WHEN len(toks) <= 10 THEN 1
+        |          ELSE 1 + (len(toks) - 10 + 6) // 7 END)) AS chunk_idx
+        |      FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, chunk_idx*7 + 1, chunk_idx*7 + 10)) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx*7 + 1, chunk_idx*7 + 10), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin) { (s, d) =>
+      Curation.chunkTokensOverlap(
+          Tables.documents(s, d).where(col("doc_id") < 50), "doc_id", "text",
+          chunkSize = 10, stride = 7)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // --- PII redaction ------------------------------------------------------
     // the synthetic corpus has no PII, so the gate plants a deterministic
     // email + phone per doc; patterns are RE2/Java-identical by contract

@@ -105,6 +105,35 @@ class CurationSpec extends SparkSpec {
     assert(rows(2).getString(2) == "i j")
   }
 
+  test("overlapping chunks: stride windows, clipped tail, minimal cover") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val rows = Curation.chunkTokensOverlap(df, "doc_id", "text",
+        chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: n=10, size=4, stride=2 -> 1 + ceil(6/2) = 4 chunks
+    val doc1 = rows.filter(_._1 == 1L)
+    assert(doc1.map(_._4).toSeq ==
+      Seq("a b c d", "c d e f", "e f g h", "g h i j"), doc1.mkString(", "))
+    // short doc: single clipped chunk
+    assert(rows.filter(_._1 == 2L).map(_._4).toSeq == Seq("x y"))
+    // every consecutive pair overlaps by size - stride = 2 tokens
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").takeRight(2).toSeq == b._4.split(" ").take(2).toSeq)
+    }
+  }
+
+  test("overlapping chunks tail window is clipped, not padded") {
+    import spark.implicits._
+    // n=8, size=4, stride=3 -> 1 + ceil(4/3) = 3 chunks at starts 0,3,6;
+    // the last covers only 2 tokens and must come back clipped
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val rows = Curation.chunkTokensOverlap(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").collect().map(r => (r.getInt(2), r.getString(3)))
+    assert(rows.toSeq == Seq((4, "a b c d"), (4, "d e f g"), (2, "g h")))
+  }
+
   test("redaction removes every PII match and piiCount counts them") {
     import spark.implicits._
     val df = Seq(
