@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.{Bridge, CosineSim}
+import org.apache.spark.sql.graftbridge.{Bridge, CosineSim, CosineSimDouble}
 
 /** Native vector math over `array<float>` embedding columns.
   *
@@ -51,4 +51,28 @@ object VectorOps {
     */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Sequential-fold cosine over `array<double>` (derived vectors —
+    * centroids, averaged embeddings — that never existed as floats).
+    */
+  def cosineSimilarityDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Codegen'd cosine of two `array<double>` columns. */
+  def cosineDouble(a: Column, b: Column): Column =
+    Bridge.column(CosineSimDouble(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -89,6 +89,29 @@ object Similarity {
         cosine(col("q_vec"), col("c_vec")).as("cos"))
       .where(col("cos") >= minCosine)
 
+  /** Per-group embedding centroids: the class/source mean vector, in
+    * DOUBLE (derived vectors never round-trip through float). The
+    * embedding-drift and class-separability audit primitive: centroid
+    * movement between corpus versions and centroid-pair cosine
+    * (`q_emb_centroid_sep`) tell a pipeline whether its label structure
+    * survives a re-embed or a dedup pass.
+    *
+    * Scale shape: one partial-agg shuffle keyed on (group, dim) — the
+    * shuffled volume is |groups|×dim partial sums per partition, not the
+    * corpus — then a per-group reassembly of dim rows. Output is
+    * |groups| rows.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    df.select(col(groupCol).as("group"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("group", "__pos")
+      .agg(avg(col("__v").cast("double")).as("__c"), count(lit(1)).as("__n"))
+      .groupBy("group")
+      .agg(max("__n").as("n"),
+        transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+          s => s.getField("__c")).as("centroid"))
+  }
+
   /** Cluster-balanced sampling: assign every vector to its nearest
     * centroid ([[assignCells]] — one map-side UDF pass, centroids
     * broadcast) and keep at most `cap` rows per cluster by smallest id —

@@ -50,6 +50,35 @@ object DataOpsQueries {
     // (sqrt-L2 is argmin-equivalent to the engine's squared L2; ties —
     // which only the centroid rows themselves could hit — break toward the
     // smaller cell in both engines).
+    // --- label-centroid separability: per-label mean vectors (double,
+    // one (group, dim)-keyed partial agg) scored pairwise with the
+    // sequential-fold double cosine. Both engines fold sums in element
+    // order, so ROUND(_, 4) compares a like-for-like double.
+    QueryDef("q_emb_centroid_sep",
+      """WITH e AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings, UNNEST(range(1, 65)) u(i)),
+        |m AS (SELECT label, i, AVG(v) AS c FROM e GROUP BY 1, 2),
+        |cen AS (SELECT label, array_agg(c ORDER BY i) AS cen FROM m GROUP BY 1),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        a.cen AS ca, b.cen AS cb
+        |      FROM cen a JOIN cen b ON a.label < b.label)
+        |SELECT label_a, label_b,
+        |  ROUND(list_sum(list_transform(range(1, 65), i -> ca[i]*cb[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> ca[i]*ca[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> cb[i]*cb[i])))), 4)
+        |    AS cos
+        |FROM p ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+      val cen = Similarity.groupCentroids(Tables.embeddings(s, d),
+        "label", "embedding")
+      val a = cen.select(col("group").as("label_a"), col("centroid").as("ca"))
+      val b = cen.select(col("group").as("label_b"), col("centroid").as("cb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(graft.functions.VectorOps.cosineDouble(col("ca"), col("cb")), 4)
+            .as("cos"))
+        .orderBy("label_a", "label_b")
+    },
+
     QueryDef("q_cluster_balance",
       """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
         |               FROM embeddings WHERE vec_id < 8),

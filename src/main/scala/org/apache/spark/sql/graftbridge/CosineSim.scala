@@ -36,3 +36,31 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 }
+
+/** [[CosineSim]]'s `array<double>` sibling for DERIVED vectors (group
+  * centroids, averaged embeddings) that are computed in double and must
+  * not round-trip through float before scoring. Same sequential-fold
+  * exactness contract.
+  */
+case class CosineSimDouble(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VectorOps.cosineSimilarityDouble(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.cosineSimilarityDouble($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimDouble =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim_d"
+}

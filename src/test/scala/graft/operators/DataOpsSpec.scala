@@ -234,4 +234,29 @@ class DataOpsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
     }
   }
+
+  test("groupCentroids averages per dimension; cosineDouble scores exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1f, 0f, 0f)), (0, Seq(3f, 0f, 0f)),   // centroid (2, 0, 0)
+      (1, Seq(0f, 4f, 0f)),                          // centroid (0, 4, 0)
+      (2, Seq(2f, 2f, 0f))).toDF("label", "vec")     // centroid (2, 2, 0)
+    val cen = Similarity.groupCentroids(df, "label", "vec")
+      .orderBy("group")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(cen(0) == ((0, 2L, Seq(2.0, 0.0, 0.0))))
+    assert(cen(1) == ((1, 1L, Seq(0.0, 4.0, 0.0))))
+    assert(cen(2) == ((2, 1L, Seq(2.0, 2.0, 0.0))))
+    // orthogonal centroids -> 0; 45-degree -> 1/sqrt(2)
+    val cens = Similarity.groupCentroids(df, "label", "vec")
+    val a = cens.select(col("group").as("ga"), col("centroid").as("ca"))
+    val b = cens.select(col("group").as("gb"), col("centroid").as("cb"))
+    val cos = a.join(b, col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        graft.functions.VectorOps.cosineDouble(col("ca"), col("cb")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cos((0, 1)) == 0.0)
+    assert(math.abs(cos((0, 2)) - 1.0 / math.sqrt(2)) < 1e-15)
+    assert(math.abs(cos((1, 2)) - 1.0 / math.sqrt(2)) < 1e-15)
+  }
 }
