@@ -50,6 +50,29 @@ object DataOpsQueries {
     // (sqrt-L2 is argmin-equivalent to the engine's squared L2; ties —
     // which only the centroid rows themselves could hit — break toward the
     // smaller cell in both engines).
+    // --- JL random projection: the hash-sign matrix is a pure function
+    // of (i, j) via the md5 hex prefix, so the oracle regenerates the
+    // SAME matrix and folds each output dim in the same element order —
+    // the projection values are pinned, not just their distance
+    // statistics (those live in ProjectionSpec).
+    QueryDef("q_emb_jl_project",
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS INT) AS dim,
+        |  ROUND(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) *
+        |      (CASE WHEN CAST(('0x' || substring(md5((i-1) || ':' || j), 1, 15))
+        |                    AS BIGINT) % 2 = 0
+        |            THEN 1.0/sqrt(8) ELSE -(1.0/sqrt(8)) END))), 4) AS v
+        |FROM embeddings, UNNEST(range(0, 8)) u(j)
+        |WHERE vec_id < 50
+        |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      graft.operators.Projection.reduce(
+          Tables.embeddings(s, d).where(col("vec_id") < 50),
+          "embedding", inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "pv")))
+        .select(col("vec_id"), col("dim"), round(col("pv"), 4).as("v"))
+        .orderBy("vec_id", "dim")
+    },
+
     // --- label-centroid separability: per-label mean vectors (double,
     // one (group, dim)-keyed partial agg) scored pairwise with the
     // sequential-fold double cosine. Both engines fold sums in element
