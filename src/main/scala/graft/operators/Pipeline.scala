@@ -107,4 +107,28 @@ object Pipeline {
       .select(col(idCol), col("n_words"))
     Packing.packBinsNoSplit(kept, idCol, "n_words", packBudget, nShards)
   }
+
+  /** Dataset-card report: every per-source statistic a corpus release
+    * note needs — doc and token counts, exact duplicate rate (distinct
+    * texts), language spread, quality and PII incidence — from ONE scan
+    * of the corpus. The two exact count-distincts ride Catalyst's expand
+    * rewrite inside the same aggregation; nothing scans the corpus twice.
+    */
+  def corpusReport(docs: DataFrame, textCol: String, srcCol: String,
+      langCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(srcCol).as("source"), col(langCol).as("__lang"),
+        col(textCol).as("__text"), toks.as("__tk"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__tk"))).cast("long").as("n_tokens"),
+        countDistinct(col("__text")).as("n_distinct_texts"),
+        countDistinct(col("__lang")).as("n_langs"),
+        sum(TextOps.qualityFlag(col("__tk"), length(col("__text"))))
+          .cast("long").as("quality_docs"),
+        sum(when(Curation.piiCount(col("__text")) > 0, 1L).otherwise(0L))
+          .cast("long").as("pii_docs"))
+  }
 }

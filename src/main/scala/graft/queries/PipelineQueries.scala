@@ -991,6 +991,29 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // --- dataset-card report: per-source release-note statistics from
+    // ONE corpus scan (the two exact count-distincts ride Catalyst's
+    // expand rewrite inside the same aggregation).
+    QueryDef("q_corpus_report",
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 20
+        |                 AND length(text) >= 100
+        |                 AND length(text) <= len(string_split_regex(trim(text), '\s+')) * 10
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs,
+        |  CAST(SUM(CASE WHEN
+        |      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs
+        |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Pipeline.corpusReport(
+          Tables.documents(s, d), "text", "source", "lang")
+        .orderBy("source")
+    },
+
     // --- minhash precision audit: flagged pairs re-scored with exact
     // 2-shingle jaccard, histogrammed by integer decile. The oracle
     // computes the exact >= 0.35 pair set (the banding == exact equality

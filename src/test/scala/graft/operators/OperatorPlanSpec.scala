@@ -37,6 +37,16 @@ class OperatorPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("corpusReport reads the corpus once (expand rewrite, single scan)") {
+    val plan = planString(Pipeline.corpusReport(
+      Tables.documents(spark, sfDir), "text", "source", "lang"))
+    // the two exact count-distincts must fold into ONE aggregation via
+    // Expand, not re-scan the table per distinct
+    assert(plan.contains("Expand"), s"expected Expand rewrite:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"corpus scanned $scans times:\n${plan.take(2000)}")
+  }
+
   test("brute-force ANN broadcasts the query set") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = planString(Similarity.topKCosine(emb, "vec_id", "embedding",
