@@ -428,6 +428,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** JL-compressed ANN: generate candidates with IVF in a
+    * [[Projection]]-reduced space (`outDim` ≪ the raw dimension — every
+    * distance in the candidate stage costs outDim/inDim of the raw
+    * compare, and the index holds small vectors), then re-rank ONLY the
+    * ≤ queries×candK survivors with the exact cosine on the ORIGINAL
+    * vectors — the standard reduce-index-rerank composition for wide
+    * embeddings. Candidate ids broadcast; the full-width corpus is
+    * probed by broadcast join, never scanned for scoring
+    * ([[TextRank.hybridTopK]]'s rerank discipline).
+    */
+  def jlRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, inDim: Int, outDim: Int, candK: Int,
+      nlist: Int = 64, nProbe: Int = 8): DataFrame = {
+    require(candK >= k, s"candK $candK must be >= k $k")
+    def reduced(df: DataFrame) =
+      Projection.reduce(df.select(col(idCol), col(vecCol)), vecCol, inDim, outDim)
+        .withColumn(vecCol, col(vecCol).cast("array<float>"))
+    val cands = ivfTopK(reduced(corpus), idCol, vecCol, reduced(queries),
+        candK, nlist, nProbe)
+      .select("query_id", "neighbor_id")
+    val emb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = emb.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    perQueryTopK(scored, k)
+  }
+
   /** Exact cosine pairs over the full corpus (for verification / small n —
     * O(n²), do not run on the full 100 TB corpus). Reference semantics for
     * [[exactPairsBlocked]]; kept for specs only.

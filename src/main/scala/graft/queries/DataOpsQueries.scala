@@ -50,6 +50,39 @@ object DataOpsQueries {
     // (sqrt-L2 is argmin-equivalent to the engine's squared L2; ties —
     // which only the centroid rows themselves could hit — break toward the
     // smaller cell in both engines).
+    // --- embedding drift: per-label centroid cosine between two corpus
+    // snapshots (first vs second half by vec_id) — the re-embed / corpus
+    // update monitor. Composes groupCentroids with the double cosine;
+    // same element-order fold in the oracle.
+    QueryDef("q_emb_drift",
+      """WITH e AS (SELECT label, vec_id >= 250 AS half, i,
+        |             CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings, UNNEST(range(1, 65)) u(i)),
+        |m AS (SELECT label, half, i, AVG(v) AS c FROM e GROUP BY 1, 2, 3),
+        |cen AS (SELECT label, half, array_agg(c ORDER BY i) AS cen
+        |        FROM m GROUP BY 1, 2),
+        |p AS (SELECT a.label, a.cen AS ca, b.cen AS cb
+        |      FROM cen a JOIN cen b ON a.label = b.label
+        |      WHERE NOT a.half AND b.half)
+        |SELECT label,
+        |  ROUND(list_sum(list_transform(range(1, 65), i -> ca[i]*cb[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> ca[i]*ca[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> cb[i]*cb[i])))), 4)
+        |    AS drift_cos
+        |FROM p ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      def cen(half: org.apache.spark.sql.Column) =
+        Similarity.groupCentroids(emb.where(half), "label", "embedding")
+      cen(col("vec_id") < 250)
+        .select(col("group").as("label"), col("centroid").as("ca"))
+        .join(cen(col("vec_id") >= 250)
+          .select(col("group").as("label"), col("centroid").as("cb")), Seq("label"))
+        .select(col("label"),
+          round(graft.functions.VectorOps.cosineDouble(col("ca"), col("cb")), 4)
+            .as("drift_cos"))
+        .orderBy("label")
+    },
+
     // --- JL random projection: the hash-sign matrix is a pure function
     // of (i, j) via the md5 hex prefix, so the oracle regenerates the
     // SAME matrix and folds each output dim in the same element order —

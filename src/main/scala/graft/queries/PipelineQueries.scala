@@ -292,6 +292,28 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- similarity search: JL-reduce → IVF candidates → exact rerank
+    // (the wide-embedding composition: index small projected vectors,
+    // score survivors on the originals). Same planted contract as
+    // q_ann_ivf; the rerank makes rank-1 exact for planted twins.
+    QueryDef("q_ann_jl_rerank",
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS found_planted
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + sin(i.cast("double") * 1.3) * 0.01).cast("float")))
+      Similarity.jlRerankTopK(emb, "vec_id", "embedding", queries, k = 5,
+          inDim = 64, outDim = 16, candK = 20, nlist = 32, nProbe = 8)
+        .groupBy("query_id")
+        .agg(max(col("neighbor_id") === col("query_id") - 100000).as("found_planted"))
+        .select((col("query_id") - 100000).as("query_id"), col("found_planted"))
+        .orderBy("query_id")
+    },
+
     // --- similarity search: PERSISTED IVF index (build once, search many
     // — the production form; search reads only the probed cell partitions
     // via dynamic partition pruning, IvfIndexSpec asserts). Same planted

@@ -48,4 +48,18 @@ class ProjectionSpec extends SparkSpec {
     assert(topOrig.forall(_ > medianProj),
       s"top original pairs lost similarity under projection: ${topOrig.toSeq} vs median $medianProj")
   }
+
+  test("jlRerankTopK surfaces exact planted copies at rank 1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val out = Similarity.jlRerankTopK(emb, "vec_id", "embedding", queries,
+        k = 3, inDim = 64, outDim = 16, candK = 10, nlist = 8, nProbe = 4)
+      .where(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0 until 5).foreach { i =>
+      assert(out.get(i + 100000L).contains(i.toLong),
+        s"query ${i + 100000} should find its exact copy at rank 1: $out")
+    }
+  }
 }
