@@ -278,22 +278,31 @@ object Dedup {
     */
   def minhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, threshold)
-      .select("a_id", "b_id")
+    // the pair set feeds three consumers (member ids, the intersection
+    // fan-out, the final scoring join) — stage it so the minhash pass
+    // runs once, not three times
+    val pairs = Staged.materialize(
+      minhashNearDups(df, idCol, textCol, threshold).select("a_id", "b_id"))
     val ids = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id"))).distinct()
-    val sh = df
+    // the member shingle set feeds four consumers (both sz joins, both
+    // intersection sides) — stage it so the tokenize+shingle explode
+    // runs once
+    val sh = Staged.materialize(df
       .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("__tk"))
       .join(broadcast(Staged.materialize(ids)), Seq("id"))
       .where(size(col("__tk")) >= 3)
       .select(col("id"),
-        explode(array_distinct(TextOps.shingles(col("__tk"), 3))).as("g"))
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("a_id"), col("g"))
-      .join(sh.select(col("id").as("b_id"), col("g")), Seq("g"))
-      .where(col("a_id") < col("b_id"))
+        explode(array_distinct(TextOps.shingles(col("__tk"), 3))).as("g")))
+    val sz = Staged.materialize(sh.groupBy("id").agg(count(lit(1)).as("n")))
+    // intersect per FLAGGED pair only: fan each pair out over side a's
+    // shingles (broadcast pairs — bounded by true dups), then equi-join
+    // (b_id, g). Joining shingle-to-shingle first would enumerate every
+    // co-shingle doc pair in the corpus — quadratic per hot shingle.
+    val inter = broadcast(pairs)
+      .join(sh.select(col("id").as("a_id"), col("g")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("g")), Seq("b_id", "g"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-      .join(pairs, Seq("a_id", "b_id"), "left_semi")
     val scored = pairs
       .join(inter, Seq("a_id", "b_id"), "left")
       .join(sz.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
@@ -312,30 +321,33 @@ object Dedup {
     * partition, one row out), which broadcasts at CONSTANT cost
     * regardless of corpus size. Probing it map-side splits the batch:
     * definite-new rows (no false negatives — the majority, when deltas
-    * are mostly fresh content) skip the join entirely; only the maybes
-    * (true duplicates + the deterministic false-positive sliver) pay the
-    * exact anti-join shuffle.
+    * are mostly fresh content) skip verification entirely; only the
+    * maybes (true duplicates + the deterministic false-positive sliver)
+    * go through [[dedupAgainst]]'s broadcast probe — whose batch-key
+    * broadcast is now bounded by the duplicate count instead of the raw
+    * batch size, and the corpus stays scanned-never-shuffled end to end
+    * (`OperatorPlanSpec` asserts no corpus-side shuffle join).
     *
     * Output is EXACTLY the anti-join semantics of [[dedupAgainst]] —
     * false positives are verified away, never dropped. Sizing: fp rate ≈
     * (1 − e^(−seeds·n/mBits))^seeds; at the default 2^20 bits / 3 seeds
-    * a 100k-key corpus probes at ~0.2% fp. Past ~10^8 keys grow mBits or
-    * fall back to the plain shuffled anti-join.
+    * a 100k-key corpus probes at ~0.2% fp; grow mBits with the corpus
+    * (the filter stays a single constant-size broadcast row).
     */
   def bloomDedupAgainst(batch: DataFrame, corpus: DataFrame,
       keyCols: Seq[String], mBits: Int = 1 << 20, seeds: Int = 3): DataFrame = {
     import graft.functions.Sketches
-    val cKeys = corpus.select(contentKey(keyCols).as("__ck"))
-    val bf = cKeys.agg(Sketches.bloom(col("__ck"), mBits, seeds).as("__bf"))
+    val bf = corpus.select(contentKey(keyCols).as("__ck"))
+      .agg(Sketches.bloom(col("__ck"), mBits, seeds).as("__bf"))
     val keyed = batch.withColumn("__ck", contentKey(keyCols))
       .crossJoin(broadcast(bf))
       .withColumn("__maybe",
         Sketches.bloomMightContain(col("__bf"), col("__ck"), mBits, seeds))
-      .drop("__bf")
-    val definiteNew = keyed.where(!col("__maybe"))
-    val verified = keyed.where(col("__maybe"))
-      .join(cKeys.distinct(), Seq("__ck"), "left_anti")
-    definiteNew.unionByName(verified).drop("__maybe", "__ck")
+      .drop("__bf", "__ck")
+    val definiteNew = keyed.where(!col("__maybe")).drop("__maybe")
+    val verified = dedupAgainst(keyed.where(col("__maybe")).drop("__maybe"),
+      corpus, keyCols)
+    definiteNew.unionByName(verified)
   }
 
   /** Near-dup pairs between a new `batch` and an existing `corpus`:

@@ -113,10 +113,15 @@ object SketchQueries {
       val bf = grams.where(col("doc_id") % 97 === 0)
         .select(col("g")).distinct()
         .agg(Sketches.bloom(col("g"), m, k).as("bf"))
-      val perDoc = grams.crossJoin(broadcast(bf))
-        .select(col("doc_id"), col("lang"),
+      // probe each DISTINCT gram once (vocabulary-proportional md5 cost,
+      // not token-proportional), broadcast the verdicts back onto the
+      // gram stream
+      val verdicts = grams.select("g").distinct()
+        .crossJoin(broadcast(bf))
+        .select(col("g"),
           when(Sketches.bloomMightContain(col("bf"), col("g"), m, k), 1L)
             .otherwise(0L).as("hit"))
+      val perDoc = grams.join(broadcast(verdicts), Seq("g"))
         .groupBy("doc_id", "lang").agg(sum("hit").as("f"))
       perDoc.groupBy("lang")
         .agg(sum(when(col("f") > 0, 1L).otherwise(0L)).cast("long").as("flagged_docs"),

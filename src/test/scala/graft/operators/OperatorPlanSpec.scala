@@ -37,6 +37,19 @@ class OperatorPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("bloomDedupAgainst never shuffle-joins the corpus") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus doc $i body"))
+      .toDF("doc_id", "text")
+    val batch = (0 until 50).map(i => (i + 1000L,
+      if (i % 3 == 0) s"corpus doc $i body" else s"fresh doc $i"))
+      .toDF("doc_id", "text")
+    val plan = planString(Dedup.bloomDedupAgainst(batch, corpus, Seq("text"),
+      mBits = 4096, seeds = 3))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join crept into bloomDedupAgainst:\n${plan.take(2000)}")
+  }
+
   test("corpusReport reads the corpus once (expand rewrite, single scan)") {
     val plan = planString(Pipeline.corpusReport(
       Tables.documents(spark, sfDir), "text", "source", "lang"))
