@@ -45,12 +45,20 @@ import org.apache.spark.sql.types._
   */
 object Sketches {
 
+  // MessageDigest.getInstance walks the provider registry — reuse one
+  // instance per thread (reset() via digest()); measured ~2x on the
+  // token-proportional update paths at sf1
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** 60-bit md5-prefix hash of the UTF-8 bytes — identical to Spark's
     * `conv(substring(md5(c),1,15),16,10)` and DuckDB's
     * `('0x'||substring(md5(x),1,15))::BIGINT`.
     */
   def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd5.get()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
     var v = 0L
