@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Persisted inverted text index: build once, search many — the lexical
+  * sibling of [[IvfIndex]]. [[TextRank.bm25TopK]] re-derives term
+  * frequencies from raw text on every call (right for ad-hoc queries);
+  * a retrieval SERVICE over a static corpus tokenizes once at build and
+  * afterwards reads only the postings of the query's terms.
+  *
+  * Layout: `postings/` (tok, doc_id, tf, len) and `df/` (tok, nt),
+  * both PARTITIONED BY a term-hash bucket; `stats/` holds the corpus
+  * scalars (N, avgdl); `meta` pins nBuckets. The bucket is
+  * `hash60(tok) % nBuckets` ([[Sketches.hash60]]) — computable on the
+  * driver at search time, so the scan carries a LITERAL partition
+  * IN-list and prunes statically to ≤ |query vocab| of the nBuckets
+  * partitions ([[graft.operators.TextIndexSpec]] asserts the
+  * PartitionFilters). Per-term rows within a bucket then prune by the
+  * broadcast vocabulary join.
+  *
+  * Scoring is the exact arithmetic of [[TextRank.bm25TopK]] (RSJ idf,
+  * same normalization, same rounding), so the same SQL oracle pins both
+  * paths and `search == bm25TopK` row-for-row.
+  */
+object TextIndex {
+
+  val BucketCol = "bucket"
+
+  /** Driver-side bucket of a term — must match [[bucketCol]]. */
+  def bucketOf(tok: String, nBuckets: Int): Int =
+    (Sketches.hash60(tok) % nBuckets).toInt
+
+  private def bucketCol(tok: Column, nBuckets: Int): Column =
+    (Sketches.hash60Col(tok) % nBuckets).cast("int")
+
+  /** Tokenize once, persist postings/df/stats partitioned by term bucket. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextRank.lowerTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        explode(col("toks")).as("tok"))
+    val tf = t.groupBy("doc_id", "len", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.withColumn(BucketCol, bucketCol(col("tok"), nBuckets))
+      .write.partitionBy(BucketCol).parquet(s"$dir/postings")
+    tf.groupBy("tok").agg(count(lit(1)).cast("double").as("nt"))
+      .withColumn(BucketCol, bucketCol(col("tok"), nBuckets))
+      .write.partitionBy(BucketCol).parquet(s"$dir/df")
+    docs.select(size(TextRank.lowerTokens(col(textCol))).as("len"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("len")).as("avg_len"))
+      .write.parquet(s"$dir/stats")
+    Files.write(Paths.get(dir, "meta"),
+      nBuckets.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** BM25 top-k per query off the persisted index; identical output
+    * contract to [[TextRank.bm25TopK]].
+    */
+  def search(spark: SparkSession, dir: String, queries: Seq[(Long, String)],
+      k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
+    import spark.implicits._
+    val nBuckets = new String(Files.readAllBytes(Paths.get(dir, "meta")),
+      StandardCharsets.UTF_8).trim.toInt
+    val qTerms = queries
+      .flatMap { case (qid, text) =>
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      .toDF("query_id", "tok")
+    val vocab = queries.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    val buckets = vocab.map(bucketOf(_, nBuckets)).distinct
+      .map(Integer.valueOf).toSeq
+    val vocabDf = vocab.toDF("tok")
+
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$dir/$sub")
+        .where(col(BucketCol).isin(buckets: _*))
+        .join(broadcast(vocabDf), Seq("tok"))
+    val tf = pruned("postings")
+    val dfreq = pruned("df").select("tok", "nt")
+    val stats = spark.read.parquet(s"$dir/stats")
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("nt") + 0.5) / (col("nt") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1.0) /
+      (col("tf") + (col("len") / col("avg_len") * b + (1.0 - b)) * k1)
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("tok"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * tfNorm), roundTo).as("score"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

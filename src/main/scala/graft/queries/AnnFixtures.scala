@@ -114,14 +114,36 @@ object AnnFixtures {
         nlist, tmp)
     }
 
-  /** Build-once directory fixture: `build` writes into a private temp path
-    * that is atomically promoted to `leaf` — first writer wins, losers
-    * discard (the builds are deterministic, so any winner's bytes are THE
-    * bytes).
+  /** Persisted inverted text index over the documents table
+    * (q_text_index_search) — fingerprinted on documents.parquet; the
+    * search half prunes statically to the query vocabulary's buckets.
+    */
+  def textIndexDir(s: SparkSession, d: String, nBuckets: Int): String = {
+    val src = Paths.get(d, "documents.parquet")
+    val fp =
+      if (Files.exists(src))
+        s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
+      else "missing"
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    cachedDirAt(Paths.get("target", "graft-ann", s"docs-$tag-$fp").toAbsolutePath,
+      s"textidx-b$nBuckets") { tmp =>
+      graft.operators.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", tmp, nBuckets)
+    }
+  }
+
+  /** Build-once directory fixture keyed on the embeddings fingerprint:
+    * `build` writes into a private temp path that is atomically promoted
+    * to `leaf` — first writer wins, losers discard (the builds are
+    * deterministic, so any winner's bytes are THE bytes).
     */
   private def cachedDir(d: String, leaf: String)(build: String => Unit): String =
+    cachedDirAt(root(d), leaf)(build)
+
+  private def cachedDirAt(rootPath: Path, leaf: String)(
+      build: String => Unit): String =
     AnnFixtures.synchronized {
-      val dir = root(d).resolve(leaf)
+      val dir = rootPath.resolve(leaf)
       if (!Files.exists(dir)) {
         val tmp = dir.resolveSibling(
           s"$leaf.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
