@@ -15,9 +15,9 @@ import graft.functions.Sketches
   * a retrieval SERVICE over a static corpus tokenizes once at build and
   * afterwards reads only the postings of the query's terms.
   *
-  * Layout: `postings/` (tok, doc_id, tf, len) and `df/` (tok, nt),
-  * both PARTITIONED BY a term-hash bucket; `stats/` holds the corpus
-  * scalars (N, avgdl); `meta` pins nBuckets. The bucket is
+  * Layout: `postings/` (tok, doc_id, tf, len) PARTITIONED BY a
+  * term-hash bucket; `stats/` holds the corpus scalars (N, avgdl);
+  * `meta` pins nBuckets. The bucket is
   * `hash60(tok) % nBuckets` ([[Sketches.hash60]]) — computable on the
   * driver at search time, so the scan carries a LITERAL partition
   * IN-list and prunes statically to ≤ |query vocab| of the nBuckets
@@ -40,27 +40,68 @@ object TextIndex {
   private def bucketCol(tok: Column, nBuckets: Int): Column =
     (Sketches.hash60Col(tok) % nBuckets).cast("int")
 
-  /** Tokenize once, persist postings/df/stats partitioned by term bucket. */
-  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      nBuckets: Int = 64): Unit = {
-    require(nBuckets > 0)
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
     val t = docs.select(col(idCol).cast("long").as("doc_id"),
         TextRank.lowerTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("len"),
         explode(col("toks")).as("tok"))
-    val tf = t.groupBy("doc_id", "len", "tok")
+    t.groupBy("doc_id", "len", "tok")
       .agg(count(lit(1)).cast("double").as("tf"))
-    tf.withColumn(BucketCol, bucketCol(col("tok"), nBuckets))
-      .write.partitionBy(BucketCol).parquet(s"$dir/postings")
-    tf.groupBy("tok").agg(count(lit(1)).cast("double").as("nt"))
       .withColumn(BucketCol, bucketCol(col("tok"), nBuckets))
-      .write.partitionBy(BucketCol).parquet(s"$dir/df")
+  }
+
+  /** Tokenize once, persist postings + corpus stats partitioned by term
+    * bucket. Per-term document frequency is NOT materialized: search
+    * derives it from the term-pruned postings (identical to the full df
+    * because pruning is term-keyed), which is what keeps [[append]] an
+    * append — no stored aggregate to rebuild.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    postings(docs, idCol, textCol, nBuckets)
+      .write.partitionBy(BucketCol).parquet(s"$dir/postings")
+    // store EXACT integers (count, token sum): the average folds
+    // exactly under append and sum/n reproduces the one-shot double
     docs.select(size(TextRank.lowerTokens(col(textCol))).as("len"))
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("len")).as("avg_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).cast("long").as("sum_len"))
       .write.parquet(s"$dir/stats")
     Files.write(Paths.get(dir, "meta"),
       nBuckets.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Incremental append: new documents' postings land as extra files
+    * under the same bucket partitions (no rebuild, no stored aggregate
+    * to merge — [[IvfIndex.append]]'s trade) and the two integer corpus
+    * scalars fold exactly, so an appended index answers bit-identically
+    * to a one-shot build. Callers must not re-append ids already indexed
+    * (postings are additive).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = new String(Files.readAllBytes(Paths.get(dir, "meta")),
+      StandardCharsets.UTF_8).trim.toInt
+    postings(docs, idCol, textCol, nBuckets)
+      .write.mode("append").partitionBy(BucketCol).parquet(s"$dir/postings")
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val add = docs.select(size(TextRank.lowerTokens(col(textCol))).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).cast("long").as("sum_len"))
+      .head()
+    val n = old.getLong(0) + add.getLong(0)
+    val sumLen = old.getLong(1) + add.getLong(1)
+    import spark.implicits._
+    // write-then-swap so a crash never leaves the index without stats
+    val tmp = s"$dir/stats-tmp"
+    Seq((n, sumLen)).toDF("n_docs", "sum_len")
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    fs.delete(statsPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), statsPath))
+      throw new java.io.IOException(s"stats swap failed for $dir")
   }
 
   /** BM25 top-k per query off the persisted index; identical output
@@ -83,13 +124,16 @@ object TextIndex {
       .map(Integer.valueOf).toSeq
     val vocabDf = vocab.toDF("tok")
 
-    def pruned(sub: String): DataFrame =
-      spark.read.parquet(s"$dir/$sub")
-        .where(col(BucketCol).isin(buckets: _*))
-        .join(broadcast(vocabDf), Seq("tok"))
-    val tf = pruned("postings")
-    val dfreq = pruned("df").select("tok", "nt")
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col(BucketCol).isin(buckets: _*))
+      .join(broadcast(vocabDf), Seq("tok"))
+    // per-term df derived from the pruned postings — identical to the
+    // full-corpus df because pruning is term-keyed; no stored aggregate
+    // means appends stay appends
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("nt"))
     val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_len").cast("double") / col("n_docs")).as("avg_len"))
 
     val idf = log(lit(1.0) +
       (col("n_docs") - col("nt") + 0.5) / (col("nt") + 0.5))

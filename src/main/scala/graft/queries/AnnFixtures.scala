@@ -132,6 +132,30 @@ object AnnFixtures {
     }
   }
 
+  /** Split-then-append variant of [[textIndexDir]] (q_text_index_append):
+    * first 60% of doc ids built, the rest appended — searches must answer
+    * identically to the one-shot index.
+    */
+  def textIndexAppendDir(s: SparkSession, d: String, nBuckets: Int): String = {
+    val src = Paths.get(d, "documents.parquet")
+    val fp =
+      if (Files.exists(src))
+        s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
+      else "missing"
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    cachedDirAt(Paths.get("target", "graft-ann", s"docs-$tag-$fp").toAbsolutePath,
+      s"textidx-append-b$nBuckets") { tmp =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .head().getLong(0) * 6 / 10
+      graft.operators.TextIndex.build(docs.where(col("doc_id") <= cut),
+        "doc_id", "text", tmp, nBuckets)
+      graft.operators.TextIndex.append(docs.where(col("doc_id") > cut),
+        "doc_id", "text", tmp)
+    }
+  }
+
   /** Build-once directory fixture keyed on the embeddings fingerprint:
     * `build` writes into a private temp path that is atomically promoted
     * to `leaf` — first writer wins, losers discard (the builds are

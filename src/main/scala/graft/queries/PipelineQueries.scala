@@ -519,6 +519,40 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- incremental index append: 60% built + 40% appended must answer
+    // exactly like the one-shot index (same full-corpus oracle) — df is
+    // derived from term-pruned postings, so appends stay appends with no
+    // stored aggregate to rebuild.
+    QueryDef("q_text_index_append",
+      """WITH q(query_id, qtext) AS (VALUES (0, 'hash join batch'), (1, 'vector scan')),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(lower(qtext)), '\s+'))) AS tok FROM q),
+        |dt AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS len,
+        |              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |       FROM documents),
+        |tf AS (SELECT doc_id, len, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dt
+        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
+        |          FROM documents),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS nt FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1 + (n_docs - nt + 0.5) / (nt + 0.5)) *
+        |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.len / avg_len))), 4) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats JOIN qt USING (tok)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+        |       CAST(doc_id AS BIGINT) AS doc_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rank FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      val dir = AnnFixtures.textIndexAppendDir(s, d, nBuckets = 64)
+      graft.operators.TextIndex.search(s, dir,
+          Seq((0L, "hash join batch"), (1L, "vector scan")), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // --- corpus statistics: top-k word bigrams above a frequency cutoff.
     // orderBy.limit executes as TakeOrderedAndProject (per-partition heaps,
     // no global sort).

@@ -41,15 +41,32 @@ class TextIndexSpec extends SparkSpec {
     assert(scanned <= 1L)
   }
 
-  test("stats and df match the corpus definition") {
+  test("stats and the derived df match the corpus definition") {
     val stats = spark.read.parquet(s"$dir/stats").head()
     val docs = Tables.documents(spark, sfDir)
-    assert(stats.getDouble(0) == docs.count().toDouble)
-    val nt = spark.read.parquet(s"$dir/df")
-      .where(col("tok") === "batch").head().getDouble(1)
+    assert(stats.getLong(0) == docs.count())
+    val nt = spark.read.parquet(s"$dir/postings")
+      .where(col("tok") === "batch").count().toDouble
     val expect = docs
       .where(array_contains(split(trim(lower(col("text"))), "\\s+"), "batch"))
       .count().toDouble
     assert(nt == expect, s"df(batch) $nt vs $expect")
+  }
+
+  test("append: split-then-append answers identically to a one-shot build") {
+    val docs = Tables.documents(spark, sfDir)
+    val d2 = Files.createTempDirectory("textidx2").toString + "/idx"
+    TextIndex.build(docs.where(col("doc_id") < 60), "doc_id", "text", d2,
+      nBuckets = 16)
+    TextIndex.append(docs.where(col("doc_id") >= 60), "doc_id", "text", d2)
+    val queries = Seq((0L, "hash join batch"), (1L, "vector scan"))
+    val appended = TextIndex.search(spark, d2, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val oneShot = TextIndex.search(spark, dir, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(appended == oneShot, s"\nappended: $appended\noneShot: $oneShot")
+    // stats folded exactly
+    val st = spark.read.parquet(s"$d2/stats").head()
+    assert(st.getLong(0) == docs.count())
   }
 }
