@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FreqItemsAggregate, GetHllValue, HllAggregate, HllFromRegistersAggregate, HllMergeAggregate}
+import graft.functions.{BloomAggregate, CmsAggregate, FreqItemsAggregate, GetHllValue, HllAggregate, HllFromRegistersAggregate, HllMergeAggregate, KmvAggregate}
+import org.apache.spark.sql.graftbridge.{CosineSim, CosineSimDouble}
 
 /** SQL surface for the custom Catalyst expressions: registered through
   * `SparkSessionExtensions` (`spark.sql.extensions=graft.GraftExtensions`
@@ -58,7 +59,28 @@ object GraftExtensions {
       new ExpressionInfo(classOf[FreqItemsAggregate].getName, "freq_items_mg"),
       (es: Seq[Expression]) =>
         FreqItemsAggregate(es.head, intArg(es(1), "freq_items_mg capacity"))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    ("kmv_sketch",
+      new ExpressionInfo(classOf[KmvAggregate].getName, "kmv_sketch"),
+      (es: Seq[Expression]) =>
+        KmvAggregate(es.head, intArg(es(1), "kmv_sketch k"))
+          .toAggregateExpression()),
+    ("bloom_sketch",
+      new ExpressionInfo(classOf[BloomAggregate].getName, "bloom_sketch"),
+      (es: Seq[Expression]) =>
+        BloomAggregate(es.head, intArg(es(1), "bloom_sketch mBits"),
+          intArg(es(2), "bloom_sketch seeds")).toAggregateExpression()),
+    ("cms_sketch",
+      new ExpressionInfo(classOf[CmsAggregate].getName, "cms_sketch"),
+      (es: Seq[Expression]) =>
+        CmsAggregate(es.head, intArg(es(1), "cms_sketch width"),
+          intArg(es(2), "cms_sketch depth")).toAggregateExpression()),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    ("cosine_sim_d",
+      new ExpressionInfo(classOf[CosineSimDouble].getName, "cosine_sim_d"),
+      (es: Seq[Expression]) => CosineSimDouble(es.head, es(1))))
 
   /** Imperative form for an already-running session (same builders the
     * extensions path injects).

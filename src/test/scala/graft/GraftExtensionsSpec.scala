@@ -34,6 +34,40 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(merged == sqlEst)
   }
 
+  test("sketch and vector SQL functions match the Column API") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    Tables.events(s, sfDir).createOrReplaceTempView("ev2")
+
+    val sqlKmv = s.sql("SELECT kmv_sketch(event_type, 8) FROM ev2")
+      .head().getSeq[Long](0)
+    val apiKmv = Tables.events(s, sfDir)
+      .agg(graft.functions.Sketches.kmv(col("event_type"), 8))
+      .head().getSeq[Long](0)
+    assert(sqlKmv == apiKmv)
+
+    val sqlCms = s.sql("SELECT cms_sketch(event_type, 64, 2) FROM ev2")
+      .head().getSeq[Long](0)
+    val apiCms = Tables.events(s, sfDir)
+      .agg(graft.functions.Sketches.cms(col("event_type"), 64, 2))
+      .head().getSeq[Long](0)
+    assert(sqlCms == apiCms)
+
+    val sqlBloom = s.sql("SELECT bloom_sketch(event_type, 256, 2) FROM ev2")
+      .head().getSeq[Int](0)
+    assert(sqlBloom.sum > 0 && sqlBloom.size == 256)
+
+    val cos = s.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 0.0) AS array<float>),
+        |                  CAST(array(1.0, 1.0) AS array<float>)) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-7)
+    val cosD = s.sql(
+      "SELECT cosine_sim_d(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
+      .head().getDouble(0)
+    assert(cosD == 0.0)
+  }
+
   test("the shared session does NOT see the isolated registration") {
     val err = intercept[Exception] {
       Tables.events(spark, sfDir).createOrReplaceTempView("ev_noext")
