@@ -332,7 +332,11 @@ object Dedup {
     * false positives are verified away, never dropped. Sizing: fp rate ≈
     * (1 − e^(−seeds·n/mBits))^seeds; at the default 2^20 bits / 3 seeds
     * a 100k-key corpus probes at ~0.2% fp; grow mBits with the corpus
-    * (the filter stays a single constant-size broadcast row).
+    * (the filter stays a single constant-size broadcast row). Practical
+    * ceiling: the sketch evals to an int-per-bit array for builtin
+    * probes, so keep mBits ≤ ~2^24 (≈64 MB broadcast); past that — a
+    * multi-billion-key corpus — a higher fp rate is the sane trade (the
+    * maybes are verified exactly either way).
     */
   def bloomDedupAgainst(batch: DataFrame, corpus: DataFrame,
       keyCols: Seq[String], mBits: Int = 1 << 20, seeds: Int = 3): DataFrame = {
