@@ -459,6 +459,101 @@ object Multimodal {
     * by design. The distributed shape is shared: one pass, output fan-out
     * n× without shuffles, chunk bytes stay off the driver.
     */
+  /** Textured variant of [[synthPng]] for the perceptual-hash gates:
+    * `v = (x·xStep + y·yStep + seed) mod 256` wraps every few pixels, so
+    * the luminance field has real structure (the plain `x+y+seed`
+    * gradient is monotone at gate dimensions and difference-hashes to
+    * all-ones — useless as a dedup fixture). Still integer-SQL-derivable.
+    */
+  def synthTexturedPng(width: Int, height: Int, seed: Int,
+      xStep: Int, yStep: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x * xStep + y * yStep + seed) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class DHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual difference-hash (dHash) of each image payload: decode
+    * through the REAL codec, sample a 9×8 nearest-neighbor luminance
+    * grid (`src = idx·dim/9` resp. `/8` — pure integer positions), set
+    * bit (r·8+c) when the right neighbor is brighter. The 64 bits are
+    * returned as four 16-bit bands (b0 = bits 0-15, …) — the banding key
+    * for [[nearDupImages]], and sign-free in any engine. Identical
+    * images hash identically; brightness shifts preserve the hash
+    * (differences survive +k); crops/rescales move few bits — the
+    * standard image near-dup signal, per-row map-side.
+    */
+  def dHash(spark: SparkSession, payloads: DataFrame,
+      idCol: String): Dataset[DHash] = {
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"row $id: payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val p = Array.tabulate(8, 9)((r, c) =>
+            img.getRGB(c * w / 9, r * h / 8) & 0xFF)
+          val bands = new Array[Int](4)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (p(r)(c + 1) > p(r)(c)) {
+                val pos = r * 8 + c
+                bands(pos >> 4) |= 1 << (pos & 15)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          DHash(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by banded dHash: candidates share at
+    * least one of the four 16-bit bands exactly (the LSH trade — a pair
+    * with >`maxHamming` total but all bits concentrated outside every
+    * shared band is missed; with 4 bands any pair within hamming 3 is
+    * GUARANTEED a shared band by pigeonhole), then exact hamming
+    * ≤ `maxHamming` verification via per-band xor bit_count. Join keys
+    * on (band index, band value) — candidate volume tracks true
+    * near-dups, never all pairs.
+    */
+  def nearDupImages(spark: SparkSession, payloads: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    val hashes = dHash(spark, payloads, idCol).toDF()
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "v")))
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("v"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("v")),
+        Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ha = hashes.toDF("a_id", "a0", "a1", "a2", "a3")
+    val hb = hashes.toDF("b_id", "c0", "c1", "c2", "c3")
+    val hamming = Seq(("a0", "c0"), ("a1", "c1"), ("a2", "c2"), ("a3", "c3"))
+      .map { case (x, y) => bit_count(col(x).bitwiseXOR(col(y))) }
+      .reduce(_ + _)
+    cand.join(ha, Seq("a_id")).join(hb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), hamming.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   def sampleFrames(spark: SparkSession, payloads: DataFrame, idCol: String,
       n: Int): Dataset[Frame] = {
     import spark.implicits._

@@ -1138,6 +1138,93 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // --- perceptual image hash (dHash): REAL codec decode → 9×8
+    // nearest-neighbor luminance grid → 64 difference bits as four
+    // 16-bit bands. The synthetic pixel law is integer-SQL-expressible,
+    // so the oracle replays every band bit-for-bit through the actual
+    // PNG round trip.
+    QueryDef("q_multimodal_dhash",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, r.r, c.c,
+        |        16 + doc_id % 32 AS w, 16 + (doc_id*7) % 32 AS h,
+        |        doc_id % 251 AS seed,
+        |        33 + doc_id % 7 AS xs, 17 + doc_id % 5 AS ys
+        |      FROM ids, UNNEST(range(0, 8)) r(r), UNNEST(range(0, 8)) c(c)),
+        |bits AS (SELECT doc_id, r, c,
+        |  CASE WHEN ((((c+1)*w)//9*xs + (r*h)//8*ys + seed) % 256) >
+        |            (((c*w)//9*xs + (r*h)//8*ys + seed) % 256) THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |bands AS (SELECT doc_id, (r*8+c)//16 AS band,
+        |            SUM(bit * (1 << ((r*8+c) % 16))) AS v
+        |          FROM bits GROUP BY 1, 2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(MAX(CASE WHEN band = 0 THEN v END) AS INT) AS b0,
+        |  CAST(MAX(CASE WHEN band = 1 THEN v END) AS INT) AS b1,
+        |  CAST(MAX(CASE WHEN band = 2 THEN v END) AS INT) AS b2,
+        |  CAST(MAX(CASE WHEN band = 3 THEN v END) AS INT) AS b3
+        |FROM bands GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val gen = udf { (id: Long) =>
+        Multimodal.synthTexturedPng(16 + (id % 32).toInt, 16 + (id * 7 % 32).toInt,
+          (id % 251).toInt, 33 + (id % 7).toInt, 17 + (id % 5).toInt)
+      }
+      Multimodal.dHash(s,
+          Tables.documents(s, d).where(col("doc_id") < 200)
+            .select(col("doc_id")).withColumn("payload", gen(col("doc_id"))),
+          "doc_id")
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // --- image near-dup via banded dHash: planted copies at id+100000
+    // carry the same dimensions with seed+1 (the gradient wraps shift by
+    // one sample → a few bits flip), candidates share a 16-bit band,
+    // exact hamming verified per band. Everything — pixel law, bands,
+    // banding candidates, hamming — replays in integer SQL.
+    QueryDef("q_multimodal_image_neardup",
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+        |ents AS (SELECT doc_id AS eid, doc_id AS bid, 0 AS sh FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 100000, doc_id, 1 FROM base),
+        |g AS (SELECT eid, r.r, c.c,
+        |        16 + bid % 32 AS w, 16 + (bid*7) % 32 AS h,
+        |        bid % 251 + sh AS seed,
+        |        33 + bid % 7 AS xs, 17 + bid % 5 AS ys
+        |      FROM ents, UNNEST(range(0, 8)) r(r), UNNEST(range(0, 8)) c(c)),
+        |bits AS (SELECT eid, r, c,
+        |  CASE WHEN ((((c+1)*w)//9*xs + (r*h)//8*ys + seed) % 256) >
+        |            (((c*w)//9*xs + (r*h)//8*ys + seed) % 256) THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |bands AS (SELECT eid, (r*8+c)//16 AS band,
+        |            CAST(SUM(bit * (1 << ((r*8+c) % 16))) AS INT) AS v
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.eid AS a_id, b.eid AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.v = b.v AND a.eid < b.eid),
+        |ham AS (SELECT c.a_id, c.b_id,
+        |          CAST(SUM(bit_count(xor(ba.v, bb.v))) AS INT) AS hamming
+        |        FROM cand c
+        |        JOIN bands ba ON ba.eid = c.a_id
+        |        JOIN bands bb ON bb.eid = c.b_id AND bb.band = ba.band
+        |        GROUP BY 1, 2)
+        |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, hamming
+        |FROM ham WHERE hamming <= 16
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val both = base.unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id")))
+      val gen = udf { (id: Long) =>
+        val b = id % 100000
+        val sh = if (id >= 100000) 1 else 0
+        Multimodal.synthTexturedPng(16 + (b % 32).toInt, 16 + (b * 7 % 32).toInt,
+          (b % 251).toInt + sh, 33 + (b % 7).toInt, 17 + (b % 5).toInt)
+      }
+      Multimodal.nearDupImages(s,
+          both.withColumn("payload", gen(col("doc_id"))), "doc_id",
+          maxHamming = 16)
+        .orderBy("a_id", "b_id")
+    },
+
     // decode is REAL (javax.imageio PNG): each row carries an actual PNG
     // whose dims/seed derive SQL-expressibly from doc_id, and the engine
     // emits what the CODEC decoded — dimensions and the top-left pixel —

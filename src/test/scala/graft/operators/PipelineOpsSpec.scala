@@ -512,4 +512,40 @@ class MultimodalSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xFF) == ((sx + sy + 9) & 0xFF), s"($x,$y)")
     }
   }
+
+  test("dHash: identical images collide, brightness shift preserves, textures differ") {
+    import spark.implicits._
+    val a = Multimodal.synthTexturedPng(32, 24, 50, 35, 19)
+    val sameA = Multimodal.synthTexturedPng(32, 24, 50, 35, 19)
+    val brighter = Multimodal.synthTexturedPng(32, 24, 52, 35, 19)
+    val other = Multimodal.synthTexturedPng(32, 24, 50, 39, 21)
+    val df = Seq((1L, a), (2L, sameA), (3L, brighter), (4L, other))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.dHash(spark, df, "doc_id").collect()
+      .map(x => x.doc_id -> (x.b0, x.b1, x.b2, x.b3)).toMap
+    assert(h(1L) == h(2L), "identical payloads must hash identically")
+    def ham(x: (Int, Int, Int, Int), y: (Int, Int, Int, Int)) =
+      Integer.bitCount(x._1 ^ y._1) + Integer.bitCount(x._2 ^ y._2) +
+        Integer.bitCount(x._3 ^ y._3) + Integer.bitCount(x._4 ^ y._4)
+    assert(ham(h(1L), h(3L)) <= 6,
+      s"small brightness shift moved ${ham(h(1L), h(3L))} bits")
+    assert(ham(h(1L), h(4L)) > 6,
+      s"different texture too close: ${ham(h(1L), h(4L))} bits")
+  }
+
+  test("nearDupImages: planted twins found, distant textures excluded") {
+    import spark.implicits._
+    val rows = (0 until 12).flatMap { i =>
+      val (w, hgt, seed) = (20 + i, 16 + i, 40 + i * 17)
+      Seq((i.toLong, Multimodal.synthTexturedPng(w, hgt, seed, 33 + i % 7, 17 + i % 5)),
+        (i + 100L, Multimodal.synthTexturedPng(w, hgt, seed + 1, 33 + i % 7, 17 + i % 5)))
+    }
+    val df = rows.toDF("doc_id", "payload")
+    val pairs = Multimodal.nearDupImages(spark, df, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 12).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 100L)),
+        s"planted twin $i missing from $pairs")
+    }
+  }
 }
