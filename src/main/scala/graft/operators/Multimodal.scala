@@ -483,6 +483,71 @@ object Multimodal {
     bos.toByteArray
   }
 
+  case class AudioPrint(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Audio fingerprint — [[dHash]]'s acoustic sibling: decode the REAL
+    * WAV container, split the PCM stream into 65 equal windows (window
+    * of sample n = `n·65/frames`, pure integer), accumulate each
+    * window's absolute-amplitude energy, set bit w when window w+1 is
+    * louder than window w. 64 difference bits as four 16-bit bands —
+    * the same banding contract as the image hash, so the same
+    * candidate-blocking near-dup shape applies. Energy-profile hashing
+    * is amplitude-shift tolerant by construction (differences survive
+    * gain changes that preserve ordering), the property that makes it a
+    * dedup signal rather than a checksum.
+    */
+  def audioFingerprint(spark: SparkSession, payloads: DataFrame,
+      idCol: String): Dataset[AudioPrint] = {
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"row $id: payload is not a decodable audio stream", e)
+            }
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"row $id: expected 16-bit little-endian signed PCM, got $fmt")
+            val frames = ais.getFrameLength.toInt
+            require(frames >= 65, s"row $id: need >= 65 frames, got $frames")
+            val energy = new Array[Long](65)
+            val buf = new Array[Byte](4096)
+            var n = 0
+            var lo = -1
+            var read = ais.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i < read) {
+                if (lo < 0) lo = buf(i) & 0xFF
+                else {
+                  val v = (lo | (buf(i) << 8)).toShort.toInt
+                  energy((n.toLong * 65 / frames).toInt) += math.abs(v)
+                  n += 1
+                  lo = -1
+                }
+                i += 1
+              }
+              read = ais.read(buf)
+            }
+            val bands = new Array[Int](4)
+            var w = 0
+            while (w < 64) {
+              if (energy(w + 1) > energy(w)) bands(w >> 4) |= 1 << (w & 15)
+              w += 1
+            }
+            AudioPrint(id, bands(0), bands(1), bands(2), bands(3))
+          } finally ais.close()
+        }
+      }
+  }
+
   case class DHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   /** Perceptual difference-hash (dHash) of each image payload: decode

@@ -1138,6 +1138,41 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // --- audio fingerprint: REAL WAV decode → 65-window energy profile
+    // → 64 difference bits as four 16-bit bands (dHash's acoustic
+    // sibling). The sawtooth sample law is pure-integer, so the oracle
+    // replays every window energy and every bit through the actual
+    // codec round trip.
+    QueryDef("q_multimodal_audio_print",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |p AS (SELECT doc_id, 200 + (doc_id % 100) * 4 AS frames,
+        |        100 + doc_id % 400 AS freq FROM ids),
+        |s AS (SELECT doc_id, frames, n.n,
+        |        abs(((n.n * freq) % 8000) * 8 - 32000) AS a
+        |      FROM p, UNNEST(range(0, frames)) n(n)),
+        |e AS (SELECT doc_id, CAST((n * 65) // frames AS INT) AS w, SUM(a) AS en
+        |      FROM s GROUP BY 1, 2),
+        |bits AS (SELECT a.doc_id, a.w AS w,
+        |           CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+        |         FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |         WHERE a.w < 64),
+        |bands AS (SELECT doc_id, w // 16 AS band,
+        |            SUM(bit * (1 << (w % 16))) AS v
+        |          FROM bits GROUP BY 1, 2)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(MAX(CASE WHEN band = 0 THEN v END) AS INT) AS b0,
+        |  CAST(MAX(CASE WHEN band = 1 THEN v END) AS INT) AS b1,
+        |  CAST(MAX(CASE WHEN band = 2 THEN v END) AS INT) AS b2,
+        |  CAST(MAX(CASE WHEN band = 3 THEN v END) AS INT) AS b3
+        |FROM bands GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Multimodal.audioFingerprint(s,
+          Multimodal.withWavPayload(
+            Tables.documents(s, d).where(col("doc_id") < 200), "doc_id"),
+          "doc_id")
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // --- perceptual image hash (dHash): REAL codec decode → 9×8
     // nearest-neighbor luminance grid → 64 difference bits as four
     // 16-bit bands. The synthetic pixel law is integer-SQL-expressible,

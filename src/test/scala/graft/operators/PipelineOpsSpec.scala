@@ -533,6 +533,25 @@ class MultimodalSpec extends SparkSpec {
       s"different texture too close: ${ham(h(1L), h(4L))} bits")
   }
 
+  test("audioFingerprint: deterministic, frequency-sensitive, guarded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.synthWav(400, 150)),
+      (2L, Multimodal.synthWav(400, 150)),   // identical
+      (3L, Multimodal.synthWav(400, 370)))   // different tone
+      .toDF("doc_id", "payload")
+    val h = Multimodal.audioFingerprint(spark, df, "doc_id").collect()
+      .map(x => x.doc_id -> (x.b0, x.b1, x.b2, x.b3)).toMap
+    assert(h(1L) == h(2L), "identical audio must fingerprint identically")
+    assert(h(1L) != h(3L), "different tones must differ")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint(spark,
+        Seq((9L, Multimodal.synthWav(40, 100))).toDF("doc_id", "payload"),
+        "doc_id").collect()
+    }
+    assert(err.getMessage.contains("65") || err.getCause != null)
+  }
+
   test("nearDupImages: planted twins found, distant textures excluded") {
     import spark.implicits._
     val rows = (0 until 12).flatMap { i =>
