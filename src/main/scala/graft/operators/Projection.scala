@@ -52,7 +52,7 @@ object Projection {
     df.withColumn(vecCol, project(col(vecCol), inDim, outDim))
 
   /** Shared eval path: sequential fold per output dim. */
-  def apply(m: Array[Array[Double]], v: ArrayData): ArrayData = {
+  def matVec(m: Array[Array[Double]], v: ArrayData): ArrayData = {
     val out = new Array[Any](m.length)
     var j = 0
     while (j < m.length) {
@@ -82,7 +82,7 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  def computePublic(v: ArrayData): ArrayData = Projection.apply(m, v)
+  def computePublic(v: ArrayData): ArrayData = Projection.matVec(m, v)
 
   override def nullSafeEval(a: Any): Any = computePublic(a.asInstanceOf[ArrayData])
 
