@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.Sketches
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear text-quality classifier over hashed bag-of-n-gram features —
+  * the fastText-architecture quality filter (Joulin et al. 2016, "Bag of
+  * Tricks for Efficient Text Classification") that CCNet-style pipelines
+  * run over every crawled document: hash each token unigram and bigram
+  * into a fixed bucket space (the hashing trick bounds the model at
+  * `2^bucketBits` weights regardless of vocabulary), average the bucket
+  * weights, squash through a sigmoid, keep documents above threshold.
+  *
+  * INFERENCE is the corpus-scale operation (training the small linear
+  * model is a driver-side/offline concern); the model here is a weight
+  * vector addressed by bucket. Two sources for it:
+  *
+  *   - [[score]]: weights are a pure function of the bucket id (the
+  *     md5-derived integer in [-1000, 1000] milli-units) — no shipped
+  *     state at all, the gate/spec configuration, and the cross-engine
+  *     contract that lets a SQL oracle replay every weight.
+  *   - [[scoreWith]]: weights from a caller-supplied `(bucket, w_milli)`
+  *     table — a REAL fitted model, broadcast-bounded by construction at
+  *     `2^bucketBits` rows (18 bits → ≤262 144 rows, a few MB).
+  *
+  * Scale shape: scoring is integer arithmetic folded per document —
+  * [[score]] is a PURE MAP-SIDE pass (one higher-order fold over the
+  * concatenated feature array, zero shuffles, plan-asserted in
+  * `ClassifierSpec`); [[scoreWith]] is one explode + broadcast probe +
+  * one doc-keyed integer partial agg. Weights stay in exact milli-units
+  * (long) until the single final division, so the fold is
+  * order-insensitive and the DuckDB oracle hash-matches without any
+  * float-summation protocol.
+  *
+  * Tokenization is the repo convention `TextOps.tokens(lower(text))`;
+  * features are unigrams plus space-joined bigrams (the fastText
+  * `wordNgrams=2` setting).
+  */
+object Classifier {
+
+  /** Deterministic weight (milli-units, in [-1000, 1000]) for a bucket:
+    * `hash60("w<seed>:<bucket>") mod 2001 - 1000`. Pure function — any
+    * engine regenerates the same model with no shipped state.
+    */
+  def weightMilli(seed: Int, bucket: Long): Long =
+    Sketches.hash60(s"w$seed:$bucket") % 2001 - 1000
+
+  private def bucketCol(feat: Column, bucketBits: Int): Column =
+    Sketches.hash60Col(feat) % (1L << bucketBits)
+
+  private def weightCol(seed: Int, bucket: Column): Column =
+    Sketches.hash60Col(concat(lit(s"w$seed:"), bucket.cast("string"))) % 2001 - 1000
+
+  /** Unigram + bigram feature array from a pre-bound token array. */
+  private def features(toks: Column): Column =
+    concat(toks, TextOps.shingles(toks, 2))
+
+  /** Score every document under the hash-derived weight vector: adds
+    * `n_feats`, `quality` (= round(sigmoid(mean weight), 4)) and `keep`
+    * (quality ≥ threshold). Empty documents score NULL / keep=false.
+    * Zero shuffles: the integer fold runs inside the projection.
+    */
+  def score(docs: DataFrame, textCol: String, bucketBits: Int = 18,
+      seed: Int = 7, threshold: Double = 0.5): DataFrame = {
+    require(bucketBits > 0 && bucketBits < 60, s"bucketBits $bucketBits out of range")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val scored = docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")) + greatest(size(col("__toks")) - 1, lit(0)))
+      .withColumn("__sum", aggregate(features(col("__toks")), lit(0L),
+        (acc, f) => acc + weightCol(seed, bucketCol(f, bucketBits))))
+    finish(scored, threshold)
+  }
+
+  /** Score under a fitted `(bucket, w_milli)` weight table (missing
+    * buckets weigh 0 — a pruned model degrades gracefully). The table is
+    * bounded at `2^bucketBits` rows, so the probe is a broadcast join;
+    * aggregation back to one row per document is a single integer
+    * partial agg on the id.
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bucketBits: Int = 18,
+      threshold: Double = 0.5): DataFrame = {
+    require(bucketBits > 0 && bucketBits < 60, s"bucketBits $bucketBits out of range")
+    val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
+    val feats = toks.select(col(idCol),
+      explode(features(col("__toks"))).as("__feat"))
+      .select(col(idCol), bucketCol(col("__feat"), bucketBits).as("bucket"))
+    val sums = feats
+      .join(broadcast(weights.select(col("bucket"), col("w_milli"))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w_milli"), lit(0L))).as("__sum"),
+        count(lit(1)).as("__n"))
+    finish(toks.join(sums, Seq(idCol), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("__sum", coalesce(col("__sum"), lit(0L))), threshold)
+  }
+
+  /** Materialize the hash-derived model as the `(bucket, w_milli)` table
+    * [[scoreWith]] consumes — pins the two paths to one definition.
+    */
+  def hashModel(spark: org.apache.spark.sql.SparkSession, bucketBits: Int,
+      seed: Int = 7): DataFrame = {
+    import spark.implicits._
+    (0L until (1L << bucketBits)).map(b => (b, weightMilli(seed, b)))
+      .toDF("bucket", "w_milli")
+  }
+
+  private def finish(scored: DataFrame, threshold: Double): DataFrame = {
+    val mean = col("__sum") / (col("__n") * lit(1000.0))
+    val quality = round(lit(1.0) / (lit(1.0) + exp(-mean)), 4)
+    scored
+      .withColumn("n_feats", col("__n").cast("long"))
+      .withColumn("quality", when(col("__n") > 0, quality))
+      .withColumn("keep", coalesce(col("quality") >= threshold, lit(false)))
+      .drop("__toks", "__n", "__sum")
+  }
+}

@@ -218,6 +218,39 @@ object CurationQueries {
         .groupBy(col("cell").cast("int").as("cell"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("cell")
+    },
+
+    // --- fastText-style hashed linear quality classifier (r10): unigram +
+    // bigram features hashed into 2^18 buckets, md5-derived integer
+    // weights summed exactly per doc (order-free), one sigmoid + round at
+    // the end. The oracle replays every bucket and weight; the Spark side
+    // is a pure map-side fold (zero shuffles — ClassifierSpec asserts).
+    QueryDef("q_quality_classifier",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5('w7:' ||
+        |      (CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 262144)),
+        |      1, 15)) AS BIGINT) % 2001 - 1000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(wm) AS s FROM w GROUP BY 1),
+        |q AS (SELECT doc_id, n,
+        |        ROUND(1.0 / (1.0 + exp(-(s / (n * 1000.0)))), 4) AS quality
+        |      FROM agg)
+        |SELECT d.doc_id, CAST(coalesce(q.n, 0) AS BIGINT) AS n_feats,
+        |  q.quality, coalesce(q.quality >= 0.5, false) AS keep
+        |FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
+        |ORDER BY d.doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Classifier.score(Tables.documents(s, d), "text")
+        .select("doc_id", "n_feats", "quality", "keep")
+        .orderBy("doc_id")
     }
   )
 }

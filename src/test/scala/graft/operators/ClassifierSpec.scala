@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Sketches
+import org.apache.spark.sql.functions._
+
+/** Hashed linear quality classifier ([[Classifier]]): weight-function
+  * determinism, the exact integer fold, path parity (pure-function
+  * weights vs the materialized weight table), the shuffle-free plan of
+  * the map-side path, and edge documents.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightMilli matches the hash60 definition and stays in range") {
+    (0L to 200L).foreach { b =>
+      val w = Classifier.weightMilli(7, b)
+      assert(w == Sketches.hash60(s"w7:$b") % 2001 - 1000)
+      assert(w >= -1000 && w <= 1000)
+    }
+  }
+
+  test("score = sigmoid of the exact integer feature-weight mean") {
+    val docs = Seq((1L, "red fox"), (2L, "one"), (3L, "a b a")).toDF("id", "text")
+    val got = Classifier.score(docs, "text", bucketBits = 18, seed = 7)
+      .select("id", "n_feats", "quality").orderBy("id")
+      .as[(Long, Long, Double)].collect()
+
+    def hand(words: Seq[String]): (Long, Double) = {
+      val feats = words ++ words.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val s = feats.map(f =>
+        Classifier.weightMilli(7, Sketches.hash60(f) % (1L << 18))).sum
+      val mean = s.toDouble / (feats.size * 1000.0)
+      (feats.size.toLong,
+        BigDecimal(1.0 / (1.0 + math.exp(-mean)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got(0) == ((1L, 3L, hand(Seq("red", "fox"))._2)))
+    assert(got(1)._2 == 1L) // single token: unigram only, no bigram
+    assert(got(2) == ((3L, 5L, hand(Seq("a", "b", "a"))._2)))
+  }
+
+  test("scoreWith on the materialized hash model equals the pure-function path") {
+    val docs = Tables.documents(spark, sfDir).limit(200).cache()
+    val bits = 10
+    val a = Classifier.score(docs, "text", bucketBits = bits, seed = 7)
+      .select("doc_id", "n_feats", "quality", "keep")
+    val b = Classifier.scoreWith(docs, "doc_id", "text",
+      Classifier.hashModel(spark, bits, 7), bucketBits = bits)
+      .select("doc_id", "n_feats", "quality", "keep")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    docs.unpersist()
+  }
+
+  test("pure-function scoring is map-side only (no Exchange in the plan)") {
+    val plan = Classifier.score(Tables.documents(spark, sfDir), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hash-weight scoring must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("scoreWith missing buckets weigh zero; empty-ish docs keep=false on NULL") {
+    val docs = Seq((1L, "only these words")).toDF("id", "text")
+    val empty = spark.emptyDataset[(Long, Long)].toDF("bucket", "w_milli")
+    val r = Classifier.scoreWith(docs, "id", "text", empty)
+      .select("quality", "keep").as[(Double, Boolean)].head()
+    assert(r == ((0.5, true))) // all-zero weights: sigmoid(0) = 0.5 >= 0.5
+    val neg = Classifier.score(Seq((1L, "x")).toDF("id", "text"),
+      "text", threshold = 1.1)
+      .select("keep").as[Boolean].head()
+    assert(!neg)
+  }
+}
