@@ -45,9 +45,14 @@ object TextIndex {
     val t = docs.select(col(idCol).cast("long").as("doc_id"),
         TextRank.lowerTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("len"),
-        explode(col("toks")).as("tok"))
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+    // POSITIONAL postings (the Lucene layout): in-doc 0-based positions
+    // sorted for determinism; tf kept as its own column so scoring-only
+    // searches column-prune the positions array away at the parquet scan
+    // (TextIndexSpec asserts the pruned ReadSchema).
     t.groupBy("doc_id", "len", "tok")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn(BucketCol, bucketCol(col("tok"), nBuckets))
   }
 
@@ -151,5 +156,56 @@ object TextIndex {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Exact phrase search off the positional postings: documents where the
+    * phrase's tokens occur CONTIGUOUSLY, with the occurrence count
+    * (overlapping occurrences counted — "a a a" holds "a a" twice) and
+    * the first match position. Returns `(query_id, doc_id, n_hits,
+    * first_pos)`, one row per matching document.
+    *
+    * Plan: the scan prunes to the phrase vocabulary's bucket partitions
+    * (same literal IN-list as [[search]]); each posting row joined to the
+    * broadcast `(tok, offset)` phrase terms yields candidate base
+    * positions `pos - offset`; a base where ALL `|phrase|` offsets agree
+    * is a match (one doc+base-keyed integer aggregate — no positions
+    * array ever crosses a shuffle un-exploded). Cost is the postings of
+    * the phrase's terms, not the corpus.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    val nBuckets = new String(Files.readAllBytes(Paths.get(dir, "meta")),
+      StandardCharsets.UTF_8).trim.toInt
+    val phrases = queries.map { case (qid, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      require(toks.nonEmpty, s"empty phrase for query $qid")
+      (qid, toks)
+    }
+    val terms = phrases
+      .flatMap { case (qid, toks) =>
+        toks.zipWithIndex.map { case (t, off) => (qid, t, off) }
+      }
+      .toDF("query_id", "tok", "off")
+    val phraseLen = phrases.map { case (qid, toks) => (qid, toks.length) }
+      .toDF("query_id", "n_terms")
+    val vocab = phrases.flatMap(_._2).distinct
+    val buckets = vocab.map(bucketOf(_, nBuckets)).distinct
+      .map(Integer.valueOf).toSeq
+
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .where(col(BucketCol).isin(buckets: _*))
+      .join(broadcast(terms), Seq("tok"))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        explode(col("positions")).as("pos"))
+      .select(col("query_id"), col("doc_id"), (col("pos") - col("off")).as("base"))
+      .where(col("base") >= 0)
+    pruned
+      .groupBy("query_id", "doc_id", "base")
+      .agg(count(lit(1)).as("n_off"))
+      .join(broadcast(phraseLen), Seq("query_id"))
+      .where(col("n_off") === col("n_terms"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("base")).cast("int").as("first_pos"))
   }
 }

@@ -126,7 +126,7 @@ object AnnFixtures {
       else "missing"
     val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
     cachedDirAt(Paths.get("target", "graft-ann", s"docs-$tag-$fp").toAbsolutePath,
-      s"textidx-b$nBuckets") { tmp =>
+      s"textidx2-b$nBuckets") { tmp =>
       graft.operators.TextIndex.build(Tables.documents(s, d),
         "doc_id", "text", tmp, nBuckets)
     }
@@ -144,7 +144,7 @@ object AnnFixtures {
       else "missing"
     val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
     cachedDirAt(Paths.get("target", "graft-ann", s"docs-$tag-$fp").toAbsolutePath,
-      s"textidx-append-b$nBuckets") { tmp =>
+      s"textidx2-append-b$nBuckets") { tmp =>
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
       val cut = docs.agg(org.apache.spark.sql.functions.max("doc_id"))

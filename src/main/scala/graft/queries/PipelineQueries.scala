@@ -553,6 +553,42 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- exact phrase search off the POSITIONAL postings (r10): overlapping
+    // occurrences counted ('a a' matches twice inside 'a a a'), first match
+    // position returned; the scan prunes to the phrase vocabulary's bucket
+    // partitions exactly like scoring searches, and the oracle rebuilds
+    // positions from scratch with zipped parallel unnests.
+    QueryDef("q_text_index_phrase",
+      """WITH q(query_id, qtext) AS (VALUES (0, 'table hash'), (1, 'customer join'), (2, 'a a')),
+        |ph AS (SELECT query_id, off - 1 AS off, tok FROM (
+        |  SELECT query_id,
+        |    unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS tok,
+        |    unnest(range(1, len(string_split_regex(trim(lower(qtext)), '\s+')) + 1)) AS off
+        |  FROM q)),
+        |n AS (SELECT query_id, COUNT(*) AS n_terms FROM ph GROUP BY 1),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |         FROM documents),
+        |pos AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS p
+        |        FROM toks),
+        |cand AS (SELECT ph.query_id, pos.doc_id, pos.p - ph.off AS base
+        |         FROM pos JOIN ph ON pos.tok = ph.tok
+        |         WHERE pos.p - ph.off >= 0),
+        |hit AS (SELECT query_id, doc_id, base, COUNT(*) AS cnt
+        |        FROM cand GROUP BY 1, 2, 3),
+        |m AS (SELECT h.query_id, h.doc_id, h.base
+        |      FROM hit h JOIN n USING (query_id) WHERE h.cnt = n.n_terms)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(MIN(base) AS INT) AS first_pos
+        |FROM m GROUP BY 1, 2
+        |ORDER BY query_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val dir = AnnFixtures.textIndexDir(s, d, nBuckets = 64)
+      graft.operators.TextIndex.phraseSearch(s, dir,
+          Seq((0L, "table hash"), (1L, "customer join"), (2L, "a a")))
+        .orderBy("query_id", "doc_id")
+    },
+
     // --- corpus statistics: top-k word bigrams above a frequency cutoff.
     // orderBy.limit executes as TakeOrderedAndProject (per-partition heaps,
     // no global sort).

@@ -53,6 +53,35 @@ class TextIndexSpec extends SparkSpec {
     assert(nt == expect, s"df(batch) $nt vs $expect")
   }
 
+  test("phrase search: contiguous-only, overlapping occurrences, first position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),   // phrase at 1
+      (2L, "quick the brown quick"), // both words, never contiguous
+      (3L, "a a a b"),               // 'a a' overlaps: bases 0 and 1
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val d2 = Files.createTempDirectory("textidxp").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", d2, nBuckets = 8)
+    val got = TextIndex.phraseSearch(spark, d2,
+        Seq((0L, "quick brown"), (1L, "a a")))
+      .orderBy("query_id", "doc_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L, 1), (1L, 3L, 2L, 0)), got.toString)
+  }
+
+  test("phrase search prunes to the phrase vocabulary's buckets") {
+    val plan = TextIndex.phraseSearch(spark, dir, Seq((0L, "hash join")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+  }
+
+  test("scoring search column-prunes the positions array at the scan") {
+    val plan = TextIndex.search(spark, dir, Seq((0L, "batch")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("positions"),
+      s"positions column must be pruned from a scoring search:\n${plan.take(3000)}")
+  }
+
   test("append: split-then-append answers identically to a one-shot build") {
     val docs = Tables.documents(spark, sfDir)
     val d2 = Files.createTempDirectory("textidx2").toString + "/idx"
@@ -68,5 +97,9 @@ class TextIndexSpec extends SparkSpec {
     // stats folded exactly
     val st = spark.read.parquet(s"$d2/stats").head()
     assert(st.getLong(0) == docs.count())
+    // positional postings append the same way: phrase answers identical
+    val ph = Seq((0L, "hash join"))
+    assert(TextIndex.phraseSearch(spark, d2, ph).orderBy("doc_id").collect().toSeq ==
+      TextIndex.phraseSearch(spark, dir, ph).orderBy("doc_id").collect().toSeq)
   }
 }
