@@ -122,4 +122,30 @@ object Sessions {
       totals.select(lit(i + 1).as("stage"), col(s"u_${i + 1}").as("users")))
     stacked.reduce(_ unionByName _)
   }
+
+  /** Hopping (sliding) window aggregation: every event contributes to the
+    * `ceil(size/stride)` windows covering it — the overlapping complement
+    * of the tumbling time bucketizers (a 1h window hopping every 15min is
+    * the "smoothed hourly rate" panel of a monitoring UI).
+    *
+    * Built on Spark's native `window(ts, size, stride)`: the per-event
+    * fan-out is a codegen'd Expand under the aggregation (map-side
+    * partial agg BEFORE the one shuffle on the window key), never a join
+    * against a generated window table. Window starts align to epoch 0 in
+    * microsecond arithmetic. Output: `window_start`/`window_end` (epoch
+    * seconds) + the aggregate columns.
+    */
+  def hoppingAgg(events: DataFrame, tsCol: String, sizeSec: Long,
+      strideSec: Long, aggs: Seq[Column]): DataFrame = {
+    require(sizeSec > 0 && strideSec > 0 && strideSec <= sizeSec,
+      s"need 0 < stride ($strideSec) <= size ($sizeSec)")
+    require(aggs.nonEmpty, "at least one aggregate required")
+    events
+      .groupBy(window(col(tsCol), s"$sizeSec seconds", s"$strideSec seconds")
+        .as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", unix_timestamp(col("__w.start")))
+      .withColumn("window_end", unix_timestamp(col("__w.end")))
+      .drop("__w")
+  }
 }

@@ -261,6 +261,29 @@ object TimeQueries {
         .agg(sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc_nulls_last, col("p_brand").asc_nulls_first)
         .limit(10)
+    },
+
+    // --- hopping (sliding) windows (r10): 1h windows every 15min — each
+    // event lands in 4 windows via Spark's native window() Expand with
+    // map-side partial agg; the oracle replays the fan-out in exact
+    // microsecond integer arithmetic (window starts align to epoch 0).
+    QueryDef("q_bucket_hopping",
+      """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+        |w AS (SELECT (t // 900000000 - j) * 900000000 AS ws, value
+        |      FROM e CROSS JOIN unnest([0, 1, 2, 3]) AS u(j)
+        |      WHERE (t // 900000000 - j) * 900000000 > t - 3600000000)
+        |SELECT CAST(ws // 1000000 AS BIGINT) AS window_start,
+        |  CAST(ws // 1000000 + 3600 AS BIGINT) AS window_end,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY ws
+        |ORDER BY window_start NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.hoppingAgg(Tables.events(s, d), "ts",
+          sizeSec = 3600, strideSec = 900,
+          Seq(count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec)).cast(DoubleType).as("total")))
+        .select("window_start", "window_end", "cnt", "total")
+        .orderBy("window_start")
     }
   )
 }

@@ -75,4 +75,27 @@ class SessionsSpec extends SparkSpec {
     val windows = plan.split("\n").count(_.trim.startsWith("Window"))
     assert(windows <= 2, s"funnel fragmented into $windows Window nodes:\n$plan")
   }
+
+  test("hoppingAgg: each event lands in ceil(size/stride) windows, edges exact") {
+    // size 10, stride 5: event at t lands in starts {5*floor(t/5), -5}
+    // intersected with (t-10, t]
+    val df = ev((1L, 1L, 0L, "a"), (1L, 2L, 7L, "a"), (1L, 3L, 10L, "a"))
+    val got = Sessions.hoppingAgg(df, "ts", 10, 5, Seq(count(lit(1)).as("cnt")))
+      .select("window_start", "window_end", "cnt")
+      .orderBy("window_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // t=0 → windows [-5,5),[0,10); t=7 → [0,10),[5,15); t=10 → [5,15),[10,20)
+    assert(got == Seq((-5L, 5L, 1L), (0L, 10L, 2L), (5L, 15L, 2L), (10L, 20L, 1L)),
+      got.toString)
+  }
+
+  test("hoppingAgg expands map-side under one aggregation shuffle") {
+    val plan = Sessions.hoppingAgg(ev((1L, 1L, 0L, "a")), "ts", 3600, 900,
+      Seq(count(lit(1)).as("cnt"))).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in hopping plan:\n${plan.take(2000)}")
+    assert(plan.split("\n").count(_.contains("Exchange")) <= 1,
+      s"hopping agg must shuffle once:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected partial aggregation:\n${plan.take(2000)}")
+  }
 }
