@@ -591,4 +591,36 @@ object Similarity {
       .map { case ((id, _, r), i) => (i + 1, id, r) }
       .toDF("pick_order", "id", "radius")
   }
+
+  /** Embedding outlier detection: the `k` vectors per group LEAST cosine-
+    * similar to their own group centroid — the mislabel/noise review
+    * queue of an embedded corpus (a point far from its class mean is a
+    * labeling error, an encoder glitch, or genuinely hard; all three are
+    * what curation wants surfaced before training).
+    *
+    * Plan: one (group, dim)-keyed partial agg builds the centroids
+    * ([[groupCentroids]] — #groups×dim rows, never corpus-sized), joined
+    * back broadcast, cosine is the codegen'd sequential-fold double
+    * ([[graft.functions.VectorOps.cosineDouble]]), and the bottom-k is a
+    * per-group window whose partial `WindowGroupLimit` trims map-side
+    * before the single shuffle on the group key. Ranking uses the ROUNDED
+    * score with the id tiebreak so the order is engine-independent.
+    *
+    * Output: (group, rank, id, cos) — rank 1 is the farthest-out vector.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val cen = groupCentroids(df, groupCol, vecCol)
+      .select(col("group"), col("centroid"))
+    val scored = df
+      .join(broadcast(cen), col(groupCol) === col("group"))
+      .select(col("group"), col(idCol),
+        round(graft.functions.VectorOps.cosineDouble(
+          col(vecCol).cast("array<double>"), col("centroid")), roundTo).as("cos"))
+    val w = Window.partitionBy("group").orderBy(col("cos").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("group"), col("rank"), col(idCol), col("cos"))
+  }
 }

@@ -135,6 +135,36 @@ object DataOpsQueries {
         .orderBy("label_a", "label_b")
     },
 
+    // --- embedding outliers (r10): bottom-k cosine-to-own-centroid per
+    // label — the mislabel/noise review queue. Rank on the ROUNDED score
+    // with id tiebreak so the order is engine-independent; WindowGroupLimit
+    // trims map-side below the group-key shuffle.
+    QueryDef("q_emb_outliers",
+      """WITH e AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings, UNNEST(range(1, 65)) u(i)),
+        |m AS (SELECT label, i, AVG(v) AS c FROM e GROUP BY 1, 2),
+        |cen AS (SELECT label, array_agg(c ORDER BY i) AS cen FROM m GROUP BY 1),
+        |s AS (SELECT emb.vec_id, emb.label,
+        |  ROUND(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(embedding[i] AS DOUBLE) * cen[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> cen[i] * cen[i])))), 4)
+        |    AS cos
+        |  FROM embeddings emb JOIN cen ON emb.label = cen.label)
+        |SELECT CAST(label AS INT) AS grp, CAST(rank AS INT) AS rank,
+        |  CAST(vec_id AS BIGINT) AS vec_id, cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cos, vec_id) AS rank FROM s)
+        |WHERE rank <= 10
+        |ORDER BY grp NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d),
+          "vec_id", "label", "embedding", k = 10)
+        .select(col("group").cast("int").as("grp"), col("rank"),
+          col("vec_id"), col("cos"))
+        .orderBy("grp", "rank")
+    },
+
     QueryDef("q_cluster_balance",
       """WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
         |               FROM embeddings WHERE vec_id < 8),

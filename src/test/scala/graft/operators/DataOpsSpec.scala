@@ -259,4 +259,28 @@ class DataOpsSpec extends SparkSpec {
     assert(math.abs(cos((0, 2)) - 1.0 / math.sqrt(2)) < 1e-15)
     assert(math.abs(cos((1, 2)) - 1.0 / math.sqrt(2)) < 1e-15)
   }
+
+  test("embeddingOutliers surfaces the planted far-from-centroid vector first") {
+    // label 0: three near-identical vectors along e1 plus one along e2 —
+    // the e2 vector is rank 1 (least similar to the group mean)
+    val df = Seq(
+      (1L, 0, Array(1.0, 0.01)), (2L, 0, Array(1.0, 0.02)),
+      (3L, 0, Array(1.0, 0.0)), (4L, 0, Array(0.0, 1.0)),
+      (5L, 1, Array(0.5, 0.5)), (6L, 1, Array(0.5, 0.5))
+    ).toDF("id", "label", "vec")
+    val got = Similarity.embeddingOutliers(df, "id", "label", "vec", k = 2)
+      .orderBy("group", "rank")
+      .select("group", "rank", "id")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got.take(2).map(_._3) == Seq(4L, 3L), got.toString)
+    assert(got.drop(2).map(_._3) == Seq(5L, 6L), got.toString) // tie → id order
+  }
+
+  test("embeddingOutliers trims map-side: WindowGroupLimit below the exchange") {
+    val plan = Similarity.embeddingOutliers(Tables.embeddings(spark, sfDir),
+      "vec_id", "label", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected partial window group limit:\n${plan.take(3000)}")
+  }
 }
