@@ -275,6 +275,43 @@ object ExtensionQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_s"))
         .orderBy(asc_nulls_first("event_type"))
+    },
+
+    // --- CUBE (r10): all 2^n grouping-set combinations in one pass —
+    // Catalyst's Expand feeds a single partial-aggregated shuffle, the
+    // same plan family as ROLLUP.
+    QueryDef("q_agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // --- PIVOT (r10): one row per return flag, one column per line
+    // status. Spark's relational pivot plans the same single aggregation
+    // as the explicit conditional-sum form the oracle uses (values
+    // enumerated, so no extra distinct pass).
+    QueryDef("q_pivot_status",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy(asc_nulls_first("l_returnflag"))
     }
   )
 }
