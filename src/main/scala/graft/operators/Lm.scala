@@ -125,6 +125,67 @@ object Lm {
         col("lm_score"))
   }
 
+  /** Per-document mean bigram log-probability under an INTERPOLATED
+    * KNESER-NEY bigram LM trained on the corpus — the smoothing KenLM
+    * actually ships (Kneser & Ney 1995; Chen & Goodman 1998), and thus
+    * the closest relational expression of the CCNet perplexity filter
+    * ([[bigramScore]]'s add-k model over-penalizes frequent-word
+    * continuations; KN scores a continuation by how many distinct
+    * contexts it follows):
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+    *            + D · N1+(w1 ·) / c(w1 ·) · N1+(· w2) / |bigram types|
+    *
+    * with absolute discount `D ∈ (0,1)`, c(w1 ·) the left-context token
+    * count, N1+(w1 ·) the distinct continuations of w1, N1+(· w2) the
+    * distinct contexts preceding w2. Every ingredient is an exact integer
+    * aggregate of the bigram table; scores round to 4 decimals.
+    *
+    * Self-trained contract: every document bigram exists in the model by
+    * construction, so the probe is an inner join (scoring a foreign
+    * corpus against this model needs a continuation-aware backoff for
+    * unseen grams — out of scope here; [[bigramScore]] is the null-safe
+    * foreign-model scorer).
+    *
+    * Scale shape: identical to [[bigramScore]] — one exploded shuffle
+    * builds the bigram table; the three KN aggregates are gram-table-
+    * keyed (vocabulary-sized, never corpus-sized); the fitted model joins
+    * back through the same size-guarded probe (broadcast under
+    * `maxModelRows`, shuffled hash join past it).
+    */
+  def knScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75,
+      maxModelRows: Long = DefaultMaxModelRows): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount $discount must be in (0,1)")
+    val tokenized = docs.select(col(idCol), lowerToks(textCol).as("__toks"))
+    val grams = tokenized.select(col(idCol),
+      explode(TextOps.shingles(col("__toks"), 2)).as("__gram"))
+
+    val bi = grams.groupBy("__gram").agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", split(col("__gram"), " ").getItem(0))
+      .withColumn("__w2", split(col("__gram"), " ").getItem(1))
+    val ctx = bi.groupBy("__w1")
+      .agg(sum("__c2").as("__cctx"), count(lit(1)).as("__n1fwd"))
+    val cont = bi.groupBy("__w2").agg(count(lit(1)).as("__n1back"))
+    val types = bi.agg(count(lit(1)).as("__types"))
+    val model = bi.join(ctx, Seq("__w1")).join(cont, Seq("__w2"))
+      .select("__gram", "__c2", "__cctx", "__n1fwd", "__n1back")
+
+    val p = (greatest(col("__c2") - discount, lit(0.0)) / col("__cctx")) +
+      (lit(discount) * col("__n1fwd") / col("__cctx")) *
+        (col("__n1back") / col("__types"))
+    val logp = grams
+      .join(boundedModel(model, maxModelRows), Seq("__gram"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol), log(p).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("__lp"), 4).as("kn_score"))
+    docs.select(col(idCol))
+      .join(logp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_score"))
+  }
+
   /** DSIR importance weights over bigram features: for each document of
     * the raw pool (`isTarget` false), the log importance weight
     *

@@ -96,6 +96,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // --- interpolated Kneser-Ney bigram LM (r10): the smoothing KenLM
+    // actually ships — continuation probability from distinct-context
+    // counts, absolute discount D=0.75. Every model ingredient is an
+    // integer aggregate of the bigram table, replayed term-for-term.
+    QueryDef("q_text_lm_kn",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |  FROM toks WHERE len(tk) >= 2),
+        |bi AS (SELECT gram, COUNT(*) AS c2 FROM grams GROUP BY 1),
+        |bw AS (SELECT gram, c2, string_split(gram, ' ')[1] AS w1,
+        |              string_split(gram, ' ')[2] AS w2 FROM bi),
+        |ctx AS (SELECT w1, SUM(c2) AS cctx, COUNT(*) AS n1fwd FROM bw GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS n1back FROM bw GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS types FROM bi),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    ln(greatest(c2 - 0.75, 0) / cctx +
+        |       (0.75 * n1fwd / cctx) * (n1back * 1.0 / types)) AS lp
+        |  FROM grams g JOIN bw ON g.gram = bw.gram
+        |  JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |               ROUND(AVG(lp), 4) AS kn_score
+        |        FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       kn_score
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE d.doc_id < 50
+        |ORDER BY d.doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Lm.knScore(Tables.documents(s, d), "doc_id", "text")
+        .where(col("doc_id") < 50)
+        .orderBy("doc_id")
+    },
+
     // --- selection: DSIR importance weights, target = English docs, raw
     // pool = the rest; top 20 raw docs most resembling the target
     // (TakeOrderedAndProject, rounded-weight order with id tiebreak).

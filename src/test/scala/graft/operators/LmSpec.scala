@@ -138,4 +138,49 @@ class LmSpec extends SparkSpec {
     assert(w(100L) > 0 && w(101L) < 0,
       s"log-ratio sign must separate in/out of distribution: $w")
   }
+
+  test("knScore matches hand-computed interpolated Kneser-Ney") {
+    import spark.implicits._
+    // corpus: d1 = "a b a", d2 = "a b" → bigrams: "a b":2, "b a":1
+    // contexts: c(a ·)=2, N1+(a ·)=1; c(b ·)=1, N1+(b ·)=1
+    // continuations: N1+(· b)=1, N1+(· a)=1; bigram types = 2; D=0.75
+    val df = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = Lm.knScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val pAB = math.log((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1.0 / 2))
+    val pBA = math.log((1 - 0.75) / 1 + (0.75 * 1 / 1) * (1.0 / 2))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L) == ((2L, Some(r4((pAB + pBA) / 2)))))
+    assert(rows(2L) == ((1L, Some(r4(pAB)))))
+  }
+
+  test("knScore: KN probabilities sum to 1 over observed continuations per context") {
+    import spark.implicits._
+    // richer corpus where contexts have several distinct continuations.
+    // Interpolated KN normalizes exactly when every w2 of the vocabulary
+    // is an observed continuation somewhere: Σ_w2∈cont P(w2|w1) =
+    // (c(w1·) − D·N1+(w1·))/c(w1·) + D·N1+(w1·)/c(w1·) · Σ N1+(·w2)/types
+    // and Σ_w2 N1+(· w2) = types. Verify numerically per context.
+    val docs = Seq((1L, "a b a c a b b c a"), (2L, "c a b c b a")).toDF("doc_id", "text")
+    val grams = docs.select(explode(TextOps.shingles(
+        TextOps.tokens(lower(col("text"))), 2)).as("g"))
+      .groupBy("g").count().as[(String, Long)].collect()
+      .map { case (g, c) => val Array(w1, w2) = g.split(" "); (w1, w2, c) }
+    val types = grams.length.toDouble
+    val byW1 = grams.groupBy(_._1)
+    val n1back = grams.groupBy(_._2).map { case (w2, g) => w2 -> g.length }
+    val d = 0.75
+    val vocab2 = grams.map(_._2).distinct
+    byW1.foreach { case (w1, g) =>
+      val cctx = g.map(_._3).sum.toDouble
+      val n1fwd = g.length
+      val total = vocab2.map { w2 =>
+        val c2 = g.find(_._2 == w2).map(_._3).getOrElse(0L).toDouble
+        math.max(c2 - d, 0) / cctx + (d * n1fwd / cctx) * (n1back(w2) / types)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12,
+        s"KN must normalize over the continuation vocabulary for '$w1': $total")
+    }
+  }
 }
