@@ -406,6 +406,52 @@ object TextRank {
       .select(col("query_id"), col("rank"), col("doc_id"))
   }
 
+  /** Reciprocal-rank-fusion hybrid retrieval (Cormack et al., SIGIR 2009
+    * — the fusion RAG stacks default to): fuse the BM25 lexical top-k
+    * and the dense cosine top-k by `Σ 1/(k0 + rank)`, so a document
+    * ranked well by EITHER retriever surfaces, without score-scale
+    * calibration between the two (the property that makes RRF robust
+    * where weighted score sums need tuning). [[hybridTopK]] is the
+    * cascade (lexical candidates THEN dense rerank); this is the union
+    * (both retrievers run independently over their own index).
+    *
+    * Scale shape: both rankers already end in bounded per-query top-k
+    * sets (≤ queries × kEach rows), so the fusion join and final window
+    * touch only finalists — the corpus is scanned once per retriever,
+    * exactly as each standalone. The RRF score is rounded to 6 so rank
+    * order is engine-independent; absent-from-one-ranker contributes 0.
+    *
+    * Output: (query_id, rank, doc_id, rrf).
+    */
+  def rrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, embIdCol: String, vecCol: String,
+      queries: Seq[(Long, String, Array[Float])], kEach: Int, k: Int,
+      k0: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(kEach >= 1 && k >= 1 && k0 >= 1)
+    val lex = bm25TopK(docs, idCol, textCol,
+        queries.map(q => (q._1, q._2)), kEach)
+      .select(col("query_id"), col("doc_id"), col("rank").as("__lex"))
+    val qVecs = queries.map(q => (q._1, q._3.toSeq))
+      .toDF(embIdCol, vecCol)
+      .select(col(embIdCol), col(vecCol).cast("array<float>").as(vecCol))
+    val dense = Similarity.topKCosine(
+        embeddings.select(col(embIdCol), col(vecCol)), embIdCol, vecCol,
+        qVecs, kEach)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("__dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("__lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("__dense")), lit(0.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
     * corpus vocabulary by PageRank centrality over the word co-occurrence
     * graph — adjacent-token pairs, undirected, deduplicated (the paper's

@@ -336,6 +336,62 @@ object DataOpsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- hybrid retrieval by reciprocal rank fusion (r10): BM25 top-20 and
+    // dense cosine top-20 run independently and fuse by Σ 1/(60+rank) —
+    // robust to score-scale mismatch, no calibration. Ranks are integers,
+    // so the fused score is exact; round(6) pins the final order.
+    QueryDef("q_hybrid_rrf",
+      """WITH q(query_id, qtext) AS (VALUES (0, 'hash join batch'), (1, 'vector scan')),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(lower(qtext)), '\s+'))) AS tok FROM q),
+        |dt AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS len,
+        |              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |       FROM documents),
+        |tf AS (SELECT doc_id, len, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dt
+        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
+        |          FROM documents),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS nt FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1 + (n_docs - nt + 0.5) / (nt + 0.5)) *
+        |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.len / avg_len))), 4) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats JOIN qt USING (tok)
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank FROM scored) WHERE rank <= 20),
+        |den AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT q2.vec_id AS query_id, c.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q2.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q2.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+        |                 c.vec_id) AS rank
+        |    FROM embeddings q2, embeddings c
+        |    WHERE q2.vec_id < 2 AND c.vec_id != q2.vec_id) WHERE rank <= 20),
+        |fused AS (SELECT coalesce(l.query_id, d2.query_id) AS query_id,
+        |    coalesce(l.doc_id, d2.doc_id) AS doc_id,
+        |    ROUND(coalesce(1.0 / (60 + l.rank), 0) +
+        |          coalesce(1.0 / (60 + d2.rank), 0), 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN den d2
+        |    ON l.query_id = d2.query_id AND l.doc_id = d2.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10
+        |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") < 2).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      graft.operators.TextRank.rrfTopK(
+          Tables.documents(s, d), "doc_id", "text", emb, "vec_id", "embedding",
+          Seq((0L, "hash join batch", qv(0)), (1L, "vector scan", qv(1))),
+          kEach = 20, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // --- composition: quality-gated no-split packing as ONE job (the
     // round's new operators chained — rule filter, map-side, feeds the
     // deterministic hash-shard next-fit pack). Oracle composes the two

@@ -133,4 +133,25 @@ class TextRankSpec extends SparkSpec {
     assert(out("a") == out("c") && out("b") == out("d"),
       s"edge multiplicity leaked into the unweighted ranks: $out")
   }
+
+  test("rrfTopK fuses lexical and dense ranks; single-ranker docs still surface") {
+    import spark.implicits._
+    // docs: 1 is the lexical hit ("fox fox fox"), 2 the dense hit (vector
+    // aligned with the query), 3 matched by both weakly.
+    val docs = Seq((1L, "fox fox fox"), (2L, "unrelated words here"),
+      (3L, "fox lore")).toDF("doc_id", "text")
+    val emb = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val got = TextRank.rrfTopK(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", Seq((9L, "fox", Array(1.0f, 0.0f))), kEach = 2, k = 3)
+      .orderBy("rank").select("rank", "doc_id", "rrf")
+      .as[(Int, Long, Double)].collect().toSeq
+    // lexical ranks: doc1=1, doc3=2 (only docs with 'fox'); dense ranks
+    // (query vec e1, self-exclusion on id 9 is vacuous): doc2=1, doc3=2.
+    // rrf: doc3 = 1/62+1/62 = .032258; doc1 = 1/61 = .016393; doc2 = 1/61.
+    assert(got.map(_._2) == Seq(3L, 1L, 2L), got.toString)
+    assert(got.head._3 == BigDecimal(2.0 / 62).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, got.toString)
+    assert(got(1)._3 == got(2)._3) // tie between single-ranker docs → id order
+  }
 }
