@@ -131,4 +131,39 @@ object Pipeline {
         sum(when(Curation.piiCount(col("__text")) > 0, 1L).otherwise(0L))
           .cast("long").as("pii_docs"))
   }
+
+  /** Per-source KL divergence of the token distribution from the whole
+    * corpus — KL(P_src ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) — the
+    * mixture-drift monitor of a multi-source pipeline: a source whose KL
+    * jumps between releases changed its content profile, and a source
+    * with outlier KL is the one skewing the mix. Zero-probability terms
+    * cannot occur (every source token is a corpus token by construction).
+    *
+    * Scale shape: one exploded shuffle builds the (source, token) counts;
+    * corpus token counts derive from the SAME table by a second
+    * vocabulary-sized aggregate (no second corpus scan); the join is
+    * token-keyed, vocabulary-sized; the final fold is one row per source.
+    * Output: (source, n_tokens, n_vocab, kl) — kl rounded to 4.
+    */
+  def sourceDivergence(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val sw = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.operators.TextOps.tokens(lower(col(textCol)))).as("__w"))
+      .groupBy("source", "__w").agg(count(lit(1)).as("__csw"))
+    val srcTot = sw.groupBy("source")
+      .agg(sum("__csw").as("__ns"), count(lit(1)).as("n_vocab"))
+    val corpTot = sw.groupBy("__w").agg(sum("__csw").as("__cw"))
+      .crossJoin(broadcast(sw.agg(sum("__csw").as("__n"))))
+    sw.join(srcTot, Seq("source"))
+      .join(corpTot, Seq("__w"))
+      .select(col("source"), col("__ns"), col("n_vocab"),
+        ((col("__csw") / col("__ns")) *
+          log((col("__csw") / col("__ns")) / (col("__cw") / col("__n"))))
+          .as("__term"))
+      .groupBy("source")
+      .agg(max("__ns").cast("long").as("n_tokens"),
+        max("n_vocab").cast("long").as("n_vocab"),
+        round(sum("__term"), 4).as("kl"))
+  }
 }

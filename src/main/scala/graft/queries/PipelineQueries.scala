@@ -1141,6 +1141,30 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // --- per-source token-distribution KL divergence from the corpus
+    // (r10): the mixture-drift monitor. Counts are exact integers; the
+    // probability ratios divide identically in both engines; round(4)
+    // absorbs summation order.
+    QueryDef("q_source_kl",
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS csw FROM t GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(csw) AS ns, COUNT(*) AS nv FROM sw GROUP BY 1),
+        |ct AS (SELECT w, SUM(csw) AS cw FROM sw GROUP BY 1),
+        |tot AS (SELECT SUM(csw) AS n FROM sw)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |  CAST(nv AS BIGINT) AS n_vocab,
+        |  ROUND(SUM((csw * 1.0 / ns) * ln((csw * 1.0 / ns) / (cw * 1.0 / n))), 4)
+        |    AS kl
+        |FROM sw JOIN st USING (source) JOIN ct USING (w) CROSS JOIN tot
+        |GROUP BY 1, 2, 3
+        |ORDER BY source NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Pipeline.sourceDivergence(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")
+    },
+
     // --- minhash precision audit: flagged pairs re-scored with exact
     // 2-shingle jaccard, histogrammed by integer decile. The oracle
     // computes the exact >= 0.35 pair set (the banding == exact equality

@@ -102,4 +102,23 @@ class PipelineSpec extends SparkSpec {
       assert(leaked.isEmpty, s"minhashNearDups left persisted RDDs resident: $leaked")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("sourceDivergence: identical distribution has KL 0, skew is positive") {
+    import spark.implicits._
+    // corpus of A="x y", B="x x" → marginal: x:3 y:1.
+    val docs = Seq(("A", "x y"), ("B", "x x")).toDF("source", "text")
+    val got = Pipeline.sourceDivergence(docs, "source", "text")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klA = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    val klB = 1.0 * math.log(1.0 / 0.75)
+    assert(got.toSeq == Seq(("A", 2L, 2L, r4(klA)), ("B", 2L, 1L, r4(klB))),
+      got.mkString(", "))
+    // a source that IS the corpus diverges by zero
+    val same = Pipeline.sourceDivergence(
+        Seq(("A", "x y"), ("A", "y x")).toDF("source", "text"), "source", "text")
+      .select("kl").as[Double].head()
+    assert(same == 0.0)
+  }
 }
