@@ -1003,4 +1003,48 @@ object Dedup {
     import spark.implicits._
     rows.toSeq.toDF("id", "component")
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle, slide
+    * a window of `w` consecutive hashes, keep the window minimum
+    * (RIGHTMOST on ties, the paper's robust-winnowing rule). Any shared
+    * token run of length ≥ w+k−1 between two documents is GUARANTEED to
+    * produce a shared fingerprint — the local-match detector that
+    * MinHash (whole-document similarity) is blind to, and the candidate
+    * generator for plagiarism/clone-pair search.
+    *
+    * Output: one row per selected (doc, pos, fp) — pos is the 0-based
+    * shingle offset of the selected hash; documents shorter than w+k−1
+    * tokens emit nothing.
+    *
+    * Scale shape: selection is ONE map-side pass per document (higher-
+    * order fold over the token array — no shuffle, no UDF); output is
+    * bounded by ~2·tokens/w selections per doc (the paper's expected
+    * density), so downstream fp-keyed joins move a w-fold reduction of
+    * the corpus. Hashes are the md5-prefix integers, so a SQL oracle
+    * replays every selection exactly.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val hs = transform(TextOps.shingles(toks, k),
+      g => graft.functions.Sketches.hash60Col(g))
+    val sel = transform(sequence(lit(0), size(hs) - w), j => {
+      val sl = slice(hs, j + 1, lit(w))
+      val mn = array_min(sl)
+      // rightmost occurrence of the min: first position in the reversed
+      // window, mapped back (array_position is 1-based)
+      val pos = j + (lit(w) - array_position(reverse(sl), mn))
+      struct(pos.cast("int").as("pos"), mn.as("fp"))
+    })
+    // duplicate selections can only come from ADJACENT windows of the
+    // same document, so array_distinct inside the row removes them all —
+    // the whole operator stays shuffle-free (plan-asserted in DedupSpec)
+    docs
+      .select(col(idCol),
+        when(size(hs) >= w, array_distinct(sel)).otherwise(array()).as("__sel"))
+      .select(col(idCol), explode(col("__sel")).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
 }

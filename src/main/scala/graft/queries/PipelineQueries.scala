@@ -746,6 +746,35 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // --- winnowing fingerprints (r10, Schleimer/Wilkerson/Aiken MOSS):
+    // k=3 shingle hashes, window w=4, rightmost-min selection — any shared
+    // token run >= w+k-1 guarantees a shared fingerprint. One map-side
+    // fold per doc; the oracle replays hash, window min and the rightmost
+    // tie rule exactly.
+    QueryDef("q_text_winnow",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents WHERE doc_id < 20),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) AS grams
+        |      FROM toks WHERE len(tk) >= 3),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |        g2 -> CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT)) AS hs
+        |      FROM g),
+        |winpos AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |           FROM h WHERE len(hs) >= 4),
+        |sel AS (SELECT doc_id,
+        |    (j - 1) + (4 - list_position(list_reverse(hs[j:j+3]),
+        |                                 list_min(hs[j:j+3]))) AS pos,
+        |    list_min(hs[j:j+3]) AS fp
+        |  FROM winpos)
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, CAST(fp AS BIGINT) AS fp
+        |FROM sel ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.winnowFingerprints(
+          Tables.documents(s, d).where(col("doc_id") < 20),
+          "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    },
+
     // --- multimodal plumbing -------------------------------------------------
     QueryDef("q_multimodal_meta",
       """SELECT ascii(substring(text, 1, 1)) AS magic,

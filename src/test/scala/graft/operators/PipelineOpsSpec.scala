@@ -231,6 +231,45 @@ class DedupSpec extends SparkSpec {
     // Java-trims the control char away shifts every index and leaves "w1"
     assert(out(2L) == "\u0001", s"misaligned trim: '${out(2L).take(60)}'")
   }
+
+  test("winnowFingerprints: shared runs guaranteed, short docs empty, selections consistent") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // docs 1 and 2 share an 8-token run (>= w+k-1 = 6): MUST share a fp.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten"),
+      (3L, "tiny doc here"), // 3 tokens -> 1 shingle < w windows -> empty
+      (4L, "completely different words with nothing in common at all ok")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect().toSeq
+    val byDoc = fps.groupBy(_._1)
+    assert(!byDoc.contains(3L), "sub-window doc must emit nothing")
+    val f1 = byDoc(1L).map(_._3).toSet
+    val f2 = byDoc(2L).map(_._3).toSet
+    assert(f1.intersect(f2).nonEmpty, s"shared 8-token run produced no shared fp: $f1 / $f2")
+    val f4 = byDoc(4L).map(_._3).toSet
+    assert(f1.intersect(f4).isEmpty, "unrelated docs should not collide here")
+    // each selected fp is the hash of the shingle at its position
+    val toks1 = s"one two $shared".toLowerCase.split("\\s+")
+    byDoc(1L).foreach { case (_, pos, fp) =>
+      val gram = toks1.slice(pos, pos + k).mkString(" ")
+      assert(fp == graft.functions.Sketches.hash60(gram),
+        s"fp at pos $pos is not the shingle hash")
+    }
+    // density: at most one selection per window
+    assert(byDoc(1L).size <= toks1.length - k + 1 - w + 1)
+  }
+
+  test("winnowFingerprints is shuffle-free") {
+    val plan = Dedup.winnowFingerprints(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"winnowing must stay map-side:\n${plan.take(2000)}")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
