@@ -1047,4 +1047,34 @@ object Dedup {
       .select(col(idCol), explode(col("__sel")).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
+
+  /** Clone-pair candidates from winnowing: document pairs sharing at
+    * least `minShared` distinct [[winnowFingerprints]] selections — the
+    * cross-document face of winnowing (MOSS's actual query): boilerplate
+    * clusters, licence headers, template families, copied passages.
+    *
+    * Degenerate-fingerprint guard (the [[minhashNearDups]] bucket rule):
+    * a fingerprint present in more than `maxDocsPerFp` documents is a
+    * stopword-tier shingle with no discriminative value and quadratic
+    * pair cost — its bucket is DROPPED whole, so the pair join is bounded
+    * at `maxDocsPerFp²` per fingerprint. Output: (a_id, b_id, shared)
+    * with a_id < b_id.
+    */
+  def winnowClonePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2)
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val capped = fps.withColumn("__n", count(lit(1)).over(cw))
+      .where(col("__n") <= maxDocsPerFp)
+      .drop("__n")
+    val a = capped.select(col("fp"), col(idCol).as("a_id"))
+    val b = capped.select(col("fp"), col(idCol).as("b_id"))
+    a.join(b, Seq("fp")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

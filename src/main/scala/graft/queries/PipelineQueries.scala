@@ -775,6 +775,45 @@ object PipelineQueries {
         .orderBy("doc_id", "pos")
     },
 
+    // --- winnowing clone pairs (r10): cross-document pairs sharing >= 3
+    // fingerprint selections (MOSS's actual query) over planted mutated
+    // copies; stopword-tier fingerprints (> 64 docs) dropped whole — the
+    // minhash bucket-cap rule, replayed by the oracle's window count.
+    QueryDef("q_winnow_pairs",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL SELECT doc_id + 100000, text || ' zz yy xx'
+        |  FROM documents WHERE doc_id < 150),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |         FROM input),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) AS grams
+        |      FROM toks WHERE len(tk) >= 3),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |        g2 -> CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT)) AS hs
+        |      FROM g),
+        |winpos AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |           FROM h WHERE len(hs) >= 4),
+        |sel AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp FROM winpos),
+        |capped AS (SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n FROM sel)
+        |  WHERE n <= 64),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+        |  CAST(shared AS BIGINT) AS shared
+        |FROM p WHERE shared >= 3
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") < 150)
+      val input = base.select("doc_id", "text").unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+      graft.operators.Dedup.winnowClonePairs(input, "doc_id", "text",
+          k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
+        .orderBy("a_id", "b_id")
+    },
+
     // --- multimodal plumbing -------------------------------------------------
     QueryDef("q_multimodal_meta",
       """SELECT ascii(substring(text, 1, 1)) AS magic,

@@ -263,6 +263,34 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(1L).size <= toks1.length - k + 1 - w + 1)
   }
 
+  test("winnowClonePairs recovers planted copies; hot fingerprints dropped whole") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$shared one two"),
+      (2L, s"three four $shared"),   // shares the long run with 1
+      (3L, "unrelated content entirely about other matters and topics here"),
+      (4L, "more unrelated words that have no overlap with anything else")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowClonePairs(docs, "doc_id", "text",
+        minShared = 2, maxDocsPerFp = 64)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+    // cap = 2 with a fingerprint in 3 docs: that fp's bucket dies whole
+    val tri = Seq(
+      (1L, s"$shared one"), (2L, s"$shared two"), (3L, s"$shared three"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowClonePairs(tri, "doc_id", "text",
+        minShared = 1, maxDocsPerFp = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val uncapped = Dedup.winnowClonePairs(tri, "doc_id", "text",
+        minShared = 1, maxDocsPerFp = 64)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped.size == 3, uncapped.toString) // all three pairs share fps
+    assert(capped.map(_._3).sum < uncapped.map(_._3).sum,
+      s"cap did not drop 3-doc fingerprints: $capped vs $uncapped")
+  }
+
   test("winnowFingerprints is shuffle-free") {
     val plan = Dedup.winnowFingerprints(
         Tables.documents(spark, sfDir), "doc_id", "text")
