@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * model is a driver-side/offline concern); the model here is a weight
   * vector addressed by bucket. Two sources for it:
   *
-  *   - [[score]]: weights are a pure function of the bucket id (the
-  *     md5-derived integer in [-1000, 1000] milli-units) — no shipped
+  *   - [[score]]: weights are a pure function of the bucket id (a Knuth
+  *     multiplicative mix into [-1000, 1000] milli-units) — no shipped
   *     state at all, the gate/spec configuration, and the cross-engine
   *     contract that lets a SQL oracle replay every weight.
   *   - [[scoreWith]]: weights from a caller-supplied `(bucket, w_milli)`
@@ -40,17 +40,23 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** Deterministic weight (milli-units, in [-1000, 1000]) for a bucket:
-    * `hash60("w<seed>:<bucket>") mod 2001 - 1000`. Pure function — any
-    * engine regenerates the same model with no shipped state.
+    * Knuth's multiplicative mix `((bucket + seed) · 2654435761) mod 2001
+    * − 1000` — pure integer arithmetic, so any engine (or SQL oracle)
+    * regenerates the same model with no shipped state AND no per-feature
+    * second digest: the feature pays ONE md5 (the bucket hash); the
+    * weight is integer ops on the result (measured 2.5× on the sf1
+    * corpus vs an md5-derived weight, BENCH_NOTES round-10 postscript).
+    * The product stays in signed-64 range, exact in
+    * any 64-bit engine (bucketBits ≤ 30 keeps the product under 2^62).
     */
   def weightMilli(seed: Int, bucket: Long): Long =
-    Sketches.hash60(s"w$seed:$bucket") % 2001 - 1000
+    (bucket + seed) * 2654435761L % 2001 - 1000
 
   private def bucketCol(feat: Column, bucketBits: Int): Column =
     Sketches.hash60Col(feat) % (1L << bucketBits)
 
   private def weightCol(seed: Int, bucket: Column): Column =
-    Sketches.hash60Col(concat(lit(s"w$seed:"), bucket.cast("string"))) % 2001 - 1000
+    (bucket + seed) * 2654435761L % 2001 - 1000
 
   /** Unigram + bigram feature array from a pre-bound token array. */
   private def features(toks: Column): Column =
@@ -63,7 +69,7 @@ object Classifier {
     */
   def score(docs: DataFrame, textCol: String, bucketBits: Int = 18,
       seed: Int = 7, threshold: Double = 0.5): DataFrame = {
-    require(bucketBits > 0 && bucketBits < 60, s"bucketBits $bucketBits out of range")
+    require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
     val toks = TextOps.tokens(lower(col(textCol)))
     val scored = docs
       .withColumn("__toks", toks)
@@ -82,7 +88,7 @@ object Classifier {
   def scoreWith(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, bucketBits: Int = 18,
       threshold: Double = 0.5): DataFrame = {
-    require(bucketBits > 0 && bucketBits < 60, s"bucketBits $bucketBits out of range")
+    require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
     val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
     val feats = toks.select(col(idCol),
       explode(features(col("__toks"))).as("__feat"))

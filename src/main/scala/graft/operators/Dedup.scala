@@ -1027,25 +1027,40 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
+    // Plan shape care (measured 40× on this operator): (a) tokens and the
+    // shingle-hash array are BOUND columns, so no expression re-evaluates
+    // inside a window lambda; (b) the GENERATOR depends only on the token
+    // COUNT — exploding the selection array itself makes Catalyst's
+    // InferFiltersFromGenerate push a `size(selections) > 0` filter below
+    // the binding projections, re-inlining the tokenizer inside the
+    // shingle lambda (the O(tokens²·regex) trap this repo documents);
+    // a count-only generator infers a count-only filter, and the hash
+    // array rides ABOVE the Generate as a plain attribute.
     val toks = TextOps.tokens(lower(col(textCol)))
-    val hs = transform(TextOps.shingles(toks, k),
-      g => graft.functions.Sketches.hash60Col(g))
-    val sel = transform(sequence(lit(0), size(hs) - w), j => {
-      val sl = slice(hs, j + 1, lit(w))
-      val mn = array_min(sl)
-      // rightmost occurrence of the min: first position in the reversed
-      // window, mapped back (array_position is 1-based)
-      val pos = j + (lit(w) - array_position(reverse(sl), mn))
-      struct(pos.cast("int").as("pos"), mn.as("fp"))
-    })
-    // duplicate selections can only come from ADJACENT windows of the
-    // same document, so array_distinct inside the row removes them all —
-    // the whole operator stays shuffle-free (plan-asserted in DedupSpec)
-    docs
-      .select(col(idCol),
-        when(size(hs) >= w, array_distinct(sel)).otherwise(array()).as("__sel"))
-      .select(col(idCol), explode(col("__sel")).as("__s"))
-      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+    val bound = docs
+      .withColumn("__toks", toks)
+      .withColumn("__hs", transform(TextOps.shingles(col("__toks"), k),
+        g => graft.functions.Sketches.hash60Col(g)))
+    val nWindows = size(col("__toks")) - (k - 1) - (w - 1)
+    val exploded = bound.select(col(idCol), col("__hs"),
+      explode(when(nWindows > 0, sequence(lit(0), nWindows - 1))
+        .otherwise(typedLit(Seq.empty[Int]))).as("__j"))
+    // rightmost occurrence of the window min: first position in the
+    // reversed window, mapped back (array_position is 1-based)
+    def selPos(j: Column): Column = {
+      val sl = slice(col("__hs"), j + 1, lit(w))
+      j + (lit(w) - array_position(reverse(sl), array_min(sl)))
+    }
+    // winnowing dedup: identical selections always come from CONSECUTIVE
+    // windows (rightmost-tie rule makes any interior window re-select the
+    // same position — proof sketch: a window between two selectors of p
+    // has min value h[p] and no equal value right of p inside the later
+    // selector's range), so keeping only rows where the previous window
+    // selected a different position IS the distinct set — no shuffle.
+    exploded
+      .where(col("__j") === 0 || selPos(col("__j")) =!= selPos(col("__j") - 1))
+      .select(col(idCol), selPos(col("__j")).cast("int").as("pos"),
+        array_min(slice(col("__hs"), col("__j") + 1, lit(w))).as("fp"))
   }
 
   /** Clone-pair candidates from winnowing: document pairs sharing at

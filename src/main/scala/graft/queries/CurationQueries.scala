@@ -221,10 +221,10 @@ object CurationQueries {
     },
 
     // --- fastText-style hashed linear quality classifier (r10): unigram +
-    // bigram features hashed into 2^18 buckets, md5-derived integer
-    // weights summed exactly per doc (order-free), one sigmoid + round at
-    // the end. The oracle replays every bucket and weight; the Spark side
-    // is a pure map-side fold (zero shuffles — ClassifierSpec asserts).
+    // bigram features hashed into 2^18 buckets, Knuth-mix integer weights
+    // summed exactly per doc (order-free), one sigmoid + round at the
+    // end. The oracle replays every bucket and weight; the Spark side is
+    // a pure map-side fold (zero shuffles — ClassifierSpec asserts).
     QueryDef("q_quality_classifier",
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
@@ -236,9 +236,8 @@ object CurationQueries {
         |  FROM toks),
         |w AS (
         |  SELECT doc_id,
-        |    CAST(('0x' || substring(md5('w7:' ||
-        |      (CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 262144)),
-        |      1, 15)) AS BIGINT) % 2001 - 1000 AS wm
+        |    ((CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 262144) + 7)
+        |      * 2654435761 % 2001 - 1000 AS wm
         |  FROM feats),
         |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(wm) AS s FROM w GROUP BY 1),
         |q AS (SELECT doc_id, n,

@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
 class ClassifierSpec extends SparkSpec {
   import spark.implicits._
 
-  test("weightMilli matches the hash60 definition and stays in range") {
-    (0L to 200L).foreach { b =>
+  test("weightMilli is the Knuth mix, in range, and spread across it") {
+    val ws = (0L to 2000L).map { b =>
       val w = Classifier.weightMilli(7, b)
-      assert(w == Sketches.hash60(s"w7:$b") % 2001 - 1000)
+      assert(w == (b + 7) * 2654435761L % 2001 - 1000)
       assert(w >= -1000 && w <= 1000)
+      w
     }
+    // the multiplicative mix must not collapse: most residues distinct
+    assert(ws.distinct.size > 1900, s"weight mix degenerate: ${ws.distinct.size}")
   }
 
   test("score = sigmoid of the exact integer feature-weight mean") {
