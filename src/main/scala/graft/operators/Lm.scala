@@ -94,8 +94,8 @@ object Lm {
     // per gram index (O(tokens²·regex) per doc); projecting it first
     // makes the lambda see an attribute, evaluated once per row
     val tokenized = docs.select(col(idCol), lowerToks(textCol).as("__toks"))
-    val grams = tokenized.select(col(idCol),
-      explode(TextOps.shingles(col("__toks"), 2)).as("__gram"))
+    val grams = TextOps.explodeShingles(tokenized, "__toks", 2,
+      "__gram", Seq(idCol))
 
     // model: bigram counts + the left token's unigram continuation count.
     val uni = tokenized.select(explode(col("__toks")).as("__w1"))
@@ -158,8 +158,8 @@ object Lm {
       maxModelRows: Long = DefaultMaxModelRows): DataFrame = {
     require(discount > 0 && discount < 1, s"discount $discount must be in (0,1)")
     val tokenized = docs.select(col(idCol), lowerToks(textCol).as("__toks"))
-    val grams = tokenized.select(col(idCol),
-      explode(TextOps.shingles(col("__toks"), 2)).as("__gram"))
+    val grams = TextOps.explodeShingles(tokenized, "__toks", 2,
+      "__gram", Seq(idCol))
 
     val bi = grams.groupBy("__gram").agg(count(lit(1)).as("__c2"))
       .withColumn("__w1", split(col("__gram"), " ").getItem(0))
@@ -223,10 +223,10 @@ object Lm {
       if (featureBuckets == 0) identity
       else g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % featureBuckets
     // tokenize once into a bound column (see bigramScore note)
-    val grams = docs
-      .select(col(idCol), isTarget.as("__t"), lowerToks(textCol).as("__toks"))
-      .select(col(idCol), col("__t"),
-        explode(TextOps.shingles(col("__toks"), 2)).as("__g0"))
+    val grams = TextOps.explodeShingles(
+        docs.select(col(idCol), isTarget.as("__t"),
+          lowerToks(textCol).as("__toks")),
+        "__toks", 2, "__g0", Seq(idCol, "__t"))
       .select(col(idCol), col("__t"), feature(col("__g0")).as("__gram"))
 
     val model = grams.groupBy("__gram").agg(

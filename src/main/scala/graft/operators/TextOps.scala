@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,6 +38,27 @@ object TextOps {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Explode the n-shingles of a BOUND token-array column, one gram row
+    * per window, WITHOUT tripping Catalyst's InferFiltersFromGenerate:
+    * exploding the shingle ARRAY makes the rule infer `size(shingles)>0`
+    * and push it below the binding projection, re-inlining the tokenizer
+    * inside the transform lambda — O(tokens²·regex) hidden in a filter
+    * (BENCH_NOTES round-10 session-3; ~2× on the gram passes here, 40×
+    * on winnowing where the lambda carries the md5 chain). A count-only
+    * generator infers a count-only filter; the gram is built per row by
+    * subscripting the bound attribute. `carry` columns ride along.
+    */
+  def explodeShingles(df: DataFrame, toksCol: String, n: Int,
+      gramCol: String, carry: Seq[String]): DataFrame = {
+    val c = carry.map(col)
+    df.select(c :+ col(toksCol) :+
+        explode(when(size(col(toksCol)) >= n,
+          sequence(lit(1), size(col(toksCol)) - (n - 1)))
+          .otherwise(typedLit(Seq.empty[Int]))).as("__shi"): _*)
+      .select(c :+ array_join(slice(col(toksCol), col("__shi"), lit(n)), " ")
+        .as(gramCol): _*)
+  }
 
   /** Canonical text normalization for dedup keys: lowercase, strip
     * everything outside `[a-z0-9]` and whitespace, collapse whitespace
