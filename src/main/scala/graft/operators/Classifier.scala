@@ -90,8 +90,20 @@ object Classifier {
       threshold: Double = 0.5): DataFrame = {
     require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
     val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
-    val feats = toks.select(col(idCol),
-      explode(features(col("__toks"))).as("__feat"))
+    // count-only generator (index into unigrams, then bigrams) — exploding
+    // the built feature array trips the inferred-filter re-tokenization
+    // (TextOps.explodeShingles note). Index i in [1, n] is token i; index
+    // in (n, 2n-1] is the bigram starting at i - n.
+    val n = size(col("__toks"))
+    val feats = toks.select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), n + greatest(n - 1, lit(0)))).as("__fi"))
+      .select(col(idCol),
+        when(col("__fi") <= size(col("__toks")),
+          element_at(col("__toks"), col("__fi")))
+          .otherwise(concat_ws(" ",
+            element_at(col("__toks"), col("__fi") - size(col("__toks"))),
+            element_at(col("__toks"), col("__fi") - size(col("__toks")) + 1)))
+          .as("__feat"))
       .select(col(idCol), bucketCol(col("__feat"), bucketBits).as("bucket"))
     val sums = feats
       .join(broadcast(weights.select(col("bucket"), col("w_milli"))), Seq("bucket"), "left")

@@ -288,12 +288,18 @@ object Dedup {
     // the member shingle set feeds four consumers (both sz joins, both
     // intersection sides) — stage it so the tokenize+shingle explode
     // runs once
-    val sh = Staged.materialize(df
-      .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("__tk"))
-      .join(broadcast(Staged.materialize(ids)), Seq("id"))
-      .where(size(col("__tk")) >= 3)
-      .select(col("id"),
-        explode(array_distinct(TextOps.shingles(col("__tk"), 3))).as("g")))
+    val sh = Staged.materialize(
+      TextOps.explodeShingles(df
+          .select(col(idCol).cast("long").as("id"),
+            TextOps.tokens(col(textCol)).as("__tk"))
+          .join(broadcast(Staged.materialize(ids)), Seq("id"))
+          .where(size(col("__tk")) >= 3),
+        "__tk", 3, "g", Seq("id"))
+        // distinct per doc via partial-agg (within-doc dupes die map-side);
+        // exploding array_distinct(shingles) would trip the inferred-filter
+        // re-tokenization (TextOps.explodeShingles note)
+        .groupBy("id", "g").agg(count(lit(1)).as("__m"))
+        .select("id", "g"))
     val sz = Staged.materialize(sh.groupBy("id").agg(count(lit(1)).as("n")))
     // intersect per FLAGGED pair only: fan each pair out over side a's
     // shingles (broadcast pairs — bounded by true dups), then equi-join

@@ -213,23 +213,25 @@ object TextRank {
     * contamination scoring, which compares against an EXTERNAL benchmark —
     * this is the corpus measured against itself.
     *
-    * Shape: distinct (doc, gram) pairs via map-side `array_distinct`
-    * before the explode, one partial-aggregated shuffle for the
-    * document-frequency table (|distinct n-grams| rows), a join back BY
-    * GRAM (hot grams are one df row vs that gram's doc rows — AQE
-    * shuffle-hash territory), and a final groupBy(id) fold. Documents
-    * shorter than n tokens surface with n_grams=0 and null fraction.
+    * Shape: the gram multiset via the count-only-generator index explode
+    * ([[TextOps.explodeShingles]] — exploding an `array_distinct(...)`
+    * expression makes InferFiltersFromGenerate push a hidden quadratic
+    * filter below the binding projection; measured 3.4× on this gate),
+    * deduplicated to distinct (doc, gram) pairs by one partial-aggregated
+    * shuffle (within-doc duplicates die map-side), the document-frequency
+    * table from those pairs, a join back BY GRAM (hot grams are one df
+    * row vs that gram's doc rows — AQE shuffle-hash territory), and a
+    * final groupBy(id) fold. Documents shorter than n tokens surface with
+    * n_grams=0 and null fraction.
     */
   def ngramUniqueness(docs: DataFrame, idCol: String, textCol: String,
       n: Int, roundTo: Int = 4): DataFrame = {
-    // tokenize ONCE into a bound column before shingling — an embedded
-    // tokenizer expression re-evaluates inside the transform lambda per
-    // window (O(tokens²·regex) per doc; measured ~3.5× on the gate)
-    val grams = docs
+    val tokenized = docs
       .select(col(idCol), lowerTokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        explode(array_distinct(TextOps.shingles(col("__toks"), n)))
-          .as("__gram"))
+    val grams = TextOps.explodeShingles(tokenized, "__toks", n,
+        "__gram", Seq(idCol))
+      .groupBy("__gram", idCol).agg(count(lit(1)).as("__mult"))
+      .select(col(idCol), col("__gram"))
     val dfreq = grams.groupBy("__gram").agg(count(lit(1)).as("__df"))
     val perDoc = grams.join(dfreq, Seq("__gram"))
       .groupBy(col(idCol))
@@ -468,11 +470,13 @@ object TextRank {
   def textRankKeywords(docs: DataFrame, textCol: String, iters: Int = 3,
       k: Int = 20): DataFrame = {
     val toks = docs.select(TextOps.tokens(col(textCol)).as("tk"))
+    // count-only generator + per-row subscripts: exploding the built pair
+    // array would make InferFiltersFromGenerate push a hidden filter that
+    // re-tokenizes per element (see TextOps.explodeShingles)
     val adj = toks.where(size(col("tk")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => struct(element_at(col("tk"), i).as("a"),
-          element_at(col("tk"), i + 1).as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("__i"))
+      .select(element_at(col("tk"), col("__i")).as("a"),
+        element_at(col("tk"), col("__i") + 1).as("b"))
       .where(col("a") =!= col("b"))
     val canon = adj
       .select(least(col("a"), col("b")).as("a"),
@@ -495,11 +499,13 @@ object TextRank {
   def textRankKeywordsWeighted(docs: DataFrame, textCol: String, iters: Int = 3,
       k: Int = 20): DataFrame = {
     val toks = docs.select(TextOps.tokens(col(textCol)).as("tk"))
+    // count-only generator + per-row subscripts: exploding the built pair
+    // array would make InferFiltersFromGenerate push a hidden filter that
+    // re-tokenizes per element (see TextOps.explodeShingles)
     val adj = toks.where(size(col("tk")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => struct(element_at(col("tk"), i).as("a"),
-          element_at(col("tk"), i + 1).as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("__i"))
+      .select(element_at(col("tk"), col("__i")).as("a"),
+        element_at(col("tk"), col("__i") + 1).as("b"))
       .where(col("a") =!= col("b"))
     val canon = adj
       .select(least(col("a"), col("b")).as("a"),
