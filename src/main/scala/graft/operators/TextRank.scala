@@ -518,4 +518,36 @@ object TextRank {
       .orderBy(col("rank").desc, col("word").asc)
       .limit(k)
   }
+
+  /** Retrieval quality metrics of a ranking against a per-query relevance
+    * set: hits@k, recall@k, precision@k and MRR — the agreement scorecard
+    * a retrieval stack runs after every index/ranker change (and, with
+    * `truth` = a second ranker's top-k, the lexical-vs-dense divergence
+    * monitor for a hybrid system).
+    *
+    * `ranking` is (query_id, rank, doc_id), `truth` is (query_id,
+    * doc_id). A query in `truth` with no ranked hits scores zeros (LEFT
+    * join from the truth's query set, so silence is visible, not
+    * missing). All metrics are ratios of integers rounded to 6 —
+    * engine-exact. Both inputs are per-query top-k sized, so every join
+    * here touches finalists only.
+    */
+  def retrievalMetrics(ranking: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val topk = ranking.where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val hits = topk.join(truth.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("__first"))
+    val truthSz = truth.groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"))
+    truthSz.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_truth"), 6).as("recall"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("p_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"))
+  }
 }

@@ -392,6 +392,61 @@ object DataOpsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- retrieval metrics (r10): BM25 top-10 scored against the dense
+    // cosine top-10 as the relevance set — the lexical-vs-dense agreement
+    // scorecard. All metrics are integer ratios rounded to 6.
+    QueryDef("q_retrieval_metrics",
+      """WITH q(query_id, qtext) AS (VALUES (0, 'hash join batch'), (1, 'vector scan')),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(lower(qtext)), '\s+'))) AS tok FROM q),
+        |dt AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS len,
+        |              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |       FROM documents),
+        |tf AS (SELECT doc_id, len, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dt
+        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avg_len
+        |          FROM documents),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS nt FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(SUM(ln(1 + (n_docs - nt + 0.5) / (nt + 0.5)) *
+        |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.len / avg_len))), 4) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats JOIN qt USING (tok)
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank FROM scored) WHERE rank <= 10),
+        |den AS (SELECT query_id, doc_id FROM (
+        |    SELECT q2.vec_id AS query_id, c.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q2.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q2.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+        |                 c.vec_id) AS rank
+        |    FROM embeddings q2, embeddings c
+        |    WHERE q2.vec_id < 2 AND c.vec_id != q2.vec_id) WHERE rank <= 10),
+        |h AS (SELECT l.query_id, COUNT(*) AS hits, MIN(l.rank) AS fr
+        |      FROM lex l JOIN den d2
+        |        ON l.query_id = d2.query_id AND l.doc_id = d2.doc_id
+        |      GROUP BY 1),
+        |ts AS (SELECT query_id, COUNT(*) AS n_truth FROM den GROUP BY 1)
+        |SELECT CAST(ts.query_id AS BIGINT) AS query_id,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        |  ROUND(coalesce(hits, 0) * 1.0 / n_truth, 6) AS recall,
+        |  ROUND(coalesce(hits, 0) / 10.0, 6) AS p_at_k,
+        |  ROUND(coalesce(1.0 / fr, 0), 6) AS mrr
+        |FROM ts LEFT JOIN h ON ts.query_id = h.query_id
+        |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.operators.TextRank.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", Seq((0L, "hash join batch"), (1L, "vector scan")), 10)
+      val den = Similarity.topKCosine(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 2), 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      graft.operators.TextRank.retrievalMetrics(lex, den, k = 10)
+        .orderBy("query_id")
+    },
+
     // --- composition: quality-gated no-split packing as ONE job (the
     // round's new operators chained — rule filter, map-side, feeds the
     // deterministic hash-shard next-fit pack). Oracle composes the two

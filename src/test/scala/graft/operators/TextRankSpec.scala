@@ -154,4 +154,19 @@ class TextRankSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble, got.toString)
     assert(got(1)._3 == got(2)._3) // tie between single-ranker docs → id order
   }
+
+  test("retrievalMetrics: hits, recall, precision, MRR, and silent queries") {
+    import spark.implicits._
+    val ranking = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val truth = Seq((1L, 20L), (1L, 40L), (2L, 99L))
+      .toDF("query_id", "doc_id")
+    val got = TextRank.retrievalMetrics(ranking, truth, k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5, 0.333333, 0.5), // hit at rank 2 of {20,40}
+      (2L, 1L, 0L, 0.0, 0.0, 0.0)),     // truth-only query scores zeros
+      got.toString)
+  }
 }
