@@ -82,4 +82,54 @@ object Subword {
       .groupBy(groupCol)
       .agg(sum("__pieces").cast("long").as("subword_tokens"))
   }
+
+  /** [[pieceCounter]] that also counts the 1-char FALLBACK pieces — the
+    * positions no vocabulary piece covered. Returns (pieces, fallbacks).
+    */
+  def pieceAndFallbackCounter(vocab: Seq[String],
+      maxLen: Int = 6): UserDefinedFunction = {
+    val byLen: Map[Int, Set[String]] =
+      vocab.groupBy(_.length).map { case (l, vs) => l -> vs.toSet }
+    udf { (w: String) =>
+      var pos = 0
+      var n = 0
+      var f = 0
+      while (pos < w.length) {
+        var step = 1
+        var l = math.min(maxLen, w.length - pos)
+        while (l >= 2 && step == 1) {
+          if (byLen.get(l).exists(_.contains(w.substring(pos, pos + l)))) step = l
+          l -= 1
+        }
+        if (step == 1) f += 1
+        pos += step
+        n += 1
+      }
+      (n, f)
+    }
+  }
+
+  /** Tokenizer-coverage (OOV) report per group: subword tokens, 1-char
+    * fallback pieces, and the fallback rate — the vocabulary-fit monitor
+    * of a tokenization pipeline (a source whose fallback rate spikes is
+    * written in a script/style the learned vocabulary never saw, and will
+    * tokenize into garbage-length sequences downstream).
+    *
+    * Same scale shape as [[subwordTokens]]: the learned vocabulary is a
+    * driver-side Seq (top-V, bounded), each DISTINCT (group, word) is
+    * encoded once, occurrence counts weight the fold.
+    */
+  def oovReport(df: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int = 64, maxLen: Int = 6): DataFrame = {
+    val vocab = learnVocabulary(df, textCol, vocabSize, maxLen)
+    val enc = pieceAndFallbackCounter(vocab, maxLen)
+    df.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+      .groupBy(groupCol, "__w").agg(count(lit(1)).as("__cnt"))
+      .select(col(groupCol), col("__cnt"), enc(col("__w")).as("__e"))
+      .groupBy(groupCol)
+      .agg(sum(col("__cnt") * col("__e._1")).cast("long").as("subword_tokens"),
+        sum(col("__cnt") * col("__e._2")).cast("long").as("fallback_pieces"))
+      .withColumn("oov_rate",
+        round(col("fallback_pieces") / col("subword_tokens"), 6))
+  }
 }

@@ -675,6 +675,41 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // --- tokenizer-coverage / OOV report (r10): per-language fallback rate
+    // under the learned top-64 subword vocabulary — the vocabulary-fit
+    // monitor. Same recursive-CTE greedy replay as q_text_subword, with a
+    // fallback counter threaded through the recursion.
+    QueryDef("q_text_oov_rate",
+      """WITH RECURSIVE toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pref AS (
+        |  SELECT substring(t.w, 1, l) AS p
+        |  FROM toks t, UNNEST(range(2, least(6, len(t.w)) + 1)) AS u(l)),
+        |vocab AS (SELECT p FROM (SELECT p, COUNT(*) AS c FROM pref GROUP BY 1)
+        |          ORDER BY c DESC, p LIMIT 64),
+        |words AS (SELECT DISTINCT w FROM toks),
+        |r(w, pos, n, f) AS (
+        |  SELECT w, 1, 0, 0 FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + COALESCE((SELECT MAX(len(v.p)) FROM vocab v
+        |           WHERE v.p = substring(r.w, r.pos, len(v.p))), 1),
+        |         r.n + 1,
+        |         r.f + CASE WHEN (SELECT MAX(len(v.p)) FROM vocab v
+        |           WHERE v.p = substring(r.w, r.pos, len(v.p))) IS NULL
+        |           THEN 1 ELSE 0 END
+        |  FROM r WHERE r.pos <= len(r.w)),
+        |pieces AS (SELECT w, n, f FROM r WHERE pos > len(w))
+        |SELECT t.lang, CAST(SUM(p.n) AS BIGINT) AS subword_tokens,
+        |  CAST(SUM(p.f) AS BIGINT) AS fallback_pieces,
+        |  ROUND(SUM(p.f) * 1.0 / SUM(p.n), 6) AS oov_rate
+        |FROM toks t JOIN pieces p ON p.w = t.w
+        |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Subword.oovReport(
+          Tables.documents(s, d), "text", "lang", vocabSize = 64, maxLen = 6)
+        .orderBy("lang")
+    },
+
     // --- text analysis -------------------------------------------------------
     QueryDef("q_text_stats",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,

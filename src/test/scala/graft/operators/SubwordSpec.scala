@@ -34,4 +34,20 @@ class SubwordSpec extends SparkSpec {
     // vocab = {aa, aaa}; 'aaa' -> 1 piece, 'b' -> 1 fallback piece
     assert(out.toSeq == Seq(("g1", 2L), ("g2", 2L)), s"got ${out.toSeq}")
   }
+
+  test("oovReport counts exactly the 1-char fallback pieces") {
+    import spark.implicits._
+    // vocabulary will learn prefixes of the repeated word "abab" etc.;
+    // use a controlled corpus: "ab" dominates → vocab contains "ab".
+    val docs = (Seq.fill(10)(("A", "abab")) ++ Seq(("B", "xy"), ("B", "abab")))
+      .toDF("src", "text")
+    val got = Subword.oovReport(docs, "text", "src", vocabSize = 3, maxLen = 4)
+      .orderBy("src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab (top-3 prefixes) = {ab, aba, abab}: "abab" encodes clean;
+    // "xy" misses entirely → 2 fallback singles
+    val a = got(0); val b = got(1)
+    assert(a._1 == "A" && a._3 == 0L && a._4 == 0.0, got.mkString(", "))
+    assert(b._1 == "B" && b._3 == 2L, got.mkString(", "))
+  }
 }
