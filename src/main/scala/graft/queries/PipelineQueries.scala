@@ -849,6 +849,68 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // --- session-3 composition (r10): classifier gate -> winnow clone-pair
+    // dedup (drop b-sides) -> per-source token-budget mix, ONE job. The
+    // oracle chains the three verified replays (classifier weights, winnow
+    // selections + cap, budget rates) end to end.
+    QueryDef("q_pipeline_classify_dedup_mix",
+      """WITH toksq AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |feats AS (SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f FROM toksq),
+        |wt AS (SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 262144) + 7)
+        |      * 2654435761 % 2001 - 1000 AS wm FROM feats),
+        |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(wm) AS s FROM wt GROUP BY 1),
+        |kept AS (SELECT t.doc_id, t.source, t.tk FROM toksq t
+        |         JOIN agg ON t.doc_id = agg.doc_id
+        |         WHERE ROUND(1.0 / (1.0 + exp(-(s / (n * 1000.0)))), 4) >= 0.5),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) AS grams
+        |      FROM kept WHERE len(tk) >= 3),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |        g2 -> CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT)) AS hs
+        |      FROM g),
+        |winpos AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |           FROM h WHERE len(hs) >= 4),
+        |sel AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp FROM winpos),
+        |capped AS (SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS cnum FROM sel)
+        |  WHERE cnum <= 64),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT b_id AS doc_id FROM p WHERE shared >= 3),
+        |ded AS (SELECT k.doc_id, k.source, CAST(len(k.tk) AS BIGINT) AS n
+        |        FROM kept k
+        |        WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS actual
+        |        FROM ded GROUP BY source),
+        |r AS (SELECT source, CASE WHEN actual <= 400 THEN CAST(65536 AS BIGINT)
+        |        ELSE CAST(26214400 // actual AS BIGINT) END AS rate16 FROM tot)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(n) AS BIGINT) AS kept_tokens
+        |FROM ded JOIN r USING (source)
+        |WHERE rate16 >= 65536
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < lpad(lower(to_hex(rate16)), 4, '0')
+        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin) { (s, d) =>
+      val kept = graft.operators.Classifier.score(Tables.documents(s, d), "text")
+        .where(col("keep")).select("doc_id", "source", "text")
+      val losers = graft.operators.Dedup.winnowClonePairs(kept, "doc_id", "text",
+          k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
+        .select(col("b_id").as("doc_id")).distinct()
+      val deduped = kept.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(lower(col("text")))).cast("long").as("n"))
+      graft.operators.Sampling.tokenBudgetMix(deduped, "source",
+          col("doc_id"), "n", 400L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("n").cast("long").as("kept_tokens"))
+        .orderBy("source")
+    },
+
     // --- multimodal plumbing -------------------------------------------------
     QueryDef("q_multimodal_meta",
       """SELECT ascii(substring(text, 1, 1)) AS magic,
