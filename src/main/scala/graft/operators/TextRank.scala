@@ -537,17 +537,26 @@ object TextRank {
     require(k >= 1)
     val topk = ranking.where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"))
+    // DCG folds the SORTED hit-rank list sequentially (collect_list order
+    // is nondeterministic; an unsorted float sum could flip the rounding
+    // cross-engine), with binary relevance: Σ 1/log2(rank+1)
+    def foldDcg(ranks: Column): Column =
+      aggregate(ranks, lit(0.0),
+        (acc, r) => acc + lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))))
     val hits = topk.join(truth.select(col("query_id"), col("doc_id")),
         Seq("query_id", "doc_id"))
       .groupBy("query_id")
-      .agg(count(lit(1)).as("hits"), min(col("rank")).as("__first"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("__first"),
+        foldDcg(array_sort(collect_list(col("rank")))).as("__dcg"))
     val truthSz = truth.groupBy("query_id")
       .agg(count(lit(1)).as("n_truth"))
+    val idcg = foldDcg(sequence(lit(1L), least(col("n_truth"), lit(k.toLong))))
     truthSz.join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("n_truth"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / col("n_truth"), 6).as("recall"),
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("p_at_k"),
-        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"))
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
   }
 }

@@ -424,7 +424,9 @@ object DataOpsQueries {
         |                 c.vec_id) AS rank
         |    FROM embeddings q2, embeddings c
         |    WHERE q2.vec_id < 2 AND c.vec_id != q2.vec_id) WHERE rank <= 10),
-        |h AS (SELECT l.query_id, COUNT(*) AS hits, MIN(l.rank) AS fr
+        |h AS (SELECT l.query_id, COUNT(*) AS hits, MIN(l.rank) AS fr,
+        |        list_sum(list_transform(list_sort(list(l.rank)),
+        |          r -> 1.0 / (ln(r + 1) / ln(2)))) AS dcg
         |      FROM lex l JOIN den d2
         |        ON l.query_id = d2.query_id AND l.doc_id = d2.doc_id
         |      GROUP BY 1),
@@ -434,7 +436,10 @@ object DataOpsQueries {
         |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
         |  ROUND(coalesce(hits, 0) * 1.0 / n_truth, 6) AS recall,
         |  ROUND(coalesce(hits, 0) / 10.0, 6) AS p_at_k,
-        |  ROUND(coalesce(1.0 / fr, 0), 6) AS mrr
+        |  ROUND(coalesce(1.0 / fr, 0), 6) AS mrr,
+        |  ROUND(coalesce(dcg, 0) / list_sum(list_transform(
+        |    range(1, least(n_truth, 10) + 1),
+        |    i -> 1.0 / (ln(i + 1) / ln(2)))), 6) AS ndcg
         |FROM ts LEFT JOIN h ON ts.query_id = h.query_id
         |ORDER BY query_id NULLS FIRST""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)

@@ -163,10 +163,13 @@ class TextRankSpec extends SparkSpec {
       .toDF("query_id", "doc_id")
     val got = TextRank.retrievalMetrics(ranking, truth, k = 3)
       .orderBy("query_id")
-      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dg(r: Int) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    val ndcg1 = r6(dg(2) / (dg(1) + dg(2))) // hit at rank 2; idcg over min(2,3)
     assert(got == Seq(
-      (1L, 2L, 1L, 0.5, 0.333333, 0.5), // hit at rank 2 of {20,40}
-      (2L, 1L, 0L, 0.0, 0.0, 0.0)),     // truth-only query scores zeros
+      (1L, 2L, 1L, 0.5, 0.333333, 0.5, ndcg1),
+      (2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)), // truth-only query scores zeros
       got.toString)
   }
 }
