@@ -1098,4 +1098,82 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** Containment-scored near-dup pairs: for each candidate pair, the
+    * ASYMMETRIC containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct
+    * k-token shingle sets — the measure that catches a short document
+    * quoted whole inside a long one (containment ≈ 1 from the short side
+    * while Jaccard ≈ |short|/|long| stays far below any dedup threshold;
+    * Broder 1997 defines both, LSH-Ensemble searches by this one).
+    *
+    * Candidates are pairs sharing ≥ 1 surviving shingle (an inverted-
+    * index join — a SUPERSET of every pair with containment ≥ threshold
+    * over surviving shingles, so the verify step is exact, not
+    * probabilistic). Shingles present in more than `maxDocsPerShingle`
+    * documents are stopword-tier: their buckets are dropped whole (the
+    * [[minhashNearDups]] cap rule), bounding the pair join at cap² per
+    * shingle; set sizes count ALL distinct shingles so scores stay
+    * interpretable. Output: (a_id, b_id, shared, c_ab, c_ba) for pairs
+    * whose larger direction ≥ `threshold`, scores rounded.
+    *
+    * Scale: shingle hashes (8-byte keys, never text) through one
+    * distinct, one windowed cap count, one hash-keyed self-join —
+    * the minhash family's shuffle budget with an exact verdict.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, maxDocsPerShingle: Int = 64,
+      roundTo: Int = 4): DataFrame = {
+    require(k >= 1 && threshold > 0 && maxDocsPerShingle >= 2)
+    val tokenized = docs.select(col(idCol),
+      TextOps.tokens(lower(col(textCol))).as("__toks"))
+    val sh = TextOps.explodeShingles(tokenized, "__toks", k, "__g", Seq(idCol))
+      .select(col(idCol), graft.functions.Sketches.hash60Col(col("__g")).as("__h"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val capped = sh.withColumn("__n", count(lit(1)).over(cw))
+      .where(col("__n") <= maxDocsPerShingle)
+      .drop("__n")
+    val a = capped.select(col("__h"), col(idCol).as("a_id"))
+    val b = capped.select(col("__h"), col(idCol).as("b_id"))
+    a.join(b, Seq("__h")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa")),
+        Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb")),
+        Seq("b_id"))
+      .where(greatest(col("shared") / col("__sa"),
+        col("shared") / col("__sb")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        round(col("shared") / col("__sa"), roundTo).as("c_ab"),
+        round(col("shared") / col("__sb"), roundTo).as("c_ba"))
+  }
+
+  /** Cross-split near-dup leakage report: counts clone pairs (per
+    * [[winnowClonePairs]]) by the UNORDERED pair of split labels their
+    * endpoints landed in. The `(train, test)` rows are the eval-
+    * contamination number every training-data pipeline must watch — a
+    * near-dup of a test document inside train silently inflates eval.
+    * `splitCol` is any label column (e.g. [[Sampling.groupSplit]]'s
+    * output). Output: (split_a ≤ split_b lexicographically, n_pairs).
+    *
+    * Scale: the pair table carries only ids; the two label joins are
+    * id-keyed; winnow's cap bounds the pair count.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      splitCol: String, k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    val labels = docs.select(col(idCol), col(splitCol))
+    val pairs = winnowClonePairs(docs, idCol, textCol, k, w, minShared,
+      maxDocsPerFp)
+    pairs
+      .join(labels.select(col(idCol).as("a_id"), col(splitCol).as("__la")),
+        Seq("a_id"))
+      .join(labels.select(col(idCol).as("b_id"), col(splitCol).as("__lb")),
+        Seq("b_id"))
+      .groupBy(least(col("__la"), col("__lb")).as("split_a"),
+        greatest(col("__la"), col("__lb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -559,4 +559,91 @@ object TextRank {
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
         round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
   }
+
+  /** PMI-ranked bigram collocations (Church & Hanks 1990 — the classic
+    * vocabulary-building statistic; surfaces multi-word units like
+    * "new york" that a tokenizer or phrase-merger should treat as one
+    * symbol). For adjacent token pair (a, b):
+    *
+    *   pmi(a, b) = ln( p(a b) / (p(a) p(b)) )
+    *             = ln( c(ab) * U^2 / (B * c(a) * c(b)) )
+    *
+    * with c(ab) the bigram occurrence count, c(·) unigram occurrence
+    * counts, B total bigram occurrences, U total unigram occurrences —
+    * an exact integer ratio under ln, so `roundTo` makes the score
+    * cross-engine comparable. `minCount` prunes rare pairs (PMI's known
+    * hapax bias: a pair seen once between two hapaxes maximizes PMI).
+    *
+    * Scale (100 TB): two corpus-linear gram-keyed partial aggregations
+    * (unigram + bigram counts), then the bigram table joins the unigram
+    * table twice on a single word key — the unigram table is
+    * vocabulary-sized, so the join is left un-hinted for AQE to
+    * broadcast while small and shuffle when it isn't. The two corpus
+    * scalars ride broadcast 1-row crossJoins. `minCount` filters before
+    * the joins, so join input is the pruned pair vocabulary.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long,
+      roundTo: Int = 4): DataFrame = {
+    val tokenized = docs.select(lowerTokens(col(textCol)).as("__toks"))
+    val uni = tokenized.select(explode(col("__toks")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val totals = tokenized.agg(
+      sum(size(col("__toks"))).as("__u"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).as("__b"))
+    val pairs = TextOps.explodeShingles(tokenized, "__toks", 2, "gram", Nil)
+      .groupBy("gram").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minCount)
+    pairs
+      .withColumn("__w1", split(col("gram"), " ").getItem(0))
+      .withColumn("__w2", split(col("gram"), " ").getItem(1))
+      .join(uni.withColumnRenamed("__tok", "__w1")
+        .withColumnRenamed("__c", "__ca"), Seq("__w1"))
+      .join(uni.withColumnRenamed("__tok", "__w2")
+        .withColumnRenamed("__c", "__cb"), Seq("__w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("gram"), col("pair_cnt"),
+        // double math (not long) — the U^2 product overflows int64 on a
+        // 100 TB corpus; the oracle mirrors the same parenthesization
+        // + 0.0 canonicalizes IEEE -0.0 (a just-below-1 ratio rounds to
+        // negative zero, which hash-compares unequal to 0.0)
+        (round(log(col("pair_cnt").cast("double") * col("__u") * col("__u") /
+          (col("__b").cast("double") * col("__ca") * col("__cb"))),
+          roundTo) + lit(0.0)).as("pmi"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * n-grams whose global first occurrence (minimum `idCol` over the
+    * corpus) is this document. Documents early in corpus order score
+    * near 1; a late exact copy scores 0 — the metric quantifies how
+    * much genuinely new n-gram content each document contributes under
+    * the corpus's ingest order (a dedup-quality / curriculum signal:
+    * Lee et al. 2022 measure dedup effect exactly this way).
+    *
+    * Output: (idCol, n_grams = distinct n-grams, novel_frac rounded);
+    * docs with fewer than n tokens report (0, NULL).
+    *
+    * Scale: same shape as [[ngramUniqueness]] — one explode with a
+    * (gram, doc) partial-agg dedup, a gram-keyed min, one gram-keyed
+    * join back. Linear in corpus tokens, no driver state.
+    */
+  def novelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, roundTo: Int = 4): DataFrame = {
+    val tokenized = docs
+      .select(col(idCol), lowerTokens(col(textCol)).as("__toks"))
+    val grams = TextOps.explodeShingles(tokenized, "__toks", n,
+        "__gram", Seq(idCol))
+      .groupBy("__gram", idCol).agg(count(lit(1)).as("__mult"))
+      .select(col(idCol), col("__gram"))
+    val firstSeen = grams.groupBy("__gram").agg(min(col(idCol)).as("__first"))
+    val perDoc = grams.join(firstSeen, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("__nov"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__nov").cast("double") / col("n_grams"), roundTo)
+          .as("novel_frac"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("novel_frac"))
+  }
 }

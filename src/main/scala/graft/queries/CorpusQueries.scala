@@ -418,5 +418,64 @@ object CorpusQueries {
         |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 20""".stripMargin) { (s, d) =>
       graft.operators.TextRank.textRankKeywordsWeighted(Tables.documents(s, d),
         "text", iters = 3, k = 20)
+    },
+
+    // --- PMI bigram collocations (session 4): Church & Hanks' mutual-
+    // information statistic for multi-word-unit discovery. The result
+    // SET is fixed by integer pair counts (minCount, no top-k limit) so
+    // the float score never decides membership; pmi itself is an exact
+    // integer ratio under ln, ROUND(,4) on both sides (the q_text_bm25
+    // float protocol). Oracle replays the same double parenthesization.
+    QueryDef("q_text_collocations",
+      """WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |          SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS u,
+        |          CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS b FROM toks),
+        |big AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS pair_cnt FROM (
+        |          SELECT array_to_string(tk[i:i+1], ' ') AS gram
+        |          FROM toks, unnest(range(1, len(tk))) AS ui(i))
+        |        GROUP BY 1 HAVING COUNT(*) >= 8)
+        |SELECT gram, pair_cnt,
+        |  ROUND(ln(CAST(pair_cnt AS DOUBLE) * u * u /
+        |    (CAST(b AS DOUBLE) * ca.c * cb.c)), 4) + 0.0 AS pmi
+        |FROM big CROSS JOIN tot
+        |JOIN uni ca ON ca.tok = string_split(gram, ' ')[1]
+        |JOIN uni cb ON cb.tok = string_split(gram, ' ')[2]
+        |ORDER BY gram NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.collocations(Tables.documents(s, d), "text",
+          minCount = 8)
+        .orderBy("gram")
+    },
+
+    // --- per-document n-gram novelty (session 4): fraction of a doc's
+    // distinct trigrams first seen (min doc_id) in that doc — planted
+    // late exact copies must score 0.0, the Lee-et-al dedup-effect
+    // measure. Counts are integers; the one division follows the
+    // ROUND(,4) protocol.
+    QueryDef("q_text_novelty",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 250),
+        |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |       FROM input),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+        |      FROM tk, unnest(range(1, len(tk) - 1)) AS ui(i)),
+        |f AS (SELECT gram, MIN(doc_id) AS first FROM g GROUP BY 1),
+        |pd AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    ROUND(CAST(SUM(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 4) AS novel_frac
+        |  FROM g JOIN f USING (gram) GROUP BY 1)
+        |SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+        |  COALESCE(n_grams, 0) AS n_grams, novel_frac
+        |FROM input i LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") < 250)
+        .select("doc_id", "text")
+      val input = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + 100000))
+      graft.operators.TextRank.novelty(input, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     })
 }

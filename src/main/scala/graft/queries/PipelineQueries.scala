@@ -849,6 +849,95 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // --- containment-scored near-dup pairs (session 4): asymmetric
+    // |A∩B|/|A| over distinct 3-shingle sets — catches the planted
+    // 25-token FRAGMENTS (doc_id+100000, a prefix quote of each long
+    // doc) whose containment in their source is 1.0 while Jaccard stays
+    // tiny. Engine keys shingles by hash60, oracle by content (the
+    // q_dedup_spans hash-vs-string adjudication); candidate join is an
+    // inverted index with the 64-doc stopword cap, so the verdict is
+    // exact, not probabilistic.
+    QueryDef("q_dedup_containment",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string((string_split_regex(trim(text), '\s+'))[1:25], ' ')
+        |  FROM documents WHERE doc_id < 150),
+        |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |       FROM input),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+        |       FROM tk, unnest(range(1, len(tk) - 1)) AS ui(i)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+        |capped AS (SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS n FROM sh)
+        |  WHERE n <= 64),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(COUNT(*) AS BIGINT) AS shared
+        |      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+        |  shared, ROUND(shared / sa.sz, 4) AS c_ab, ROUND(shared / sb.sz, 4) AS c_ba
+        |FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+        |WHERE greatest(shared / sa.sz, shared / sb.sz) >= 0.8
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val input = base.unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(TextOps.tokens(trim(col("text"))), 1, 25), " ")
+            .as("text")))
+      graft.operators.Dedup.containmentPairs(input, "doc_id", "text",
+          k = 3, threshold = 0.8, maxDocsPerShingle = 64)
+        .orderBy("a_id", "b_id")
+    },
+
+    // --- cross-split near-dup leakage (session 4): the eval-
+    // contamination report — exact copies planted at doc_id+100000 split
+    // INDEPENDENTLY of their originals (md5 of the id), so ~2·0.8·0.2 of
+    // clone pairs must straddle train/test. Chains the two verified
+    // replays (winnow selections + cap, md5-bucket split) end to end.
+    QueryDef("q_split_leakage",
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |         FROM input),
+        |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) AS grams
+        |      FROM toks WHERE len(tk) >= 3),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |        g2 -> CAST(('0x' || substring(md5(g2), 1, 15)) AS BIGINT)) AS hs
+        |      FROM g),
+        |winpos AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS j
+        |           FROM h WHERE len(hs) >= 4),
+        |sel AS (SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp FROM winpos),
+        |capped AS (SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n FROM sel)
+        |  WHERE n <= 64),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |         THEN 'train' ELSE 'test' END AS sp FROM input)
+        |SELECT least(la.sp, lb.sp) AS split_a, greatest(la.sp, lb.sp) AS split_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN lab la ON la.doc_id = p.a_id JOIN lab lb ON lb.doc_id = p.b_id
+        |WHERE shared >= 3
+        |GROUP BY 1, 2 ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""
+        .stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val input = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + 100000))
+      val labeled = graft.operators.Sampling.groupSplit(input, col("doc_id"),
+        Seq("train" -> 0.8, "test" -> 0.2))
+      graft.operators.Dedup.splitLeakage(labeled, "doc_id", "text", "split",
+          k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
+        .orderBy("split_a", "split_b")
+    },
+
     // --- session-3 composition (r10): classifier gate -> winnow clone-pair
     // dedup (drop b-sides) -> per-source token-budget mix, ONE job. The
     // oracle chains the three verified replays (classifier weights, winnow

@@ -291,6 +291,53 @@ class DedupSpec extends SparkSpec {
       s"cap did not drop 3-doc fingerprints: $capped vs $uncapped")
   }
 
+  test("containmentPairs: a quoted fragment scores 1.0 where Jaccard stays low") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val frag = "alpha beta gamma delta epsilon" // first 5 tokens quoted
+    val docs = Seq((1L, long), (2L, frag),
+      (3L, "unrelated words about entirely different topics here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // |S(frag)| = 3 shingles, all inside the long doc (|S| = 18):
+    // c_ba = 3/3 = 1.0, c_ab = 3/18 — Jaccard would be 3/18 = 0.167
+    assert(got == Seq((1L, 2L, 3L, 0.1667, 1.0)), got.toString)
+  }
+
+  test("containmentPairs: stopword-tier shingles are dropped whole by the cap") {
+    import spark.implicits._
+    val common = "the quick brown" // one shingle shared by all three docs
+    val docs = Seq((1L, s"$common one"), (2L, s"$common two"),
+      (3L, s"$common three")).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.4, maxDocsPerShingle = 64).count()
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.4, maxDocsPerShingle = 2).count()
+    assert(uncapped == 3L, s"3-doc shingle should pair everyone: $uncapped")
+    assert(capped == 0L, s"capped bucket must die whole: $capped")
+  }
+
+  test("splitLeakage counts clone pairs by unordered split label") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$run one two", "train"),
+      (2L, s"three four $run", "test"), // clone of 1, across the split
+      (3L, s"$run five six", "train"),  // clone of 1 and 2, inside train
+      (4L, "totally different content with no shared runs at all ok", "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.splitLeakage(docs, "doc_id", "text", "split",
+        minShared = 1)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // pairs: (1,2) cross, (1,3) train-train, (2,3) cross
+    assert(got == Map(("test", "train") -> 2L, ("train", "train") -> 1L),
+      got.toString)
+  }
+
   test("winnowFingerprints is shuffle-free") {
     val plan = Dedup.winnowFingerprints(
         Tables.documents(spark, sfDir), "doc_id", "text")

@@ -172,4 +172,39 @@ class TextRankSpec extends SparkSpec {
       (2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)), // truth-only query scores zeros
       got.toString)
   }
+
+  test("collocations: PMI ranks the glued pair above a chance pair") {
+    import spark.implicits._
+    // "new york" always adjacent; "the cat"/"the dog" dilute "the".
+    // U = 13 tokens (the empty doc tokenizes to one "" token), B = 9.
+    val docs = Seq((1L, "new york the cat"), (2L, "new york the dog"),
+      (3L, "cat the new york"), (4L, "")).toDF("id", "text")
+    val got = TextRank.collocations(docs, "text", minCount = 2)
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def pmi(cnt: Long, ca: Long, cb: Long) = BigDecimal(
+      math.log(cnt.toDouble * 13 * 13 / (9.0 * ca * cb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // c(new)=c(york)=3, c(the)=3; "new york" ×3, "the cat" only ×1 (<min)
+    assert(got("new york") == ((3L, pmi(3, 3, 3))), got.toString)
+    assert(!got.contains("the cat"), "minCount must prune the 1-count pair")
+    // every surviving PMI is below the perfect-collocation bound
+    assert(got.values.forall(_._2 <= pmi(3, 3, 3)), got.toString)
+  }
+
+  test("novelty: first occurrence scores 1, an exact late copy scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // all 2 trigrams first here
+      (2L, "alpha beta gamma delta"), // exact copy -> 0.0
+      (3L, "alpha beta gamma wholly novel tail"), // 1 of 4 seen before
+      (4L, "xy")) // < n tokens -> (0, null)
+      .toDF("doc_id", "text")
+    val got = TextRank.novelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0), (2L, 2L, 0.0), (3L, 4L, 0.75),
+      (4L, 0L, null)), got.toString)
+  }
 }
