@@ -585,14 +585,19 @@ object TextRank {
   def collocations(docs: DataFrame, textCol: String, minCount: Long,
       roundTo: Int = 4): DataFrame = {
     val tokenized = docs.select(lowerTokens(col(textCol)).as("__toks"))
-    val uni = tokenized.select(explode(col("__toks")).as("__tok"))
-      .groupBy("__tok").agg(count(lit(1)).as("__c"))
-    val totals = tokenized.agg(
-      sum(size(col("__toks"))).as("__u"),
-      sum(greatest(size(col("__toks")) - 1, lit(0))).as("__b"))
-    val pairs = TextOps.explodeShingles(tokenized, "__toks", 2, "gram", Nil)
-      .groupBy("gram").agg(count(lit(1)).as("pair_cnt"))
-      .where(col("pair_cnt") >= minCount)
+    // the two count tables are staged (vocabulary-sized, sublinear in the
+    // corpus) because each has a second consumer — the U/B corpus scalars
+    // aggregate off them, so the corpus is tokenized exactly TWICE (the
+    // two explodes), not a third time for totals
+    val uni = Staged.materialize(
+      tokenized.select(explode(col("__toks")).as("__tok"))
+        .groupBy("__tok").agg(count(lit(1)).as("__c")))
+    val big0 = Staged.materialize(
+      TextOps.explodeShingles(tokenized, "__toks", 2, "gram", Nil)
+        .groupBy("gram").agg(count(lit(1)).as("pair_cnt")))
+    val totals = uni.agg(sum("__c").as("__u"))
+      .crossJoin(big0.agg(sum("pair_cnt").as("__b")))
+    val pairs = big0.where(col("pair_cnt") >= minCount)
     pairs
       .withColumn("__w1", split(col("gram"), " ").getItem(0))
       .withColumn("__w2", split(col("gram"), " ").getItem(1))

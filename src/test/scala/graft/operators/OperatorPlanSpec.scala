@@ -263,4 +263,26 @@ class OperatorPlanSpec extends SparkSpec {
       assert(hasBroadcast, "no captured execution broadcast the probed cells")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("collocations joins the staged count tables — no cartesian, no third corpus scan") {
+    val plan = planString(TextRank.collocations(
+      Tables.documents(spark, sfDir), "text", minCount = 2))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the U/B scalars aggregate off the STAGED count tables: the final
+    // plan must not re-tokenize the corpus (no Generate over a split)
+    assert(!plan.contains("Generate explode"),
+      s"totals re-scanned the corpus:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("containmentPairs never builds an all-pairs space") {
+    val docs = Tables.documents(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("doc_id") < 150)
+      .select("doc_id", "text")
+    val plan = planString(Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.8))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept into containment:\n${plan.take(2000)}")
+  }
 }
