@@ -157,6 +157,59 @@ object Similarity {
       k)
   }
 
+  /** Margin-based cross-group pair mining (Artetxe & Schwenk 2019 — the
+    * LASER bitext-mining criterion): a pair (x ∈ A, y ∈ B) scores
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x→B) + avgNNk(y→A)) / 2)
+    *
+    * — raw cosine normalized by both endpoints' local neighborhood
+    * density, which kills the hub vectors that make absolute-threshold
+    * mining precision-poor. Output: the best-margin y per x (the paper's
+    * "max" strategy) where margin ≥ `threshold`, as
+    * (a_id, b_id, cos, margin) with scores rounded.
+    *
+    * Scale shape: A is the bounded mining side (a query batch, a
+    * low-resource language) and BROADCASTS — B only ever streams: the
+    * forward top-k is one scan of B with A broadcast, and the reverse
+    * neighborhoods are computed only for the ≤ |A|·k forward candidates
+    * (their vectors re-joined from B by id, then A scans against that
+    * broadcast candidate set). For A too big to broadcast, mine in
+    * A-batches (the operator is per-x independent) or feed IVF/JL
+    * candidates — the ANN family composes.
+    */
+  def marginMining(corpus: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, groupA: Column, groupB: Column, k: Int,
+      threshold: Double, roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = corpus.where(col(groupCol) === groupA).select(col(idCol), col(vecCol))
+    val b = corpus.where(col(groupCol) === groupB).select(col(idCol), col(vecCol))
+    // forward: x's top-k in B, with the raw cosine kept for the margin.
+    // Staged (bounded at |A|·k rows): it has three consumers below, and
+    // a lazy frame would re-scan B once per consumer.
+    val fwd = Staged.materialize(topKCosine(b, idCol, vecCol, a, k))
+    val denA = fwd.groupBy("query_id").agg(avg(col("cos")).as("__da"))
+    // reverse neighborhoods, only for forward candidates (bounded set)
+    val candB = b.join(fwd.select(col("neighbor_id").as(idCol)).distinct(),
+      Seq(idCol))
+    val denB = topKCosine(a, idCol, vecCol, candB, k)
+      .groupBy("query_id").agg(avg(col("cos")).as("__db"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    // rank and threshold on the ROUNDED margin (the q_emb_outliers rule):
+    // avg-fold order differs across engines in the last ulp, and the
+    // selection must not hinge on it
+    val scored = fwd
+      .join(denA, Seq("query_id"))
+      .join(denB, Seq("neighbor_id"))
+      .withColumn("__margin",
+        round(col("cos") / ((col("__da") + col("__db")) / 2), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__margin").desc, col("neighbor_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 && col("__margin") >= threshold)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        round(col("cos"), roundTo).as("cos"), col("__margin").as("margin"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bit LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

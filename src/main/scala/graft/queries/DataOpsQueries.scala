@@ -289,6 +289,42 @@ object DataOpsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // --- margin-based pair mining (session 4, Artetxe & Schwenk 2019):
+    // best cross-group partner per label-0 vector, cosine normalized by
+    // both endpoints' k-NN neighborhood averages — the LASER bitext-
+    // mining criterion. Selection ranks/thresholds on the ROUNDED margin
+    // (the q_emb_outliers engine-independence rule); the oracle replays
+    // forward top-k, candidate-only reverse top-k, and the max strategy.
+    QueryDef("q_margin_mining",
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE label = 1),
+        |pairs AS (SELECT a.vec_id AS x, b.vec_id AS y,
+        |    list_cosine_similarity(a.v, b.v) AS cos FROM a, b),
+        |fwd AS (SELECT x, y, cos, row_number() OVER (
+        |    PARTITION BY x ORDER BY cos DESC, y) AS rk FROM pairs),
+        |topk AS (SELECT * FROM fwd WHERE rk <= 4),
+        |da AS (SELECT x, AVG(cos) AS da FROM topk GROUP BY 1),
+        |cand AS (SELECT DISTINCT y FROM topk),
+        |rev AS (SELECT p.y, p.cos, row_number() OVER (
+        |    PARTITION BY p.y ORDER BY p.cos DESC, p.x) AS rk
+        |  FROM pairs p JOIN cand USING (y)),
+        |db AS (SELECT y, AVG(cos) AS db FROM rev WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT t.x, t.y, t.cos,
+        |    ROUND(t.cos / ((da.da + db.db) / 2), 4) AS margin
+        |  FROM topk t JOIN da USING (x) JOIN db USING (y)),
+        |best AS (SELECT x, y, cos, margin, row_number() OVER (
+        |    PARTITION BY x ORDER BY margin DESC, y) AS rk FROM m)
+        |SELECT CAST(x AS BIGINT) AS a_id, CAST(y AS BIGINT) AS b_id,
+        |  ROUND(cos, 4) AS cos, margin
+        |FROM best WHERE rk = 1 AND margin >= 1.02
+        |ORDER BY a_id NULLS FIRST""".stripMargin) { (s, d) =>
+      Similarity.marginMining(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", lit(0), lit(1), k = 4, threshold = 1.02)
+        .orderBy("a_id")
+    },
+
     // --- hybrid retrieval: BM25 lexical candidates → embedding cosine
     // rerank (two-stage retrieval; the vector column is touched only for
     // the ≤ queries×20 candidate ids). Query vectors are the embeddings of

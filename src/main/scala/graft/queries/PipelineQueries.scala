@@ -314,6 +314,39 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // --- ANN recall audit (session 4): recall@5 of the IVF path against
+    // brute-force ground truth, through the generic retrievalMetrics
+    // scorecard — the measurement a user runs before trusting nlist/
+    // nProbe at scale. IVF assignments aren't SQL-replayable (k-means
+    // centroids), so the oracle pins the query count and the aggregate
+    // recall floor (the flag-based ANN contract).
+    QueryDef("q_ann_recall",
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries, TRUE AS monotone_ok, TRUE AS recall_ok"""
+        .stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = Similarity.topKCosine(emb, "vec_id", "embedding", queries, 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      // recall is monotone in nProbe by construction (more probes = a
+      // candidate superset, exact scoring over candidates) — assert the
+      // tuning curve a user sweeps, plus the floor at the top setting
+      def recallAt(np: Int) =
+        graft.operators.TextRank.retrievalMetrics(
+            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+              nlist = 32, nProbe = np)
+              .select(col("query_id"), col("rank"),
+                col("neighbor_id").as("doc_id")),
+            truth, k = 5)
+          .agg((sum("hits") / sum("n_truth")).as(s"__r$np"),
+            count(lit(1)).as(s"__n$np"))
+      recallAt(4).crossJoin(recallAt(8)).crossJoin(recallAt(16))
+        .select(col("__n4").as("n_queries"),
+          (col("__r16") >= col("__r8") && col("__r8") >= col("__r4"))
+            .as("monotone_ok"),
+          (col("__r16") >= 0.6).as("recall_ok"))
+    },
+
     // --- similarity search: PERSISTED IVF index (build once, search many
     // — the production form; search reads only the probed cell partitions
     // via dynamic partition pruning, IvfIndexSpec asserts). Same planted

@@ -412,6 +412,54 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
   }
+
+  test("marginMining matches a hand brute-force reference and honors the threshold") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(4)(j => (((seed * 7 + j * 3) % 11) - 5) / 5.0f + 1.2f)
+    val a = (1 to 4).map(i => (i.toLong, 0, vec(i)))
+    val b = (101 to 106).map(i => (i.toLong, 1, vec(i)))
+    val corpus = (a ++ b).toDF("vec_id", "label", "embedding")
+    val k = 2
+
+    // reference: same double-fold cosine, same max strategy
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) {
+        val xi = x(i).toDouble; val yi = y(i).toDouble
+        d += xi * yi; na += xi * xi; nb += yi * yi
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def topk(q: Array[Float], side: Seq[(Long, Int, Array[Float])]) =
+      side.map(c => (c._1, cos(q, c._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+    val fwd = a.map(x => x._1 -> topk(x._3, b)).toMap
+    val denA = fwd.map { case (x, nn) => x -> nn.map(_._2).sum / k }
+    val candIds = fwd.values.flatten.map(_._1).toSet
+    val denB = candIds.map { y =>
+      val yv = b.find(_._1 == y).get._3
+      y -> topk(yv, a).map(_._2).sum / k
+    }.toMap
+    val expected = a.flatMap { x =>
+      val scored = fwd(x._1).map { case (y, c) =>
+        (y, c, r4(c / ((denA(x._1) + denB(y)) / 2))) }
+      val best = scored.minBy { case (y, _, m) => (-m, y) }
+      if (best._3 >= 0.9) Some((x._1, best._1, r4(best._2), best._3)) else None
+    }.toSet
+
+    val got = Similarity.marginMining(corpus, "vec_id", "embedding", "label",
+        lit(0), lit(1), k = k, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+
+    // a prohibitive threshold filters everything
+    val none = Similarity.marginMining(corpus, "vec_id", "embedding", "label",
+        lit(0), lit(1), k = k, threshold = 99.0).count()
+    assert(none == 0L)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
