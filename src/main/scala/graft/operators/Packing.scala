@@ -142,4 +142,44 @@ object Packing {
       StructField("bin", LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false))))
   }
+
+  /** Sequence-length sweep: for each candidate training sequence length,
+    * how many sequences concat-and-chunk packing produces versus naive
+    * one-doc-per-sequence padding, and the fraction of padded slots
+    * wasted — the report that picks the sequence length (and justifies
+    * packing) before a training run.
+    *
+    *   packed_seqs = ⌈T / L⌉         (T = total corpus tokens)
+    *   padded_seqs = Σ_docs ⌈n / L⌉  (docs longer than L wrap)
+    *   pad_waste   = (padded_seqs·L − T) / (padded_seqs·L)
+    *
+    * All integer arithmetic until the one output ratio. One corpus pass:
+    * every per-L padded count folds as a conditional sum inside a single
+    * aggregate, then the 1-row result explodes into |seqLens| rows —
+    * map-side everything, one scalar shuffle.
+    */
+  def packingEfficiency(df: DataFrame, nTok: org.apache.spark.sql.Column,
+      seqLens: Seq[Int], roundTo: Int = 4): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      s"sequence lengths must be positive, got ${seqLens.mkString(",")}")
+    val lens = df.select(nTok.cast("long").as("__n"))
+    val perL = seqLens.map(l =>
+      sum(expr(s"(__n + ${l - 1}) div $l")).as(s"__p$l"))
+    val aggCols = Seq(sum(col("__n")).as("total_tokens")) ++ perL
+    val one = lens.agg(count(lit(1)).as("n_docs"), aggCols: _*)
+    one.select(col("n_docs"), col("total_tokens"),
+        explode(array(seqLens.map(l =>
+          struct(lit(l.toLong).as("seq_len"), col(s"__p$l").as("padded_seqs"))): _*))
+          .as("__s"))
+      .select(col("__s.seq_len").cast("int").as("seq_len"), col("n_docs"),
+        col("total_tokens"), col("__s.padded_seqs").as("padded_seqs"))
+      // integer ceil-div (not a double round-trip — T can exceed 2^53)
+      .withColumn("packed_seqs",
+        expr("(total_tokens + seq_len - 1) div seq_len"))
+      .withColumn("pad_waste",
+        round((col("padded_seqs") * col("seq_len") - col("total_tokens"))
+          .cast("double") / (col("padded_seqs") * col("seq_len")), roundTo))
+      .select("seq_len", "n_docs", "total_tokens", "packed_seqs",
+        "padded_seqs", "pad_waste")
+  }
 }

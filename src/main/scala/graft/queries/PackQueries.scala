@@ -65,6 +65,31 @@ object PackQueries {
         .orderBy("doc_id")
     },
 
+    // --- packing-efficiency sweep (session 4): packed vs padded sequence
+    // counts and the padding-waste fraction at candidate sequence
+    // lengths — the pre-training report that picks L. Pure integer
+    // arithmetic until the one output ratio; one corpus pass, every
+    // per-L count a conditional sum in a single aggregate.
+    QueryDef("q_pack_efficiency",
+      """WITH lens AS (SELECT len(string_split_regex(trim(text), '\s+')) AS n
+        |              FROM documents),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n) AS BIGINT) AS total_tokens FROM lens),
+        |l(seq_len) AS (VALUES (64), (256), (1024)),
+        |p AS (SELECT seq_len,
+        |        CAST(SUM((n + seq_len - 1) // seq_len) AS BIGINT) AS padded_seqs
+        |      FROM lens CROSS JOIN l GROUP BY 1)
+        |SELECT CAST(seq_len AS INT) AS seq_len, n_docs, total_tokens,
+        |  CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT) AS packed_seqs,
+        |  padded_seqs,
+        |  ROUND(CAST(padded_seqs * seq_len - total_tokens AS DOUBLE)
+        |    / (padded_seqs * seq_len), 4) AS pad_waste
+        |FROM p CROSS JOIN t ORDER BY seq_len NULLS FIRST""".stripMargin) { (s, d) =>
+      Packing.packingEfficiency(Tables.documents(s, d),
+          size(TextOps.tokens(col("text"))), Seq(64, 256, 1024))
+        .orderBy("seq_len")
+    },
+
     // --- token-budget data mixing (integer-exact per-source rates) ----------
     QueryDef("q_sample_token_budget",
       """WITH t AS (

@@ -80,4 +80,19 @@ class PackingSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(rows.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L)))
   }
+
+  test("packingEfficiency: hand-computed sweep, exact ceil-div counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // lengths 10, 25, 7, 0: T = 42
+    val df = Seq(10L, 25L, 7L, 0L).toDF("n")
+    val got = Packing.packingEfficiency(df, col("n"), Seq(8, 16))
+      .orderBy("seq_len")
+      .as[(Int, Long, Long, Long, Long, Double)].collect().toSeq
+    // L=8:  packed = ceil(42/8) = 6; padded = 2+4+1+0 = 7; waste = (56-42)/56
+    // L=16: packed = ceil(42/16) = 3; padded = 1+2+1+0 = 4; waste = (64-42)/64
+    assert(got == Seq(
+      (8, 4L, 42L, 6L, 7L, 0.25),
+      (16, 4L, 42L, 3L, 4L, 0.3438)), got.toString)
+  }
 }

@@ -320,6 +320,39 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"capped bucket must die whole: $capped")
   }
 
+  test("containmentPairs equals the brute-force definition on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val k = 3; val cap = 8; val thr = 0.5
+    val docs = (1L to 30L).map { i =>
+      val len = 3 + rnd.nextInt(20)
+      (i, Seq.fill(len)(s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute reference: same hash, same cap rule, sizes over ALL shingles
+    val sets = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq.sliding(k).filter(_.size == k)
+        .map(g => graft.functions.Sketches.hash60(g.mkString(" "))).toSet
+    }.toMap
+    val dfreq = sets.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val capped = sets.map { case (id, s) => id -> s.filter(dfreq(_) <= cap) }
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      shared = capped(a).intersect(capped(b)).size
+      if shared >= 1
+      cab = shared.toDouble / sets(a).size
+      cba = shared.toDouble / sets(b).size
+      if math.max(cab, cba) >= thr
+    } yield (a, b, shared.toLong, r4(cab), r4(cba))).toSet
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = k, threshold = thr, maxDocsPerShingle = cap)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "degenerate test corpus: no pairs at all")
+  }
+
   test("splitLeakage counts clone pairs by unordered split label") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
