@@ -708,6 +708,48 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // --- tokenize → pack bridge (session 4): per-doc token counts under
+    // the LEARNED subword vocabulary feed concat-and-chunk packing — the
+    // text-to-training-sequences composition in one job (the count the
+    // packer must use is the tokenizer's, not whitespace's). Oracle
+    // chains the two verified replays: the recursive-CTE greedy
+    // segmentation per doc, then the exclusive prefix sum at budget 128.
+    QueryDef("q_pipeline_tokenize_pack",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pref AS (
+        |  SELECT substring(t.w, 1, l) AS p
+        |  FROM toks t, UNNEST(range(2, least(6, len(t.w)) + 1)) AS u(l)),
+        |vocab AS (SELECT p FROM (SELECT p, COUNT(*) AS c FROM pref GROUP BY 1)
+        |          ORDER BY c DESC, p LIMIT 64),
+        |words AS (SELECT DISTINCT w FROM toks),
+        |r(w, pos, n) AS (
+        |  SELECT w, 1, 0 FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + COALESCE((SELECT MAX(len(v.p)) FROM vocab v
+        |           WHERE v.p = substring(r.w, r.pos, len(v.p))), 1),
+        |         r.n + 1
+        |  FROM r WHERE r.pos <= len(r.w)),
+        |pieces AS (SELECT w, n FROM r WHERE pos > len(w)),
+        |st AS (SELECT t.doc_id, CAST(SUM(p.n) AS BIGINT) AS n
+        |       FROM toks t JOIN pieces p ON p.w = t.w GROUP BY 1),
+        |o AS (SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start
+        |  FROM st)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens,
+        |  start AS start_tok, start // 128 AS first_seq,
+        |  CASE WHEN n > 0 THEN (start + n - 1) // 128
+        |       ELSE start // 128 END AS last_seq
+        |FROM o ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val st = graft.operators.Subword.subwordTokens(
+        Tables.documents(s, d), "text", "doc_id", vocabSize = 64, maxLen = 6)
+      graft.operators.Packing.packOffsets(st, "doc_id", "subword_tokens", 128)
+        .orderBy("doc_id")
+    },
+
     // --- tokenizer-coverage / OOV report (r10): per-language fallback rate
     // under the learned top-64 subword vocabulary — the vocabulary-fit
     // monitor. Same recursive-CTE greedy replay as q_text_subword, with a
