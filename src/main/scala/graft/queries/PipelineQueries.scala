@@ -1060,11 +1060,15 @@ object PipelineQueries {
         |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < lpad(lower(to_hex(rate16)), 4, '0')
         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin) { (s, d) =>
-      // kept feeds BOTH the clone-pair search and the anti-join — stage it
-      // so the classifier pass runs once (2× at sf0.1, ~1.9× at sf1)
-      val kept = graft.operators.Staged.materialize(
+      // kept feeds BOTH the clone-pair search and the anti-join — stage
+      // the keep DECISION (ids only, never text: the Staged bounded-result
+      // rule) so the classifier's feature fold runs once; both consumers
+      // re-read text from the columnar source by id join
+      val keptIds = graft.operators.Staged.materialize(
         graft.operators.Classifier.score(Tables.documents(s, d), "text")
-          .where(col("keep")).select("doc_id", "source", "text"))
+          .where(col("keep")).select("doc_id"))
+      val kept = Tables.documents(s, d).join(keptIds, Seq("doc_id"))
+        .select("doc_id", "source", "text")
       val losers = graft.operators.Dedup.winnowClonePairs(kept, "doc_id", "text",
           k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
         .select(col("b_id").as("doc_id")).distinct()
