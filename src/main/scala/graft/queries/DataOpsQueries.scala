@@ -297,7 +297,7 @@ object DataOpsQueries {
     // forward top-k, candidate-only reverse top-k, and the max strategy.
     QueryDef("q_margin_mining",
       """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE label = 0),
+        |           FROM embeddings WHERE label = 0 AND vec_id < 10000),
         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings WHERE label = 1),
         |pairs AS (SELECT a.vec_id AS x, b.vec_id AS y,
@@ -320,7 +320,12 @@ object DataOpsQueries {
         |  ROUND(cos, 4) AS cos, margin
         |FROM best WHERE rk = 1 AND margin >= 1.02
         |ORDER BY a_id NULLS FIRST""".stripMargin) { (s, d) =>
-      Similarity.marginMining(Tables.embeddings(s, d), "vec_id", "embedding",
+      // the mining side A is BOUNDED by id (the operator's broadcast-side
+      // contract): at scaled fixtures only replica-0 ids qualify, so the
+      // gate stays A-bounded while B grows with the corpus
+      val emb = Tables.embeddings(s, d)
+        .where(col("label") =!= 0 || col("vec_id") < 10000)
+      Similarity.marginMining(emb, "vec_id", "embedding",
           "label", lit(0), lit(1), k = 4, threshold = 1.02)
         .orderBy("a_id")
     },
