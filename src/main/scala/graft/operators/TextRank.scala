@@ -616,6 +616,57 @@ object TextRank {
           roundTo) + lit(0.0)).as("pmi"))
   }
 
+  /** Per-document character-distribution Shannon entropy — the cheap
+    * gibberish/binary-noise detector (natural language sits ~2.5-4.5
+    * bits-of-e; base64 blobs and key-mash noise run higher, repeated-
+    * char padding collapses toward 0). Computed as
+    * `ln(n) − (Σ k·ln k)/n` over per-character counts k (one ln per
+    * DISTINCT character, ≤ alphabet size — numerically tighter than
+    * folding −p·ln p per char).
+    *
+    * Scale: explode to characters, but the (doc, char)-keyed partial
+    * aggregation compresses each doc to ≤ |alphabet| rows map-side
+    * before the one shuffle — shuffled volume is docs×alphabet, not
+    * corpus characters. Empty/null docs report (0, NULL).
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val cc = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .where(col("__c") =!= "")
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
+    val perDoc = cc.groupBy(col(idCol))
+      .agg(sum("__k").as("n_chars"),
+        sum(col("__k").cast("double") * log(col("__k").cast("double")))
+          .as("__klnk"))
+      .select(col(idCol), col("n_chars"),
+        // + 0.0 canonicalizes IEEE -0.0 (a single-char doc's entropy is
+        // an exact 0 but fp cancellation can land at -1e-16)
+        (round(log(col("n_chars").cast("double")) -
+          col("__klnk") / col("n_chars"), roundTo) + lit(0.0))
+          .as("char_entropy"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        col("char_entropy"))
+  }
+
+  /** Per-group lexical diversity: distinct token types, total token
+    * occurrences, and the type-token ratio — the vocabulary-richness
+    * audit per source/language (a templated or machine-generated slice
+    * shows an anomalously low TTR for its size). Two-stage aggregation:
+    * the (group, token) partial agg compresses map-side before the one
+    * vocabulary-keyed shuffle; never a countDistinct expand.
+    */
+  def lexicalDiversity(docs: DataFrame, groupCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame =
+    docs.select(col(groupCol).as("group"),
+        explode(lowerTokens(col(textCol))).as("__t"))
+      .groupBy("group", "__t").agg(count(lit(1)).as("__k"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("types"), sum("__k").as("tokens"))
+      .select(col("group"), col("types"), col("tokens"),
+        round(col("types").cast("double") / col("tokens"), roundTo).as("ttr"))
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * n-grams whose global first occurrence (minimum `idCol` over the
     * corpus) is this document. Documents early in corpus order score

@@ -477,5 +477,45 @@ object CorpusQueries {
         base.withColumn("doc_id", col("doc_id") + 100000))
       graft.operators.TextRank.novelty(input, "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    },
+
+    // --- per-document character entropy (session 4): the gibberish /
+    // binary-noise detector. Engine and oracle both compute
+    // ln(n) − (Σ k·ln k)/n over per-char counts; the ≤ |alphabet|-term
+    // sum makes the 4-decimal round robust to fold order.
+    QueryDef("q_text_char_entropy",
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents WHERE doc_id < 300),
+        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM ch WHERE c != '' GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, SUM(k) AS n,
+        |         SUM(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))) AS klnk
+        |       FROM cc GROUP BY 1)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_chars,
+        |  ROUND(ln(CAST(n AS DOUBLE)) - klnk / n, 4) + 0.0 AS char_entropy
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.charEntropy(
+          Tables.documents(s, d).where(col("doc_id") < 300), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --- per-source type-token ratio (session 4): vocabulary richness
+    // per slice — integer counts, one rounded ratio.
+    QueryDef("q_text_ttr",
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM t GROUP BY 1, 2)
+        |SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS types,
+        |  CAST(SUM(k) AS BIGINT) AS tokens,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(k), 4) AS ttr
+        |FROM cc GROUP BY 1 ORDER BY "group" NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.TextRank.lexicalDiversity(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("group")
     })
 }

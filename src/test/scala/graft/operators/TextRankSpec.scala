@@ -192,6 +192,28 @@ class TextRankSpec extends SparkSpec {
     assert(got.values.forall(_._2 <= pmi(3, 3, 3)), got.toString)
   }
 
+  test("charEntropy: uniform chars 0, two-symbol alternation ln 2, empty null") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, ""), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = TextRank.charEntropy(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 4L, 0.0), (2L, 4L, r4(math.log(2))),
+      (3L, 0L, null), (4L, 4L, r4(math.log(4)))), got.toString)
+  }
+
+  test("lexicalDiversity: types, tokens, and ttr per group") {
+    import spark.implicits._
+    val docs = Seq(("a", "x y x"), ("a", "y z"), ("b", "w w w w"))
+      .toDF("src", "text")
+    val got = TextRank.lexicalDiversity(docs, "src", "text")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("a", 3L, 5L, 0.6), ("b", 1L, 4L, 0.25)), got.toString)
+  }
+
   test("novelty: first occurrence scores 1, an exact late copy scores 0") {
     import spark.implicits._
     val docs = Seq(
