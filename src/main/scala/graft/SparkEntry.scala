@@ -28,6 +28,12 @@ object SparkEntry {
     graft.queries.MatchQueries.defs ++
     graft.queries.SketchQueries.defs
 
+  // the maps below would silently drop a gate on a name collision — with
+  // 200+ defs across 14 files, fail loudly at first touch instead
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate gate names: " + all.groupBy(_.name).collect {
+      case (n, ds) if ds.size > 1 => n }.mkString(","))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * AresDB's flagship shape — time-filtered, dimension-joined,
     * time-bucketed single-measure aggregation — run through the FULL
