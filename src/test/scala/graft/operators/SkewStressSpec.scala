@@ -112,4 +112,33 @@ class SkewStressSpec extends SparkSpec {
     assert(kept(0) == 25L, s"hot cell must cap at 25: $kept")
     assert(kept(1) == 20L, s"normal cell keeps all members: $kept")
   }
+
+  test("containment inverted index: the degenerate shingle is dropped, planted recall intact") {
+    // 150 base docs + their 25-token prefix fragments (+100000, the
+    // planted containment signal) + the boilerplate flood: every
+    // boilerplate shingle sits in 10k docs, far past the cap — its
+    // posting lists must die whole BEFORE the pair join
+    val docs = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 150).select("doc_id", "text")
+    val frags = docs.select((col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(TextOps.tokens(trim(col("text"))), 1, 25), " ").as("text"))
+    val boiler = spark.range(DegenerateCopies)
+      .select((col("id") + 1000000L).as("doc_id"),
+        lit("lorem ipsum dolor sit amet boilerplate header footer text").as("text"))
+    val pairs = Dedup.containmentPairs(
+        docs.unionByName(frags).unionByName(boiler), "doc_id", "text",
+        k = 3, threshold = 0.8, maxDocsPerShingle = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // no pair among the boilerplate clones (their buckets dropped whole;
+      // an uncapped join would emit ~5*10^7 such pairs)
+      assert(pairs.where($"a_id" >= 1000000L).count() == 0L,
+        "degenerate shingle reached the pair join")
+      // planted fragment containment intact: fragments of docs with > 25
+      // tokens whose prefix shingles aren't themselves stopword-tier
+      val found = pairs
+        .where($"b_id" === $"a_id" + 100000 && $"c_ba" === 1.0).count()
+      assert(found >= 100L, s"planted fragment recall collapsed: $found")
+    } finally pairs.unpersist()
+  }
 }
