@@ -1087,16 +1087,30 @@ object Dedup {
     require(minShared >= 1 && maxDocsPerFp >= 2)
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol), col("fp")).distinct()
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val capped = fps.withColumn("__n", count(lit(1)).over(cw))
-      .where(col("__n") <= maxDocsPerFp)
+    cappedPairJoin(fps, "fp", idCol, maxDocsPerFp)
+      .where(col("shared") >= minShared)
+  }
+
+  /** The shared capped inverted-index pair join behind
+    * [[minhashNearDups]]' bucket rule, [[winnowClonePairs]], and
+    * [[containmentPairs]]: keys present in more than `maxPerKey` rows
+    * are stopword-tier (no discriminative value, quadratic pair cost) —
+    * their buckets are DROPPED whole, bounding the self-join at
+    * maxPerKey² per key. Input: distinct (keyCol, idCol) rows.
+    * Output: (a_id, b_id, shared) with a_id < b_id, `shared` counting
+    * surviving common keys.
+    */
+  private def cappedPairJoin(keyed: DataFrame, keyCol: String,
+      idCol: String, maxPerKey: Int): DataFrame = {
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val capped = keyed.withColumn("__n", count(lit(1)).over(cw))
+      .where(col("__n") <= maxPerKey)
       .drop("__n")
-    val a = capped.select(col("fp"), col(idCol).as("a_id"))
-    val b = capped.select(col("fp"), col(idCol).as("b_id"))
-    a.join(b, Seq("fp")).where(col("a_id") < col("b_id"))
+    val a = capped.select(col(keyCol), col(idCol).as("a_id"))
+    val b = capped.select(col(keyCol), col(idCol).as("b_id"))
+    a.join(b, Seq(keyCol)).where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
   }
 
   /** Containment-scored near-dup pairs: for each candidate pair, the
@@ -1130,15 +1144,7 @@ object Dedup {
       .select(col(idCol), graft.functions.Sketches.hash60Col(col("__g")).as("__h"))
       .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-    val capped = sh.withColumn("__n", count(lit(1)).over(cw))
-      .where(col("__n") <= maxDocsPerShingle)
-      .drop("__n")
-    val a = capped.select(col("__h"), col(idCol).as("a_id"))
-    val b = capped.select(col("__h"), col(idCol).as("b_id"))
-    a.join(b, Seq("__h")).where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("shared"))
+    cappedPairJoin(sh, "__h", idCol, maxDocsPerShingle)
       .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa")),
         Seq("a_id"))
       .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb")),

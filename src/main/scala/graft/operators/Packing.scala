@@ -162,6 +162,8 @@ object Packing {
       seqLens: Seq[Int], roundTo: Int = 4): DataFrame = {
     require(seqLens.nonEmpty && seqLens.forall(_ > 0),
       s"sequence lengths must be positive, got ${seqLens.mkString(",")}")
+    require(seqLens.distinct.size == seqLens.size,
+      s"sequence lengths must be distinct, got ${seqLens.mkString(",")}")
     val lens = df.select(nTok.cast("long").as("__n"))
     val perL = seqLens.map(l =>
       sum(expr(s"(__n + ${l - 1}) div $l")).as(s"__p$l"))

@@ -326,15 +326,21 @@ object PipelineQueries {
         .stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 20)
-      val truth = Similarity.topKCosine(emb, "vec_id", "embedding", queries, 5)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      // truth has three consumers (one per sweep point) — stage it
+      // (bounded: 20 queries × 5 rows) so the brute-force corpus scan
+      // runs once; the ANN side sweeps the PERSISTED index (built once
+      // per corpus fingerprint), so only the probe step varies per point
+      val truth = graft.operators.Staged.materialize(
+        Similarity.topKCosine(emb, "vec_id", "embedding", queries, 5)
+          .select(col("query_id"), col("neighbor_id").as("doc_id")))
+      val dir = AnnFixtures.ivfIndexDir(s, d, nlist = 32)
       // recall is monotone in nProbe by construction (more probes = a
       // candidate superset, exact scoring over candidates) — assert the
       // tuning curve a user sweeps, plus the floor at the top setting
       def recallAt(np: Int) =
         graft.operators.TextRank.retrievalMetrics(
-            Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
-              nlist = 32, nProbe = np)
+            graft.operators.IvfIndex.search(s, dir, queries,
+              "vec_id", "embedding", k = 5, nProbe = np)
               .select(col("query_id"), col("rank"),
                 col("neighbor_id").as("doc_id")),
             truth, k = 5)
