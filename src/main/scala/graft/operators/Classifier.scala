@@ -85,17 +85,16 @@ object Classifier {
     * aggregation back to one row per document is a single integer
     * partial agg on the id.
     */
-  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, bucketBits: Int = 18,
-      threshold: Double = 0.5): DataFrame = {
-    require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
-    val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
-    // count-only generator (index into unigrams, then bigrams) — exploding
-    // the built feature array trips the inferred-filter re-tokenization
-    // (TextOps.explodeShingles note). Index i in [1, n] is token i; index
-    // in (n, 2n-1] is the bigram starting at i - n.
+  /** (idCol, bucket) rows, one per unigram+bigram feature occurrence —
+    * the count-only generator (index into unigrams, then bigrams):
+    * exploding the built feature array trips the inferred-filter
+    * re-tokenization (TextOps.explodeShingles note). Index i in [1, n]
+    * is token i; index in (n, 2n-1] is the bigram starting at i - n.
+    */
+  private def featureBuckets(toks: DataFrame, idCol: String,
+      bucketBits: Int): DataFrame = {
     val n = size(col("__toks"))
-    val feats = toks.select(col(idCol), col("__toks"),
+    toks.select(col(idCol), col("__toks"),
         explode(sequence(lit(1), n + greatest(n - 1, lit(0)))).as("__fi"))
       .select(col(idCol),
         when(col("__fi") <= size(col("__toks")),
@@ -105,6 +104,14 @@ object Classifier {
             element_at(col("__toks"), col("__fi") - size(col("__toks")) + 1)))
           .as("__feat"))
       .select(col(idCol), bucketCol(col("__feat"), bucketBits).as("bucket"))
+  }
+
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bucketBits: Int = 18,
+      threshold: Double = 0.5): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
+    val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
+    val feats = featureBuckets(toks, idCol, bucketBits)
     val sums = feats
       .join(broadcast(weights.select(col("bucket"), col("w_milli"))), Seq("bucket"), "left")
       .groupBy(col(idCol))
@@ -123,6 +130,75 @@ object Classifier {
     import spark.implicits._
     (0L until (1L << bucketBits)).map(b => (b, weightMilli(seed, b)))
       .toDF("bucket", "w_milli")
+  }
+
+  /** Train the linear model IN the engine: full-batch gradient descent
+    * on logistic loss over the same hashed unigram+bigram features
+    * [[scoreWith]] scores with — the upgrade from "training is an
+    * offline concern" to distributed training as a handful of keyed
+    * aggregations per epoch. Returns the fitted `(bucket, w_milli)`
+    * table [[scoreWith]] consumes directly.
+    *
+    * Determinism contract (what makes a SQL oracle hash-match a
+    * distributed float computation): weights are QUANTIZED to integer
+    * milli-units after every epoch. Per-doc margins are then exact
+    * integer sums (order-free); the logit is `margin/(1000·n_feats)`
+    * (the [[finish]] mean-weight convention); the per-bucket gradient
+    * `Σ residual·x / N` is the one floating sum per epoch, and its
+    * fold-order noise (~1e-13) is crushed by the round-to-milli
+    * quantization. Epoch updates:
+    *
+    *   w[b] ← w[b] − round(lr · 1000 · Σ_docs (σ(logit) − y)·x[b] / N)
+    *
+    * Scale shape: the (doc, bucket, x) feature table is computed once
+    * and persisted (released before return); each epoch is one
+    * bucket-keyed join + one doc-keyed integer agg + one bucket-keyed
+    * agg, all linear; the weight table (≤ 2^bucketBits rows) is staged
+    * per epoch so lineage stays constant-depth.
+    */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, bucketBits: Int = 18, epochs: Int = 2,
+      lr: Double = 10.0): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
+    require(epochs >= 1 && lr > 0, s"need epochs >= 1 and lr > 0")
+    val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
+    val x = featureBuckets(toks, idCol, bucketBits)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nf = x.groupBy(col(idCol)).agg(sum("__x").as("__nf"))
+      val lab = docs.select(col(idCol), label.cast("double").as("__y"))
+      val nDocs = x.select(col(idCol)).distinct().count()
+      var w: DataFrame = null
+      for (_ <- 1 to epochs) {
+        // margin: exact integer sum of w·x (0 under the zero init)
+        val resid =
+          (if (w == null)
+            lab.join(nf, Seq(idCol))
+              .select(col(idCol), (lit(0.5) - col("__y")).as("__r"))
+          else {
+            val m = x.join(w, Seq("bucket"))
+              .groupBy(col(idCol)).agg(sum(col("__x") * col("w_milli")).as("__mm"))
+            m.join(nf, Seq(idCol)).join(lab, Seq(idCol))
+              .select(col(idCol),
+                (lit(1.0) / (lit(1.0) +
+                  exp(-(col("__mm") / (lit(1000.0) * col("__nf"))))) -
+                  col("__y")).as("__r"))
+          })
+        val grad = x.join(resid, Seq(idCol))
+          .groupBy(col("bucket"))
+          .agg(round(lit(lr * 1000.0) * sum(col("__r") * col("__x")) / nDocs)
+            .cast("long").as("__g"))
+        val next =
+          (if (w == null) grad.select(col("bucket"), (-col("__g")).as("w_milli"))
+          else w.join(grad, Seq("bucket"))
+            .select(col("bucket"), (col("w_milli") - col("__g")).as("w_milli")))
+        // bounded (≤ 2^bucketBits rows) — staged so epoch t+1 reads a
+        // plain scan, not t epochs of stacked joins
+        w = Staged.materialize(next)
+      }
+      w.where(col("w_milli") =!= 0)
+    } finally x.unpersist(false)
   }
 
   private def finish(scored: DataFrame, threshold: Double): DataFrame = {

@@ -250,6 +250,49 @@ object CurationQueries {
       graft.operators.Classifier.score(Tables.documents(s, d), "text")
         .select("doc_id", "n_feats", "quality", "keep")
         .orderBy("doc_id")
+    },
+
+    // --- IN-ENGINE classifier training (session 4): two full-batch
+    // logistic GD epochs over the same hashed features, weights
+    // quantized to integer milli-units per epoch — margins are exact
+    // integer sums, the one floating gradient sum is crushed by the
+    // round-to-milli, so the SQL oracle replays training term for term.
+    // Label: doc length over 300 chars (SQL-derivable target).
+    QueryDef("q_classifier_train",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |feats AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
+        |  FROM toks),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |        CAST(COUNT(*) AS BIGINT) AS x
+        |      FROM feats GROUP BY 1, 2),
+        |nf AS (SELECT doc_id, SUM(x) AS nf FROM x GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+        |        FROM documents WHERE doc_id < 300),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM x),
+        |r1 AS (SELECT lab.doc_id, 0.5 - y AS r FROM lab JOIN nf USING (doc_id)),
+        |g1 AS (SELECT bucket, CAST(round(10000.0 * SUM(r * x) / n) AS BIGINT) AS g
+        |       FROM x JOIN r1 USING (doc_id) CROSS JOIN nd GROUP BY bucket, n),
+        |w1 AS (SELECT bucket, -g AS w FROM g1),
+        |m2 AS (SELECT doc_id, SUM(x * w) AS mm FROM x JOIN w1 USING (bucket)
+        |       GROUP BY 1),
+        |r2 AS (SELECT lab.doc_id,
+        |         1.0 / (1.0 + exp(-(mm / (1000.0 * nf)))) - y AS r
+        |       FROM lab JOIN m2 USING (doc_id) JOIN nf USING (doc_id)),
+        |g2 AS (SELECT bucket, CAST(round(10000.0 * SUM(r * x) / n) AS BIGINT) AS g
+        |       FROM x JOIN r2 USING (doc_id) CROSS JOIN nd GROUP BY bucket, n),
+        |w2 AS (SELECT w1.bucket, w1.w - g2.g AS w FROM w1 JOIN g2 USING (bucket))
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w_milli
+        |FROM w2 WHERE w != 0 ORDER BY bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Classifier.trainLogistic(
+          Tables.documents(s, d).where(col("doc_id") < 300), "doc_id", "text",
+          col("n_chars") > 300, bucketBits = 8, epochs = 2, lr = 10.0)
+        .orderBy("bucket")
     }
   )
 }

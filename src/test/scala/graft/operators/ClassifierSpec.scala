@@ -73,4 +73,35 @@ class ClassifierSpec extends SparkSpec {
       .select("keep").as[Boolean].head()
     assert(!neg)
   }
+
+  test("trainLogistic learns a separable vocabulary and scoreWith separates on it") {
+    // two disjoint vocabularies, labels follow the vocabulary exactly
+    val good = (1L to 10L).map(i => (i, "excellent prose reads wonderfully here", 1))
+    val bad = (11L to 20L).map(i => (i, "spam junk noise garbage filler words", 0))
+    val docs = (good ++ bad).toDF("id", "text", "y")
+    val w = Classifier.trainLogistic(docs, "id", "text", col("y") === 1,
+      bucketBits = 12, epochs = 3, lr = 20.0)
+    val scored = Classifier.scoreWith(docs, "id", "text", w, bucketBits = 12)
+      .select("id", "quality").as[(Long, Double)].collect().toMap
+    val gq = good.map(g => scored(g._1)).toSeq
+    val bq = bad.map(b => scored(b._1)).toSeq
+    assert(gq.min > bq.max,
+      s"trained model does not separate: good=$gq bad=$bq")
+    assert(gq.forall(_ > 0.5) && bq.forall(_ < 0.5),
+      s"threshold 0.5 misclassifies: good=$gq bad=$bq")
+  }
+
+  test("trainLogistic epoch-1 gradient is the hand-computed update") {
+    // one doc per class, one token each, no bucket collision at 12 bits
+    val docs = Seq((1L, "alpha", 1), (2L, "beta", 0)).toDF("id", "text", "y")
+    val w = Classifier.trainLogistic(docs, "id", "text", col("y") === 1,
+        bucketBits = 12, epochs = 1, lr = 10.0)
+      .as[(Long, Long)].collect().toMap
+    // features per doc: unigram only (1 token -> no bigram); x = 1.
+    // r = 0.5 - y: alpha -> -0.5, beta -> +0.5; N = 2
+    // w[b] = -round(10 * 1000 * r * 1 / 2) = +2500 for alpha, -2500 beta
+    val aB = graft.functions.Sketches.hash60("alpha") % 4096
+    val bB = graft.functions.Sketches.hash60("beta") % 4096
+    assert(w(aB) == 2500L && w(bB) == -2500L, w.toString)
+  }
 }
