@@ -201,6 +201,37 @@ object Classifier {
     } finally x.unpersist(false)
   }
 
+  /** Confusion-matrix report for boolean predictions against boolean
+    * truth: one row (tp, fp, tn, fn, accuracy, precision, recall, f1) —
+    * the held-out scorecard after [[trainLogistic]] → [[scoreWith]].
+    * Counts are exact integers; the four ratios round; an all-negative
+    * prediction column yields NULL precision/f1 rather than a 0/0.
+    * One aggregation, map-side partials.
+    */
+  def confusion(df: DataFrame, predicted: Column, actual: Column,
+      roundTo: Int = 4): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    df.agg(
+        cnt(predicted && actual).as("tp"),
+        cnt(predicted && !actual).as("fp"),
+        cnt(!predicted && !actual).as("tn"),
+        cnt(!predicted && actual).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn")), roundTo)
+          .as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), roundTo))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), roundTo))
+          .as("recall"),
+        when(col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")), roundTo))
+          .as("f1"))
+  }
+
   private def finish(scored: DataFrame, threshold: Double): DataFrame = {
     val mean = col("__sum") / (col("__n") * lit(1000.0))
     val quality = round(lit(1.0) / (lit(1.0) + exp(-mean)), 4)

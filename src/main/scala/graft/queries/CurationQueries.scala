@@ -257,10 +257,16 @@ object CurationQueries {
     // quantized to integer milli-units per epoch — margins are exact
     // integer sums, the one floating gradient sum is crushed by the
     // round-to-milli, so the SQL oracle replays training term for term.
-    // Label: doc length over 300 chars (SQL-derivable target).
+    // Label + signal: the planted-contract pattern — docs with
+    // doc_id % 3 == 0 carry an appended marker run (10 tokens, a meaningful fraction of the mean-normalized logit) and the label
+    // follows the same rule, so the learnable signal is SQL-derivable
+    // on both sides and training must place its weight on the marker's
+    // bucket (held-out separation proves it does, q_classifier_eval).
     QueryDef("q_classifier_train",
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  SELECT doc_id, string_split_regex(trim(lower(text ||
+        |      CASE WHEN doc_id % 3 = 0 THEN repeat(' qualitymarker', 10) ELSE '' END)),
+        |    '\s+') AS tk
         |  FROM documents WHERE doc_id < 300),
         |feats AS (
         |  SELECT doc_id, unnest(list_concat(tk,
@@ -268,11 +274,11 @@ object CurationQueries {
         |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
         |  FROM toks),
         |x AS (SELECT doc_id,
-        |        CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |        CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket,
         |        CAST(COUNT(*) AS BIGINT) AS x
         |      FROM feats GROUP BY 1, 2),
         |nf AS (SELECT doc_id, SUM(x) AS nf FROM x GROUP BY 1),
-        |lab AS (SELECT doc_id, CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+        |lab AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
         |        FROM documents WHERE doc_id < 300),
         |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM x),
         |r1 AS (SELECT lab.doc_id, 0.5 - y AS r FROM lab JOIN nf USING (doc_id)),
@@ -289,10 +295,97 @@ object CurationQueries {
         |w2 AS (SELECT w1.bucket, w1.w - g2.g AS w FROM w1 JOIN g2 USING (bucket))
         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w_milli
         |FROM w2 WHERE w != 0 ORDER BY bucket NULLS FIRST""".stripMargin) { (s, d) =>
-      graft.operators.Classifier.trainLogistic(
-          Tables.documents(s, d).where(col("doc_id") < 300), "doc_id", "text",
-          col("n_chars") > 300, bucketBits = 8, epochs = 2, lr = 10.0)
+      val marked = Tables.documents(s, d).where(col("doc_id") < 300)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, repeat(lit(" qualitymarker"), 10)).otherwise(lit(""))))
+      graft.operators.Classifier.trainLogistic(marked, "doc_id", "text",
+          col("doc_id") % 3 === 0, bucketBits = 12, epochs = 2, lr = 10.0)
         .orderBy("bucket")
+    },
+
+    // --- held-out evaluation (session 4): train on docs < 300, score the
+    // 300-499 slice with the fitted table, confusion-matrix scorecard —
+    // the complete train → eval workflow with the model, the scoring,
+    // and the metrics all replayed in one oracle.
+    QueryDef("q_classifier_eval",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text ||
+        |      CASE WHEN doc_id % 3 = 0 THEN repeat(' qualitymarker', 10) ELSE '' END)),
+        |    '\s+') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |feats AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
+        |  FROM toks),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket,
+        |        CAST(COUNT(*) AS BIGINT) AS x
+        |      FROM feats GROUP BY 1, 2),
+        |nf AS (SELECT doc_id, SUM(x) AS nf FROM x GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+        |        FROM documents WHERE doc_id < 300),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM x),
+        |r1 AS (SELECT lab.doc_id, 0.5 - y AS r FROM lab JOIN nf USING (doc_id)),
+        |g1 AS (SELECT bucket, CAST(round(10000.0 * SUM(r * x) / n) AS BIGINT) AS g
+        |       FROM x JOIN r1 USING (doc_id) CROSS JOIN nd GROUP BY bucket, n),
+        |w1 AS (SELECT bucket, -g AS w FROM g1),
+        |m2 AS (SELECT doc_id, SUM(x * w) AS mm FROM x JOIN w1 USING (bucket)
+        |       GROUP BY 1),
+        |r2 AS (SELECT lab.doc_id,
+        |         1.0 / (1.0 + exp(-(mm / (1000.0 * nf)))) - y AS r
+        |       FROM lab JOIN m2 USING (doc_id) JOIN nf USING (doc_id)),
+        |g2 AS (SELECT bucket, CAST(round(10000.0 * SUM(r * x) / n) AS BIGINT) AS g
+        |       FROM x JOIN r2 USING (doc_id) CROSS JOIN nd GROUP BY bucket, n),
+        |w2 AS (SELECT w1.bucket, w1.w - g2.g AS w FROM w1 JOIN g2 USING (bucket)
+        |       WHERE w1.w - g2.g != 0),
+        |ttoks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text ||
+        |      CASE WHEN doc_id % 3 = 0 THEN repeat(' qualitymarker', 10) ELSE '' END)),
+        |    '\s+') AS tk
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 500),
+        |tfeats AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
+        |  FROM ttoks),
+        |tb AS (SELECT doc_id,
+        |         CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket
+        |       FROM tfeats),
+        |ts AS (SELECT tb.doc_id, COUNT(*) AS n,
+        |         SUM(COALESCE(w2.w, 0)) AS s
+        |       FROM tb LEFT JOIN w2 USING (bucket) GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         COALESCE(ROUND(1.0 / (1.0 + exp(-(s / (n * 1000.0)))), 4) >= 0.5,
+        |                  false) AS keep,
+        |         t.doc_id % 3 = 0 AS actual
+        |       FROM ttoks t LEFT JOIN ts USING (doc_id)),
+        |cm AS (SELECT
+        |    CAST(SUM(CASE WHEN keep AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN keep AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT keep AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN NOT keep AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM sc)
+        |SELECT tp, fp, tn, fn,
+        |  ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 4) AS accuracy,
+        |  CASE WHEN tp + fp > 0
+        |       THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |       THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall,
+        |  CASE WHEN tp + fp + fn > 0
+        |       THEN ROUND(2.0 * tp / (2.0 * tp + fp + fn), 4) END AS f1
+        |FROM cm""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, repeat(lit(" qualitymarker"), 10)).otherwise(lit(""))))
+      val w = graft.operators.Classifier.trainLogistic(
+        docs.where(col("doc_id") < 300), "doc_id", "text",
+        col("doc_id") % 3 === 0, bucketBits = 12, epochs = 2, lr = 10.0)
+      val scored = graft.operators.Classifier.scoreWith(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 500),
+        "doc_id", "text", w, bucketBits = 12)
+      graft.operators.Classifier.confusion(scored, col("keep"),
+        col("doc_id") % 3 === 0)
     }
   )
 }
