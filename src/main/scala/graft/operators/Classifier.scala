@@ -232,6 +232,42 @@ object Classifier {
           .as("f1"))
   }
 
+  /** Pick the keep-threshold maximizing F1 on a labeled validation set —
+    * the calibration step between [[trainLogistic]] and production
+    * [[scoreWith]] (0.5 is rarely the right cut under class imbalance).
+    * Candidate thresholds are the DISTINCT rounded quality values, so
+    * the sweep's cardinality is bounded by 10^roundTo+1 regardless of
+    * corpus size: one (quality, counts) aggregation, a cumulative
+    * window over that bounded table, argmax with the HIGHER threshold
+    * winning ties. Output: one row (threshold, tp, fp, fn, f1) for the
+    * rule `keep = quality >= threshold`. NULL qualities never keep.
+    */
+  def calibrateThreshold(scored: DataFrame, quality: Column,
+      actual: Column, roundTo: Int = 4): DataFrame = {
+    val byQ = scored.where(quality.isNotNull)
+      .groupBy(quality.as("__q"))
+      .agg(sum(when(actual, 1L).otherwise(0L)).as("__pos"),
+        sum(when(actual, 0L).otherwise(1L)).as("__neg"))
+    val totPos = sum(when(actual, 1L).otherwise(0L))
+    val tot = scored.agg(totPos.as("__allpos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val swept = byQ
+      .withColumn("__tp", sum("__pos").over(w))
+      .withColumn("__fp", sum("__neg").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__fn", col("__allpos") - col("__tp"))
+      .withColumn("__f1",
+        round(lit(2.0) * col("__tp") /
+          (lit(2.0) * col("__tp") + col("__fp") + col("__fn")), roundTo))
+    swept
+      .orderBy(col("__f1").desc, col("__q").desc)
+      .limit(1)
+      .select(col("__q").as("threshold"), col("__tp").as("tp"),
+        col("__fp").as("fp"), col("__fn").as("fn"), col("__f1").as("f1"))
+  }
+
   private def finish(scored: DataFrame, threshold: Double): DataFrame = {
     val mean = col("__sum") / (col("__n") * lit(1000.0))
     val quality = round(lit(1.0) / (lit(1.0) + exp(-mean)), 4)

@@ -386,6 +386,53 @@ object CurationQueries {
         "doc_id", "text", w, bucketBits = 12)
       graft.operators.Classifier.confusion(scored, col("keep"),
         col("doc_id") % 3 === 0)
+    },
+
+    // --- threshold calibration (session 4): the F1-max cut over the
+    // hash-model qualities against an id-derivable label — candidate
+    // thresholds are the DISTINCT rounded qualities (≤ 10^4+1 at any
+    // corpus size), so the cumulative sweep window is bounded by
+    // construction. Ties break toward the higher threshold.
+    QueryDef("q_classifier_calibrate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
+        |  FROM toks),
+        |wm AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 262144) + 7)
+        |      * 2654435761 % 2001 - 1000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(wm) AS s FROM wm GROUP BY 1),
+        |perdoc AS (SELECT d.doc_id, d.n_chars,
+        |    ROUND(1.0 / (1.0 + exp(-(s / (n * 1000.0)))), 4) AS q
+        |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+        |byq AS (SELECT q,
+        |    CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN n_chars > 300 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM perdoc WHERE q IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS allpos FROM perdoc),
+        |swept AS (SELECT q,
+        |    SUM(pos) OVER (ORDER BY q DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(neg) OVER (ORDER BY q DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |  FROM byq),
+        |f AS (SELECT q, tp, fp, allpos - tp AS fn,
+        |    ROUND(2.0 * tp / (2.0 * tp + fp + (allpos - tp)), 4) AS f1
+        |  FROM swept CROSS JOIN tot)
+        |SELECT q AS threshold, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, f1
+        |FROM f ORDER BY f1 DESC, q DESC LIMIT 1""".stripMargin) { (s, d) =>
+      val scored = graft.operators.Classifier.score(
+        Tables.documents(s, d), "text")
+      graft.operators.Classifier.calibrateThreshold(scored,
+        col("quality"), col("n_chars") > 300)
     }
   )
 }

@@ -74,6 +74,31 @@ class ClassifierSpec extends SparkSpec {
     assert(!neg)
   }
 
+  test("calibrateThreshold picks the F1-max cut, higher threshold on ties") {
+    import spark.implicits._
+    // qualities 0.9/0.7/0.4/0.2; actual y. Cuts (desc):
+    //  0.9: tp=1 fp=0 fn=2 -> f1 = 2/4 = .5
+    //  0.7: tp=2 fp=0 fn=1 -> f1 = 4/5 = .8
+    //  0.4: tp=2 fp=1 fn=1 -> f1 = 4/6 = .6667
+    //  0.2: tp=3 fp=1 fn=0 -> f1 = 6/7 = .8571  <- best
+    val scored = Seq((0.9, true), (0.7, true), (0.4, false), (0.2, true))
+      .toDF("quality", "y")
+    val got = Classifier.calibrateThreshold(scored, col("quality"), col("y"))
+      .as[(Double, Long, Long, Long, Double)].head()
+    assert(got == ((0.2, 3L, 1L, 0L, 0.8571)), got.toString)
+    // tie case: two cuts with equal f1 -> the higher threshold wins
+    val tied = Seq((0.9, true), (0.5, false), (0.3, false)).toDF("quality", "y")
+    val t = Classifier.calibrateThreshold(tied, col("quality"), col("y"))
+      .as[(Double, Long, Long, Long, Double)].head()
+    assert(t._1 == 0.9, t.toString) // f1=1.0 at 0.9; lower cuts add fp
+    // null qualities count toward fn (never kept), not toward any cut
+    val withNull = Seq((Some(0.8), true), (None, true), (Some(0.1), false))
+      .toDF("quality", "y")
+    val n = Classifier.calibrateThreshold(withNull, col("quality"), col("y"))
+      .as[(Double, Long, Long, Long, Double)].head()
+    assert(n == ((0.8, 1L, 0L, 1L, 0.6667)), n.toString)
+  }
+
   test("trainLogistic learns a separable vocabulary and scoreWith separates on it") {
     // two disjoint vocabularies, labels follow the vocabulary exactly
     val good = (1L to 10L).map(i => (i, "excellent prose reads wonderfully here", 1))
