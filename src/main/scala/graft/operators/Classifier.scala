@@ -268,6 +268,40 @@ object Classifier {
         col("__fp").as("fp"), col("__fn").as("fn"), col("__f1").as("f1"))
   }
 
+  /** Ranking quality as AUC (Mann–Whitney form, tie-corrected): the
+    * probability a random positive outranks a random negative,
+    *
+    *   AUC = Σ_q [ negBelow(q)·pos(q) + pos(q)·neg(q)/2 ] / (P·N)
+    *
+    * computed over the per-distinct-quality count table — bounded at
+    * 10^roundTo+1 rows like [[calibrateThreshold]]'s sweep, so the
+    * cumulative window never sees corpus-sized input. The numerator is
+    * exact in halves (integer 2×U), one division at the end. NULL
+    * qualities rank below every real one (never-kept docs lose every
+    * comparison). Output: one row (auc, n_pos, n_neg); NULL auc if
+    * either class is empty.
+    */
+  def auc(scored: DataFrame, quality: Column, actual: Column,
+      roundTo: Int = 4): DataFrame = {
+    val byQ = scored
+      .groupBy(coalesce(quality, lit(Double.NegativeInfinity)).as("__q"))
+      .agg(sum(when(actual, 1L).otherwise(0L)).as("__pos"),
+        sum(when(actual, 0L).otherwise(1L)).as("__neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__q").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byQ
+      .withColumn("__negBelow", coalesce(sum("__neg").over(w), lit(0L)))
+      .agg(sum(col("__pos") * col("__negBelow") * 2 + col("__pos") * col("__neg"))
+          .as("__u2"),
+        sum("__pos").as("n_pos"), sum("__neg").as("n_neg"))
+      .select(
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), roundTo)).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   private def finish(scored: DataFrame, threshold: Double): DataFrame = {
     val mean = col("__sum") / (col("__n") * lit(1000.0))
     val quality = round(lit(1.0) / (lit(1.0) + exp(-mean)), 4)

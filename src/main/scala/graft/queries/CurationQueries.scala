@@ -433,6 +433,47 @@ object CurationQueries {
         Tables.documents(s, d), "text")
       graft.operators.Classifier.calibrateThreshold(scored,
         col("quality"), col("n_chars") > 300)
+    },
+
+    // --- ranking AUC (session 4): tie-corrected Mann-Whitney over the
+    // same bounded per-quality count table as the calibration sweep;
+    // 2xU stays an exact integer, one division at the end. NULLs rank
+    // below every real quality.
+    QueryDef("q_classifier_auc",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' ')))) AS f
+        |  FROM toks),
+        |wm AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 262144) + 7)
+        |      * 2654435761 % 2001 - 1000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(wm) AS s FROM wm GROUP BY 1),
+        |perdoc AS (SELECT d.doc_id, d.n_chars,
+        |    COALESCE(ROUND(1.0 / (1.0 + exp(-(s / (n * 1000.0)))), 4),
+        |             CAST('-infinity' AS DOUBLE)) AS q
+        |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+        |byq AS (SELECT q,
+        |    CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN n_chars > 300 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM perdoc GROUP BY 1),
+        |cum AS (SELECT q, pos, neg,
+        |    COALESCE(SUM(neg) OVER (ORDER BY q ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+        |  FROM byq)
+        |SELECT ROUND(CAST(SUM(pos * negBelow * 2 + pos * neg) AS DOUBLE)
+        |    / (2.0 * SUM(pos) * SUM(neg)), 4) AS auc,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
+        |FROM cum""".stripMargin) { (s, d) =>
+      val scored = graft.operators.Classifier.score(
+        Tables.documents(s, d), "text")
+      graft.operators.Classifier.auc(scored, col("quality"),
+        col("n_chars") > 300)
     }
   )
 }

@@ -99,6 +99,21 @@ class ClassifierSpec extends SparkSpec {
     assert(n == ((0.8, 1L, 0L, 1L, 0.6667)), n.toString)
   }
 
+  test("auc: tie-corrected rank-sum, nulls rank last, degenerate class null") {
+    import spark.implicits._
+    // pos@0.9 beats both negs (2); pos@0.7 ties neg@0.7 (0.5) + beats
+    // 0.2 (1); null pos loses both -> U = 3.5, AUC = 3.5/6
+    val scored = Seq((Some(0.9), true), (Some(0.7), false), (Some(0.7), true),
+      (Some(0.2), false), (None, true)).toDF("quality", "y")
+    val got = Classifier.auc(scored, col("quality"), col("y"))
+      .as[(Double, Long, Long)].head()
+    assert(got == ((0.5833, 3L, 2L)), got.toString)
+    val onlyPos = Seq((0.9, true)).toDF("quality", "y")
+    val d = Classifier.auc(onlyPos, col("quality"), col("y"))
+      .collect()(0)
+    assert(d.isNullAt(0), d.toString)
+  }
+
   test("trainLogistic learns a separable vocabulary and scoreWith separates on it") {
     // two disjoint vocabularies, labels follow the vocabulary exactly
     val good = (1L to 10L).map(i => (i, "excellent prose reads wonderfully here", 1))
