@@ -99,6 +99,38 @@ class ClassifierSpec extends SparkSpec {
     assert(n == ((0.8, 1L, 0L, 1L, 0.6667)), n.toString)
   }
 
+  test("calibrateThreshold and auc match brute-force references on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 120).map { _ =>
+      (BigDecimal(rnd.nextDouble()).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, rnd.nextBoolean())
+    }
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute sweep: every distinct quality as the cut, f1 rounded, tie -> higher q
+    val cuts = rows.map(_._1).distinct.map { q =>
+      val tp = rows.count(r => r._1 >= q && r._2)
+      val fp = rows.count(r => r._1 >= q && !r._2)
+      val fn = rows.count(r => r._1 < q && r._2)
+      (q, tp, fp, fn, r4(2.0 * tp / (2.0 * tp + fp + fn)))
+    }
+    val best = cuts.maxBy { case (q, _, _, _, f1) => (f1, q) }
+    val gotC = Classifier.calibrateThreshold(rows.toDF("quality", "y"),
+        col("quality"), col("y"))
+      .as[(Double, Long, Long, Long, Double)].head()
+    assert(gotC == ((best._1, best._2.toLong, best._3.toLong,
+      best._4.toLong, best._5)), s"got $gotC expected $best")
+    // brute AUC: all pos-neg pairs, ties half
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val gotA = Classifier.auc(rows.toDF("quality", "y"), col("quality"), col("y"))
+      .as[(Double, Long, Long)].head()
+    assert(gotA == ((r4(u / (pos.size * neg.size)), pos.size.toLong,
+      neg.size.toLong)), s"got $gotA expected u=$u")
+  }
+
   test("auc: tie-corrected rank-sum, nulls rank last, degenerate class null") {
     import spark.implicits._
     // pos@0.9 beats both negs (2); pos@0.7 ties neg@0.7 (0.5) + beats
