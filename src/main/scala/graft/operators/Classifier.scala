@@ -244,16 +244,20 @@ object Classifier {
     */
   def calibrateThreshold(scored: DataFrame, quality: Column,
       actual: Column, roundTo: Int = 4): DataFrame = {
-    val byQ = scored.where(quality.isNotNull)
-      .groupBy(quality.as("__q"))
+    // ONE corpus pass: null qualities fold into the same aggregation as
+    // a sentinel row (they can never be a cut but their positives count
+    // toward every cut's fn); the total then derives from the BOUNDED
+    // table instead of a second scan of `scored` — at sf1 the second
+    // classifier fold was the whole gate's cost, measured 2×
+    val byQ = Staged.materialize(scored
+      .groupBy(coalesce(quality, lit(Double.NegativeInfinity)).as("__q"))
       .agg(sum(when(actual, 1L).otherwise(0L)).as("__pos"),
-        sum(when(actual, 0L).otherwise(1L)).as("__neg"))
-    val totPos = sum(when(actual, 1L).otherwise(0L))
-    val tot = scored.agg(totPos.as("__allpos"))
+        sum(when(actual, 0L).otherwise(1L)).as("__neg")))
+    val tot = byQ.agg(sum("__pos").as("__allpos"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__q").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val swept = byQ
+    val swept = byQ.where(col("__q") =!= Double.NegativeInfinity)
       .withColumn("__tp", sum("__pos").over(w))
       .withColumn("__fp", sum("__neg").over(w))
       .crossJoin(broadcast(tot))
