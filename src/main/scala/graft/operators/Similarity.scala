@@ -386,6 +386,40 @@ object Similarity {
       .withColumn("probes", nearestCells(centroids, nProbe)(col("q_vec")))
       .select(col("query_id"), col("q_vec"), explode(col("probes")).as("cell"))
 
+  /** Per-cluster simplified silhouette: for each vector, a = squared L2
+    * distance to its OWN centroid, b = the minimum over the other
+    * centroids, s = (b − a)/max(a, b) ∈ [−1, 1] — the standard
+    * clustering-quality audit in its centroid form (exact silhouette
+    * needs all pairwise distances; the centroid form is the one that
+    * scales, and the one k-means quality dashboards actually plot).
+    * Output: (cell, n, mean_sil rounded). A vector equidistant at 0
+    * from every centroid scores 0.
+    *
+    * Scale: centroids ship as a literal (nlist×dim doubles), distances
+    * are codegen'd higher-order folds per row — map-side everything,
+    * then one bounded groupBy(cell). No UDF, no shuffle of vectors.
+    */
+  def clusterSilhouette(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], roundTo: Int = 4): DataFrame = {
+    require(centroids.length >= 2, "need at least two centroids")
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    val assigned = assignCells(corpus, idCol, vecCol, centroids)
+    val withD = assigned.withColumn("__d", transform(cents, c =>
+      aggregate(zip_with(col(vecCol), c,
+        (x, ci) => (x.cast("double") - ci) * (x.cast("double") - ci)),
+        lit(0.0), _ + _)))
+    val a = element_at(col("__d"), col("cell") + 1)
+    val b = array_min(zip_with(col("__d"),
+      sequence(lit(0), lit(centroids.length - 1)),
+      (d, i) => when(i === col("cell"), lit(Double.PositiveInfinity))
+        .otherwise(d)))
+    withD
+      .withColumn("__s",
+        when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(avg(col("__s")), roundTo).as("mean_sil"))
+  }
+
   /** Semantic near-duplicate pairs, SemDeDup-style: assign every vector to
     * its nearest coarse cell, then search for cosine >= `threshold` pairs
     * ONLY within a cell. Cluster-then-dedup turns the O(n²) all-pairs

@@ -220,6 +220,48 @@ object CurationQueries {
         .orderBy("cell")
     },
 
+    // --- per-cluster silhouette (session 4): centroid-form clustering
+    // quality over the same one-hot cells as q_ivf_cells — both engines
+    // fold the 64-dim squared distance term for term (no pow(), the
+    // explicit product), so ROUND(mean, 4) compares exactly.
+    QueryDef("q_cluster_silhouette",
+      """WITH d AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+        |          AND embedding[1] >= embedding[4] THEN 0
+        |         WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+        |         WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cell
+        |  FROM embeddings),
+        |dist AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(range(0, 4), j ->
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (CAST(embedding[i] AS DOUBLE) -
+        |          CASE WHEN i = j + 1 THEN 1.0 ELSE 0.0 END)
+        |        * (CAST(embedding[i] AS DOUBLE) -
+        |          CASE WHEN i = j + 1 THEN 1.0 ELSE 0.0 END)))) AS ds
+        |  FROM d),
+        |s AS (
+        |  SELECT cell, ds[cell + 1] AS a,
+        |    list_min(list_transform(range(0, 4), j ->
+        |      CASE WHEN j = cell THEN CAST('infinity' AS DOUBLE)
+        |           ELSE ds[j + 1] END)) AS b
+        |  FROM dist),
+        |sil AS (SELECT cell,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |         ELSE 0.0 END AS s
+        |  FROM s)
+        |SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(AVG(s), 4) AS mean_sil
+        |FROM sil GROUP BY 1 ORDER BY cell NULLS FIRST""".stripMargin) { (s, d) =>
+      val oneHot = Array.tabulate(4)(j =>
+        Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
+      Similarity.clusterSilhouette(Tables.embeddings(s, d), "vec_id",
+          "embedding", oneHot)
+        .select(col("cell").cast("int").as("cell"), col("n"), col("mean_sil"))
+        .orderBy("cell")
+    },
+
     // --- fastText-style hashed linear quality classifier (r10): unigram +
     // bigram features hashed into 2^18 buckets, Knuth-mix integer weights
     // summed exactly per doc (order-free), one sigmoid + round at the
