@@ -79,12 +79,6 @@ object Classifier {
     finish(scored, threshold)
   }
 
-  /** Score under a fitted `(bucket, w_milli)` weight table (missing
-    * buckets weigh 0 — a pruned model degrades gracefully). The table is
-    * bounded at `2^bucketBits` rows, so the probe is a broadcast join;
-    * aggregation back to one row per document is a single integer
-    * partial agg on the id.
-    */
   /** (idCol, bucket) rows, one per unigram+bigram feature occurrence —
     * the count-only generator (index into unigrams, then bigrams):
     * exploding the built feature array trips the inferred-filter
@@ -106,6 +100,12 @@ object Classifier {
       .select(col(idCol), bucketCol(col("__feat"), bucketBits).as("bucket"))
   }
 
+  /** Score under a fitted `(bucket, w_milli)` weight table (missing
+    * buckets weigh 0 — a pruned model degrades gracefully). The table is
+    * bounded at `2^bucketBits` rows, so the probe is a broadcast join;
+    * aggregation back to one row per document is a single integer
+    * partial agg on the id.
+    */
   def scoreWith(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, bucketBits: Int = 18,
       threshold: Double = 0.5): DataFrame = {
@@ -167,8 +167,13 @@ object Classifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nf = x.groupBy(col(idCol)).agg(sum("__x").as("__nf"))
+      // N = labeled AND featured docs — a NULL label drops its doc from
+      // the gradient joins, so it must also leave the denominator, or
+      // the effective learning rate silently scales by (N-k)/N
       val lab = docs.select(col(idCol), label.cast("double").as("__y"))
-      val nDocs = x.select(col(idCol)).distinct().count()
+        .where(col("__y").isNotNull)
+      val nDocs = lab.join(nf, Seq(idCol)).count()
+      require(nDocs > 0, "trainLogistic: no labeled documents with features")
       var w: DataFrame = null
       for (_ <- 1 to epochs) {
         // margin: exact integer sum of w·x (0 under the zero init)
@@ -177,7 +182,10 @@ object Classifier {
             lab.join(nf, Seq(idCol))
               .select(col(idCol), (lit(0.5) - col("__y")).as("__r"))
           else {
-            val m = x.join(w, Seq("bucket"))
+            // the weight table is bounded at 2^bucketBits rows — pin the
+            // broadcast (the scoreWith shape) so a stats-blind planner
+            // can't shuffle the corpus-scale feature table per epoch
+            val m = x.join(broadcast(w), Seq("bucket"))
               .groupBy(col(idCol)).agg(sum(col("__x") * col("w_milli")).as("__mm"))
             m.join(nf, Seq(idCol)).join(lab, Seq(idCol))
               .select(col(idCol),
@@ -206,16 +214,20 @@ object Classifier {
     * the held-out scorecard after [[trainLogistic]] → [[scoreWith]].
     * Counts are exact integers; the four ratios round; an all-negative
     * prediction column yields NULL precision/f1 rather than a 0/0.
-    * One aggregation, map-side partials.
+    * NULL `predicted` counts as false (a never-kept doc); rows whose
+    * `actual` is NULL are EXCLUDED from all four counts (no truth, no
+    * verdict) — tp+fp+tn+fn equals the labeled row count, not the
+    * input row count. One aggregation, map-side partials.
     */
   def confusion(df: DataFrame, predicted: Column, actual: Column,
       roundTo: Int = 4): DataFrame = {
+    val p = coalesce(predicted, lit(false))
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    df.agg(
-        cnt(predicted && actual).as("tp"),
-        cnt(predicted && !actual).as("fp"),
-        cnt(!predicted && !actual).as("tn"),
-        cnt(!predicted && actual).as("fn"))
+    df.where(actual.isNotNull).agg(
+        cnt(p && actual).as("tp"),
+        cnt(p && !actual).as("fp"),
+        cnt(!p && !actual).as("tn"),
+        cnt(!p && actual).as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
         round((col("tp") + col("tn")).cast("double") /
           (col("tp") + col("fp") + col("tn") + col("fn")), roundTo)
@@ -240,24 +252,23 @@ object Classifier {
     * corpus size: one (quality, counts) aggregation, a cumulative
     * window over that bounded table, argmax with the HIGHER threshold
     * winning ties. Output: one row (threshold, tp, fp, fn, f1) for the
-    * rule `keep = quality >= threshold`. NULL qualities never keep.
+    * rule `keep = quality >= threshold`. NULL qualities never keep;
+    * with NO real quality at all the one row is (NULL, 0, 0, allpos,
+    * NULL) — callers can always `.head()`.
     */
   def calibrateThreshold(scored: DataFrame, quality: Column,
       actual: Column, roundTo: Int = 4): DataFrame = {
-    // ONE corpus pass: null qualities fold into the same aggregation as
-    // a sentinel row (they can never be a cut but their positives count
-    // toward every cut's fn); the total then derives from the BOUNDED
-    // table instead of a second scan of `scored` — at sf1 the second
-    // classifier fold was the whole gate's cost, measured 2×
-    val byQ = Staged.materialize(scored
-      .groupBy(coalesce(quality, lit(Double.NegativeInfinity)).as("__q"))
-      .agg(sum(when(actual, 1L).otherwise(0L)).as("__pos"),
-        sum(when(actual, 0L).otherwise(1L)).as("__neg")))
+    // ONE corpus pass: null qualities fold into the same aggregation
+    // under a flag key (they can never be a cut but their positives
+    // count toward every cut's fn); the total then derives from the
+    // BOUNDED staged table instead of a second scan of `scored` — at
+    // sf1 the second classifier fold was the whole gate's cost, 2×
+    val byQ = Staged.materialize(qualityCounts(scored, quality, actual))
     val tot = byQ.agg(sum("__pos").as("__allpos"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__q").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val swept = byQ.where(col("__q") =!= Double.NegativeInfinity)
+    val swept = byQ.where(!col("__isnull"))
       .withColumn("__tp", sum("__pos").over(w))
       .withColumn("__fp", sum("__neg").over(w))
       .crossJoin(broadcast(tot))
@@ -265,12 +276,31 @@ object Classifier {
       .withColumn("__f1",
         round(lit(2.0) * col("__tp") /
           (lit(2.0) * col("__tp") + col("__fp") + col("__fn")), roundTo))
-    swept
-      .orderBy(col("__f1").desc, col("__q").desc)
-      .limit(1)
       .select(col("__q").as("threshold"), col("__tp").as("tp"),
         col("__fp").as("fp"), col("__fn").as("fn"), col("__f1").as("f1"))
+    // all-null / empty input leaves zero candidate cuts — the fallback
+    // row keeps the one-row contract (threshold NULL, everything fn)
+    val fallback = tot.select(lit(null).cast("double").as("threshold"),
+      lit(0L).as("tp"), lit(0L).as("fp"),
+      coalesce(col("__allpos"), lit(0L)).as("fn"),
+      lit(null).cast("double").as("f1"))
+    swept.unionByName(fallback)
+      .orderBy(col("f1").desc_nulls_last, col("threshold").desc_nulls_last)
+      .limit(1)
   }
+
+  /** Per-distinct-quality (pos, neg) counts with NULL under a flag key
+    * (`__isnull`, `__q`) — shared by [[calibrateThreshold]] and [[auc]]
+    * so sentinel handling can't drift, and a legitimate −∞ quality is
+    * NOT conflated with NULL. Bounded at 10^roundTo+2 rows for rounded
+    * qualities.
+    */
+  private def qualityCounts(scored: DataFrame, quality: Column,
+      actual: Column): DataFrame =
+    scored.groupBy(quality.isNull.as("__isnull"),
+        coalesce(quality, lit(0.0)).as("__q"))
+      .agg(sum(when(actual, 1L).otherwise(0L)).as("__pos"),
+        sum(when(actual, 0L).otherwise(1L)).as("__neg"))
 
   /** Ranking quality as AUC (Mann–Whitney form, tie-corrected): the
     * probability a random positive outranks a random negative,
@@ -281,18 +311,18 @@ object Classifier {
     * 10^roundTo+1 rows like [[calibrateThreshold]]'s sweep, so the
     * cumulative window never sees corpus-sized input. The numerator is
     * exact in halves (integer 2×U), one division at the end. NULL
-    * qualities rank below every real one (never-kept docs lose every
-    * comparison). Output: one row (auc, n_pos, n_neg); NULL auc if
-    * either class is empty.
+    * qualities rank below every real one (a null-quality positive loses
+    * to every real-quality negative, and TIES other null-quality docs —
+    * the standard shared-bottom-rank treatment). Output: one row
+    * (auc, n_pos, n_neg); NULL auc if either class is empty.
     */
   def auc(scored: DataFrame, quality: Column, actual: Column,
       roundTo: Int = 4): DataFrame = {
-    val byQ = scored
-      .groupBy(coalesce(quality, lit(Double.NegativeInfinity)).as("__q"))
-      .agg(sum(when(actual, 1L).otherwise(0L)).as("__pos"),
-        sum(when(actual, 0L).otherwise(1L)).as("__neg"))
+    val byQ = qualityCounts(scored, quality, actual)
+    // ascending rank order with the NULL group FIRST (lowest): true
+    // sorts after false, so __isnull DESCENDS
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__q").asc)
+      .orderBy(col("__isnull").desc, col("__q").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     byQ
       .withColumn("__negBelow", coalesce(sum("__neg").over(w), lit(0L)))

@@ -403,11 +403,17 @@ object Similarity {
       centroids: Array[Array[Double]], roundTo: Int = 4): DataFrame = {
     require(centroids.length >= 2, "need at least two centroids")
     val cents = typedLit(centroids.map(_.toSeq).toSeq)
-    val assigned = assignCells(corpus, idCol, vecCol, centroids)
-    val withD = assigned.withColumn("__d", transform(cents, c =>
-      aggregate(zip_with(col(vecCol), c,
-        (x, ci) => (x.cast("double") - ci) * (x.cast("double") - ci)),
-        lit(0.0), _ + _)))
+    // cell derives from the SAME folded distances used for a and b
+    // (array_position = first minimal index, the lower-index tie rule) —
+    // one distance computation, and no chance of the assignment
+    // disagreeing with the silhouette's own arithmetic in a tie
+    val withD = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__d", transform(cents, c =>
+        aggregate(zip_with(col(vecCol), c,
+          (x, ci) => (x.cast("double") - ci) * (x.cast("double") - ci)),
+          lit(0.0), _ + _)))
+      .withColumn("cell",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
     val a = element_at(col("__d"), col("cell") + 1)
     val b = array_min(zip_with(col("__d"),
       sequence(lit(0), lit(centroids.length - 1)),

@@ -99,6 +99,25 @@ class ClassifierSpec extends SparkSpec {
     assert(n == ((0.8, 1L, 0L, 1L, 0.6667)), n.toString)
   }
 
+  test("edge contracts: all-null calibrate row, confusion null handling") {
+    import spark.implicits._
+    // all qualities NULL -> still one row: no cut, everything fn
+    val allNull = Seq((Option.empty[Double], true), (None, true), (None, false))
+      .toDF("quality", "y")
+    val c = Classifier.calibrateThreshold(allNull, col("quality"), col("y"))
+      .collect()(0)
+    assert(c.isNullAt(0) && c.getLong(1) == 0L && c.getLong(3) == 2L &&
+      c.isNullAt(4), c.toString)
+    // confusion: NULL predicted = false; NULL actual excluded entirely
+    val cm = Classifier.confusion(
+        Seq((Some(true), Some(true)), (None, Some(true)),
+          (Some(true), Option.empty[Boolean])).toDF("p", "y"),
+        col("p"), col("y"))
+      .as[(Long, Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    assert((cm._1, cm._2, cm._3, cm._4) == ((1L, 0L, 0L, 1L)), cm.toString)
+  }
+
   test("calibrateThreshold and auc match brute-force references on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
