@@ -446,6 +446,26 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
   }
 
+  test("clusterSilhouette: hand-computed means, first-index tie, zero-distance 0") {
+    import spark.implicits._
+    val c0 = Array(0.0, 0.0); val c1 = Array(10.0, 0.0)
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),   // on c0: a=0, b=100, s=1
+      (2L, Array(1.0f, 0.0f)),   // a=1, b=81, s=80/81
+      (3L, Array(10.0f, 0.0f)),  // on c1: s=1
+      (4L, Array(5.0f, 0.0f)))   // equidistant (a=b=25) -> cell 0 (first
+                                 // minimal index), s=0
+      .toDF("id", "v")
+    val got = Similarity.clusterSilhouette(vecs, "id", "v",
+        Array(c0, c1))
+      .as[(Int, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((3L, r4((1.0 + 80.0 / 81 + 0.0) / 3))), got.toString)
+    assert(got(1) == ((1L, 1.0)), got.toString)
+  }
+
   test("marginMining matches a hand brute-force reference and honors the threshold") {
     import spark.implicits._
     def vec(seed: Int): Array[Float] =
