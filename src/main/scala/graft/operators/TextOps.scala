@@ -127,4 +127,32 @@ object TextOps {
     when(nTok >= 20 && nChars >= 100 &&
       nChars <= nTok * 10, 1).otherwise(0)
   }
+
+  /** Flesch reading-ease ingredients and score, all from deterministic
+    * regex counts (the classic readability heuristic: vowel GROUPS
+    * approximate syllables, `[.!?]+` runs approximate sentence ends,
+    * floored at 1 so headline-style fragments count as one sentence):
+    *
+    *   flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * Map-side struct (words, sentences, syllables, flesch rounded);
+    * flesch NULL when there are no words. ~90-100 reads as simple
+    * prose, negative as dense/garbled — a curation signal alongside
+    * [[qualityFlag]], and cross-engine exact because every input is an
+    * integer regex count.
+    */
+  def fleschScore(text: Column, roundTo: Int = 2): Column = {
+    val words = size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+    val flesch = when(words > 0,
+      round(lit(206.835) -
+        lit(1.015) * words.cast("double") / sentences -
+        lit(84.6) * syllables.cast("double") / words, roundTo))
+    struct(words.cast("long").as("words"),
+      sentences.cast("long").as("sentences"),
+      syllables.cast("long").as("syllables"),
+      flesch.as("flesch"))
+  }
 }
