@@ -29,6 +29,13 @@ import org.apache.spark.sql.SparkSession
   *                           are replicas of the same data slice
   *   SPARK_GRAFT_ADVERTISE   base URL to register (default
   *                           http://localhost:<boundPort>)
+  *   SPARK_GRAFT_SERVER_THREADS  bound on concurrent HTTP exchanges
+  *                           (default 8) — the reference's
+  *                           max-connection knobs (ares.yaml:17-22)
+  *   SPARK_GRAFT_QUERY_TIMEOUT_SEC  per-query deadline in seconds
+  *                           (default 0 = none); a query past the
+  *                           deadline has its Spark jobs cancelled and
+  *                           returns a named error
   *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
   *                           (0/unset = no cache manager); column-config
   *                           preloadingDays/priority updates then pin
@@ -52,7 +59,12 @@ object ServerMain {
     spark.sparkContext.setLogLevel("WARN")
     val server = new graft.api.GraftServer(
       graft.aql.Catalog.testdata(sfDir), spark, port,
-      schemaSyncDir = schemaDir)
+      schemaSyncDir = schemaDir,
+      // serving concurrency + per-query deadline (ref ares.yaml:17-22)
+      serverThreads =
+        sys.env.getOrElse("SPARK_GRAFT_SERVER_THREADS", "8").toInt,
+      queryTimeoutSec =
+        sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong)
     server.start()
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { budget =>

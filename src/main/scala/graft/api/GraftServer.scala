@@ -39,10 +39,23 @@ import graft.ingest.Upsert
 /** @param schemaSyncDir shared directory for cross-instance schema
   *   propagation (see [[SchemaSync]]): mutations publish the schema-store
   *   snapshot there, and a poller applies newer snapshots from peers
+  * @param serverThreads bound on concurrent HTTP exchanges — the
+  *   reference provisions explicit serving concurrency
+  *   (/root/reference/integration/config/ares.yaml:17-22: 650
+  *   connections, 300 query + 300 ingestion); here one bounded pool
+  *   serves the whole facade, so a slow query can no longer serialize
+  *   `/health`, concurrent ingests, or a broker's avg sum+count
+  *   subqueries against this instance
+  * @param queryTimeoutSec per-query deadline (0 = none): the query's
+  *   Spark job group is cancelled at the deadline and the client gets a
+  *   named `query deadline exceeded` error (ref ares.yaml:21-22
+  *   read/write timeouts)
   */
 final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
     strictCompat: Boolean = false, schemaSyncDir: Option[String] = None,
-    schemaSyncPollMillis: Long = 2000) extends graft.ingest.SchedulableStore {
+    schemaSyncPollMillis: Long = 2000, serverThreads: Int = 8,
+    queryTimeoutSec: Long = 0) extends graft.ingest.SchedulableStore {
+  require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
   private val live = TrieMap.empty[String, DataFrame]
   private val seqCounter = new AtomicLong(0)
@@ -139,8 +152,17 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** Per-server query metrics, served at GET /metrics. */
   val metrics = new Metrics
 
-  private val service = new QueryService(catalog, spark, strictCompat, Some(metrics))
+  private val service =
+    new QueryService(catalog, spark, strictCompat, Some(metrics), queryTimeoutSec)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // bounded request pool: without setExecutor the JDK server runs EVERY
+  // exchange on its single dispatcher thread — queries, ingests, and
+  // health probes all serialize. Daemon threads so a forgotten stop()
+  // can't pin the JVM.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    serverThreads,
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+  server.setExecutor(pool)
 
   // route registry: every mounted context path, in mount order — the
   // OpenApiSpec asserts the served API description covers each of these
@@ -436,9 +458,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   })
 
   /** Per-table ingest locks: the read-modify-write on the live overlay
-    * (and the enum auto-expansion) must be atomic per table — the JDK
-    * server's default single dispatcher thread serializes handlers today,
-    * but that is an implementation detail, not a contract.
+    * (and the enum auto-expansion) must be atomic per table — handlers
+    * run CONCURRENTLY on the bounded request pool, so these locks are
+    * load-bearing, not defensive.
     */
   private val tableLocks = TrieMap.empty[String, Object]
 
@@ -690,6 +712,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   def stop(): Unit = {
     schemaSync.foreach(_.close())
     server.stop(0)
+    pool.shutdown()
   }
   def boundPort: Int = server.getAddress.getPort
 }

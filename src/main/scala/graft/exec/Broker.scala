@@ -43,7 +43,7 @@ import graft.functions.Hll
   * does not carry, matching the reference's HLL response contract.
   */
 final class Broker private (sliceProvider: () => Seq[Seq[String]],
-    timeout: Duration, trials: Int) {
+    timeout: Duration, trials: Int, healthMemoryMillis: Long) {
   require(trials > 0, s"trials $trials must be positive")
 
   /** Static topology. Each entry of `hosts` is one data SLICE;
@@ -53,10 +53,26 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     * reference's datanode retry loop with host-health demotion
     * (/root/reference/broker/query_plan_agg.go:170-215, where a connect
     * failure marks the host unhealthy and the trial loop re-resolves).
+    *
+    * @param healthMemoryMillis how long a failed host stays demoted (see
+    *   [[demotedUntil]]); 0 disables the memory
     */
   def this(hosts: Seq[String], timeout: Duration = Duration.ofSeconds(120),
-      trials: Int = 3) =
-    this(() => Broker.staticSlices(hosts), timeout, trials)
+      trials: Int = 3, healthMemoryMillis: Long = 60000) =
+    this(() => Broker.staticSlices(hosts), timeout, trials, healthMemoryMillis)
+
+  /** Host-health memory ACROSS queries (ref query_plan_agg.go:170-215:
+    * a connect failure marks the host unhealthy and later trials
+    * re-resolve around it). A failed fetch demotes the host until
+    * `now + healthMemoryMillis`; [[fetch]] orders each slice's replicas
+    * healthy-first, so a dead replica stops costing its connect/read
+    * timeout on EVERY subsequent query. Demoted hosts are still tried
+    * LAST — never blacklisted outright — and any success (or expiry)
+    * promotes them back, so a recovered replica rejoins within one
+    * memory window at worst.
+    */
+  private val demotedUntil =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** The slice map is RESOLVED PER QUERY through the provider — under a
     * [[BrokerTopology]] a newly registered instance joins the next
@@ -96,14 +112,26 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     var last: Throwable = null
     var attempt = 0
     val max = trials * slice.length
+    // healthy replicas first (stable sort keeps the configured order
+    // within each class) — a host that failed a recent query is only
+    // consulted after every healthy peer has been tried
+    val now = System.currentTimeMillis()
+    val ordered =
+      if (healthMemoryMillis <= 0) slice
+      else slice.sortBy(h => if (demotedUntil.get(h).exists(_ > now)) 1 else 0)
     while (attempt < max) {
-      val host = slice(attempt % slice.length)
-      try return post(host, body, accept)
-      catch {
+      val host = ordered(attempt % ordered.length)
+      try {
+        val bytes = post(host, body, accept)
+        demotedUntil.remove(host)
+        return bytes
+      } catch {
         case e: InterruptedException => throw e
         case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
+          if (healthMemoryMillis > 0)
+            demotedUntil.put(host, System.currentTimeMillis() + healthMemoryMillis)
           log.warn(s"fetch from $host failed (attempt $attempt/$max): ${e.getMessage}")
       }
     }
@@ -126,14 +154,19 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
       case Expr.Num(1.0, _, true) => mergeNonAgg(q0)
       case Expr.Call("avg", Seq(arg)) =>
         // ref splitAvgQuery: same filters/dims, measure rewritten; aliases
-        // kept identical so the two trees share leaf keys
+        // kept identical so the two trees share leaf keys. The two
+        // subqueries scatter CONCURRENTLY (the reference fans both plans
+        // in one wave, query_plan_agg.go:239-245) — behind a
+        // multithreaded instance the pair costs ~one query's wall time
         val m = q0.measures.head
-        val sums = scatterJson(stripSort(q0).copy(measures =
+        val sumsF = Future(scatterJson(stripSort(q0).copy(measures =
           Seq(m.copy(sqlExpression = s"sum(${Render(arg)})"))))
-          .reduce(mergeTrees("sum"))
-        val counts = scatterJson(stripSort(q0).copy(measures =
+          .reduce(mergeTrees("sum")))
+        val countsF = Future(scatterJson(stripSort(q0).copy(measures =
           Seq(m.copy(sqlExpression = "count(*)"))))
-          .reduce(mergeTrees("count"))
+          .reduce(mergeTrees("count")))
+        val (sums, counts) =
+          Await.result(sumsF.zip(countsF), gatherWait(slices) + 30.seconds)
         mergeTrees("avg")(sums, counts)
       case Expr.Call(op, _) if op == "sum" || op == "count" || op == "min" || op == "max" =>
         scatterJson(stripSort(q0)).reduce(mergeTrees(op))
@@ -472,6 +505,7 @@ object Broker {
     * and stale members are demoted without a restart.
     */
   def dynamic(topology: BrokerTopology,
-      timeout: Duration = Duration.ofSeconds(120), trials: Int = 3): Broker =
-    new Broker(() => topology.slices(), timeout, trials)
+      timeout: Duration = Duration.ofSeconds(120), trials: Int = 3,
+      healthMemoryMillis: Long = 60000): Broker =
+    new Broker(() => topology.slices(), timeout, trials, healthMemoryMillis)
 }

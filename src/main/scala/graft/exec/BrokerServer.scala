@@ -24,12 +24,21 @@ import graft.aql.AqlJson
   * merge algebra over partial results.
   */
 final class BrokerServer private (broker: Broker, instances: () => Seq[String],
-    port: Int) {
+    port: Int, serverThreads: Int) {
 
   /** Static instance list (one entry per slice, `|`-separated replicas). */
-  def this(hosts: Seq[String], port: Int = 0) =
-    this(new Broker(hosts), () => hosts, port)
+  def this(hosts: Seq[String], port: Int = 0, serverThreads: Int = 16) =
+    this(new Broker(hosts), () => hosts, port, serverThreads)
+  require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // bounded request pool — the broker tier fronts EVERY client, and the
+  // JDK default (no executor) would serve all requests on one dispatcher
+  // thread, serializing the scatter half of scatter-gather across
+  // concurrent clients (ref ares.yaml:17-22 provisions 650 connections)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    serverThreads,
+    (r: Runnable) => { val t = new Thread(r, "graft-broker-http"); t.setDaemon(true); t })
+  server.setExecutor(pool)
 
   server.createContext("/query/aql", (ex: HttpExchange) => {
     try {
@@ -93,7 +102,7 @@ final class BrokerServer private (broker: Broker, instances: () => Seq[String],
   }
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 }
 
@@ -102,7 +111,8 @@ object BrokerServer {
     * the shared membership directory reshape the fan-out per query, no
     * broker restart (the reference's etcd-watched dynamic topology role).
     */
-  def dynamic(topology: BrokerTopology, port: Int = 0): BrokerServer =
+  def dynamic(topology: BrokerTopology, port: Int = 0,
+      serverThreads: Int = 16): BrokerServer =
     new BrokerServer(Broker.dynamic(topology),
-      () => topology.slices().map(_.mkString("|")), port)
+      () => topology.slices().map(_.mkString("|")), port, serverThreads)
 }

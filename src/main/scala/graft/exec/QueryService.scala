@@ -19,11 +19,56 @@ import graft.aql._
   *   mode (see [[graft.aql.AqlCompiler]]) — a deployment diffing results
   *   against a reference cluster flips this one flag
   */
+/** @param queryTimeoutSec per-query wall-clock deadline (0 = none) — the
+  *   reference bounds query time via config
+  *   (/root/reference/integration/config/ares.yaml:21-22
+  *   read/write_time_out_in_seconds); here the deadline cancels the
+  *   query's Spark job group so a runaway scan releases its executors
+  */
 final class QueryService(catalog: Catalog, spark: SparkSession,
     strictCompat: Boolean = false,
-    metrics: Option[graft.api.Metrics] = None) {
+    metrics: Option[graft.api.Metrics] = None,
+    queryTimeoutSec: Long = 0) {
 
   private val compiler = new AqlCompiler(catalog, spark, strictCompat)
+
+  /** Deadline machinery: each query executes under its own Spark job
+    * group (a THREAD-LOCAL SparkContext property, so concurrent handler
+    * threads never collide) and a watchdog cancels the group at the
+    * deadline with `interruptOnCancel = true` — running tasks are
+    * interrupted, not merely descheduled. The caller sees a NAMED error
+    * (`query deadline exceeded`), not a bare SparkException. Driver-side
+    * stalls (a hung compile) are out of scope — the deadline bounds
+    * cluster work, which is where runaway queries hold resources.
+    */
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
+    })
+  private val queryIds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def withDeadline[T](f: => T): T =
+    if (queryTimeoutSec <= 0) f
+    else {
+      val sc = spark.sparkContext
+      val groupId = s"graft-deadline-${queryIds.incrementAndGet()}"
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      sc.setJobGroup(groupId, "graft query under deadline", interruptOnCancel = true)
+      val cancel = watchdog.schedule(new Runnable {
+        def run(): Unit = { fired.set(true); sc.cancelJobGroup(groupId) }
+      }, queryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      try f
+      catch {
+        // the cancellation surfaces as a SparkException from collect();
+        // rethrow under the deadline's name so clients see the cause,
+        // not Spark internals
+        case NonFatal(_) if fired.get() => throw new IllegalStateException(
+          s"query deadline exceeded (${queryTimeoutSec}s)")
+      } finally {
+        cancel.cancel(false)
+        sc.clearJobGroup()
+      }
+    }
 
   /** Execute an AQLRequest JSON body: `{"queries": [{...}, ...]}`. */
   def aql(requestJson: String): String = {
@@ -75,7 +120,7 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
     }
     val n = q.dimensionList.length
     val grouped = sketchDf(q, inner, fromRegisters)
-    val collected = grouped.collect()
+    val collected = withDeadline(grouped.collect())
 
     // string dimensions ride as dictionary indexes + a per-dim enum-cases
     // section (the reference's enum translation, query/hll.go EnumDicts)
@@ -164,7 +209,7 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
       val t0 = System.nanoTime()
       try {
         val compiled = t()
-        val shaped = ResultShaper.shape(compiled)
+        val shaped = withDeadline(ResultShaper.shape(compiled))
         metrics.foreach(_.record(graft.api.Metrics.stat(
           endpoint, compiled, (System.nanoTime() - t0) / 1000000)))
         Right(shaped)

@@ -62,9 +62,26 @@ object Classifier {
   private def features(toks: Column): Column =
     concat(toks, TextOps.shingles(toks, 2))
 
+  /** Probe side for a `(bucket, w_milli)` weight table, size-guarded the
+    * way [[Lm.boundedModel]] guards LM models — but statically: the
+    * table is bounded at `2^bucketBits` rows BY CONSTRUCTION, so no
+    * count is needed. Broadcast while that bound fits the broadcast
+    * budget ([[Lm.DefaultMaxModelRows]], ~2M rows ≈ 100 MB); a shuffled
+    * hash join past it — bucketBits in [21, 30] would otherwise force up
+    * to a ~17 GB broadcast that BYPASSES AQE's size check (the exact
+    * shape boundedModel exists to prevent).
+    */
+  private def weightProbe(w: DataFrame, bucketBits: Int): DataFrame =
+    if ((1L << bucketBits) <= Lm.DefaultMaxModelRows) broadcast(w)
+    else w.hint("shuffle_hash")
+
   /** Score every document under the hash-derived weight vector: adds
     * `n_feats`, `quality` (= round(sigmoid(mean weight), 4)) and `keep`
-    * (quality ≥ threshold). Empty documents score NULL / keep=false.
+    * (quality ≥ threshold). NOTE: an empty/whitespace-only document is
+    * scored on the single empty-string feature (the whitespace tokenizer
+    * returns [""], so n_feats = 1) — the SQL oracles replay the same
+    * convention; a NULL quality arises only from a genuinely empty
+    * feature array (n_feats = 0), which this tokenizer never produces.
     * Zero shuffles: the integer fold runs inside the projection.
     */
   def score(docs: DataFrame, textCol: String, bucketBits: Int = 18,
@@ -88,8 +105,13 @@ object Classifier {
   private def featureBuckets(toks: DataFrame, idCol: String,
       bucketBits: Int): DataFrame = {
     val n = size(col("__toks"))
+    // n > 0 guard (the winnowFingerprints pattern): sequence(1, 0) would
+    // generate a DESCENDING [1, 0] and element_at(toks, 0) throws — the
+    // whitespace tokenizer happens never to return an empty array, but
+    // that invariant lives elsewhere and must not be load-bearing here
     toks.select(col(idCol), col("__toks"),
-        explode(sequence(lit(1), n + greatest(n - 1, lit(0)))).as("__fi"))
+        explode(when(n > 0, sequence(lit(1), n + greatest(n - 1, lit(0))))
+          .otherwise(typedLit(Seq.empty[Int]))).as("__fi"))
       .select(col(idCol),
         when(col("__fi") <= size(col("__toks")),
           element_at(col("__toks"), col("__fi")))
@@ -113,7 +135,8 @@ object Classifier {
     val toks = docs.withColumn("__toks", TextOps.tokens(lower(col(textCol))))
     val feats = featureBuckets(toks, idCol, bucketBits)
     val sums = feats
-      .join(broadcast(weights.select(col("bucket"), col("w_milli"))), Seq("bucket"), "left")
+      .join(weightProbe(weights.select(col("bucket"), col("w_milli")), bucketBits),
+        Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("w_milli"), lit(0L))).as("__sum"),
         count(lit(1)).as("__n"))
@@ -150,6 +173,15 @@ object Classifier {
     *
     *   w[b] ← w[b] − round(lr · 1000 · Σ_docs (σ(logit) − y)·x[b] / N)
     *
+    * NOTE on the objective: the logit is the MEAN feature weight
+    * (margin / (1000·n_feats), the [[finish]] scoring convention) but
+    * the gradient sums raw counts x[b] WITHOUT the per-doc 1/n_feats
+    * factor — a deliberately length-unnormalized update (long documents
+    * contribute proportionally more per step), not the exact gradient
+    * of mean-logit logistic loss. Deterministic, oracle-replayable, and
+    * it converges on separable data (spec-pinned); callers needing the
+    * exact gradient would scale x[b] by 1/n_feats on both sides.
+    *
     * Scale shape: the (doc, bucket, x) feature table is computed once
     * and persisted (released before return); each epoch is one
     * bucket-keyed join + one doc-keyed integer agg + one bucket-keyed
@@ -183,9 +215,10 @@ object Classifier {
               .select(col(idCol), (lit(0.5) - col("__y")).as("__r"))
           else {
             // the weight table is bounded at 2^bucketBits rows — pin the
-            // broadcast (the scoreWith shape) so a stats-blind planner
-            // can't shuffle the corpus-scale feature table per epoch
-            val m = x.join(broadcast(w), Seq("bucket"))
+            // probe shape (the scoreWith shape) so a stats-blind planner
+            // can't shuffle the corpus-scale feature table per epoch;
+            // size-guarded so wide bucket spaces don't force a broadcast
+            val m = x.join(weightProbe(w, bucketBits), Seq("bucket"))
               .groupBy(col(idCol)).agg(sum(col("__x") * col("w_milli")).as("__mm"))
             m.join(nf, Seq(idCol)).join(lab, Seq(idCol))
               .select(col(idCol),

@@ -137,10 +137,24 @@ object Sessions {
     */
   def hoppingAgg(events: DataFrame, tsCol: String, sizeSec: Long,
       strideSec: Long, aggs: Seq[Column]): DataFrame = {
-    require(sizeSec > 0 && strideSec > 0 && strideSec <= sizeSec,
-      s"need 0 < stride ($strideSec) <= size ($sizeSec)")
+    // stride > size is legal too: SAMPLING windows with gaps — Spark's
+    // window() rejects that regime (slide must be <= duration), so it
+    // gets its own branch below
+    require(sizeSec > 0 && strideSec > 0,
+      s"need size ($sizeSec) > 0 and stride ($strideSec) > 0")
     require(aggs.nonEmpty, "at least one aggregate required")
-    events
+    if (strideSec > sizeSec) {
+      // gap windows: starts at k·stride, an event belongs iff its offset
+      // within the stride is under `size` (events in a gap drop). Plain
+      // floor bucketing — no per-event fan-out, epoch-0 aligned like
+      // window(); same one-shuffle partial-agg shape
+      val epoch = unix_timestamp(col(tsCol))
+      events
+        .where(pmod(epoch, lit(strideSec)) < sizeSec)
+        .groupBy((floor(epoch / strideSec) * strideSec).as("window_start"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("window_end", col("window_start") + sizeSec)
+    } else events
       .groupBy(window(col(tsCol), s"$sizeSec seconds", s"$strideSec seconds")
         .as("__w"))
       .agg(aggs.head, aggs.tail: _*)

@@ -176,6 +176,12 @@ object Similarity {
     * broadcast candidate set). For A too big to broadcast, mine in
     * A-batches (the operator is per-x independent) or feed IVF/JL
     * candidates — the ANN family composes.
+    *
+    * CONTRACT: `idCol` must be unique ACROSS BOTH groups. The underlying
+    * pair generator excludes same-id pairs (its self-join guard), so an
+    * A-row and a B-row sharing one id value would silently never pair —
+    * e.g. per-language corpora whose ids both start at 0 would bias
+    * every margin. Prefix ids per group if the spaces can collide.
     */
   def marginMining(corpus: DataFrame, idCol: String, vecCol: String,
       groupCol: String, groupA: Column, groupB: Column, k: Int,

@@ -1,0 +1,119 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.functions.{col, udf}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpec
+import graft.aql.{Catalog, TableDef}
+
+/** The serving tier under concurrency (ref integration/config/ares.yaml
+  * 17-22 provisions 650 connections / 300 query threads; the JDK default
+  * of one dispatcher thread would serialize everything):
+  *
+  *   - two slow queries + `/health` all make progress at once — health
+  *     answers while both queries are still running, and the pair costs
+  *     ~one query's wall time, not two
+  *   - a query past `queryTimeoutSec` has its Spark job group cancelled
+  *     and returns the NAMED `query deadline exceeded` error, after which
+  *     the server keeps serving normally
+  */
+class ServingConcurrencySpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String) =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(port: Int, path: String) =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  /** documents catalog + a `slowdim` table whose load stalls the handler
+    * thread — a deterministic stand-in for an expensive compile/scan.
+    */
+  private def slowCatalog(stallMillis: Long): Catalog = {
+    val base = Catalog.testdata(sfDir)
+    val docs = base.tables("documents")
+    base.copy(tables = base.tables + ("slowdim" -> TableDef(
+      "slowdim", isFact = false, primaryKey = Seq("doc_id"),
+      load = s => { Thread.sleep(stallMillis); docs.load(s) })))
+  }
+
+  test("health and a second query make progress while a slow query runs") {
+    val server = new GraftServer(slowCatalog(3000), spark)
+    server.start()
+    try {
+      val q = """{"queries": [{"table": "slowdim",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}"""
+      // baseline: one query alone (the compile path may hit the stalling
+      // load more than once, so don't assume a query costs one stall)
+      val b0 = System.nanoTime()
+      assert((JsonMethods.parse(post(server.boundPort, "/query/aql", q).body())
+        \ "errors") == JNull)
+      val singleMs = (System.nanoTime() - b0) / 1000000
+      val results = Seq.fill(2)(new AtomicReference[String]())
+      val t0 = System.nanoTime()
+      val threads = results.map { slot =>
+        val t = new Thread(() => slot.set(post(server.boundPort, "/query/aql", q).body()))
+        t.start(); t
+      }
+      Thread.sleep(300) // both queries are now in their 3 s stall
+      val h0 = System.nanoTime()
+      val health = get(server.boundPort, "/health")
+      val healthMs = (System.nanoTime() - h0) / 1000000
+      assert(health.statusCode() == 200 && health.body() == "OK")
+      assert(healthMs < 1500,
+        s"/health took ${healthMs}ms behind a slow query — handlers are serialized")
+      threads.foreach(_.join(15000))
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      results.foreach { r =>
+        val parsed = JsonMethods.parse(r.get())
+        assert((parsed \ "errors") == JNull, r.get())
+      }
+      // serial handling would cost ~2x one query; concurrent ~1x
+      assert(wallMs < (singleMs * 1.6).toLong,
+        s"two slow queries took ${wallMs}ms vs ${singleMs}ms for one — " +
+          "they did not run concurrently")
+    } finally server.stop()
+  }
+
+  test("a query past the deadline is cancelled with a named error") {
+    // every row of `slow` sleeps, so max(slow) is a genuinely long Spark
+    // job (~8 s: 4 tasks x 16 rows x 500 ms on local[4]) that the 2 s
+    // deadline must cut short by cancelling the job group
+    val sleepy = udf((x: Long) => { Thread.sleep(500); x })
+    val base = Catalog.testdata(sfDir)
+    val cat = base.copy(tables = base.tables + ("crawl" -> TableDef(
+      "crawl", isFact = false, primaryKey = Seq("slow"),
+      load = s => s.range(0, 64, 1, 4).select(sleepy(col("id")).as("slow")))))
+    val server = new GraftServer(cat, spark, queryTimeoutSec = 2)
+    server.start()
+    try {
+      val t0 = System.nanoTime()
+      val resp = post(server.boundPort, "/query/aql",
+        """{"queries": [{"table": "crawl",
+          "measures": [{"alias": "value", "sqlExpression": "max(slow)"}]}]}""")
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val errs = JsonMethods.parse(resp.body()) \ "errors"
+      val msg = errs match {
+        case JArray(JString(m) :: _) => m
+        case other => fail(s"expected a named error, got $other")
+      }
+      assert(msg.contains("query deadline exceeded (2s)"), msg)
+      assert(wallMs < 6500,
+        s"deadline query ran ${wallMs}ms — cancellation did not stop the job")
+      // the session and server survive the cancellation
+      val ok = post(server.boundPort, "/query/aql",
+        """{"queries": [{"table": "documents",
+          "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
+      assert((JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+    } finally server.stop()
+  }
+}

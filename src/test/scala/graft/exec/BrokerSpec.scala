@@ -372,4 +372,55 @@ class BrokerSpec extends SparkSpec {
       Seq(p1, p2, p3).foreach(_.stop())
     }
   }
+
+  test("avg's sum+count subqueries against one instance run concurrently") {
+    // instance whose events load stalls 2 s per query compile: avg fans
+    // TWO subqueries at it — scattered serially against a single-threaded
+    // server that costs >= 4 s of stall; concurrent scatter against the
+    // multithreaded instance costs ~one stall
+    val base = Catalog.testdata(sfDir)
+    val ev = base.tables("events")
+    val slowCat = base.copy(tables = base.tables +
+      ("events" -> ev.copy(load = s => { Thread.sleep(2000); ev.load(s) })))
+    val slow = new GraftServer(slowCat, spark)
+    slow.start()
+    try {
+      val b = new Broker(Seq(s"http://localhost:${slow.boundPort}"))
+      val t0 = System.nanoTime()
+      val merged = JsonMethods.parse(b.aql(query("avg(value)")))
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      assertClose(merged, singleAnswer(query("avg(value)")), "concurrent avg")
+      assert(wallMs < 3500,
+        s"avg over one instance took ${wallMs}ms — sum+count did not overlap")
+    } finally slow.stop()
+  }
+
+  test("a timed-out replica is demoted and skipped on the next query") {
+    // replica that ACCEPTS connections but never responds: the first
+    // query pays the 2 s request timeout before failing over; the health
+    // memory must order the live replica first on the SECOND query
+    val stall = new java.net.ServerSocket(0)
+    val bitbucket = new Thread(() => {
+      try while (true) stall.accept() // hold sockets open, never answer
+      catch { case _: java.io.IOException => } // closed at test end
+    })
+    bitbucket.setDaemon(true)
+    bitbucket.start()
+    try {
+      val b = new Broker(
+        Seq(s"http://127.0.0.1:${stall.getLocalPort}|http://localhost:${serverA.boundPort}" +
+          s"|http://localhost:${serverB.boundPort}"),
+        timeout = java.time.Duration.ofSeconds(2))
+      val expectedA = JsonMethods.parse(
+        new Broker(Seq(s"http://localhost:${serverA.boundPort}")).aql(query("count(*)")))
+      val first = JsonMethods.parse(b.aql(query("count(*)")))
+      assertClose(first, expectedA, "first query (paid the timeout)")
+      val t0 = System.nanoTime()
+      val second = JsonMethods.parse(b.aql(query("count(*)")))
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      assertClose(second, expectedA, "second query")
+      assert(wallMs < 1500,
+        s"second query took ${wallMs}ms — the dead replica was tried first again")
+    } finally stall.close()
+  }
 }

@@ -195,4 +195,40 @@ class ClassifierSpec extends SparkSpec {
     val bB = graft.functions.Sketches.hash60("beta") % 4096
     assert(w(aB) == 2500L && w(bB) == -2500L, w.toString)
   }
+
+  test("wide bucket spaces drop the forced weight broadcast (LmSpec precedent)") {
+    // bucketBits 24 -> 2^24 possible rows > the ~2M broadcast budget: the
+    // bucket-keyed weight probe must NOT execute as a broadcast hash join
+    // (a 24-30 bit space would otherwise force up to a ~17 GB broadcast
+    // bypassing AQE's size check); results must match the broadcast path
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta beta"), (3L, "alpha"))
+      .toDF("id", "text")
+    def bucketJoins(df: org.apache.spark.sql.DataFrame, shape: String): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains(shape) && l.contains("[bucket"))
+
+    // scoreWith: same weights, narrow vs wide bucket space
+    val wideModel = Classifier.hashModel(spark, 10, 7) // small TABLE either way
+    val narrow = Classifier.scoreWith(docs, "id", "text", wideModel, bucketBits = 18)
+    val wide = Classifier.scoreWith(docs, "id", "text", wideModel, bucketBits = 24)
+    assert(bucketJoins(narrow, "BroadcastHashJoin") > 0,
+      "in-budget bucket space should broadcast the weights")
+    assert(bucketJoins(wide, "BroadcastHashJoin") == 0,
+      s"wide bucket space still broadcasts:\n${wide.queryExecution.executedPlan.toString.take(2000)}")
+    assert(bucketJoins(wide, "ShuffledHashJoin") > 0)
+
+    // trainLogistic at 24 bits executes the epoch-2 probe through the
+    // guarded (shuffled) shape for real — identical fitted weight VALUES
+    // to an 18-bit run (no collisions among these tokens, so only bucket
+    // addresses differ between the spaces)
+    val labeled = Seq((1L, "good fine", 1), (2L, "bad junk", 0)).toDF("id", "text", "y")
+    val fitted = Classifier.trainLogistic(labeled, "id", "text", col("y") === 1,
+      bucketBits = 24, epochs = 2, lr = 10.0)
+    val viaWide = fitted.as[(Long, Long)].collect().toMap
+    val viaNarrowBits = Classifier.trainLogistic(labeled, "id", "text",
+      col("y") === 1, bucketBits = 18, epochs = 2, lr = 10.0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaWide.values.toSeq.sorted == viaNarrowBits.values.toSeq.sorted,
+      s"guarded probe changed the fitted weights: $viaWide vs $viaNarrowBits")
+  }
 }

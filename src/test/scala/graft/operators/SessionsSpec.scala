@@ -89,6 +89,16 @@ class SessionsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("hoppingAgg stride > size samples with gaps (events between windows drop)") {
+    // size 5, stride 10: windows [0,5), [10,15), ... — t=7 falls in a gap
+    val df = ev((1L, 1L, 0L, "a"), (1L, 2L, 7L, "a"), (1L, 3L, 12L, "a"))
+    val got = Sessions.hoppingAgg(df, "ts", 5, 10, Seq(count(lit(1)).as("cnt")))
+      .select("window_start", "window_end", "cnt")
+      .orderBy("window_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 5L, 1L), (10L, 15L, 1L)), got.toString)
+  }
+
   test("hoppingAgg expands map-side under one aggregation shuffle") {
     val plan = Sessions.hoppingAgg(ev((1L, 1L, 0L, "a")), "ts", 3600, 900,
       Seq(count(lit(1)).as("cnt"))).queryExecution.executedPlan.toString
