@@ -71,6 +71,66 @@ object SliceBootstrap {
     copied.result()
   }
 
+  /** Copy an EXPLICIT day set (rather than a range) from the shared
+    * archive into `localDir` — the rebalance primitive: a recomputed
+    * ownership map hands each member a day list, not a range. Same
+    * discipline as [[copySlice]]: already-present days skip (idempotent),
+    * in-flight copies write to a temp name and rename.
+    */
+  def copyDays(spark: SparkSession, sharedArchiveDir: String, localDir: String,
+      days: Set[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(sharedArchiveDir)
+    val dst = new Path(localDir)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    require(srcFs.exists(src), s"shared archive $sharedArchiveDir does not exist")
+    dstFs.mkdirs(dst)
+    val prefix = s"${Archiver.DayCol}="
+    val copied = Seq.newBuilder[String]
+    srcFs.listStatus(src).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .foreach { part =>
+        val day = part.getName.stripPrefix(prefix)
+        val target = new Path(dst, part.getName)
+        if (days.contains(day) && !dstFs.exists(target)) {
+          val tmp = new Path(dst, s".${part.getName}.copying")
+          if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
+          FileUtil.copy(srcFs, part, dstFs, tmp, false, conf)
+          require(dstFs.rename(tmp, target),
+            s"bootstrap rename failed for $target")
+          copied += day
+        }
+      }
+    copied.result()
+  }
+
+  /** Delete local day partitions NOT in `keep` — the drop half of a
+    * rebalance (a moved day must leave its old owner, or the broker
+    * would double count it). Returns the days dropped. The shared
+    * archive is never touched — only the member's local copy shrinks.
+    */
+  def retainDays(spark: SparkSession, localDir: String,
+      keep: Set[String]): Seq[String] = {
+    val p = new Path(localDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val prefix = s"${Archiver.DayCol}="
+    val dropped = Seq.newBuilder[String]
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .foreach { part =>
+        val day = part.getName.stripPrefix(prefix)
+        if (!keep.contains(day)) {
+          fs.delete(part, true)
+          dropped += day
+        }
+      }
+    dropped.result()
+  }
+
   /** Days present in a (local or shared) archive directory — the
     * bootstrap observability surface (`IsBootstrapped` analog: a
     * replacement is ready when its local days cover its slice range).

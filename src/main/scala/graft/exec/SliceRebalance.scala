@@ -1,0 +1,128 @@
+package graft.exec
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Slice re-assignment when the member set changes — the role the
+  * reference's controller plays when capacity grows or shrinks
+  * (/root/reference/controller/handlers/assignment.go:57-165 serves the
+  * recomputed per-subscriber assignment, placement.go:34-41 +
+  * mutators/ persist placement versions; util.CalculateShardAssignment
+  * spreads shards over the instance set). [[SliceBootstrap]] can replace
+  * a DEAD member with an identical copy; this job changes the SHAPE of
+  * the assignment: recompute day→slice ownership for the new member
+  * set, copy the moved days into their new owners' local storage, drop
+  * them from the old owners, and publish a version-bumped assignment
+  * document atomically (the [[graft.api.SchemaSync]] write discipline).
+  *
+  * Ownership function: the shared archive's sorted day list is split
+  * into CONTIGUOUS ranges, one per sorted slice id, sizes as equal as
+  * possible (the first `days % n` slices carry one extra day).
+  * Contiguous ranges keep each member a day-range slice — the
+  * deployment shape the broker and the day-pruned archive scan already
+  * optimize for — and growth by one member moves only range-boundary
+  * days (≤ a 1/n share per survivor), never reshuffles the whole
+  * corpus the way a mod-n hash assignment would.
+  *
+  * At 100 TB: the copy volume of a 2→3 grow is bounded by the new
+  * member's 1/3 share; every copy is day-partition-granular, idempotent
+  * (present days skip), and crash-safe (temp + rename), so a failed
+  * rebalance re-runs to completion. Publication is last: a reader of
+  * the assignment document never sees ownership the storage doesn't yet
+  * back.
+  */
+object SliceRebalance {
+
+  /** One published assignment: monotonically versioned day ownership. */
+  final case class Assignment(version: Long, owners: Map[String, Seq[String]])
+
+  /** Deterministic day→slice ownership over the CURRENT member set:
+    * sorted days in contiguous near-equal ranges over sorted slice ids.
+    * Total function — every day owned by exactly one slice; slices past
+    * the day count own an empty range (valid: a new member of a small
+    * corpus waits for data).
+    */
+  def ownership(days: Seq[String], sliceIds: Seq[String]): Map[String, Seq[String]] = {
+    val ids = sliceIds.distinct.sorted
+    require(ids.nonEmpty, "rebalance needs at least one slice")
+    val sorted = days.distinct.sorted
+    val n = ids.length
+    val base = sorted.length / n
+    val extra = sorted.length % n
+    val bounds = ids.indices.scanLeft(0)((acc, i) =>
+      acc + base + (if (i < extra) 1 else 0))
+    ids.zipWithIndex.map { case (id, i) =>
+      id -> sorted.slice(bounds(i), bounds(i + 1))
+    }.toMap
+  }
+
+  /** Execute a rebalance: recompute ownership from the shared archive's
+    * day list and `localDirs.keys` (the new member set), make every
+    * member's local storage match its owned days (copy in, drop out),
+    * then publish the assignment to `topologyDir/assignment.json`.
+    * Returns the published assignment. Idempotent: a re-run with the
+    * same member set copies nothing, drops nothing, and keeps the same
+    * version (the document only version-bumps when ownership CHANGES).
+    */
+  def rebalance(spark: SparkSession, sharedArchiveDir: String,
+      localDirs: Map[String, String], topologyDir: String): Assignment = {
+    val days = SliceBootstrap.localDays(spark, sharedArchiveDir)
+    val owners = ownership(days, localDirs.keys.toSeq)
+    // storage first, publication last — and copies before drops, so a
+    // crash mid-rebalance leaves days over-replicated (harmless to a
+    // re-run), never unowned
+    owners.foreach { case (slice, owned) =>
+      SliceBootstrap.copyDays(spark, sharedArchiveDir, localDirs(slice), owned.toSet)
+    }
+    owners.foreach { case (slice, owned) =>
+      SliceBootstrap.retainDays(spark, localDirs(slice), owned.toSet)
+    }
+    publish(topologyDir, owners)
+  }
+
+  /** Current published assignment, if any. */
+  def read(topologyDir: String): Option[Assignment] = {
+    val f = Paths.get(topologyDir, "assignment.json")
+    if (!Files.exists(f)) return None
+    val j = JsonMethods.parse(Files.readString(f))
+    val version = j \ "version" match {
+      case JInt(v) => v.toLong
+      case JLong(v) => v
+      case _ => return None
+    }
+    val owners = j \ "owners" match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> v.children.collect { case JString(d) => d }
+      }.toMap
+      case _ => return None
+    }
+    Some(Assignment(version, owners))
+  }
+
+  /** Version-bump-on-change publication with the SchemaSync atomic-write
+    * discipline: temp file + ATOMIC_MOVE rename, so a concurrent reader
+    * sees the old complete document or the new complete document, never
+    * a torn one.
+    */
+  private def publish(topologyDir: String, owners: Map[String, Seq[String]]): Assignment = {
+    Files.createDirectories(Paths.get(topologyDir))
+    val prior = read(topologyDir)
+    if (prior.exists(_.owners == owners)) return prior.get
+    val next = Assignment(prior.map(_.version + 1).getOrElse(1L), owners)
+    val doc = JObject(
+      "version" -> JLong(next.version),
+      "owners" -> JObject(next.owners.toSeq.sortBy(_._1).map { case (k, ds) =>
+        k -> (JArray(ds.map(JString(_)).toList): JValue)
+      }: _*))
+    val tmp = Paths.get(topologyDir, s".assignment.json.tmp")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(topologyDir, "assignment.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+}

@@ -30,13 +30,19 @@ object Compactor {
 
   final case class DayReport(day: String, filesBefore: Int, filesAfter: Int)
 
-  /** Compact every `day=` partition of `dir` holding more than
-    * `maxFiles` parquet files down to `targetFiles` sorted files.
-    * Returns a report per REWRITTEN day (untouched days are absent).
+  /** Compact every `<partitionPrefix>…` partition of `dir` holding more
+    * than `maxFiles` parquet files down to `targetFiles` sorted files.
+    * Returns a report per REWRITTEN partition (untouched ones absent).
+    * The default prefix targets the archive's `day=` partitions; the
+    * persisted index families reuse the same machinery over their
+    * `bucket=` / `cell=` partitions ([[graft.operators.TextIndex.compact]],
+    * [[graft.operators.IvfIndex.compact]]) — appends grow file counts
+    * without bound there too, and the swap discipline is identical.
     */
   def compact(spark: SparkSession, dir: String, sortCols: Seq[String],
       maxFiles: Int = 8, targetFiles: Int = 1,
-      zorderCols: Seq[String] = Nil): Seq[DayReport] = {
+      zorderCols: Seq[String] = Nil,
+      partitionPrefix: String = s"${Archiver.DayCol}="): Seq[DayReport] = {
     require(maxFiles >= 1, s"maxFiles $maxFiles must be >= 1")
     require(targetFiles >= 1, s"targetFiles $targetFiles must be >= 1")
     require(zorderCols.isEmpty || sortCols.isEmpty,
@@ -44,7 +50,7 @@ object Compactor {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"archive $dir does not exist")
-    val prefix = s"${Archiver.DayCol}="
+    val prefix = partitionPrefix
     val reports = Seq.newBuilder[DayReport]
     fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(prefix))

@@ -75,6 +75,21 @@ object IvfIndex {
       .parquet(s"$dir/assignments")
   }
 
+  /** Fold fragmented cell partitions back to `targetFiles` files each —
+    * [[append]] adds a file set per batch per cell without bound (the
+    * [[graft.operators.TextIndex.compact]] situation over `cell=`
+    * partitions). Probe results are invariant: a search scores the
+    * probed cells' vector multiset, which compaction preserves; only
+    * file counts (listing cost, task counts) shrink. Crash-safe via the
+    * shared Compactor temp-write + rename swap; cells within budget are
+    * untouched.
+    */
+  def compact(spark: SparkSession, dir: String, maxFiles: Int = 8,
+      targetFiles: Int = 1): Seq[graft.ingest.Compactor.DayReport] =
+    graft.ingest.Compactor.compact(spark, s"$dir/assignments",
+      sortCols = Nil, maxFiles = maxFiles, targetFiles = targetFiles,
+      partitionPrefix = "cell=")
+
   /** Top-k cosine neighbors for each query from the persisted index.
     * Output: (query_id, rank, neighbor_id, cos) — same contract as
     * [[Similarity.ivfTopK]], same recall trade (pairs whose cells are not

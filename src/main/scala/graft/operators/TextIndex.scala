@@ -109,6 +109,23 @@ object TextIndex {
       throw new java.io.IOException(s"stats swap failed for $dir")
   }
 
+  /** Fold fragmented bucket partitions back to `targetFiles` files each —
+    * [[append]] adds files per bucket without bound, and an index that
+    * lives for months of appends hits the same small-file pathology the
+    * archive [[graft.ingest.Compactor]] exists for. Same machinery, same
+    * crash discipline (temp write + rename swap), bucket partitions
+    * instead of days; rows re-sort by term inside the rewritten files so
+    * parquet row-group stats skip non-query terms again. Search answers
+    * are invariant: every score is an aggregate over the bucket's
+    * postings multiset, which compaction preserves exactly. Buckets at or
+    * under `maxFiles` are untouched — cost follows the appended tail.
+    */
+  def compact(spark: SparkSession, dir: String, maxFiles: Int = 8,
+      targetFiles: Int = 1): Seq[graft.ingest.Compactor.DayReport] =
+    graft.ingest.Compactor.compact(spark, s"$dir/postings",
+      sortCols = Seq("tok"), maxFiles = maxFiles, targetFiles = targetFiles,
+      partitionPrefix = s"$BucketCol=")
+
   /** BM25 top-k per query off the persisted index; identical output
     * contract to [[TextRank.bm25TopK]].
     */

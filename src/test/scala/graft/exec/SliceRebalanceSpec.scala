@@ -1,0 +1,128 @@
+package graft.exec
+
+import graft.{SparkSpec, Tables}
+import graft.api.GraftServer
+import graft.aql.Catalog
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Grow-the-cluster drill (ref controller/handlers/assignment.go:57-165,
+  * placement.go:34-41): two members own the day space; a third joins;
+  * [[SliceRebalance]] recomputes contiguous day ownership, copies the
+  * moved days into the new member's local storage, DROPS them from the
+  * old owners, and publishes a version-bumped assignment — after which
+  * the broker's merged answers are unchanged and the re-run is a no-op.
+  */
+class SliceRebalanceSpec extends SparkSpec {
+
+  private def countQuery: String =
+    s"""{"table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200"}, "now": 1706659200}"""
+
+  private def normalize(v: JValue): String = JsonMethods.compact(JsonMethods.render(
+    v match {
+      case JObject(fields) => JObject(fields.sortBy(_._1))
+      case other => other
+    }))
+
+  test("ownership: contiguous, total, near-equal; growth moves only boundary days") {
+    val days = (1 to 10).map(i => f"2024-01-$i%02d")
+    val two = SliceRebalance.ownership(days, Seq("b", "a"))
+    assert(two("a") == days.take(5) && two("b") == days.drop(5)) // sorted ids
+    val three = SliceRebalance.ownership(days, Seq("a", "b", "c"))
+    assert(three("a") == days.take(4) && three("b") == days.slice(4, 7) &&
+      three("c") == days.drop(7)) // 4+3+3: first slice carries the extra
+    // every day owned exactly once
+    assert(three.values.flatten.toSeq.sorted == days)
+    // survivors keep PREFIXES of their old ranges — only boundary days move
+    assert(three("a") == two("a").take(4))
+    assert(three("b").forall(two("b").contains) || three("b").forall(two("a").contains) ||
+      three("b") == days.slice(4, 7))
+    // more slices than days: trailing slices own empty ranges
+    val wide = SliceRebalance.ownership(Seq("2024-01-01"), Seq("a", "b"))
+    assert(wide("a") == Seq("2024-01-01") && wide("b").isEmpty)
+  }
+
+  test("grow 2 to 3: merged answers identical, moved days change owner, re-run no-op") {
+    Tables.eventsArchived(spark, sfDir)
+    val sharedDir = Tables.eventsArchivePath(sfDir)
+    val allDays = SliceBootstrap.localDays(spark, sharedDir)
+    assert(allDays.size >= 3, s"fixture too small: $allDays")
+
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dirs2 = Map("a" -> tmp("reb-a"), "b" -> tmp("reb-b"))
+    val topoDir = tmp("reb-topo")
+
+    // ---- initial placement over two members ------------------------------
+    val v1 = SliceRebalance.rebalance(spark, sharedDir, dirs2, topoDir)
+    assert(v1.version == 1L)
+    dirs2.foreach { case (slice, dir) =>
+      assert(SliceBootstrap.localDays(spark, dir) == v1.owners(slice),
+        s"slice $slice local storage != owned days")
+    }
+    assert(v1.owners.values.flatten.toSeq.sorted == allDays)
+
+    val base = Catalog.testdata(sfDir)
+    val whole = new GraftServer(base, spark)
+    val pa = new GraftServer(SliceBootstrap.eventsCatalog(base, dirs2("a")), spark)
+    val pb = new GraftServer(SliceBootstrap.eventsCatalog(base, dirs2("b")), spark)
+    Seq(whole, pa, pb).foreach(_.start())
+    val client = java.net.http.HttpClient.newHttpClient()
+    def answer(port: Int): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:$port/query/aql"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"queries": [$countQuery]}""")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      normalize((JsonMethods.parse(resp.body()) \ "results")(0))
+    }
+    try {
+      val expected = answer(whole.boundPort)
+      val broker2 = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      assert(normalize((JsonMethods.parse(broker2.aql(countQuery)): JValue)) == expected,
+        "2-member merge != whole table")
+
+      // ---- member c joins: rebalance ------------------------------------
+      val dirs3 = dirs2 + ("c" -> tmp("reb-c"))
+      val v2 = SliceRebalance.rebalance(spark, sharedDir, dirs3, topoDir)
+      assert(v2.version == 2L, "ownership changed, version must bump")
+      assert(v2.owners != v1.owners)
+      assert(v2.owners.values.flatten.toSeq.sorted == allDays)
+      dirs3.foreach { case (slice, dir) =>
+        assert(SliceBootstrap.localDays(spark, dir) == v2.owners(slice),
+          s"post-grow slice $slice: local storage != owned days " +
+            s"(moved days not dropped from the old owner?)")
+      }
+      // the new member genuinely took days off the old owners
+      assert(v2.owners("c").nonEmpty)
+      assert(v2.owners("c").forall(d =>
+        v1.owners("a").contains(d) || v1.owners("b").contains(d)))
+
+      // merged answers identical through the NEW 3-member placement
+      val pc = new GraftServer(SliceBootstrap.eventsCatalog(base, dirs3("c")), spark)
+      pc.start()
+      try {
+        val broker3 = new Broker(Seq(
+          s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}",
+          s"http://localhost:${pc.boundPort}"))
+        assert(normalize((JsonMethods.parse(broker3.aql(countQuery)): JValue)) == expected,
+          "3-member merge != whole table after rebalance")
+        // and the new instance serves real days: dropping it breaks the merge
+        val without = new Broker(Seq(
+          s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+        assert(normalize((JsonMethods.parse(without.aql(countQuery)): JValue)) != expected,
+          "c owns days nobody else serves, so omitting it must change the answer")
+
+        // ---- idempotent re-run: same owners, same version, no copies ----
+        val v2again = SliceRebalance.rebalance(spark, sharedDir, dirs3, topoDir)
+        assert(v2again == v2, "re-run must not bump the version or move data")
+        assert(SliceRebalance.read(topoDir).contains(v2))
+        assert(normalize((JsonMethods.parse(broker3.aql(countQuery)): JValue)) == expected)
+      } finally pc.stop()
+    } finally Seq(whole, pa, pb).foreach(_.stop())
+  }
+}

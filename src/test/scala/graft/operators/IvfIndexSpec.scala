@@ -88,6 +88,43 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact folds appended cell files; probes identical; idempotent") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    val base = Tables.embeddings(spark, sfDir).where(col("vec_id") < 300)
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 4, dir = d,
+      refineIterations = 1)
+    (0 until 5).foreach { i =>
+      val batch = Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") >= 300 + i * 20 && col("vec_id") < 320 + i * 20)
+        .withColumn("vec_id", col("vec_id") + 300000)
+      IvfIndex.append(spark, d, batch, "vec_id", "embedding")
+    }
+    def cellFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$d/assignments")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(c => c.getName ->
+          c.listFiles().count(f => f.isFile && f.getName.startsWith("part-")))
+        .toMap
+    }
+    val before = cellFiles()
+    assert(before.values.max > 2, s"appends did not fragment: $before")
+    val qs = Tables.embeddings(spark, sfDir).where(col("vec_id") < 10)
+    val pre = IvfIndex.search(spark, d, qs, "vec_id", "embedding", k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    val reports = IvfIndex.compact(spark, d, maxFiles = 2, targetFiles = 1)
+    assert(reports.nonEmpty)
+    assert(cellFiles().values.max <= 2, s"not bounded: ${cellFiles()}")
+    assert(IvfIndex.search(spark, d, qs, "vec_id", "embedding", k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq == pre,
+      "probe answers changed through the rewrite")
+    // centroids untouched by compaction
+    assert(IvfIndex.centroids(spark, d).length == 4)
+    // idempotent
+    assert(IvfIndex.compact(spark, d, maxFiles = 2).isEmpty)
+  }
+
   // ---- IVF-SQ8 -----------------------------------------------------------
 
   private lazy val sq8Dir = {

@@ -102,4 +102,44 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.phraseSearch(spark, d2, ph).orderBy("doc_id").collect().toSeq ==
       TextIndex.phraseSearch(spark, dir, ph).orderBy("doc_id").collect().toSeq)
   }
+
+  test("compact folds appended bucket files; answers bit-identical; idempotent") {
+    val docs = Tables.documents(spark, sfDir)
+    val d3 = Files.createTempDirectory("textidx3").toString + "/idx"
+    TextIndex.build(docs.where(col("doc_id") < 40), "doc_id", "text", d3,
+      nBuckets = 4)
+    // five appends: each adds a file set per touched bucket
+    (0 until 5).foreach(i => TextIndex.append(
+      docs.where(col("doc_id") >= 40 + i * 10 && col("doc_id") < 50 + i * 10),
+      "doc_id", "text", d3))
+    def bucketFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$d3/postings")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(b => b.getName ->
+          b.listFiles().count(f => f.isFile && f.getName.startsWith("part-")))
+        .toMap
+    }
+    val before = bucketFiles()
+    assert(before.values.max > 2, s"appends did not fragment: $before")
+    val queries = Seq((0L, "hash join batch"), (1L, "vector scan"))
+    val preSearch = TextIndex.search(spark, d3, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val prePhrase = TextIndex.phraseSearch(spark, d3, Seq((0L, "hash join")))
+      .orderBy("doc_id").collect().toSeq
+
+    val reports = TextIndex.compact(spark, d3, maxFiles = 2, targetFiles = 1)
+    assert(reports.nonEmpty)
+    val after = bucketFiles()
+    assert(after.values.max <= 2,
+      s"file count not bounded after compact: $after")
+    reports.foreach(r => assert(r.filesAfter == 1, r.toString))
+    // search and phrase answers bit-identical through the rewrite
+    assert(TextIndex.search(spark, d3, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq == preSearch)
+    assert(TextIndex.phraseSearch(spark, d3, Seq((0L, "hash join")))
+      .orderBy("doc_id").collect().toSeq == prePhrase)
+    // idempotent: everything within budget now, nothing rewritten
+    assert(TextIndex.compact(spark, d3, maxFiles = 2).isEmpty)
+    assert(bucketFiles() == after)
+  }
 }
