@@ -267,6 +267,73 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       if (days > 0) mgr.preload(table, dir, days, prio)
     }
 
+  /** Archive roots served to bootstrapping peers (table → local archive
+    * dir) — set by the deployment (ServerMain wires the scheduler's
+    * archive root); tables drained at runtime serve from [[drained]]
+    * automatically. The reference's peer bootstrap source
+    * (/root/reference/datanode/bootstrap/peer_source.go) streams a
+    * shard's batches to a replacement node when shared storage is
+    * absent; here the unit of transfer is the day partition's parquet
+    * files:
+    *
+    *   GET /bootstrap/{table}/days            → JSON day list
+    *   GET /bootstrap/{table}/{day}/files     → JSON file-name list
+    *   GET /bootstrap/{table}/{day}/{file}    → raw parquet bytes
+    */
+  @volatile var bootstrapRoots: Map[String, String] = Map.empty
+  private def bootstrapRoot(table: String): String =
+    bootstrapRoots.get(table).orElse(drained.get(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $table has no served archive on this instance"))
+
+  /** Path-segment guard: day and file names come off the wire and index
+    * into the local filesystem — reject separators and dot-segments so
+    * the endpoint cannot read outside the archive root.
+    */
+  private def safeSegment(s: String): String = {
+    require(s.nonEmpty && !s.contains('/') && !s.contains('\\') &&
+      s != "." && s != "..", s"illegal path segment '$s'")
+    s
+  }
+
+  mount("/bootstrap/", (ex: HttpExchange) => handle(ex) {
+    val segs = ex.getRequestURI.getPath.stripPrefix("/bootstrap/")
+      .split("/").toList.filter(_.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    segs match {
+      case table :: "days" :: Nil =>
+        val root = new org.apache.hadoop.fs.Path(bootstrapRoot(table))
+        val fs = root.getFileSystem(conf)
+        val prefix = s"${graft.ingest.Archiver.DayCol}="
+        val days = fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix)).sorted
+        respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+          JArray(days.map(JString(_)).toList))))
+      case table :: day :: "files" :: Nil =>
+        val part = new org.apache.hadoop.fs.Path(bootstrapRoot(table),
+          s"${graft.ingest.Archiver.DayCol}=${safeSegment(day)}")
+        val fs = part.getFileSystem(conf)
+        require(fs.exists(part), s"day $day not present")
+        val files = fs.listStatus(part)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .map(_.getPath.getName).sorted
+        respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+          JArray(files.map(JString(_)).toList))))
+      case table :: day :: file :: Nil =>
+        val p = new org.apache.hadoop.fs.Path(bootstrapRoot(table),
+          s"${graft.ingest.Archiver.DayCol}=${safeSegment(day)}/${safeSegment(file)}")
+        val fs = p.getFileSystem(conf)
+        require(fs.exists(p), s"no such file $day/$file")
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        respondBytes(ex, 200, "application/octet-stream", bytes)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported bootstrap route: $other")
+    }
+  })
+
   // liveness + version probes (ref api/health_check_handler.go:39-53)
   mount("/health", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))

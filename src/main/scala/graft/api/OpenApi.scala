@@ -76,7 +76,18 @@ object OpenApi {
         "snapshot/purge run records)")),
     "/dbg/cache" -> JObject("get" -> op(
       "Hot-partition cache residency: byte budget, resident bytes, " +
-        "per-day entries with priority")))
+        "per-day entries with priority")),
+    "/bootstrap/{table}/days" -> JObject(
+      pathParams("table"),
+      "get" -> op("Peer bootstrap: day list of this instance's served " +
+        "archive for the table")),
+    "/bootstrap/{table}/{day}/files" -> JObject(
+      pathParams("table", "day"),
+      "get" -> op("Peer bootstrap: file names of one day partition")),
+    "/bootstrap/{table}/{day}/{file}" -> JObject(
+      pathParams("table", "day", "file"),
+      "get" -> op("Peer bootstrap: raw parquet bytes of one archive file " +
+        "(application/octet-stream)")))
 
   /** The rendered OpenAPI 3.0 document. */
   val spec: String = JsonMethods.compact(JsonMethods.render(JObject(

@@ -71,6 +71,65 @@ object SliceBootstrap {
     copied.result()
   }
 
+  /** Bootstrap a slice FROM A LIVE PEER over HTTP instead of shared
+    * storage — the reference's peer bootstrap source
+    * (/root/reference/datanode/bootstrap/peer_source.go streams a
+    * shard's batches from a replica holding the data;
+    * bootstrap_manager.go picks peer vs disk by availability). Used by
+    * deployments with instance-local storage only: the replacement asks
+    * any replica of its slice for the day list, pulls each in-range
+    * day's parquet files through the peer's `/bootstrap` surface
+    * ([[graft.api.GraftServer]]), and lands them with the SAME
+    * discipline as [[copySlice]] — present days skip (idempotent),
+    * in-flight days write to a temp dir and rename (crash-safe).
+    *
+    * At 100 TB the transfer is day-partition-granular and resumable;
+    * the peer serves file bytes straight off its archive (no decode /
+    * re-encode round trip — the wire unit is the parquet file itself,
+    * like the reference streams raw batch vectors).
+    */
+  def copySliceFromPeer(spark: SparkSession, peerUrl: String, table: String,
+      localDir: String, fromDay: Option[String] = None,
+      toDay: Option[String] = None): Seq[String] = {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newHttpClient()
+    def fetch(path: String): Array[Byte] = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$peerUrl$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() == 200,
+        s"peer $peerUrl$path returned ${resp.statusCode()}: " +
+          new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8).take(200))
+      resp.body()
+    }
+    def fetchList(path: String): Seq[String] =
+      org.json4s.jackson.JsonMethods.parse(
+          new String(fetch(path), java.nio.charset.StandardCharsets.UTF_8))
+        .children.collect { case org.json4s.JString(s) => s }
+
+    val dst = new Path(localDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dst)
+    val copied = Seq.newBuilder[String]
+    fetchList(s"/bootstrap/$table/days").sorted.foreach { day =>
+      val inRange = fromDay.forall(day >= _) && toDay.forall(day < _)
+      val target = new Path(dst, s"${Archiver.DayCol}=$day")
+      if (inRange && !fs.exists(target)) {
+        val tmp = new Path(dst, s".${Archiver.DayCol}=$day.copying")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        fs.mkdirs(tmp)
+        fetchList(s"/bootstrap/$table/$day/files").foreach { f =>
+          val out = fs.create(new Path(tmp, f), true)
+          try out.write(fetch(s"/bootstrap/$table/$day/$f")) finally out.close()
+        }
+        require(fs.rename(tmp, target), s"peer bootstrap rename failed for $target")
+        copied += day
+      }
+    }
+    copied.result()
+  }
+
   /** Copy an EXPLICIT day set (rather than a range) from the shared
     * archive into `localDir` — the rebalance primitive: a recomputed
     * ownership map hands each member a day list, not a range. Same

@@ -102,4 +102,53 @@ class SliceBootstrapSpec extends SparkSpec {
       try p2.stop() catch { case _: Throwable => () }
     }
   }
+
+  test("peer-streaming bootstrap: replacement pulls its slice over HTTP " +
+      "with no shared archive dir") {
+    Tables.eventsArchived(spark, sfDir)
+    // the archive dir here plays the PEER'S instance-local storage — the
+    // replacement never touches it through the filesystem, only through
+    // the peer's /bootstrap surface
+    val peerLocalDir = Tables.eventsArchivePath(sfDir)
+    val peer = new GraftServer(slicedBetween(Some(Split), None), spark)
+    peer.bootstrapRoots = Map("events" -> peerLocalDir)
+    peer.start()
+    try {
+      val peerUrl = s"http://localhost:${peer.boundPort}"
+      val localDir = java.nio.file.Files.createTempDirectory("peer-local").toString
+      val copied = SliceBootstrap.copySliceFromPeer(spark, peerUrl, "events",
+        localDir, fromDay = Some(Split), toDay = None)
+      assert(copied.nonEmpty && copied.forall(_ >= Split), copied.toString)
+      assert(SliceBootstrap.localDays(spark, localDir) == copied.sorted)
+      // idempotent: every day already complete locally
+      assert(SliceBootstrap.copySliceFromPeer(spark, peerUrl, "events",
+        localDir, Some(Split), None).isEmpty)
+
+      // the replacement's answers equal the peer's own slice answers
+      val replacement = new GraftServer(
+        SliceBootstrap.eventsCatalog(Catalog.testdata(sfDir), localDir), spark)
+      replacement.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def answer(port: Int): String = {
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://localhost:$port/query/aql"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"queries": [$countQuery]}""")).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          normalize((JsonMethods.parse(resp.body()) \ "results")(0))
+        }
+        assert(answer(replacement.boundPort) == answer(peer.boundPort),
+          "peer-bootstrapped replacement diverged from the peer's slice")
+
+        // the wire surface rejects escaping segments
+        val bad = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"$peerUrl/bootstrap/events/%2e%2e/files")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(bad.statusCode() != 200, s"dot-segment accepted: ${bad.body()}")
+      } finally replacement.stop()
+    } finally peer.stop()
+  }
 }
