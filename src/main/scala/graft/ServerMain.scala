@@ -36,6 +36,12 @@ import org.apache.spark.sql.SparkSession
   *                           (default 0 = none); a query past the
   *                           deadline has its Spark jobs cancelled and
   *                           returns a named error
+  *   SPARK_GRAFT_MAX_QUERY_CONN / SPARK_GRAFT_MAX_INGEST_CONN
+  *                           separate admission bounds for the query
+  *                           and data endpoints (0 = unbounded) —
+  *                           excess requests 503 fast instead of
+  *                           queueing (the reference's 300 query + 300
+  *                           ingestion split, ares.yaml:17-22)
   *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
   *                           (0/unset = no cache manager); column-config
   *                           preloadingDays/priority updates then pin
@@ -64,7 +70,11 @@ object ServerMain {
       serverThreads =
         sys.env.getOrElse("SPARK_GRAFT_SERVER_THREADS", "8").toInt,
       queryTimeoutSec =
-        sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong)
+        sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong,
+      maxQueryConnections =
+        sys.env.getOrElse("SPARK_GRAFT_MAX_QUERY_CONN", "0").toInt,
+      maxIngestConnections =
+        sys.env.getOrElse("SPARK_GRAFT_MAX_INGEST_CONN", "0").toInt)
     server.start()
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { budget =>

@@ -51,10 +51,19 @@ import graft.ingest.Upsert
   *   named `query deadline exceeded` error (ref ares.yaml:21-22
   *   read/write timeouts)
   */
+/** @param maxQueryConnections admission bound for the query endpoints
+  *   (0 = no bound beyond the pool): the reference provisions query and
+  *   ingestion concurrency SEPARATELY (ares.yaml's 300 + 300), so a
+  *   query flood cannot starve ingestion of pool threads — excess
+  *   requests fail fast with 503 rather than queueing unboundedly
+  * @param maxIngestConnections admission bound for the data endpoints
+  *   (0 = none)
+  */
 final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
     strictCompat: Boolean = false, schemaSyncDir: Option[String] = None,
     schemaSyncPollMillis: Long = 2000, serverThreads: Int = 8,
-    queryTimeoutSec: Long = 0) extends graft.ingest.SchedulableStore {
+    queryTimeoutSec: Long = 0, maxQueryConnections: Int = 0,
+    maxIngestConnections: Int = 0) extends graft.ingest.SchedulableStore {
   require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
   private val live = TrieMap.empty[String, DataFrame]
@@ -164,6 +173,26 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
   server.setExecutor(pool)
 
+  /** Per-class admission slots (null = unbounded). A request that gets
+    * no slot within a short bounded wait is REJECTED with 503 — fail
+    * fast beats unbounded queueing at saturation, and the broker's
+    * replica failover treats the 503 as a retryable fetch failure and
+    * routes around the busy instance.
+    */
+  private val querySlots =
+    if (maxQueryConnections > 0)
+      new java.util.concurrent.Semaphore(maxQueryConnections) else null
+  private val ingestSlots =
+    if (maxIngestConnections > 0)
+      new java.util.concurrent.Semaphore(maxIngestConnections) else null
+
+  private def admitted(ex: HttpExchange,
+      slots: java.util.concurrent.Semaphore)(f: => Unit): Unit =
+    if (slots == null) f
+    else if (!slots.tryAcquire(100, java.util.concurrent.TimeUnit.MILLISECONDS))
+      respond(ex, 503, """{"error":"server at capacity, retry"}""")
+    else try f finally slots.release()
+
   // route registry: every mounted context path, in mount order — the
   // OpenApiSpec asserts the served API description covers each of these
   private val mountedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -175,20 +204,24 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   def routes: Seq[String] = mountedPaths.toList
 
   mount("/query/aql", (ex: HttpExchange) => handle(ex) {
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-    if (accept == "application/hll") {
-      val first = graft.aql.AqlJson.parseRequest(body).queries.head
-      val bin = service.aqlBinary(write(first))
-      respondBytes(ex, 200, "application/hll", bin)
-    } else {
-      respond(ex, 200, service.aql(body))
+    admitted(ex, querySlots) {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+      if (accept == "application/hll") {
+        val first = graft.aql.AqlJson.parseRequest(body).queries.head
+        val bin = service.aqlBinary(write(first))
+        respondBytes(ex, 200, "application/hll", bin)
+      } else {
+        respond(ex, 200, service.aql(body))
+      }
     }
   })
 
   mount("/query/sql", (ex: HttpExchange) => handle(ex) {
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    respond(ex, 200, service.sql(body))
+    admitted(ex, querySlots) {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200, service.sql(body))
+    }
   })
 
   // operational metrics: query counts + per-query wall time / rows scanned
@@ -349,23 +382,25 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // its version word) — a client built against the reference's wire format
   // can POST here unmodified (ref api/data_handler.go:50-67).
   mount("/data/", (ex: HttpExchange) => handle(ex) {
-    val table = ex.getRequestURI.getPath.stripPrefix("/data/").takeWhile(_ != '/')
-    val td = catalog(table)
-    if (td.primaryKey.isEmpty)
-      throw new IllegalArgumentException(s"table $table has no primary key")
-    val raw = ex.getRequestBody.readAllBytes()
-    val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-    val n =
-      if (contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw))
-        // enum-dictionary resolution and the ingest run under ONE table
-        // lock (reentrant with ingest's own): a concurrent enum-case
-        // extension can no longer slip between dictionary read and row
-        // decode and null out fresh cases mid-batch
-        tableLocks.getOrElseUpdate(table, new Object).synchronized {
-          ingest(td, binaryBatchToJson(table, UpsertBatchWire.decode(raw)))
-        }
-      else ingest(td, new String(raw, StandardCharsets.UTF_8))
-    respond(ex, 200, s"""{"rowsInserted":$n}""")
+    admitted(ex, ingestSlots) {
+      val table = ex.getRequestURI.getPath.stripPrefix("/data/").takeWhile(_ != '/')
+      val td = catalog(table)
+      if (td.primaryKey.isEmpty)
+        throw new IllegalArgumentException(s"table $table has no primary key")
+      val raw = ex.getRequestBody.readAllBytes()
+      val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val n =
+        if (contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw))
+          // enum-dictionary resolution and the ingest run under ONE table
+          // lock (reentrant with ingest's own): a concurrent enum-case
+          // extension can no longer slip between dictionary read and row
+          // decode and null out fresh cases mid-batch
+          tableLocks.getOrElseUpdate(table, new Object).synchronized {
+            ingest(td, binaryBatchToJson(table, UpsertBatchWire.decode(raw)))
+          }
+        else ingest(td, new String(raw, StandardCharsets.UTF_8))
+      respond(ex, 200, s"""{"rowsInserted":$n}""")
+    }
   })
 
   /** Decoded binary upsert batch → the JSON row array the overlay ingest

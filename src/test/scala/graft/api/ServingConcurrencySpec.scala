@@ -84,6 +84,32 @@ class ServingConcurrencySpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("query admission bound 503s the excess query but never starves ingest") {
+    val server = new GraftServer(slowCatalog(2000), spark,
+      maxQueryConnections = 1)
+    server.start()
+    try {
+      val q = """{"queries": [{"table": "slowdim",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}"""
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val threads = (1 to 2).map { _ =>
+        val t = new Thread(() =>
+          codes.add(post(server.boundPort, "/query/aql", q).statusCode()))
+        t.start(); t
+      }
+      Thread.sleep(500) // one query holds the single slot, one got 503
+      // ingestion has its OWN (unbounded here) admission class: a write
+      // lands while the query slot is saturated
+      val ing = post(server.boundPort, "/data/slowdim",
+        """[{"doc_id": 999999, "text": "fresh", "lang": "en", "source": "t", "n_chars": 5}]""")
+      assert(ing.statusCode() == 200,
+        s"ingest starved by query saturation: ${ing.body()}")
+      threads.foreach(_.join(15000))
+      assert(codes.size == 2 && codes.contains(200) && codes.contains(503),
+        s"expected one 200 + one 503, got $codes")
+    } finally server.stop()
+  }
+
   test("a query past the deadline is cancelled with a named error") {
     // every row of `slow` sleeps, so max(slow) is a genuinely long Spark
     // job (~8 s: 4 tasks x 16 rows x 500 ms on local[4]) that the 2 s
