@@ -284,6 +284,27 @@ object TimeQueries {
             sum(col("value").cast(dec)).cast(DoubleType).as("total")))
         .select("window_start", "window_end", "cnt", "total")
         .orderBy("window_start")
+    },
+
+    // --- gap (sampling) windows (r11): 15min windows every 1h — the
+    // stride > size regime Spark's window() rejects, served by the
+    // floor-bucketing branch: an event belongs iff its offset within the
+    // stride is under the window size, 3/4 of events fall in gaps
+    QueryDef("q_bucket_hopping_gap",
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS t, value FROM events
+        |           WHERE (epoch_us(ts) // 1000000) % 3600 < 900)
+        |SELECT CAST((t // 3600) * 3600 AS BIGINT) AS window_start,
+        |  CAST((t // 3600) * 3600 + 900 AS BIGINT) AS window_end,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM e GROUP BY 1, 2
+        |ORDER BY window_start NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.hoppingAgg(Tables.events(s, d), "ts",
+          sizeSec = 900, strideSec = 3600,
+          Seq(count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec)).cast(DoubleType).as("total")))
+        .select("window_start", "window_end", "cnt", "total")
+        .orderBy("window_start")
     }
   )
 }
