@@ -359,9 +359,14 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           s"${graft.ingest.Archiver.DayCol}=${safeSegment(day)}/${safeSegment(file)}")
         val fs = p.getFileSystem(conf)
         require(fs.exists(p), s"no such file $day/$file")
+        // STREAMED, not buffered: archive parquet files are written at
+        // row-group scale and can be hundreds of MB — a whole-file byte[]
+        // per transfer would let one bootstrapping peer OOM the server
+        val len = fs.getFileStatus(p).getLen
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        ex.sendResponseHeaders(200, len)
         val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        respondBytes(ex, 200, "application/octet-stream", bytes)
+        try in.transferTo(ex.getResponseBody) finally in.close()
       case other =>
         throw new IllegalArgumentException(s"unsupported bootstrap route: $other")
     }

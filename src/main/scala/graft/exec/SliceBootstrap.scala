@@ -94,19 +94,27 @@ object SliceBootstrap {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     val client = HttpClient.newHttpClient()
-    def fetch(path: String): Array[Byte] = {
+    def fetchList(path: String): Seq[String] = {
       val resp = client.send(
         HttpRequest.newBuilder(URI.create(s"$peerUrl$path")).GET().build(),
-        HttpResponse.BodyHandlers.ofByteArray())
+        HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200,
-        s"peer $peerUrl$path returned ${resp.statusCode()}: " +
-          new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8).take(200))
-      resp.body()
-    }
-    def fetchList(path: String): Seq[String] =
-      org.json4s.jackson.JsonMethods.parse(
-          new String(fetch(path), java.nio.charset.StandardCharsets.UTF_8))
+        s"peer $peerUrl$path returned ${resp.statusCode()}: ${resp.body().take(200)}")
+      org.json4s.jackson.JsonMethods.parse(resp.body())
         .children.collect { case org.json4s.JString(s) => s }
+    }
+    // file bodies STREAM to disk (InputStream body handler) — a day's
+    // parquet file can be hundreds of MB and must never sit in a byte[]
+    def fetchTo(path: String, out: java.io.OutputStream): Unit = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$peerUrl$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      val in = resp.body()
+      try {
+        require(resp.statusCode() == 200, s"peer $peerUrl$path returned ${resp.statusCode()}")
+        in.transferTo(out)
+      } finally in.close()
+    }
 
     val dst = new Path(localDir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,7 +129,7 @@ object SliceBootstrap {
         fs.mkdirs(tmp)
         fetchList(s"/bootstrap/$table/$day/files").foreach { f =>
           val out = fs.create(new Path(tmp, f), true)
-          try out.write(fetch(s"/bootstrap/$table/$day/$f")) finally out.close()
+          try fetchTo(s"/bootstrap/$table/$day/$f", out) finally out.close()
         }
         require(fs.rename(tmp, target), s"peer bootstrap rename failed for $target")
         copied += day
