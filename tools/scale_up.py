@@ -16,6 +16,12 @@ shape, not 10x copies:
 - embeddings: replica r>0 perturbs each value relatively
   (e*(1+eps*sin(vec_id*31+i*7+r*131)), eps=0.02) — same distribution, no
   cross-replica exact duplicates; vec_id' = vec_id + r*1_000_000.
+- files are written with BOUNDED ROW GROUPS (5000 rows) so the scaled
+  corpus is SPLITTABLE: the driver's own sf* files are single-row-group
+  (one scan task no matter the size — fine at 600k rows, pathological at
+  50x that), and a scale rung that can't parallelize its first stage
+  measures the file layout, not the engine. Real 100 TB inputs arrive as
+  many files; bounded row groups model that.
 
 Usage: tools/scale_up.py SRC_DIR DST_DIR FACTOR
 """
@@ -47,7 +53,7 @@ def scale_documents(src, dst, factor):
             "n_chars": pa.array([len(x) for x in rt], pa.int64()),
         }))
     out = pa.concat_tables(parts)
-    pq.write_table(out, dst)
+    pq.write_table(out, dst, row_group_size=5000)
     return out.num_rows
 
 
@@ -71,7 +77,7 @@ def scale_embeddings(src, dst, factor):
             "label": label,
         }))
     out = pa.concat_tables(parts)
-    pq.write_table(out, dst)
+    pq.write_table(out, dst, row_group_size=5000)
     return out.num_rows
 
 
