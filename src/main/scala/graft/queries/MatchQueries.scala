@@ -184,9 +184,12 @@ object MatchQueries {
         concat(lit("A "), (col("doc_id") % 7).cast("string"), lit(Sep),
           col("text"), lit(Sep), col("text"),
           lit(Sep), lit("A "), (col("doc_id") % 7).cast("string")).as("text"))
-      Dedup.dedupWithinDoc(injected, "doc_id", "text", Sep)
+      // input sorted, not the output: a global orderBy over the fold's
+      // no-exchange output re-executes the whole per-doc dedup for range
+      // sampling (the q_quality_classifier lesson, BENCH_NOTES r11); the
+      // fold is a projection, so input order survives
+      Dedup.dedupWithinDoc(injected.orderBy("doc_id"), "doc_id", "text", Sep)
         .select(col("doc_id"), col("n_removed"), md5(col("text")).as("text_fp"))
-        .orderBy("doc_id")
     },
 
     // --- n-gram uniqueness: the templated-text detector (low fraction =
