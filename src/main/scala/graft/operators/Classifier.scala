@@ -140,7 +140,11 @@ object Classifier {
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("w_milli"), lit(0L))).as("__sum"),
         count(lit(1)).as("__n"))
-    finish(toks.join(sums, Seq(idCol), "left")
+    // join the RAW docs, not the tokenized frame: the sums already carry
+    // everything finish() needs, and joining `toks` would shuffle the
+    // derived token ARRAY (text-sized) through the id join only to drop
+    // it — at corpus scale that doubles the join's shuffled bytes
+    finish(docs.join(sums, Seq(idCol), "left")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
       .withColumn("__sum", coalesce(col("__sum"), lit(0L))), threshold)
   }
