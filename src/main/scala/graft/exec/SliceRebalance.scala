@@ -24,9 +24,11 @@ import org.json4s.jackson.JsonMethods
   * possible (the first `days % n` slices carry one extra day).
   * Contiguous ranges keep each member a day-range slice — the
   * deployment shape the broker and the day-pruned archive scan already
-  * optimize for — and growth by one member moves only range-boundary
-  * days (≤ a 1/n share per survivor), never reshuffles the whole
-  * corpus the way a mod-n hash assignment would.
+  * optimize for. Movement on a grow: every boundary shifts left, so
+  * about HALF the days change owner (the per-slice overlaps sum to
+  * D/2 exactly under equal splitting) — better than a mod-n hash
+  * assignment (~n/(n+1) moves) but not consistent-hashing-minimal;
+  * the contiguity/pruning property is what's being bought.
   *
   * At 100 TB: the copy volume of a 2→3 grow is bounded by the new
   * member's 1/3 share; every copy is day-partition-granular, idempotent

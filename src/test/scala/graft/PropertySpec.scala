@@ -166,4 +166,40 @@ class PropertySpec extends AnyFunSuite {
         s"t=$t stride=$stride size=$size covered by ${covering.size}")
     }
   }
+
+  test("rebalance ownership: total, disjoint, contiguous, near-equal, bounded movement") {
+    import graft.exec.SliceRebalance.ownership
+    val gen = for {
+      nDays <- Gen.chooseNum(0, 60)
+      nSlices <- Gen.chooseNum(1, 8)
+      ids <- Gen.listOfN(nSlices, Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty))
+    } yield (nDays, ids)
+    forAllN(gen, 300) { case (nDays, ids0) =>
+      val ids = ids0.distinct
+      val days = (1 to nDays).map(i => f"2024-${1 + i / 28}%02d-${1 + i % 28}%02d")
+      val own = ownership(days, ids)
+      val all = own.values.flatten.toSeq.sorted
+      // total + disjoint: every day owned exactly once
+      assert(all == days.sorted.distinct, s"ownership not a partition: $own")
+      // contiguous per slice, ranges follow sorted slice-id order
+      val sortedIds = ids.sorted
+      val concat = sortedIds.flatMap(own(_))
+      assert(concat == days.sorted.distinct, s"ranges out of order: $own")
+      // near-equal: sizes differ by at most 1
+      val sizes = own.values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced: $own")
+      // bounded movement on grow: adding one slice (sorting last) shifts
+      // every boundary left, so ~half the days keep their owner — moved
+      // days ≤ ceil(D/2) + (n+1) rounding slack (equal-split overlap sums
+      // to D/2 exactly; see SliceRebalance scaladoc), and each slice's
+      // new range is still one contiguous run
+      if (ids.nonEmpty && nDays > 0) {
+        val grown = ownership(days, ids :+ (ids.max + "zz"))
+        val kept = ids.map(id => own(id).count(grown(id).contains)).sum
+        val moved = days.distinct.size - kept
+        assert(moved <= days.distinct.size / 2 + ids.size + 1,
+          s"grow moved $moved of ${days.distinct.size} days: $own -> $grown")
+      }
+    }
+  }
 }
