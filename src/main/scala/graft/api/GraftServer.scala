@@ -167,9 +167,19 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // bounded request pool: without setExecutor the JDK server runs EVERY
   // exchange on its single dispatcher thread — queries, ingests, and
   // health probes all serialize. Daemon threads so a forgotten stop()
-  // can't pin the JVM.
+  // can't pin the JVM. The pool must be AT LEAST as large as the total
+  // admission capacity: the executor's queue is unbounded and admission
+  // is checked only once a pool thread picks the exchange up, so a pool
+  // smaller than the admission classes would make the semaphores
+  // unreachable (requests would queue in the executor instead of
+  // 503ing) — with bounds set, threads are the reference's
+  // thread-per-connection model (ares.yaml's 650 connections) and the
+  // semaphores are the binding constraint.
+  private val poolThreads = math.max(serverThreads,
+    (if (maxQueryConnections > 0 || maxIngestConnections > 0)
+      maxQueryConnections + maxIngestConnections + 4 else 0))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    serverThreads,
+    poolThreads,
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
   server.setExecutor(pool)
 
@@ -185,6 +195,12 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private val ingestSlots =
     if (maxIngestConnections > 0)
       new java.util.concurrent.Semaphore(maxIngestConnections) else null
+  // peer-bootstrap file streams pin a pool thread for a whole (possibly
+  // multi-hundred-MB) transfer — ALWAYS bounded, so a few bootstrapping
+  // peers can never occupy every thread and starve health/query/ingest;
+  // a 503'd peer simply retries the file
+  private val bootstrapSlots = new java.util.concurrent.Semaphore(
+    math.max(2, serverThreads / 4))
 
   private def admitted(ex: HttpExchange,
       slots: java.util.concurrent.Semaphore)(f: => Unit): Unit =
@@ -354,7 +370,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           .map(_.getPath.getName).sorted
         respond(ex, 200, JsonMethods.compact(JsonMethods.render(
           JArray(files.map(JString(_)).toList))))
-      case table :: day :: file :: Nil =>
+      case table :: day :: file :: Nil => admitted(ex, bootstrapSlots) {
         val p = new org.apache.hadoop.fs.Path(bootstrapRoot(table),
           s"${graft.ingest.Archiver.DayCol}=${safeSegment(day)}/${safeSegment(file)}")
         val fs = p.getFileSystem(conf)
@@ -367,6 +383,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         ex.sendResponseHeaders(200, len)
         val in = fs.open(p)
         try in.transferTo(ex.getResponseBody) finally in.close()
+      }
       case other =>
         throw new IllegalArgumentException(s"unsupported bootstrap route: $other")
     }

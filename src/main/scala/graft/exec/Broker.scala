@@ -116,6 +116,10 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     // within each class) — a host that failed a recent query is only
     // consulted after every healthy peer has been tried
     val now = System.currentTimeMillis()
+    // opportunistic pruning: under a dynamic topology, departed hosts
+    // (fresh host:port per redeploy) would otherwise accumulate forever —
+    // an expired demotion is dead weight either way
+    demotedUntil.filterInPlace((_, until) => until > now)
     val ordered =
       if (healthMemoryMillis <= 0) slice
       else slice.sortBy(h => if (demotedUntil.get(h).exists(_ > now)) 1 else 0)

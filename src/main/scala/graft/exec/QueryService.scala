@@ -55,19 +55,33 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       sc.setJobGroup(groupId, "graft query under deadline", interruptOnCancel = true)
       val cancel = watchdog.schedule(new Runnable {
-        def run(): Unit = { fired.set(true); sc.cancelJobGroup(groupId) }
+        // ...AndFutureJobs: a multi-job execution (any AQE plan is a
+        // SEQUENCE of stage jobs) can be between jobs when the deadline
+        // fires — plain cancelJobGroup would find nothing active and the
+        // query would sail past its deadline on the next submitted job
+        def run(): Unit = { fired.set(true); sc.cancelJobGroupAndFutureJobs(groupId) }
       }, queryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       try f
       catch {
-        // the cancellation surfaces as a SparkException from collect();
-        // rethrow under the deadline's name so clients see the cause,
-        // not Spark internals
-        case NonFatal(_) if fired.get() => throw new IllegalStateException(
-          s"query deadline exceeded (${queryTimeoutSec}s)")
+        // rethrow CANCELLATIONS under the deadline's name so clients see
+        // the cause, not Spark internals — but only genuine
+        // cancellations: a real failure that happens to land after the
+        // watchdog fired must keep its own message
+        case NonFatal(e) if fired.get() && isCancellation(e) =>
+          throw new IllegalStateException(
+            s"query deadline exceeded (${queryTimeoutSec}s)")
       } finally {
         cancel.cancel(false)
         sc.clearJobGroup()
       }
+    }
+
+  private def isCancellation(e: Throwable): Boolean =
+    if (e == null) false
+    else {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("cancelled") || m.contains("SPARK_JOB_CANCELLED") ||
+        e.isInstanceOf[InterruptedException] || isCancellation(e.getCause)
     }
 
   /** Execute an AQLRequest JSON body: `{"queries": [{...}, ...]}`. */

@@ -88,16 +88,24 @@ object SliceBootstrap {
     * re-encode round trip — the wire unit is the parquet file itself,
     * like the reference streams raw batch vectors).
     */
+  /** @param requestTimeout bound on EVERY peer interaction (connect and
+    *   per-request): a peer that accepts connections but never answers
+    *   must fail the bootstrap loudly so automation retries another
+    *   replica — an unbounded client would hang the replacement forever
+    *   with no signal
+    */
   def copySliceFromPeer(spark: SparkSession, peerUrl: String, table: String,
       localDir: String, fromDay: Option[String] = None,
-      toDay: Option[String] = None): Seq[String] = {
+      toDay: Option[String] = None,
+      requestTimeout: java.time.Duration =
+        java.time.Duration.ofSeconds(120)): Seq[String] = {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-    val client = HttpClient.newHttpClient()
+    val client = HttpClient.newBuilder().connectTimeout(requestTimeout).build()
+    def get(path: String) = HttpRequest.newBuilder(URI.create(s"$peerUrl$path"))
+      .timeout(requestTimeout).GET().build()
     def fetchList(path: String): Seq[String] = {
-      val resp = client.send(
-        HttpRequest.newBuilder(URI.create(s"$peerUrl$path")).GET().build(),
-        HttpResponse.BodyHandlers.ofString())
+      val resp = client.send(get(path), HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200,
         s"peer $peerUrl$path returned ${resp.statusCode()}: ${resp.body().take(200)}")
       org.json4s.jackson.JsonMethods.parse(resp.body())
@@ -106,9 +114,7 @@ object SliceBootstrap {
     // file bodies STREAM to disk (InputStream body handler) — a day's
     // parquet file can be hundreds of MB and must never sit in a byte[]
     def fetchTo(path: String, out: java.io.OutputStream): Unit = {
-      val resp = client.send(
-        HttpRequest.newBuilder(URI.create(s"$peerUrl$path")).GET().build(),
-        HttpResponse.BodyHandlers.ofInputStream())
+      val resp = client.send(get(path), HttpResponse.BodyHandlers.ofInputStream())
       val in = resp.body()
       try {
         require(resp.statusCode() == 200, s"peer $peerUrl$path returned ${resp.statusCode()}")

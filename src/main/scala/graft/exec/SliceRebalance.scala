@@ -74,16 +74,47 @@ object SliceRebalance {
       localDirs: Map[String, String], topologyDir: String): Assignment = {
     val days = SliceBootstrap.localDays(spark, sharedArchiveDir)
     val owners = ownership(days, localDirs.keys.toSeq)
-    // storage first, publication last — and copies before drops, so a
-    // crash mid-rebalance leaves days over-replicated (harmless to a
-    // re-run), never unowned
+    // copy → PUBLISH → drop: members serving through [[servingCatalog]]
+    // answer only for days the published assignment grants them, so the
+    // over-replicated state between copy and drop (or after a crash
+    // anywhere in the sequence) can never double count — storage is a
+    // superset of ownership throughout, and the drops are pure GC after
+    // the ownership switch
     owners.foreach { case (slice, owned) =>
       SliceBootstrap.copyDays(spark, sharedArchiveDir, localDirs(slice), owned.toSet)
     }
+    val published = publish(topologyDir, owners)
     owners.foreach { case (slice, owned) =>
       SliceBootstrap.retainDays(spark, localDirs(slice), owned.toSet)
     }
-    publish(topologyDir, owners)
+    published
+  }
+
+  /** `base` with its `events` fact table served ASSIGNMENT-AWARE from
+    * `localDir`: the load filters to the days the PUBLISHED assignment
+    * grants `slice` — the reference's serve-by-owned-shards contract.
+    * Storage may be over-replicated (mid-rebalance copies, deferred
+    * drops, crash windows) without this member ever double answering;
+    * the assignment document is re-read per query (one small file,
+    * atomically renamed — a torn read is impossible), so a publish takes
+    * effect on every member's NEXT query with no restart. With no
+    * published assignment the member serves its whole local dir (the
+    * pre-rebalance deployment). The day filter is a literal IN-list on
+    * the partition column — statically pruned at the scan.
+    */
+  def servingCatalog(base: graft.aql.Catalog, localDir: String,
+      topologyDir: String, slice: String): graft.aql.Catalog = {
+    val ev = base.tables("events")
+    base.copy(tables = base.tables + ("events" -> ev.copy(load = s => {
+      val df = s.read.parquet(localDir)
+      read(topologyDir) match {
+        case Some(a) =>
+          val owned = a.owners.getOrElse(slice, Nil)
+          df.where(org.apache.spark.sql.functions.col(graft.ingest.Archiver.DayCol)
+            .isin(owned: _*))
+        case None => df
+      }
+    })))
   }
 
   /** Current published assignment, if any. */

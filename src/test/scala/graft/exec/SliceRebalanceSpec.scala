@@ -66,8 +66,13 @@ class SliceRebalanceSpec extends SparkSpec {
 
     val base = Catalog.testdata(sfDir)
     val whole = new GraftServer(base, spark)
-    val pa = new GraftServer(SliceBootstrap.eventsCatalog(base, dirs2("a")), spark)
-    val pb = new GraftServer(SliceBootstrap.eventsCatalog(base, dirs2("b")), spark)
+    // assignment-aware serving: each member answers ONLY for days the
+    // published assignment grants it, so over-replicated storage can
+    // never double count
+    val pa = new GraftServer(
+      SliceRebalance.servingCatalog(base, dirs2("a"), topoDir, "a"), spark)
+    val pb = new GraftServer(
+      SliceRebalance.servingCatalog(base, dirs2("b"), topoDir, "b"), spark)
     Seq(whole, pa, pb).foreach(_.start())
     val client = java.net.http.HttpClient.newHttpClient()
     def answer(port: Int): String = {
@@ -103,7 +108,8 @@ class SliceRebalanceSpec extends SparkSpec {
         v1.owners("a").contains(d) || v1.owners("b").contains(d)))
 
       // merged answers identical through the NEW 3-member placement
-      val pc = new GraftServer(SliceBootstrap.eventsCatalog(base, dirs3("c")), spark)
+      val pc = new GraftServer(
+        SliceRebalance.servingCatalog(base, dirs3("c"), topoDir, "c"), spark)
       pc.start()
       try {
         val broker3 = new Broker(Seq(
@@ -122,6 +128,17 @@ class SliceRebalanceSpec extends SparkSpec {
         assert(v2again == v2, "re-run must not bump the version or move data")
         assert(SliceRebalance.read(topoDir).contains(v2))
         assert(normalize((JsonMethods.parse(broker3.aql(countQuery)): JValue)) == expected)
+
+        // ---- over-replication cannot double count: copy one of a's
+        // owned days into c's storage WITHOUT dropping it anywhere (the
+        // mid-rebalance / crashed-drop window) — assignment-aware serving
+        // keeps the merged answer exact
+        val aDay = v2.owners("a").head
+        SliceBootstrap.copyDays(spark, sharedDir, dirs3("c"), Set(aDay))
+        assert(SliceBootstrap.localDays(spark, dirs3("c")).contains(aDay))
+        assert(normalize((JsonMethods.parse(broker3.aql(countQuery)): JValue)) == expected,
+          "an over-replicated day was double counted")
+        SliceBootstrap.retainDays(spark, dirs3("c"), v2.owners("c").toSet)
       } finally pc.stop()
     } finally Seq(whole, pa, pb).foreach(_.stop())
   }
