@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Operator entrypoint for a slice rebalance — run when the member set
+  * changes (spark-submit or bare `runMain`), the role of the reference
+  * controller's assignment recompute
+  * (/root/reference/controller/handlers/assignment.go):
+  *
+  *   SPARK_GRAFT_SHARED_ARCHIVE  the authoritative day-partitioned
+  *                               archive (source of truth for the day
+  *                               list and the copies)
+  *   SPARK_GRAFT_TOPOLOGY_DIR    where the versioned assignment document
+  *                               publishes (members with
+  *                               SPARK_GRAFT_ASSIGNMENT serve by it)
+  *   SPARK_GRAFT_SLICE_DIRS      `slice=localDir` pairs, comma-separated
+  *                               — the NEW member set and each member's
+  *                               instance-local storage root
+  *
+  * Copy → publish → drop: safe to re-run, safe to crash anywhere (see
+  * [[graft.exec.SliceRebalance]]).
+  */
+object RebalanceMain {
+  def main(args: Array[String]): Unit = {
+    val shared = sys.env.getOrElse("SPARK_GRAFT_SHARED_ARCHIVE",
+      sys.error("SPARK_GRAFT_SHARED_ARCHIVE is required"))
+    val topoDir = sys.env.getOrElse("SPARK_GRAFT_TOPOLOGY_DIR",
+      sys.error("SPARK_GRAFT_TOPOLOGY_DIR is required"))
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SLICE_DIRS",
+      sys.error("SPARK_GRAFT_SLICE_DIRS is required (slice=dir,slice=dir,...)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty && v.nonEmpty => k -> v
+          case _ => sys.error(s"bad SPARK_GRAFT_SLICE_DIRS entry '$kv'")
+        }
+      }.toMap
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val a = graft.exec.SliceRebalance.rebalance(spark, shared, dirs, topoDir)
+    println(s"[rebalance] published assignment v${a.version}: " +
+      a.owners.toSeq.sortBy(_._1).map { case (s, ds) =>
+        s"$s=${ds.size} days"
+      }.mkString(", "))
+    spark.stop()
+  }
+}

@@ -42,6 +42,12 @@ import org.apache.spark.sql.SparkSession
   *                           excess requests 503 fast instead of
   *                           queueing (the reference's 300 query + 300
   *                           ingestion split, ares.yaml:17-22)
+  *   SPARK_GRAFT_LOCAL_STORE + SPARK_GRAFT_TOPOLOGY_DIR  (with
+  *                           SPARK_GRAFT_SLICE) assignment-aware slice
+  *                           serving: events load from instance-local
+  *                           storage filtered to the days the published
+  *                           assignment grants this slice (see
+  *                           RebalanceMain / SliceRebalance)
   *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
   *                           (0/unset = no cache manager); column-config
   *                           preloadingDays/priority updates then pin
@@ -56,6 +62,12 @@ object ServerMain {
     val schemaDir = sys.env.get("SPARK_GRAFT_SCHEMA_DIR").filter(_.nonEmpty)
     // under spark-submit the master/conf come from the submit command; the
     // setIfMissing-style defaults below only bind for bare `java -cp` runs
+    // assignment-aware slice serving (optional): with all three set, the
+    // events fact table serves from instance-local storage FILTERED to
+    // the days the published assignment grants this slice — the
+    // rebalance-safe serving mode (SliceRebalance.servingCatalog)
+    val localStore = sys.env.get("SPARK_GRAFT_LOCAL_STORE").filter(_.nonEmpty)
+    val topologyDir = sys.env.get("SPARK_GRAFT_TOPOLOGY_DIR").filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,8 +75,17 @@ object ServerMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val baseCatalog = graft.aql.Catalog.testdata(sfDir)
+    val catalog = (localStore, topologyDir) match {
+      case (Some(local), Some(topo)) =>
+        val slice = sys.env.getOrElse("SPARK_GRAFT_SLICE", "s0")
+        println(s"[graft] assignment-aware serving: slice $slice from $local, " +
+          s"assignment at $topo")
+        graft.exec.SliceRebalance.servingCatalog(baseCatalog, local, topo, slice)
+      case _ => baseCatalog
+    }
     val server = new graft.api.GraftServer(
-      graft.aql.Catalog.testdata(sfDir), spark, port,
+      catalog, spark, port,
       schemaSyncDir = schemaDir,
       // serving concurrency + per-query deadline (ref ares.yaml:17-22)
       serverThreads =
