@@ -26,14 +26,21 @@ object RebalanceMain {
       sys.error("SPARK_GRAFT_SHARED_ARCHIVE is required"))
     val topoDir = sys.env.getOrElse("SPARK_GRAFT_TOPOLOGY_DIR",
       sys.error("SPARK_GRAFT_TOPOLOGY_DIR is required"))
-    val dirs = sys.env.getOrElse("SPARK_GRAFT_SLICE_DIRS",
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_SLICE_DIRS",
       sys.error("SPARK_GRAFT_SLICE_DIRS is required (slice=dir,slice=dir,...)"))
       .split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
         kv.split("=", 2) match {
           case Array(k, v) if k.nonEmpty && v.nonEmpty => k -> v
           case _ => sys.error(s"bad SPARK_GRAFT_SLICE_DIRS entry '$kv'")
         }
-      }.toMap
+      }.toSeq
+    // a duplicated slice id (usually a typo for another member) must not
+    // silently collapse via toMap — the dropped member's storage would
+    // keep serving stale days with no error
+    val dupes = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+    if (dupes.nonEmpty)
+      sys.error(s"duplicate slice id(s) in SPARK_GRAFT_SLICE_DIRS: ${dupes.mkString(", ")}")
+    val dirs = pairs.toMap
     val spark = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master",
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))

@@ -47,7 +47,16 @@ import org.apache.spark.sql.SparkSession
   *                           serving: events load from instance-local
   *                           storage filtered to the days the published
   *                           assignment grants this slice (see
-  *                           RebalanceMain / SliceRebalance)
+  *                           RebalanceMain / SliceRebalance). NOTE:
+  *                           assignment-aware members are QUERY-SERVING
+  *                           replicas of the archive — a live events
+  *                           overlay (local ingest) serves this
+  *                           member's OWN fresh rows in addition, and a
+  *                           scheduler DRAIN of events would snapshot
+  *                           the old assignment's day set (the drained
+  *                           dir bypasses the per-query assignment
+  *                           filter), so disable events drains on
+  *                           assignment-aware members
   *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
   *                           (0/unset = no cache manager); column-config
   *                           preloadingDays/priority updates then pin

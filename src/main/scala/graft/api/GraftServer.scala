@@ -175,9 +175,13 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // 503ing) — with bounds set, threads are the reference's
   // thread-per-connection model (ares.yaml's 650 connections) and the
   // semaphores are the binding constraint.
+  // bootstrap transfers always have their own admission class (below),
+  // so its capacity counts toward the pool too — otherwise combined
+  // saturation would queue in the executor instead of 503ing
+  private val bootstrapCapacity = math.max(2, serverThreads / 4)
   private val poolThreads = math.max(serverThreads,
     (if (maxQueryConnections > 0 || maxIngestConnections > 0)
-      maxQueryConnections + maxIngestConnections + 4 else 0))
+      maxQueryConnections + maxIngestConnections + bootstrapCapacity + 4 else 0))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     poolThreads,
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
@@ -198,9 +202,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // peer-bootstrap file streams pin a pool thread for a whole (possibly
   // multi-hundred-MB) transfer — ALWAYS bounded, so a few bootstrapping
   // peers can never occupy every thread and starve health/query/ingest;
-  // a 503'd peer simply retries the file
-  private val bootstrapSlots = new java.util.concurrent.Semaphore(
-    math.max(2, serverThreads / 4))
+  // a 503'd peer backs off and retries (copySliceFromPeer's 503 loop)
+  private val bootstrapSlots =
+    new java.util.concurrent.Semaphore(bootstrapCapacity)
 
   private def admitted(ex: HttpExchange,
       slots: java.util.concurrent.Semaphore)(f: => Unit): Unit =

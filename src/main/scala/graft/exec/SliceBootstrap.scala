@@ -104,44 +104,80 @@ object SliceBootstrap {
     val client = HttpClient.newBuilder().connectTimeout(requestTimeout).build()
     def get(path: String) = HttpRequest.newBuilder(URI.create(s"$peerUrl$path"))
       .timeout(requestTimeout).GET().build()
+    // 503 = the peer's bounded bootstrap admission class is full (other
+    // transfers in flight) — back off and retry instead of aborting the
+    // whole bootstrap; any other non-200 is fatal
+    def sendRetrying[T](path: String,
+        handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+      var waitMs = 1000L
+      var waited = 0L
+      while (true) {
+        val resp = client.send(get(path), handler)
+        if (resp.statusCode() != 503) return resp
+        if (waited >= requestTimeout.toMillis) throw new java.io.IOException(
+          s"peer $peerUrl$path still at capacity after ${waited}ms")
+        Thread.sleep(waitMs)
+        waited += waitMs
+        waitMs = math.min(waitMs * 2, 15000L)
+      }
+      throw new IllegalStateException("unreachable")
+    }
     def fetchList(path: String): Seq[String] = {
-      val resp = client.send(get(path), HttpResponse.BodyHandlers.ofString())
+      val resp = sendRetrying(path, HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200,
         s"peer $peerUrl$path returned ${resp.statusCode()}: ${resp.body().take(200)}")
       org.json4s.jackson.JsonMethods.parse(resp.body())
         .children.collect { case org.json4s.JString(s) => s }
     }
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-bootstrap-watchdog"); t.setDaemon(true); t })
     // file bodies STREAM to disk (InputStream body handler) — a day's
-    // parquet file can be hundreds of MB and must never sit in a byte[]
+    // parquet file can be hundreds of MB and must never sit in a byte[].
+    // The HTTP request timeout only covers up to the response HEADERS, so
+    // the body copy gets its own deadline: a watchdog closes the stream
+    // if the transfer outlives `requestTimeout`, turning a peer frozen
+    // mid-body into a loud IOException instead of a silent forever-hang
     def fetchTo(path: String, out: java.io.OutputStream): Unit = {
-      val resp = client.send(get(path), HttpResponse.BodyHandlers.ofInputStream())
+      val resp = sendRetrying(path, HttpResponse.BodyHandlers.ofInputStream())
       val in = resp.body()
+      val killer = watchdog.schedule(new Runnable {
+        def run(): Unit = try in.close() catch { case _: Throwable => () }
+      }, requestTimeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
         require(resp.statusCode() == 200, s"peer $peerUrl$path returned ${resp.statusCode()}")
         in.transferTo(out)
-      } finally in.close()
-    }
-
-    val dst = new Path(localDir)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dst)
-    val copied = Seq.newBuilder[String]
-    fetchList(s"/bootstrap/$table/days").sorted.foreach { day =>
-      val inRange = fromDay.forall(day >= _) && toDay.forall(day < _)
-      val target = new Path(dst, s"${Archiver.DayCol}=$day")
-      if (inRange && !fs.exists(target)) {
-        val tmp = new Path(dst, s".${Archiver.DayCol}=$day.copying")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        fs.mkdirs(tmp)
-        fetchList(s"/bootstrap/$table/$day/files").foreach { f =>
-          val out = fs.create(new Path(tmp, f), true)
-          try fetchTo(s"/bootstrap/$table/$day/$f", out) finally out.close()
-        }
-        require(fs.rename(tmp, target), s"peer bootstrap rename failed for $target")
-        copied += day
+      } catch {
+        case e: java.io.IOException if killer.isDone =>
+          throw new java.io.IOException(
+            s"peer $peerUrl$path body transfer exceeded ${requestTimeout.toMillis}ms", e)
+      } finally {
+        killer.cancel(false)
+        in.close()
       }
     }
-    copied.result()
+
+    try {
+      val dst = new Path(localDir)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dst)
+      val copied = Seq.newBuilder[String]
+      fetchList(s"/bootstrap/$table/days").sorted.foreach { day =>
+        val inRange = fromDay.forall(day >= _) && toDay.forall(day < _)
+        val target = new Path(dst, s"${Archiver.DayCol}=$day")
+        if (inRange && !fs.exists(target)) {
+          val tmp = new Path(dst, s".${Archiver.DayCol}=$day.copying")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          fs.mkdirs(tmp)
+          fetchList(s"/bootstrap/$table/$day/files").foreach { f =>
+            val out = fs.create(new Path(tmp, f), true)
+            try fetchTo(s"/bootstrap/$table/$day/$f", out) finally out.close()
+          }
+          require(fs.rename(tmp, target), s"peer bootstrap rename failed for $target")
+          copied += day
+        }
+      }
+      copied.result()
+    } finally watchdog.shutdown()
   }
 
   /** Copy an EXPLICIT day set (rather than a range) from the shared

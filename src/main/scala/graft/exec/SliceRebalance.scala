@@ -101,6 +101,23 @@ object SliceRebalance {
     * published assignment the member serves its whole local dir (the
     * pre-rebalance deployment). The day filter is a literal IN-list on
     * the partition column — statically pruned at the scan.
+    *
+    * A slice id ABSENT from the published assignment fails LOUDLY per
+    * query — a typo'd `SPARK_GRAFT_SLICE` would otherwise silently
+    * serve zero rows and undercount every merged aggregate. A slice
+    * PRESENT with an empty day list legitimately serves nothing (a new
+    * member of a small corpus).
+    *
+    * Operational caveats (the trade the simple document model makes):
+    * the no-double-count guarantee requires EVERY serving member to be
+    * assignment-aware — a member serving its raw local dir
+    * ([[SliceBootstrap.eventsCatalog]], meant for the static
+    * replace-a-dead-member flow) can double count during a rebalance's
+    * copy→drop window. For the FIRST rebalance of a previously
+    * assignment-less deployment, run rebalance once with the CURRENT
+    * member set (publishing the matching assignment, moving little or
+    * nothing) before growing, so the boundary-shifting grow happens
+    * under assignment-aware serving.
     */
   def servingCatalog(base: graft.aql.Catalog, localDir: String,
       topologyDir: String, slice: String): graft.aql.Catalog = {
@@ -109,7 +126,10 @@ object SliceRebalance {
       val df = s.read.parquet(localDir)
       read(topologyDir) match {
         case Some(a) =>
-          val owned = a.owners.getOrElse(slice, Nil)
+          val owned = a.owners.getOrElse(slice,
+            throw new IllegalStateException(
+              s"slice '$slice' is not in published assignment v${a.version} " +
+                s"(slices: ${a.owners.keys.toSeq.sorted.mkString(", ")})"))
           df.where(org.apache.spark.sql.functions.col(graft.ingest.Archiver.DayCol)
             .isin(owned: _*))
         case None => df

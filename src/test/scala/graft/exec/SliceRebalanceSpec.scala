@@ -27,7 +27,7 @@ class SliceRebalanceSpec extends SparkSpec {
       case other => other
     }))
 
-  test("ownership: contiguous, total, near-equal; growth moves only boundary days") {
+  test("ownership: contiguous, total, near-equal; survivors shift by bounded ranges") {
     val days = (1 to 10).map(i => f"2024-01-$i%02d")
     val two = SliceRebalance.ownership(days, Seq("b", "a"))
     assert(two("a") == days.take(5) && two("b") == days.drop(5)) // sorted ids
