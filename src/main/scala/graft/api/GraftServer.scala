@@ -209,9 +209,10 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private def admitted(ex: HttpExchange,
       slots: java.util.concurrent.Semaphore)(f: => Unit): Unit =
     if (slots == null) f
-    else if (!slots.tryAcquire(100, java.util.concurrent.TimeUnit.MILLISECONDS))
+    else if (!slots.tryAcquire(100, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+      metrics.recordRejected()
       respond(ex, 503, """{"error":"server at capacity, retry"}""")
-    else try f finally slots.release()
+    } else try f finally slots.release()
 
   // route registry: every mounted context path, in mount order — the
   // OpenApiSpec asserts the served API description covers each of these

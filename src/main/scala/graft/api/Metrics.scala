@@ -24,6 +24,14 @@ final class Metrics {
   private val recent = new java.util.ArrayDeque[QueryStat](MaxRecent)
   private val nQueries = new AtomicLong
   private val nErrors = new AtomicLong
+  // serving-tier health counters (r11): admission rejections (503s per
+  // class) and deadline cancellations — the first numbers an operator
+  // reads when clients report "server busy" or truncated queries
+  private val nRejected = new AtomicLong
+  private val nDeadline = new AtomicLong
+
+  def recordRejected(): Unit = nRejected.incrementAndGet()
+  def recordDeadline(): Unit = nDeadline.incrementAndGet()
 
   def record(stat: QueryStat): Unit = {
     nQueries.incrementAndGet()
@@ -54,7 +62,9 @@ final class Metrics {
       s"""{"endpoint":${q(s.endpoint)},"table":${q(s.table)},"wallMs":${s.wallMs},""" +
         s""""rowsScanned":${s.rowsScanned},"rowsReturned":${s.rowsReturned},"atEpochMs":${s.atEpochMs}}"""
     }.mkString("[", ",", "]")
-    s"""{"queries":${nQueries.get},"errors":${nErrors.get},"recent":$rows}"""
+    s"""{"queries":${nQueries.get},"errors":${nErrors.get},""" +
+      s""""rejected":${nRejected.get},"deadlineCancelled":${nDeadline.get},""" +
+      s""""recent":$rows}"""
   }
 }
 

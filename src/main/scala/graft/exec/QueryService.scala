@@ -68,6 +68,7 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
         // cancellations: a real failure that happens to land after the
         // watchdog fired must keep its own message
         case NonFatal(e) if fired.get() && isCancellation(e) =>
+          metrics.foreach(_.recordDeadline())
           throw new IllegalStateException(
             s"query deadline exceeded (${queryTimeoutSec}s)")
       } finally {

@@ -107,6 +107,9 @@ class ServingConcurrencySpec extends SparkSpec {
       threads.foreach(_.join(15000))
       assert(codes.size == 2 && codes.contains(200) && codes.contains(503),
         s"expected one 200 + one 503, got $codes")
+      // the rejection is an operational counter (ref reporter metrics)
+      val m = JsonMethods.parse(get(server.boundPort, "/metrics").body())
+      assert((m \ "rejected") == JInt(1), JsonMethods.compact(JsonMethods.render(m \ "rejected")))
     } finally server.stop()
   }
 
@@ -140,6 +143,10 @@ class ServingConcurrencySpec extends SparkSpec {
         """{"queries": [{"table": "documents",
           "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
       assert((JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+      // the cancellation is an operational counter
+      val m = JsonMethods.parse(get(server.boundPort, "/metrics").body())
+      assert((m \ "deadlineCancelled") == JInt(1),
+        JsonMethods.compact(JsonMethods.render(m)))
     } finally server.stop()
   }
 }
