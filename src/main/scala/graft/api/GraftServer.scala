@@ -50,8 +50,7 @@ import graft.ingest.Upsert
   *   Spark job group is cancelled at the deadline and the client gets a
   *   named `query deadline exceeded` error (ref ares.yaml:21-22
   *   read/write timeouts)
-  */
-/** @param maxQueryConnections admission bound for the query endpoints
+  * @param maxQueryConnections admission bound for the query endpoints
   *   (0 = no bound beyond the pool): the reference provisions query and
   *   ingestion concurrency SEPARATELY (ares.yaml's 300 + 300), so a
   *   query flood cannot starve ingestion of pool threads — excess
@@ -167,17 +166,13 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // bounded request pool: without setExecutor the JDK server runs EVERY
   // exchange on its single dispatcher thread — queries, ingests, and
   // health probes all serialize. Daemon threads so a forgotten stop()
-  // can't pin the JVM. The pool must be AT LEAST as large as the total
-  // admission capacity: the executor's queue is unbounded and admission
-  // is checked only once a pool thread picks the exchange up, so a pool
-  // smaller than the admission classes would make the semaphores
-  // unreachable (requests would queue in the executor instead of
-  // 503ing) — with bounds set, threads are the reference's
-  // thread-per-connection model (ares.yaml's 650 connections) and the
-  // semaphores are the binding constraint.
-  // bootstrap transfers always have their own admission class (below),
-  // so its capacity counts toward the pool too — otherwise combined
-  // saturation would queue in the executor instead of 503ing
+  // can't pin the JVM. The pool must be AT LEAST as large as the TOTAL
+  // admission capacity (query + ingest + the always-on bootstrap class):
+  // the executor's queue is unbounded and admission is checked only once
+  // a pool thread picks the exchange up, so a smaller pool would make
+  // the semaphores unreachable (requests queue instead of 503ing). With
+  // bounds set, threads are the reference's thread-per-connection model
+  // (ares.yaml's 650 connections) and the semaphores bind.
   private val bootstrapCapacity = math.max(2, serverThreads / 4)
   private val poolThreads = math.max(serverThreads,
     (if (maxQueryConnections > 0 || maxIngestConnections > 0)

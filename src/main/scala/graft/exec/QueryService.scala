@@ -77,12 +77,12 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
       }
     }
 
-  private def isCancellation(e: Throwable): Boolean =
-    if (e == null) false
+  private def isCancellation(e: Throwable, depth: Int = 0): Boolean =
+    if (e == null || depth > 16) false // depth cap: cause chains can cycle
     else {
       val m = Option(e.getMessage).getOrElse("")
       m.contains("cancelled") || m.contains("SPARK_JOB_CANCELLED") ||
-        e.isInstanceOf[InterruptedException] || isCancellation(e.getCause)
+        e.isInstanceOf[InterruptedException] || isCancellation(e.getCause, depth + 1)
     }
 
   /** Execute an AQLRequest JSON body: `{"queries": [{...}, ...]}`. */

@@ -42,7 +42,16 @@ object SliceBootstrap {
     * that a re-run would skip.
     */
   def copySlice(spark: SparkSession, sharedArchiveDir: String, localDir: String,
-      fromDay: Option[String] = None, toDay: Option[String] = None): Seq[String] = {
+      fromDay: Option[String] = None, toDay: Option[String] = None): Seq[String] =
+    copyMatching(spark, sharedArchiveDir, localDir,
+      day => fromDay.forall(day >= _) && toDay.forall(day < _))
+
+  /** Shared copy loop for [[copySlice]] / [[copyDays]]: every day the
+    * predicate admits lands with the idempotence + crash discipline
+    * (present days skip; in-flight days write to a temp name, rename).
+    */
+  private def copyMatching(spark: SparkSession, sharedArchiveDir: String,
+      localDir: String, wanted: String => Boolean): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(sharedArchiveDir)
     val dst = new Path(localDir)
@@ -57,9 +66,8 @@ object SliceBootstrap {
       .sortBy(_.getName)
       .foreach { part =>
         val day = part.getName.stripPrefix(prefix)
-        val inRange = fromDay.forall(day >= _) && toDay.forall(day < _)
         val target = new Path(dst, part.getName)
-        if (inRange && !dstFs.exists(target)) {
+        if (wanted(day) && !dstFs.exists(target)) {
           val tmp = new Path(dst, s".${part.getName}.copying")
           if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
           FileUtil.copy(srcFs, part, dstFs, tmp, false, conf)
@@ -187,33 +195,8 @@ object SliceBootstrap {
     * in-flight copies write to a temp name and rename.
     */
   def copyDays(spark: SparkSession, sharedArchiveDir: String, localDir: String,
-      days: Set[String]): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src = new Path(sharedArchiveDir)
-    val dst = new Path(localDir)
-    val srcFs = src.getFileSystem(conf)
-    val dstFs = dst.getFileSystem(conf)
-    require(srcFs.exists(src), s"shared archive $sharedArchiveDir does not exist")
-    dstFs.mkdirs(dst)
-    val prefix = s"${Archiver.DayCol}="
-    val copied = Seq.newBuilder[String]
-    srcFs.listStatus(src).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith(prefix))
-      .sortBy(_.getName)
-      .foreach { part =>
-        val day = part.getName.stripPrefix(prefix)
-        val target = new Path(dst, part.getName)
-        if (days.contains(day) && !dstFs.exists(target)) {
-          val tmp = new Path(dst, s".${part.getName}.copying")
-          if (dstFs.exists(tmp)) dstFs.delete(tmp, true)
-          FileUtil.copy(srcFs, part, dstFs, tmp, false, conf)
-          require(dstFs.rename(tmp, target),
-            s"bootstrap rename failed for $target")
-          copied += day
-        }
-      }
-    copied.result()
-  }
+      days: Set[String]): Seq[String] =
+    copyMatching(spark, sharedArchiveDir, localDir, days.contains)
 
   /** Delete local day partitions NOT in `keep` — the drop half of a
     * rebalance (a moved day must leave its old owner, or the broker
