@@ -885,7 +885,7 @@ object GraftServer {
       |async function refresh(){
       |  const m = await (await fetch('/metrics')).json();
       |  const stats = document.getElementById('stats');
-      |  stats.replaceChildren(...['queries','errors','ingestedRows','ingestBatches']
+      |  stats.replaceChildren(...['queries','errors','rejected','deadlineCancelled','ingestedRows','ingestBatches']
       |    .filter(k => k in m)
       |    .map(k => {
       |      const s = cell('span', k + ' '); s.className = 'stat';
