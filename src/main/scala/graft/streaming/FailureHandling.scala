@@ -39,7 +39,10 @@ object FailureHandling {
     while (!done) {
       try { save(); done = true }
       catch {
-        case e: Throwable =>
+        // NonFatal only (the runWithFailover discipline): retrying an
+        // InterruptedException would swallow query shutdown for up to
+        // maxElapsedMs, and a VM error must propagate, not loop
+        case scala.util.control.NonFatal(e) =>
           last = e
           if (elapsed + interval >= maxElapsedMs) throw last
           Thread.sleep(interval)

@@ -33,6 +33,13 @@ object KafkaShapedIngest {
     * partition, matching the reference's apply-in-consumption-order.
     * Malformed payloads yield null columns (from_json permissive mode) and
     * can be filtered or routed by the caller.
+    *
+    * `__seq` contract: `(partition << 42) + offset` orders records within
+    * a partition exactly; comparing ACROSS partitions assumes a key's
+    * records live in one partition (Kafka's own guarantee while the
+    * partition count is stable — growing partitions migrates keys and
+    * makes any offset-derived cross-partition order meaningless) and
+    * offsets under 2^42 (~4.4e12 records/partition).
     */
   def decode(raw: DataFrame, schema: StructType): DataFrame = {
     val seq: Column = shiftleft(col("partition").cast("long"), 42) + col("offset")
@@ -42,14 +49,24 @@ object KafkaShapedIngest {
       .select((schema.fieldNames.map(f => col(s"__row.$f")) :+ col("__seq")): _*)
   }
 
-  /** Decode then fold into latest-row-per-PK state (Update mode). */
+  /** Decode then fold into latest-row-per-PK state (Update mode).
+    * Tombstones (null Kafka value) and malformed payloads decode to null
+    * columns and are FILTERED here, not crashed on: Record's fields are
+    * primitive, so an unfiltered null row would poison-pill the query —
+    * fail the micro-batch, replay the same record on restart, fail again,
+    * forever.
+    */
   def upsertStream(raw: DataFrame, schema: StructType,
-      keyField: String): org.apache.spark.sql.Dataset[StreamingUpsert.Record] = {
+      keyField: String, payloadField: String = "payload")
+      : org.apache.spark.sql.Dataset[StreamingUpsert.Record] = {
     import raw.sparkSession.implicits._
     val decoded = decode(raw, schema)
     StreamingUpsert.latestByKey(decoded.select(
-      col(keyField).cast("long").as("key"),
-      col("__seq").as("seq"),
-      col("payload").cast("double").as("payload")).as[StreamingUpsert.Record])
+        col(keyField).cast("long").as("key"),
+        col("__seq").as("seq"),
+        col(payloadField).cast("double").as("payload"))
+      .where(col("key").isNotNull && col("seq").isNotNull &&
+        col("payload").isNotNull)
+      .as[StreamingUpsert.Record])
   }
 }

@@ -12,9 +12,10 @@ import graft.ingest.Backfill
   * the live store; older-but-within-retention records go through the
   * backfill path into their day partitions; records past retention drop.
   *
-  * Expressed as `withWatermark` + `foreachBatch`: the watermark bounds
-  * any stateful operators upstream, and each micro-batch splits once on
-  * the event-time column — three filtered writes, no extra shuffle. The
+  * Expressed as `foreachBatch`: each micro-batch splits once on the
+  * event-time column — the route filters ARE the lateness handling (a
+  * watermark would be inert here: there is no stateful operator between
+  * source and sink to bound). The
   * live store is append-only parquet that the archiving job
   * ([[graft.ingest.Archiver]]) periodically folds into the day-partitioned
   * archive, mirroring the reference's live→archive promotion.
@@ -50,24 +51,37 @@ object StreamArchiver {
     try {
       val counts = cached.agg(
         count(when(isFresh, 1)).as("fresh"),
-        count(when(isLate, 1)).as("late")).collect()(0)
+        count(when(isLate, 1)).as("late"),
+        count(when(t.isNull, 1)).as("null_ts")).collect()(0)
       if (counts.getLong(0) > 0)
         cached.where(isFresh).write.mode("append").parquet(route.liveDir)
       if (counts.getLong(1) > 0)
         Backfill(spark, route.archiveDir, cached.where(isLate),
           route.timeCol, route.pk, route.sortCols)
-      // rows older than retention fall through — dropped, as in the reference
+      // rows older than retention fall through — dropped, as in the
+      // reference; a NULL event time matches neither route and is dropped
+      // too, but LOUDLY — silent data loss is invisible to operators
+      if (counts.getLong(2) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"StreamArchiver: dropped ${counts.getLong(2)} row(s) with null " +
+            s"${route.timeCol} (no route for a null event time)")
     } finally cached.unpersist(false)
   }
 
+  /** @param checkpointDir Structured Streaming checkpoint location —
+    *   REQUIRED for restart-safe ingestion: without it batch ids reset on
+    *   restart and the append-mode live write duplicates every
+    *   previously routed row. Optional only for throwaway tests.
+    */
   def start(source: DataFrame, route: Route,
-      watermarkDelay: String = "10 minutes"): StreamingQuery =
-    source.withWatermark(route.timeCol, watermarkDelay)
-      .writeStream
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         routeBatch(batch.sparkSession, batch, route,
           System.currentTimeMillis() / 1000)
       }
       .outputMode("append")
-      .start()
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }

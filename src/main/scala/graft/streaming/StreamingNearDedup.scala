@@ -85,9 +85,11 @@ object StreamingNearDedup {
     }
 
     // ---- survivors extend the store (idempotent per-batch directory) ---
+    // survivors ⊂ batchReps, so their band buckets are a FILTER of the
+    // already-computed repBuckets — re-banding would run the 16-band
+    // signature fan-out a second time per trigger
     val survivors = batchReps.join(hits, Seq(idCol), "left_anti")
-    Dedup.bandBuckets(survivors.select(col(idCol), col("sig")), idCol)
-      .join(survivors.select(col(idCol), col("sig")), Seq(idCol))
+    repBuckets.join(survivors.select(col(idCol), col("sig")), Seq(idCol))
       .select(col("band"), col("bucket"), col(idCol).as("rep_id"), col("sig"))
       .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/batch=$batchId")
 

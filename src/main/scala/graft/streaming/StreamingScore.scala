@@ -22,13 +22,20 @@ object StreamingScore {
   /** Start the scoring stream; `sink` receives each scored micro-batch
     * (write to storage, publish, or accumulate — the caller's side).
     */
+  /** @param checkpointDir Structured Streaming checkpoint location —
+    *   set it for restart-safe scoring (without it batch ids reset on
+    *   restart and a non-idempotent sink re-sees old batches)
+    */
   def run(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, bucketBits: Int, threshold: Double,
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    docs.writeStream
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.operators.Classifier.scoreWith(batch, idCol, textCol,
           weights, bucketBits, threshold), batchId)
       }
-      .start()
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }

@@ -14,11 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Structured Streaming checkpointing of a replayable source (the redo
   * log's job, redolog/file_redolog_manager.go, for free).
   *
-  * Scale note (SURVEY §7.4.5): keyed state holds only keys within the
-  * retention window; rows older than the archiving cutoff belong in the
-  * day-partitioned archive ([[graft.ingest.Archiver]]), mirroring the
-  * reference's live/archive split — state is bounded by hot-key cardinality,
-  * not corpus size.
+  * Scale note (SURVEY §7.4.5): keyed state holds one Record per DISTINCT
+  * KEY EVER SEEN by default — inherent to upsert (evicting a key forgets
+  * its latest row). Deployments whose keys are retention-scoped (the
+  * live/archive split: rows past the archiving cutoff live in the
+  * day-partitioned archive, [[graft.ingest.Archiver]]) should pass
+  * `ttlMs` ≈ the archiving delay so idle keys age out of state once the
+  * archive owns them — the [[StreamingDedup]] TTL discipline; without a
+  * TTL, churning key spaces grow state without bound.
   */
 object StreamingUpsert {
 
@@ -41,13 +44,34 @@ object StreamingUpsert {
     }
   }
 
+  private[streaming] def updateGroupTtl(ttlMs: Long)(key: Long, rows: Iterator[Record],
+      state: GroupState[Record]): Iterator[Record] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = updateGroup(key, rows, state)
+      if (state.exists) state.setTimeoutDuration(ttlMs)
+      out
+    }
+
   /** Latest-wins upsert over a stream of [[Record]]s. Emits the winning
     * row of each group whenever it changes.
+    *
+    * @param ttlMs idle-key state eviction (0 = keep forever): a key
+    *   untouched for `ttlMs` drops from state — use when keys are
+    *   retention-scoped (see class doc); a record for an evicted key is
+    *   treated as new, so the TTL must exceed the window in which late
+    *   lower-seq records can still arrive
     */
-  def latestByKey(records: Dataset[Record]): Dataset[Record] =
-    records.groupByKey(_.key)
-      .flatMapGroupsWithState[Record, Record](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateGroup _)
+  def latestByKey(records: Dataset[Record], ttlMs: Long = 0): Dataset[Record] =
+    if (ttlMs <= 0)
+      records.groupByKey(_.key)
+        .flatMapGroupsWithState[Record, Record](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateGroup _)
+    else
+      records.groupByKey(_.key)
+        .flatMapGroupsWithState[Record, Record](
+          OutputMode.Update(),
+          GroupStateTimeout.ProcessingTimeTimeout())(updateGroupTtl(ttlMs) _)
 
   /** Convenience: run the upsert from a streaming source to an in-memory
     * sink table (used by specs and as the wiring example for a Kafka

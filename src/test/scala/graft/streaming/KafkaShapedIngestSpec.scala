@@ -58,4 +58,26 @@ class KafkaShapedIngestSpec extends SparkSpec {
     assert(decoded.length == 2)
     assert(decoded.count(_.isNullAt(0)) == 1)
   }
+
+  test("tombstones and malformed payloads are filtered, never poison-pill the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Wire]
+    val raw = source.toDF()
+      .toDF("key", "value", "topic", "partition", "offset")
+    val query = KafkaShapedIngest.upsertStream(raw, schema, "id")
+      .writeStream.format("memory").queryName("kafka_poison_sink")
+      .outputMode("update").start()
+    try {
+      source.addData(
+        rec(1, 10.0, 0, 100),
+        ("1".getBytes, null, "t", 0, 101L), // kafka tombstone: null value
+        ("x".getBytes, "not json".getBytes, "t", 0, 102L), // malformed
+        rec(2, 20.0, 0, 103))
+      query.processAllAvailable() // would throw on an unfiltered null Record
+      val latest = spark.table("kafka_poison_sink")
+        .groupBy("key").agg(max_by(col("payload"), col("seq")).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(latest == Map(1L -> 10.0, 2L -> 20.0), latest.toString)
+    } finally query.stop()
+  }
 }

@@ -38,4 +38,40 @@ class StreamingUpsertSpec extends SparkSpec {
       assert(!emittedForKey1.contains(999.0), "stale record leaked downstream")
     } finally query.stop()
   }
+
+  test("ttl group function: timeout evicts state; live keys re-arm the timer") {
+    // deterministic unit drive via TestGroupState (the streaming-engine
+    // path with ProcessingTimeTimeout cannot be driven deterministically
+    // from a test — timeouts fire on wall-clock batch boundaries)
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val fn = StreamingUpsert.updateGroupTtl(200) _
+
+    // timeout invocation: state removed, nothing emitted
+    val timedOut = TestGroupState.create[Record](
+      Optional.of(Record(1, 100, 1.0)), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long],
+      hasTimedOut = true)
+    assert(fn(1L, Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved, "timed-out key's state must be evicted")
+
+    // normal invocation: latest-wins semantics unchanged, timer re-armed
+    val live = TestGroupState.create[Record](
+      Optional.of(Record(1, 100, 1.0)), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long],
+      hasTimedOut = false)
+    val out = fn(1L, Iterator(Record(1, 150, 2.0), Record(1, 120, 9.9)), live).toSeq
+    assert(out == Seq(Record(1, 150, 2.0)))
+    assert(live.get == Record(1, 150, 2.0))
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "live key must re-arm its eviction timer")
+
+    // stale record against surviving state: suppressed, timer still re-armed
+    val stale = TestGroupState.create[Record](
+      Optional.of(Record(1, 100, 1.0)), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long],
+      hasTimedOut = false)
+    assert(fn(1L, Iterator(Record(1, 50, 2.0)), stale).isEmpty)
+    assert(stale.get == Record(1, 100, 1.0))
+  }
 }
