@@ -47,11 +47,19 @@ object RebalanceMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val a = graft.exec.SliceRebalance.rebalance(spark, shared, dirs, topoDir)
+    val r = graft.exec.SliceRebalance.rebalanceDetailed(spark, shared, dirs, topoDir)
+    val a = r.assignment
     println(s"[rebalance] published assignment v${a.version}: " +
       a.owners.toSeq.sortBy(_._1).map { case (s, ds) =>
         s"$s=${ds.size} days"
       }.mkString(", "))
+    r.mergedUp.toSeq.sortBy(_._1).foreach { case (s, ds) =>
+      println(s"[rebalance] merged locally-drained days up from $s: ${ds.mkString(", ")}")
+    }
+    r.protectedDays.toSeq.sortBy(_._1).foreach { case (s, ds) =>
+      println(s"[rebalance] WARNING: refused to drop local days on $s " +
+        s"(not fully present in the shared archive): ${ds.mkString(", ")}")
+    }
     spark.stop()
   }
 }

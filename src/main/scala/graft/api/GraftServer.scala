@@ -65,6 +65,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     maxIngestConnections: Int = 0) extends graft.ingest.SchedulableStore {
   require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val live = TrieMap.empty[String, DataFrame]
   private val seqCounter = new AtomicLong(0)
   /** Tables whose live overlay was drained to a day-partitioned archive:
@@ -174,9 +175,24 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   // bounds set, threads are the reference's thread-per-connection model
   // (ares.yaml's 650 connections) and the semaphores bind.
   private val bootstrapCapacity = math.max(2, serverThreads / 4)
+  // The query/ingest isolation guarantee needs BOTH classes bounded: with
+  // one bound set and the other 0, the unbounded class could occupy every
+  // pool thread and the bounded class's requests would sit in the
+  // executor's unbounded queue — never served, never 503'd. So a class
+  // left unbounded BY CONFIG gets an implicit bound of `serverThreads`
+  // whenever the other class is bounded; pool sizing then accounts for
+  // every admission slot and the semaphores stay reachable. With neither
+  // bound set there are no semaphores at all (the original single-pool
+  // behavior).
+  private val effQueryBound =
+    if (maxQueryConnections > 0) maxQueryConnections
+    else if (maxIngestConnections > 0) serverThreads else 0
+  private val effIngestBound =
+    if (maxIngestConnections > 0) maxIngestConnections
+    else if (maxQueryConnections > 0) serverThreads else 0
   private val poolThreads = math.max(serverThreads,
-    (if (maxQueryConnections > 0 || maxIngestConnections > 0)
-      maxQueryConnections + maxIngestConnections + bootstrapCapacity + 4 else 0))
+    (if (effQueryBound > 0 || effIngestBound > 0)
+      effQueryBound + effIngestBound + bootstrapCapacity + 4 else 0))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     poolThreads,
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
@@ -189,11 +205,11 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     * routes around the busy instance.
     */
   private val querySlots =
-    if (maxQueryConnections > 0)
-      new java.util.concurrent.Semaphore(maxQueryConnections) else null
+    if (effQueryBound > 0)
+      new java.util.concurrent.Semaphore(effQueryBound) else null
   private val ingestSlots =
-    if (maxIngestConnections > 0)
-      new java.util.concurrent.Semaphore(maxIngestConnections) else null
+    if (effIngestBound > 0)
+      new java.util.concurrent.Semaphore(effIngestBound) else null
   // peer-bootstrap file streams pin a pool thread for a whole (possibly
   // multi-hundred-MB) transfer — ALWAYS bounded, so a few bootstrapping
   // peers can never occupy every thread and starve health/query/ingest;
@@ -382,7 +398,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
         ex.sendResponseHeaders(200, len)
         val in = fs.open(p)
-        try in.transferTo(ex.getResponseBody) finally in.close()
+        // a transfer that dies MID-STREAM cannot be answered again (the
+        // headers are gone) — handle()'s catch would respond() a second
+        // time, throw IllegalStateException, and mask the real I/O error.
+        // Log the original failure here instead; the client sees a body
+        // shorter than the declared Content-Length and retries the file.
+        try in.transferTo(ex.getResponseBody)
+        catch {
+          case NonFatal(e) =>
+            log.warn(s"bootstrap file transfer for $table/$day/$file failed mid-stream", e)
+        } finally in.close()
       }
       case other =>
         throw new IllegalArgumentException(s"unsupported bootstrap route: $other")

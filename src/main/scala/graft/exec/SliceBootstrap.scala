@@ -34,6 +34,17 @@ import graft.ingest.Archiver
   */
 object SliceBootstrap {
 
+  /** Path-segment guard for names received off the wire (the peer's day
+    * and file lists) — the mirror of [[graft.api.GraftServer]]'s serving-
+    * side guard: reject separators and dot segments so a malicious peer
+    * cannot steer writes outside the local storage dir.
+    */
+  private def safeSegment(s: String): String = {
+    require(s.nonEmpty && !s.contains('/') && !s.contains('\\') &&
+      s != "." && s != "..", s"illegal path segment from peer: '$s'")
+    s
+  }
+
   /** Copy the day partitions of `sharedArchiveDir` with
     * `fromDay <= day < toDay` (either bound open) into `localDir`.
     * Returns the days copied NOW — days already present locally are
@@ -122,6 +133,13 @@ object SliceBootstrap {
       while (true) {
         val resp = client.send(get(path), handler)
         if (resp.statusCode() != 503) return resp
+        // drain the rejected attempt's body BEFORE backing off — with the
+        // InputStream handler each 503 otherwise leaks an open connection
+        // for the whole retry loop
+        resp.body() match {
+          case c: java.io.Closeable => try c.close() catch { case _: Throwable => () }
+          case _ => ()
+        }
         if (waited >= requestTimeout.toMillis) throw new java.io.IOException(
           s"peer $peerUrl$path still at capacity after ${waited}ms")
         Thread.sleep(waitMs)
@@ -169,14 +187,19 @@ object SliceBootstrap {
       val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(dst)
       val copied = Seq.newBuilder[String]
-      fetchList(s"/bootstrap/$table/days").sorted.foreach { day =>
+      // peer-supplied names index into the LOCAL filesystem — a
+      // compromised peer returning '../..'-shaped day or file names must
+      // not write outside localDir (Hadoop Path resolves dot segments),
+      // so every received name passes the same guard the serving side
+      // applies to its own inputs
+      fetchList(s"/bootstrap/$table/days").map(safeSegment).sorted.foreach { day =>
         val inRange = fromDay.forall(day >= _) && toDay.forall(day < _)
         val target = new Path(dst, s"${Archiver.DayCol}=$day")
         if (inRange && !fs.exists(target)) {
           val tmp = new Path(dst, s".${Archiver.DayCol}=$day.copying")
           if (fs.exists(tmp)) fs.delete(tmp, true)
           fs.mkdirs(tmp)
-          fetchList(s"/bootstrap/$table/$day/files").foreach { f =>
+          fetchList(s"/bootstrap/$table/$day/files").map(safeSegment).foreach { f =>
             val out = fs.create(new Path(tmp, f), true)
             try fetchTo(s"/bootstrap/$table/$day/$f", out) finally out.close()
           }
@@ -202,6 +225,13 @@ object SliceBootstrap {
     * rebalance (a moved day must leave its old owner, or the broker
     * would double count it). Returns the days dropped. The shared
     * archive is never touched — only the member's local copy shrinks.
+    *
+    * UNGUARDED: deletes whatever `keep` excludes, trusting the caller
+    * that every excluded day is replicated elsewhere. The rebalance job
+    * itself uses [[SliceRebalance.retainDaysGuarded]], which refuses to
+    * delete a day partition whose files the shared archive does not
+    * hold — prefer that variant whenever locally-drained data could be
+    * present.
     */
   def retainDays(spark: SparkSession, localDir: String,
       keep: Set[String]): Seq[String] = {

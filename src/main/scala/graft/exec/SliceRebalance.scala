@@ -42,6 +42,19 @@ object SliceRebalance {
   /** One published assignment: monotonically versioned day ownership. */
   final case class Assignment(version: Long, owners: Map[String, Seq[String]])
 
+  /** Full rebalance outcome: the published assignment plus the two
+    * classes of locally-held data the run had to handle specially —
+    * `mergedUp` days existed ONLY in a member's local storage (a
+    * scheduler drain that landed locally) and were copied up to the
+    * shared archive before ownership was computed; `protectedDays` are
+    * local day partitions the drop phase REFUSED to delete because the
+    * shared archive does not verifiably hold their files (deleting them
+    * would destroy the only copy). Both maps are empty on a healthy
+    * shared-archive deployment.
+    */
+  final case class RebalanceResult(assignment: Assignment,
+      mergedUp: Map[String, Seq[String]], protectedDays: Map[String, Seq[String]])
+
   /** Deterministic day→slice ownership over the CURRENT member set:
     * sorted days in contiguous near-equal ranges over sorted slice ids.
     * Total function — every day owned by exactly one slice; slices past
@@ -71,7 +84,22 @@ object SliceRebalance {
     * version (the document only version-bumps when ownership CHANGES).
     */
   def rebalance(spark: SparkSession, sharedArchiveDir: String,
-      localDirs: Map[String, String], topologyDir: String): Assignment = {
+      localDirs: Map[String, String], topologyDir: String): Assignment =
+    rebalanceDetailed(spark, sharedArchiveDir, localDirs, topologyDir).assignment
+
+  /** [[rebalance]] with the full outcome (merged-up and protected days —
+    * see [[RebalanceResult]]). The shared archive is the source of truth
+    * by contract, but the drop phase never TRUSTS that contract with
+    * member data: a day partition is deleted from a member only when the
+    * shared archive verifiably holds every one of its files.
+    */
+  def rebalanceDetailed(spark: SparkSession, sharedArchiveDir: String,
+      localDirs: Map[String, String], topologyDir: String): RebalanceResult = {
+    // merge-up FIRST: a day a member's scheduler drained into LOCAL
+    // storage exists nowhere else — it must reach the shared archive
+    // before the day list is read (so it gets an owner) and before any
+    // drop phase could touch it (so the only copy is never deleted)
+    val mergedUp = mergeUp(spark, sharedArchiveDir, localDirs)
     val days = SliceBootstrap.localDays(spark, sharedArchiveDir)
     val owners = ownership(days, localDirs.keys.toSeq)
     // copy → PUBLISH → drop: members serving through [[servingCatalog]]
@@ -84,11 +112,117 @@ object SliceRebalance {
       SliceBootstrap.copyDays(spark, sharedArchiveDir, localDirs(slice), owned.toSet)
     }
     val published = publish(topologyDir, owners)
-    owners.foreach { case (slice, owned) =>
-      SliceBootstrap.retainDays(spark, localDirs(slice), owned.toSet)
-    }
-    published
+    // guarded drop: a local day leaves a member only when the shared
+    // archive holds ALL of its files (a bootstrapped copy, possibly
+    // partial, of the shared partition). A local partition with files
+    // the shared day lacks — a local backfill of an existing day, or a
+    // merge-up conflict — is skipped LOUDLY and surfaced in the result;
+    // deleting it would silently destroy rows only this member holds.
+    val protectedDays = owners.map { case (slice, owned) =>
+      val (_, skipped) = retainDaysGuarded(spark, localDirs(slice), owned.toSet,
+        day => sharedHoldsAllFiles(spark, sharedArchiveDir, localDirs(slice), day))
+      slice -> skipped
+    }.filter(_._2.nonEmpty)
+    RebalanceResult(published, mergedUp, protectedDays)
   }
+
+  /** Copy whole day partitions that exist ONLY in a member's local
+    * storage up into the shared archive (bootstrap temp+rename
+    * discipline). Returns slice → days merged. A day two members both
+    * hold un-shared merges from the first (sorted) member; the second
+    * member's divergent copy is then a merge CONFLICT — its files are
+    * not in the shared day — and the guarded drop phase protects it.
+    */
+  private def mergeUp(spark: SparkSession, sharedArchiveDir: String,
+      localDirs: Map[String, String]): Map[String, Seq[String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val shared = new org.apache.hadoop.fs.Path(sharedArchiveDir)
+    val sharedFs = shared.getFileSystem(conf)
+    sharedFs.mkdirs(shared)
+    val prefix = s"${graft.ingest.Archiver.DayCol}="
+    localDirs.toSeq.sortBy(_._1).map { case (slice, dir) =>
+      val local = new org.apache.hadoop.fs.Path(dir)
+      val fs = local.getFileSystem(conf)
+      val merged = Seq.newBuilder[String]
+      if (fs.exists(local)) {
+        fs.listStatus(local).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith(prefix)).sortBy(_.getName).foreach { part =>
+            val target = new org.apache.hadoop.fs.Path(shared, part.getName)
+            if (!sharedFs.exists(target)) {
+              val tmp = new org.apache.hadoop.fs.Path(shared, s".${part.getName}.mergeup")
+              if (sharedFs.exists(tmp)) sharedFs.delete(tmp, true)
+              org.apache.hadoop.fs.FileUtil.copy(fs, part, sharedFs, tmp, false, conf)
+              if (sharedFs.rename(tmp, target)) {
+                log.warn(s"rebalance merged locally-drained day " +
+                  s"${part.getName.stripPrefix(prefix)} from member '$slice' " +
+                  "up to the shared archive")
+                merged += part.getName.stripPrefix(prefix)
+              } else sharedFs.delete(tmp, true) // lost a concurrent race; conflict path
+            }
+          }
+      }
+      slice -> merged.result()
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** True when the shared archive's `day` partition contains every file
+    * (by name) of the member's local `day` partition — the safety
+    * predicate for dropping the local copy. File NAMES suffice: parquet
+    * part files carry write-unique UUIDs, so a same-named file is the
+    * same write.
+    */
+  private def sharedHoldsAllFiles(spark: SparkSession, sharedArchiveDir: String,
+      localDir: String, day: String): Boolean = {
+    val localFiles = dayFiles(spark, localDir, day)
+    val sharedFiles = dayFiles(spark, sharedArchiveDir, day)
+    localFiles.subsetOf(sharedFiles)
+  }
+
+  private def dayFiles(spark: SparkSession, dir: String, day: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir,
+      s"${graft.ingest.Archiver.DayCol}=$day")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+  }
+
+  /** [[SliceBootstrap.retainDays]] with a safety predicate: a day outside
+    * `keep` is deleted only when `droppable(day)` holds; otherwise it is
+    * skipped loudly and returned in the second element. The belt half of
+    * the rebalance drop phase's belt-and-braces — even a buggy ownership
+    * computation cannot make this delete a day the shared archive lacks.
+    */
+  def retainDaysGuarded(spark: SparkSession, localDir: String, keep: Set[String],
+      droppable: String => Boolean): (Seq[String], Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(localDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (Nil, Nil)
+    val prefix = s"${graft.ingest.Archiver.DayCol}="
+    val dropped = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .foreach { part =>
+        val day = part.getName.stripPrefix(prefix)
+        if (!keep.contains(day)) {
+          if (droppable(day)) {
+            fs.delete(part, true)
+            dropped += day
+          } else {
+            log.warn(s"rebalance REFUSED to drop local day $day from $localDir: " +
+              "the shared archive does not hold all of its files — a drain " +
+              "landed here locally; resolve by merging it up or re-running " +
+              "rebalance (whole-day merges are automatic)")
+            skipped += day
+          }
+        }
+      }
+    (dropped.result(), skipped.result())
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** `base` with its `events` fact table served ASSIGNMENT-AWARE from
     * `localDir`: the load filters to the days the PUBLISHED assignment

@@ -142,4 +142,92 @@ class SliceRebalanceSpec extends SparkSpec {
       } finally pc.stop()
     } finally Seq(whole, pa, pb).foreach(_.stop())
   }
+
+  test("a locally-drained fresh day survives rebalance: merged up, owned once, queryable") {
+    import org.apache.spark.sql.functions._
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // private copy of the shared archive — this test MUTATES it (merge-up)
+    val sharedDir = tmp("rebm-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("rebm-a"), "b" -> tmp("rebm-b"))
+    val topoDir = tmp("rebm-topo")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    // member a's scheduler drained a FRESH day into its LOCAL storage only
+    // (the default wiring unless the operator pointed the archive root at
+    // shared storage): simulate with an archive write staged into a's dir
+    val freshDay = "2030-01-01"
+    val freshRows = spark.read.parquet(sharedDir)
+      .drop(graft.ingest.Archiver.DayCol).limit(7)
+      .withColumn("ts", to_timestamp(lit(s"$freshDay 12:00:00")))
+    val freshCount = freshRows.count()
+    val stage = tmp("rebm-stage")
+    graft.ingest.Archiver.archive(freshRows, "ts", Tables.EventsSortCols, stage)
+    SliceBootstrap.copyDays(spark, stage, dirs("a"), Set(freshDay))
+    assert(SliceBootstrap.localDays(spark, dirs("a")).contains(freshDay))
+    assert(!SliceBootstrap.localDays(spark, sharedDir).contains(freshDay))
+    val sharedBefore = spark.read.parquet(sharedDir).count()
+
+    // the unguarded behavior would DELETE a's fresh day here (absent from
+    // the shared day list, owned by nobody); the guarded rebalance merges
+    // it up and assigns it exactly one owner instead
+    val r = SliceRebalance.rebalanceDetailed(spark, sharedDir, dirs, topoDir)
+    assert(r.mergedUp.getOrElse("a", Nil).contains(freshDay),
+      s"fresh day not merged up: $r")
+    assert(SliceBootstrap.localDays(spark, sharedDir).contains(freshDay))
+    assert(spark.read.parquet(sharedDir).count() == sharedBefore + freshCount)
+    val freshOwners = r.assignment.owners.filter(_._2.contains(freshDay)).keys.toSeq
+    assert(freshOwners.size == 1, s"fresh day owned by $freshOwners")
+    assert(SliceBootstrap.localDays(spark, dirs(freshOwners.head)).contains(freshDay),
+      "the owner's local storage must hold the merged day")
+    assert(r.protectedDays.isEmpty, s"unexpected protected days: ${r.protectedDays}")
+
+    // loud-skip guard, directly: a day NOT fully present in shared is
+    // refused by the guarded drop even when the keep set excludes it
+    val conflictDay = "2030-02-02"
+    val conflictRows = freshRows.withColumn("ts", to_timestamp(lit(s"$conflictDay 12:00:00")))
+    val stage2 = tmp("rebm-stage2")
+    graft.ingest.Archiver.archive(conflictRows, "ts", Tables.EventsSortCols, stage2)
+    SliceBootstrap.copyDays(spark, stage2, dirs("b"), Set(conflictDay))
+    val (dropped, skipped) = SliceRebalance.retainDaysGuarded(spark, dirs("b"),
+      r.assignment.owners("b").toSet,
+      day => SliceBootstrap.localDays(spark, sharedDir).contains(day))
+    assert(dropped.isEmpty && skipped == Seq(conflictDay),
+      s"dropped=$dropped skipped=$skipped")
+    assert(SliceBootstrap.localDays(spark, dirs("b")).contains(conflictDay),
+      "the guard must leave the only copy on disk")
+    // clean the conflict so the serving check below sees consistent state
+    SliceBootstrap.retainDays(spark, dirs("b"),
+      r.assignment.owners("b").toSet)
+
+    // the fresh rows are queryable through assignment-aware members, once
+    val base = Catalog.testdata(sfDir)
+    val pa = new GraftServer(
+      SliceRebalance.servingCatalog(base, dirs("a"), topoDir, "a"), spark)
+    val pb = new GraftServer(
+      SliceRebalance.servingCatalog(base, dirs("b"), topoDir, "b"), spark)
+    Seq(pa, pb).foreach(_.start())
+    try {
+      val broker = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      val wideQuery =
+        s"""{"table": "events",
+            "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+            "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+            "timeFilter": {"from": "1704067200", "to": "1900000000"},
+            "now": 1900000000}"""
+      val merged = JsonMethods.parse(broker.aql(wideQuery))
+      val total = merged match {
+        case JObject(fields) => fields.map {
+          case (_, JDouble(d)) => d
+          case (_, JInt(i)) => i.toDouble
+          case other => fail(s"unexpected leaf $other")
+        }.sum
+        case other => fail(s"unexpected merged shape $other")
+      }
+      assert(total == (sharedBefore + freshCount).toDouble,
+        s"merged total $total != shared archive rows ${sharedBefore + freshCount}")
+    } finally Seq(pa, pb).foreach(_.stop())
+  }
 }
