@@ -47,16 +47,21 @@ import org.apache.spark.sql.SparkSession
   *                           serving: events load from instance-local
   *                           storage filtered to the days the published
   *                           assignment grants this slice (see
-  *                           RebalanceMain / SliceRebalance). NOTE:
-  *                           assignment-aware members are QUERY-SERVING
-  *                           replicas of the archive — a live events
-  *                           overlay (local ingest) serves this
-  *                           member's OWN fresh rows in addition, and a
-  *                           scheduler DRAIN of events would snapshot
-  *                           the old assignment's day set (the drained
-  *                           dir bypasses the per-query assignment
-  *                           filter), so disable events drains on
-  *                           assignment-aware members
+  *                           RebalanceMain / SliceRebalance)
+  *   SPARK_GRAFT_SHARED_ARCHIVE  (slice mode) the shared authoritative
+  *                           events archive: scheduler drains of events
+  *                           promote the live delta THERE (Backfill),
+  *                           serving stays assignment-aware, and each
+  *                           member pulls down the days it serves
+  *                           (SliceSync — immediately after its own
+  *                           drain, per scheduler tick for peers'
+  *                           drains), so fresh data is queryable behind
+  *                           the broker with no manual rebalance.
+  *                           Without it, slice-mode events drains are
+  *                           unsafe (the drained dir would bypass the
+  *                           per-query assignment filter) — leave
+  *                           events ingestion off slice members in that
+  *                           case
   *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
   *                           (0/unset = no cache manager); column-config
   *                           preloadingDays/priority updates then pin
@@ -111,10 +116,30 @@ object ServerMain {
         server.memoryManager = Some(new graft.ingest.HostMemoryManager(spark, budget))
         println(s"[graft] hot-partition cache manager attached, budget $budget bytes")
       }
+    // slice-mode drain→serve loop: with a shared archive configured,
+    // events drains land in the SHARED archive (delta-promoted) and each
+    // member pulls down the days it serves — immediately after its own
+    // drains, and per scheduler tick for days a PEER drained. Fresh data
+    // is queryable behind the broker with no manual bootstrap/rebalance.
+    val sharedArchive = sys.env.get("SPARK_GRAFT_SHARED_ARCHIVE").filter(_.nonEmpty)
+    val sliceSync: Option[() => Unit] = (localStore, topologyDir, sharedArchive) match {
+      case (Some(local), Some(topo), Some(shared)) =>
+        val slice = sys.env.getOrElse("SPARK_GRAFT_SLICE", "s0")
+        val doSync = () => {
+          val synced = graft.exec.SliceSync.sync(spark, shared, local, topo, slice)
+          if (synced.nonEmpty)
+            println(s"[graft] slice sync refreshed days: ${synced.mkString(", ")}")
+        }
+        server.sliceServe("events", shared, doSync)
+        println(s"[graft] slice-mode events drains target shared archive $shared")
+        Some(doSync)
+      case _ => None
+    }
     val tickSeconds = sys.env.getOrElse("SPARK_GRAFT_TICK_SECONDS", "60").toLong
     if (tickSeconds > 0) {
       val root = sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT", "target/graft-archive")
       val sched = new graft.ingest.JobScheduler(server, root, tickSeconds = tickSeconds)
+      sliceSync.foreach(s => sched.addExtraJob("slice-sync-events", s))
       server.jobScheduler = Some(sched)
       sched.start()
     }

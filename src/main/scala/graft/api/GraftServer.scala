@@ -85,6 +85,35 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     s
   }
 
+  /** Tables served in SLICE mode (see [[sliceServe]]): the drained-dir
+    * layer is SKIPPED for them — serving must stay on the base loader
+    * (the assignment-aware local store), because the drain target is the
+    * SHARED archive and reading it directly would serve every member's
+    * days from every member (double counting behind a broker).
+    */
+  @volatile private var sliceServed: Set[String] = Set.empty
+  private val postDrainHooks = TrieMap.empty[String, () => Unit]
+
+  /** Wire `table` for slice-mode drains: scheduler drains land in the
+    * SHARED day-partitioned archive (delta-promoted via Backfill once it
+    * exists) instead of a member-local directory, serving keeps flowing
+    * through the assignment-aware base load, and `onDrained` runs after
+    * each successful drain — ServerMain passes a [[graft.exec.SliceSync]]
+    * pull so the days this member serves refresh immediately; other
+    * members pick the new day up on their own periodic sync. This is the
+    * drain→serve loop the reference closes with ownership-routed
+    * ingestion (subscriber/common/job/streaming_processor.go:48-71).
+    */
+  def sliceServe(table: String, sharedArchiveDir: String,
+      onDrained: () => Unit = () => ()): Unit = {
+    sliceServed += table
+    postDrainHooks.put(table, onDrained)
+    // pre-seed the drain target: dirFor routes scheduler drains to the
+    // shared archive, and drain() takes the Backfill delta path (the
+    // shared archive already holds the table's history)
+    drained.put(table, sharedArchiveDir)
+  }
+
   /** Layered load: live overlay → drained archive → base loader. The
     * archive read merges per-file schemas — day partitions written before
     * a column add lack the new column, and the default single-footer
@@ -93,8 +122,10 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private def layeredLoad(name: String, base: SparkSession => DataFrame)
       (s: SparkSession): DataFrame =
     live.get(name)
-      .orElse(drained.get(name).map(dir =>
-        s.read.option("mergeSchema", "true").parquet(dir)))
+      .orElse(
+        if (sliceServed.contains(name)) None
+        else drained.get(name).map(dir =>
+          s.read.option("mergeSchema", "true").parquet(dir)))
       .getOrElse(base(s))
 
   /** TableDef for a runtime-created table: schema from the metastore, rows
@@ -784,6 +815,11 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         mutationCounts.remove(table)
         pendingByteCounts.remove(table)
         view.unpersist(blocking = false)
+        // slice mode: refresh this member's local serving copy from the
+        // shared archive NOW — the drained rows left the overlay above,
+        // so without the pull the days this member serves would go stale
+        // until its next scheduled sync
+        postDrainHooks.get(table).foreach(_.apply())
       }
     }
   }

@@ -260,15 +260,38 @@ object SliceRebalance {
       val df = s.read.parquet(localDir)
       read(topologyDir) match {
         case Some(a) =>
-          val owned = a.owners.getOrElse(slice,
+          if (!a.owners.contains(slice))
             throw new IllegalStateException(
               s"slice '$slice' is not in published assignment v${a.version} " +
-                s"(slices: ${a.owners.keys.toSeq.sorted.mkString(", ")})"))
+                s"(slices: ${a.owners.keys.toSeq.sorted.mkString(", ")})")
+          // serve the locally present days this slice EXTENDED-owns: its
+          // assigned days plus any day the assignment predates (a fresh
+          // drain since the last rebalance) whose contiguous range falls
+          // to this slice — [[extendedOwner]] is deterministic over the
+          // same document on every member, so each day has exactly one
+          // server with no republish between drains
+          val served = SliceBootstrap.localDays(s, localDir)
+            .filter(d => extendedOwner(a, d).contains(slice))
           df.where(org.apache.spark.sql.functions.col(graft.ingest.Archiver.DayCol)
-            .isin(owned: _*))
+            .isin(served: _*))
         case None => df
       }
     })))
+  }
+
+  /** Deterministic serving owner for ANY day under a published
+    * assignment, including days that postdate it (fresh drains between
+    * rebalances): an assigned day is served by its assigned slice; an
+    * unassigned day by the slice owning the contiguous range it sorts
+    * into — the owner of the greatest assigned day ≤ d, else the owner
+    * of the smallest assigned day. Total whenever any day is assigned;
+    * None only for an assignment with zero assigned days.
+    */
+  def extendedOwner(a: Assignment, day: String): Option[String] = {
+    val assigned = a.owners.toSeq
+      .flatMap { case (s, ds) => ds.map(_ -> s) }.sortBy(_._1)
+    assigned.takeWhile(_._1 <= day).lastOption.map(_._2)
+      .orElse(assigned.headOption.map(_._2))
   }
 
   /** Current published assignment, if any. */

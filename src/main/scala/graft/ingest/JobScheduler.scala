@@ -104,7 +104,14 @@ final class JobScheduler(store: SchedulableStore, archiveRoot: String,
 
   private val details = TrieMap.empty[(String, String), JobDetail]
   private val enabledFlags = TrieMap.empty[String, Boolean]
+  private val extraJobs = TrieMap.empty[String, () => Unit]
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Register a named job run once per tick after the table jobs (the
+    * deployment-shape hooks: slice sync, membership-watch rebalance
+    * triggers). Tracked in the job-detail report like any table job.
+    */
+  def addExtraJob(name: String, job: () => Unit): Unit = extraJobs.put(name, job)
 
   def enableJobType(jobType: String, enable: Boolean): Unit =
     enabledFlags.put(jobType, enable)
@@ -208,6 +215,9 @@ final class JobScheduler(store: SchedulableStore, archiveRoot: String,
         }
       }
     }
+    extraJobs.toSeq.sortBy(_._1).foreach { case (name, job) =>
+      execute(name, Extra)(job())
+    }
     ran
   }
 
@@ -267,6 +277,7 @@ object JobScheduler {
   val Snapshot = "snapshot"
   val Purge = "purge"
   val Compaction = "compaction"
+  val Extra = "extra"
   /** purge_manager.go:41 PurgeInterval = 24h. */
   val PurgeIntervalSeconds: Long = 86400
 }

@@ -1,0 +1,101 @@
+package graft.exec
+
+import graft.{SparkSpec, Tables}
+import graft.api.GraftServer
+import graft.aql.Catalog
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The drain→serve loop in slice mode (ref ownership-routed ingestion,
+  * subscriber/common/job/streaming_processor.go:48-71): a member ingests
+  * fresh rows over HTTP, its scheduler drain promotes the delta into the
+  * SHARED archive, and the day's serving owner pulls it down
+  * ([[SliceSync]]) — the fresh day is queryable behind the broker,
+  * exactly once, with NO manual bootstrap or rebalance.
+  */
+class SliceServeSpec extends SparkSpec {
+
+  private def wideQuery: String =
+    s"""{"table": "events",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200", "to": "1900000000"},
+        "now": 1900000000}"""
+
+  private def total(resultJson: String): Double =
+    JsonMethods.parse(resultJson) match {
+      case JObject(fields) => fields.map {
+        case (_, JDouble(d)) => d
+        case (_, JInt(i)) => i.toDouble
+        case other => fail(s"unexpected leaf $other")
+      }.sum
+      case other => fail(s"unexpected result shape $other")
+    }
+
+  test("slice mode: ingest, drain to shared, fresh day served once with no manual rebalance") {
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // private shared-archive copy — the drain MUTATES it
+    val sharedDir = tmp("ss-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("ss-a"), "b" -> tmp("ss-b"))
+    val topoDir = tmp("ss-topo")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    val base = Catalog.testdata(sfDir)
+    def member(slice: String): GraftServer = {
+      val srv = new GraftServer(
+        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice), spark)
+      // the ServerMain slice wiring: drains target the shared archive,
+      // this member pulls its served days right after its own drain
+      srv.sliceServe("events", sharedDir,
+        () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
+      srv.start()
+      srv
+    }
+    val pa = member("a")
+    val pb = member("b")
+    try {
+      val broker = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      val before = total(broker.aql(wideQuery))
+      assert(before > 0)
+
+      // fresh rows for a brand-new day arrive at member a over HTTP
+      val freshDay = "2030-01-01"
+      val rows = (1 to 3).map(i =>
+        s"""{"event_id": ${900000000L + i}, "ts": "$freshDay 12:0$i:00",
+            "user_id": $i, "event_type": "fresh_et", "value": 1.5,
+            "props": "{}"}""").mkString("[", ",", "]")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val ing = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:${pa.boundPort}/data/events"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(rows)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(ing.statusCode() == 200, ing.body())
+
+      // visible immediately from a's live overlay, counted once
+      assert(total(broker.aql(wideQuery)) == before + 3,
+        "fresh rows must serve from the ingesting member's overlay pre-drain")
+
+      // scheduler drain: the delta promotes into the SHARED archive and
+      // a's post-drain hook refreshes the days a serves
+      pa.drain("events", sharedDir)
+      assert(SliceBootstrap.localDays(spark, sharedDir).contains(freshDay),
+        "drain must land the fresh day in the shared archive")
+
+      // the day's serving owner under the PUBLISHED assignment picks it
+      // up on its periodic sync tick (extended ownership — no republish)
+      val owner = SliceRebalance.extendedOwner(
+        SliceRebalance.read(topoDir).get, freshDay).get
+      SliceSync.sync(spark, sharedDir, dirs("b"), topoDir, "b")
+      assert(SliceBootstrap.localDays(spark, dirs(owner)).contains(freshDay),
+        s"extended owner $owner must hold the fresh day after sync")
+
+      // post-drain: still exactly once through the assignment-aware pair
+      assert(total(broker.aql(wideQuery)) == before + 3,
+        "fresh day must serve exactly once after the drain")
+    } finally Seq(pa, pb).foreach(_.stop())
+  }
+}
