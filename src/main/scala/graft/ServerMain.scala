@@ -62,6 +62,11 @@ import org.apache.spark.sql.SparkSession
   *                           per-query assignment filter) — leave
   *                           events ingestion off slice members in that
   *                           case
+  *   SPARK_GRAFT_JOURNAL_DIR  HTTP-ingest redo log directory (default
+  *                           <archive root>/_journal; "" disables):
+  *                           /data batches append here before apply and
+  *                           replay on restart, so HTTP-ingested rows
+  *                           survive a crash; drains truncate it
   *   SPARK_GRAFT_CACHE_BUDGET  hot-partition cache budget in bytes
   *                           (0/unset = no cache manager); column-config
   *                           preloadingDays/priority updates then pin
@@ -109,7 +114,13 @@ object ServerMain {
       maxQueryConnections =
         sys.env.getOrElse("SPARK_GRAFT_MAX_QUERY_CONN", "0").toInt,
       maxIngestConnections =
-        sys.env.getOrElse("SPARK_GRAFT_MAX_INGEST_CONN", "0").toInt)
+        sys.env.getOrElse("SPARK_GRAFT_MAX_INGEST_CONN", "0").toInt,
+      // HTTP-ingest redo log (ref redolog/file_redolog_manager.go):
+      // default ON under the archive root — rows POSTed to /data survive
+      // a crash/restart; set SPARK_GRAFT_JOURNAL_DIR="" to disable
+      journalDir = sys.env.get("SPARK_GRAFT_JOURNAL_DIR")
+        .orElse(Some(sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT",
+          "target/graft-archive") + "/_journal")).filter(_.nonEmpty))
     server.start()
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { budget =>

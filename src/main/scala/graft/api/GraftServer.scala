@@ -58,11 +58,20 @@ import graft.ingest.Upsert
   * @param maxIngestConnections admission bound for the data endpoints
   *   (0 = none)
   */
+/** @param journalDir per-table upsert journal directory (None = no
+  *   journal): every `/data/{table}` batch appends here BEFORE it is
+  *   applied to the live overlay and replays at construction, so
+  *   HTTP-ingested rows survive a crash/restart exactly like the
+  *   reference's redo log (redolog/file_redolog_manager.go,
+  *   memstore/recovery.go); a successful drain truncates the table's
+  *   journal (its rows are in the archive now)
+  */
 final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
     strictCompat: Boolean = false, schemaSyncDir: Option[String] = None,
     schemaSyncPollMillis: Long = 2000, serverThreads: Int = 8,
     queryTimeoutSec: Long = 0, maxQueryConnections: Int = 0,
-    maxIngestConnections: Int = 0) extends graft.ingest.SchedulableStore {
+    maxIngestConnections: Int = 0,
+    journalDir: Option[String] = None) extends graft.ingest.SchedulableStore {
   require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -74,6 +83,40 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   private val drained = TrieMap.empty[String, String]
   /** Metastore for tables created through the schema mutation API. */
   val schemaStore = new SchemaStore
+
+  /** HTTP-ingest redo log (see the `journalDir` param). */
+  private val journal = journalDir.map(new graft.ingest.UpsertJournal(_))
+
+  // durable drained-state record: the journal truncates on drain BECAUSE
+  // the rows are in the archive — but the drained map itself lived only
+  // in memory, so a restarted instance would forget where its archive is
+  // and serve the base loader (losing the drained rows a second way).
+  // With a journal configured, the map persists next to it and reloads
+  // at construction (the reference records archiving state in its
+  // metastore for exactly this reason).
+  private def persistDrained(): Unit = journalDir.foreach { d =>
+    val doc = JObject(drained.toSeq.sortBy(_._1)
+      .map { case (t, dir) => t -> (JString(dir): JValue) }: _*)
+    val tmp = java.nio.file.Paths.get(d, ".drained.json.tmp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    java.nio.file.Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(d, "_drained.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+  journalDir.foreach { d =>
+    val p = java.nio.file.Paths.get(d, "_drained.json")
+    if (java.nio.file.Files.exists(p))
+      JsonMethods.parse(java.nio.file.Files.readString(p)) match {
+        case JObject(fields) => fields.foreach {
+          case (t, JString(dir))
+              if java.nio.file.Files.exists(java.nio.file.Paths.get(dir)) =>
+            drained.put(t, dir)
+          case _ => ()
+        }
+        case _ => ()
+      }
+  }
 
   /** Cross-instance schema propagation (the controller-tier analogue): a
     * fresh instance pulls the shared snapshot before serving; every local
@@ -462,24 +505,41 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   mount("/data/", (ex: HttpExchange) => handle(ex) {
     admitted(ex, ingestSlots) {
       val table = ex.getRequestURI.getPath.stripPrefix("/data/").takeWhile(_ != '/')
+      // resolve the table (existence + PK) BEFORE journaling, so a typo'd
+      // table name 400s without leaving a poison record behind
       val td = catalog(table)
       if (td.primaryKey.isEmpty)
         throw new IllegalArgumentException(s"table $table has no primary key")
       val raw = ex.getRequestBody.readAllBytes()
       val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-      val n =
-        if (contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw))
-          // enum-dictionary resolution and the ingest run under ONE table
-          // lock (reentrant with ingest's own): a concurrent enum-case
-          // extension can no longer slip between dictionary read and row
-          // decode and null out fresh cases mid-batch
-          tableLocks.getOrElseUpdate(table, new Object).synchronized {
-            ingest(td, binaryBatchToJson(table, UpsertBatchWire.decode(raw)))
-          }
-        else ingest(td, new String(raw, StandardCharsets.UTF_8))
+      val binary =
+        contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw)
+      // durability FIRST (ref redolog append-then-apply,
+      // file_redolog_manager.go): the batch is on disk before the overlay
+      // sees it, so a crash between here and the drain loses nothing
+      journal.foreach(_.append(table,
+        if (binary) graft.ingest.UpsertJournal.KindBinary
+        else graft.ingest.UpsertJournal.KindJson, raw))
+      val n = applyIngest(table, raw, binary)
       respond(ex, 200, s"""{"rowsInserted":$n}""")
     }
   })
+
+  /** Shared apply path for live HTTP batches and journal replay. */
+  private def applyIngest(table: String, raw: Array[Byte], binary: Boolean): Long = {
+    val td = catalog(table)
+    if (td.primaryKey.isEmpty)
+      throw new IllegalArgumentException(s"table $table has no primary key")
+    if (binary)
+      // enum-dictionary resolution and the ingest run under ONE table
+      // lock (reentrant with ingest's own): a concurrent enum-case
+      // extension can no longer slip between dictionary read and row
+      // decode and null out fresh cases mid-batch
+      tableLocks.getOrElseUpdate(table, new Object).synchronized {
+        ingest(td, binaryBatchToJson(table, UpsertBatchWire.decode(raw)))
+      }
+    else ingest(td, new String(raw, StandardCharsets.UTF_8))
+  }
 
   /** Decoded binary upsert batch → the JSON row array the overlay ingest
     * consumes. Logical column ids index the table's column list (the
@@ -608,6 +668,10 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
           pending.remove(t)
           mutationCounts.remove(t)
           pendingByteCounts.remove(t)
+          // a journal left behind would resurrect the deleted table's
+          // rows into a recreated same-name table on the next restart
+          journal.foreach(_.truncate(t))
+          persistDrained()
         }
         ok(JNull)
       case ("POST", t :: "columns" :: Nil) =>
@@ -815,6 +879,12 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         mutationCounts.remove(table)
         pendingByteCounts.remove(table)
         view.unpersist(blocking = false)
+        // the drained rows are durably in the archive now — their journal
+        // records have done their job (ref: redo-log truncation once
+        // batches are archived, file_redolog_manager.go checkpoint); the
+        // archive location itself persists so a restart serves from it
+        persistDrained()
+        journal.foreach(_.truncate(table))
         // slice mode: refresh this member's local serving copy from the
         // shared archive NOW — the drained rows left the overlay above,
         // so without the pull the days this member serves would go stale
@@ -866,6 +936,31 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         archiveSortCols(table, catalog(table)))
     }
 
+  // ---- journal replay (construction-time recovery) ------------------------
+  // The reference replays its redo logs before a datanode serves
+  // (memstore/recovery.go) — same here: every clean journal record
+  // re-applies through the normal ingest path, restoring the live
+  // overlay this instance held when it died. A record that no longer
+  // applies (its table was deleted, a bad batch that 400'd at ingest
+  // time) is skipped with a warning, not fatal — recovery must converge.
+  journal.foreach { j =>
+    j.tables.foreach { t =>
+      var applied = 0
+      j.replay(t).foreach { case (kind, payload) =>
+        try {
+          applyIngest(t, payload, kind == graft.ingest.UpsertJournal.KindBinary)
+          applied += 1
+        } catch {
+          case NonFatal(e) =>
+            log.warn(s"journal replay for table $t: skipping unreplayable batch " +
+              s"(${Option(e.getMessage).getOrElse(e.getClass.getName)})")
+        }
+      }
+      if (applied > 0)
+        log.info(s"journal replay restored $applied batch(es) into table $t's overlay")
+    }
+  }
+
   private def write(q: graft.aql.AqlQuery): String = {
     implicit val formats: Formats = DefaultFormats
     org.json4s.jackson.Serialization.write(q)
@@ -896,6 +991,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   }
   def stop(): Unit = {
     schemaSync.foreach(_.close())
+    journal.foreach(_.close())
     server.stop(0)
     pool.shutdown()
   }

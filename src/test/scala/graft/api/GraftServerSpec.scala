@@ -327,6 +327,64 @@ class GraftServerSpec extends SparkSpec {
     assert((surge \ "s").extract[Double](DefaultFormats, manifest[Double]) == 1.5)
   }
 
+  test("HTTP-ingested rows survive a restart via the upsert journal; drain truncates it") {
+    val jdir = java.nio.file.Files.createTempDirectory("graft_journal").toString
+    def mk(): GraftServer = {
+      val s = new GraftServer(Catalog.testdata(sfDir), spark, journalDir = Some(jdir))
+      s.start()
+      s
+    }
+    def postTo(port: Int, path: String, body: String) =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def countDocs(port: Int): Double = {
+      val resp = postTo(port, "/query/aql",
+        """{"queries": [{"table": "documents",
+             "measures": [{"alias": "n", "sqlExpression": "count(*)"}]}]}""")
+      implicit val fmts: Formats = DefaultFormats
+      (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+        .asInstanceOf[JObject].values("n").asInstanceOf[Double]
+    }
+
+    val s1 = mk()
+    val before = countDocs(s1.boundPort)
+    val ing = postTo(s1.boundPort, "/data/documents", """[
+      {"doc_id": 9100001, "text": "journal one", "lang": "en", "source": "j", "n_chars": 11},
+      {"doc_id": 9100002, "text": "journal two", "lang": "en", "source": "j", "n_chars": 11}
+    ]""")
+    assert(ing.statusCode() == 200, new String(ing.body()))
+    assert(countDocs(s1.boundPort) == before + 2)
+    // "crash": the overlay only ever lived in memory; stop() without drain
+    s1.stop()
+
+    // rebuild on the same journal dir — replay restores the overlay
+    val s2 = mk()
+    assert(countDocs(s2.boundPort) == before + 2,
+      "journal replay must restore HTTP-ingested rows after a restart")
+
+    // a torn tail (crash mid-append) must not poison recovery
+    val logFile = java.nio.file.Paths.get(jdir, "documents.redolog")
+    assert(java.nio.file.Files.exists(logFile), "journal file missing")
+    java.nio.file.Files.write(logFile, Array[Byte](0x5E, 0x00),
+      java.nio.file.StandardOpenOption.APPEND)
+    s2.stop()
+    val s2b = mk()
+    assert(countDocs(s2b.boundPort) == before + 2,
+      "replay must stop at the torn tail, keeping the clean prefix")
+
+    // drain persists the overlay durably and truncates the journal
+    val archive = java.nio.file.Files.createTempDirectory("graft_jdrain").toString
+    s2b.drain("documents", archive)
+    assert(!java.nio.file.Files.exists(logFile),
+      "a successful drain must truncate the table's journal")
+    s2b.stop()
+    val s3 = mk()
+    assert(countDocs(s3.boundPort) == before + 2,
+      "post-drain restart serves from the archive, nothing double-applies")
+    s3.stop()
+  }
+
   test("created-table GeoPoint and strict-enum storage semantics") {
     val create = post("/schema/tables", """{
       "name": "places", "isFactTable": false,
