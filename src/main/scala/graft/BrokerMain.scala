@@ -16,6 +16,11 @@ package graft
   *                            (the reference's etcd-watched
   *                            HealthTrackingDynamicTopology role)
   *   SPARK_GRAFT_BROKER_PORT  HTTP port (default 19380; 0 = ephemeral)
+  *   SPARK_GRAFT_MAX_QUERY_CONN   admission bound for /query/aql
+  *                            (0 = unbounded) — excess clients 503 fast
+  *   SPARK_GRAFT_QUERY_TIMEOUT_SEC  per-query deadline (0 = none): an
+  *                            exceeded merge returns the named
+  *                            `query deadline exceeded` error
   *
   * Runs without a SparkSession — the broker is HTTP fan-out + merge.
   */
@@ -27,10 +32,14 @@ object BrokerMain {
     require(hosts.nonEmpty || membersDir.isDefined,
       "set SPARK_GRAFT_INSTANCES (static) or SPARK_GRAFT_MEMBERS_DIR (dynamic)")
     val port = sys.env.getOrElse("SPARK_GRAFT_BROKER_PORT", "19380").toInt
+    val maxConn = sys.env.getOrElse("SPARK_GRAFT_MAX_QUERY_CONN", "0").toInt
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong
     val server = membersDir match {
       case Some(dir) =>
-        graft.exec.BrokerServer.dynamic(new graft.exec.BrokerTopology(dir), port)
-      case None => new graft.exec.BrokerServer(hosts, port)
+        graft.exec.BrokerServer.dynamic(new graft.exec.BrokerTopology(dir), port,
+          maxQueryConnections = maxConn, queryTimeoutSec = timeoutSec)
+      case None => new graft.exec.BrokerServer(hosts, port,
+        maxQueryConnections = maxConn, queryTimeoutSec = timeoutSec)
     }
     server.start()
     val over = membersDir.map(d => s"membership dir $d")

@@ -43,7 +43,8 @@ import graft.functions.Hll
   * does not carry, matching the reference's HLL response contract.
   */
 final class Broker private (sliceProvider: () => Seq[Seq[String]],
-    timeout: Duration, trials: Int, healthMemoryMillis: Long) {
+    timeout: Duration, trials: Int, healthMemoryMillis: Long,
+    deadlineSeconds: Long) {
   require(trials > 0, s"trials $trials must be positive")
 
   /** Static topology. Each entry of `hosts` is one data SLICE;
@@ -56,10 +57,21 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     *
     * @param healthMemoryMillis how long a failed host stays demoted (see
     *   [[demotedUntil]]); 0 disables the memory
+    * @param deadlineSeconds per-query wall-clock deadline (0 = none):
+    *   every gather wait is capped at the deadline and an exceeded query
+    *   surfaces the same NAMED error as a single instance's deadline
+    *   (`query deadline exceeded`), so a stuck merge cannot pin a broker
+    *   handler thread for the full worst-case retry budget (the
+    *   reference bounds the broker tier with the same timeouts,
+    *   ares.yaml:21-22). The abandoned scatter futures stop at their own
+    *   per-request timeouts — bounded, not instant; the deadline bounds
+    *   what the CLIENT and the handler thread pay.
     */
   def this(hosts: Seq[String], timeout: Duration = Duration.ofSeconds(120),
-      trials: Int = 3, healthMemoryMillis: Long = 60000) =
-    this(() => Broker.staticSlices(hosts), timeout, trials, healthMemoryMillis)
+      trials: Int = 3, healthMemoryMillis: Long = 60000,
+      deadlineSeconds: Long = 0) =
+    this(() => Broker.staticSlices(hosts), timeout, trials, healthMemoryMillis,
+      deadlineSeconds)
 
   /** Host-health memory ACROSS queries (ref query_plan_agg.go:170-215:
     * a connect failure marks the host unhealthy and later trials
@@ -101,6 +113,31 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     scala.concurrent.duration.FiniteDuration(
       timeout.toMillis * trials * ss.map(_.length).max + 30000,
       java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** Await a gather future under the structural wait bound AND the
+    * per-query deadline (when set). Deadline exhaustion throws the same
+    * named error [[graft.exec.QueryService]] uses, so a client sees one
+    * vocabulary whether the deadline fired at an instance or here.
+    */
+  private def awaitGather[T](f: Future[T], ss: Seq[Seq[String]],
+      extra: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.Duration.Zero): T = {
+    val structural = gatherWait(ss) + extra
+    val limit =
+      if (deadlineSeconds > 0) structural.min(
+        scala.concurrent.duration.FiniteDuration(deadlineSeconds,
+          java.util.concurrent.TimeUnit.SECONDS))
+      else structural
+    try Await.result(f, limit)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        if (deadlineSeconds > 0 && limit.toSeconds == deadlineSeconds)
+          throw new IllegalStateException(
+            s"query deadline exceeded (${deadlineSeconds}s)")
+        else throw new IllegalStateException(
+          s"scatter gather timed out after $limit")
+    }
+  }
 
   /** Fetch one slice's result, failing over across its replicas: replica
     * i of attempt t is `slice(t % n)`, so a flaky instance is retried and
@@ -170,7 +207,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
           Seq(m.copy(sqlExpression = "count(*)"))))
           .reduce(mergeTrees("count")))
         val (sums, counts) =
-          Await.result(sumsF.zip(countsF), gatherWait(slices) + 30.seconds)
+          awaitGather(sumsF.zip(countsF), slices, 30.seconds)
         mergeTrees("avg")(sums, counts)
       case Expr.Call(op, _) if op == "sum" || op == "count" || op == "min" || op == "max" =>
         scatterJson(stripSort(q0)).reduce(mergeTrees(op))
@@ -226,7 +263,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
       }
       (resp \ "results") (0)
     })
-    Await.result(Future.sequence(futures), gatherWait(ss))
+    awaitGather(Future.sequence(futures), ss)
   }
 
   // ---- merge algebra (result_merge.go:42-141) -----------------------------
@@ -304,7 +341,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     val body = requestBody(q)
     val ss = slices
     val futures = ss.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = Await.result(Future.sequence(futures), gatherWait(ss))
+    val bodies = awaitGather(Future.sequence(futures), ss)
     val blocks = bodies.map { bytes =>
       RefHllWire.readResults(bytes).head match {
         case Right(b) => b
@@ -375,7 +412,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     val body = requestBody(q)
     val ss = slices
     val futures = ss.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = Await.result(Future.sequence(futures), gatherWait(ss))
+    val bodies = awaitGather(Future.sequence(futures), ss)
     // per-instance blocks → (dim keys → registers), merged by register max
     val merged = scala.collection.mutable.LinkedHashMap.empty[List[String], Array[Byte]]
     bodies.foreach { bytes =>
@@ -510,6 +547,7 @@ object Broker {
     */
   def dynamic(topology: BrokerTopology,
       timeout: Duration = Duration.ofSeconds(120), trials: Int = 3,
-      healthMemoryMillis: Long = 60000): Broker =
-    new Broker(() => topology.slices(), timeout, trials, healthMemoryMillis)
+      healthMemoryMillis: Long = 60000, deadlineSeconds: Long = 0): Broker =
+    new Broker(() => topology.slices(), timeout, trials, healthMemoryMillis,
+      deadlineSeconds)
 }

@@ -423,4 +423,88 @@ class BrokerSpec extends SparkSpec {
         s"second query took ${wallMs}ms — the dead replica was tried first again")
     } finally stall.close()
   }
+
+  /** Catalog with a dimension table whose load stalls — a stuck-merge /
+    * saturation fixture for the broker-tier admission and deadline cases
+    * (mirrors ServingConcurrencySpec's slowCatalog).
+    */
+  private def slowCatalog(stallMillis: Long): Catalog = {
+    val base = Catalog.testdata(sfDir)
+    val docs = base.tables("documents")
+    base.copy(tables = base.tables + ("slowdim" -> graft.aql.TableDef(
+      "slowdim", isFact = false, primaryKey = Seq("doc_id"),
+      load = s => { Thread.sleep(stallMillis); docs.load(s) })))
+  }
+
+  private def postFront(port: Int, body: String) =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query/aql"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("broker deadline cancels a stuck merge with a named error and keeps serving") {
+    val slow = new GraftServer(slowCatalog(8000), spark)
+    slow.start()
+    val front = new BrokerServer(Seq(s"http://localhost:${slow.boundPort}"),
+      queryTimeoutSec = 1)
+    front.start()
+    try {
+      val t0 = System.nanoTime()
+      val resp = postFront(front.boundPort,
+        """{"queries": [{"table": "slowdim",
+          "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      assert(resp.statusCode() == 200, resp.body())
+      val msg = JsonMethods.parse(resp.body()) \ "errors" match {
+        case JArray(JString(m) :: _) => m
+        case other => fail(s"expected a named error, got $other in ${resp.body()}")
+      }
+      assert(msg.contains("query deadline exceeded (1s)"), msg)
+      assert(wallMs < 5000,
+        s"deadline query took ${wallMs}ms — the broker waited out the stall")
+      // the broker keeps serving: a fast table on the same instance works
+      val ok = postFront(front.boundPort,
+        """{"queries": [{"table": "documents",
+          "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
+      assert(ok.statusCode() == 200 &&
+        (JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+      // the cancellation is an operational counter
+      val m = JsonMethods.parse(client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${front.boundPort}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert((m \ "deadlineCancelled") == JLong(1) ||
+        (m \ "deadlineCancelled") == JInt(1), JsonMethods.compact(JsonMethods.render(m)))
+    } finally { front.stop(); slow.stop() }
+  }
+
+  test("broker admission bound 503s the excess client and counts the rejection") {
+    val slow = new GraftServer(slowCatalog(3000), spark)
+    slow.start()
+    val front = new BrokerServer(Seq(s"http://localhost:${slow.boundPort}"),
+      maxQueryConnections = 1)
+    front.start()
+    try {
+      val q = """{"queries": [{"table": "slowdim",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}"""
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val threads = (1 to 2).map { _ =>
+        val t = new Thread(() => codes.add(postFront(front.boundPort, q).statusCode()))
+        t.start(); t
+      }
+      threads.foreach(_.join(30000))
+      assert(codes.size == 2 && codes.contains(200) && codes.contains(503),
+        s"expected one 200 + one 503, got $codes")
+      val m = JsonMethods.parse(client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${front.boundPort}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert((m \ "rejected") == JLong(1) || (m \ "rejected") == JInt(1),
+        JsonMethods.compact(JsonMethods.render(m)))
+      // the slot is free again: a later query is admitted and answers
+      val ok = postFront(front.boundPort, q)
+      assert(ok.statusCode() == 200 &&
+        (JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+    } finally { front.stop(); slow.stop() }
+  }
 }
