@@ -20,12 +20,43 @@ import org.apache.spark.sql.SparkSession
   * Copy → publish → drop: safe to re-run, safe to crash anywhere (see
   * [[graft.exec.SliceRebalance]]).
   */
+/** Watch mode (`SPARK_GRAFT_WATCH_SECONDS` > 0 with
+  * `SPARK_GRAFT_MEMBERS_DIR` + `SPARK_GRAFT_LOCAL_ROOT`): instead of a
+  * one-shot rebalance over SPARK_GRAFT_SLICE_DIRS, run the reference
+  * controller's watch loop — observe broker membership heartbeats and
+  * fire a rebalance over `<localRoot>/<slice>` member directories once a
+  * changed slice set has held for SPARK_GRAFT_STABLE_TICKS (default 3)
+  * consecutive ticks; flapping members never trigger.
+  */
 object RebalanceMain {
   def main(args: Array[String]): Unit = {
     val shared = sys.env.getOrElse("SPARK_GRAFT_SHARED_ARCHIVE",
       sys.error("SPARK_GRAFT_SHARED_ARCHIVE is required"))
     val topoDir = sys.env.getOrElse("SPARK_GRAFT_TOPOLOGY_DIR",
       sys.error("SPARK_GRAFT_TOPOLOGY_DIR is required"))
+    val watchSeconds = sys.env.getOrElse("SPARK_GRAFT_WATCH_SECONDS", "0").toLong
+    if (watchSeconds > 0) {
+      val membersDir = sys.env.getOrElse("SPARK_GRAFT_MEMBERS_DIR",
+        sys.error("watch mode requires SPARK_GRAFT_MEMBERS_DIR"))
+      val localRoot = sys.env.getOrElse("SPARK_GRAFT_LOCAL_ROOT",
+        sys.error("watch mode requires SPARK_GRAFT_LOCAL_ROOT (member dirs at <root>/<slice>)"))
+      val stableTicks = sys.env.getOrElse("SPARK_GRAFT_STABLE_TICKS", "3").toInt
+      val spark = buildSpark()
+      val trigger = graft.exec.RebalanceTrigger.over(spark,
+        new graft.exec.BrokerTopology(membersDir), shared, topoDir, localRoot,
+        stableTicks)
+      println(s"[rebalance] watching $membersDir every ${watchSeconds}s " +
+        s"(stable ticks: $stableTicks)")
+      while (true) {
+        try {
+          if (trigger.tick()) println(s"[rebalance] fired (total ${trigger.fires})")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"[rebalance] tick failed: ${e.getMessage}")
+        }
+        Thread.sleep(watchSeconds * 1000)
+      }
+    }
     val pairs = sys.env.getOrElse("SPARK_GRAFT_SLICE_DIRS",
       sys.error("SPARK_GRAFT_SLICE_DIRS is required (slice=dir,slice=dir,...)"))
       .split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
@@ -41,12 +72,7 @@ object RebalanceMain {
     if (dupes.nonEmpty)
       sys.error(s"duplicate slice id(s) in SPARK_GRAFT_SLICE_DIRS: ${dupes.mkString(", ")}")
     val dirs = pairs.toMap
-    val spark = SparkSession.builder()
-      .master(sys.props.getOrElse("spark.master",
-        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = buildSpark()
     val r = graft.exec.SliceRebalance.rebalanceDetailed(spark, shared, dirs, topoDir)
     val a = r.assignment
     println(s"[rebalance] published assignment v${a.version}: " +
@@ -61,5 +87,15 @@ object RebalanceMain {
         s"(not fully present in the shared archive): ${ds.mkString(", ")}")
     }
     spark.stop()
+  }
+
+  private def buildSpark(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
   }
 }

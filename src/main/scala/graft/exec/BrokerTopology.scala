@@ -58,6 +58,15 @@ final class BrokerTopology(dir: String,
     grouped
   }
 
+  /** The distinct slice ids with at least one FRESH member — the
+    * membership view a rebalance trigger watches (uncached: a trigger
+    * tick is minute-grain, staleness matters more than the listing).
+    */
+  def freshSliceIds(): Set[String] = {
+    val now = clock()
+    list().filter(m => now - m.heartbeat <= staleMillis).map(_.slice).toSet
+  }
+
   /** Every registered member, fresh or stale (observability). */
   def list(): Seq[BrokerTopology.Member] = {
     if (!Files.isDirectory(root)) return Nil
@@ -129,7 +138,18 @@ object BrokerTopology {
     @volatile private[BrokerTopology] var active = true
     private[BrokerTopology] var thread: Option[Thread] = None
     def beatNow(): Unit = doBeat()
-    def pause(): Unit = { active = false; thread.foreach(_.interrupt()) }
+    /** Stop heartbeating and WAIT for the heartbeater to exit — without
+      * the join, an in-flight beat can land after pause() returns and
+      * re-freshen a member the caller just declared dead (a real race
+      * for any orchestration that pauses then measures staleness).
+      */
+    def pause(): Unit = {
+      active = false
+      thread.foreach { t =>
+        t.interrupt()
+        if (t ne Thread.currentThread()) t.join(5000)
+      }
+    }
     override def close(): Unit = {
       pause()
       try Files.deleteIfExists(file) catch { case _: Throwable => () }
