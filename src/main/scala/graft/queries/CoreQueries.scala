@@ -78,9 +78,15 @@ object CoreQueries {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      // the grouped result is one row per event_type (single digits): a
+      // global orderBy range-partitions it — a whole extra sampling
+      // stage to sort 5 rows (the round-11 sort-placement trap in
+      // miniature; measured 0.38 s -> 0.22 s at sf0.1). Sort the tiny
+      // frame in one partition instead — same ORDER BY contract, one
+      // fewer exchange, and at 100 TB the group count is still tiny.
       Tables.events(s, d)
         .groupBy("event_type").agg(count_distinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
+        .coalesce(1).sortWithinPartitions("event_type")
     },
 
     // --- filters (§2.2): ANDed row filters, pushed to the parquet scan ----
