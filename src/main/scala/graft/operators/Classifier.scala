@@ -85,13 +85,24 @@ object Classifier {
     * Zero shuffles: the integer fold runs inside the projection.
     */
   def score(docs: DataFrame, textCol: String, bucketBits: Int = 18,
+      seed: Int = 7, threshold: Double = 0.5): DataFrame =
+    scoreTokens(docs.withColumn("__toks", TextOps.tokens(lower(col(textCol)))),
+      "__toks", bucketBits, seed, threshold)
+
+  /** [[score]] from a PRE-TOKENIZED frame (`toksCol` holds the token
+    * array) — the stage-handoff variant: a composed pipeline that
+    * tokenizes the corpus once and persists the token column feeds it to
+    * the classifier, the winnow dedup, and the token counter without
+    * re-running the regex tokenizer per stage. The caller's token column
+    * is left on the output untouched.
+    */
+  def scoreTokens(docs: DataFrame, toksCol: String, bucketBits: Int = 18,
       seed: Int = 7, threshold: Double = 0.5): DataFrame = {
     require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
-    val toks = TextOps.tokens(lower(col(textCol)))
+    val t = col(toksCol)
     val scored = docs
-      .withColumn("__toks", toks)
-      .withColumn("__n", size(col("__toks")) + greatest(size(col("__toks")) - 1, lit(0)))
-      .withColumn("__sum", aggregate(features(col("__toks")), lit(0L),
+      .withColumn("__n", size(t) + greatest(size(t) - 1, lit(0)))
+      .withColumn("__sum", aggregate(features(t), lit(0L),
         (acc, f) => acc + weightCol(seed, bucketCol(f, bucketBits))))
     finish(scored, threshold)
   }

@@ -1031,6 +1031,17 @@ object Dedup {
     * replays every selection exactly.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintsTokens(
+      docs.withColumn("__toks", TextOps.tokens(lower(col(textCol)))),
+      idCol, "__toks", k, w)
+
+  /** [[winnowFingerprints]] from a PRE-TOKENIZED frame — the
+    * stage-handoff variant ([[graft.operators.Classifier.scoreTokens]]'
+    * counterpart): a composed pipeline tokenizes once, persists the
+    * token column, and every stage reads the materialized arrays.
+    */
+  def winnowFingerprintsTokens(docs: DataFrame, idCol: String, toksCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
     // Plan shape care (measured 40× on this operator): (a) tokens and the
@@ -1042,9 +1053,8 @@ object Dedup {
     // shingle lambda (the O(tokens²·regex) trap this repo documents);
     // a count-only generator infers a count-only filter, and the hash
     // array rides ABOVE the Generate as a plain attribute.
-    val toks = TextOps.tokens(lower(col(textCol)))
     val bound = docs
-      .withColumn("__toks", toks)
+      .withColumn("__toks", col(toksCol))
       .withColumn("__hs", transform(TextOps.shingles(col("__toks"), k),
         g => graft.functions.Sketches.hash60Col(g)))
     val nWindows = size(col("__toks")) - (k - 1) - (w - 1)
@@ -1086,6 +1096,19 @@ object Dedup {
       maxDocsPerFp: Int = 64): DataFrame = {
     require(minShared >= 1 && maxDocsPerFp >= 2)
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    cappedPairJoin(fps, "fp", idCol, maxDocsPerFp)
+      .where(col("shared") >= minShared)
+  }
+
+  /** [[winnowClonePairs]] from a PRE-TOKENIZED frame (see
+    * [[winnowFingerprintsTokens]]).
+    */
+  def winnowClonePairsTokens(docs: DataFrame, idCol: String, toksCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2)
+    val fps = winnowFingerprintsTokens(docs, idCol, toksCol, k, w)
       .select(col(idCol), col("fp")).distinct()
     cappedPairJoin(fps, "fp", idCol, maxDocsPerFp)
       .where(col("shared") >= minShared)

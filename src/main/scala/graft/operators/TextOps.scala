@@ -73,6 +73,13 @@ object TextOps {
     * codegen'd expression: no shuffle, no UDF.
     */
   def normalizeText(c: Column): Column =
+    graft.functions.TextNorm.normalizeCol(c)
+
+  /** The two-regex formulation [[normalizeText]]'s single-pass kernel
+    * replaced (kept as the equality baseline for `TextNormSpec`; the
+    * DuckDB oracles keep the regex spelling on their side).
+    */
+  def normalizeTextRegex(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(c), "[^a-z0-9 \\t\\n\\f\\r]", ""),
       "[ \\t\\n\\f\\r]+", " "))

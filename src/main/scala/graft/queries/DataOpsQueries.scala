@@ -655,9 +655,16 @@ object DataOpsQueries {
       val input = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 100000)
           .withColumn("text", concat(upper(col("text")), lit(" !!"))))
-      input.select(graft.operators.TextOps.normalizeText(col("text")).as("__norm"),
+      // group on the 16-byte CONTENT KEY of the normalized text, not the
+      // text itself (the Dedup.exactDedup shuffle rule): the dedup
+      // exchange moves md5 keys instead of a normalized copy of the
+      // corpus — at 100 TB that is the difference between a key shuffle
+      // and re-shuffling every byte of text
+      input.select(
+          md5(graft.operators.TextOps.normalizeText(col("text")).cast("binary"))
+            .as("__key"),
           col("doc_id"))
-        .groupBy("__norm")
+        .groupBy("__key")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_members"))
         .select("doc_id", "n_members")
         .orderBy("doc_id")

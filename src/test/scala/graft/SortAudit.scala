@@ -48,6 +48,30 @@ object SortAudit {
           kids(p).foreach(walk)
         }
         walk(plan)
+        // ORDER-CONTRACT audit: gates that sort the INPUT (or an interior
+        // stage) and rely on narrow transformations preserving the order
+        // to the output break SILENTLY if a later change introduces an
+        // exchange above the sort — rows reach the client reordered while
+        // the SQL oracle stays ORDER BY'd. Flag any exchange on the path
+        // from the root down to the topmost global sort.
+        def isSortish(p: SparkPlan): Boolean = p match {
+          case s: org.apache.spark.sql.execution.SortExec => s.global
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case e: ShuffleExchangeLike =>
+            e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+          case _ => false
+        }
+        def orderWalk(p: SparkPlan, exchangesAbove: Int): Unit =
+          if (isSortish(p)) {
+            if (exchangesAbove > 0)
+              println(s"AUDIT $name: $exchangesAbove exchange(s) ABOVE the " +
+                "topmost sort — ORDER BY contract broken")
+          } else {
+            val bump = if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0
+            kids(p).foreach(orderWalk(_, exchangesAbove + bump))
+          }
+        orderWalk(plan, 0)
       } catch { case e: Throwable =>
         println(s"AUDIT $name: ERROR ${e.getMessage.take(80)}")
       }

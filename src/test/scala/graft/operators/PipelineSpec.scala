@@ -103,6 +103,60 @@ class PipelineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("classify->dedup->mix handoff: stages read staged tokens and never re-tokenize") {
+    // the composed gate's shape: tokenize once, score WITHOUT filtering
+    // (a keep-filter inlines the md5 fold and Catalyst pushes it below
+    // the exchange onto the single scan task — the measured 26 s serial
+    // trap), persist, then every stage reads the cached token arrays
+    val toked = input.repartition(8, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(lower(col("text"))).as("tk"))
+    val scored = Classifier.scoreTokens(toked, "tk")
+      .select("doc_id", "source", "tk", "keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      scored.count() // build the cache (fold runs here, above the exchange)
+      val kept = scored.where(col("keep")).select("doc_id", "source", "tk")
+      val winnow = Dedup.winnowClonePairsTokens(kept, "doc_id", "tk",
+        k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
+      winnow.collect()
+      val plan = winnow.queryExecution.executedPlan
+      assert(collectAll(plan) { case m: InMemoryTableScanExec => m }.nonEmpty,
+        s"winnow stage did not read the token cache:\n${plan.treeString.take(2000)}")
+      assert(collectAll(plan) { case f: FileSourceScanExec => f }.isEmpty,
+        s"winnow stage re-read the corpus from storage:\n${plan.treeString.take(2000)}")
+      // the regex tokenizer exists ONLY in the cache build — no node
+      // ABOVE the cache scan re-tokenizes (the scan's treeString embeds
+      // the cached build plan, which legitimately holds the one split)
+      def aboveCache(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: InMemoryTableScanExec => Seq.empty
+        case a: AdaptiveSparkPlanExec => aboveCache(a.executedPlan)
+        case q: QueryStageExec => aboveCache(q.plan)
+        case r: ReusedExchangeExec => aboveCache(r.child)
+        case other => other +: other.children.flatMap(aboveCache)
+      }
+      val retokenizers = aboveCache(plan)
+        .filter(_.simpleString(10000).contains("split("))
+      assert(retokenizers.isEmpty,
+        s"a stage above the token cache re-ran the regex tokenizer:\n" +
+          retokenizers.map(_.simpleString(300)).mkString("\n"))
+
+      // token-variant operators are equivalent to their text-input forms
+      val keptText = input.join(kept.select("doc_id"), Seq("doc_id"))
+        .select("doc_id", "source", "text")
+      val fromTokens = winnow.orderBy("a_id", "b_id").collect().toSeq
+      val fromText = Dedup.winnowClonePairs(keptText, "doc_id", "text",
+          k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
+        .orderBy("a_id", "b_id").collect().toSeq
+      assert(fromTokens == fromText,
+        s"winnowClonePairsTokens != winnowClonePairs (${fromTokens.size} vs ${fromText.size} rows)")
+      val scoreTok = scored.select("doc_id", "keep").orderBy("doc_id").collect().toSeq
+      val scoreText = Classifier.score(input, "text")
+        .select("doc_id", "keep").orderBy("doc_id").collect().toSeq
+      assert(scoreTok == scoreText, "scoreTokens != score")
+    } finally scored.unpersist(false)
+  }
+
   test("sourceDivergence: identical distribution has KL 0, skew is positive") {
     import spark.implicits._
     // corpus of A="x y", B="x x" → marginal: x:3 y:1.
