@@ -89,6 +89,49 @@ object Pipeline {
     } finally s1.unpersist(false)
   }
 
+  /** The classify→dedup→mix composition as one staged job: hashed
+    * quality-classifier gate ([[Classifier.scoreTokens]]) → winnow
+    * clone-pair dedup dropping each pair's b-side
+    * ([[Dedup.winnowClonePairsTokens]]) → per-source token-budget mix
+    * ([[Sampling.tokenBudgetMix]]). Output: one row per surviving
+    * document — (srcCol, idCol, n_tokens), the mix manifest (ids and
+    * counts only, staged; the corpus cache releases before return).
+    *
+    * Perf shape (BENCH_NOTES round 12, both measured):
+    *  - the corpus tokenizes ONCE into a persisted token column that
+    *    all three stages read;
+    *  - the scored frame persists UNFILTERED — `where(keep)` would
+    *    inline the md5 feature fold into the filter and Catalyst pushes
+    *    that below any exchange onto the scan tasks (serial on
+    *    few-file input); caching scored-then-filtering keeps the fold
+    *    above the repartition, once and parallel.
+    */
+  def classifyDedupMix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, budgetTokens: Long, classifierThreshold: Double = 0.5,
+      k: Int = 3, w: Int = 4, minShared: Int = 3,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val toked = docs.repartition(nPart, col(idCol))
+      .select(col(idCol), col(srcCol),
+        TextOps.tokens(lower(col(textCol))).as("__tk"))
+    val scored = Classifier.scoreTokens(toked, "__tk",
+        threshold = classifierThreshold)
+      .select(col(idCol), col(srcCol), col("__tk"), col("keep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = scored.where(col("keep")).select(idCol, srcCol, "__tk")
+      val losers = Dedup.winnowClonePairsTokens(kept, idCol, "__tk",
+          k, w, minShared, maxDocsPerFp)
+        .select(col("b_id").as(idCol)).distinct()
+      val deduped = kept.join(losers, Seq(idCol), "left_anti")
+        .select(col(srcCol), col(idCol),
+          size(col("__tk")).cast("long").as("n_tokens"))
+      Staged.materialize(
+        Sampling.tokenBudgetMix(deduped, srcCol, col(idCol), "n_tokens",
+          budgetTokens))
+    } finally scored.unpersist(false)
+  }
+
   /** The quality-gated packing composition: rule-filter the corpus
     * ([[Curation.qualityRulesWithCount]], map-side — the word count rides
     * along from the same stats pass, so the corpus is scanned and

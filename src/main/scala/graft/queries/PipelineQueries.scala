@@ -1066,43 +1066,17 @@ object PipelineQueries {
         |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < lpad(lower(to_hex(rate16)), 4, '0')
         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin) { (s, d) =>
-      // Stage handoff (the Pipeline.curate persist pattern), with two
-      // measured traps avoided (BENCH_NOTES round 12):
-      //  1. The corpus tokenizes ONCE — classifier fold, winnow grams,
-      //     and token counts all read the persisted token arrays (the
-      //     r11 shape re-ran the regex tokenizer per stage).
-      //  2. The scored frame persists UNFILTERED: `where(keep)` inlines
-      //     the md5 feature fold into the filter predicate, and Catalyst
-      //     pushes that filter below ANY exchange — the fold then runs on
-      //     the single scan task of the one-file corpus (26 s serial at
-      //     sf1). Caching scored-without-filter keeps the fold above the
-      //     repartition: once, parallel (31.9 s -> 7.9 s at sf1).
-      // The final per-source aggregate is tiny, so it stages to parquet
-      // and the corpus cache releases before return
-      // (PersistLifecycleSpec's no-resident-RDD rule).
-      val nPart = s.sessionState.conf.numShufflePartitions
-      val toked = Tables.documents(s, d)
-        .repartition(nPart, col("doc_id"))
-        .select(col("doc_id"), col("source"),
-          TextOps.tokens(lower(col("text"))).as("tk"))
-      val scored = graft.operators.Classifier.scoreTokens(toked, "tk")
-        .select("doc_id", "source", "tk", "keep")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val kept = scored.where(col("keep")).select("doc_id", "source", "tk")
-        val losers = graft.operators.Dedup.winnowClonePairsTokens(kept,
-            "doc_id", "tk", k = 3, w = 4, minShared = 3, maxDocsPerFp = 64)
-          .select(col("b_id").as("doc_id")).distinct()
-        val deduped = kept.join(losers, Seq("doc_id"), "left_anti")
-          .select(col("source"), col("doc_id"), size(col("tk")).cast("long").as("n"))
-        graft.operators.Staged.materialize(
-          graft.operators.Sampling.tokenBudgetMix(deduped, "source",
-              col("doc_id"), "n", 400L)
-            .groupBy("source")
-            .agg(count(lit(1)).as("kept_docs"),
-              sum("n").cast("long").as("kept_tokens"))
-            .orderBy("source"))
-      } finally scored.unpersist(false)
+      // one staged job (see Pipeline.classifyDedupMix for the measured
+      // perf shape: single tokenization, scored frame persisted
+      // UNFILTERED so the md5 fold stays above the exchange); the
+      // operator returns the per-doc mix manifest, the gate aggregates
+      graft.operators.Pipeline.classifyDedupMix(
+          Tables.documents(s, d), "doc_id", "text", "source",
+          budgetTokens = 400L, minShared = 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("n_tokens").cast("long").as("kept_tokens"))
+        .orderBy("source")
     },
 
     // --- multimodal plumbing -------------------------------------------------

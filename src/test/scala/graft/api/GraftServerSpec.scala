@@ -385,6 +385,58 @@ class GraftServerSpec extends SparkSpec {
     s3.stop()
   }
 
+  test("binary upsert batches replay from the journal with the synced schema") {
+    // full restart durability = schema (SchemaSync) + data (UpsertJournal):
+    // a created table's BINARY wire batches must survive a rebuild — the
+    // replay path re-decodes them through the pulled enum dictionaries
+    val jdir = java.nio.file.Files.createTempDirectory("graft_binj").toString
+    val schemaDir = java.nio.file.Files.createTempDirectory("graft_binschema").toString
+    def mk(): GraftServer = {
+      val s = new GraftServer(Catalog.testdata(sfDir), spark,
+        schemaSyncDir = Some(schemaDir), journalDir = Some(jdir))
+      s.start()
+      s
+    }
+    def postTo(port: Int, path: String, body: String) =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def fares(port: Int): Map[String, Any] = {
+      val resp = postTo(port, "/query/aql", """{"queries": [{"table": "jr_rides",
+        "measures": [{"alias": "total", "sqlExpression": "sum(fare)"}],
+        "dimensions": [{"alias": "city", "sqlExpression": "city"}],
+        "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+      (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+        .asInstanceOf[JObject].values
+    }
+
+    val s1 = mk()
+    assert(postTo(s1.boundPort, "/schema/tables", """{
+      "name": "jr_rides", "isFactTable": true,
+      "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "ride_id", "type": "Int64"},
+        {"name": "city", "type": "SmallEnum"},
+        {"name": "fare", "type": "Float32"}
+      ],
+      "primaryKeyColumns": [1]
+    }""").statusCode() == 200)
+    val wire = new UpsertClient(s"http://localhost:${s1.boundPort}")
+    assert(wire.insert("jr_rides",
+      Seq("request_at", "ride_id", "city", "fare"),
+      Seq(
+        Seq(1706572800L, 1L, "sf", 10.5f),
+        Seq(1706572860L, 2L, "nyc", 2.0f),
+        Seq(1706572920L, 3L, "sf", 1.0f))) == 3L)
+    assert(fares(s1.boundPort) == Map("sf" -> 11.5, "nyc" -> 2.0))
+    s1.stop() // crash: overlay in memory only; journal holds binary records
+
+    val s2 = mk()
+    assert(fares(s2.boundPort) == Map("sf" -> 11.5, "nyc" -> 2.0),
+      "binary journal records must replay through the synced enum dictionaries")
+    s2.stop()
+  }
+
   test("created-table GeoPoint and strict-enum storage semantics") {
     val create = post("/schema/tables", """{
       "name": "places", "isFactTable": false,
