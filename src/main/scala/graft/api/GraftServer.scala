@@ -516,11 +516,17 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw)
       // durability FIRST (ref redolog append-then-apply,
       // file_redolog_manager.go): the batch is on disk before the overlay
-      // sees it, so a crash between here and the drain loses nothing
-      journal.foreach(_.append(table,
-        if (binary) graft.ingest.UpsertJournal.KindBinary
-        else graft.ingest.UpsertJournal.KindJson, raw))
-      val n = applyIngest(table, raw, binary)
+      // sees it, so a crash between here and the drain loses nothing.
+      // Append and apply share ONE table-lock critical section (reentrant
+      // with ingest's own): a drain interleaving between them would
+      // persist an overlay WITHOUT this batch yet truncate its journal
+      // record — the batch would be durable nowhere until the next drain.
+      val n = tableLocks.getOrElseUpdate(table, new Object).synchronized {
+        journal.foreach(_.append(table,
+          if (binary) graft.ingest.UpsertJournal.KindBinary
+          else graft.ingest.UpsertJournal.KindJson, raw))
+        applyIngest(table, raw, binary)
+      }
       respond(ex, 200, s"""{"rowsInserted":$n}""")
     }
   })

@@ -526,4 +526,78 @@ class GraftServerSpec extends SparkSpec {
     case (p, other) => fail(s"$p: $other")
     }
   }
+
+  test("no batch is lost when ingest races a drain: journal append+apply are atomic") {
+    // The WAL checkpoint race: a drain that interleaves between a batch's
+    // journal append and its overlay apply would persist an overlay WITHOUT
+    // the batch yet truncate its journal record — the batch durable nowhere
+    // until the next drain. The handler closes this by journaling and
+    // applying under one table-lock critical section; this test hammers
+    // ingest from several client threads with drains interleaved, then
+    // "crashes" (stop without drain) and rebuilds: every row must survive
+    // via either the archive or the replayed journal.
+    val jdir = java.nio.file.Files.createTempDirectory("graft_jrace").toString
+    val archive = java.nio.file.Files.createTempDirectory("graft_jrace_arch").toString
+    def mk(): GraftServer = {
+      val s = new GraftServer(Catalog.testdata(sfDir), spark, journalDir = Some(jdir))
+      s.start()
+      s
+    }
+    def postTo(port: Int, body: String) =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/data/documents"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def countMine(port: Int): Double = {
+      val resp = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/query/aql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"queries": [{"table": "documents",
+               "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+               "rowFilters": ["source = 'jrace'"]}]}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      implicit val fmts: Formats = DefaultFormats
+      (JsonMethods.parse(resp.body()) \ "results")(0)
+        .asInstanceOf[JObject].values("n").asInstanceOf[Double]
+    }
+
+    val s1 = mk()
+    val port = s1.boundPort
+    val threads = 3
+    val batches = 6
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads + 1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (0 until threads).foreach { t =>
+      pool.execute { () =>
+        try {
+          (0 until batches).foreach { b =>
+            val id = 9200000 + t * 1000 + b
+            val r = postTo(port, s"""[{"doc_id": $id, "text": "race $t $b",
+              "lang": "en", "source": "jrace", "n_chars": 8}]""")
+            if (r.statusCode() != 200) failures.incrementAndGet()
+          }
+        } finally done.countDown()
+      }
+    }
+    // drains interleave with the ingest storm
+    pool.execute { () =>
+      while (done.getCount > 0) {
+        s1.drain("documents", archive)
+        Thread.sleep(20)
+      }
+    }
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS), "ingest storm hung")
+    pool.shutdown()
+    assert(pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.get() == 0, s"${failures.get()} ingest batches failed")
+    assert(countMine(port) == threads * batches, "pre-crash visibility")
+    s1.stop() // crash: whatever was not drained lives only in the journal
+
+    val s2 = mk()
+    assert(countMine(s2.boundPort) == threads * batches,
+      "archive + journal replay must cover every raced batch — a batch whose " +
+        "journal record was truncated by an interleaved drain before its " +
+        "overlay apply would be lost here")
+    s2.stop()
+  }
 }
