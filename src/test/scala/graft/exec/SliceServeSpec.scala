@@ -98,4 +98,68 @@ class SliceServeSpec extends SparkSpec {
         "fresh day must serve exactly once after the drain")
     } finally Seq(pa, pb).foreach(_.stop())
   }
+
+  test("slice mode: a member crash before its drain loses nothing (journal replay)") {
+    // the two round-12 durability pieces COMPOSED: a slice member's live
+    // overlay is journal-backed, so a crash between ingest and the
+    // scheduler drain replays on restart and the broker answer is
+    // unchanged; the later drain then promotes to the shared archive and
+    // truncates the journal exactly as in the single-instance case
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sharedDir = tmp("sj-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("sj-a"), "b" -> tmp("sj-b"))
+    val topoDir = tmp("sj-topo")
+    val journalDir = tmp("sj-journal")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    val base = Catalog.testdata(sfDir)
+    def member(slice: String, jdir: Option[String]): GraftServer = {
+      val srv = new GraftServer(
+        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice), spark,
+        journalDir = jdir)
+      srv.sliceServe("events", sharedDir,
+        () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
+      srv.start()
+      srv
+    }
+    var pa = member("a", Some(journalDir))
+    val pb = member("b", None)
+    def broker() = new Broker(Seq(
+      s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+    try {
+      val before = total(broker().aql(wideQuery))
+      val rows = (1 to 2).map(i =>
+        s"""{"event_id": ${910000000L + i}, "ts": "2030-02-02 08:0$i:00",
+            "user_id": $i, "event_type": "crash_et", "value": 2.0,
+            "props": "{}"}""").mkString("[", ",", "]")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val ing = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:${pa.boundPort}/data/events"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(rows)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(ing.statusCode() == 200, ing.body())
+      assert(total(broker().aql(wideQuery)) == before + 2)
+
+      // crash member a with the rows still only in its overlay + journal
+      pa.stop()
+      pa = member("a", Some(journalDir))
+      assert(total(broker().aql(wideQuery)) == before + 2,
+        "journal replay must restore the slice member's overlay — the " +
+          "broker answer cannot shrink across a member crash")
+
+      // the deferred drain completes the loop: shared archive gains the
+      // day, the journal truncates, nothing double-counts
+      pa.drain("events", sharedDir)
+      assert(SliceBootstrap.localDays(spark, sharedDir).contains("2030-02-02"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(journalDir, "events.redolog")),
+        "drain must truncate the slice member's journal")
+      SliceSync.sync(spark, sharedDir, dirs("b"), topoDir, "b")
+      assert(total(broker().aql(wideQuery)) == before + 2,
+        "post-drain: the fresh day serves exactly once")
+    } finally Seq(pa, pb).foreach(_.stop())
+  }
 }
