@@ -43,25 +43,26 @@ object Hll {
     (rho << 16) | index
   }
 
+  // one immutable, thread-safe HashFunction for every row — Guava's
+  // seeded factory allocates a new function object per call, and hashAny
+  // sits on the per-row update path of the aggregate
+  private val Mm3 = Hashing.murmur3_128(0)
+
   def hashAny(v: Any, dt: DataType): Long = dt match {
-    case LongType => Hashing.murmur3_128(0).hashLong(v.asInstanceOf[Long]).asLong()
-    case IntegerType => Hashing.murmur3_128(0).hashInt(v.asInstanceOf[Int]).asLong()
+    case LongType => Mm3.hashLong(v.asInstanceOf[Long]).asLong()
+    case IntegerType => Mm3.hashInt(v.asInstanceOf[Int]).asLong()
     // the reference hashes sizeof(value) bytes (2 for int16), not a widened 4
     case ShortType =>
       val s = v.asInstanceOf[Short]
-      Hashing.murmur3_128(0)
-        .hashBytes(Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).asLong()
-    case ByteType => Hashing.murmur3_128(0)
-      .hashBytes(Array(v.asInstanceOf[Byte])).asLong()
-    case DoubleType => Hashing.murmur3_128(0)
-      .hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])).asLong()
-    case FloatType => Hashing.murmur3_128(0)
-      .hashInt(java.lang.Float.floatToIntBits(v.asInstanceOf[Float])).asLong()
-    case StringType => Hashing.murmur3_128(0)
-      .hashBytes(v.asInstanceOf[UTF8String].getBytes).asLong()
-    case BinaryType => Hashing.murmur3_128(0)
-      .hashBytes(v.asInstanceOf[Array[Byte]]).asLong()
-    case TimestampType => Hashing.murmur3_128(0).hashLong(v.asInstanceOf[Long]).asLong()
+      Mm3.hashBytes(Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).asLong()
+    case ByteType => Mm3.hashBytes(Array(v.asInstanceOf[Byte])).asLong()
+    case DoubleType =>
+      Mm3.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])).asLong()
+    case FloatType =>
+      Mm3.hashInt(java.lang.Float.floatToIntBits(v.asInstanceOf[Float])).asLong()
+    case StringType => Mm3.hashBytes(v.asInstanceOf[UTF8String].getBytes).asLong()
+    case BinaryType => Mm3.hashBytes(v.asInstanceOf[Array[Byte]]).asLong()
+    case TimestampType => Mm3.hashLong(v.asInstanceOf[Long]).asLong()
     case other => throw new IllegalArgumentException(s"hll: unsupported type $other")
   }
 

@@ -81,6 +81,31 @@ def scale_embeddings(src, dst, factor):
     return out.num_rows
 
 
+def scale_events(src, dst, factor):
+    """Replica r shifts user_id by r*100_000 and event_id by r*10_000_000
+    (clear of the specs' planted 9xx,xxx,xxx ids) and keeps ts/event_type/
+    value/props verbatim: day count stays fixed while per-day volume
+    scales — the realistic 100 TB shape (more events per day, not more
+    days) — and per-user session/funnel/cohort structure replicates as
+    independent user populations."""
+    t = pq.read_table(src)
+    eid = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    parts = []
+    for r in range(factor):
+        parts.append(pa.table({
+            "event_id": pa.array(eid + r * 10_000_000, pa.int64()),
+            "ts": t.column("ts"),
+            "user_id": pa.array(uid + r * 100_000, pa.int64()),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "props": t.column("props"),
+        }))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst, row_group_size=5000)
+    return out.num_rows
+
+
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     import os
@@ -91,6 +116,9 @@ def main():
     n = scale_embeddings(f"{src}/embeddings.parquet",
                          f"{dst}/embeddings.parquet", factor)
     print(f"embeddings: {n} rows")
+    n = scale_events(f"{src}/events.parquet",
+                     f"{dst}/events.parquet", factor)
+    print(f"events: {n} rows")
 
 
 if __name__ == "__main__":
