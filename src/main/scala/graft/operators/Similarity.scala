@@ -240,6 +240,15 @@ object Similarity {
     * higher-order-function aggregates per row — HOF lambdas run
     * interpreted per element, which made bucketing the dominant cost.
     */
+  /** The multi-table bucket UDF, exposed for callers that must hash with
+    * the SAME plane family as [[lshNearPairs]] (the streaming semantic
+    * dedup store: batch-side and store-side bucket ids have to agree
+    * across JVM restarts, which the fixed seeds guarantee).
+    */
+  def allBucketsUdf(dim: Int, bits: Int, tables: Int):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    allBuckets(dim, bits, tables)
+
   private def allBuckets(dim: Int, bits: Int, tables: Int) = {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t => hyperplanes(dim, bits, seed = 7L + t))

@@ -120,95 +120,17 @@ object StreamingNearDedup {
   }
 
   private def readStore(spark: org.apache.spark.sql.SparkSession,
-      dir: String, excludeBatchId: Long): Option[DataFrame] = {
-    // list through the Hadoop filesystem of the path, NOT java.io.File:
-    // the store lives wherever the deployment's parquet does (s3a/hdfs),
-    // and a local-only listing would silently return an empty store there
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // consolidated base partitions (compactStore output) + per-batch
-    // appendices newer than the compaction horizon
-    val parts =
-      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(path).filter(st => st.isDirectory && (
-        st.getPath.getName.startsWith("base=") ||
-          (st.getPath.getName.startsWith("batch=") &&
-            st.getPath.getName != s"batch=$excludeBatchId")))
-    if (parts.isEmpty) None
-    else Some(spark.read.parquet(parts.map(_.getPath.toString).toIndexedSeq: _*))
-  }
+      dir: String, excludeBatchId: Long): Option[DataFrame] =
+    BucketStore.read(spark, dir, excludeBatchId)
 
-  /** Fold every `batch=<id>` directory with id <= `upToBatchId` — plus any
-    * older consolidated base — into ONE `base=<upToBatchId>` partition, so
-    * the store stops accreting a directory per micro-batch (the archive
-    * job plays the same role for the fact tables). Returns the number of
-    * directories folded.
-    *
-    * Horizon contract: `upToBatchId` must be BELOW any batch Structured
-    * Streaming could still replay (i.e. strictly less than the last
-    * committed batch id). A replayed batch excludes its own partial write
-    * from lookups BY DIRECTORY NAME, which stops working once its rows are
-    * folded into the base — keeping the horizon behind the commit point
-    * preserves the exactly-once argument unchanged.
-    *
-    * Crash-safety: the new base is fully written and renamed into place
-    * BEFORE the folded directories are removed. A crash in the cleanup
-    * window leaves duplicate rows (batch dir + base copy), which are
-    * harmless to lookups (store hits fold through min(rep_id)) and are
-    * re-canonicalized by the next compaction's dropDuplicates; a re-run
-    * with the same horizon skips the (already promoted) base and finishes
-    * the cleanup.
+  /** Fold the store's per-batch appendices behind the replay horizon into
+    * one consolidated base — see [[BucketStore.compact]] for the horizon
+    * contract and crash-safety discipline. A crash in the cleanup window
+    * leaves duplicate rows (batch dir + base copy), which are harmless to
+    * lookups here (store hits fold through min(rep_id)).
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
-      upToBatchId: Long): Int = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0
-    def idOf(name: String, prefix: String): Option[Long] =
-      if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption else None
-    val all = fs.listStatus(root).filter(_.isDirectory)
-    val folded = all.filter { st =>
-      val n = st.getPath.getName
-      idOf(n, "batch=").exists(_ <= upToBatchId) ||
-        idOf(n, "base=").exists(_ < upToBatchId)
-    }
-    if (folded.isEmpty) return 0
-    val target = new org.apache.hadoop.fs.Path(root, s"base=$upToBatchId")
-    val manifest = new org.apache.hadoop.fs.Path(target, "_folded")
-    if (!fs.exists(target)) {
-      val tmp = new org.apache.hadoop.fs.Path(root,
-        s".compact-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      spark.read.parquet(folded.map(_.getPath.toString).toIndexedSeq: _*)
-        .dropDuplicates("band", "bucket", "rep_id")
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // record WHICH dirs this base covers before it becomes visible: a
-      // re-run (same horizon, prior crash) must not assume every currently
-      // listed dir <= horizon is folded — after a checkpoint reset, NEW
-      // batch dirs can land at ids <= an old horizon and deleting them
-      // unverified would silently lose their signatures.
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_folded"), true)
-      out.write(folded.map(_.getPath.getName).sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"compaction rename failed: $tmp -> $target")
-    }
-    // delete only dirs the base provably covers (its manifest); a legacy
-    // base without one gets no unverified cleanup — refuse and keep them.
-    val covered: Set[String] =
-      if (!fs.exists(manifest)) Set.empty
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
-        val in = fs.open(manifest)
-        try in.readFully(0, buf) finally in.close()
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).toSet
-      }
-    val deletable = folded.filter(st => covered.contains(st.getPath.getName))
-    deletable.foreach(st => fs.delete(st.getPath, true))
-    if (deletable.length < folded.length)
-      System.err.println(s"[compactStore] kept ${folded.length - deletable.length} " +
-        s"dir(s) <= horizon $upToBatchId not covered by ${target.getName}'s manifest")
-    deletable.length
-  }
+      upToBatchId: Long): Int =
+    BucketStore.compact(spark, dir, upToBatchId,
+      dedupCols = Seq("band", "bucket", "rep_id"))
 }
