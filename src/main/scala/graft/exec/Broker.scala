@@ -123,15 +123,20 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
       extra: scala.concurrent.duration.FiniteDuration =
         scala.concurrent.duration.Duration.Zero): T = {
     val structural = gatherWait(ss) + extra
-    val limit =
-      if (deadlineSeconds > 0) structural.min(
-        scala.concurrent.duration.FiniteDuration(deadlineSeconds,
-          java.util.concurrent.TimeUnit.SECONDS))
-      else structural
+    val deadline =
+      if (deadlineSeconds > 0) Some(scala.concurrent.duration.FiniteDuration(
+        deadlineSeconds, java.util.concurrent.TimeUnit.SECONDS))
+      else None
+    // attribute a timeout to the deadline only when the deadline was the
+    // BINDING bound (identity, not a seconds comparison — a structural
+    // wait that coincidentally rounds to deadlineSeconds must not
+    // masquerade as a deadline cancellation in the error and counters)
+    val deadlineBinds = deadline.exists(_ < structural)
+    val limit = if (deadlineBinds) deadline.get else structural
     try Await.result(f, limit)
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        if (deadlineSeconds > 0 && limit.toSeconds == deadlineSeconds)
+        if (deadlineBinds)
           throw new IllegalStateException(
             s"query deadline exceeded (${deadlineSeconds}s)")
         else throw new IllegalStateException(

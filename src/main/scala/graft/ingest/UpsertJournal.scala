@@ -45,8 +45,18 @@ final class UpsertJournal(dir: String) {
   }
 
   private def channel(table: String): FileChannel =
-    channels.getOrElseUpdate(table,
-      new FileOutputStream(fileOf(table), true).getChannel)
+    channels.get(table).getOrElse {
+      // putIfAbsent (not getOrElseUpdate): two first-appenders racing on
+      // a table must not each open a channel and leak the loser's fd —
+      // the loser closes its channel and adopts the winner's. In-repo
+      // callers already serialize per table (the server's table lock),
+      // but the class is public API.
+      val fresh = new FileOutputStream(fileOf(table), true).getChannel
+      channels.putIfAbsent(table, fresh) match {
+        case Some(existing) => fresh.close(); existing
+        case None => fresh
+      }
+    }
 
   /** Append one ingest batch (the raw request body) and fsync. `kind` is
     * [[UpsertJournal.KindJson]] or [[UpsertJournal.KindBinary]] — replay
