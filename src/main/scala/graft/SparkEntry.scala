@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.ArrayQueries.defs ++
     graft.queries.CorpusQueries.defs ++
     graft.queries.MatchQueries.defs ++
-    graft.queries.SketchQueries.defs
+    graft.queries.SketchQueries.defs ++
+    graft.queries.ExportQueries.defs
 
   // the maps below would silently drop a gate on a name collision — with
   // 200+ defs across 14 files, fail loudly at first touch instead

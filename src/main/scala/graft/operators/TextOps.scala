@@ -10,8 +10,16 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Whitespace tokenization of trimmed text. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization of trimmed text — single-pass codegen'd
+    * byte walk, semantically identical to [[tokensRegex]] (`TokenizeSpec`
+    * pins equality; the DuckDB oracles replay the regex spelling).
+    */
+  def tokens(c: Column): Column = graft.functions.Tokenize.wsCol(c)
+
+  /** The regex formulation [[tokens]]'s kernel replaced (kept as the
+    * equality baseline for `TokenizeSpec`).
+    */
+  def tokensRegex(c: Column): Column = split(trim(c), "\\s+")
 
   /** BPE-ish subword segmentation pattern: letter runs, digit runs, and
     * individual punctuation marks each count as one token — the shape of a
@@ -20,8 +28,15 @@ object TextOps {
     */
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** BPE-ish token array (for counting; training-cost estimation). */
-  def bpeishTokens(c: Column): Column = regexp_extract_all(c, lit(BpeishPattern), lit(0))
+  /** BPE-ish token array (for counting; training-cost estimation) —
+    * single-pass codegen'd byte walk over the same alternation
+    * (`TokenizeSpec` pins equality with [[bpeishTokensRegex]]).
+    */
+  def bpeishTokens(c: Column): Column = graft.functions.Tokenize.bpeishCol(c)
+
+  /** The regex formulation [[bpeishTokens]] replaced (equality baseline). */
+  def bpeishTokensRegex(c: Column): Column =
+    regexp_extract_all(c, lit(BpeishPattern), lit(0))
 
   /** Word n-gram shingles as space-joined strings; empty array when the
     * document is shorter than n tokens.

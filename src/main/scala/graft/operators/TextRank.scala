@@ -29,7 +29,7 @@ object TextRank {
     * so BM25 and the text-stats operators agree on token identity.
     */
   def lowerTokens(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+    graft.functions.Tokenize.wsCol(lower(text))
 
   /** BM25 top-k documents per query (Robertson–Spärck Jones idf in the
     * `ln(1 + (N - n + 0.5)/(n + 0.5))` form — always positive).

@@ -151,7 +151,7 @@ object PipelineQueries {
       Dedup.trimDuplicateSpans(input, "doc_id", "text", spanTokens = 20)
         .select(col("doc_id"),
           when(col("text") === "", 0L)
-            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .otherwise(size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
             .as("n_tokens"),
           md5(col("text")).as("fp"))
         .orderBy("doc_id")
