@@ -106,12 +106,17 @@ object WarcSource {
     private var done = false
 
     private def readLine(): String = {
-      // WARC header lines are ASCII; CRLF-terminated
+      // WARC header lines are ASCII; CRLF-terminated. Bounded: a
+      // malformed member with no newlines must fail loudly, not buffer
+      // the whole (possibly 1 GB) stream into one line.
       val sb = new java.lang.StringBuilder(64)
       var c = in.read()
       if (c < 0) throw new EOFException()
       while (c >= 0 && c != '\n') {
         if (c != '\r') sb.append(c.toChar)
+        if (sb.length > 64 * 1024)
+          throw new IllegalArgumentException(
+            s"$file: header line exceeds 64 KiB — not WARC framing")
         c = in.read()
       }
       sb.toString

@@ -119,6 +119,20 @@ class WarcSourceSpec extends SparkSpec {
     assert(df.filter(col("record_id") === "<urn:uuid:wet-1>").count() == 0)
   }
 
+  test("newline-free garbage fails loudly instead of buffering the file") {
+    val dir = Files.createTempDirectory("warcgarbage").toString
+    val out = new FileOutputStream(s"$dir/garbage.warc")
+    out.write("WARC/1.0\r\n".getBytes(UTF_8))
+    val junk = new Array[Byte](200 * 1024)
+    java.util.Arrays.fill(junk, 'x'.toByte)
+    out.write(junk); out.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.readWarc(spark, dir).count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("64 KiB"))
+  }
+
   test("oversized Content-Length fails loudly with the file name") {
     val dir = Files.createTempDirectory("warcbig").toString
     writePlain(dir)
