@@ -52,15 +52,8 @@ object Classifier {
   def weightMilli(seed: Int, bucket: Long): Long =
     (bucket + seed) * 2654435761L % 2001 - 1000
 
-  private def bucketCol(feat: Column, bucketBits: Int): Column =
-    Sketches.hash60Col(feat) % (1L << bucketBits)
-
   private def weightCol(seed: Int, bucket: Column): Column =
     (bucket + seed) * 2654435761L % 2001 - 1000
-
-  /** Unigram + bigram feature array from a pre-bound token array. */
-  private def features(toks: Column): Column =
-    concat(toks, TextOps.shingles(toks, 2))
 
   /** Probe side for a `(bucket, w_milli)` weight table, size-guarded the
     * way [[Lm.boundedModel]] guards LM models — but statically: the
@@ -100,10 +93,15 @@ object Classifier {
       seed: Int = 7, threshold: Double = 0.5): DataFrame = {
     require(bucketBits > 0 && bucketBits <= 30, s"bucketBits $bucketBits out of range")
     val t = col(toksCol)
+    // features fold as PRE-HASHED longs (GramHash.featureHash60: one
+    // fused md5 pass per document, value-identical to hashing each
+    // unigram/bigram string) — the per-feature work inside the lambda is
+    // pure integer arithmetic
     val scored = docs
       .withColumn("__n", size(t) + greatest(size(t) - 1, lit(0)))
-      .withColumn("__sum", aggregate(features(t), lit(0L),
-        (acc, f) => acc + weightCol(seed, bucketCol(f, bucketBits))))
+      .withColumn("__sum", aggregate(
+        graft.functions.GramHash.featureHash60Col(t), lit(0L),
+        (acc, h) => acc + weightCol(seed, h % (1L << bucketBits))))
     finish(scored, threshold)
   }
 
@@ -116,21 +114,22 @@ object Classifier {
   private def featureBuckets(toks: DataFrame, idCol: String,
       bucketBits: Int): DataFrame = {
     val n = size(col("__toks"))
-    // n > 0 guard (the winnowFingerprints pattern): sequence(1, 0) would
-    // generate a DESCENDING [1, 0] and element_at(toks, 0) throws — the
-    // whitespace tokenizer happens never to return an empty array, but
-    // that invariant lives elsewhere and must not be load-bearing here
+    // The feature hashes are computed ONCE per document by the fused
+    // kernel and bound below the Generate; index i in [1, n] is token i,
+    // index in (n, 2n-1] the bigram starting at i - n — featureHash60's
+    // layout, identical to the old per-row string build. n > 0 guard
+    // (the winnowFingerprints pattern): sequence(1, 0) would generate a
+    // DESCENDING [1, 0] and element_at(.., 0) throws — the whitespace
+    // tokenizer happens never to return an empty array, but that
+    // invariant lives elsewhere and must not be load-bearing here
     toks.select(col(idCol), col("__toks"),
+        graft.functions.GramHash.featureHash60Col(col("__toks")).as("__fh"))
+      .select(col(idCol), col("__fh"),
         explode(when(n > 0, sequence(lit(1), n + greatest(n - 1, lit(0))))
           .otherwise(typedLit(Seq.empty[Int]))).as("__fi"))
       .select(col(idCol),
-        when(col("__fi") <= size(col("__toks")),
-          element_at(col("__toks"), col("__fi")))
-          .otherwise(concat_ws(" ",
-            element_at(col("__toks"), col("__fi") - size(col("__toks"))),
-            element_at(col("__toks"), col("__fi") - size(col("__toks")) + 1)))
-          .as("__feat"))
-      .select(col(idCol), bucketCol(col("__feat"), bucketBits).as("bucket"))
+        (element_at(col("__fh"), col("__fi")) % (1L << bucketBits))
+          .as("bucket"))
   }
 
   /** Score under a fitted `(bucket, w_milli)` weight table (missing

@@ -286,18 +286,19 @@ object Dedup {
     val ids = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id"))).distinct()
     // the member shingle set feeds four consumers (both sz joins, both
-    // intersection sides) — stage it so the tokenize+shingle explode
-    // runs once
+    // intersection sides) — stage it so the tokenize+gram-hash pass
+    // runs once. Shingles travel as md5-prefix HASHES (the 8-byte-key
+    // shuffle rule; the oracle replays the same hash), not gram text
     val sh = Staged.materialize(
-      TextOps.explodeShingles(df
+      TextOps.explodeShingleHashes(df
           .select(col(idCol).cast("long").as("id"),
             TextOps.tokens(col(textCol)).as("__tk"))
           .join(broadcast(Staged.materialize(ids)), Seq("id"))
           .where(size(col("__tk")) >= 3),
         "__tk", 3, "g", Seq("id"))
         // distinct per doc via partial-agg (within-doc dupes die map-side);
-        // exploding array_distinct(shingles) would trip the inferred-filter
-        // re-tokenization (TextOps.explodeShingles note)
+        // exploding array_distinct(shingle hashes) would trip the
+        // inferred-filter re-tokenization (TextOps.explodeShingles note)
         .groupBy("id", "g").agg(count(lit(1)).as("__m"))
         .select("id", "g"))
     val sz = Staged.materialize(sh.groupBy("id").agg(count(lit(1)).as("n")))
@@ -1055,8 +1056,8 @@ object Dedup {
     // array rides ABOVE the Generate as a plain attribute.
     val bound = docs
       .withColumn("__toks", col(toksCol))
-      .withColumn("__hs", transform(TextOps.shingles(col("__toks"), k),
-        g => graft.functions.Sketches.hash60Col(g)))
+      .withColumn("__hs",
+        graft.functions.GramHash.shingleHash60Col(col("__toks"), k))
     val nWindows = size(col("__toks")) - (k - 1) - (w - 1)
     val exploded = bound.select(col(idCol), col("__hs"),
       explode(when(nWindows > 0, sequence(lit(0), nWindows - 1))
@@ -1073,8 +1074,14 @@ object Dedup {
     // has min value h[p] and no equal value right of p inside the later
     // selector's range), so keeping only rows where the previous window
     // selected a different position IS the distinct set — no shuffle.
+    // the previous-window probe clamps to window 0 for __j = 0 (the left
+    // disjunct already keeps that row): an interpreted Predicate with
+    // subexpression elimination evaluates BOTH disjuncts eagerly, and
+    // slice(.., 0, w) throws — the unclamped form was safe only while
+    // codegen's short-circuit happened to guard it
     exploded
-      .where(col("__j") === 0 || selPos(col("__j")) =!= selPos(col("__j") - 1))
+      .where(col("__j") === 0 ||
+        selPos(col("__j")) =!= selPos(greatest(col("__j") - 1, lit(0))))
       .select(col(idCol), selPos(col("__j")).cast("int").as("pos"),
         array_min(slice(col("__hs"), col("__j") + 1, lit(w))).as("fp"))
   }
@@ -1163,8 +1170,8 @@ object Dedup {
     require(k >= 1 && threshold > 0 && maxDocsPerShingle >= 2)
     val tokenized = docs.select(col(idCol),
       TextOps.tokens(lower(col(textCol))).as("__toks"))
-    val sh = TextOps.explodeShingles(tokenized, "__toks", k, "__g", Seq(idCol))
-      .select(col(idCol), graft.functions.Sketches.hash60Col(col("__g")).as("__h"))
+    val sh = TextOps
+      .explodeShingleHashes(tokenized, "__toks", k, "__h", Seq(idCol))
       .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     cappedPairJoin(sh, "__h", idCol, maxDocsPerShingle)

@@ -75,6 +75,28 @@ object TextOps {
         .as(gramCol): _*)
   }
 
+  /** [[explodeShingles]] emitting the md5-prefix HASH of each gram
+    * instead of the gram string — the shape for consumers that key
+    * shuffles/joins on gram identity (n-gram df, containment, the
+    * minhash audit): 8-byte keys move instead of text, and the whole
+    * gram family hashes in ONE fused pass per document
+    * ([[graft.functions.GramHash]]) rather than one
+    * array_join+md5-hex+conv chain per window. Same count-only-generator
+    * discipline; the hash array is BOUND below the Generate and
+    * subscripted per row, so the kernel runs once per document.
+    */
+  def explodeShingleHashes(df: DataFrame, toksCol: String, n: Int,
+      hashCol: String, carry: Seq[String]): DataFrame = {
+    val c = carry.map(col)
+    df.select(c :+ col(toksCol) :+
+        graft.functions.GramHash.shingleHash60Col(col(toksCol), n).as("__shs"): _*)
+      .select(c :+ col("__shs") :+
+        explode(when(size(col(toksCol)) >= n,
+          sequence(lit(1), size(col(toksCol)) - (n - 1)))
+          .otherwise(typedLit(Seq.empty[Int]))).as("__shi"): _*)
+      .select(c :+ element_at(col("__shs"), col("__shi")).as(hashCol): _*)
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * everything outside `[a-z0-9]` and whitespace, collapse whitespace
     * runs to one space, trim. Exact dedup on the normalized form catches

@@ -228,7 +228,11 @@ object TextRank {
       n: Int, roundTo: Int = 4): DataFrame = {
     val tokenized = docs
       .select(col(idCol), lowerTokens(col(textCol)).as("__toks"))
-    val grams = TextOps.explodeShingles(tokenized, "__toks", n,
+    // grams travel as md5-prefix hashes (8-byte shuffle keys, fused
+    // one-pass hashing per doc; the oracle replays the same hash) — at
+    // corpus scale the two gram-keyed shuffles here move ids+longs, not
+    // n-word strings
+    val grams = TextOps.explodeShingleHashes(tokenized, "__toks", n,
         "__gram", Seq(idCol))
       .groupBy("__gram", idCol).agg(count(lit(1)).as("__mult"))
       .select(col(idCol), col("__gram"))

@@ -200,7 +200,9 @@ object MatchQueries {
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |  FROM documents),
         |grams AS (
-        |  SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS gram
+        |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
         |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
         |    FROM toks WHERE len(tk) >= 3)),

@@ -49,6 +49,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
     },
 
+
     // --- dedup: MinHash LSH. The hash values are engine-specific, but the
     // RECALL CONTRACT is checkable: every planted near-dup pair (mutated
     // copy at id+100000) must be found. The oracle pins the planted-pair
@@ -1557,15 +1558,19 @@ object PipelineQueries {
       """WITH input AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 200000, text || ' zz yy xx' FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts)-1),
-        |    i -> array_to_string(ts[i:i+2], ' ')))) AS g
+        |shg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),
+        |    i -> array_to_string(ts[i:i+2], ' '))) AS g
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM input)
         |  WHERE len(ts) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM shg),
         |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |e0 AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |flagged AS (
         |  SELECT e0.i, sa.n AS na, sb.n AS nb
         |  FROM e0 JOIN szs sa ON sa.doc_id = e0.a JOIN szs sb ON sb.doc_id = e0.b
