@@ -157,6 +157,44 @@ object Pipeline {
     * of the corpus. The two exact count-distincts ride Catalyst's expand
     * rewrite inside the same aggregation; nothing scans the corpus twice.
     */
+  /** First-drop attribution across an ordered stage sequence — the
+    * "which stage lost my data" observable a curation run reads next to
+    * [[corpusReport]]: for every input document, the name of the FIRST
+    * stage whose survivor set lacks it (`'kept'` for documents that
+    * survive every stage). Complements the per-stage counters a funnel
+    * report gives: attribution is per-document, so it joins back to any
+    * slice (per-source drop rates, per-language decontam incidence).
+    *
+    * `stages` are `(name, survivors)` in pipeline order, each survivors
+    * frame carrying `idCol`. With sequentially-derived stages (stage i
+    * computed on stage i−1's survivors — the normal pipeline shape) the
+    * sets are nested and "first missing" is exactly "the stage that
+    * dropped it"; with independent membership sets it still reports the
+    * first predicate the document fails.
+    *
+    * Scale shape: the operator touches only id columns — one id-keyed
+    * left join per stage over monotonically shrinking survivor sets, no
+    * text movement; attribution itself is a null-chase projection.
+    * Callers should hand in STAGED survivor frames (the
+    * [[graft.operators.Staged]] discipline) — each survivors frame is
+    * consumed once here, but deriving frames lazily from each other
+    * re-executes the upstream stages per reference.
+    */
+  def attrition(docs: DataFrame, idCol: String,
+      stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "attrition needs at least one stage")
+    val flagged = stages.zipWithIndex.foldLeft(docs.select(col(idCol))) {
+      case (acc, ((_, ids), i)) =>
+        acc.join(ids.select(col(idCol)).withColumn(s"__s$i", lit(1)),
+          Seq(idCol), "left")
+    }
+    val attributed = stages.zipWithIndex.foldRight(lit("kept")) {
+      case (((name, _), i), rest) =>
+        when(col(s"__s$i").isNull, lit(name)).otherwise(rest)
+    }
+    flagged.select(col(idCol), attributed.as("dropped_by"))
+  }
+
   def corpusReport(docs: DataFrame, textCol: String, srcCol: String,
       langCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))

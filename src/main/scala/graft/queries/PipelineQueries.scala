@@ -49,6 +49,93 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
     },
 
+    // --- pipeline attrition: per-document FIRST-DROP attribution across a
+    // four-stage deterministic funnel (exact keep-min → Gopher quality →
+    // 3-gram decontam vs the doc_id<10 benchmark → 200-token source
+    // budget; every stage computed on the previous stage's survivors).
+    // Input is the DOUBLED corpus (verbatim clones at +100000) so the
+    // exact-dup stage provably attributes every clone at any scale. The
+    // oracle replays all four predicates sequentially — each fragment is
+    // the corresponding single-stage gate's oracle, composed.
+    QueryDef("q_pipeline_attrition",
+      """WITH input AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, source FROM documents),
+        |s1 AS (SELECT MIN(doc_id) AS doc_id FROM input GROUP BY text),
+        |toks AS (SELECT d.doc_id AS id,
+        |           unnest(string_split_regex(trim(d.text), '\s+')) AS tok
+        |         FROM input d JOIN s1 USING (doc_id)),
+        |perdoc AS (SELECT id, COUNT(*) AS n_words, SUM(len(tok)) AS n_wchars,
+        |    COUNT(DISTINCT tok) AS n_types,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+        |        THEN 1 ELSE 0 END) AS n_stop
+        |  FROM toks GROUP BY 1),
+        |maxf AS (SELECT id, MAX(c) AS max_freq
+        |         FROM (SELECT id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |s2 AS (SELECT id AS doc_id FROM perdoc JOIN maxf USING (id)
+        |       WHERE n_words >= 30 AND n_wchars >= 4*n_words
+        |         AND n_wchars <= 10*n_words AND n_stop >= 2
+        |         AND 2*n_types >= n_words AND 10*max_freq <= n_words),
+        |tok2 AS (SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts)+1)) AS i
+        |         FROM (SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS ts
+        |               FROM input d JOIN s2 USING (doc_id))),
+        |g2 AS (SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS gram
+        |       FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |                   JOIN tok2 c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |btok AS (SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts)+1)) AS i
+        |         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |               FROM input WHERE doc_id < 10)),
+        |bg AS (SELECT DISTINCT a.t || ' ' || b.t || ' ' || c.t AS gram
+        |       FROM btok a JOIN btok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |                   JOIN btok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |contam AS (SELECT DISTINCT g2.doc_id FROM g2 JOIN bg USING (gram)),
+        |s3 AS (SELECT doc_id FROM s2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |t AS (SELECT d.source, d.doc_id,
+        |        len(string_split_regex(trim(d.text), '\s+')) AS n
+        |      FROM input d JOIN s3 USING (doc_id)),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS actual FROM t GROUP BY source),
+        |r AS (SELECT source, CASE WHEN actual <= 200 THEN CAST(65536 AS BIGINT)
+        |        ELSE CAST(13107200 // actual AS BIGINT) END AS rate16 FROM tot),
+        |s4 AS (SELECT doc_id FROM t JOIN r USING (source)
+        |       WHERE rate16 >= 65536
+        |          OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |             < lpad(lower(to_hex(rate16)), 4, '0'))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN s1.doc_id IS NULL THEN 'exact_dup'
+        |       WHEN s2.doc_id IS NULL THEN 'quality'
+        |       WHEN s3.doc_id IS NULL THEN 'decontam'
+        |       WHEN s4.doc_id IS NULL THEN 'budget'
+        |       ELSE 'kept' END AS dropped_by
+        |FROM input d
+        |LEFT JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+        |LEFT JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      import graft.operators.{Curation, Pipeline, Sampling, Staged}
+      val docs = doubledDocs(s, d, mutate = false)
+      val s1 = Staged.materialize(
+        Dedup.exactKeepMin(docs, "text", "doc_id").select("doc_id"))
+      val d1 = docs.join(s1, Seq("doc_id"), "left_semi")
+      val s2 = Staged.materialize(
+        Curation.qualityRules(d1, "doc_id", "text")
+          .where(col("keep").cast("int") === 1).select("doc_id"))
+      val d2 = docs.join(s2, Seq("doc_id"), "left_semi")
+      val s3 = Staged.materialize(
+        d2.select("doc_id").join(
+          Curation.contaminatedIds(d2, docs.where(col("doc_id") < 10),
+            "doc_id", "text", 3),
+          Seq("doc_id"), "left_anti"))
+      val d3 = docs.join(s3, Seq("doc_id"), "left_semi")
+      val s4 = Sampling.tokenBudgetMix(
+        d3.select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n")),
+        "source", col("doc_id"), "n", 200L).select("doc_id")
+      Pipeline.attrition(docs, "doc_id", Seq(
+        "exact_dup" -> s1, "quality" -> s2, "decontam" -> s3, "budget" -> s4))
+        .orderBy("doc_id")
+    },
 
     // --- dedup: MinHash LSH. The hash values are engine-specific, but the
     // RECALL CONTRACT is checkable: every planted near-dup pair (mutated

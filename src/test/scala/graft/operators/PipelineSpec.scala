@@ -175,4 +175,24 @@ class PipelineSpec extends SparkSpec {
       .select("kl").as[Double].head()
     assert(same == 0.0)
   }
+
+  test("attrition attributes each doc to its FIRST missing stage") {
+    import spark.implicits._
+    def ids(v: Long*) = v.map(Tuple1(_)).toDF("id")
+    val docs = ids(1L, 2L, 3L, 4L, 5L)
+    val s1 = ids(2L, 3L, 4L, 5L) // drops 1
+    val s2 = ids(3L, 5L)         // drops 2, 4
+    val s3 = ids(5L)             // drops 3
+    val got = Pipeline.attrition(docs, "id",
+        Seq("a" -> s1, "b" -> s2, "c" -> s3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "b", 5L -> "kept"))
+    // independent (non-nested) sets: first failing predicate wins — a doc
+    // absent from an EARLIER stage is attributed there even if a later
+    // set would re-admit it
+    val weird = Pipeline.attrition(docs, "id",
+        Seq("a" -> s2, "b" -> s1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(weird(1L) == "a" && weird(4L) == "a" && weird(3L) == "kept")
+  }
 }
