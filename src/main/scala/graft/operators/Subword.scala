@@ -132,4 +132,115 @@ object Subword {
       .withColumn("oov_rate",
         round(col("fallback_pieces") / col("subword_tokens"), 6))
   }
+
+  // ---- iterative BPE merge learning (Sennrich et al. 2016) ----------------
+
+  /** Learn `nMerges` byte-pair-encoding merges from the corpus — the
+    * ACTUAL BPE training loop (count adjacent symbol pairs over the
+    * word dictionary, merge the most frequent pair everywhere, repeat),
+    * as opposed to [[learnVocabulary]]'s single-shot prefix heuristic.
+    *
+    * Spark-first scale shape (the published algorithm's own structure):
+    * BPE learns from the WORD-FREQUENCY DICTIONARY, not the corpus —
+    * the one corpus-scale pass here is the distributed word count,
+    * capped at the top `maxWords` types by (count desc, word asc) like
+    * every bounded model in this repo (IVF centroids, the subword
+    * vocabulary, LM tables). The merge loop then runs on that bounded
+    * dictionary driver-side: nMerges × O(dictionary) with incremental
+    * pair recounts, corpus-size-independent.
+    *
+    * Determinism contract: pair ranks order by (count desc, left asc,
+    * right asc); merge application is leftmost-first non-overlapping
+    * (so ("v","v") on "vvv" yields [vv, v]); the loop stops early when
+    * no adjacent pair remains anywhere in the dictionary.
+    *
+    * @return merges in learned order: (rank 1.., left, right)
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 50000): Seq[(Int, String, String)] = {
+    require(nMerges > 0 && maxWords > 0)
+    val dict = df
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("__w"))
+      .where(length(col("__w")) >= 2)
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.foreach { case (k, v) =>
+          if (v > bestC || (v == bestC &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+            best = k; bestC = v
+          }
+        }
+        merges += ((rank, best._1, best._2))
+        words = words.map { case (syms, c) => (mergePair(syms, best), c) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Leftmost-first non-overlapping application of one merge. */
+  private def mergePair(syms: Array[String],
+      m: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == m._1 && syms(i + 1) == m._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Piece count per word under a learned merge list (applied in rank
+    * order) — the [[pieceCounter]] of the BPE path. Per DISTINCT word,
+    * like every encoder here.
+    */
+  def bpePieceCounter(merges: Seq[(Int, String, String)]): UserDefinedFunction = {
+    val ordered = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
+    udf { (w: String) =>
+      var syms: Array[String] = w.toCharArray.map(_.toString)
+      ordered.foreach { m => syms = mergePair(syms, m) }
+      syms.length
+    }
+  }
+
+  /** Per-group BPE token totals under learned merges — the trained-
+    * tokenizer cost estimate ([[subwordTokens]]' BPE sibling): learn on
+    * the corpus, encode each DISTINCT (group, word) once, weight by
+    * occurrence count.
+    */
+  def bpeTokens(df: DataFrame, textCol: String, groupCol: String,
+      nMerges: Int, maxWords: Int = 50000): DataFrame = {
+    val pieces = bpePieceCounter(learnBpeMerges(df, textCol, nMerges, maxWords))
+    df.select(col(groupCol), explode(TextOps.tokens(lower(col(textCol)))).as("__w"))
+      .groupBy(groupCol, "__w").agg(count(lit(1)).as("__cnt"))
+      .select(col(groupCol), (col("__cnt") * pieces(col("__w"))).as("__pieces"))
+      .groupBy(groupCol)
+      .agg(sum("__pieces").cast("long").as("bpe_tokens"))
+  }
 }

@@ -802,6 +802,46 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // --- iterative BPE merge learning (Sennrich 2016) on a PLANTED
+    // dictionary with a forced pair-count ordering — the merge SEQUENCE
+    // is analytically determined (see SubwordSpec's derivation), so the
+    // oracle is the expected table itself; the engine runs the real
+    // distributed word count + merge loop end to end. qz x900, qzx x700,
+    // vv x600, vvv x100 force (q,z) -> (v,v) -> (qz,x) -> (vv,v), then
+    // early stop (no pairs left) despite nMerges = 6.
+    QueryDef("q_text_bpe_merges",
+      """SELECT * FROM (VALUES
+        |  (1, 'q', 'z'), (2, 'v', 'v'), (3, 'qz', 'x'), (4, 'vv', 'v'))
+        |AS t(mrank, l, r) ORDER BY mrank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val corpus = Seq(("qz", 900), ("qzx", 700), ("vv", 600), ("vvv", 100))
+        .toDF("w", "n")
+        .select(explode(sequence(lit(1), col("n"))).as("__i"), col("w"))
+        .select(col("w").as("text"))
+      graft.operators.Subword.learnBpeMerges(corpus, "text", nMerges = 6)
+        .toDF("mrank", "l", "r").orderBy("mrank")
+    },
+
+    // --- BPE encode under the learned merges: per-group piece totals,
+    // weighted by occurrence (encode runs once per DISTINCT word). All
+    // four planted words end as ONE symbol under the four merges, so the
+    // totals are the occurrence counts per family (A: 900+700,
+    // B: 600+100).
+    QueryDef("q_text_bpe_tokens",
+      """SELECT * FROM (VALUES ('A', CAST(1600 AS BIGINT)),
+        |  ('B', CAST(700 AS BIGINT)))
+        |AS t(src, bpe_tokens) ORDER BY src""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val corpus = Seq(("qz", 900), ("qzx", 700), ("vv", 600), ("vvv", 100))
+        .toDF("w", "n")
+        .select(explode(sequence(lit(1), col("n"))).as("__i"), col("w"))
+        .select(col("w").as("text"))
+        .withColumn("src",
+          when(col("text").startsWith("q"), "A").otherwise("B"))
+      graft.operators.Subword.bpeTokens(corpus, "text", "src", nMerges = 6)
+        .toDF("src", "bpe_tokens").orderBy("src")
+    },
+
     // --- tokenize → pack bridge (session 4): per-doc token counts under
     // the LEARNED subword vocabulary feed concat-and-chunk packing — the
     // text-to-training-sequences composition in one job (the count the

@@ -50,4 +50,45 @@ class SubwordSpec extends SparkSpec {
     assert(a._1 == "A" && a._3 == 0L && a._4 == 0.0, got.mkString(", "))
     assert(b._1 == "B" && b._3 == 2L, got.mkString(", "))
   }
+
+  // forced-pair-count dictionary: qz x900, qzx x700, vv x600, vvv x100
+  // round 1: (q,z)=1600 beats (z,x)=700, (v,v)=800      -> merge (q,z)
+  // round 2: (qz,x)=700 vs (v,v)=800                    -> merge (v,v)
+  // round 3: (qz,x)=700 vs (vv,v)=100                   -> merge (qz,x)
+  // round 4: only (vv,v)=100                            -> merge (vv,v)
+  // round 5: every word is a single symbol              -> early stop
+  private def bpeCorpus = {
+    val rows = Seq(("qz", 900), ("qzx", 700), ("vv", 600), ("vvv", 100))
+    rows.toDF("w", "n")
+      .select(explode(sequence(lit(1), col("n"))).as("__i"), col("w"))
+      .select(col("w").as("text"))
+  }
+
+  test("learnBpeMerges reproduces the hand-computed merge sequence") {
+    val m = Subword.learnBpeMerges(bpeCorpus, "text", nMerges = 6)
+    assert(m == Seq((1, "q", "z"), (2, "v", "v"), (3, "qz", "x"),
+      (4, "vv", "v")), m.toString)
+  }
+
+  test("self-pair merges apply leftmost-first non-overlapping") {
+    val count = Subword.bpePieceCounter(Seq((1, "v", "v")))
+    val out = Seq("vvv", "vvvv", "v", "vv")
+      .toDF("w").select(col("w"), count(col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out("vvv") == 2, "vv + v")
+    assert(out("vvvv") == 2, "vv + vv")
+    assert(out("v") == 1)
+    assert(out("vv") == 1)
+  }
+
+  test("bpeTokens weights encoded piece counts by occurrence") {
+    val labeled = bpeCorpus.withColumn("src",
+      when(col("text").startsWith("q"), "A").otherwise("B"))
+    val got = Subword.bpeTokens(labeled, "text", "src", nMerges = 6)
+      .orderBy("src")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // qz -> [qz] x900, qzx -> [qzx] x700; vv -> [vv] x600, and vvv -> [vvv]
+    // x100 (merge 4 = (vv, v) collapses it at encode time)
+    assert(got == Map("A" -> 1600L, "B" -> 700L), got.toString)
+  }
 }
