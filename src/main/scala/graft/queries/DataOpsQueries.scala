@@ -106,6 +106,39 @@ object DataOpsQueries {
         .orderBy("vec_id", "dim")
     },
 
+    // --- PCA: the data-aware projection next to JL. The eigen basis is
+    // not SQL-replayable, so the gate pins the INVARIANTS that define a
+    // correct PCA (the flag-oracle pattern of q_ann_sq8/q_percentile_
+    // approx): fitted components orthonormal, eigenvalues descending and
+    // non-negative, and top-k eigenvalue mass >= the best k COORDINATE
+    // axes' variance mass (optimality over axis-aligned projections —
+    // a wrong eigensolver fails this on real data immediately). The fit
+    // itself is the real distributed one-pass Gram accumulation.
+    QueryDef("q_emb_pca",
+      """SELECT * FROM (VALUES (8, TRUE, TRUE, TRUE))
+        |AS t(k, orthonormal_ok, descending_ok, beats_axes_ok)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val m = graft.operators.Projection.fitPca(emb, "embedding", inDim = 64, k = 8)
+      val orth = (0 until 8).forall { a =>
+        (a until 8).forall { b =>
+          val dot = (0 until 64).map(i => m.components(a)(i) * m.components(b)(i)).sum
+          math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      val desc = m.eigenvalues.sliding(2).forall {
+        case Array(x, y) => x >= y - 1e-12
+        case _ => true
+      } && m.eigenvalues.forall(_ >= -1e-9)
+      val axisVars = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(var_samp(col("v").cast("double")).as("s"))
+        .collect().map(_.getDouble(1)).sorted.reverse.take(8).sum
+      val beats = m.eigenvalues.sum >= axisVars - 1e-9
+      Seq((8, orth, desc, beats))
+        .toDF("k", "orthonormal_ok", "descending_ok", "beats_axes_ok")
+    },
+
     // --- label-centroid separability: per-label mean vectors (double,
     // one (group, dim)-keyed partial agg) scored pairwise with the
     // sequential-fold double cosine. Both engines fold sums in element
