@@ -80,7 +80,39 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
     ("cosine_sim_d",
       new ExpressionInfo(classOf[CosineSimDouble].getName, "cosine_sim_d"),
-      (es: Seq[Expression]) => CosineSimDouble(es.head, es(1))))
+      (es: Seq[Expression]) => CosineSimDouble(es.head, es(1))),
+    // text kernels (the byte-walk family) for SQL-only pipelines
+    ("tokenize_ws",
+      new ExpressionInfo(classOf[graft.functions.TokenizeWsExpr].getName,
+        "tokenize_ws"),
+      (es: Seq[Expression]) => graft.functions.TokenizeWsExpr(es.head)),
+    ("tokenize_bpeish",
+      new ExpressionInfo(classOf[graft.functions.BpeishTokensExpr].getName,
+        "tokenize_bpeish"),
+      (es: Seq[Expression]) => graft.functions.BpeishTokensExpr(es.head)),
+    ("normalize_text",
+      new ExpressionInfo(classOf[graft.functions.NormalizeTextExpr].getName,
+        "normalize_text"),
+      (es: Seq[Expression]) => graft.functions.NormalizeTextExpr(es.head)),
+    ("shingle_hash60",
+      new ExpressionInfo(classOf[graft.functions.ShingleHash60Expr].getName,
+        "shingle_hash60"),
+      (es: Seq[Expression]) => graft.functions.ShingleHash60Expr(es.head,
+        intArg(es(1), "shingle_hash60 n"))),
+    ("feature_hash60",
+      new ExpressionInfo(classOf[graft.functions.FeatureHash60Expr].getName,
+        "feature_hash60"),
+      (es: Seq[Expression]) => graft.functions.FeatureHash60Expr(es.head)),
+    ("jl_project",
+      new ExpressionInfo(classOf[graft.operators.JlProject].getName,
+        "jl_project"),
+      (es: Seq[Expression]) => graft.operators.JlProject(
+        // the Column API casts to array<double> before the kernel; the
+        // SQL path must too (a float embedding column is the norm)
+        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        intArg(es(1), "jl_project inDim"), intArg(es(2), "jl_project outDim"))))
 
   /** Imperative form for an already-running session (same builders the
     * extensions path injects).

@@ -68,6 +68,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cosD == 0.0)
   }
 
+  test("text-kernel and projection SQL functions match the Column API") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    val text = "Hello  World 123!"
+    val row = s.sql(
+      s"""SELECT tokenize_ws('$text') AS ws,
+         |  tokenize_bpeish('$text') AS bp,
+         |  normalize_text('$text') AS norm,
+         |  shingle_hash60(tokenize_ws('$text'), 2) AS sh,
+         |  feature_hash60(tokenize_ws('$text')) AS fh,
+         |  jl_project(CAST(array(1.0, 2.0, 3.0) AS array<float>), 3, 2) AS jl
+         |""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("Hello", "World", "123!"))
+    assert(row.getSeq[String](1) == Seq("Hello", "World", "123", "!"))
+    assert(row.getString(2) == "hello world 123")
+    assert(row.getSeq[Long](3) == Seq(
+      graft.functions.Sketches.hash60("Hello World"),
+      graft.functions.Sketches.hash60("World 123!")))
+    assert(row.getSeq[Long](4).length == 5) // 3 unigrams + 2 bigrams
+    assert(row.getSeq[Double](5).length == 2)
+  }
+
   test("the shared session does NOT see the isolated registration") {
     val err = intercept[Exception] {
       Tables.events(spark, sfDir).createOrReplaceTempView("ev_noext")
