@@ -397,6 +397,61 @@ object Curation {
       .drop("__bp", "__keep")
   }
 
+  // ---- URL / domain curation (crawl-side filtering) -----------------------
+
+  /** Structural URL signals for crawl curation — the per-document fields
+    * a CCNet/FineWeb-style pipeline filters and reports on: host (port
+    * stripped), registrable-ish domain (last two host labels — a
+    * heuristic, NOT the public-suffix list: `example.co.uk` yields
+    * `co.uk`; deployments needing PSL semantics broadcast their own
+    * suffix table through [[urlFilter]]'s domain argument), tld, path
+    * depth, query-parameter count, and an is-IP flag.
+    *
+    * Deliberately spelled with `substring_index`/`regexp` string ops
+    * rather than `parse_url` (whose java.net.URI semantics a SQL oracle
+    * cannot replay): every field is a pure string fold both engines
+    * compute identically, codegen'd, map-side, zero shuffle.
+    */
+  def urlSignals(url: Column): Column = {
+    val afterScheme = substring_index(url, "://", -1)
+    val hostPort = substring_index(substring_index(afterScheme, "/", 1), "?", 1)
+    val host = lower(substring_index(hostPort, ":", 1))
+    val pathQ = afterScheme.substr(length(hostPort) + 1, lit(1 << 24))
+    val path = substring_index(pathQ, "?", 1)
+    val query = when(pathQ.contains("?"), substring_index(pathQ, "?", -1))
+      .otherwise(lit(""))
+    val labels = split(host, "\\.")
+    val isIp = host.rlike("^[0-9.]+$")
+    struct(
+      host.as("host"),
+      when(isIp, host)
+        .otherwise(array_join(slice(labels, greatest(size(labels) - 1, lit(1)),
+          lit(2)), ".")).as("domain"),
+      when(isIp, lit("")).otherwise(element_at(labels, -1)).as("tld"),
+      size(filter(split(path, "/"), s => length(s) > 0)).as("path_depth"),
+      when(length(query) === 0, lit(0))
+        .otherwise(size(split(query, "&"))).as("n_params"),
+      isIp.as("is_ip"))
+  }
+
+  /** Drop documents whose URL domain or tld is blocklisted — the
+    * broadcast-set crawl filter ([[urlSignals]]' consumer). Both lists
+    * are literal IN-lists compiled into the predicate (blocklists are
+    * config-sized; a corpus-sized blocklist belongs in a Bloom filter /
+    * left_anti join instead). Adds the signals struct as `url_sig` for
+    * downstream reporting.
+    */
+  def urlFilter(df: DataFrame, urlCol: String,
+      blockedDomains: Seq[String], blockedTlds: Seq[String]): DataFrame = {
+    val sig = urlSignals(col(urlCol))
+    val keep =
+      (if (blockedDomains.isEmpty) lit(true)
+       else !col("url_sig.domain").isInCollection(blockedDomains)) &&
+      (if (blockedTlds.isEmpty) lit(true)
+       else !col("url_sig.tld").isInCollection(blockedTlds))
+    df.withColumn("url_sig", sig).where(keep)
+  }
+
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, flagDenom: Int = 20): DataFrame = {
     require(flagDenom > 0, s"flagDenom $flagDenom must be positive")

@@ -97,6 +97,75 @@ object CurationQueries {
 
     // --- PII redaction ------------------------------------------------------
     // the synthetic corpus has no PII, so the gate plants a deterministic
+    // --- URL / domain curation: planted urls (one per branch — ports,
+    // deep paths, query strings, IP hosts, bare hosts) parsed by the
+    // substring_index spelling BOTH engines share, then the blocklist
+    // filter (domain 'site.org', tld 'xyz') and a per-(domain, tld)
+    // report. Pins every urlSignals field cross-engine.
+    QueryDef("q_curation_url",
+      """WITH u AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/b/c?x=1&y=2'
+        |    WHEN 1 THEN 'http://blog.spam' || CAST(doc_id % 3 AS VARCHAR) || '.xyz/post'
+        |    WHEN 2 THEN 'https://10.0.0.' || CAST(doc_id % 9 AS VARCHAR)
+        |    WHEN 3 THEN 'https://docs.site.org:8443/path/'
+        |    ELSE 'http://one.two.three.co/?q=a' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(split_part(split_part(split_part(split_part(url, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS host,
+        |    split_part(split_part(url, '://', 2), '/', 1) AS hostport,
+        |    split_part(url, '://', 2) AS aftersch
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, host,
+        |    substring(aftersch, len(split_part(split_part(hostport, '?', 1),
+        |      '?', 1)) + 1) AS pathq,
+        |    string_split(host, '.') AS labels,
+        |    regexp_matches(host, '^[0-9.]+$') AS is_ip
+        |  FROM p),
+        |sig AS (
+        |  SELECT doc_id, host, is_ip,
+        |    CASE WHEN is_ip THEN host
+        |         WHEN len(labels) >= 2
+        |           THEN array_to_string(labels[len(labels)-1 : len(labels)], '.')
+        |         ELSE host END AS domain,
+        |    CASE WHEN is_ip THEN '' ELSE labels[-1] END AS tld,
+        |    len(list_filter(string_split(split_part(pathq, '?', 1), '/'),
+        |      s -> len(s) > 0)) AS path_depth,
+        |    CASE WHEN contains(pathq, '?')
+        |         THEN len(string_split(split_part(pathq, '?', 2), '&'))
+        |         ELSE 0 END AS n_params
+        |  FROM p2)
+        |SELECT domain, tld, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(path_depth) AS BIGINT) AS depth_sum,
+        |  CAST(SUM(n_params) AS BIGINT) AS param_sum,
+        |  CAST(SUM(CASE WHEN is_ip THEN 1 ELSE 0 END) AS BIGINT) AS n_ip
+        |FROM sig
+        |WHERE domain <> 'site.org' AND tld <> 'xyz'
+        |GROUP BY 1, 2 ORDER BY domain NULLS FIRST, tld NULLS FIRST""".stripMargin) { (s, d) =>
+      val withUrl = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://www.example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/a/b/c?x=1&y=2")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("http://blog.spam"), (col("doc_id") % 3).cast("string"),
+              lit(".xyz/post")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://10.0.0."), (col("doc_id") % 9).cast("string")))
+          .when(col("doc_id") % 5 === 3, lit("https://docs.site.org:8443/path/"))
+          .otherwise(lit("http://one.two.three.co/?q=a")).as("url"))
+      Curation.urlFilter(withUrl, "url",
+          blockedDomains = Seq("site.org"), blockedTlds = Seq("xyz"))
+        .groupBy(col("url_sig.domain").as("domain"), col("url_sig.tld").as("tld"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("url_sig.path_depth")).as("depth_sum"),
+          sum(col("url_sig.n_params")).as("param_sum"),
+          sum(col("url_sig.is_ip").cast("long")).as("n_ip"))
+        .orderBy("domain", "tld")
+    },
+
     // email + phone per doc; patterns are RE2/Java-identical by contract
     // (Curation.EmailPattern scaladoc), DuckDB needs the 'g' flag for
     // replace-all to match Spark's regexp_replace

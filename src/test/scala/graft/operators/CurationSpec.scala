@@ -255,4 +255,29 @@ class CurationSpec extends SparkSpec {
     // distinct grams: "x y z","y z w","z w x","w x y" → 4 total, 1 shared
     assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 1L)
   }
+
+  test("urlSignals parses hosts, domains, depth, params; urlFilter blocks") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://www.example.com/a/b/c?x=1&y=2",
+      "https://docs.site.org:8443/path/",
+      "https://10.0.0.7",
+      "http://one.two.three.co/?q=a",
+      "http://spam.bad.xyz/post")
+    val df = urls.map(Tuple1(_)).toDF("url")
+      .withColumn("s", Curation.urlSignals(org.apache.spark.sql.functions.col("url")))
+    val got = df.select("url", "s.host", "s.domain", "s.tld", "s.path_depth",
+        "s.n_params", "s.is_ip")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getInt(4),
+          r.getInt(5), r.getBoolean(6))).toMap
+    assert(got(urls(0)) == (("www.example.com", "example.com", "com", 3, 2, false)))
+    assert(got(urls(1)) == (("docs.site.org", "site.org", "org", 1, 0, false)))
+    assert(got(urls(2)) == (("10.0.0.7", "10.0.0.7", "", 0, 0, true)))
+    assert(got(urls(3)) == (("one.two.three.co", "three.co", "co", 0, 1, false)))
+    val kept = Curation.urlFilter(urls.map(Tuple1(_)).toDF("url"), "url",
+        blockedDomains = Seq("site.org"), blockedTlds = Seq("xyz"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept == Set(urls(0), urls(2), urls(3)), kept.toString)
+  }
 }
