@@ -88,4 +88,22 @@ object StreamingCurate {
     keyed.unpersist()
     out
   }
+
+  /** Attach the loop to a streaming frame; per-batch decisions are
+    * summarized to the driver log (callers needing them as data run
+    * [[processBatch]] in their own `foreachBatch`). Set
+    * `checkpointLocation` on the returned writer — the replay contract
+    * is what makes the per-batch overwrites exactly-once.
+    */
+  def sink(stream: DataFrame, idCol: String, textCol: String,
+      storeDir: String, shardDir: String, vocabSize: Int = 1 << 16,
+      shardsPerBatch: Int = 0, minWords: Int = 5):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val decisions = processBatch(batch, batchId, idCol, textCol, storeDir,
+        shardDir, vocabSize, shardsPerBatch, minWords)
+      val counts = decisions.groupBy("reason").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      System.err.println(s"[StreamingCurate] batch=$batchId $counts")
+    }
 }

@@ -68,6 +68,30 @@ class StreamingCurateSpec extends SparkSpec {
     assert(b2 == Map(20L -> "store_dup", 21L -> "kept"), b2.toString)
   }
 
+  test("writeStream wiring: the sink curates a MemoryStream end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("scur-sink-store").toString
+    val shards = java.nio.file.Files.createTempDirectory("scur-sink-shards").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scur-sink-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCurate.sink(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", store, shards, vocabSize = 1 << 12,
+        shardsPerBatch = 1)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, Good1), (2L, Good1), (3L, Short))
+      q.processAllAvailable()
+      in.addData((10L, Good1), (11L, Good2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // only the two keepers reached the shards, across two batches
+    val out = StreamingShards.read(spark, shards)
+    assert(out.count() == 2L)
+    assert(out.select("batch_id").distinct().count() == 2L)
+  }
+
   test("store compaction folds batch dirs without changing decisions") {
     val store = java.nio.file.Files.createTempDirectory("scur-compact-store").toString
     val shards = java.nio.file.Files.createTempDirectory("scur-compact-shards").toString
