@@ -115,8 +115,8 @@ object DataOpsQueries {
     // a wrong eigensolver fails this on real data immediately). The fit
     // itself is the real distributed one-pass Gram accumulation.
     QueryDef("q_emb_pca",
-      """SELECT * FROM (VALUES (8, TRUE, TRUE, TRUE))
-        |AS t(k, orthonormal_ok, descending_ok, beats_axes_ok)""".stripMargin) { (s, d) =>
+      """SELECT * FROM (VALUES (8, TRUE, TRUE, TRUE, TRUE))
+        |AS t(k, orthonormal_ok, descending_ok, beats_axes_ok, proj_var_ok)""".stripMargin) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       val m = graft.operators.Projection.fitPca(emb, "embedding", inDim = 64, k = 8)
@@ -135,8 +135,23 @@ object DataOpsQueries {
         .groupBy("dim").agg(var_samp(col("v").cast("double")).as("s"))
         .collect().map(_.getDouble(1)).sorted.reverse.take(8).sum
       val beats = m.eigenvalues.sum >= axisVars - 1e-9
-      Seq((8, orth, desc, beats))
-        .toDF("k", "orthonormal_ok", "descending_ok", "beats_axes_ok")
+      // the PROJECTION path, driven distributively: the sample variance
+      // of each projected coordinate IS the component's eigenvalue —
+      // ties fit and transform together (a wrong mean offset, a wrong
+      // matrix orientation, or a broken kernel all break the identity)
+      val projVars = emb
+        .select(graft.operators.Projection.pcaProject(col("embedding"), m)
+          .as("p"))
+        .select(posexplode(col("p")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(var_samp(col("v")).as("s"))
+        .orderBy("dim")
+        .collect().map(_.getDouble(1))
+      val projOk = projVars.zip(m.eigenvalues).forall { case (v, e) =>
+        math.abs(v - e) <= 1e-6 * math.max(1.0, math.abs(e))
+      }
+      Seq((8, orth, desc, beats, projOk))
+        .toDF("k", "orthonormal_ok", "descending_ok", "beats_axes_ok",
+          "proj_var_ok")
     },
 
     // --- label-centroid separability: per-label mean vectors (double,
