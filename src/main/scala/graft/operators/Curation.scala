@@ -397,6 +397,34 @@ object Curation {
       .drop("__bp", "__keep")
   }
 
+  /** Crawled-HTML to text: drop `<script>`/`<style>` blocks whole, strip
+    * every remaining tag (and comments — `<!-- -->` matches the same
+    * tag pattern piecewise via the non-greedy block rule below), decode
+    * the six entities that dominate real pages, collapse whitespace.
+    * Spelled as chained `regexp_replace`/`replace` so a SQL oracle
+    * replays it byte for byte — deliberately NOT an HTML parser: crawl
+    * pipelines at this stage want a cheap, deterministic, codegen'd
+    * projection (the WET `conversion` records are already text; this is
+    * for raw `response` text/html payloads), with real DOM extraction
+    * living outside the engine.
+    *
+    * Regex dialect notes pinned for the oracle: `(?is)` case-insensitive
+    * + dotall for the block rule; the tag rule `<[^>]*>` is dialect-free.
+    */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    // &amp; decodes LAST: an earlier pass would turn "&amp;lt;" into
+    // "&lt;" and the lt rule would then double-decode it to "<"
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---- URL / domain curation (crawl-side filtering) -----------------------
 
   /** Structural URL signals for crawl curation — the per-document fields

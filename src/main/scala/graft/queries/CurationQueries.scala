@@ -97,6 +97,46 @@ object CurationQueries {
 
     // --- PII redaction ------------------------------------------------------
     // the synthetic corpus has no PII, so the gate plants a deterministic
+    // --- HTML → text: planted pages (script/style blocks, comments,
+    // entity forms incl. the double-decode trap "&amp;lt;") through the
+    // shared regexp chain — both engines are RE2-compatible on every
+    // pattern used (non-greedy blocks, inline (?is), no backreferences).
+    QueryDef("q_curation_html",
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{}</style><script>var x="<i>";</script></head>'
+        |  || '<body><!-- c --><h1>T' || CAST(doc_id % 5 AS VARCHAR)
+        |  || '</h1><p>Hello &amp;lt; world ' || CAST(doc_id % 3 AS VARCHAR)
+        |  || '</p><div>A&nbsp;B &quot;q&#39;s&quot; &gt;ok</div></body></html>'
+        |  AS html
+        |  FROM documents WHERE doc_id < 200),
+        |t AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text
+        |  FROM h)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM t
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val html = concat(
+        lit("<html><head><style>p{}</style><script>var x=\"<i>\";</script></head>" +
+          "<body><!-- c --><h1>T"),
+        (col("doc_id") % 5).cast("string"),
+        lit("</h1><p>Hello &amp;lt; world "),
+        (col("doc_id") % 3).cast("string"),
+        lit("</p><div>A&nbsp;B &quot;q&#39;s&quot; &gt;ok</div></body></html>"))
+      Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Curation.htmlToText(html).as("text"))
+        .orderBy("doc_id")
+    },
+
     // --- URL / domain curation: planted urls (one per branch — ports,
     // deep paths, query strings, IP hosts, bare hosts) parsed by the
     // substring_index spelling BOTH engines share, then the blocklist

@@ -256,6 +256,19 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 1L)
   }
 
+  test("htmlToText strips blocks/tags/comments and decodes entities ONCE") {
+    import spark.implicits._
+    val in = "<html><head><style>p{color:red}</style>" +
+      "<script>var x=\"<div>\";</script></head><body><!-- note -->" +
+      "<p>Hello &amp;lt; world</p>" +
+      "<div>A&nbsp;B &quot;q&#39;s&quot; &gt;ok</div></body></html>"
+    val got = Seq(Tuple1(in)).toDF("h")
+      .select(Curation.htmlToText(org.apache.spark.sql.functions.col("h")))
+      .head().getString(0)
+    // "&amp;lt;" decodes to the LITERAL "&lt;" (no double decode)
+    assert(got == "Hello &lt; world A B \"q's\" >ok", s"'$got'")
+  }
+
   test("urlSignals parses hosts, domains, depth, params; urlFilter blocks") {
     import spark.implicits._
     val urls = Seq(
