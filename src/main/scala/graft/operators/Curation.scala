@@ -480,6 +480,46 @@ object Curation {
     df.withColumn("url_sig", sig).where(keep)
   }
 
+  /** Hyperlink targets of a raw HTML payload: every `href` attribute
+    * value, in document order. One codegen'd `regexp_extract_all` pass —
+    * quote style is whichever of `"`/`'` opens the attribute, the value
+    * stops at the first quote, `#` (fragments are not link targets),
+    * whitespace or angle bracket. RE2-compatible (no backreference
+    * pairing the quotes — a `href='a"b'` value truncates at the `"`;
+    * acceptable for link-GRAPH purposes, where such urls are noise) so a
+    * SQL oracle replays the extraction byte for byte.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("""(?i)href\s*=\s*["']([^"'#<>\s]+)"""), lit(1))
+
+  /** Domain-level link graph from crawled pages: each absolute http(s)
+    * `href` in a page yields one `(src_domain, dst_domain)` edge under
+    * the [[urlSignals]] domain rule, self-loops dropped, edges
+    * de-duplicated — the input to the PageRank quality prior every
+    * large crawl corpus curates with (domain authority as a document
+    * signal, the public CommonCrawl host-graph practice).
+    *
+    * Scale shape: extraction and domain parsing are map-side codegen'd
+    * string folds over the page payloads; the only shuffle is the edge
+    * `distinct`, keyed on DOMAIN PAIRS — cardinality is the web-graph's
+    * edge count (millions), never the corpus's page or link count, and
+    * the partial-aggregate form of `distinct` collapses repeated pairs
+    * before they move. Relative hrefs are intra-site by construction
+    * and carry no cross-domain signal, so only absolute links qualify.
+    */
+  def linkGraph(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    // the src struct materializes BEFORE the explode select: a generator
+    // in the same select strips sibling inline-struct field names
+    df.withColumn("__src_sig", urlSignals(col(urlCol)))
+      .select(col("__src_sig.domain").as("src_domain"),
+        explode(extractLinks(col(htmlCol))).as("__href"))
+      .where(col("__href").startsWith("http://") ||
+        col("__href").startsWith("https://"))
+      .withColumn("__dst_sig", urlSignals(col("__href")))
+      .select(col("src_domain"), col("__dst_sig.domain").as("dst_domain"))
+      .where(col("dst_domain") =!= col("src_domain"))
+      .distinct()
+
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, flagDenom: Int = 20): DataFrame = {
     require(flagDenom > 0, s"flagDenom $flagDenom must be positive")

@@ -133,6 +133,32 @@ object Subword {
         round(col("fallback_pieces") / col("subword_tokens"), 6))
   }
 
+  /** Tokenizer-efficiency report per group: whitespace tokens, UTF-8
+    * text bytes, subword tokens under the learned vocabulary, FERTILITY
+    * (subword pieces per whitespace word — the standard tokenizer-fit
+    * metric; high fertility on a language means the vocabulary
+    * fragments it) and bytes-per-token (compression — what a token
+    * budget actually buys in raw data). The per-group numbers are two
+    * tiny aggregates (group cardinality rows each) null-safe-joined, so
+    * the corpus is scanned for counting only; the vocabulary is the
+    * same bounded top-`vocabSize` model as [[subwordTokens]].
+    */
+  def fertilityReport(df: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int = 64, maxLen: Int = 6): DataFrame = {
+    val base = df.groupBy(groupCol).agg(
+      sum(size(TextOps.tokens(col(textCol)))).cast("long").as("ws_tokens"),
+      sum(octet_length(col(textCol))).cast("long").as("text_bytes"))
+    val sw = subwordTokens(df, textCol, groupCol, vocabSize, maxLen)
+    base.join(sw, base(groupCol) <=> sw(groupCol), "left")
+      .select(base(groupCol), col("ws_tokens"), col("text_bytes"),
+        col("subword_tokens"),
+        when(col("ws_tokens") > 0,
+          round(col("subword_tokens") / col("ws_tokens"), 6)).as("fertility"),
+        when(col("subword_tokens") > 0,
+          round(col("text_bytes") / col("subword_tokens"), 6))
+          .as("bytes_per_token"))
+  }
+
   // ---- iterative BPE merge learning (Sennrich et al. 2016) ----------------
 
   /** Learn `nMerges` byte-pair-encoding merges from the corpus — the

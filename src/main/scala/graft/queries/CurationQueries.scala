@@ -206,6 +206,153 @@ object CurationQueries {
         .orderBy("domain", "tld")
     },
 
+    // --- hyperlink extraction → domain link graph: planted pages carry
+    // absolute (double- AND single-quoted, mixed-case HREF), relative,
+    // self-loop, fragment-only and mailto links; only the absolute
+    // cross-domain ones become (src_domain, dst_domain) edges under the
+    // urlSignals domain rule. Oracle replays the href regex (inline
+    // (?i), RE2-compatible in both engines) and the split_part domain
+    // spelling from q_curation_url.
+    QueryDef("q_link_graph",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' AS url,
+        |    '<html><body><a href="https://news' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.org/a">x</a> <A HREF=''http://blog' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.net/b?q=1''>y</a> <a href="/rel/path">r</a> <a href="https://site'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com/self">s</a> <a href="#f">f</a><link href=''mailto:a@b.c''/></body></html>'
+        |    AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT url, unnest(regexp_extract_all(html,
+        |    '(?i)href\s*=\s*["'']([^"''#<>\s]+)', 1)) AS href
+        |  FROM h),
+        |hosts AS (
+        |  SELECT
+        |    lower(split_part(split_part(split_part(split_part(url, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS shost,
+        |    lower(split_part(split_part(split_part(split_part(href, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS dhost
+        |  FROM links
+        |  WHERE href LIKE 'http://%' OR href LIKE 'https://%'),
+        |dd AS (
+        |  SELECT
+        |    CASE WHEN regexp_matches(shost, '^[0-9.]+$') THEN shost
+        |         WHEN len(string_split(shost, '.')) >= 2
+        |           THEN array_to_string(string_split(shost, '.')[
+        |             len(string_split(shost, '.'))-1 : len(string_split(shost, '.'))], '.')
+        |         ELSE shost END AS src_domain,
+        |    CASE WHEN regexp_matches(dhost, '^[0-9.]+$') THEN dhost
+        |         WHEN len(string_split(dhost, '.')) >= 2
+        |           THEN array_to_string(string_split(dhost, '.')[
+        |             len(string_split(dhost, '.'))-1 : len(string_split(dhost, '.'))], '.')
+        |         ELSE dhost END AS dst_domain
+        |  FROM hosts)
+        |SELECT DISTINCT src_domain, dst_domain FROM dd
+        |WHERE src_domain <> dst_domain
+        |ORDER BY src_domain NULLS FIRST, dst_domain NULLS FIRST""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"))
+      val html = concat(
+        lit("<html><body><a href=\"https://news"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/a\">x</a> <A HREF='http://blog"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".net/b?q=1'>y</a> <a href=\"/rel/path\">r</a> <a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/self\">s</a> <a href=\"#f\">f</a>" +
+          "<link href='mailto:a@b.c'/></body></html>"))
+      Curation.linkGraph(
+          Tables.documents(s, d).select(url.as("url"), html.as("html")),
+          "url", "html")
+        .orderBy("src_domain", "dst_domain")
+    },
+
+    // --- domain authority prior: PageRank over the extracted link graph
+    // (the CommonCrawl host-rank practice — rank joins back to documents
+    // as a quality signal). Oracle: the q_link_graph edge replay feeding
+    // the same 3-iteration textbook unroll as q_graph_pagerank_directed,
+    // with VARCHAR node ids.
+    QueryDef("q_link_rank",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' AS url,
+        |    '<html><body><a href="https://news' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.org/a">x</a> <A HREF=''http://blog' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.net/b?q=1''>y</a> <a href="/rel/path">r</a> <a href="https://site'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com/self">s</a> <a href="#f">f</a><link href=''mailto:a@b.c''/></body></html>'
+        |    AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT url, unnest(regexp_extract_all(html,
+        |    '(?i)href\s*=\s*["'']([^"''#<>\s]+)', 1)) AS href
+        |  FROM h),
+        |hosts AS (
+        |  SELECT
+        |    lower(split_part(split_part(split_part(split_part(url, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS shost,
+        |    lower(split_part(split_part(split_part(split_part(href, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS dhost
+        |  FROM links
+        |  WHERE href LIKE 'http://%' OR href LIKE 'https://%'),
+        |dd AS (
+        |  SELECT
+        |    array_to_string(string_split(shost, '.')[
+        |      len(string_split(shost, '.'))-1 : len(string_split(shost, '.'))], '.')
+        |      AS s,
+        |    array_to_string(string_split(dhost, '.')[
+        |      len(string_split(dhost, '.'))-1 : len(string_split(dhost, '.'))], '.')
+        |      AS d
+        |  FROM hosts),
+        |e AS (SELECT DISTINCT s, d FROM dd WHERE s <> d),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT s AS id FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0/n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.d AS id, SUM(r0.r/deg.deg) AS cin
+        |       FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d1 AS (SELECT COALESCE(SUM(r0.r), 0) AS dm FROM r0
+        |       LEFT JOIN deg ON r0.id = deg.s WHERE deg.s IS NULL),
+        |r1 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c1.cin, 0) + d1.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c1 USING (id) CROSS JOIN nn CROSS JOIN d1),
+        |c2 AS (SELECT e.d AS id, SUM(r1.r/deg.deg) AS cin
+        |       FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d2 AS (SELECT COALESCE(SUM(r1.r), 0) AS dm FROM r1
+        |       LEFT JOIN deg ON r1.id = deg.s WHERE deg.s IS NULL),
+        |r2 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c2.cin, 0) + d2.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c2 USING (id) CROSS JOIN nn CROSS JOIN d2),
+        |c3 AS (SELECT e.d AS id, SUM(r2.r/deg.deg) AS cin
+        |       FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d3 AS (SELECT COALESCE(SUM(r2.r), 0) AS dm FROM r2
+        |       LEFT JOIN deg ON r2.id = deg.s WHERE deg.s IS NULL),
+        |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c3.cin, 0) + d3.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c3 USING (id) CROSS JOIN nn CROSS JOIN d3)
+        |SELECT id AS domain, ROUND(r, 4) AS rank
+        |FROM r3 ORDER BY ROUND(r, 4) DESC, id LIMIT 15""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"))
+      val html = concat(
+        lit("<html><body><a href=\"https://news"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/a\">x</a> <A HREF='http://blog"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".net/b?q=1'>y</a> <a href=\"/rel/path\">r</a> <a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/self\">s</a> <a href=\"#f\">f</a>" +
+          "<link href='mailto:a@b.c'/></body></html>"))
+      val edges = Curation.linkGraph(
+        Tables.documents(s, d).select(url.as("url"), html.as("html")),
+        "url", "html")
+      graft.operators.GraphRank.pageRank(edges, "src_domain", "dst_domain",
+          iters = 3)
+        .select(col("id").as("domain"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("domain").asc)
+        .limit(15)
+    },
+
     // email + phone per doc; patterns are RE2/Java-identical by contract
     // (Curation.EmailPattern scaladoc), DuckDB needs the 'g' flag for
     // replace-all to match Spark's regexp_replace

@@ -730,6 +730,33 @@ object DataOpsQueries {
         .orderBy("doc_id")
     },
 
+    // --- fixed-size-sample quantile estimation: exact interpolated
+    // percentiles over the deterministic 2000-row hash-smallest sample —
+    // the 100 TB quantile pattern (a full-table exact percentile sorts
+    // per-group value SETS; the sample is TakeOrderedAndProject + a
+    // 2000-row agg at ANY corpus size, and the estimate's error is the
+    // standard sampling bound, not engine-dependent sketch error). The
+    // pick is a pure function of the data, so the oracle replays the
+    // identical sample and lands on the identical percentiles — no
+    // tolerance flag needed, unlike q_percentile_approx's sketch.
+    QueryDef("q_quantile_sample",
+      """WITH smp AS (
+        |  SELECT event_type, value FROM events
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 2000)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(quantile_cont(value, 0.50), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95
+        |FROM smp GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      Sampling.exactSample(
+          Tables.events(s, d).select("event_id", "event_type", "value"),
+          col("event_id"), 2000)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+
     // --- token-length histogram per source (mix/packing planning):
     // integer bucket = n_tokens DIV 50, counts and token mass per cell.
     QueryDef("q_token_histogram",

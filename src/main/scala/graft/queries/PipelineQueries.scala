@@ -919,6 +919,49 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // --- tokenizer fertility / compression per language: subword pieces
+    // per whitespace word and UTF-8 bytes per subword token under the
+    // learned top-64 vocabulary — the tokenizer-fit dashboard (fertility
+    // spikes on a language mean the vocabulary fragments it; bytes per
+    // token is what a token budget buys). Oracle: the q_text_subword
+    // recursive-CTE replay null-safe-joined to the per-lang byte/word
+    // counts.
+    QueryDef("q_tokenizer_fertility",
+      """WITH RECURSIVE toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pref AS (
+        |  SELECT substring(t.w, 1, l) AS p
+        |  FROM toks t, UNNEST(range(2, least(6, len(t.w)) + 1)) AS u(l)),
+        |vocab AS (SELECT p FROM (SELECT p, COUNT(*) AS c FROM pref GROUP BY 1)
+        |          ORDER BY c DESC, p LIMIT 64),
+        |words AS (SELECT DISTINCT w FROM toks),
+        |r(w, pos, n) AS (
+        |  SELECT w, 1, 0 FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + COALESCE((SELECT MAX(len(v.p)) FROM vocab v
+        |           WHERE v.p = substring(r.w, r.pos, len(v.p))), 1),
+        |         r.n + 1
+        |  FROM r WHERE r.pos <= len(r.w)),
+        |pieces AS (SELECT w, n FROM r WHERE pos > len(w)),
+        |sw AS (SELECT t.lang, CAST(SUM(p.n) AS BIGINT) AS subword_tokens
+        |       FROM toks t JOIN pieces p ON p.w = t.w GROUP BY 1),
+        |base AS (SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes
+        |  FROM documents GROUP BY 1)
+        |SELECT b.lang, b.ws_tokens, b.text_bytes, s.subword_tokens,
+        |  CASE WHEN b.ws_tokens > 0
+        |       THEN ROUND(s.subword_tokens * 1.0 / b.ws_tokens, 6) END AS fertility,
+        |  CASE WHEN s.subword_tokens > 0
+        |       THEN ROUND(b.text_bytes * 1.0 / s.subword_tokens, 6) END AS bytes_per_token
+        |FROM base b LEFT JOIN sw s ON b.lang IS NOT DISTINCT FROM s.lang
+        |ORDER BY b.lang NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Subword.fertilityReport(
+          Tables.documents(s, d), "text", "lang", vocabSize = 64, maxLen = 6)
+        .orderBy(asc_nulls_first("lang"))
+    },
+
     // --- text analysis -------------------------------------------------------
     QueryDef("q_text_stats",
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,

@@ -72,17 +72,30 @@ object WarcSource {
     * WARC `response` records whose Content-Type is textual. doc_id is a
     * deterministic 63-bit hash of the record id (stable across runs and
     * engines — xxhash64 masked non-negative).
+    *
+    * `extractHtml = true` additionally runs raw `response` text/html
+    * payloads through [[graft.operators.Curation.htmlToText]] — the
+    * markup-to-text projection a raw-crawl (non-WET) pipeline needs
+    * before any token-level operator; WET `conversion` records and
+    * non-HTML textual responses (text/plain etc.) pass through
+    * untouched. Map-side, codegen'd — the projection adds no shuffle.
     */
-  def warcToDocuments(warc: DataFrame): DataFrame = {
+  def warcToDocuments(warc: DataFrame, extractHtml: Boolean = false): DataFrame = {
     val textual = warc.filter(
       col("record_type") === "conversion" ||
         (col("record_type") === "response" &&
           col("content_type").startsWith("text/")))
+    val raw = decode(col("content"), "UTF-8")
+    val text =
+      if (!extractHtml) raw
+      else when(col("record_type") === "response" &&
+          col("content_type").startsWith("text/html"),
+        graft.operators.Curation.htmlToText(raw)).otherwise(raw)
     textual.select(
       (xxhash64(col("record_id")).bitwiseAND(lit(Long.MaxValue))).as("doc_id"),
       col("target_uri").as("url"),
       to_timestamp(col("warc_date")).as("ts"),
-      decode(col("content"), "UTF-8").as("text"))
+      text.as("text"))
   }
 
   /** Peek 2 bytes for the gzip magic without consuming them. */

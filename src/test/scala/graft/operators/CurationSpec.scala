@@ -293,4 +293,29 @@ class CurationSpec extends SparkSpec {
       .select("url").collect().map(_.getString(0)).toSet
     assert(kept == Set(urls(0), urls(2), urls(3)), kept.toString)
   }
+
+  test("extractLinks pulls hrefs in order; linkGraph keeps absolute " +
+      "cross-domain edges only") {
+    import spark.implicits._
+    val html = """<a href="https://a.news.org/x">n</a>""" +
+      """ <A HREF='http://blog.net/y?q=1'>b</A>""" +
+      """ <a href="/relative/path">r</a> <a href="#frag">f</a>""" +
+      """ <a href='mailto:x@y.z'>m</a>""" +
+      """ <a href="https://www.site.com/self">s</a>"""
+    val links = Seq(Tuple1(html)).toDF("h")
+      .select(Curation.extractLinks(org.apache.spark.sql.functions.col("h")))
+      .head().getSeq[String](0)
+    assert(links == Seq("https://a.news.org/x", "http://blog.net/y?q=1",
+      "/relative/path", "mailto:x@y.z", "https://www.site.com/self"),
+      links.toString)
+    val edges = Curation.linkGraph(
+        Seq(("https://www.site.com/p", html),
+          ("https://www.site.com/q", html)).toDF("url", "html"),
+        "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // relative/fragment/mailto dropped, self-loop (site.com) dropped,
+    // two pages' duplicate edges collapse to one pair each
+    assert(edges == Set(("site.com", "news.org"), ("site.com", "blog.net")),
+      edges.toString)
+  }
 }

@@ -35,6 +35,23 @@ class SubwordSpec extends SparkSpec {
     assert(out.toSeq == Seq(("g1", 2L), ("g2", 2L)), s"got ${out.toSeq}")
   }
 
+  test("fertilityReport: pieces per word and bytes per piece, null-safe groups") {
+    import spark.implicits._
+    // vocab = {aa, aaa} (see subwordTokens case); 'aaa' = 1 piece,
+    // 'b' = 1 fallback piece. g1: 2 words / 2 pieces / 7 bytes;
+    // null group: 2 words ('aaa','b') / 2 pieces / 5 bytes — the
+    // null-safe join must keep it.
+    val docs = Seq(("g1", "aaa aaa"), (null, "aaa b")).toDF("lang", "text")
+    val out = Subword.fertilityReport(docs, "text", "lang", vocabSize = 8,
+        maxLen = 6)
+      .orderBy(org.apache.spark.sql.functions.asc_nulls_first("lang"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (None, 2L, 5L, 2L, 1.0, 2.5),
+      (Some("g1"), 2L, 7L, 2L, 1.0, 3.5)), out.toSeq.toString)
+  }
+
   test("oovReport counts exactly the 1-char fallback pieces") {
     import spark.implicits._
     // vocabulary will learn prefixes of the repeated word "abab" etc.;

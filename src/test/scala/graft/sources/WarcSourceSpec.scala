@@ -108,6 +108,18 @@ class WarcSourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).toSeq == again.toSeq)
   }
 
+  test("warcToDocuments extractHtml strips markup from html responses only") {
+    val dir = Files.createTempDirectory("warchtml").toString
+    writePlain(dir)
+    val docs = WarcSource.warcToDocuments(WarcSource.readWarc(spark, dir),
+      extractHtml = true)
+    val byText = docs.orderBy("text").collect().map(_.getAs[String]("text"))
+    // the html response is projected to text; the WET conversion record
+    // passes through byte-identical
+    assert(byText.toSet == Set("hello warc", "hello warc extracted text"),
+      byText.mkString("|"))
+  }
+
   test("torn tail: truncated final record drops, clean prefix kept") {
     val dir = Files.createTempDirectory("warctorn").toString
     val full = records.flatMap(_.toSeq).toArray

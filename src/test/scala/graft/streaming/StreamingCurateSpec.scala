@@ -92,6 +92,34 @@ class StreamingCurateSpec extends SparkSpec {
     assert(out.select("batch_id").distinct().count() == 2L)
   }
 
+  test("raw crawl input: extractHtml feeds markup-variant dups into the loop") {
+    val store = java.nio.file.Files.createTempDirectory("scur-html-store").toString
+    val shards = java.nio.file.Files.createTempDirectory("scur-html-shards").toString
+    // two DIFFERENTLY-MARKED-UP pages with the same visible text, plus a
+    // short page: only after the html→text projection do the first two
+    // become exact duplicates the loop can collapse
+    def rec(id: String, uri: String, html: String) =
+      ("response", id, uri, "2024-03-01T12:00:00Z", "text/html",
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val warcShaped = Seq(
+      rec("r1", "https://a.com/1", s"<html><body><p>$Good1</p></body></html>"),
+      rec("r2", "https://a.com/2", s"<div><b>$Good1</b><!-- tracked --></div>"),
+      rec("r3", "https://a.com/3", s"<p>$Short</p>"))
+      .toDF("record_type", "record_id", "target_uri", "warc_date",
+        "content_type", "content")
+    val docs = graft.sources.WarcSource.warcToDocuments(warcShaped,
+      extractHtml = true)
+    val decisions = StreamingCurate.processBatch(docs, 0L, "doc_id", "text",
+        store, shards, vocabSize = 1 << 12, shardsPerBatch = 1)
+      .collect().map(r => r.getString(2)).sorted.toSeq
+    assert(decisions == Seq("exact_dup", "kept", "quality"), decisions.toString)
+    // the keeper's shard carries the STRIPPED text's token count
+    val out = StreamingShards.read(spark, shards)
+    assert(out.count() == 1L)
+    assert(out.agg(sum(size(col("tokens")))).head().getLong(0) ==
+      Good1.split(" ").length.toLong)
+  }
+
   test("store compaction folds batch dirs without changing decisions") {
     val store = java.nio.file.Files.createTempDirectory("scur-compact-store").toString
     val shards = java.nio.file.Files.createTempDirectory("scur-compact-shards").toString
