@@ -353,6 +353,101 @@ object CurationQueries {
         .limit(15)
     },
 
+    // --- authority prior joined BACK onto documents: each page picks up
+    // its own domain's PageRank (the per-document quality signal a
+    // curation mix weights by). The rank table is domain-cardinality —
+    // broadcast-joined onto the corpus, never shuffling pages. Oracle:
+    // the q_link_rank unroll joined to per-domain page counts.
+    QueryDef("q_link_prior",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' AS url,
+        |    '<html><body><a href="https://news' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.org/a">x</a> <A HREF=''http://blog' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.net/b?q=1''>y</a> <a href="/rel/path">r</a> <a href="https://site'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com/self">s</a> <a href="#f">f</a><link href=''mailto:a@b.c''/></body></html>'
+        |    AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT url, unnest(regexp_extract_all(html,
+        |    '(?i)href\s*=\s*["'']([^"''#<>\s]+)', 1)) AS href
+        |  FROM h),
+        |hosts AS (
+        |  SELECT
+        |    lower(split_part(split_part(split_part(split_part(url, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS shost,
+        |    lower(split_part(split_part(split_part(split_part(href, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS dhost
+        |  FROM links
+        |  WHERE href LIKE 'http://%' OR href LIKE 'https://%'),
+        |dd AS (
+        |  SELECT
+        |    array_to_string(string_split(shost, '.')[
+        |      len(string_split(shost, '.'))-1 : len(string_split(shost, '.'))], '.')
+        |      AS s,
+        |    array_to_string(string_split(dhost, '.')[
+        |      len(string_split(dhost, '.'))-1 : len(string_split(dhost, '.'))], '.')
+        |      AS d
+        |  FROM hosts),
+        |e AS (SELECT DISTINCT s, d FROM dd WHERE s <> d),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT s AS id FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0/n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.d AS id, SUM(r0.r/deg.deg) AS cin
+        |       FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d1 AS (SELECT COALESCE(SUM(r0.r), 0) AS dm FROM r0
+        |       LEFT JOIN deg ON r0.id = deg.s WHERE deg.s IS NULL),
+        |r1 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c1.cin, 0) + d1.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c1 USING (id) CROSS JOIN nn CROSS JOIN d1),
+        |c2 AS (SELECT e.d AS id, SUM(r1.r/deg.deg) AS cin
+        |       FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d2 AS (SELECT COALESCE(SUM(r1.r), 0) AS dm FROM r1
+        |       LEFT JOIN deg ON r1.id = deg.s WHERE deg.s IS NULL),
+        |r2 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c2.cin, 0) + d2.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c2 USING (id) CROSS JOIN nn CROSS JOIN d2),
+        |c3 AS (SELECT e.d AS id, SUM(r2.r/deg.deg) AS cin
+        |       FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s GROUP BY 1),
+        |d3 AS (SELECT COALESCE(SUM(r2.r), 0) AS dm FROM r2
+        |       LEFT JOIN deg ON r2.id = deg.s WHERE deg.s IS NULL),
+        |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(COALESCE(c3.cin, 0) + d3.dm/nn.n) AS r
+        |       FROM nodes LEFT JOIN c3 USING (id) CROSS JOIN nn CROSS JOIN d3),
+        |docdom AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+        |  FROM h)
+        |SELECT dd2.domain, ROUND(r3.r, 4) AS rank,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM docdom dd2 JOIN r3 ON r3.id = dd2.domain
+        |GROUP BY 1, 2
+        |ORDER BY rank DESC, domain NULLS FIRST""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"))
+      val html = concat(
+        lit("<html><body><a href=\"https://news"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/a\">x</a> <A HREF='http://blog"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".net/b?q=1'>y</a> <a href=\"/rel/path\">r</a> <a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/self\">s</a> <a href=\"#f\">f</a>" +
+          "<link href='mailto:a@b.c'/></body></html>"))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"), html.as("html"))
+      val ranks = graft.operators.GraphRank.pageRank(
+        Curation.linkGraph(pages, "url", "html"),
+        "src_domain", "dst_domain", iters = 3)
+      pages.withColumn("__sig", Curation.urlSignals(col("url")))
+        .select(col("doc_id"), col("__sig.domain").as("domain"))
+        .join(broadcast(ranks.select(col("id").as("domain"),
+          round(col("rank"), 4).as("rank"))), Seq("domain"))
+        .groupBy("domain", "rank")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("rank").desc, col("domain").asc)
+    },
+
     // email + phone per doc; patterns are RE2/Java-identical by contract
     // (Curation.EmailPattern scaladoc), DuckDB needs the 'g' flag for
     // replace-all to match Spark's regexp_replace
