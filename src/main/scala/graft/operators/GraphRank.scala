@@ -125,4 +125,59 @@ object GraphRank {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
+    * the companion centrality to [[pageRank]]: a page is a good HUB when
+    * it links to good authorities and a good AUTHORITY when good hubs
+    * link to it. On a crawl's domain graph the two scores separate
+    * directory/aggregator domains (hubs) from content domains
+    * (authorities) — a quality-prior pair PageRank's single score
+    * conflates.
+    *
+    * Semantics: node set = src ∪ dst over the DISTINCT edge list; from a
+    * uniform all-ones authority start, each iteration computes
+    * hub ← E·auth then auth ← Eᵀ·hub (using the NEW hubs — the classic
+    * sequential update), each L1-normalized so both score vectors sum to
+    * 1 every iteration (L2 is the textbook norm for the convergence
+    * proof, but at fixed iteration count L1 keeps the oracle replay in
+    * exact rational arithmetic reach and the RANKING is norm-invariant).
+    * Nodes without out-edges hold hub 0; without in-links, authority 0.
+    *
+    * Scale shape: the distinct edge list is staged once and re-read every
+    * iteration; each half-step is one hash join of a node-sized score
+    * table against the edges plus one partial-aggregated shuffle on the
+    * receiving id — the [[pageRank]] shape. The raw score table is
+    * materialized per half-step because it has TWO consumers (the L1-norm
+    * scalar and the next half-step's join); the norm scalar rides in as a
+    * broadcast 1-row cross join, never a driver collect.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e = Staged.materialize(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct())
+    require(!e.isEmpty, "hits needs a non-empty edge list")
+    val nodes = Staged.materialize(
+      e.select(col("__src").as("id"))
+        .unionByName(e.select(col("__dst").as("id"))).distinct())
+    var auth = nodes.select(col("id"), lit(1.0).as("auth"))
+    var hub = nodes.select(col("id"), lit(0.0).as("hub"))
+    for (_ <- 1 to iters) {
+      val hraw = e.join(auth, col("__dst") === col("id"))
+        .groupBy(col("__src").as("hid")).agg(sum("auth").as("__h"))
+      val hfull = Staged.materialize(
+        nodes.join(hraw, col("id") === col("hid"), "left")
+          .select(col("id"), coalesce(col("__h"), lit(0.0)).as("__h")))
+      hub = hfull.crossJoin(broadcast(hfull.agg(sum("__h").as("__hs"))))
+        .select(col("id"), (col("__h") / col("__hs")).as("hub"))
+      val araw = e.join(hub, col("__src") === col("id"))
+        .groupBy(col("__dst").as("aid")).agg(sum("hub").as("__a"))
+      val afull = Staged.materialize(
+        nodes.join(araw, col("id") === col("aid"), "left")
+          .select(col("id"), coalesce(col("__a"), lit(0.0)).as("__a")))
+      auth = afull.crossJoin(broadcast(afull.agg(sum("__a").as("__as"))))
+        .select(col("id"), (col("__a") / col("__as")).as("auth"))
+    }
+    hub.join(auth, Seq("id"))
+  }
 }

@@ -123,6 +123,36 @@ object Sessions {
     stacked.reduce(_ unionByName _)
   }
 
+  /** First-order Markov transition counts over each user's time-ordered
+    * event stream: how often does event type A directly precede event
+    * type B — the journey-mining primitive behind "what do users do after
+    * a search?" panels and behavioral anomaly baselines. A user's FIRST
+    * event transitions from the synthetic `startMarker` state, so entry
+    * points are first-class rows of the same matrix.
+    *
+    * Output: (prev_type, next_type, n) — the transition-count matrix,
+    * |types|+1 × |types| rows at most; callers derive probabilities by
+    * normalizing per prev_type (a window over the tiny aggregate).
+    *
+    * Scale shape: the [[sessionize]] contract — ONE shuffle on the user
+    * key (zero when the input is already user-bucketed, the
+    * `eventsByUser` path), one within-partition sort feeding a single
+    * lag(), then a partial-aggregated count whose cardinality is the
+    * type-pair space, not the event count. Deterministic tie-break on
+    * `tieCol` for equal timestamps.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String,
+      startMarker: String = "_start"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("prev_type",
+        coalesce(lag(col(typeCol), 1).over(w), lit(startMarker)))
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Hopping (sliding) window aggregation: every event contributes to the
     * `ceil(size/stride)` windows covering it — the overlapping complement
     * of the tumbling time bucketizers (a 1h window hopping every 15min is

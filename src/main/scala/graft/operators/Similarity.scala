@@ -731,4 +731,108 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("group"), col("rank"), col(idCol), col("cos"))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): from each query's candidate pool, greedily pick `k` items
+    * maximizing `λ·rel − (1−λ)·max-cosine-to-already-picked` — the
+    * anti-redundancy reranker for retrieved training contexts (a RAG
+    * batch of near-identical passages wastes the context window; MMR
+    * keeps the relevant AND mutually distinct ones). The first pick is
+    * pure relevance.
+    *
+    * `candidates`: (query_id, neighbor_id: long, cos, c_vec) — any
+    * generator output (brute-force top-N, IVF, LSH) with the candidate
+    * vectors attached. Selection happens per query over its ≤N pool:
+    * candidates gather into one array per query and a deterministic
+    * greedy loop runs MAP-SIDE inside the row — O(k·N·dim) per query,
+    * distributed across queries, never on the driver. All comparisons
+    * use the score ROUNDED to `roundTo` decimals with the smaller-id
+    * tiebreak (the [[embeddingOutliers]] engine-independence rule);
+    * pairwise cosine replays [[graft.functions.VectorOps]]'s exact
+    * left-to-right double fold.
+    *
+    * Output: (query_id, sel_rank 1..k, neighbor_id, score) — score is
+    * the rounded selection objective (rank 1: relevance; else the MMR
+    * margin, which can go negative when the pool is redundant).
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda must be in [0,1]")
+    def r(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cosd(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      val ids = cands.map(_.getLong(0)).toArray
+      val rel = cands.map(_.getDouble(1)).toArray
+      val vecs = cands.map(_.getSeq[Float](2).map(_.toDouble).toArray).toArray
+      val n = ids.length
+      val used = new Array[Boolean](n)
+      val out = Seq.newBuilder[(Int, Long, Double)]
+      var rank = 1
+      while (rank <= math.min(k, n)) {
+        var best = -1; var bestScore = 0.0
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val score =
+              if (rank == 1) r(rel(i), roundTo)
+              else {
+                var ms = -1.0
+                var j = 0
+                while (j < n) {
+                  if (used(j)) {
+                    val c = cosd(vecs(i), vecs(j)); if (c > ms) ms = c
+                  }
+                  j += 1
+                }
+                r(lambda * rel(i) - (1 - lambda) * ms, roundTo)
+              }
+            if (best < 0 || score > bestScore ||
+                (score == bestScore && ids(i) < ids(best))) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        out += ((rank, ids(best), bestScore)); used(best) = true; rank += 1
+      }
+      out.result()
+    }
+    candidates
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id").cast("long"), col("cos"),
+        col("c_vec"))).as("__cand"))
+      .select(col("query_id"), explode(greedy(col("__cand"))).as("__sel"))
+      .select(col("query_id"), col("__sel._1").as("sel_rank"),
+        col("__sel._2").as("neighbor_id"), col("__sel._3").as("score"))
+  }
+
+  /** [[mmrRerank]] wired to the brute-force generator: per-query top-`n`
+    * by cosine ([[topKCosine]] — queries broadcast, no corpus shuffle),
+    * candidate vectors re-fetched by a broadcast semi-join against a
+    * second corpus scan (NOT carried through the top-k window sort — the
+    * window's sort payload stays id+score wide regardless of dim), then
+    * the map-side greedy. At 100 TB swap the generator for the IVF index
+    * path and feed [[mmrRerank]] directly.
+    */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, n: Int, k: Int, lambda: Double): DataFrame = {
+    val topn = topKCosine(corpus, idCol, vecCol, queries, n)
+    val vecs = corpus
+      .join(broadcast(topn.select(col("neighbor_id").as("__vid")).distinct()),
+        col(idCol) === col("__vid"))
+      .select(col("__vid"), col(vecCol).as("c_vec"))
+    mmrRerank(
+      topn.join(broadcast(vecs), col("neighbor_id") === col("__vid"))
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("c_vec")),
+      k, lambda)
+  }
 }

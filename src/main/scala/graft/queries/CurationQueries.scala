@@ -448,6 +448,95 @@ object CurationQueries {
         .orderBy(col("rank").desc, col("domain").asc)
     },
 
+    // --- HITS hubs & authorities over the same extracted link graph: the
+    // companion centrality to q_link_rank — crawling sites (all outlinks,
+    // no inlinks) surface as pure hubs, news/blog targets as pure
+    // authorities, a split PageRank's single score cannot express. Oracle
+    // replays the q_link_graph edge extraction feeding the 2-iteration
+    // hub←E·auth / auth←Eᵀ·hub unroll with per-half-step L1
+    // normalization (GraphRank.hits scaladoc), VARCHAR node ids.
+    QueryDef("q_link_hits",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' AS url,
+        |    '<html><body><a href="https://news' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.org/a">x</a> <A HREF=''http://blog' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.net/b?q=1''>y</a> <a href="/rel/path">r</a> <a href="https://site'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com/self">s</a> <a href="#f">f</a><link href=''mailto:a@b.c''/></body></html>'
+        |    AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT url, unnest(regexp_extract_all(html,
+        |    '(?i)href\s*=\s*["'']([^"''#<>\s]+)', 1)) AS href
+        |  FROM h),
+        |hosts AS (
+        |  SELECT
+        |    lower(split_part(split_part(split_part(split_part(url, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS shost,
+        |    lower(split_part(split_part(split_part(split_part(href, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS dhost
+        |  FROM links
+        |  WHERE href LIKE 'http://%' OR href LIKE 'https://%'),
+        |dd AS (
+        |  SELECT
+        |    array_to_string(string_split(shost, '.')[
+        |      len(string_split(shost, '.'))-1 : len(string_split(shost, '.'))], '.')
+        |      AS s,
+        |    array_to_string(string_split(dhost, '.')[
+        |      len(string_split(dhost, '.'))-1 : len(string_split(dhost, '.'))], '.')
+        |      AS d
+        |  FROM hosts),
+        |e AS (SELECT DISTINCT s, d FROM dd WHERE s <> d),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT s AS id FROM e UNION ALL SELECT d FROM e)),
+        |h1r AS (SELECT s AS id, CAST(COUNT(*) AS DOUBLE) AS v FROM e GROUP BY 1),
+        |h1f AS (SELECT nodes.id, COALESCE(h1r.v, 0) AS v
+        |        FROM nodes LEFT JOIN h1r USING (id)),
+        |h1s AS (SELECT SUM(v) AS t FROM h1f),
+        |h1 AS (SELECT id, v/t AS v FROM h1f CROSS JOIN h1s),
+        |a1r AS (SELECT e.d AS id, SUM(h1.v) AS v FROM e
+        |        JOIN h1 ON e.s = h1.id GROUP BY 1),
+        |a1f AS (SELECT nodes.id, COALESCE(a1r.v, 0) AS v
+        |        FROM nodes LEFT JOIN a1r USING (id)),
+        |a1s AS (SELECT SUM(v) AS t FROM a1f),
+        |a1 AS (SELECT id, v/t AS v FROM a1f CROSS JOIN a1s),
+        |h2r AS (SELECT e.s AS id, SUM(a1.v) AS v FROM e
+        |        JOIN a1 ON e.d = a1.id GROUP BY 1),
+        |h2f AS (SELECT nodes.id, COALESCE(h2r.v, 0) AS v
+        |        FROM nodes LEFT JOIN h2r USING (id)),
+        |h2s AS (SELECT SUM(v) AS t FROM h2f),
+        |h2 AS (SELECT id, v/t AS v FROM h2f CROSS JOIN h2s),
+        |a2r AS (SELECT e.d AS id, SUM(h2.v) AS v FROM e
+        |        JOIN h2 ON e.s = h2.id GROUP BY 1),
+        |a2f AS (SELECT nodes.id, COALESCE(a2r.v, 0) AS v
+        |        FROM nodes LEFT JOIN a2r USING (id)),
+        |a2s AS (SELECT SUM(v) AS t FROM a2f),
+        |a2 AS (SELECT id, v/t AS v FROM a2f CROSS JOIN a2s)
+        |SELECT h2.id AS domain, ROUND(h2.v, 4) AS hub, ROUND(a2.v, 4) AS auth
+        |FROM h2 JOIN a2 ON h2.id = a2.id
+        |ORDER BY auth DESC, hub DESC, domain NULLS FIRST""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"))
+      val html = concat(
+        lit("<html><body><a href=\"https://news"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/a\">x</a> <A HREF='http://blog"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".net/b?q=1'>y</a> <a href=\"/rel/path\">r</a> <a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/self\">s</a> <a href=\"#f\">f</a>" +
+          "<link href='mailto:a@b.c'/></body></html>"))
+      val edges = Curation.linkGraph(
+        Tables.documents(s, d).select(url.as("url"), html.as("html")),
+        "url", "html")
+      graft.operators.GraphRank.hits(edges, "src_domain", "dst_domain",
+          iters = 2)
+        .select(col("id").as("domain"), round(col("hub"), 4).as("hub"),
+          round(col("auth"), 4).as("auth"))
+        .orderBy(col("auth").desc, col("hub").desc, col("domain").asc)
+    },
+
     // email + phone per doc; patterns are RE2/Java-identical by contract
     // (Curation.EmailPattern scaladoc), DuckDB needs the 'g' flag for
     // replace-all to match Spark's regexp_replace

@@ -378,6 +378,97 @@ object DataOpsQueries {
         .orderBy("a_id")
     },
 
+    // --- MMR-diversified retrieval (Carbonell & Goldstein 1998): per-query
+    // top-20 candidate pool → greedy pick of 5 maximizing
+    // 0.7·rel − (1−0.7)·max-cos-to-picked; first pick is pure relevance.
+    // Selection compares scores ROUNDED to 6 with the smaller-id tiebreak
+    // (the q_emb_outliers engine-independence rule). The oracle unrolls
+    // the 5 greedy steps as chained CTEs (the q_link_rank iteration
+    // precedent); (1 - 0.7) is spelled identically in both engines so the
+    // IEEE value of the diversity weight matches bit-for-bit.
+    QueryDef("q_retrieval_mmr",
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |sc AS (SELECT q.qid, c.nid, list_cosine_similarity(q.v, c.v) AS rel
+        |       FROM q JOIN c ON c.nid <> q.qid),
+        |tn AS (SELECT qid, nid, rel FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY qid ORDER BY rel DESC, nid) AS rk FROM sc)
+        |       WHERE rk <= 20),
+        |pr AS (SELECT a.qid, a.nid AS x, b.nid AS y,
+        |         list_cosine_similarity(ca.v, cb.v) AS sim
+        |       FROM tn a JOIN tn b ON a.qid = b.qid AND a.nid <> b.nid
+        |       JOIN c ca ON ca.nid = a.nid JOIN c cb ON cb.nid = b.nid),
+        |s1 AS (SELECT qid, nid, ROUND(rel, 6) AS score FROM (
+        |         SELECT qid, nid, rel, row_number() OVER (
+        |           PARTITION BY qid ORDER BY ROUND(rel, 6) DESC, nid) AS rk
+        |         FROM tn) WHERE rk = 1),
+        |p1 AS (SELECT qid, nid, 1 AS sel_rank, score FROM s1),
+        |m2 AS (SELECT t.qid, t.nid,
+        |         ROUND(0.7 * t.rel - (1 - 0.7) * MAX(p.sim), 6) AS score
+        |       FROM tn t JOIN pr p ON p.qid = t.qid AND p.x = t.nid
+        |       JOIN p1 ON p1.qid = p.qid AND p1.nid = p.y
+        |       WHERE NOT EXISTS (SELECT 1 FROM p1 z
+        |                         WHERE z.qid = t.qid AND z.nid = t.nid)
+        |       GROUP BY t.qid, t.nid, t.rel),
+        |s2 AS (SELECT qid, nid, score FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY qid ORDER BY score DESC, nid) AS rk FROM m2)
+        |       WHERE rk = 1),
+        |p2 AS (SELECT * FROM p1 UNION ALL
+        |       SELECT qid, nid, 2, score FROM s2),
+        |m3 AS (SELECT t.qid, t.nid,
+        |         ROUND(0.7 * t.rel - (1 - 0.7) * MAX(p.sim), 6) AS score
+        |       FROM tn t JOIN pr p ON p.qid = t.qid AND p.x = t.nid
+        |       JOIN p2 ON p2.qid = p.qid AND p2.nid = p.y
+        |       WHERE NOT EXISTS (SELECT 1 FROM p2 z
+        |                         WHERE z.qid = t.qid AND z.nid = t.nid)
+        |       GROUP BY t.qid, t.nid, t.rel),
+        |s3 AS (SELECT qid, nid, score FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY qid ORDER BY score DESC, nid) AS rk FROM m3)
+        |       WHERE rk = 1),
+        |p3 AS (SELECT * FROM p2 UNION ALL
+        |       SELECT qid, nid, 3, score FROM s3),
+        |m4 AS (SELECT t.qid, t.nid,
+        |         ROUND(0.7 * t.rel - (1 - 0.7) * MAX(p.sim), 6) AS score
+        |       FROM tn t JOIN pr p ON p.qid = t.qid AND p.x = t.nid
+        |       JOIN p3 ON p3.qid = p.qid AND p3.nid = p.y
+        |       WHERE NOT EXISTS (SELECT 1 FROM p3 z
+        |                         WHERE z.qid = t.qid AND z.nid = t.nid)
+        |       GROUP BY t.qid, t.nid, t.rel),
+        |s4 AS (SELECT qid, nid, score FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY qid ORDER BY score DESC, nid) AS rk FROM m4)
+        |       WHERE rk = 1),
+        |p4 AS (SELECT * FROM p3 UNION ALL
+        |       SELECT qid, nid, 4, score FROM s4),
+        |m5 AS (SELECT t.qid, t.nid,
+        |         ROUND(0.7 * t.rel - (1 - 0.7) * MAX(p.sim), 6) AS score
+        |       FROM tn t JOIN pr p ON p.qid = t.qid AND p.x = t.nid
+        |       JOIN p4 ON p4.qid = p.qid AND p4.nid = p.y
+        |       WHERE NOT EXISTS (SELECT 1 FROM p4 z
+        |                         WHERE z.qid = t.qid AND z.nid = t.nid)
+        |       GROUP BY t.qid, t.nid, t.rel),
+        |s5 AS (SELECT qid, nid, score FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY qid ORDER BY score DESC, nid) AS rk FROM m5)
+        |       WHERE rk = 1),
+        |p5 AS (SELECT * FROM p4 UNION ALL
+        |       SELECT qid, nid, 5, score FROM s5)
+        |SELECT qid AS query_id, CAST(sel_rank AS INT) AS sel_rank,
+        |  nid AS neighbor_id, ROUND(score, 4) AS score
+        |FROM p5 ORDER BY query_id NULLS FIRST, sel_rank NULLS FIRST""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrSelect(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 4), n = 20, k = 5, lambda = 0.7)
+        .select(col("query_id"), col("sel_rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "sel_rank")
+    },
+
     // --- hybrid retrieval: BM25 lexical candidates → embedding cosine
     // rerank (two-stage retrieval; the vector column is touched only for
     // the ≤ queries×20 candidate ids). Query vectors are the embeddings of

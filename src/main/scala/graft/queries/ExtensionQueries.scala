@@ -158,6 +158,31 @@ object ExtensionQueries {
         .orderBy("cohort_period", "period_offset")
     },
 
+    // --- first-order Markov transition matrix over per-user event
+    // streams ("what do users do after a search?"); a user's first event
+    // transitions from the synthetic '_start' state. Same zero-shuffle
+    // window as q_sessionize (eventsByUser pre-bucketing), then a count
+    // whose cardinality is the type-pair space; transition probabilities
+    // normalize per prev_type over the tiny aggregate.
+    QueryDef("q_event_transitions",
+      """WITH t AS (
+        |  SELECT COALESCE(lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), '_start') AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+        |FROM c
+        |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.transitions(Tables.eventsByUser(s, d),
+          "user_id", "ts", "event_id", "event_type")
+        .withColumn("p", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("prev_type")), 4))
+        .orderBy(asc_nulls_first("prev_type"), asc_nulls_first("next_type"))
+    },
+
     // --- AS-OF (point-in-time) join: each event attaches the latest
     // reference row at or before its ts. Our operator is the union+window
     // merge-as-of (one shuffle, no history fan-out); the oracle is

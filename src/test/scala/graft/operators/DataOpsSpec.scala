@@ -283,4 +283,46 @@ class DataOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected partial window group limit:\n${plan.take(3000)}")
   }
+
+  // --- mmrRerank / mmrSelect ----------------------------------------------
+
+  test("mmrRerank diversifies: the planted duplicate loses to the orthogonal pick") {
+    // corpus: 1=(1,0), 2=(1,0) exact duplicate, 3=(0,1); query (2,1).
+    // rel(1)=rel(2)=2/√5, rel(3)=1/√5. Pure top-2 would take the
+    // duplicate pair {1,2}; at λ=.5 the duplicate's margin
+    // .5·rel − .5·cos(2,1)= −0.0528 falls below the orthogonal 0.2236.
+    val cands = Seq(
+      (0L, 1L, 2.0 / math.sqrt(5), Seq(1f, 0f)),
+      (0L, 2L, 2.0 / math.sqrt(5), Seq(1f, 0f)),
+      (0L, 3L, 1.0 / math.sqrt(5), Seq(0f, 1f)))
+      .toDF("query_id", "neighbor_id", "cos", "c_vec")
+    val got = Similarity.mmrRerank(cands, k = 3, lambda = 0.5)
+      .orderBy("sel_rank")
+      .select("sel_rank", "neighbor_id", "score")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L),
+      s"expected relevance pick, then diversity, then the duplicate: $got")
+    // rank 1 breaks the exact relevance tie toward the smaller id
+    assert(got.head._1 == 1 && got.head._2 == 1L)
+    assert(math.abs(got(1)._3 - 0.223607) < 1e-9, s"$got")
+    assert(got(2)._3 < 0, s"redundant pick carries a negative margin: $got")
+  }
+
+  test("mmrSelect rank-1 equals brute-force top-1; picks are distinct and capped") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding", queries,
+        n = 10, k = 4, lambda = 0.7)
+      .select("query_id", "sel_rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    val top1 = Similarity.topKCosine(emb, "vec_id", "embedding", queries, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (q, sel) =>
+      assert(sel.map(_._2).sorted == (1 to 4), s"ranks 1..4 per query: $sel")
+      assert(sel.map(_._3).distinct.size == 4, s"picks must be distinct: $sel")
+      assert(sel.find(_._2 == 1).get._3 == top1(q),
+        s"first MMR pick is the pure-relevance top-1: $sel")
+    }
+    assert(got.map(_._1).distinct.size == 3)
+  }
 }

@@ -136,4 +136,45 @@ class GraphRankSpec extends SparkSpec {
       .collect().map(r => Option(r.get(2))).last.get.asInstanceOf[Double]
     assert(five < 0.1, s"5th radius must be within-cluster: $five")
   }
+
+  // --- HITS ---------------------------------------------------------------
+
+  test("hits matches the hand-iterated hub/authority values") {
+    import spark.implicits._
+    // 1 → {3,4}, 2 → 3. Uniform auth₀ = 1:
+    // hub₁ raw  = (2, 1, 0, 0), L1 → (2/3, 1/3, 0, 0)
+    // auth₁ raw = a(3)=hub(1)+hub(2)=1, a(4)=hub(1)=2/3, L1 sum 5/3
+    //           → auth = (0, 0, 3/5, 2/5)
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L)).toDF("s", "d")
+    val got = GraphRank.hits(edges, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(got(1L)._1 - 2.0 / 3) < 1e-12, s"$got")
+    assert(math.abs(got(2L)._1 - 1.0 / 3) < 1e-12)
+    assert(got(3L)._1 == 0.0 && got(4L)._1 == 0.0,
+      "nodes without out-edges hold hub 0")
+    assert(math.abs(got(3L)._2 - 0.6) < 1e-12, s"$got")
+    assert(math.abs(got(4L)._2 - 0.4) < 1e-12)
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0,
+      "nodes without in-links hold authority 0")
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12 &&
+      math.abs(got.values.map(_._2).sum - 1.0) < 1e-12,
+      "both score vectors are L1-normalized every iteration")
+  }
+
+  test("hits separates hubs from authorities where pageRank cannot") {
+    import spark.implicits._
+    // directory d links to every content site; sites never link back.
+    // HITS: d is the unique hub, contents split authority; pageRank would
+    // give d only teleport mass.
+    val contents = (10L to 14L)
+    val edges = contents.map(c => (1L, c)).toDF("s", "d")
+    val got = GraphRank.hits(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 1.0, s"sole out-linker takes all hub mass: $got")
+    contents.foreach { c =>
+      assert(math.abs(got(c)._2 - 0.2) < 1e-12,
+        s"authority splits evenly over targets: $got")
+    }
+  }
 }

@@ -108,4 +108,31 @@ class SessionsSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"expected partial aggregation:\n${plan.take(2000)}")
   }
+
+  test("transitions counts prev→next pairs with the _start state") {
+    import spark.implicits._
+    // user 1: a@1, b@2, a@2 (tie with id 3 > id 2 so b precedes a);
+    // user 2: b@1 alone
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "a"),
+      (2L, 1L, 4L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map(
+      ("_start", "a") -> 1L, ("_start", "b") -> 1L,
+      ("a", "b") -> 1L, ("b", "a") -> 1L), s"$got")
+  }
+
+  test("transitions ties on ts break by the tie column, not input order") {
+    import spark.implicits._
+    // both events at ts=5; event_id order decides c→d, never d→c
+    val ev = Seq((1L, 5L, 9L, "d"), (1L, 5L, 8L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map(("_start", "c") -> 1L, ("c", "d") -> 1L), s"$got")
+  }
 }
