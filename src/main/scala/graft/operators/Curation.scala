@@ -492,6 +492,50 @@ object Curation {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("""(?i)href\s*=\s*["']([^"'#<>\s]+)"""), lit(1))
 
+  /** `(href, anchor)` pairs of a raw HTML payload: every `<a …href=…>`
+    * tag with the text up to the next element open — the anchor-text
+    * signal (what OTHER pages call a target; the classic relevance /
+    * target-description feature a retrieval corpus mines alongside the
+    * link graph). Two-stage extraction keeps it RE2-replayable with
+    * single-group engines: one `regexp_extract_all` pulls whole
+    * `<a…>text` matches, then per-match `regexp_extract`s split off the
+    * href and the trailing text — all codegen'd array/string ops, no UDF.
+    * Anchor text stops at the first `<` (nested markup inside the anchor
+    * is link-graph noise, same contract as [[extractLinks]]' quote
+    * truncation).
+    */
+  def extractAnchors(html: Column): Column = {
+    val tags = regexp_extract_all(html,
+      lit("""(?i)<a\s[^>]*href\s*=\s*["'][^"'#<>\s]+[^>]*>[^<]*"""), lit(0))
+    transform(tags, t => struct(
+      regexp_extract(t, """(?i)href\s*=\s*["']([^"'#<>\s]+)""", 1).as("href"),
+      regexp_extract(t, """>([^<]*)$""", 1).as("anchor")))
+  }
+
+  /** Cross-domain anchor-text aggregation: how the web describes each
+    * target domain — `(dst_domain, anchor, n)` over every absolute
+    * http(s) link whose target domain differs from the page's own
+    * (same-site anchors are navigation, not description). Anchor text is
+    * normalized `lower(trim(…))`; empties drop.
+    *
+    * Scale shape mirrors [[linkGraph]]: extraction, domain parsing and
+    * normalization are map-side codegen'd folds over the page payloads;
+    * the ONLY shuffle is the partial-aggregated count keyed on
+    * (domain, anchor) — vocabulary-of-descriptions cardinality, never
+    * page or link count.
+    */
+  def anchorStats(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    df.withColumn("__src_sig", urlSignals(col(urlCol)))
+      .select(col("__src_sig.domain").as("src_domain"),
+        explode(extractAnchors(col(htmlCol))).as("__a"))
+      .where(col("__a.href").startsWith("http://") ||
+        col("__a.href").startsWith("https://"))
+      .withColumn("__dst_sig", urlSignals(col("__a.href")))
+      .select(col("src_domain"), col("__dst_sig.domain").as("dst_domain"),
+        lower(trim(col("__a.anchor"))).as("anchor"))
+      .where(col("dst_domain") =!= col("src_domain") && col("anchor") =!= "")
+      .groupBy("dst_domain", "anchor").agg(count(lit(1)).as("n"))
+
   /** Domain-level link graph from crawled pages: each absolute http(s)
     * `href` in a page yields one `(src_domain, dst_domain)` edge under
     * the [[urlSignals]] domain rule, self-loops dropped, edges

@@ -153,6 +153,74 @@ object Sessions {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Exponential time-decay aggregation: each event contributes
+    * `2^(-(asOf − ts)/halfLife)` to its key — the recency-weighted
+    * popularity/activity score every trending panel and freshness-aware
+    * ranker uses (an event a half-life ago counts half of one now).
+    * `asOf` is an explicit epoch-seconds parameter, not wall clock, so
+    * results are reproducible and backfillable. Output: key columns +
+    * `decayed_n` (the decayed mass) + `n` (the plain count for
+    * reference).
+    *
+    * Scale shape: the decay factor is a map-side codegen'd expression on
+    * the scan; the aggregate is one partial/final SUM keyed on the
+    * grouping columns — same plan as a plain count, no window, no sort.
+    * The spelling `-(ln 2 · Δt) / halfLife` is IEEE-reproducible across
+    * engines (negate and divide are exact given identical operands).
+    */
+  def decayedCount(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      asOfEpoch: Long, halfLifeSec: Double): DataFrame = {
+    require(keyCols.nonEmpty, "decayedCount needs at least one key column")
+    require(halfLifeSec > 0, s"halfLife $halfLifeSec must be > 0")
+    val dt = lit(asOfEpoch).cast("double") -
+      unix_timestamp(col(tsCol)).cast("double")
+    events.groupBy(keyCols.map(col): _*)
+      .agg(sum(exp(-(log(lit(2.0)) * dt) / lit(halfLifeSec))).as("decayed_n"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Association mining over per-user event-type sets: for every
+    * unordered type pair, the co-occurring-user count and the LIFT
+    * `P(a,b) / (P(a)·P(b))` — the unordered companion to [[transitions]]
+    * (lift > 1: the behaviors attract; < 1: they repel). Counts are
+    * user-level (a user contributes once per type regardless of event
+    * multiplicity).
+    *
+    * Scale shape: ONE shuffle builds each user's distinct type set
+    * (bounded by the type vocabulary, not the user's event count); the
+    * pair expansion is a map-side `transform×slice` fold over the sorted
+    * set — |types|²/2 per user at worst, never a self-join of an
+    * event-sized table — and the pair/single counts are partial
+    * aggregates of type-vocabulary cardinality. The user total rides in
+    * as a broadcast 1-row cross join; the per-type counts broadcast-join
+    * onto the pair table.
+    */
+  def coOccurrenceLift(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    // three consumers (user total, singles, pairs) — materialize the
+    // user-cardinality set table once instead of re-scanning the
+    // event-cardinality input three times
+    val perUser = Staged.materialize(events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .groupBy("__u").agg(sort_array(collect_set("__t")).as("__ts")))
+    val nUsers = perUser.agg(count(lit(1)).cast("double").as("__nu"))
+    val singles = perUser.select(explode(col("__ts")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).cast("double").as("__c"))
+    val pairs = perUser
+      .select(explode(expr(
+        """flatten(transform(__ts, (x, i) ->
+          |  transform(slice(__ts, i + 2, size(__ts)), y ->
+          |    struct(x AS ta, y AS tb))))""".stripMargin)).as("__p"))
+      .select(col("__p.ta").as("ta"), col("__p.tb").as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("__t").as("ta"), col("__c").as("__ca"))), Seq("ta"))
+      .join(broadcast(singles.select(col("__t").as("tb"), col("__c").as("__cb"))), Seq("tb"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        (col("n_ab") * col("__nu") / (col("__ca") * col("__cb"))).as("lift"))
+  }
+
   /** Hopping (sliding) window aggregation: every event contributes to the
     * `ceil(size/stride)` windows covering it — the overlapping complement
     * of the tumbling time bucketizers (a 1h window hopping every 15min is

@@ -537,6 +537,75 @@ object CurationQueries {
         .orderBy(col("auth").desc, col("hub").desc, col("domain").asc)
     },
 
+    // --- anchor-text aggregation: how the web DESCRIBES each target
+    // domain. Planted pages carry parity-varying news anchors ("Topic 0"
+    // / "Topic 1"), a single-quoted uppercase-HREF blog anchor with
+    // interior whitespace (trim/lower normalization visible), a same-
+    // domain nav anchor and a relative link (both dropped). Oracle
+    // replays the two-stage tag→(href, anchor) extraction with the same
+    // RE2 patterns and the split_part domain rule.
+    QueryDef("q_link_anchors",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' AS url,
+        |    '<html><body><a href="https://news' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.org/a">Topic ' || CAST(doc_id % 2 AS VARCHAR)
+        |    || '</a> <A HREF=''http://blog' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.net/b''> Blog  Post </a><a href="https://site'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com/x">self nav</a><a href="/rel">rel</a></body></html>'
+        |    AS html
+        |  FROM documents),
+        |tags AS (
+        |  SELECT url, unnest(regexp_extract_all(html,
+        |    '(?i)<a\s[^>]*href\s*=\s*["''][^"''#<>\s]+[^>]*>[^<]*')) AS tag
+        |  FROM h),
+        |pa AS (
+        |  SELECT url,
+        |    regexp_extract(tag, '(?i)href\s*=\s*["'']([^"''#<>\s]+)', 1) AS href,
+        |    regexp_extract(tag, '>([^<]*)$', 1) AS anchor
+        |  FROM tags),
+        |hosts AS (
+        |  SELECT
+        |    lower(split_part(split_part(split_part(split_part(url, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS shost,
+        |    lower(split_part(split_part(split_part(split_part(href, '://', 2),
+        |      '/', 1), '?', 1), ':', 1)) AS dhost,
+        |    lower(trim(anchor)) AS anchor
+        |  FROM pa
+        |  WHERE href LIKE 'http://%' OR href LIKE 'https://%'),
+        |dd AS (
+        |  SELECT
+        |    array_to_string(string_split(shost, '.')[
+        |      len(string_split(shost, '.'))-1 : len(string_split(shost, '.'))], '.')
+        |      AS s,
+        |    array_to_string(string_split(dhost, '.')[
+        |      len(string_split(dhost, '.'))-1 : len(string_split(dhost, '.'))], '.')
+        |      AS d,
+        |    anchor
+        |  FROM hosts)
+        |SELECT d AS dst_domain, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM dd WHERE d <> s AND anchor <> ''
+        |GROUP BY 1, 2
+        |ORDER BY dst_domain NULLS FIRST, anchor NULLS FIRST""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"))
+      val html = concat(
+        lit("<html><body><a href=\"https://news"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/a\">Topic "),
+        (col("doc_id") % 2).cast("string"),
+        lit("</a> <A HREF='http://blog"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".net/b'> Blog  Post </a><a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com/x\">self nav</a><a href=\"/rel\">rel</a></body></html>"))
+      Curation.anchorStats(
+          Tables.documents(s, d).select(url.as("url"), html.as("html")),
+          "url", "html")
+        .orderBy(asc_nulls_first("dst_domain"), asc_nulls_first("anchor"))
+    },
+
     // email + phone per doc; patterns are RE2/Java-identical by contract
     // (Curation.EmailPattern scaladoc), DuckDB needs the 'g' flag for
     // replace-all to match Spark's regexp_replace

@@ -183,6 +183,51 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("prev_type"), asc_nulls_first("next_type"))
     },
 
+    // --- exponential time-decay popularity (half-life 7 days, as-of
+    // 2024-02-01T00:00:00Z — explicit, so the score is reproducible):
+    // recency-weighted activity per event type, map-side decay factor
+    // under a plain partial/final SUM. The -(ln 2 · Δt)/hl spelling is
+    // IEEE-identical in both engines; ROUND 4 absorbs the summation-order
+    // residue.
+    QueryDef("q_decay_popularity",
+      """SELECT event_type,
+        |  ROUND(SUM(exp(-(ln(2) * (1706745600 - CAST(FLOOR(epoch(ts)) AS BIGINT)))
+        |                / 604800.0)), 4) AS decayed_n,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.decayedCount(Tables.events(s, d), "ts",
+          Seq("event_type"), 1706745600L, 604800.0)
+        .select(col("event_type"), round(col("decayed_n"), 4).as("decayed_n"),
+          col("n"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+
+    // --- association lift over per-user event-type sets (the unordered
+    // companion to q_event_transitions): P(a,b)/(P(a)·P(b)) per type
+    // pair. The engine builds each user's sorted distinct-type set in ONE
+    // shuffle and expands pairs map-side (transform×slice fold) — the
+    // oracle replays with the equivalent distinct self-join.
+    QueryDef("q_event_lift",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu FROM events),
+        |tc AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS c FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |        CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, n_ab, ROUND(n_ab * nu / (ca.c * cb.c), 4) AS lift
+        |FROM p JOIN tc ca ON ca.event_type = ta
+        |       JOIN tc cb ON cb.event_type = tb CROSS JOIN n
+        |ORDER BY ta NULLS FIRST, tb NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.coOccurrenceLift(Tables.eventsByUser(s, d),
+          "user_id", "event_type")
+        .select(col("ta"), col("tb"), col("n_ab"),
+          round(col("lift"), 4).as("lift"))
+        .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"))
+    },
+
     // --- AS-OF (point-in-time) join: each event attaches the latest
     // reference row at or before its ts. Our operator is the union+window
     // merge-as-of (one shuffle, no history fan-out); the oracle is

@@ -318,4 +318,39 @@ class CurationSpec extends SparkSpec {
     assert(edges == Set(("site.com", "news.org"), ("site.com", "blog.net")),
       edges.toString)
   }
+
+  test("extractAnchors pairs each href with its text; anchorStats aggregates " +
+      "cross-domain only") {
+    import spark.implicits._
+    val html =
+      """<p><a href="https://news.org/a">Breaking  News</a>
+        |<A HREF='http://blog.net/b'> Post </a>
+        |<a class="x" href="https://news.org/c">breaking  news</a>
+        |<a href="https://www.site.com/self">Self Nav</a>
+        |<a href="/rel">Rel</a>
+        |<a href="https://deep.org/d"><b>nested</b></a></p>""".stripMargin
+    val pairs = Seq(("https://www.site.com/p", html)).toDF("url", "html")
+      .select(explode(Curation.extractAnchors(col("html"))).as("a"))
+      .select("a.href", "a.anchor")
+      .as[(String, String)].collect().toSeq
+    // extraction keeps document order and the raw (untrimmed) text; the
+    // nested-markup anchor truncates at the first '<' → empty
+    assert(pairs == Seq(
+      ("https://news.org/a", "Breaking  News"),
+      ("http://blog.net/b", " Post "),
+      ("https://news.org/c", "breaking  news"),
+      ("https://www.site.com/self", "Self Nav"),
+      ("/rel", "Rel"),
+      ("https://deep.org/d", "")), pairs.toString)
+    val got = Curation.anchorStats(
+        Seq(("https://www.site.com/p", html)).toDF("url", "html"),
+        "url", "html")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // lower(trim) folds the two news anchors together; self-domain nav,
+    // relative link and the empty nested anchor all drop
+    assert(got == Map(
+      ("news.org", "breaking  news") -> 2L,
+      ("blog.net", "post") -> 1L), got.toString)
+  }
 }

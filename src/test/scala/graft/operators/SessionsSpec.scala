@@ -135,4 +135,36 @@ class SessionsSpec extends SparkSpec {
       .map(t => (t._1, t._2) -> t._3).toMap
     assert(got == Map(("_start", "c") -> 1L, ("c", "d") -> 1L), s"$got")
   }
+
+  test("decayedCount: one half-life halves, as-of-now counts full") {
+    val df = ev(
+      (1L, 1L, 1000L, "a"),  // at as-of → weight 1
+      (1L, 2L, 0L, "a"),     // one half-life before → weight 1/2
+      (1L, 3L, 1000L, "b"))
+    val got = Sessions.decayedCount(df, "ts", Seq("event_type"),
+        asOfEpoch = 1000L, halfLifeSec = 1000.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(got("a")._1 - 1.5) < 1e-12, s"$got")
+    assert(got("a")._2 == 2L && got("b")._2 == 1L)
+    assert(math.abs(got("b")._1 - 1.0) < 1e-12)
+  }
+
+  test("coOccurrenceLift: attracting pair > 1, repelling pair < 1") {
+    // 4 users: {a,b}, {a,b}, {a,c}, {c}. P(a)=3/4, P(b)=2/4, P(c)=2/4.
+    // lift(a,b) = (2/4)/(3/4 · 2/4) = 4/3; lift(a,c) = (1/4)/(3/8) = 2/3;
+    // (b,c) never co-occur → no row (count-based, zero pairs absent)
+    val df = ev(
+      (1L, 1L, 0L, "a"), (1L, 2L, 1L, "b"), (1L, 3L, 2L, "b"),
+      (2L, 4L, 0L, "a"), (2L, 5L, 1L, "b"),
+      (3L, 6L, 0L, "a"), (3L, 7L, 1L, "c"),
+      (4L, 8L, 0L, "c"))
+    val got = Sessions.coOccurrenceLift(df, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> // (ta, tb)
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c")), s"$got")
+    assert(got(("a", "b"))._1 == 2L &&
+      math.abs(got(("a", "b"))._2 - 4.0 / 3) < 1e-12, s"$got")
+    assert(got(("a", "c"))._1 == 1L &&
+      math.abs(got(("a", "c"))._2 - 2.0 / 3) < 1e-12, s"$got")
+  }
 }
