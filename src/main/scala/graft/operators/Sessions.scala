@@ -221,6 +221,39 @@ object Sessions {
         (col("n_ab") * col("__nu") / (col("__ca") * col("__cb"))).as("lift"))
   }
 
+  /** RFM segmentation: per-user Recency (seconds since last event, at an
+    * EXPLICIT as-of), Frequency (event count) and Monetary (value sum,
+    * rounded to 6 before ranking so bucket edges are engine-independent),
+    * each quartiled by `ntile(buckets)` with best-first order (bucket 1 =
+    * most recent / most frequent / highest value; id tiebreak) — the
+    * classic marketing/behavior segmentation. Output: (r, f, m, users) —
+    * the segment-size matrix, ≤ buckets³ rows.
+    *
+    * Scale shape: the 100 TB input reduces to a USER-cardinality
+    * aggregate in one partial/final shuffle first; the three ntile
+    * windows then globally sort only that reduced table — the honest
+    * price of exact quantile edges (the approximate path would cut at
+    * `approx_percentile` boundaries instead, trading edge exactness for
+    * no global sort; at user counts that fit a sort, exact wins).
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, asOfEpoch: Long, buckets: Int = 4): DataFrame = {
+    require(buckets >= 2, s"buckets $buckets must be >= 2")
+    val per = events.groupBy(col(userCol).as("__user"))
+      .agg((lit(asOfEpoch) - max(unix_timestamp(col(tsCol)))).as("recency"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol)), 6).as("monetary"))
+    per
+      .select(
+        ntile(buckets).over(Window.orderBy(col("recency").asc,
+          col("__user").asc)).as("r"),
+        ntile(buckets).over(Window.orderBy(col("frequency").desc,
+          col("__user").asc)).as("f"),
+        ntile(buckets).over(Window.orderBy(col("monetary").desc,
+          col("__user").asc)).as("m"))
+      .groupBy("r", "f", "m").agg(count(lit(1)).as("users"))
+  }
+
   /** Hopping (sliding) window aggregation: every event contributes to the
     * `ceil(size/stride)` windows covering it — the overlapping complement
     * of the tumbling time bucketizers (a 1h window hopping every 15min is

@@ -94,4 +94,43 @@ object TemporalJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join: every (left, right) pair whose
+    * half-open `[start, end)` intervals intersect — the telemetry /
+    * downtime-correlation / concurrent-sessions primitive. Same bucket
+    * scheme as [[rangeJoinPointInInterval]] (both sides explode to their
+    * covering `bucketWidth` buckets, plain equi-join on the bucket, exact
+    * `ls < re AND rs < le` verify) so Spark plans a shuffled hash join
+    * instead of the BroadcastNestedLoop a raw theta join would get.
+    *
+    * A pair sharing SEVERAL buckets must still emit once: the join keeps
+    * only the canonical bucket `floor(max(ls, rs) / width)` — the
+    * overlap's start lies inside both intervals, so exactly one surviving
+    * bucket exists per matching pair, and the dedup is a codegen'd
+    * predicate rather than a distinct shuffle. Empty intervals
+    * (`end <= start`) match nothing and are filtered before expansion
+    * (also keeps `sequence()` ascending). Fan-out per row is
+    * `ceil(len/width)`, capped by `maxBucketsPerRow` — size `bucketWidth`
+    * near the TYPICAL interval length so fan-out stays O(1) and a bucket
+    * holds few intervals.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketWidth: Long, maxBucketsPerRow: Int = 1024): DataFrame = {
+    require(bucketWidth > 0)
+    def expand(df: DataFrame, s: String, e: String) = df
+      .where(col(e) > col(s))
+      .withColumn("__b0", floor(col(s).cast("double") / bucketWidth).cast("long"))
+      .withColumn("__b1",
+        floor((col(e).cast("double") - 1) / bucketWidth).cast("long"))
+      .withColumn("__bucket", explode(sequence(col("__b0"),
+        least(col("__b1"), col("__b0") + (maxBucketsPerRow - 1)))))
+      .drop("__b0", "__b1")
+    expand(left, lStart, lEnd).join(expand(right, rStart, rEnd), Seq("__bucket"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(col("__bucket") ===
+        floor(greatest(col(lStart), col(rStart)).cast("double") / bucketWidth)
+          .cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -228,6 +228,64 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"))
     },
 
+    // --- RFM segmentation (quartile recency/frequency/monetary at the
+    // q_decay_popularity as-of): events reduce to a user-cardinality
+    // aggregate first, ntile(4) edges rank on the ROUNDED monetary with
+    // the user-id tiebreak so bucket boundaries are engine-independent.
+    QueryDef("q_rfm_segments",
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    1706745600 - MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS recency,
+        |    COUNT(*) AS frequency,
+        |    ROUND(SUM(value), 6) AS monetary
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT u,
+        |    ntile(4) OVER (ORDER BY recency, u) AS r,
+        |    ntile(4) OVER (ORDER BY frequency DESC, u) AS f,
+        |    ntile(4) OVER (ORDER BY monetary DESC, u) AS m
+        |  FROM per)
+        |SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS users
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY r NULLS FIRST, f NULLS FIRST, m NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.rfmSegments(Tables.events(s, d),
+          "user_id", "ts", "value", 1706745600L, buckets = 4)
+        .orderBy(asc_nulls_first("r"), asc_nulls_first("f"),
+          asc_nulls_first("m"))
+    },
+
+    // --- interval×interval overlap join: bucketized equi-join + exact
+    // overlap verify + canonical-bucket dedup (one emitted row per
+    // overlapping pair, no distinct) instead of the BroadcastNestedLoop a
+    // raw theta join would plan. Oracle is the plain theta join.
+    QueryDef("q_interval_join",
+      """WITH la AS (
+        |  SELECT event_id AS l_id, CAST(FLOOR(value * 100) AS BIGINT) AS ls
+        |  FROM events WHERE event_id % 97 = 0),
+        |rb AS (
+        |  SELECT event_id AS r_id, CAST(FLOOR(value * 50) AS BIGINT) AS rs
+        |  FROM events WHERE event_id % 89 = 3)
+        |SELECT CAST(l_id % 16 AS BIGINT) AS lb,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(r_id) AS BIGINT) AS sum_r
+        |FROM la JOIN rb ON ls < rs + 12 AND rs < ls + 8
+        |GROUP BY 1 ORDER BY lb NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val la = ev.where(col("event_id") % 97 === 0)
+        .select(col("event_id").as("l_id"),
+          floor(col("value") * 100).cast("long").as("ls"))
+        .withColumn("le", col("ls") + 8)
+      val rb = ev.where(col("event_id") % 89 === 3)
+        .select(col("event_id").as("r_id"),
+          floor(col("value") * 50).cast("long").as("rs"))
+        .withColumn("re", col("rs") + 12)
+      graft.operators.TemporalJoin.intervalOverlapJoin(
+          la, "ls", "le", rb, "rs", "re", bucketWidth = 16L)
+        .groupBy((col("l_id") % 16).as("lb"))
+        .agg(count(lit(1)).as("n_pairs"), sum("r_id").as("sum_r"))
+        .orderBy(asc_nulls_first("lb"))
+    },
+
     // --- AS-OF (point-in-time) join: each event attaches the latest
     // reference row at or before its ts. Our operator is the union+window
     // merge-as-of (one shuffle, no history fan-out); the oracle is

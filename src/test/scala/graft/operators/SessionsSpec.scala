@@ -167,4 +167,25 @@ class SessionsSpec extends SparkSpec {
     assert(got(("a", "c"))._1 == 1L &&
       math.abs(got(("a", "c"))._2 - 2.0 / 3) < 1e-12, s"$got")
   }
+
+  test("rfmSegments quartiles best-first with id tiebreaks") {
+    // 4 users, 2 buckets: user 1 = recent+frequent, user 4 = stale+light.
+    // value sums: u1=40, u2=30, u3=20, u4=10 → m buckets (1,1,2,2).
+    // recency (asOf 100): u1 last@90 → 10s, u2@80, u3@20, u4@10 →
+    // r buckets (1,1,2,2). frequency: u1=3, u2=2, u3=2, u4=1 → desc
+    // order u1,u2,u3,u4 (tie u2/u3 by id) → f buckets (1,1,2,2).
+    val df = Seq(
+      (1L, 1L, 50L, 10.0), (1L, 2L, 70L, 10.0), (1L, 3L, 90L, 20.0),
+      (2L, 4L, 60L, 15.0), (2L, 5L, 80L, 15.0),
+      (3L, 6L, 10L, 5.0), (3L, 7L, 20L, 15.0),
+      (4L, 8L, 10L, 10.0))
+      .toDF("user_id", "event_id", "sec", "value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("value"))
+    val got = Sessions.rfmSegments(df, "user_id", "ts", "value",
+        asOfEpoch = 100L, buckets = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map((1, 1, 1) -> 2L, (2, 2, 2) -> 2L), s"$got")
+  }
 }

@@ -82,4 +82,26 @@ class TemporalJoinSpec extends SparkSpec {
       .groupBy("iid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 200L, 3L -> 2L))
   }
+
+  test("intervalOverlapJoin: exact half-open overlap, one row per pair " +
+      "even across many shared buckets") {
+    // left 1 spans [0,100) — 13 buckets at width 8; right 10 spans
+    // [40,120) — they share buckets 5..12 and must still pair ONCE.
+    // Touching endpoints ([0,10) vs [10,20)) do NOT overlap; empty
+    // interval (20,20) matches nothing.
+    val left = Seq((1L, 0L, 100L), (2L, 0L, 10L), (3L, 20L, 20L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 40L, 120L), (20L, 10L, 20L), (30L, 5L, 6L))
+      .toDF("rid", "rs", "re")
+    val got = TemporalJoin.intervalOverlapJoin(left, "ls", "le",
+        right, "rs", "re", bucketWidth = 8L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val naive = left.crossJoin(right)
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted, s"$got vs naive $naive")
+    assert(got.size == got.distinct.size, s"multi-bucket pair duplicated: $got")
+    assert(got.toSet == Set((1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L)),
+      got.toString)
+  }
 }
