@@ -254,6 +254,41 @@ object Sessions {
       .groupBy("r", "f", "m").agg(count(lit(1)).as("users"))
   }
 
+  /** Rolling distinct-active-user counts — DAU/WAU/MAU and every other
+    * trailing-window active count in ONE pass, exact. For each observed
+    * day, `au_w` = distinct users with ≥1 event in the trailing `w` days
+    * (window (asof−w, asof]).
+    *
+    * Scale shape: the event stream reduces to DISTINCT (day, user) first
+    * — the 100 TB reduction, one partial-aggregated shuffle; each reduced
+    * row then fans out to the ≤max(windows) as-of days it can serve
+    * (map-side `sequence` explode, grid-filtered by a broadcast of the
+    * observed-day list), a (asof, user)-keyed partial agg keeps each
+    * user's NEAREST activity gap, and the per-window counts are
+    * conditional sums over that — never a sliding `countDistinct`, never
+    * a theta join of events against days. Output: (asof_day,
+    * au_<w>...), one row per observed day.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      s"windows $windows must be >= 1")
+    val maxW = windows.max
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+    val grid = du.select(col("day").as("asof_day")).distinct()
+    val gaps = du
+      .withColumn("asof_day",
+        explode(sequence(col("day"), date_add(col("day"), maxW - 1))))
+      .join(broadcast(grid), Seq("asof_day"), "left_semi")
+      .groupBy("asof_day", "__u")
+      .agg(min(datediff(col("asof_day"), col("day"))).as("__gap"))
+    val counts = windows.map(w =>
+      sum(when(col("__gap") < w, 1L).otherwise(0L)).as(s"au_$w"))
+    gaps.groupBy("asof_day").agg(counts.head, counts.tail: _*)
+  }
+
   /** Hopping (sliding) window aggregation: every event contributes to the
     * `ceil(size/stride)` windows covering it — the overlapping complement
     * of the tumbling time bucketizers (a 1h window hopping every 15min is

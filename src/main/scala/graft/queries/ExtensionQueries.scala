@@ -286,6 +286,36 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("lb"))
     },
 
+    // --- DAU/WAU/MAU + stickiness: exact trailing-window distinct-user
+    // counts for every observed day in one pass — distinct (day, user)
+    // reduction, map-side fan-out to served as-of days, nearest-gap
+    // partial agg, conditional sums (Sessions.rollingActiveUsers
+    // scaladoc). Oracle replays with the theta-join formulation the
+    // engine deliberately avoids.
+    QueryDef("q_active_users",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        |            FROM events),
+        |days AS (SELECT DISTINCT day AS asof_day FROM du),
+        |j AS (SELECT d.asof_day, du.u, MIN(d.asof_day - du.day) AS gap
+        |      FROM days d JOIN du ON du.day <= d.asof_day
+        |        AND du.day > d.asof_day - 28
+        |      GROUP BY 1, 2)
+        |SELECT strftime(asof_day, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN gap < 1 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |  CAST(SUM(CASE WHEN gap < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+        |  CAST(SUM(CASE WHEN gap < 28 THEN 1 ELSE 0 END) AS BIGINT) AS mau,
+        |  ROUND(SUM(CASE WHEN gap < 1 THEN 1 ELSE 0 END) * 1.0 /
+        |        SUM(CASE WHEN gap < 28 THEN 1 ELSE 0 END), 4) AS stickiness
+        |FROM j GROUP BY asof_day
+        |ORDER BY day NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.rollingActiveUsers(Tables.events(s, d),
+          "user_id", "ts", Seq(1, 7, 28))
+        .select(date_format(col("asof_day"), "yyyy-MM-dd").as("day"),
+          col("au_1").as("dau"), col("au_7").as("wau"), col("au_28").as("mau"),
+          round(col("au_1").cast("double") / col("au_28"), 4).as("stickiness"))
+        .orderBy(asc_nulls_first("day"))
+    },
+
     // --- AS-OF (point-in-time) join: each event attaches the latest
     // reference row at or before its ts. Our operator is the union+window
     // merge-as-of (one shuffle, no history fan-out); the oracle is
