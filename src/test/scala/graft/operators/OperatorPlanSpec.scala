@@ -285,4 +285,49 @@ class OperatorPlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join crept into containment:\n${plan.take(2000)}")
   }
+
+  test("intervalOverlapJoin plans an equi-join, never BroadcastNestedLoop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = (0L until 500L).map(x => (x, x * 3, x * 3 + 10)).toDF("lid", "ls", "le")
+    val r = (0L until 500L).map(x => (x, x * 5, x * 5 + 7)).toDF("rid", "rs", "re")
+    val plan = planString(
+      TemporalJoin.intervalOverlapJoin(l, "ls", "le", r, "rs", "re", 16L)
+        .groupBy().agg(count(lit(1))))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"theta join crept into the interval join:\n${plan.take(2000)}")
+    assert(plan.contains("Join"), plan.take(2000))
+  }
+
+  test("decayedCount is a plain partial/final aggregate — one exchange") {
+    val plan = planString(Sessions.decayedCount(
+      Tables.events(spark, sfDir), "ts", Seq("event_type"),
+      1706745600L, 604800.0))
+    assert(plan.split("\n").count(_.contains("Exchange")) <= 1,
+      s"decay agg must shuffle once:\n${plan.take(2000)}")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
+  test("anchorStats shuffles only the (domain, anchor) partial counts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select(
+      concat(lit("https://s"), (col("doc_id") % 5).cast("string"),
+        lit(".com/p")).as("url"),
+      concat(lit("<a href=\"https://t"), (col("doc_id") % 3).cast("string"),
+        lit(".org/x\">read this</a>")).as("html"))
+    val plan = planString(Curation.anchorStats(docs, "url", "html"))
+    assert(plan.split("\n").count(_.contains("Exchange")) <= 1,
+      s"anchor aggregation must shuffle once:\n${plan.take(2000)}")
+  }
+
+  test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
+    val plan = planString(Sessions.rollingActiveUsers(
+      Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
+    assert(!plan.contains("Expand"),
+      s"conditional sums must replace countDistinct expansion:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the observed-day grid must broadcast:\n${plan.take(2000)}")
+  }
 }
