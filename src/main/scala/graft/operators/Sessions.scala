@@ -254,6 +254,62 @@ object Sessions {
       .groupBy("r", "f", "m").agg(count(lit(1)).as("users"))
   }
 
+  /** Top-k event PATHS (fixed-depth journeys): the most common
+    * `a>b>c`-style consecutive type sequences across users — the
+    * deeper-view companion to [[transitions]] (a transition matrix can't
+    * tell `view>click>purchase` from `click>view>purchase`; paths can).
+    *
+    * One user-keyed window (two lag()s over ONE sort), then a
+    * partial-aggregated count at path-vocabulary cardinality (≤ |types|³)
+    * and a TakeOrderedAndProject top-k — no global sort of the count
+    * table. Deterministic tie-break on the path string.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__p1", lag(col(typeCol), 1).over(w))
+      .withColumn("__p2", lag(col(typeCol), 2).over(w))
+      .where(col("__p2").isNotNull)
+      .select(concat_ws(">", col("__p2"), col("__p1"), col(typeCol)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Per-day event-count anomaly flags: each (type, day)'s count
+    * z-scored against the TRAILING `trailing` observed days' mean and
+    * sample stddev (the current day excluded — an anomaly must not mask
+    * itself), |z| past the threshold flags. The monitoring primitive
+    * behind "did ingestion break / did a bot arrive" panels; explicit
+    * rows-based window, so gaps in the day grid compare against the
+    * previous N OBSERVED days.
+    *
+    * Scale shape: the event stream reduces to the (type, day) count
+    * matrix in one partial/final shuffle; the window sorts only that
+    * tiny aggregate. z ranks on the ROUNDED value (engine-independent);
+    * warm-up days (no trailing stddev yet) carry NULL z and flag false.
+    */
+  def dailyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+      trailing: Int = 7, zThreshold: Double = 2.0,
+      roundTo: Int = 4): DataFrame = {
+    require(trailing >= 2, s"trailing $trailing must be >= 2")
+    val daily = events
+      .groupBy(col(typeCol).as("etype"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("etype").orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    daily
+      .withColumn("__mu", avg(col("n")).over(w))
+      .withColumn("__sd", stddev_samp(col("n")).over(w))
+      .withColumn("z", when(col("__sd").isNull || col("__sd") === 0, lit(null))
+        .otherwise(round((col("n") - col("__mu")) / col("__sd"), roundTo)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col("etype"), col("day"), col("n"), col("z"), col("is_anomaly"))
+  }
+
   /** Rolling distinct-active-user counts — DAU/WAU/MAU and every other
     * trailing-window active count in ONE pass, exact. For each observed
     * day, `au_w` = distinct users with ≥1 event in the trailing `w` days

@@ -316,6 +316,72 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("day"))
     },
 
+    // --- arbitrary GROUPING SETS (past q_agg_rollup/cube: a set list
+    // neither rollup nor cube can express — {(rf,ls), (ls), ()}) via
+    // Spark 4's Dataset.groupingSets; NULL patterns mark the set like the
+    // rollup gate, no engine-specific grouping_id in the output.
+    QueryDef("q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // --- top-k 3-step journeys: two lags over the one user sort, path
+    // counts at |types|^3 cardinality, TakeOrderedAndProject top 15.
+    QueryDef("q_event_paths",
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT p2 || '>' || p1 || '>' || event_type AS path,
+        |        COUNT(*) AS n
+        |      FROM t WHERE p2 IS NOT NULL GROUP BY 1)
+        |SELECT path, CAST(n AS BIGINT) AS n FROM c
+        |ORDER BY n DESC, path LIMIT 15""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.topPaths(Tables.eventsByUser(s, d),
+          "user_id", "ts", "event_id", "event_type", k = 15)
+    },
+
+    // --- daily-count anomaly flags: per (type, day) z-score against the
+    // trailing 7 OBSERVED days (current day excluded), |z| > 2 flags;
+    // warm-up rows carry NULL z / false. z ranks on the ROUNDED value.
+    QueryDef("q_anomaly_days",
+      """WITH daily AS (
+        |  SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT etype, d, n, AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY etype ORDER BY d
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT etype, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |       ELSE ROUND((n - mu) / sd, 4) END AS z,
+        |  COALESCE(ABS(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |                    ELSE ROUND((n - mu) / sd, 4) END) > 2.0, FALSE)
+        |    AS is_anomaly
+        |FROM st
+        |ORDER BY etype NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.dailyAnomalies(Tables.events(s, d),
+          "ts", "event_type", trailing = 7, zThreshold = 2.0)
+        .select(col("etype"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("z"), col("is_anomaly"))
+        .orderBy(asc_nulls_first("etype"), asc_nulls_first("day"))
+    },
+
     // --- AS-OF (point-in-time) join: each event attaches the latest
     // reference row at or before its ts. Our operator is the union+window
     // merge-as-of (one shuffle, no history fan-out); the oracle is

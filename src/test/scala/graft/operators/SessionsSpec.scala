@@ -168,6 +168,39 @@ class SessionsSpec extends SparkSpec {
       math.abs(got(("a", "c"))._2 - 2.0 / 3) < 1e-12, s"$got")
   }
 
+  test("topPaths counts depth-3 journeys; short histories contribute nothing") {
+    val df = ev(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
+      (1L, 4L, 40L, "b"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "b"))
+    val got = Sessions.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 1L), ("b>c>b", 1L)), got.toString)
+  }
+
+  test("dailyAnomalies z-scores against the trailing window, current day excluded") {
+    // type x daily counts: d1=9, d2=11, d3=10, d4=100 (trailing=2).
+    // d1/d2: no trailing stddev yet → NULL z, no flag. d3: mu=10,
+    // sd=sqrt(2) → z=0. d4: mu=10.5, sd=sqrt(0.5) → z≈126.57 → flagged.
+    val day = 86400L
+    val rows = (1 to 9).map(i => (1L, i.toLong, day + i, "x")) ++
+      (10 to 20).map(i => (1L, i.toLong, 2 * day + i, "x")) ++
+      (21 to 30).map(i => (1L, i.toLong, 3 * day + i, "x")) ++
+      (31 to 130).map(i => (1L, i.toLong, 4 * day + i, "x"))
+    val got = Sessions.dailyAnomalies(ev(rows: _*), "ts", "event_type",
+        trailing = 2, zThreshold = 2.0)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSeq
+    assert(got.map(_._1) == Seq(9L, 11L, 10L, 100L), got.toString)
+    assert(got(0)._2.isEmpty && !got(0)._3, "warm-up day must not flag")
+    assert(got(1)._2.isEmpty && !got(1)._3,
+      "single-row trailing window has no sample stddev")
+    assert(got(2)._2.contains(0.0) && !got(2)._3, got.toString)
+    val z4 = got(3)._2.get.asInstanceOf[Double]
+    assert(math.abs(z4 - 126.5721) < 1e-4 && got(3)._3, got.toString)
+  }
+
   test("rfmSegments quartiles best-first with id tiebreaks") {
     // 4 users, 2 buckets: user 1 = recent+frequent, user 4 = stale+light.
     // value sums: u1=40, u2=30, u3=20, u4=10 → m buckets (1,1,2,2).
