@@ -38,8 +38,21 @@ object Archiver {
     * representation, metastore/common/model.go:136) — rows sorted by
     * `sortCols` within each file.
     */
+  /** @param bloomFilterCols columns to write parquet BLOOM FILTERS for —
+    *   the point-lookup complement of the sort-column zone maps: min/max
+    *   stats skip row groups for RANGE predicates on the sort prefix,
+    *   blooms skip them for EQUALITY probes on high-cardinality columns
+    *   the sort does NOT cluster (user/UUID lookups on a time-sorted
+    *   archive touch every row group's stats range; the bloom answers
+    *   "definitely not here" per row group without decoding a page). At
+    *   100 TB this is the difference between a needle query reading one
+    *   row group and reading a day. Costs ~`bloomNdv` bits per row group
+    *   per column — enable for columns that are actually probed.
+    * @param bloomNdv expected distinct values per row group for sizing
+    */
   def archive(df: DataFrame, timeCol: String, sortCols: Seq[String],
-      outDir: String): Unit = {
+      outDir: String, bloomFilterCols: Seq[String] = Nil,
+      bloomNdv: Long = 100000L): Unit = {
     val ts =
       if (df.schema(timeCol).dataType == org.apache.spark.sql.types.TimestampType)
         col(timeCol)
@@ -47,10 +60,15 @@ object Archiver {
     // the day column leads the sort: the dynamic-partition writer requires
     // rows clustered by partition value and would otherwise inject its own
     // sort on `day`, destroying the sort-column order inside each file
-    df.withColumn(DayCol, date_format(ts, "yyyy-MM-dd"))
+    val writer = df.withColumn(DayCol, date_format(ts, "yyyy-MM-dd"))
       .repartition(col(DayCol))
       .sortWithinPartitions((DayCol +: sortCols).map(col): _*)
       .write
+    bloomFilterCols.foreach { c =>
+      writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+      writer.option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
+    writer
       .partitionBy(DayCol)
       .mode("overwrite")
       .parquet(outDir)

@@ -65,4 +65,87 @@ class ZoneMapSpec extends SparkSpec {
       finally walk.close()
     }
   }
+
+  test("bloom-filtered archive skips row groups on equality probes the " +
+      "sort cannot serve") {
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    try {
+      val n = 200000L
+      // time-sorted archive; uid is HIGH-CARDINALITY and UNCORRELATED
+      // with the sort, so every row group's uid min/max straddles any
+      // probe — only a bloom filter can say "definitely not in this
+      // group". Deterministic uid spread via a bit-mix of k.
+      val base = spark.range(n).toDF("k")
+        .withColumn("ts", col("k") * 60 + 1700000000L)
+        .withColumn("uid", expr("hash(k)").cast("long") * 1000003L)
+        .withColumn("payload", md5(col("k").cast("string")))
+      def write(sub: String, bloom: Seq[String]): Unit = {
+        val w = base.orderBy("ts").coalesce(1).write
+          .option("parquet.block.size", 64 * 1024)
+        bloom.foreach { c =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          w.option(s"parquet.bloom.filter.expected.ndv#$c", "20000")
+        }
+        w.parquet(s"$dir/$sub")
+      }
+      write("plain", Nil)
+      write("bloomed", Seq("uid"))
+
+      // footer check: the bloom filter is really in the file
+      val file = new java.io.File(s"$dir/bloomed").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        import scala.jdk.CollectionConverters._
+        val block = reader.getFooter.getBlocks.get(0)
+        val uidMeta = block.getColumns.asScala
+          .find(_.getPath.toDotString == "uid").get
+        val bf = reader.readBloomFilter(uidMeta)
+        assert(bf != null, "uid column carries no bloom filter")
+        val present = base.where(col("k") === 12345L)
+          .select("uid").head().getLong(0)
+        assert(bf.findHash(bf.hash(present)) ||
+          // the probed value may live in another row group; assert on the
+          // group that actually holds it instead
+          reader.getFooter.getBlocks.asScala.exists { b =>
+            val m = b.getColumns.asScala.find(_.getPath.toDotString == "uid").get
+            val f = reader.readBloomFilter(m)
+            f != null && f.findHash(f.hash(present))
+          }, "present value must hash into some row group's bloom")
+        val uidPlain = block.getColumns.asScala.count(_.getPath.toDotString == "uid")
+        assert(uidPlain == 1)
+      } finally reader.close()
+
+      // behavior check: a probe for an ABSENT uid reads ~nothing from the
+      // bloomed file but every row group from the plain one (uid min/max
+      // straddles the probe everywhere)
+      val absent = 777L // odd small value: not a hash(k)*1000003 product
+      val probedPlain = scanOutputRows(
+        spark.read.parquet(s"$dir/plain").where(col("uid") === absent))
+      val probedBloom = scanOutputRows(
+        spark.read.parquet(s"$dir/bloomed").where(col("uid") === absent))
+      assert(probedPlain > n / 2,
+        s"plain archive should materialize most rows on a miss, got $probedPlain")
+      // a ~1% per-group false-positive rate may admit the odd row group —
+      // the claim is orders-of-magnitude skipping, not exactly zero
+      assert(probedBloom < n / 20,
+        s"bloomed archive materialized $probedBloom rows for an absent key")
+
+      // correctness: equality probes answer identically on both layouts
+      val hit = base.where(col("k") === 54321L).select("uid").head().getLong(0)
+      val a = spark.read.parquet(s"$dir/plain").where(col("uid") === hit)
+        .select("k").collect().map(_.getLong(0)).toSet
+      val b = spark.read.parquet(s"$dir/bloomed").where(col("uid") === hit)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(a == b && a.contains(54321L))
+    } finally {
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+      finally walk.close()
+    }
+  }
 }
