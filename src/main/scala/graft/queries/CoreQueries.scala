@@ -123,6 +123,79 @@ object CoreQueries {
         .orderBy("day_bucket")
     },
 
+    // --- TPC-H-shaped multi-join aggregations: the canonical OLAP join
+    // plans a migrating user brings along. Revenue terms multiply in
+    // EXACT DECIMAL (price and discount are 2-dp money — the product is
+    // exact, the SUM is exact, the output cast to double is canonical),
+    // so no ROUND is needed anywhere. Q3: one broadcast dim (customer
+    // filter) + the orders⋈lineitem fact join on the order key + top-10
+    // by revenue.
+    QueryDef("q_tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cutoff = lit("1996-03-15 00:00:00").cast(TimestampType)
+      Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).where(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).where(col("l_shipdate") > cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // Q5: the six-table local-supplier-volume join — region/nation/
+    // supplier/customer broadcast as dims, orders⋈lineitem is the one
+    // fact shuffle, the customer-nation = supplier-nation equality rides
+    // as a post-join predicate exactly like the reference's join→filter
+    // geo path.
+    QueryDef("q_tpch_q5",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d).where(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      Tables.lineitem(s, d)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, asc_nulls_first("n_name"))
+    },
+
     // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
     QueryDef("q_nonagg_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -322,6 +322,18 @@ class OperatorPlanSpec extends SparkSpec {
       s"anchor aggregation must shuffle once:\n${plan.take(2000)}")
   }
 
+  test("tpch q5 shape: every dim broadcasts, only the fact pair shuffle-joins") {
+    val plan = planString(graft.SparkEntry.queries("q_tpch_q5")(spark, sfDir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"expected >=4 broadcast dim joins, got $bhj:\n${plan.take(3000)}")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(shuffleJoins <= 1,
+      s"only orders⋈lineitem may shuffle, got $shuffleJoins:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
     val plan = planString(Sessions.rollingActiveUsers(
       Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
