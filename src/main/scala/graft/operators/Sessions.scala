@@ -254,6 +254,54 @@ object Sessions {
       .groupBy("r", "f", "m").agg(count(lit(1)).as("users"))
   }
 
+  /** Conversion-window funnel: stage i counts only when it happens
+    * STRICTLY AFTER stage i−1 and within `withinSec` of the user's FIRST
+    * stage-1 event (first-touch attribution, the product-analytics
+    * default — an unbounded [[funnel]] answers "ever converted";
+    * this answers "converted within a day"). Greedy-min chaining: the
+    * chain anchors at the earliest stage-1 event and each later stage
+    * takes its earliest qualifying timestamp.
+    *
+    * Output: one row per stage — (stage, users, median_secs) where
+    * median_secs is the exact median seconds from the stage-1 anchor to
+    * reaching that stage, over converting users (NULL for stage 1).
+    *
+    * Scale shape: the stage timestamps are N conditional window minima
+    * over ONE user partitioning (unbounded frame, no sort requirement —
+    * chained `withColumn`s share the exchange), then a user-cardinality
+    * aggregate; the events table is scanned once.
+    */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], withinSec: Long): DataFrame = {
+    require(stages.size >= 2, "funnelWithin needs at least 2 stages")
+    require(withinSec > 0)
+    val w = Window.partitionBy(col(userCol))
+    val secs = unix_timestamp(col(tsCol))
+    var df = events.select(col(userCol), secs.as("__sec"), col(typeCol))
+      .withColumn("__t1", min(when(col(typeCol) === stages.head,
+        col("__sec"))).over(w))
+    stages.zipWithIndex.tail.foreach { case (stage, i) =>
+      val prev = if (i == 1) col("__t1") else col(s"__t${i}")
+      df = df.withColumn(s"__t${i + 1}", min(when(col(typeCol) === stage &&
+        col("__sec") > prev && col("__sec") <= col("__t1") + withinSec,
+        col("__sec"))).over(w))
+    }
+    val mins = stages.indices.map(i => min(col(s"__t${i + 1}")).as(s"t${i + 1}"))
+    val perUser = df.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // ONE total aggregate for every stage's count + median, then stacked
+    // 1-row selects (the funnelCounts convention)
+    val aggs = stages.indices.flatMap { i =>
+      Seq(sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"u${i + 1}"),
+        (if (i == 0) min(lit(null).cast("double"))
+         else round(expr(s"percentile(t${i + 1} - t1, 0.5)"), 4))
+          .as(s"m${i + 1}"))
+    }
+    val totals = perUser.agg(aggs.head, aggs.tail: _*)
+    stages.indices.map(i => totals.select(lit(i + 1).as("stage"),
+        col(s"u${i + 1}").as("users"), col(s"m${i + 1}").as("median_secs")))
+      .reduce(_ unionByName _)
+  }
+
   /** Top-k event PATHS (fixed-depth journeys): the most common
     * `a>b>c`-style consecutive type sequences across users — the
     * deeper-view companion to [[transitions]] (a transition matrix can't

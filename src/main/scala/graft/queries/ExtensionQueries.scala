@@ -316,6 +316,41 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("day"))
     },
 
+    // --- conversion-window funnel: stages count only within 24h of the
+    // user's FIRST stage-1 event (first-touch window, greedy-min chain)
+    // plus the exact median time-to-reach per stage — the "converted
+    // within a day" report the unbounded q_funnel cannot express.
+    QueryDef("q_funnel_window",
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+        |             event_type
+        |           FROM events),
+        |t1 AS (SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN sec END) AS t1
+        |       FROM e GROUP BY 1),
+        |t2 AS (SELECT e.user_id,
+        |         MIN(CASE WHEN event_type = 'click' AND sec > t1
+        |                   AND sec <= t1 + 86400 THEN sec END) AS t2
+        |       FROM e JOIN t1 USING (user_id) GROUP BY 1),
+        |t3 AS (SELECT e.user_id,
+        |         MIN(CASE WHEN event_type = 'purchase' AND sec > t2
+        |                   AND sec <= t1 + 86400 THEN sec END) AS t3
+        |       FROM e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+        |       GROUP BY 1),
+        |u AS (SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+        |      FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id))
+        |SELECT 1 AS stage, COUNT(t1) AS users,
+        |  CAST(NULL AS DOUBLE) AS median_secs FROM u
+        |UNION ALL SELECT 2, COUNT(t2), ROUND(quantile_cont(t2 - t1, 0.5), 4)
+        |FROM u
+        |UNION ALL SELECT 3, COUNT(t3), ROUND(quantile_cont(t3 - t1, 0.5), 4)
+        |FROM u
+        |ORDER BY stage NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.funnelWithin(Tables.eventsByUser(s, d),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+          withinSec = 86400L)
+        .orderBy(asc_nulls_first("stage"))
+    },
+
     // --- arbitrary GROUPING SETS (past q_agg_rollup/cube: a set list
     // neither rollup nor cube can express — {(rf,ls), (ls), ()}) via
     // Spark 4's Dataset.groupingSets; NULL patterns mark the set like the

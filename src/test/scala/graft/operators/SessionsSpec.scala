@@ -168,6 +168,27 @@ class SessionsSpec extends SparkSpec {
       math.abs(got(("a", "c"))._2 - 2.0 / 3) < 1e-12, s"$got")
   }
 
+  test("funnelWithin: window bound, chain order, and exact medians") {
+    // A converts fully inside the window; B's click lands outside 1000s;
+    // C has a pre-view click (doesn't count) and a purchase with NO
+    // qualifying click before it (chain broken → stage 3 null); D's
+    // purchase precedes its click (order violated → stage 3 null).
+    val df = ev(
+      (1L, 1L, 0L, "view"), (1L, 2L, 100L, "click"), (1L, 3L, 200L, "purchase"),
+      (2L, 4L, 0L, "view"), (2L, 5L, 2000L, "click"),
+      (3L, 6L, 0L, "click"), (3L, 7L, 10L, "view"), (3L, 8L, 20L, "purchase"),
+      (4L, 9L, 0L, "view"), (4L, 10L, 50L, "purchase"), (4L, 11L, 100L, "click"))
+    val got = Sessions.funnelWithin(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 1000L)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got(0) == ((1, 4L, None)), got.toString)
+    assert(got(1)._2 == 2L, s"A and D click within window: $got")
+    assert(got(1)._3.contains(100.0), got.toString)
+    assert(got(2)._2 == 1L && got(2)._3.contains(200.0),
+      s"only A completes the ordered chain: $got")
+  }
+
   test("topPaths counts depth-3 journeys; short histories contribute nothing") {
     val df = ev(
       (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
