@@ -254,6 +254,33 @@ object Sessions {
       .groupBy("r", "f", "m").agg(count(lit(1)).as("users"))
   }
 
+  /** Transition dwell times: for every consecutive (prev→next) type
+    * pair, the gap-seconds distribution — count, exact median and p90 —
+    * "how long do users linger before purchasing?". The timing
+    * companion to [[transitions]] (which counts; this times).
+    *
+    * Same zero-shuffle window shape (one lag() pair over the user sort);
+    * the percentiles aggregate per type-pair key — ≤|types|² groups, each
+    * holding that pair's gap list. Medians are exact (the gap lists are
+    * per-pair, not corpus-sized; at 100 TB the per-pair cardinality is
+    * what a sort-based exact percentile can hold — else swap in
+    * approx_percentile, documented trade).
+    */
+  def transitionDwell(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val secs = unix_timestamp(col(tsCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__gap", secs - lag(secs, 1).over(w))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(__gap, 0.5)"), 4).as("median_gap"),
+        round(expr("percentile(__gap, 0.9)"), 4).as("p90_gap"))
+  }
+
   /** Conversion-window funnel: stage i counts only when it happens
     * STRICTLY AFTER stage i−1 and within `withinSec` of the user's FIRST
     * stage-1 event (first-touch attribution, the product-analytics

@@ -316,6 +316,70 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("day"))
     },
 
+    // --- transition dwell times: exact median/p90 gap seconds per
+    // consecutive type pair (the timing companion to
+    // q_event_transitions), one lag pair over the user-bucketed sort.
+    QueryDef("q_transition_dwell",
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS gap,
+        |    lag(event_type) OVER w AS prev_type,
+        |    event_type AS next_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(quantile_cont(gap, 0.5), 4) AS median_gap,
+        |  ROUND(quantile_cont(gap, 0.9), 4) AS p90_gap
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.transitionDwell(Tables.eventsByUser(s, d),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy(asc_nulls_first("prev_type"), asc_nulls_first("next_type"))
+    },
+
+    // --- session metrics: bounce rate, depth and exact median duration
+    // over gap-sessionized streams (the q_sessionize operator reused as
+    // an analysis input; 30-minute gap).
+    QueryDef("q_session_metrics",
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |            - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM s),
+        |per_session AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS depth,
+        |    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+        |      - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+        |  ROUND(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1.0
+        |        / COUNT(*), 4) AS bounce_rate,
+        |  ROUND(AVG(depth), 4) AS avg_depth,
+        |  ROUND(quantile_cont(duration, 0.5), 4) AS median_duration
+        |FROM per_session""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.sessionize(Tables.eventsByUser(s, d),
+          "user_id", "ts", "event_id", 1800L)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("depth"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration"))
+        .agg(count(lit(1)).as("sessions"),
+          round(sum(when(col("depth") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("bounce_rate"),
+          round(avg(col("depth")), 4).as("avg_depth"),
+          round(expr("percentile(duration, 0.5)"), 4).as("median_duration"))
+    },
+
     // --- conversion-window funnel: stages count only within 24h of the
     // user's FIRST stage-1 event (first-touch window, greedy-min chain)
     // plus the exact median time-to-reach per stage — the "converted
