@@ -106,6 +106,42 @@ def scale_events(src, dst, factor):
     return out.num_rows
 
 
+def scale_tpch(src, dst, factor):
+    """Scale the orders⋈lineitem FACT pair: replica r shifts the shared
+    o_orderkey/l_orderkey by r*10_000_000 and keeps every other column
+    verbatim — customers/suppliers/parts stay fixed (the realistic shape:
+    more orders against the same dimension population), so per-order line
+    structure, join fan-out per key and filter selectivities replicate
+    exactly. Multi-join rungs (q_tpch_*) then measure the fact-shuffle
+    growth, not a changed data distribution."""
+    o = pq.read_table(f"{src}/orders.parquet")
+    l = pq.read_table(f"{src}/lineitem.parquet")
+    okey = o.column("o_orderkey").to_numpy()
+    lkey = l.column("l_orderkey").to_numpy()
+    oparts, lparts = [], []
+    for r in range(factor):
+        oparts.append(o.set_column(o.schema.get_field_index("o_orderkey"),
+                                   "o_orderkey",
+                                   pa.array(okey + r * 10_000_000, pa.int64())))
+        lparts.append(l.set_column(l.schema.get_field_index("l_orderkey"),
+                                   "l_orderkey",
+                                   pa.array(lkey + r * 10_000_000, pa.int64())))
+    oo = pa.concat_tables(oparts)
+    ll = pa.concat_tables(lparts)
+    # 100k-row groups, not the 5000 the text tables use: the fact pair is
+    # 10-100x the row count of documents/events, and 5000-row groups put
+    # TWELVE THOUSAND row-group footers in one sf10 lineitem file — every
+    # scan task then parses megabytes of metadata before reading a byte
+    # (measured: q_filter_rows 43.5 s at sf10 on the 5000-row layout vs
+    # 1.3 s on this one, and the six-table q_tpch_q5 OOM'd the default
+    # 8 GB bench heap on the old layout while completing on this one).
+    # 100k rows ≈ 10 MB groups — the parquet-format recommended order of
+    # magnitude, still plenty splittable.
+    pq.write_table(oo, f"{dst}/orders.parquet", row_group_size=100_000)
+    pq.write_table(ll, f"{dst}/lineitem.parquet", row_group_size=100_000)
+    return oo.num_rows, ll.num_rows
+
+
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     import os
@@ -119,6 +155,9 @@ def main():
     n = scale_events(f"{src}/events.parquet",
                      f"{dst}/events.parquet", factor)
     print(f"events: {n} rows")
+    if "--tpch" in sys.argv:
+        no, nl = scale_tpch(src, dst, factor)
+        print(f"orders: {no} rows, lineitem: {nl} rows")
 
 
 if __name__ == "__main__":
