@@ -57,6 +57,29 @@ object ExportQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // --- gzip JSONL shard export → read-back round trip: write the
+    // documents table through the sink (Catalyst to_json encoding, range-
+    // partitioned deterministic shards, manifest-last), then prove the
+    // files are complete and parseable by aggregating the spark.read.json
+    // READ-BACK — any lost/torn/mis-escaped row breaks a sum. Oracle is
+    // the same aggregate over the source table.
+    QueryDef("q_export_jsonl",
+      """SELECT CAST(4 AS INT) AS shards, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_jsonl_gate").toString
+      val manifest = graft.sinks.JsonlShards.write(
+        Tables.documents(s, d).select("doc_id", "text", "lang"),
+        "doc_id", dir, shards = 4)
+      val nShards = manifest.count().toInt
+      s.read.json(s"$dir/part-*.jsonl.gz")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+          sum(length(col("text"))).as("sum_chars"))
+        .select(lit(nShards).as("shards"), col("n"), col("sum_id"),
+          col("sum_chars"))
+    },
+
     // --- WARC/WET crawl ingestion → documents projection ------------------
     // The fixture is fixed bytes in the public WARC framing (version line,
     // CRLF headers, Content-Length payload, double-CRLF terminator), so the

@@ -1,0 +1,71 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JsonlShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-trips rows exactly, including escaping-hostile text") {
+    val dir = Files.createTempDirectory("jsonl_rt").toString
+    val rows = Seq(
+      (1L, "plain text", "en"),
+      (2L, "line\nbreak and \"quotes\" and a tab\there", "en"),
+      (3L, "unicode: café — 中文", "zh"),
+      (4L, "backslash \\ and brace { } and null-ish", "en"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    JsonlShards.write(df, "doc_id", dir, shards = 2)
+    val back = spark.read.json(s"$dir/part-*.jsonl.gz")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == rows.toSet,
+      s"read-back diverged: $back vs ${rows.toSet}")
+  }
+
+  test("shards ascend with the id column; manifest counts match the files") {
+    val dir = Files.createTempDirectory("jsonl_ord").toString
+    val df = (0L until 1000L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val manifest = JsonlShards.write(df, "doc_id", dir, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._1).toSeq == manifest.map(_._1).sorted.toSeq)
+    assert(manifest.map(_._2).sum == 1000L)
+    // per-file id ranges must not interleave across ascending shard names
+    val ranges = manifest.map { case (name, _, _) =>
+      val ids = spark.read.json(s"$dir/$name").select("doc_id")
+        .as[Long].collect()
+      (name, ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((na, _, maxA), (nb, minB, _)) =>
+        assert(maxA < minB, s"shard ranges interleave: $na($maxA) vs $nb($minB)")
+      case _ =>
+    }
+    // manifest byte counts = uncompressed payload of each file
+    manifest.foreach { case (name, _, bytes) =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(s"$dir/$name"))
+      var n = 0L; val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r > 0) { n += r; r = in.read(buf) }
+      in.close()
+      assert(n == bytes, s"$name: manifest says $bytes, file holds $n")
+    }
+    // _manifest.json exists and lists every shard
+    val m = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    manifest.foreach { case (name, _, _) => assert(m.contains(name)) }
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")),
+      "no torn temp files may remain")
+  }
+
+  test("deterministic: two writes of the same corpus produce identical manifests") {
+    val df = (0L until 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val d1 = Files.createTempDirectory("jsonl_a").toString
+    val d2 = Files.createTempDirectory("jsonl_b").toString
+    val m1 = JsonlShards.write(df, "doc_id", d1, shards = 3).collect().toSeq
+    val m2 = JsonlShards.write(df, "doc_id", d2, shards = 3).collect().toSeq
+    assert(m1.map(_.toString) == m2.map(_.toString), s"$m1 vs $m2")
+  }
+}
