@@ -70,29 +70,70 @@ object TemporalJoin {
       valCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** An interval spanning `>= maxBucketsPerRow` covering buckets cannot be
+    * expanded without either unbounded fan-out or silent match loss. The
+    * two honest options, selected by the `oversized` parameter:
+    *
+    *  - `"error"` (default): the expansion itself raises with the
+    *    offending interval's bounds and span — zero overhead on the normal
+    *    path, and a mis-sized `bucketWidth` is a loud config error instead
+    *    of quietly wrong results.
+    *  - `"broadcast"`: oversized intervals are split out and theta-joined
+    *    via a broadcast side (they are rare by construction — a month-long
+    *    outage among second-scale telemetry — so the broadcast is small;
+    *    if it is NOT small, Spark's broadcast threshold fails loudly too).
+    */
+  private def oversizeGuard(op: String, s: String, e: String,
+      maxBucketsPerRow: Int): Column =
+    when(col("__b1") - col("__b0") < maxBucketsPerRow, col("__b1"))
+      .otherwise(raise_error(format_string(
+        s"$op: interval [%s, %s) spans %s buckets > maxBucketsPerRow=" +
+          s"$maxBucketsPerRow — raise bucketWidth/maxBucketsPerRow or pass " +
+          """oversized="broadcast"""",
+        col(s).cast("string"), col(e).cast("string"),
+        (col("__b1") - col("__b0") + 1).cast("string"))))
+
+  private def checkMode(oversized: String): Unit =
+    require(oversized == "error" || oversized == "broadcast",
+      s"""oversized must be "error" or "broadcast", got "$oversized"""")
+
   /** Join points to intervals: each left point row matches right rows
     * whose `[startCol, endCol)` interval contains the point. Both sides
     * bucket at `bucketWidth`; intervals explode to their covering buckets
-    * (fan-out = ceil(len/width) + 1, bounded by `maxBucketsPerRow`), the
-    * join is a plain equi-join on (bucket), and the exact containment
-    * predicate verifies. Columns from both sides survive.
+    * (fan-out = ceil(len/width) + 1, bounded by `maxBucketsPerRow` — see
+    * [[oversizeGuard]] for what happens past the bound), the join is a
+    * plain equi-join on (bucket), and the exact containment predicate
+    * verifies. Columns from both sides survive.
     */
   def rangeJoinPointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidth: Long, maxBucketsPerRow: Int = 1024): DataFrame = {
+      bucketWidth: Long, maxBucketsPerRow: Int = 1024,
+      oversized: String = "error"): DataFrame = {
     require(bucketWidth > 0)
+    checkMode(oversized)
     val p = points.withColumn("__bucket",
       floor(col(pointCol).cast("double") / bucketWidth).cast("long"))
-    val i = intervals
+    val spanned = intervals
       .withColumn("__b0", floor(col(startCol).cast("double") / bucketWidth).cast("long"))
       .withColumn("__b1", floor(col(endCol).cast("double") / bucketWidth).cast("long"))
-      .withColumn("__bucket",
-        explode(sequence(col("__b0"),
-          least(col("__b1"), col("__b0") + (maxBucketsPerRow - 1)))))
-      .drop("__b0", "__b1")
-    p.join(i, Seq("__bucket"))
-      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+    val bigPred = col("__b1") - col("__b0") >= maxBucketsPerRow
+    val contains = col(pointCol) >= col(startCol) && col(pointCol) < col(endCol)
+    val upper =
+      if (oversized == "error")
+        oversizeGuard("rangeJoinPointInInterval", startCol, endCol, maxBucketsPerRow)
+      else col("__b1")
+    val normal = if (oversized == "broadcast") spanned.where(!bigPred) else spanned
+    val bucketed = p.join(
+        normal.withColumn("__bucket", explode(sequence(col("__b0"), upper)))
+          .drop("__b0", "__b1"),
+        Seq("__bucket"))
+      .where(contains)
       .drop("__bucket")
+    if (oversized == "broadcast") {
+      val big = spanned.where(bigPred).drop("__b0", "__b1")
+      bucketed.unionByName(
+        points.join(broadcast(big), contains))
+    } else bucketed
   }
 
   /** Interval×interval overlap join: every (left, right) pair whose
@@ -110,27 +151,52 @@ object TemporalJoin {
     * predicate rather than a distinct shuffle. Empty intervals
     * (`end <= start`) match nothing and are filtered before expansion
     * (also keeps `sequence()` ascending). Fan-out per row is
-    * `ceil(len/width)`, capped by `maxBucketsPerRow` — size `bucketWidth`
-    * near the TYPICAL interval length so fan-out stays O(1) and a bucket
-    * holds few intervals.
+    * `ceil(len/width)` — size `bucketWidth` near the TYPICAL interval
+    * length so fan-out stays O(1) and a bucket holds few intervals. An
+    * interval past `maxBucketsPerRow` buckets errors by default or rides
+    * a broadcast theta-join side — see [[oversizeGuard]]; either way no
+    * match is ever silently dropped.
     */
   def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      bucketWidth: Long, maxBucketsPerRow: Int = 1024): DataFrame = {
+      bucketWidth: Long, maxBucketsPerRow: Int = 1024,
+      oversized: String = "error"): DataFrame = {
     require(bucketWidth > 0)
-    def expand(df: DataFrame, s: String, e: String) = df
+    checkMode(oversized)
+    def spanned(df: DataFrame, s: String, e: String) = df
       .where(col(e) > col(s))
       .withColumn("__b0", floor(col(s).cast("double") / bucketWidth).cast("long"))
       .withColumn("__b1",
         floor((col(e).cast("double") - 1) / bucketWidth).cast("long"))
-      .withColumn("__bucket", explode(sequence(col("__b0"),
-        least(col("__b1"), col("__b0") + (maxBucketsPerRow - 1)))))
-      .drop("__b0", "__b1")
-    expand(left, lStart, lEnd).join(expand(right, rStart, rEnd), Seq("__bucket"))
-      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+    val bigPred = col("__b1") - col("__b0") >= maxBucketsPerRow
+    def expand(df: DataFrame, s: String, e: String) = {
+      val upper =
+        if (oversized == "error")
+          oversizeGuard("intervalOverlapJoin", s, e, maxBucketsPerRow)
+        else col("__b1")
+      val base = if (oversized == "broadcast") df.where(!bigPred) else df
+      base.withColumn("__bucket", explode(sequence(col("__b0"), upper)))
+        .drop("__b0", "__b1")
+    }
+    val l = spanned(left, lStart, lEnd)
+    val r = spanned(right, rStart, rEnd)
+    val overlap = col(lStart) < col(rEnd) && col(rStart) < col(lEnd)
+    val bucketed = expand(l, lStart, lEnd).join(expand(r, rStart, rEnd), Seq("__bucket"))
+      .where(overlap)
       .where(col("__bucket") ===
         floor(greatest(col(lStart), col(rStart)).cast("double") / bucketWidth)
           .cast("long"))
       .drop("__bucket")
+    if (oversized == "broadcast") {
+      // oversized×anything pairs ride two broadcast theta-joins; pairing
+      // big-left with ALL of right and big-right with only normal-left
+      // covers (big, big) exactly once
+      val lBig = l.where(bigPred).drop("__b0", "__b1")
+      val rBig = r.where(bigPred).drop("__b0", "__b1")
+      val lNorm = l.where(!bigPred).drop("__b0", "__b1")
+      bucketed
+        .unionByName(broadcast(lBig).join(r.drop("__b0", "__b1"), overlap))
+        .unionByName(lNorm.join(broadcast(rBig), overlap))
+    } else bucketed
   }
 }

@@ -104,4 +104,56 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L)),
       got.toString)
   }
+
+  test("intervalOverlapJoin: an interval past maxBucketsPerRow errors by " +
+      "name instead of silently dropping matches") {
+    // left 1 spans [0, 640) = 80 buckets at width 8, cap 16 — its partner
+    // right 10 at [600, 610) lives past the clamp the old code applied
+    val left = Seq((1L, 0L, 640L), (2L, 0L, 10L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 600L, 610L)).toDF("rid", "rs", "re")
+    val ex = intercept[Exception] {
+      TemporalJoin.intervalOverlapJoin(left, "ls", "le", right, "rs", "re",
+        bucketWidth = 8L, maxBucketsPerRow = 16).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("maxBucketsPerRow"), messages(ex))
+  }
+
+  test("intervalOverlapJoin oversized=broadcast still finds every partner, " +
+      "once, for intervals past the bucket cap") {
+    // big left [0,640), big right [100,900): big×big, big×normal and
+    // normal×normal pairs must all appear exactly once
+    val left = Seq((1L, 0L, 640L), (2L, 0L, 10L), (3L, 605L, 615L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 600L, 610L), (20L, 100L, 900L), (30L, 5L, 6L))
+      .toDF("rid", "rs", "re")
+    val got = TemporalJoin.intervalOverlapJoin(left, "ls", "le",
+        right, "rs", "re", bucketWidth = 8L, maxBucketsPerRow = 16,
+        oversized = "broadcast")
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val naive = left.crossJoin(right)
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted, s"$got vs naive $naive")
+    assert(got.size == got.distinct.size, s"pair duplicated: $got")
+  }
+
+  test("rangeJoinPointInInterval: oversize interval errors by default, " +
+      "matches fully under oversized=broadcast") {
+    val points = Seq((1L, 5L), (2L, 500L)).toDF("pid", "x")
+    val intervals = Seq((10L, 0L, 640L), (20L, 490L, 510L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      TemporalJoin.rangeJoinPointInInterval(points, "x", intervals, "s", "e",
+        bucketWidth = 8L, maxBucketsPerRow = 16).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("maxBucketsPerRow"), messages(ex))
+    val got = TemporalJoin.rangeJoinPointInInterval(points, "x",
+        intervals, "s", "e", bucketWidth = 8L, maxBucketsPerRow = 16,
+        oversized = "broadcast")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L)), got.toString)
+  }
 }
