@@ -366,6 +366,12 @@ object Sessions {
     * matrix in one partial/final shuffle; the window sorts only that
     * tiny aggregate. z ranks on the ROUNDED value (engine-independent);
     * warm-up days (no trailing stddev yet) carry NULL z and flag false.
+    *
+    * A PERFECTLY FLAT baseline (trailing stddev exactly 0 — e.g. a
+    * synthetic heartbeat, then a bot arrives) has no finite z; the day
+    * still flags whenever its count departs the constant at all, with z
+    * left NULL — the "quiet sensor suddenly screams" case must alarm,
+    * not hide behind a 0/0.
     */
   def dailyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
       trailing: Int = 7, zThreshold: Double = 2.0,
@@ -381,7 +387,10 @@ object Sessions {
       .withColumn("__sd", stddev_samp(col("n")).over(w))
       .withColumn("z", when(col("__sd").isNull || col("__sd") === 0, lit(null))
         .otherwise(round((col("n") - col("__mu")) / col("__sd"), roundTo)))
-      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .withColumn("is_anomaly",
+        when(col("__sd") === 0 && col("__mu").isNotNull,
+          col("n") =!= col("__mu")) // flat baseline: ANY departure flags
+        .otherwise(coalesce(abs(col("z")) > zThreshold, lit(false))))
       .select(col("etype"), col("day"), col("n"), col("z"), col("is_anomaly"))
   }
 

@@ -456,6 +456,8 @@ object ExtensionQueries {
     // --- daily-count anomaly flags: per (type, day) z-score against the
     // trailing 7 OBSERVED days (current day excluded), |z| > 2 flags;
     // warm-up rows carry NULL z / false. z ranks on the ROUNDED value.
+    // A flat baseline (sd = 0) has no finite z but still flags on ANY
+    // departure from the constant — the quiet-sensor-screams case.
     QueryDef("q_anomaly_days",
       """WITH daily AS (
         |  SELECT event_type AS etype, CAST(ts AS DATE) AS d,
@@ -469,9 +471,10 @@ object ExtensionQueries {
         |SELECT etype, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
         |  CASE WHEN sd IS NULL OR sd = 0 THEN NULL
         |       ELSE ROUND((n - mu) / sd, 4) END AS z,
-        |  COALESCE(ABS(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
-        |                    ELSE ROUND((n - mu) / sd, 4) END) > 2.0, FALSE)
-        |    AS is_anomaly
+        |  CASE WHEN sd = 0 AND mu IS NOT NULL THEN n <> mu
+        |       ELSE COALESCE(ABS(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |                         ELSE ROUND((n - mu) / sd, 4) END) > 2.0, FALSE)
+        |  END AS is_anomaly
         |FROM st
         |ORDER BY etype NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, d) =>
       graft.operators.Sessions.dailyAnomalies(Tables.events(s, d),

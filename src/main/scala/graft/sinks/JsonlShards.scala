@@ -3,7 +3,6 @@ package graft.sinks
 import java.io.BufferedOutputStream
 import java.util.zip.GZIPOutputStream
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -55,10 +54,14 @@ object JsonlShards {
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
     val dirStr = root.toString
+    // the SESSION's Hadoop conf must reach the executors (object-store
+    // credentials/endpoints live there, not in `new Configuration()`)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val stats = ordered.queryExecution.toRdd.mapPartitionsWithIndex { (idx, iter) =>
-      val fs = new Path(dirStr).getFileSystem(new Configuration())
+      val fs = new Path(dirStr).getFileSystem(confBc.value.value)
       val name = f"part-$idx%05d.jsonl.gz"
-      val tmp = new Path(dirStr, s".$name.tmp")
+      val tmp = ShardIo.attemptTmp(dirStr, name)
       val out = new GZIPOutputStream(
         new BufferedOutputStream(fs.create(tmp, true), 1 << 16))
       var rows = 0L
@@ -70,8 +73,7 @@ object JsonlShards {
         rows += 1; bytes += line.length + 1
       }
       out.close()
-      require(fs.rename(tmp, new Path(dirStr, name)),
-        s"shard $name: rename failed")
+      ShardIo.commit(fs, tmp, new Path(dirStr, name))
       Iterator((name, rows, bytes))
     }.collect() // O(#shards) tuples — the manifest, not the data
     val manifest = org.json4s.jackson.JsonMethods.compact(

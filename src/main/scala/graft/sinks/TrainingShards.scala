@@ -2,7 +2,6 @@ package graft.sinks
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,9 +29,11 @@ import org.apache.spark.sql.types._
   * and a token at or past the declared bound fails LOUDLY rather than
   * truncating silently.
   *
-  * Tasks rebuild their Hadoop `Configuration` from the classpath site
-  * files (the standard executor-side pattern); a deployment with
-  * session-only FS overrides should set them in core-site instead.
+  * Tasks open the filesystem through a broadcast of the SESSION's Hadoop
+  * configuration ([[ShardIo]]), so object-store credentials/endpoints set
+  * on the SparkSession reach the executors; shard commits are
+  * attempt-unique dot-temps renamed over any prior attempt's file
+  * (deterministic shards make the overwrite idempotent).
   *
   * File layout (all little-endian):
   *   .bin : tokens back to back, dtype-width bytes each
@@ -75,11 +76,15 @@ object TrainingShards {
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
     val dirStr = root.toString
+    // the SESSION's Hadoop conf must reach the executors (object-store
+    // credentials/endpoints live there, not in `new Configuration()`)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val stats = ordered.queryExecution.toRdd.mapPartitionsWithIndex { (idx, iter) =>
-      val fs = new Path(dirStr).getFileSystem(new Configuration())
+      val fs = new Path(dirStr).getFileSystem(confBc.value.value)
       val name = f"part-$idx%05d"
-      val binTmp = new Path(dirStr, s".$name.bin.tmp")
-      val idxTmp = new Path(dirStr, s".$name.idx.tmp")
+      val binTmp = ShardIo.attemptTmp(dirStr, s"$name.bin")
+      val idxTmp = ShardIo.attemptTmp(dirStr, s"$name.idx")
       val seqLens = new scala.collection.mutable.ArrayBuffer[Long](1024)
       var nTokens = 0L
       val bin = new DataOutputStream(
@@ -114,10 +119,8 @@ object TrainingShards {
       writeLongLE(idxOut, nTokens)
       seqLens.foreach(writeLongLE(idxOut, _))
       idxOut.close()
-      require(fs.rename(binTmp, new Path(dirStr, s"$name.bin")),
-        s"shard $name: bin rename failed")
-      require(fs.rename(idxTmp, new Path(dirStr, s"$name.idx")),
-        s"shard $name: idx rename failed")
+      ShardIo.commit(fs, binTmp, new Path(dirStr, s"$name.bin"))
+      ShardIo.commit(fs, idxTmp, new Path(dirStr, s"$name.idx"))
       Iterator((name, seqLens.length.toLong, nTokens))
     }.collect() // O(#shards) tuples — the manifest's content, not the data
     // manifest LAST: its presence certifies every listed shard
@@ -157,9 +160,11 @@ object TrainingShards {
     val names = (manifest \ "shards").children
       .map(s => (s \ "name").extract[String])
     val dirStr = root.toString
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext.parallelize(names, math.max(1, names.length))
       .flatMap { name =>
-        val sfs = new Path(dirStr).getFileSystem(new Configuration())
+        val sfs = new Path(dirStr).getFileSystem(confBc.value.value)
         val idxIn = new DataInputStream(new BufferedInputStream(
           sfs.open(new Path(dirStr, s"$name.idx")), 1 << 16))
         val magic = new Array[Byte](8); idxIn.readFully(magic)

@@ -222,6 +222,26 @@ class SessionsSpec extends SparkSpec {
     assert(math.abs(z4 - 126.5721) < 1e-4 && got(3)._3, got.toString)
   }
 
+  test("dailyAnomalies flags a spike after a perfectly FLAT baseline " +
+      "(sd=0 must not mask the bot-arrival case)") {
+    // 10 events/day for 3 days, then 100: trailing sd is exactly 0 at
+    // every post-warmup day — z has no finite value (NULL), but d4 must
+    // still flag; d3 (same constant) must NOT.
+    val day = 86400L
+    val rows = (for (d <- 1 to 3; i <- 1 to 10)
+      yield (1L, (d * 100 + i).toLong, d * day + i, "x")) ++
+      (1 to 100).map(i => (1L, (500 + i).toLong, 4 * day + i, "x"))
+    val got = Sessions.dailyAnomalies(ev(rows: _*), "ts", "event_type",
+        trailing = 2, zThreshold = 2.0)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toSeq
+    assert(got.map(_._1) == Seq(10L, 10L, 10L, 100L), got.toString)
+    assert(!got(2)._3 && got(2)._2.isEmpty,
+      "constant day on a flat baseline must stay quiet")
+    assert(got(3)._3 && got(3)._2.isEmpty,
+      s"flat-baseline spike must flag (z stays NULL): $got")
+  }
+
   test("rfmSegments quartiles best-first with id tiebreaks") {
     // 4 users, 2 buckets: user 1 = recent+frequent, user 4 = stale+light.
     // value sums: u1=40, u2=30, u3=20, u4=10 → m buckets (1,1,2,2).

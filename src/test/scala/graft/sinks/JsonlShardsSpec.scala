@@ -68,4 +68,23 @@ class JsonlShardsSpec extends SparkSpec {
     val m2 = JsonlShards.write(df, "doc_id", d2, shards = 3).collect().toSeq
     assert(m1.map(_.toString) == m2.map(_.toString), s"$m1 vs $m2")
   }
+
+  test("re-running write() into a non-empty directory overwrites committed " +
+      "shards instead of failing forever (task-retry semantics)") {
+    val dir = Files.createTempDirectory("jsonl_rerun").toString
+    val df = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m1 = JsonlShards.write(df, "doc_id", dir, shards = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // second write over the same committed files — the old rename-only
+    // commit returned false here and the task failed every retry
+    val m2 = JsonlShards.write(df, "doc_id", dir, shards = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(m1 == m2, s"$m1 vs $m2")
+    val back = spark.read.json(s"$dir/part-*.jsonl.gz").count()
+    assert(back == 100L)
+    // no stray attempt tmp files survive a successful commit
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

@@ -108,7 +108,7 @@ def scale_events(src, dst, factor):
 
 def scale_tpch(src, dst, factor):
     """Scale the orders⋈lineitem FACT pair: replica r shifts the shared
-    o_orderkey/l_orderkey by r*10_000_000 and keeps every other column
+    o_orderkey/l_orderkey by r*(max source key + 1) and keeps every other column
     verbatim — customers/suppliers/parts stay fixed (the realistic shape:
     more orders against the same dimension population), so per-order line
     structure, join fan-out per key and filter selectivities replicate
@@ -118,14 +118,19 @@ def scale_tpch(src, dst, factor):
     l = pq.read_table(f"{src}/lineitem.parquet")
     okey = o.column("o_orderkey").to_numpy()
     lkey = l.column("l_orderkey").to_numpy()
+    # stride derives from the SOURCE's actual key range: a hardcoded 10M
+    # overlaps once source orderkeys pass it (TPC-H reaches 6M*SF, and
+    # re-scaling an already-scaled dir starts far beyond), silently
+    # merging distinct orders under one key
+    stride = int(max(okey.max(), lkey.max())) + 1
     oparts, lparts = [], []
     for r in range(factor):
         oparts.append(o.set_column(o.schema.get_field_index("o_orderkey"),
                                    "o_orderkey",
-                                   pa.array(okey + r * 10_000_000, pa.int64())))
+                                   pa.array(okey + r * stride, pa.int64())))
         lparts.append(l.set_column(l.schema.get_field_index("l_orderkey"),
                                    "l_orderkey",
-                                   pa.array(lkey + r * 10_000_000, pa.int64())))
+                                   pa.array(lkey + r * stride, pa.int64())))
     oo = pa.concat_tables(oparts)
     ll = pa.concat_tables(lparts)
     # 100k-row groups, not the 5000 the text tables use: the fact pair is
