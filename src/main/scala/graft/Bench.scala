@@ -26,6 +26,44 @@ import java.nio.file.{Files, Paths}
   * whose two in-suite runs disagreed >2x.
   */
 object Bench {
+
+  /** Fixed CPU-bound calibration probe — the host-speed canary. The bench
+    * host is a shared-hypervisor microVM whose effective speed drifts by
+    * regime (BENCH_NOTES r12: same-commit stash A/Bs measured 15-25%
+    * slower than when most BENCH_REF records were set), which made the
+    * 2x-vs-best retime trigger fire on host drift instead of code
+    * regressions. The canary is a deterministic single-threaded xorshift +
+    * 4 MB random-walk loop (arithmetic AND memory-latency bound, no I/O,
+    * no Spark): its time moves with the host regime and never with query
+    * code, so `current_canary / record_canary` isolates the host factor.
+    * Min of three timed runs after one JIT warmup — a roving stall can
+    * inflate one run, not all three.
+    */
+  def canary(): Double = {
+    val mask = (1 << 19) - 1
+    val arr = new Array[Long](1 << 19) // 4 MB working set
+    var x = 0x9E3779B97F4A7C15L
+    var sink = 0L
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var acc = 0L
+      while (i < (1 << 26)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        val idx = (x & mask).toInt
+        acc += arr(idx)
+        arr(idx) = acc ^ x
+        i += 1
+      }
+      sink ^= acc
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // JIT warmup, untimed
+    val best = math.min(run(), math.min(run(), run()))
+    if (sink == 42L) System.err.println("(canary sink)") // defeat DCE
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,7 +71,8 @@ object Bench {
     // reference values for stall detection: best committed per-query times.
     // Read BEFORE the suite (outPath may be BENCH.json itself).
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
-    val prior: Map[String, Double] = {
+    // (prior best per query, canary seconds of the run that SET that best)
+    val (prior: Map[String, Double], priorCanary: Map[String, Double]) = {
       val p = Paths.get(refPath)
       val fallback = Paths.get("BENCH.json")
       val src = if (Files.exists(p)) Some(p) else if (Files.exists(fallback)) Some(fallback) else None
@@ -47,13 +86,21 @@ object Bench {
           // reference values (tiny refs would mass-trigger retiming later)
           val refSf = parsed \ "sf" match { case JString(s) => s; case _ => "" }
           if (refSf.nonEmpty && refSf != sfDir) None
-          else parsed \ "queries" match {
-            case JObject(fields) =>
-              Some(fields.collect { case (k, JDouble(v)) => k -> v }.toMap)
-            case _ => None
+          else {
+            val canaries = parsed \ "canaries" match {
+              case JObject(fields) =>
+                fields.collect { case (k, JDouble(v)) => k -> v }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            parsed \ "queries" match {
+              case JObject(fields) =>
+                Some((fields.collect { case (k, JDouble(v)) => k -> v }.toMap,
+                  canaries))
+              case _ => None
+            }
           }
         } catch { case _: Throwable => None }
-      }.getOrElse(Map.empty)
+      }.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,6 +138,12 @@ object Bench {
         org.apache.spark.sql.functions.lit(1)))
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // host-speed canary, measured once warmups are done (same host regime
+    // the suite runs under); recorded with the run and with every
+    // reference best it sets
+    val canarySecs = canary()
+    System.err.println(
+      f"[bench ${System.currentTimeMillis}] canary $canarySecs%.3f s")
     // optional name filter (regex, unanchored) for local family-isolation
     // experiments — the driver sets no filter and times the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -147,10 +200,18 @@ object Bench {
       // uniform 2.0x trigger vs the SHIPPED reference (the r10 record
       // carried ten 2-3.3x rows that rode through the old 2.5x/>0.5s
       // gate), floored at 0.3 s so sub-tenth-second jitter doesn't spam
-      // isolated re-runs
+      // isolated re-runs. The trigger is CANARY-NORMALIZED: a best set in
+      // a faster host regime is scaled up by current/record canary
+      // (clamped to [1, 3] — only ever loosened, never tightened, and a
+      // broken canary can't silence the ratchet entirely), so only drift
+      // EXCEEDING the host's own slowdown trips an isolation re-run.
       val suspect = secs >= 0 && (prior.get(name) match {
-        case Some(p) => secs > 2.0 * p && secs > 0.3
-        case None    => secs > 4 * median && secs > 2.0
+        case Some(p) =>
+          val hostF = priorCanary.get(name)
+            .map(rc => math.min(3.0, math.max(1.0, canarySecs / rc)))
+            .getOrElse(1.0)
+          secs > 2.0 * p * hostF && secs > 0.3
+        case None => secs > 4 * median && secs > 2.0
       })
       if (!suspect) name -> secs
       else {
@@ -180,21 +241,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"noisy":$noisy,"retimed":$rtJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","canary":${r3(canarySecs)},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"noisy":$noisy,"retimed":$rtJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // refresh the stall-detection reference: per-query best of (committed
     // ref, this run) — only on full-suite runs (a filtered run would shrink
     // the reference map and blind future stall detection for the rest),
     // and only at the reference's own scale factor (`prior` is empty on an
-    // sf mismatch, so the file is simply re-seeded at the new sf)
+    // sf mismatch, so the file is simply re-seeded at the new sf). Each
+    // best carries the canary of the run that SET it; a best kept from the
+    // committed ref keeps that ref's canary (absent → this run's, which
+    // yields hostF=1 — the pre-canary behavior).
     if (only.isEmpty && sfDir == "/root/testdata/sf0.1") {
       val merged = results.collect { case (k, v) if v >= 0 =>
-        k -> math.min(v, prior.getOrElse(k, Double.MaxValue))
+        val pv = prior.getOrElse(k, Double.MaxValue)
+        if (v < pv) k -> (v, canarySecs)
+        else k -> (pv, priorCanary.getOrElse(k, canarySecs))
       }
-      val refQs = merged.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-      val refTotal = merged.map(_._2).sum
+      val refQs = merged.map { case (k, (v, _)) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+      val refCs = merged.map { case (k, (_, c)) => s""""$k":${r3(c)}""" }.mkString("{", ",", "}")
+      val refTotal = merged.map(_._2._1).sum
       try Files.writeString(Paths.get(refPath),
-        s"""{"metric":"total","value":${r3(refTotal)},"unit":"sec","queries":$refQs,"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"total","value":${r3(refTotal)},"unit":"sec","canary":${r3(canarySecs)},"queries":$refQs,"canaries":$refCs,"sf":"$sfDir"}""" + "\n")
       catch { case _: Throwable => () }
     }
     spark.stop()
