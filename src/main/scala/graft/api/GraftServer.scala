@@ -66,12 +66,21 @@ import graft.ingest.Upsert
   *   memstore/recovery.go); a successful drain truncates the table's
   *   journal (its rows are in the archive now)
   */
+/** @param journalByteLimit size-triggered early-drain bound in bytes
+  *   (0 = disabled): when a table's journal exceeds this after an ingest,
+  *   the table drains INLINE — without waiting for a scheduler tick — so
+  *   sustained ingest on a long drain interval cannot grow the journal
+  *   unbounded (the reference rotates redo-log files at
+  *   maxRedoLogFileSize, redolog/file_redolog_manager.go). Tables never
+  *   drained before route to `<journalDir>/autodrain/<table>`.
+  */
 final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0,
     strictCompat: Boolean = false, schemaSyncDir: Option[String] = None,
     schemaSyncPollMillis: Long = 2000, serverThreads: Int = 8,
     queryTimeoutSec: Long = 0, maxQueryConnections: Int = 0,
     maxIngestConnections: Int = 0,
-    journalDir: Option[String] = None) extends graft.ingest.SchedulableStore {
+    journalDir: Option[String] = None,
+    journalByteLimit: Long = 0) extends graft.ingest.SchedulableStore {
   require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -525,11 +534,36 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         journal.foreach(_.append(table,
           if (binary) graft.ingest.UpsertJournal.KindBinary
           else graft.ingest.UpsertJournal.KindJson, raw))
-        applyIngest(table, raw, binary)
+        val applied = applyIngest(table, raw, binary)
+        // size-triggered early drain (inside the same reentrant table
+        // lock): the journal must not outgrow its bound between
+        // scheduler ticks under sustained ingest
+        maybeRotateJournal(table)
+        applied
       }
       respond(ex, 200, s"""{"rowsInserted":$n}""")
     }
   })
+
+  /** Size-triggered journal rotation: when `table`'s journal exceeds
+    * [[journalByteLimit]], drain it NOW — the drain persists the overlay
+    * to the table's archive (its established drain target, or an
+    * autodrain directory under the journal root on first rotation) and
+    * truncates the journal, so the bound holds without a scheduler tick
+    * and nothing is lost to replay (the rows are durably archived).
+    * Caller holds the table lock (drain re-enters it).
+    */
+  private def maybeRotateJournal(table: String): Unit =
+    for (j <- journal if journalByteLimit > 0 && j.size(table) > journalByteLimit) {
+      val target = drained.get(table).getOrElse {
+        val d = java.nio.file.Paths.get(journalDir.get, "autodrain", table)
+        java.nio.file.Files.createDirectories(d)
+        d.toString
+      }
+      log.info(s"journal for table $table exceeds $journalByteLimit bytes — " +
+        s"early drain to $target")
+      drain(table, target)
+    }
 
   /** Shared apply path for live HTTP batches and journal replay. */
   private def applyIngest(table: String, raw: Array[Byte], binary: Boolean): Long = {
@@ -574,8 +608,8 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     val names = batch.columns.map(c => colName(c.columnId))
     val dicts: Seq[IndexedSeq[String]] = batch.columns.zip(names).map {
       case (c, name)
-          if c.dataType == UpsertBatchWire.SmallEnum ||
-            c.dataType == UpsertBatchWire.BigEnum =>
+          if UpsertBatchWire.elementType(c.dataType) == UpsertBatchWire.SmallEnum ||
+            UpsertBatchWire.elementType(c.dataType) == UpsertBatchWire.BigEnum =>
         // a wire enum column needs a dictionary to mean anything; a table
         // outside the schema store has none, and silently decoding every
         // value to null would corrupt the batch — fail the request instead
@@ -589,7 +623,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       JObject(batch.columns.indices.flatMap { i =>
         val c = batch.columns(i)
         c.values(r).map { v =>
-          val jv: JValue = (c.dataType, v) match {
+          def scalarJv(tpe: Int, x: Any): JValue = (tpe, x) match {
             case (UpsertBatchWire.SmallEnum | UpsertBatchWire.BigEnum, idx: Long) =>
               // dictionary index → case string (unknown index → null, the
               // reference's unknown-enum semantics)
@@ -603,6 +637,18 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
             case (_, s: String) => JString(s)
             case (_, other) => JString(other.toString)
           }
+          val jv: JValue =
+            if (UpsertBatchWire.isArrayType(c.dataType)) v match {
+              case elems: IndexedSeq[_] =>
+                val elem = UpsertBatchWire.elementType(c.dataType)
+                JArray(elems.toList.map {
+                  case Some(x) => scalarJv(elem, x)
+                  case _ => JNull
+                })
+              case other => throw new IllegalArgumentException(
+                s"array column ${names(i)}: unexpected decoded value $other")
+            }
+            else scalarJv(c.dataType, v)
           names(i) -> jv
         }
       }.toList)
@@ -752,6 +798,16 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
               if (c.disableAutoExpand && !dicts(k).contains(vv))
                 k -> (JNull: JValue)
               else k -> (JString(vv): JValue)
+            // enum-ARRAY columns apply the same per-element semantics
+            case (k, JArray(vs)) if enumCols.contains(k) =>
+              val c = enumCols(k)
+              k -> (JArray(vs.map {
+                case JString(v) =>
+                  val vv = if (c.caseInsensitive) v.toLowerCase else v
+                  if (c.disableAutoExpand && !dicts(k).contains(vv)) JNull
+                  else JString(vv)
+                case other => other
+              }): JValue)
             case other => other
           })
           case other => other
@@ -765,8 +821,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         var dictsGrew = false
         ts.activeColumns.filter(c => c.isEnum && !c.disableAutoExpand).foreach { c =>
           val cases = parsed.flatMap(r => r \ c.name match {
-            case JString(s) => Some(s)
-            case _ => None
+            case JString(s) => Seq(s)
+            case JArray(vs) => vs.collect { case JString(s) => s }
+            case _ => Nil
           }).distinct
           if (cases.nonEmpty) {
             val before = schemaStore.listEnumCases(ts.name, c.name).size

@@ -32,7 +32,15 @@ final case class AqlColumn(
     isHLLColumn: Boolean = false,
     preloadingDays: Int = 0,
     priority: Long = 0) {
-  def isEnum: Boolean = tpe == "SmallEnum" || tpe == "BigEnum"
+  /** Enum-typed columns — scalar or array — share the same dictionary
+    * machinery (the reference's ArraySmallEnum/ArrayBigEnum resolve
+    * through the column's enum dict exactly like their scalars,
+    * data_type.go:69-70).
+    */
+  def isEnum: Boolean = {
+    val base = if (tpe.endsWith("[]")) tpe.dropRight(2) else tpe
+    base == "SmallEnum" || base == "BigEnum"
+  }
 }
 
 final case class AqlTableSchema(

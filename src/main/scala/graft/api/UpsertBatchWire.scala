@@ -25,9 +25,22 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     mode 1|2: value vector at the next 8-byte alignment
   *
   * Data-type codes are `width | baseType<<16 | isArray<<24`
-  * (data_type.go:38-74). Fixed-width scalar types are supported — the
-  * reference itself notes "only fixed size values are supported currently"
-  * (upsert_batch.go:151). Bool values are bit-packed like the null vector.
+  * (data_type.go:38-74). Bool values are bit-packed like the null vector.
+  *
+  * Array columns (isArray bit set, data_type.go:61-74) are variable
+  * length: after the (optional) null vector the column carries a 4-byte
+  * aligned offset vector of (numRows+1) uint32 LOCAL offsets into the
+  * 8-byte-aligned value vector (upsert_batch.go:509-532). A row whose
+  * offset equals the next row's offset is null (upsert_batch.go:74-81).
+  * Each array value is serialized as (data_value.go:615-728):
+  *
+  *   [uint32] item count
+  *   items: elementBits x count, bit-packed for Bool, rounded to byte
+  *   item validity bits: 1 x count, rounded to byte
+  *   padding to 8 bytes
+  *
+  * An EMPTY array (distinct from a null row) is count=0 padded to 8
+  * bytes (data_value.go:599-604).
   *
   * This is an independent implementation of the published layout (the
   * RefHllWire precedent): wire constants necessarily match, code does not.
@@ -51,8 +64,29 @@ object UpsertBatchWire {
   val GeoPoint = 0x000b0040
   val Int64 = 0x000d0040
 
+  /** isArray flag bit (data_type.go:187-189). `Int32 | ArrayBit` is the
+    * reference's ArrayInt32 (0x01050020), etc.
+    */
+  val ArrayBit = 0x01000000
+
+  def isArrayType(dataType: Int): Boolean = (dataType & ArrayBit) != 0
+  def elementType(dataType: Int): Int = dataType & 0x00FFFFFF
+
+  /** Serialized byte size of one array value of `count` elements of
+    * `elemType` (data_value.go:790-800 CalculateListElementBytes, plus
+    * the empty-array 8-byte special case from GetSerBytes).
+    */
+  def arraySerBytes(elemType: Int, count: Int): Int =
+    if (count == 0) 8
+    else {
+      val itemBytes = ((elemType & 0xFFFF) * count + 7) / 8
+      (4 + itemBytes + (count + 7) / 8 + 7) / 8 * 8
+    }
+
   /** One decoded column: logical id, type code, and per-row values
-    * (None = null / all-default).
+    * (None = null / all-default). Array rows decode as
+    * `Some(IndexedSeq[Option[Any]])` — one Option per element, None for
+    * an invalid element; an empty array is `Some(empty)`.
     */
   final case class Column(columnId: Int, dataType: Int, values: IndexedSeq[Option[Any]])
 
@@ -93,12 +127,34 @@ object UpsertBatchWire {
       val dataType = buf.getInt(typesBase + c * 4)
       val columnId = buf.getShort(idsBase + c * 2) & 0xFFFF
       val mode = body(modesBase + c) & 0x07
-      require((dataType >>> 24) == 0, f"array type 0x$dataType%08x not supported")
+      require((dataType >>> 24) == 0 || (dataType >>> 24) == 1,
+        f"data type 0x$dataType%08x not supported")
       require(start >= 0 && start <= body.length,
         s"column $c data offset $start outside the ${body.length}-byte buffer")
 
       val values: IndexedSeq[Option[Any]] = mode match {
         case 0 => IndexedSeq.fill(numRows)(None) // all default
+        case 1 | 2 if isArrayType(dataType) =>
+          var cur = start
+          val nullBase = if (mode == 2) {
+            val b = cur; cur += align(numRows, 8) / 8; Some(b)
+          } else None
+          val offBase = align(cur, 4)
+          val valueBase = align(offBase + (numRows + 1) * 4, 8)
+          require(valueBase <= body.length,
+            s"column $c (id $columnId) array offset vector needs bytes " +
+              s"[$offBase, $valueBase) but the batch body has ${body.length}")
+          def valid(row: Int): Boolean = nullBase.forall(bit(_, row))
+          val elem = elementType(dataType)
+          (0 until numRows).map { row =>
+            val off = buf.getInt(offBase + row * 4)
+            val next = buf.getInt(offBase + (row + 1) * 4)
+            // offset==nextOffset is the reference's in-band null for
+            // variable-length rows (upsert_batch.go:74-81)
+            if (!valid(row) || off == next) None
+            else Some(readArray(buf, body, valueBase + off, next - off, elem,
+              s"column $c (id $columnId) row $row"))
+          }
         case 1 | 2 =>
           var cur = start
           val nullBase = if (mode == 2) {
@@ -127,6 +183,34 @@ object UpsertBatchWire {
     }
     Batch(numRows, arrival, cols)
   }
+
+  /** One array value at absolute position `pos` spanning `span` bytes:
+    * uint32 count, packed items, item validity bits (data_value.go:615-728).
+    * A crafted count that does not fit its span fails as a layout error.
+    */
+  private def readArray(buf: ByteBuffer, body: Array[Byte], pos: Int,
+      span: Int, elemType: Int, what: String): IndexedSeq[Option[Any]] = {
+    require(pos + 4 <= body.length && span >= 4,
+      s"$what: array header at $pos outside the ${body.length}-byte buffer")
+    val count = buf.getInt(pos)
+    require(count >= 0 && arraySerBytes(elemType, count) <= span,
+      s"$what: array of $count elements needs " +
+        s"${arraySerBytes(elemType, count)} bytes but the row spans $span")
+    require(pos + arraySerBytes(elemType, count) <= body.length,
+      s"$what: array value extends past the ${body.length}-byte buffer")
+    if (count == 0) IndexedSeq.empty
+    else {
+      val itemsBase = pos + 4
+      val validityBase = itemsBase + ((elemType & 0xFFFF) * count + 7) / 8
+      (0 until count).map { i =>
+        if (!bit(body, validityBase, i)) None
+        else Some(readValue(buf, body, itemsBase, i, elemType))
+      }
+    }
+  }
+
+  private def bit(body: Array[Byte], base: Int, i: Int): Boolean =
+    (body(base + i / 8) & (1 << (i % 8))) != 0
 
   /** Fixed-width scalar read at `base + row*width`. UUIDs render in
     * canonical 8-4-4-4-12 hex; GeoPoint as (lat, lng) — the reference

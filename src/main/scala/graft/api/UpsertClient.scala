@@ -74,11 +74,16 @@ final class UpsertClient(baseUrl: String) {
       case (c, id) => ((c \ "name").extract[String], id, (c \ "type").extract[String])
     }
     val byName = cols.map { case (n, id, t) => n -> ((id, t)) }.toMap
+    def wireType(n: String, t: String): Int =
+      if (t.endsWith("[]"))
+        wireTypes.get(t.dropRight(2)).map(_ | ArrayBit).getOrElse(
+          throw new IllegalArgumentException(s"column $n has unsupported type $t"))
+      else wireTypes.getOrElse(t,
+        throw new IllegalArgumentException(s"column $n has unsupported type $t"))
     val resolved = columnNames.map { n =>
       val (id, t) = byName.getOrElse(n,
         throw new IllegalArgumentException(s"column $n not in $table's schema"))
-      (n, id, wireTypes.getOrElse(t,
-        throw new IllegalArgumentException(s"column $n has unsupported type $t")))
+      (n, id, wireType(n, t))
     }
 
     // ---- presence checks (connector.go checkPrimaryKeys / time column) ---
@@ -93,14 +98,19 @@ final class UpsertClient(baseUrl: String) {
 
     // ---- enum dictionaries: auto-expand then index -----------------------
     val dicts: Map[Int, Map[String, Long]] = resolved.zipWithIndex.collect {
-      case ((name, _, t), colIdx) if t == SmallEnum || t == BigEnum =>
+      case ((name, _, t), colIdx)
+          if elementType(t) == SmallEnum || elementType(t) == BigEnum =>
         // unwrap Option-wrapped values the same way toWireValue does, or
-        // Some("case") would skip auto-expansion and silently write null
-        val seen = rows.flatMap(r => r(colIdx) match {
-          case s: String => Some(s)
-          case Some(s: String) => Some(s)
-          case _ => None
-        }).distinct
+        // Some("case") would skip auto-expansion and silently write null;
+        // enum-array columns contribute every element string
+        def strings(v: Any): Seq[String] = v match {
+          case s: String => Seq(s)
+          case Some(x) => strings(x)
+          case xs: scala.collection.Seq[_] => xs.flatMap(strings).toSeq
+          case xs: Array[_] => xs.toSeq.flatMap(strings)
+          case _ => Nil
+        }
+        val seen = rows.flatMap(r => strings(r(colIdx))).distinct
         val existing = getJson(s"/schema/tables/$table/columns/$name/enum-cases")
           .extract[List[String]]
         val unseen = seen.filterNot(existing.toSet)
@@ -138,6 +148,17 @@ final class UpsertClient(baseUrl: String) {
     case Some(x) => toWireValue(x, t, dict)
     case s: String if t == SmallEnum || t == BigEnum =>
       dict.flatMap(_.get(s))
+    case xs if isArrayType(t) =>
+      // normalize each element through the scalar path (enum strings
+      // resolve through the dictionary; unknown cases → null element)
+      val elem = elementType(t)
+      val seq: IndexedSeq[Any] = xs match {
+        case s: scala.collection.Seq[_] => s.toIndexedSeq
+        case a: Array[_] => a.toIndexedSeq
+        case other => throw new IllegalArgumentException(
+          s"expected a sequence for an array column, got ${other.getClass.getSimpleName}")
+      }
+      Some(seq.map(e => toWireValue(e, elem, dict)))
     case x => Some(x)
   }
 }
@@ -147,8 +168,24 @@ object UpsertClient {
 
   private def align(v: Int, to: Int): Int = (v + to - 1) / to * to
 
+  /** Normalize one user-supplied array value into the element sequence
+    * the writer consumes. Elements may be bare values, `null`, `None`,
+    * or `Some(x)`.
+    */
+  private def arrayElems(v: Any): IndexedSeq[Option[Any]] = (v match {
+    case s: scala.collection.Seq[_] => s.toIndexedSeq
+    case a: Array[_] => a.toIndexedSeq
+    case other => throw new IllegalArgumentException(
+      s"expected a sequence for an array column, got ${other.getClass.getSimpleName}")
+  }).map {
+    case null | None => None
+    case Some(x) => Some(x)
+    case x => Some(x)
+  }
+
   /** Serialize one batch in the reference layout
-    * (upsert_batch.go:119-148). Exposed for spec round-trips.
+    * (upsert_batch.go:119-148; array columns :509-532 with per-value
+    * layout data_value.go:615-728). Exposed for spec round-trips.
     */
   def encode(numRows: Int, arrivalTime: Long,
       cols: Seq[(Int, Int, IndexedSeq[Option[Any]])]): Array[Byte] = {
@@ -163,7 +200,19 @@ object UpsertClient {
       starts(i) = cur
       val mode = if (values.forall(_.isEmpty)) 0 else if (values.exists(_.isEmpty)) 2 else 1
       val nullBase = if (mode == 2) { val b = cur; cur += align(numRows, 8) / 8; Some(b) } else None
-      val valueBase = if (mode == 0) None else { cur = align(cur, 8); val b = cur; cur += valueBytes(tpe); Some(b) }
+      val valueBase = if (mode == 0) None
+      else if (isArrayType(tpe)) {
+        // offset vector at 4-byte alignment, value vector at 8
+        // (upsert_batch_builder.go:125-132)
+        cur = align(cur, 4)
+        val ob = cur
+        cur += (numRows + 1) * 4
+        cur = align(cur, 8)
+        val vb = cur
+        val elem = elementType(tpe)
+        values.foreach(_.foreach(v => cur += arraySerBytes(elem, arrayElems(v).length)))
+        Some((ob, vb))
+      } else { cur = align(cur, 8); val b = cur; cur += valueBytes(tpe); Some((-1, b)) }
       (mode, nullBase, valueBase)
     }
     starts(n) = cur
@@ -182,6 +231,7 @@ object UpsertClient {
       buf.putShort(idsBase + i * 2, id.toShort)
       buf.put(modesBase + i, layouts(i)._1.toByte)
       val (_, nullBase, valueBase) = layouts(i)
+      var arrOff = 0 // running local offset into an array column's value vector
       values.zipWithIndex.foreach { case (v, row) =>
         nullBase.foreach { nb =>
           if (v.isDefined) {
@@ -190,12 +240,41 @@ object UpsertClient {
           }
         }
         (v, valueBase) match {
-          case (Some(x), Some(vb)) => writeValue(buf, vb, row, tpe, x)
+          case (_, Some((ob, vb))) if isArrayType(tpe) =>
+            buf.putInt(ob + row * 4, arrOff)
+            v.foreach { x =>
+              arrOff += writeArray(buf, vb + arrOff, elementType(tpe), arrayElems(x))
+            }
+          case (Some(x), Some((_, vb))) => writeValue(buf, vb, row, tpe, x)
           case _ => ()
         }
       }
+      valueBase.foreach { case (ob, _) =>
+        if (isArrayType(tpe)) buf.putInt(ob + numRows * 4, arrOff)
+      }
     }
     buf.array()
+  }
+
+  /** One array value at absolute `pos` (data_value.go:615-728): uint32
+    * count, packed items (null elements leave zero bytes), item validity
+    * bits; returns the serialized byte size (8-byte multiple).
+    */
+  private def writeArray(buf: ByteBuffer, pos: Int, elemType: Int,
+      elems: IndexedSeq[Option[Any]]): Int = {
+    buf.putInt(pos, elems.length)
+    if (elems.nonEmpty) {
+      val itemsBase = pos + 4
+      val validityBase = itemsBase + ((elemType & 0xFFFF) * elems.length + 7) / 8
+      elems.zipWithIndex.foreach { case (e, i) =>
+        e.foreach { x =>
+          writeValue(buf, itemsBase, i, elemType, x)
+          val vp = validityBase + i / 8
+          buf.put(vp, (buf.get(vp) | (1 << (i % 8))).toByte)
+        }
+      }
+    }
+    UpsertBatchWire.arraySerBytes(elemType, elems.length)
   }
 
   private def asLong(x: Any): Long = x match {

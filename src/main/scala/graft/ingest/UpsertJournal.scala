@@ -116,6 +116,18 @@ final class UpsertJournal(dir: String) {
       log.warn(s"journal $table: could not delete ${f.getPath}")
   }
 
+  /** Current on-disk size of `table`'s journal in bytes (0 when absent).
+    * The size-triggered early-drain check compares this against its
+    * configured bound — the role of the reference's redo-log file
+    * rotation (redolog/file_redolog_manager.go rotates at
+    * maxRedoLogFileSize so no single log grows unbounded between
+    * archiving cycles).
+    */
+  def size(table: String): Long = {
+    val f = fileOf(table)
+    if (f.exists()) f.length() else 0L
+  }
+
   /** Tables with a journal on disk (replay candidates at construction). */
   def tables: Seq[String] = {
     val d = new File(dir)

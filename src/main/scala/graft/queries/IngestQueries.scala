@@ -87,6 +87,66 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_rows"),
           min("__z").as("zmin"), max("__z").as("zmax"))
         .orderBy("bucket")
+    },
+
+    // array columns over the reference's binary upsert wire: rows round
+    // the FULL client encode -> server decode hop (upsert_batch.go:509-532
+    // array offset/value vectors; data_value.go:615-728 per-value layout)
+    // before the aggregation, so a byte-layout bug in either direction is
+    // a hash mismatch. Arrays carry a null row, an empty array (distinct
+    // from null) and null elements; the oracle rebuilds the same arrays
+    // with SQL list functions. The collect is the wire's own client-side
+    // batching (bounded: <3k rows; the format caps at 65535).
+    QueryDef("q_wire_array_ingest",
+      """WITH arr AS (SELECT event_id,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |       WHEN event_id % 11 = 0 THEN []
+        |       ELSE [CAST(event_id % 7 AS INT),
+        |             CASE WHEN event_id % 5 = 0 THEN NULL
+        |                  ELSE CAST(event_id % 13 AS INT) END,
+        |             CAST(event_id % 19 AS INT)] END AS stops
+        |  FROM events WHERE event_id < 3000)
+        |SELECT CAST(len(stops) AS INT) AS n_elems,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(list_extract(stops, 1)) AS BIGINT) AS first_sum,
+        |  CAST(SUM(list_extract(stops, 2)) AS BIGINT) AS second_sum
+        |FROM arr GROUP BY 1 ORDER BY n_elems NULLS FIRST""".stripMargin) { (s, d) =>
+      import graft.api.{UpsertBatchWire, UpsertClient}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = Tables.events(s, d).where(col("event_id") < 3000)
+        .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+      def stops(id: Long): Option[IndexedSeq[Option[Any]]] =
+        if (id % 17 == 0) None
+        else if (id % 11 == 0) Some(IndexedSeq.empty)
+        else Some(IndexedSeq(Some(id % 7),
+          if (id % 5 == 0) None else Some(id % 13), Some(id % 19)))
+      val bytes = UpsertClient.encode(ids.length, 1706659200L, Seq(
+        (0, UpsertBatchWire.Int64,
+          ids.toIndexedSeq.map(i => Some(i): Option[Any])),
+        (1, UpsertBatchWire.Int32 | UpsertBatchWire.ArrayBit,
+          ids.toIndexedSeq.map(i => stops(i): Option[Any]))))
+      val batch = UpsertBatchWire.decode(bytes)
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row](batch.numRows)
+      (0 until batch.numRows).foreach { r =>
+        val id = batch.columns(0).values(r).get.asInstanceOf[Long]
+        val arr = batch.columns(1).values(r).map {
+          case elems: IndexedSeq[_] => elems.map {
+            case Some(v: Long) => Integer.valueOf(v.toInt)
+            case _ => null
+          }
+        }
+        rows.add(Row(id, arr.orNull))
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("stops", ArrayType(IntegerType))))
+      s.createDataFrame(rows, schema)
+        .groupBy(size(col("stops")).as("n_elems"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(try_element_at(col("stops"), lit(1))).cast("bigint").as("first_sum"),
+          sum(try_element_at(col("stops"), lit(2))).cast("bigint").as("second_sum"))
+        .orderBy(col("n_elems").asc_nulls_first)
     }
   )
 }

@@ -385,6 +385,57 @@ class GraftServerSpec extends SparkSpec {
     s3.stop()
   }
 
+  test("journal rotation: sustained ingest with no scheduler tick keeps the journal bounded") {
+    val jdir = java.nio.file.Files.createTempDirectory("graft_jrot").toString
+    val limit = 1500L
+    def mk(): GraftServer = {
+      val s = new GraftServer(Catalog.testdata(sfDir), spark,
+        journalDir = Some(jdir), journalByteLimit = limit)
+      s.start()
+      s
+    }
+    def postTo(port: Int, path: String, body: String) =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def countDocs(port: Int): Double = {
+      val resp = postTo(port, "/query/aql",
+        """{"queries": [{"table": "documents",
+             "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+             "rowFilters": ["doc_id >= 9300000"]}]}""")
+      implicit val fmts: Formats = DefaultFormats
+      (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+        .asInstanceOf[JObject].values("n").asInstanceOf[Double]
+    }
+    val logFile = java.nio.file.Paths.get(jdir, "documents.redolog")
+    val s1 = mk()
+    val batches = 8
+    (0 until batches).foreach { b =>
+      val body = (0 until 2).map { i =>
+        val id = 9300000 + b * 10 + i
+        s"""{"doc_id": $id, "text": "rotation batch $b doc $i padded to force growth xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx", "lang": "en", "source": "rot", "n_chars": 40}"""
+      }.mkString("[", ",", "]")
+      val r = postTo(s1.boundPort, "/data/documents", body)
+      assert(r.statusCode() == 200, new String(r.body()))
+      // the bound holds continuously: one batch may land before the
+      // rotation check fires, never more
+      val sz = if (java.nio.file.Files.exists(logFile))
+        java.nio.file.Files.size(logFile) else 0L
+      assert(sz <= limit + body.length + 9,
+        s"journal grew to $sz bytes against a $limit-byte bound")
+    }
+    assert(countDocs(s1.boundPort) == batches * 2.0,
+      "every ingested row must stay queryable through rotations")
+    // rotations happened (the ingest volume exceeds the bound several
+    // times over) and the drain target archived the rows durably:
+    // a restart on the same journal dir replays only the bounded tail
+    s1.stop()
+    val s2 = mk()
+    assert(countDocs(s2.boundPort) == batches * 2.0,
+      "restart after rotations must lose nothing: archive + journal tail")
+    s2.stop()
+  }
+
   test("binary upsert batches replay from the journal with the synced schema") {
     // full restart durability = schema (SchemaSync) + data (UpsertJournal):
     // a created table's BINARY wire batches must survive a rebuild — the

@@ -98,6 +98,114 @@ class UpsertClientSpec extends SparkSpec {
     assert(widthErr.getMessage.contains("not in"), widthErr.getMessage)
   }
 
+  test("array columns round-trip the wire: nulls, empty arrays, null elements") {
+    import UpsertBatchWire._
+    val arrI32 = Int32 | ArrayBit
+    val arrBool = Bool | ArrayBit
+    val arrF32 = Float32 | ArrayBit
+    val arrUuid = Uuid | ArrayBit
+    val bytes = UpsertClient.encode(4, 1706659200L, Seq(
+      (0, Uint32, IndexedSeq(Some(1L), Some(2L), Some(3L), Some(4L))),
+      // null row, empty array (distinct!), null element, plain values
+      (1, arrI32, IndexedSeq(
+        None,
+        Some(IndexedSeq.empty[Option[Any]]),
+        Some(IndexedSeq(Some(7L), None, Some(-9L))),
+        Some(IndexedSeq(Some(42L))))),
+      // bool arrays bit-pack items like the null vector
+      (2, arrBool, IndexedSeq(
+        Some(IndexedSeq(Some(true), Some(false), Some(true), Some(true),
+          Some(false), Some(true), Some(false), Some(false), Some(true))),
+        None, Some(IndexedSeq(Some(false))), Some(IndexedSeq.empty[Option[Any]]))),
+      (3, arrF32, IndexedSeq(
+        Some(IndexedSeq(Some(1.5f), Some(-2.25f))), None, None,
+        Some(IndexedSeq(None, Some(0.125f))))),
+      // 16-byte elements exercise the packed wide-item path
+      (4, arrUuid, IndexedSeq(
+        Some(IndexedSeq(Some("00112233-4455-6677-8899-aabbccddeeff"),
+          Some("0f0e0d0c-0b0a-0908-0706-050403020100"))),
+        None, None, None))))
+    val batch = UpsertBatchWire.decode(bytes)
+    assert(batch.numRows == 4)
+    assert(batch.columns(1).values == IndexedSeq(
+      None,
+      Some(IndexedSeq.empty[Option[Any]]),
+      Some(IndexedSeq(Some(7L), None, Some(-9L))),
+      Some(IndexedSeq(Some(42L)))))
+    assert(batch.columns(2).values(0) == Some(IndexedSeq(Some(true), Some(false),
+      Some(true), Some(true), Some(false), Some(true), Some(false), Some(false),
+      Some(true))))
+    assert(batch.columns(2).values(3) == Some(IndexedSeq.empty[Option[Any]]))
+    assert(batch.columns(3).values(3) == Some(IndexedSeq(None, Some(0.125f))))
+    assert(batch.columns(4).values(0) == Some(IndexedSeq(
+      Some("00112233-4455-6677-8899-aabbccddeeff"),
+      Some("0f0e0d0c-0b0a-0908-0706-050403020100"))))
+    // total size is the final column-offset word — the layout is closed
+    val lastOffset = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(28 + 5 * 4)
+    assert(bytes.length == lastOffset, s"${bytes.length} != $lastOffset")
+  }
+
+  test("array columns ingest end-to-end: client wire -> overlay -> AQL -> drain") {
+    val create = post("/schema/tables", """{
+      "name": "client_arrays", "isFactTable": true,
+      "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "ride_id", "type": "Int64"},
+        {"name": "stops", "type": "Int32[]"},
+        {"name": "legs", "type": "Float32[]"},
+        {"name": "zones", "type": "SmallEnum[]"}
+      ],
+      "primaryKeyColumns": [1]
+    }""")
+    assert(create.statusCode() == 200, create.body())
+    val inserted = client.insert("client_arrays",
+      Seq("request_at", "ride_id", "stops", "legs", "zones"),
+      Seq(
+        Seq(1706572800L, 1L, Seq(10, 20, 30), Seq(1.5f, 2.5f), Seq("soma", "mission")),
+        Seq(1706572860L, 2L, Seq.empty[Int], null, Seq("soma")),
+        Seq(1706572920L, 3L, Seq(7, null), Seq(0.5f), null),
+        Seq(1706572980L, 4L, null, Seq(4.0f, 1.0f, 2.0f), Seq("fidi"))))
+    assert(inserted == 4L)
+
+    // 0-based element_at + length over wire-ingested arrays (the
+    // q_array_* semantics on this data path)
+    val q = post("/query/aql", """{"queries": [{"table": "client_arrays",
+      "measures": [{"alias": "first_stop_sum", "sqlExpression": "sum(element_at(stops, 0))"}],
+      "dimensions": [{"alias": "n_stops", "sqlExpression": "length(stops)"}],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+    assert(q.statusCode() == 200, q.body())
+    val rows = (JsonMethods.parse(q.body()) \ "results")(0)
+      .asInstanceOf[JObject].values
+    // n_stops buckets: 3 -> ride 1 (first stop 10), 0 -> ride 2 (null),
+    // 2 -> ride 3 (first stop 7), NULL -> ride 4
+    assert(rows.get("3").contains(10.0) && rows.get("2").contains(7.0) &&
+      rows.contains("0"), s"$rows -- ${q.body()}")
+
+    // enum-array elements resolved through the dictionary
+    val z = post("/query/aql", """{"queries": [{"table": "client_arrays",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "rowFilters": ["contains(zones, 'soma')"],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+    assert(z.statusCode() == 200, z.body())
+    val zn = (JsonMethods.parse(z.body()) \ "results")(0).asInstanceOf[JObject].values
+    assert(zn("n") == 2.0, z.body())
+
+    // drain: arrays survive the overlay -> day-partitioned archive hop
+    val dir = java.nio.file.Files.createTempDirectory("graft_arr_drain").toString
+    server.drain("client_arrays", dir)
+    val archived = spark.read.parquet(dir)
+    assert(archived.count() == 4)
+    import org.apache.spark.sql.functions._
+    val r1 = archived.where(col("ride_id") === 1L)
+      .select("stops", "legs", "zones").head()
+    assert(r1.getSeq[Int](0) == Seq(10, 20, 30))
+    assert(r1.getSeq[Float](1) == Seq(1.5f, 2.5f))
+    assert(r1.getSeq[String](2) == Seq("soma", "mission"))
+    val r3 = archived.where(col("ride_id") === 3L).select("stops").head()
+    assert(r3.getSeq[Integer](0) == Seq(7, null))
+  }
+
   test("encoder output decodes bit-exactly through the server-side reader") {
     val bytes = UpsertClient.encode(3, 1706659200L, Seq(
       (0, UpsertBatchWire.Uint32, IndexedSeq(Some(1L), Some(2L), Some(3L))),
