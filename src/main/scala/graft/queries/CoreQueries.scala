@@ -196,6 +196,88 @@ object CoreQueries {
         .orderBy(col("revenue").desc, asc_nulls_first("n_name"))
     },
 
+    // Q1: the wide multi-measure pricing summary — 8 aggregates over ONE
+    // scan (the single-measure AQL surface never exercises a multi-measure
+    // plan; this is the plan family a reporting workload runs hourly at
+    // 100 TB). All sums decimal-exact; averages derive as exact-decimal
+    // sum cast to double over the bigint count, IEEE-identical in both
+    // engines. OperatorPlanSpec asserts the single scan.
+    QueryDef("q_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))) *
+        |           (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |    AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      val disc1 = lit(1) - col("l_discount").cast(dec)
+      val price = col("l_extendedprice").cast(dec)
+      val n = count(lit(1))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+          sum(price).cast(DoubleType).as("sum_base_price"),
+          sum(price * disc1).cast(DoubleType).as("sum_disc_price"),
+          sum(price * disc1 * (lit(1) + col("l_tax").cast(dec)))
+            .cast(DoubleType).as("sum_charge"),
+          (sum(col("l_quantity").cast(dec)).cast(DoubleType) / n).as("avg_qty"),
+          (sum(price).cast(DoubleType) / n).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(18, 4))).cast(DoubleType) / n)
+            .as("avg_disc"),
+          n.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q18: the group-HAVING-semi-join top-k (large-volume customers). The
+    // qualifying-order set is the lineitem aggregation itself (one
+    // shuffle on l_orderkey), semi-joined back — at 100 TB the qualifying
+    // keys are rare (HAVING prunes hard), so AQE broadcasts the semi
+    // side; the final lineitem aggregation reuses the same l_orderkey
+    // hash partitioning. customer stays a broadcast dim.
+    QueryDef("q_tpch_q18",
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_ep, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate_ep, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__sq")).where(col("__sq") > 250)
+        .select(col("l_orderkey").as("o_orderkey"))
+      Tables.orders(s, d)
+        .join(big, Seq("o_orderkey"), "left_semi")
+        .join(broadcast(Tables.customer(s, d)),
+          col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate_ep"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast(dec)).cast(DoubleType).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
     // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
     QueryDef("q_nonagg_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

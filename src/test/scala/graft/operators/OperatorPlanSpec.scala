@@ -334,6 +334,34 @@ class OperatorPlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("tpch q1 shape: eight measures fold into ONE scan + one partial/final agg") {
+    val plan = planString(graft.SparkEntry.queries("q_tpch_q1")(spark, sfDir))
+    val scans = plan.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 1, s"a multi-measure aggregate must read lineitem once, " +
+      s"got $scans scans:\n${plan.take(3000)}")
+    val aggExchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(aggExchanges <= 2, // partial->final hash + the final sort
+      s"expected one agg shuffle (+ordering), got $aggExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"the ship-date filter must reach the parquet scan:\n${plan.take(3000)}")
+  }
+
+  test("tpch q18 shape: having-semi prunes, customer broadcasts, no BNLJ") {
+    val plan = planString(graft.SparkEntry.queries("q_tpch_q18")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer must join as a broadcast dim:\n${plan.take(3000)}")
+    // the fact side: the HAVING aggregation + the semi/final joins ride
+    // l_orderkey/o_orderkey hash partitioning — bounded shuffle count,
+    // no join may degrade to a nested loop
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(shuffleJoins <= 2,
+      s"semi + final fact join at most, got $shuffleJoins:\n${plan.take(3000)}")
+  }
+
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
     val plan = planString(Sessions.rollingActiveUsers(
       Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
