@@ -273,49 +273,45 @@ object Dedup {
     * Scale shape: exact Jaccard is recomputed ONLY for documents that
     * appear in a flagged pair (broadcast semi-join on the pair ids, which
     * are bounded by true duplicates) — the corpus at large never joins on
-    * shingles. Bucket arithmetic is integer (`10*i div union`), so the
+    * shingles. Each member's distinct shingle-hash SET stays an ARRAY
+    * (one row per member, never exploded), so no shingle-row shuffle
+    * exists anywhere: members shuffle once per pair side by id, and the
+    * intersection is a per-pair `array_intersect` — pairs×overlap work,
+    * not pairs×doc-length shuffle volume. (The previous formulation
+    * exploded member shingles and re-aggregated them through a
+    * (id, gram) shuffle plus a (b_id, gram) join shuffle; at sf10 that
+    * moved ~200M shingle rows three times — the arrays move each
+    * member's 8-byte hashes exactly twice, already deduplicated.)
+    * Bucket arithmetic is integer (`10*i div union`), so the
     * histogram is engine-exact.
     */
   def minhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    // the pair set feeds three consumers (member ids, the intersection
-    // fan-out, the final scoring join) — stage it so the minhash pass
-    // runs once, not three times
+    // the pair set feeds three consumers (member ids, both scoring
+    // joins) — stage it so the minhash pass runs once, not three times
     val pairs = Staged.materialize(
       minhashNearDups(df, idCol, textCol, threshold).select("a_id", "b_id"))
     val ids = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id"))).distinct()
-    // the member shingle set feeds four consumers (both sz joins, both
-    // intersection sides) — stage it so the tokenize+gram-hash pass
-    // runs once. Shingles travel as md5-prefix HASHES (the 8-byte-key
-    // shuffle rule; the oracle replays the same hash), not gram text
-    val sh = Staged.materialize(
-      TextOps.explodeShingleHashes(df
-          .select(col(idCol).cast("long").as("id"),
-            TextOps.tokens(col(textCol)).as("__tk"))
-          .join(broadcast(Staged.materialize(ids)), Seq("id"))
-          .where(size(col("__tk")) >= 3),
-        "__tk", 3, "g", Seq("id"))
-        // distinct per doc via partial-agg (within-doc dupes die map-side);
-        // exploding array_distinct(shingle hashes) would trip the
-        // inferred-filter re-tokenization (TextOps.explodeShingles note)
-        .groupBy("id", "g").agg(count(lit(1)).as("__m"))
-        .select("id", "g"))
-    val sz = Staged.materialize(sh.groupBy("id").agg(count(lit(1)).as("n")))
-    // intersect per FLAGGED pair only: fan each pair out over side a's
-    // shingles (broadcast pairs — bounded by true dups), then equi-join
-    // (b_id, g). Joining shingle-to-shingle first would enumerate every
-    // co-shingle doc pair in the corpus — quadratic per hot shingle.
-    val inter = broadcast(pairs)
-      .join(sh.select(col("id").as("a_id"), col("g")), Seq("a_id"))
-      .join(sh.select(col("id").as("b_id"), col("g")), Seq("b_id", "g"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    // per-member distinct shingle-hash array, computed MAP-SIDE in one
+    // fused gram pass per document ([[graft.functions.GramHash]]; the
+    // md5-prefix hashes the oracle replays). array_distinct inside the
+    // projection replaces the old (id, gram) partial-agg shuffle.
+    val arrs = Staged.materialize(df
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("__tk"))
+      .join(broadcast(Staged.materialize(ids)), Seq("id"))
+      .where(size(col("__tk")) >= 3)
+      .select(col("id"),
+        array_distinct(graft.functions.GramHash.shingleHash60Col(col("__tk"), 3))
+          .as("sh")))
     val scored = pairs
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .join(sz.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      .select((lit(10) * coalesce(col("i"), lit(0L)) /
-        (col("na") + col("nb") - coalesce(col("i"), lit(0L))))
+      .join(arrs.select(col("id").as("a_id"), col("sh").as("__sa")), Seq("a_id"))
+      .join(arrs.select(col("id").as("b_id"), col("sh").as("__sb")), Seq("b_id"))
+      .select(size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("i"),
+        size(col("__sa")).cast("long").as("na"),
+        size(col("__sb")).cast("long").as("nb"))
+      .select((lit(10) * col("i") / (col("na") + col("nb") - col("i")))
         .cast("long").cast("int").as("bucket"))
     scored.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
   }
