@@ -62,6 +62,7 @@ object UpsertBatchWire {
   val BigEnum = 0x00090010
   val Uuid = 0x000a0080
   val GeoPoint = 0x000b0040
+  val GeoShape = 0x000c0000
   val Int64 = 0x000d0040
 
   /** isArray flag bit (data_type.go:187-189). `Int32 | ArrayBit` is the
@@ -134,6 +135,26 @@ object UpsertBatchWire {
 
       val values: IndexedSeq[Option[Any]] = mode match {
         case 0 => IndexedSeq.fill(numRows)(None) // all default
+        case 1 | 2 if dataType == GeoShape =>
+          // the Go-type path (IsGoType, data_type.go:198-202): NO null
+          // vector even in mode 2 (upsert_batch.go:515-517 skips it) —
+          // nulls are in-band offset equality; offset vector at 4-byte
+          // alignment, value vector at 8 (like arrays). Each value is
+          // [uint32 nPolygons]{[uint32 nPoints][(f32 lat, f32 lng)]*}
+          // (data_value.go:531-560), surfaced as the WKT text the JSON
+          // ingest path accepts (data_type.go:484-515 lng-lat order).
+          val offBase = align(start, 4)
+          val valueBase = align(offBase + (numRows + 1) * 4, 8)
+          require(valueBase <= body.length,
+            s"column $c (id $columnId) geoshape offset vector needs bytes " +
+              s"[$offBase, $valueBase) but the batch body has ${body.length}")
+          (0 until numRows).map { row =>
+            val off = buf.getInt(offBase + row * 4)
+            val next = buf.getInt(offBase + (row + 1) * 4)
+            if (off == next) None
+            else Some(readGeoShape(buf, body, valueBase + off, next - off,
+              s"column $c (id $columnId) row $row"))
+          }
         case 1 | 2 if isArrayType(dataType) =>
           var cur = start
           val nullBase = if (mode == 2) {
@@ -211,6 +232,43 @@ object UpsertBatchWire {
 
   private def bit(body: Array[Byte], base: Int, i: Int): Boolean =
     (body(base + i / 8) & (1 << (i % 8))) != 0
+
+  /** One GeoShape value at absolute `pos` spanning `span` bytes →
+    * `POLYGON((lng lat, …), (…))` WKT text (the reference's string form,
+    * data_type.go:484-515; floats render shortest-round-trip so the text
+    * re-parses to the identical float32s).
+    */
+  private def readGeoShape(buf: ByteBuffer, body: Array[Byte], pos: Int,
+      span: Int, what: String): String = {
+    require(pos + 4 <= body.length && span >= 4,
+      s"$what: geoshape header at $pos outside the ${body.length}-byte buffer")
+    val nPoly = buf.getInt(pos)
+    require(nPoly >= 0 && nPoly <= span / 4,
+      s"$what: $nPoly polygons cannot fit the $span-byte row")
+    var cur = pos + 4
+    val polys = (0 until nPoly).map { _ =>
+      require(cur + 4 <= pos + span && cur + 4 <= body.length,
+        s"$what: polygon header at $cur past the row/body end")
+      val nPts = buf.getInt(cur)
+      cur += 4
+      require(nPts >= 0 && cur + nPts * 8 <= pos + span && cur + nPts * 8 <= body.length,
+        s"$what: $nPts points cannot fit the remaining row bytes")
+      val pts = (0 until nPts).map { j =>
+        val lat = buf.getFloat(cur + j * 8)
+        val lng = buf.getFloat(cur + j * 8 + 4)
+        s"${fmtF(lng)} ${fmtF(lat)}"
+      }
+      cur += nPts * 8
+      pts.mkString("(", ", ", ")")
+    }
+    polys.mkString("POLYGON(", ", ", ")")
+  }
+
+  /** Shortest float rendering without the Java `.0` suffix on integers. */
+  private def fmtF(f: Float): String = {
+    val s = f.toString
+    if (s.endsWith(".0")) s.dropRight(2) else s
+  }
 
   /** Fixed-width scalar read at `base + row*width`. UUIDs render in
     * canonical 8-4-4-4-12 hex; GeoPoint as (lat, lng) — the reference

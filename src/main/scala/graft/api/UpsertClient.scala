@@ -54,7 +54,8 @@ final class UpsertClient(baseUrl: String) {
     "Bool" -> Bool, "Int8" -> Int8, "Uint8" -> Uint8, "Int16" -> Int16,
     "Uint16" -> Uint16, "Int32" -> Int32, "Uint32" -> Uint32,
     "Float32" -> Float32, "SmallEnum" -> SmallEnum, "BigEnum" -> BigEnum,
-    "UUID" -> Uuid, "GeoPoint" -> GeoPoint, "Int64" -> Int64)
+    "UUID" -> Uuid, "GeoPoint" -> GeoPoint, "GeoShape" -> GeoShape,
+    "Int64" -> Int64)
 
   /** Insert `rows` (each aligned with `columnNames`) into `table`.
     * Returns the server-reported inserted row count.
@@ -199,8 +200,21 @@ object UpsertClient {
     val layouts = cols.zipWithIndex.map { case ((_, tpe, values), i) =>
       starts(i) = cur
       val mode = if (values.forall(_.isEmpty)) 0 else if (values.exists(_.isEmpty)) 2 else 1
-      val nullBase = if (mode == 2) { val b = cur; cur += align(numRows, 8) / 8; Some(b) } else None
+      // Go-type columns (GeoShape) carry no null vector even in mode 2 —
+      // nulls are in-band offset equality (upsert_batch_builder.go:120-123)
+      val nullBase = if (mode == 2 && tpe != GeoShape) {
+        val b = cur; cur += align(numRows, 8) / 8; Some(b)
+      } else None
       val valueBase = if (mode == 0) None
+      else if (tpe == GeoShape) {
+        cur = align(cur, 4)
+        val ob = cur
+        cur += (numRows + 1) * 4
+        cur = align(cur, 8)
+        val vb = cur
+        values.foreach(_.foreach(v => cur += geoShapeSerBytes(parseWkt(v))))
+        Some((ob, vb))
+      }
       else if (isArrayType(tpe)) {
         // offset vector at 4-byte alignment, value vector at 8
         // (upsert_batch_builder.go:125-132)
@@ -240,6 +254,9 @@ object UpsertClient {
           }
         }
         (v, valueBase) match {
+          case (_, Some((ob, vb))) if tpe == GeoShape =>
+            buf.putInt(ob + row * 4, arrOff)
+            v.foreach(x => arrOff += writeGeoShape(buf, vb + arrOff, parseWkt(x)))
           case (_, Some((ob, vb))) if isArrayType(tpe) =>
             buf.putInt(ob + row * 4, arrOff)
             v.foreach { x =>
@@ -250,10 +267,58 @@ object UpsertClient {
         }
       }
       valueBase.foreach { case (ob, _) =>
-        if (isArrayType(tpe)) buf.putInt(ob + numRows * 4, arrOff)
+        if (isArrayType(tpe) || tpe == GeoShape) buf.putInt(ob + numRows * 4, arrOff)
       }
     }
     buf.array()
+  }
+
+  /** WKT `POLYGON((lng lat, …), (…))` → rings of (lat, lng) float32 —
+    * the reference's parse (data_type.go:484-515): case-insensitive,
+    * lng-lat pair order, range-checked.
+    */
+  private def parseWkt(v: Any): Seq[IndexedSeq[(Float, Float)]] = {
+    val s = v match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"expected WKT text for a GeoShape column, got ${other.getClass.getSimpleName}")
+    }
+    val trimmed = s.toLowerCase.dropWhile(c => "polygon( ".contains(c))
+      .reverse.dropWhile(c => ") ".contains(c)).reverse
+    trimmed.split("\\),\\s*\\(").toSeq.map { ring =>
+      ring.split(",").toIndexedSeq.map { pair =>
+        val lngLat = pair.trim.split("\\s+")
+        require(lngLat.length == 2, s"invalid WKT point '$pair'")
+        val lng = lngLat(0).toFloat
+        val lat = lngLat(1).toFloat
+        require(lng >= -180 && lng <= 180, s"longitude $lng out of range")
+        require(lat >= -90 && lat <= 90, s"latitude $lat out of range")
+        (lat, lng)
+      }
+    }
+  }
+
+  private def geoShapeSerBytes(polys: Seq[IndexedSeq[(Float, Float)]]): Int =
+    4 + polys.map(p => 4 + p.length * 8).sum
+
+  /** One GeoShape value at absolute `pos` (data_value.go:562-588):
+    * uint32 polygon count, then per polygon uint32 point count and
+    * (f32 lat, f32 lng) pairs. Returns the serialized size.
+    */
+  private def writeGeoShape(buf: ByteBuffer, pos: Int,
+      polys: Seq[IndexedSeq[(Float, Float)]]): Int = {
+    buf.putInt(pos, polys.length)
+    var cur = pos + 4
+    polys.foreach { p =>
+      buf.putInt(cur, p.length)
+      cur += 4
+      p.foreach { case (lat, lng) =>
+        buf.putFloat(cur, lat)
+        buf.putFloat(cur + 4, lng)
+        cur += 8
+      }
+    }
+    cur - pos
   }
 
   /** One array value at absolute `pos` (data_value.go:615-728): uint32

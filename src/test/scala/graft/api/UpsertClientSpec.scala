@@ -206,6 +206,55 @@ class UpsertClientSpec extends SparkSpec {
     assert(r3.getSeq[Integer](0) == Seq(7, null))
   }
 
+  test("geoshape columns round-trip the wire as WKT: multi-ring, nulls, no null vector") {
+    import UpsertBatchWire._
+    val donut = "POLYGON((-122.5 37.7, -122.4 37.7, -122.4 37.8, -122.5 37.7), " +
+      "(-122.45 37.72, -122.42 37.72, -122.42 37.75, -122.45 37.72))"
+    val tri = "POLYGON((0 0, 1 0, 1 1, 0 0))"
+    val bytes = UpsertClient.encode(3, 1706659200L, Seq(
+      (0, Int64, IndexedSeq(Some(1L), Some(2L), Some(3L))),
+      (1, GeoShape, IndexedSeq(Some(donut), None, Some(tri)))))
+    val batch = UpsertBatchWire.decode(bytes)
+    assert(batch.columns(1).values(1).isEmpty)
+    // float32 round trip: re-encoding the decoded WKT is byte-identical
+    val d0 = batch.columns(1).values(0).get.asInstanceOf[String]
+    val d2 = batch.columns(1).values(2).get.asInstanceOf[String]
+    assert(d0.startsWith("POLYGON((") && d0.count(_ == '(') == 3, d0)
+    assert(d2 == "POLYGON((0 0, 1 0, 1 1, 0 0))", d2)
+    val bytes2 = UpsertClient.encode(3, 1706659200L, Seq(
+      (0, Int64, IndexedSeq(Some(1L), Some(2L), Some(3L))),
+      (1, GeoShape, IndexedSeq(Some(d0), None, Some(d2)))))
+    assert(java.util.Arrays.equals(bytes, bytes2),
+      "decoded WKT must re-encode to the identical wire bytes")
+
+    // end to end: a schema-store table with a GeoShape column ingests the
+    // binary batch and serves the WKT text back
+    val create = post("/schema/tables", """{
+      "name": "client_shapes", "isFactTable": true,
+      "columns": [
+        {"name": "request_at", "type": "Uint32"},
+        {"name": "zone_id", "type": "Int64"},
+        {"name": "shape", "type": "GeoShape"}
+      ],
+      "primaryKeyColumns": [1]
+    }""")
+    assert(create.statusCode() == 200, create.body())
+    val inserted = client.insert("client_shapes",
+      Seq("request_at", "zone_id", "shape"),
+      Seq(
+        Seq(1706572800L, 1L, tri),
+        Seq(1706572860L, 2L, null),
+        Seq(1706572920L, 3L, donut)))
+    assert(inserted == 3L)
+    val q = post("/query/aql", """{"queries": [{"table": "client_shapes",
+      "measures": [{"alias": "n", "sqlExpression": "count(*)"}],
+      "rowFilters": ["shape IS NOT NULL"],
+      "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+    assert(q.statusCode() == 200, q.body())
+    val n = (JsonMethods.parse(q.body()) \ "results")(0).asInstanceOf[JObject].values
+    assert(n("n") == 2.0, q.body())
+  }
+
   test("encoder output decodes bit-exactly through the server-side reader") {
     val bytes = UpsertClient.encode(3, 1706659200L, Seq(
       (0, UpsertBatchWire.Uint32, IndexedSeq(Some(1L), Some(2L), Some(3L))),
