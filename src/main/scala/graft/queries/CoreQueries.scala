@@ -278,6 +278,81 @@ object CoreQueries {
         .limit(100)
     },
 
+    // Q4 shape: the EXISTS-semi order-priority count. The correlated
+    // EXISTS is a left-semi join — the date filter prunes orders first,
+    // the semi side carries only the matching flag's orderkeys. No
+    // row duplication ever reaches the aggregate (the semi join's whole
+    // point vs an inner join + distinct).
+    QueryDef("q_tpch_q4",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
+        .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q13 shape: the customer-order-count distribution — a LEFT OUTER
+    // join with a NON-KEY predicate on the right side (customers with no
+    // qualifying orders must survive as c_count=0) under a two-level
+    // aggregation. The histogram is the classic \"how many customers
+    // placed k orders\" report.
+    QueryDef("q_tpch_q13",
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q16 shape: supplier-count-per-part-group with a NOT-IN exclusion —
+    // an anti join (the excluded supplier set broadcasts; a naive NOT IN
+    // with a nullable subquery degrades to a null-aware BNLJ, which the
+    // plan audit forbids) under a COUNT(DISTINCT) aggregate.
+    QueryDef("q_tpch_q16",
+      """SELECT p_brand, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 3000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand NULLS FIRST, p_size NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d).where(col("s_acctbal") < 3000)
+          .select(col("s_suppkey").as("l_suppkey")),
+          Seq("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#13" &&
+            col("p_size").isin(1, 5, 9, 13))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc,
+          asc_nulls_first("p_brand"), asc_nulls_first("p_size"))
+    },
+
     // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
     QueryDef("q_nonagg_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -362,6 +362,22 @@ class OperatorPlanSpec extends SparkSpec {
       s"semi + final fact join at most, got $shuffleJoins:\n${plan.take(3000)}")
   }
 
+  test("tpch q4/q13/q16 shapes: semi/outer/anti joins, no BNLJ anywhere") {
+    val q4 = planString(graft.SparkEntry.queries("q_tpch_q4")(spark, sfDir))
+    assert(q4.contains("LeftSemi"),
+      s"EXISTS must compile to a semi join:\n${q4.take(2000)}")
+    val q13 = planString(graft.SparkEntry.queries("q_tpch_q13")(spark, sfDir))
+    assert(q13.contains("LeftOuter"),
+      s"zero-order customers must survive the outer join:\n${q13.take(2000)}")
+    val q16 = planString(graft.SparkEntry.queries("q_tpch_q16")(spark, sfDir))
+    assert(q16.contains("LeftAnti"),
+      s"the NOT-IN exclusion must be an anti join:\n${q16.take(2000)}")
+    Seq("q4" -> q4, "q13" -> q13, "q16" -> q16).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n degraded:\n${p.take(2000)}")
+    }
+  }
+
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
     val plan = planString(Sessions.rollingActiveUsers(
       Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
