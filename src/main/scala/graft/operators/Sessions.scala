@@ -468,4 +468,82 @@ object Sessions {
       .withColumn("window_end", unix_timestamp(col("__w.end")))
       .drop("__w")
   }
+
+  /** Multi-touch conversion attribution: credit each touch channel for
+    * the conversions it preceded, under the five standard models at once
+    * — first-touch, last-touch, linear, position-based (U-shaped
+    * 40/20/40) and time-decay (half-life weighted). The "which channel
+    * earns the purchase" report every growth team runs.
+    *
+    * A touch attributes to the user's NEXT conversion when it falls
+    * inside `lookbackSeconds` before it and strictly after the user's
+    * previous conversion (no double counting across conversions). Next/
+    * previous conversion resolve through VALUE-based RANGE window frames
+    * on epoch seconds, so equal-timestamp rows cannot flip the
+    * assignment run to run (a ROWS frame would depend on tie order); a
+    * touch in the same second as a conversion attributes to a LATER one
+    * only. Timestamp-tied first/last touches split that model's credit
+    * evenly.
+    *
+    * Output: one row per touch type — n_touches plus the five credit
+    * sums (each conversion distributes exactly 1.0 per model among its
+    * touches), rounded to 4dp for cross-engine stability of the
+    * time-decay pow().
+    *
+    * Scale shape: two shuffles, both user-prefixed keys — the window
+    * pass on `user` and the per-conversion stats on `(user, conv_ts)` —
+    * then the final aggregate over the tiny touch-type space. Per-user
+    * histories sort in one task, the same bound as every operator here.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSeconds: Long, halfLifeSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be non-empty and exclude the conversion type")
+    require(lookbackSeconds > 0 && halfLifeSeconds > 0)
+    val ev = events
+      .where(col(typeCol).isin((touchTypes :+ convType).map(x => x: Any): _*))
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__t"), col(typeCol).as("__ty"))
+    val convTs = when(col("__ty") === convType, col("__t"))
+    val byT = Window.partitionBy("__u").orderBy(col("__t"))
+    val wNext = byT.rangeBetween(1, Window.unboundedFollowing)
+    val wPrev = byT.rangeBetween(Window.unboundedPreceding, -1)
+    val touches = ev
+      .withColumn("__nc", min(convTs).over(wNext))
+      .withColumn("__pc", max(convTs).over(wPrev))
+      .where(col("__ty") =!= convType && col("__nc").isNotNull &&
+        col("__t") >= col("__nc") - lookbackSeconds &&
+        (col("__pc").isNull || col("__t") > col("__pc")))
+      .withColumn("__w", pow(lit(0.5),
+        (col("__nc") - col("__t")).cast("double") / halfLifeSeconds))
+    val wConv = Window.partitionBy("__u", "__nc")
+    val stats = touches
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__tf", min("__t").over(wConv))
+      .withColumn("__tl", max("__t").over(wConv))
+      .withColumn("__ws", sum("__w").over(wConv))
+      .withColumn("__nf",
+        sum(when(col("__t") === col("__tf"), 1L).otherwise(0L)).over(wConv))
+      .withColumn("__nl",
+        sum(when(col("__t") === col("__tl"), 1L).otherwise(0L)).over(wConv))
+    val isF = col("__t") === col("__tf")
+    val isL = col("__t") === col("__tl")
+    val mid = col("__n") - col("__nf") - col("__nl")
+    val position =
+      when(col("__tf") === col("__tl"), lit(1.0) / col("__n"))
+        .when(isF, when(mid > 0, lit(0.4)).otherwise(lit(0.5)) / col("__nf"))
+        .when(isL, when(mid > 0, lit(0.4)).otherwise(lit(0.5)) / col("__nl"))
+        .otherwise(lit(0.2) / mid)
+    stats.groupBy(col("__ty").as(typeCol))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        round(sum(when(isF, lit(1.0) / col("__nf")).otherwise(lit(0.0))), 4)
+          .as("first_touch"),
+        round(sum(when(isL, lit(1.0) / col("__nl")).otherwise(lit(0.0))), 4)
+          .as("last_touch"),
+        round(sum(lit(1.0) / col("__n")), 4).as("linear"),
+        round(sum(position), 4).as("position_based"),
+        round(sum(col("__w") / col("__ws")), 4).as("time_decay"))
+  }
 }

@@ -183,6 +183,60 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("prev_type"), asc_nulls_first("next_type"))
     },
 
+    // --- multi-touch conversion attribution: five models in one pass
+    // (first/last/linear/U-shaped/time-decay). Next/previous conversion
+    // resolve through VALUE-based RANGE frames (tie-proof; see
+    // Sessions.attribution). The oracle replays every model formula,
+    // including the tied-first/last credit split and the same-second
+    // exclusion; each conversion distributes exactly 1.0 per model.
+    QueryDef("q_event_attribution",
+      """WITH ev AS (
+        |  SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+        |    event_type AS ty
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |tc AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN ty = 'purchase' THEN t END) OVER
+        |      (PARTITION BY u ORDER BY t
+        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+        |    MAX(CASE WHEN ty = 'purchase' THEN t END) OVER
+        |      (PARTITION BY u ORDER BY t
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+        |  FROM ev),
+        |touches AS (
+        |  SELECT u, t, ty, nc,
+        |    pow(0.5, (nc - t) / 86400.0) AS w
+        |  FROM tc
+        |  WHERE ty <> 'purchase' AND nc IS NOT NULL AND t >= nc - 259200
+        |    AND (pc IS NULL OR t > pc)),
+        |st AS (
+        |  SELECT *, COUNT(*) OVER wc AS n,
+        |    MIN(t) OVER wc AS tf, MAX(t) OVER wc AS tl,
+        |    SUM(w) OVER wc AS ws
+        |  FROM touches
+        |  WINDOW wc AS (PARTITION BY u, nc)),
+        |st2 AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN t = tf THEN 1 ELSE 0 END) OVER wc AS nf,
+        |    SUM(CASE WHEN t = tl THEN 1 ELSE 0 END) OVER wc AS nl
+        |  FROM st WINDOW wc AS (PARTITION BY u, nc))
+        |SELECT ty AS event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  ROUND(SUM(CASE WHEN t = tf THEN 1.0 / nf ELSE 0 END), 4) AS first_touch,
+        |  ROUND(SUM(CASE WHEN t = tl THEN 1.0 / nl ELSE 0 END), 4) AS last_touch,
+        |  ROUND(SUM(1.0 / n), 4) AS linear,
+        |  ROUND(SUM(CASE WHEN tf = tl THEN 1.0 / n
+        |    WHEN t = tf THEN (CASE WHEN n - nf - nl > 0 THEN 0.4 ELSE 0.5 END) / nf
+        |    WHEN t = tl THEN (CASE WHEN n - nf - nl > 0 THEN 0.4 ELSE 0.5 END) / nl
+        |    ELSE 0.2 / (n - nf - nl) END), 4) AS position_based,
+        |  ROUND(SUM(w / ws), 4) AS time_decay
+        |FROM st2 GROUP BY ty
+        |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      graft.operators.Sessions.attribution(Tables.eventsByUser(s, d),
+          "user_id", "ts", "event_type", Seq("view", "click"), "purchase",
+          lookbackSeconds = 259200L, halfLifeSeconds = 86400L)
+        .orderBy(asc_nulls_first("event_type"))
+    },
+
     // --- exponential time-decay popularity (half-life 7 days, as-of
     // 2024-02-01T00:00:00Z — explicit, so the score is reproducible):
     // recency-weighted activity per event type, map-side decay factor

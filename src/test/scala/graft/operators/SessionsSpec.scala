@@ -262,4 +262,41 @@ class SessionsSpec extends SparkSpec {
         r.getLong(3)).toMap
     assert(got == Map((1, 1, 1) -> 2L, (2, 2, 2) -> 2L), s"$got")
   }
+
+  test("attribution: five models, lookback/boundary rules, hand-computed credits") {
+    val df = ev(
+      // user 1: three touches -> one conversion at t=1000
+      //   view@100 (first), click@500 (middle), view@900 (last)
+      (1L, 1L, 100L, "view"), (1L, 2L, 500L, "click"), (1L, 3L, 900L, "view"),
+      (1L, 4L, 1000L, "purchase"),
+      // a second conversion at 2000 with ONE touch after the first conv
+      (1L, 5L, 1500L, "click"), (1L, 6L, 2000L, "purchase"),
+      // user 2: touch OUTSIDE the lookback -> never credited
+      (2L, 7L, 0L, "view"), (2L, 8L, 5000L, "purchase"),
+      // user 3: touch in the SAME second as the conversion -> excluded
+      (3L, 9L, 700L, "click"), (3L, 10L, 700L, "purchase"))
+    val out = Sessions.attribution(df, "user_id", "ts", "event_type",
+        Seq("view", "click"), "purchase",
+        lookbackSeconds = 1000L, halfLifeSeconds = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // conversion 1 (u1@1000): view@100 first, view@900 last, click middle
+    //   first: view 1.0 / last: view 1.0 / linear: view 2/3, click 1/3
+    //   position: view 0.4+0.4, click 0.2
+    // conversion 2 (u1@2000): single click -> 1.0 everywhere
+    val (vn, vf, vl, vlin, vpos) = out("view")
+    val (cn, cf, cl, clin, cpos) = out("click")
+    assert((vn, cn) == (2L, 2L), s"$out")
+    assert(vf == 1.0 && cf == 1.0, s"first: $out")
+    assert(vl == 1.0 && cl == 1.0, s"last: $out")
+    assert(vlin == 0.6667 && clin == 1.3333, s"linear: $out")
+    assert(vpos == 0.8 && cpos == 1.2, s"position: $out")
+    // every conversion with touches distributes exactly 1.0 per model
+    val decays = Sessions.attribution(df, "user_id", "ts", "event_type",
+        Seq("view", "click"), "purchase", 1000L, 400L)
+      .agg(sum("time_decay"), sum("linear")).head()
+    assert(math.abs(decays.getDouble(0) - 2.0) < 1e-3 &&
+      math.abs(decays.getDouble(1) - 2.0) < 1e-3, s"$decays")
+  }
 }
