@@ -118,6 +118,47 @@ object Curation {
           col("r_ttr") * col("r_maxfreq"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2's rule set —
+    * the other canonical web-corpus filter next to the Gopher rules):
+    * a LINE survives when it ends in terminal punctuation (`. ! ? "`),
+    * carries at least `minWordsPerLine` words, and does not mention
+    * "javascript"; the DOCUMENT survives when it contains no `{` (code),
+    * no "lorem ipsum" (placeholder boilerplate), and keeps at least
+    * `minLines` lines. Unlike a document-level filter, the line rules
+    * REWRITE the text — the kept lines are the cleaned document.
+    *
+    * Output: (idCol, n_lines, n_kept, reason, clean_text) where reason ∈
+    * brace | lorem_ipsum | too_few_lines | kept, and clean_text is the
+    * newline-joined kept lines (null unless kept — the drop reasons keep
+    * the frame narrow).
+    *
+    * Scale shape: pure map-side — one split + one higher-order filter
+    * per document, no shuffle at any scale; line counts are small enough
+    * that the interpreted HOF lambda is noise next to the split.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "[ \\t]+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), lines.as("__ls"), kept.as("__ks"),
+        col(textCol).as("__t"))
+      .select(col(idCol),
+        size(col("__ls")).as("n_lines"),
+        size(col("__ks")).as("n_kept"),
+        when(col("__t").contains("{"), "brace")
+          .when(lower(col("__t")).contains("lorem ipsum"), "lorem_ipsum")
+          .when(size(col("__ks")) < minLines, "too_few_lines")
+          .otherwise("kept").as("reason"),
+        col("__ks"))
+      .withColumn("clean_text",
+        when(col("reason") === "kept", array_join(col("__ks"), "\n")))
+      .drop("__ks")
+  }
+
   /** Split each document into consecutive `chunkSize`-token chunks — the
     * pre-tokenization step of sequence packing. Output: one row per chunk
     * with (idCol, chunk_idx, n_tokens, chunk_text); the final chunk is the

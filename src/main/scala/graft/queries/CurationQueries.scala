@@ -56,6 +56,86 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // --- C4-style line-level cleaning (Raffel et al. 2020 §2.2): the
+    // fixture has no newlines/punctuation, so the gate BUILDS a liney
+    // corpus deterministically (6-token lines; terminal punctuation,
+    // "javascript" mentions and the lorem-ipsum/brace poison keyed on
+    // doc_id — the q_curation_html construction discipline), then both
+    // engines replay the line rules and the doc verdicts. Line rules
+    // REWRITE the document (kept lines are the cleaned text), so the
+    // clean-char sum pins the rewrite, not just the verdict.
+    QueryDef("q_curation_c4",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |built AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(ts) / 6.0) AS INT)), i ->
+        |      array_to_string(ts[6*i+1:6*i+6], ' ')
+        |      || (CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript' ELSE '' END)
+        |      || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)) AS ls
+        |  FROM d WHERE len(ts) >= 1),
+        |poisoned AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 89 = 0
+        |          THEN ['lorem ipsum dolor sit amet.'] ELSE [] END)
+        |    || ls ||
+        |    (CASE WHEN doc_id % 97 = 0 THEN ['function() {'] ELSE [] END) AS ls
+        |  FROM built),
+        |txt AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM poisoned),
+        |f AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '[ \t]+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS ks
+        |  FROM txt),
+        |v AS (
+        |  SELECT doc_id, len(ls) AS n_lines, len(ks) AS n_kept,
+        |    CASE WHEN contains(text, '{') THEN 'brace'
+        |         WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |         WHEN len(ks) < 3 THEN 'too_few_lines'
+        |         ELSE 'kept' END AS reason,
+        |    CASE WHEN NOT contains(text, '{')
+        |          AND NOT contains(lower(text), 'lorem ipsum')
+        |          AND len(ks) >= 3
+        |         THEN length(array_to_string(ks, chr(10))) ELSE 0 END AS cc
+        |  FROM f)
+        |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+        |  CAST(SUM(n_kept) AS BIGINT) AS kept_lines,
+        |  CAST(SUM(cc) AS BIGINT) AS clean_chars
+        |FROM v GROUP BY reason ORDER BY reason NULLS FIRST""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val empty = array().cast(ArrayType(StringType))
+      val liney = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .where(size(col("__tk")) >= 1)
+        .select(col("doc_id"),
+          transform(
+            sequence(lit(0), ceil(size(col("__tk")) / 6.0).cast("int") - 1),
+            i => concat(
+              array_join(slice(col("__tk"), i * 6 + 1, lit(6)), " "),
+              when((col("doc_id") + i) % 11 === 0, " javascript").otherwise(""),
+              when((col("doc_id") + i) % 3 =!= 0, ".").otherwise("")))
+            .as("__ls"))
+        .select(col("doc_id"), array_join(concat(
+          when(col("doc_id") % 89 === 0,
+            array(lit("lorem ipsum dolor sit amet."))).otherwise(empty),
+          col("__ls"),
+          when(col("doc_id") % 97 === 0,
+            array(lit("function() {"))).otherwise(empty)), "\n").as("text"))
+      Curation.c4LineFilter(liney, "doc_id", "text")
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_lines").cast("long").as("total_lines"),
+          sum("n_kept").cast("long").as("kept_lines"),
+          sum(coalesce(length(col("clean_text")), lit(0))).cast("long")
+            .as("clean_chars"))
+        .orderBy(asc_nulls_first("reason"))
+    },
+
     // --- fixed-size token chunking (sequence-packing prep) -----------------
     QueryDef("q_curation_chunks",
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

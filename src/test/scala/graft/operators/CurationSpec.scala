@@ -353,4 +353,32 @@ class CurationSpec extends SparkSpec {
       ("news.org", "breaking  news") -> 2L,
       ("blog.net", "post") -> 1L), got.toString)
   }
+
+  test("c4LineFilter: line rules rewrite, doc rules veto") {
+    import spark.implicits._
+    val docs = Seq(
+      // three good lines + one unpunctuated + one short -> kept, rewritten
+      (1L, "alpha beta gamma delta epsilon zeta.\nten nine eight seven six.\n" +
+        "one two three four five!\nno terminal punct here at all\nshort line."),
+      // javascript line drops -> only two survive -> too_few_lines
+      (2L, "alpha beta gamma delta epsilon.\nthe JavaScript framework loads fast.\n" +
+        "one two three four five."),
+      // brace vetoes the whole doc even with good lines
+      (3L, "alpha beta gamma delta epsilon.\none two three four five.\n" +
+        "six seven eight nine ten.\nfunction() {"),
+      // lorem ipsum vetoes
+      (4L, "lorem ipsum dolor sit amet.\none two three four five.\n" +
+        "six seven eight nine ten.\neleven twelve thirteen fourteen fifteen.")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4LineFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4))).toMap
+    assert(out(1L)._3 == "kept" && out(1L)._1 == 5 && out(1L)._2 == 3, s"$out")
+    assert(out(1L)._4 ==
+      "alpha beta gamma delta epsilon zeta.\nten nine eight seven six.\n" +
+        "one two three four five!", s"${out(1L)}")
+    assert(out(2L)._3 == "too_few_lines" && out(2L)._2 == 2, s"$out")
+    assert(out(3L)._3 == "brace" && out(3L)._4 == null, s"$out")
+    assert(out(4L)._3 == "lorem_ipsum", s"$out")
+  }
 }
