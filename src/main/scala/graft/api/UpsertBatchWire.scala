@@ -103,6 +103,11 @@ object UpsertBatchWire {
   private def align(v: Int, to: Int): Int = (v + to - 1) / to * to
 
   def decode(body: Array[Byte]): Batch = {
+    // the fixed header spans bytes [0, 28); a shorter body must fail as
+    // a layout error before any absolute read (found by the
+    // WirePropertySpec truncation fuzzer)
+    require(body.length >= 28,
+      s"batch body of ${body.length} bytes is shorter than the 28-byte header")
     val buf = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getInt(0) == VersionV1,
       f"unsupported upsert batch version 0x${buf.getInt(0)}%08x")
