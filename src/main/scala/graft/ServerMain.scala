@@ -120,7 +120,12 @@ object ServerMain {
       // a crash/restart; set SPARK_GRAFT_JOURNAL_DIR="" to disable
       journalDir = sys.env.get("SPARK_GRAFT_JOURNAL_DIR")
         .orElse(Some(sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT",
-          "target/graft-archive") + "/_journal")).filter(_.nonEmpty))
+          "target/graft-archive") + "/_journal")).filter(_.nonEmpty),
+      // size-triggered journal rotation (ref rotates redo-log files at
+      // maxRedoLogFileSize): a table's journal outgrowing the bound
+      // drains inline — default 256 MB, 0 disables
+      journalByteLimit =
+        sys.env.getOrElse("SPARK_GRAFT_JOURNAL_LIMIT_BYTES", (256L << 20).toString).toLong)
     server.start()
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { budget =>
