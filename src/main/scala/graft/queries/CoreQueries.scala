@@ -244,12 +244,14 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // Q18: the group-HAVING-semi-join top-k (large-volume customers). The
-    // qualifying-order set is the lineitem aggregation itself (one
-    // shuffle on l_orderkey), semi-joined back — at 100 TB the qualifying
-    // keys are rare (HAVING prunes hard), so AQE broadcasts the semi
-    // side; the final lineitem aggregation reuses the same l_orderkey
-    // hash partitioning. customer stays a broadcast dim.
+    // Q18: the group-HAVING-semi-join top-k (large-volume customers).
+    // The textbook formulation aggregates lineitem TWICE (once for the
+    // HAVING set, once for the output quantity); here the per-order
+    // quantity IS the HAVING aggregate, so the plan runs ONE lineitem
+    // shuffle and carries the sum through the joins — at 60M lineitems
+    // that is the difference between one and two scans+exchanges of the
+    // fact table. Qualifying keys are rare (HAVING prunes hard), so AQE
+    // broadcasts them into orders; customer stays a broadcast dim.
     QueryDef("q_tpch_q18",
       """WITH big AS (SELECT l_orderkey FROM lineitem
         |             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
@@ -261,19 +263,18 @@ object CoreQueries {
         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate_ep, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val big = li.groupBy("l_orderkey")
-        .agg(sum("l_quantity").as("__sq")).where(col("__sq") > 250)
-        .select(col("l_orderkey").as("o_orderkey"))
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__sq"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("total_qty"))
+        .where(col("__sq") > 250)
+        .select(col("l_orderkey").as("o_orderkey"), col("total_qty"))
       Tables.orders(s, d)
-        .join(big, Seq("o_orderkey"), "left_semi")
+        .join(big, Seq("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)),
           col("c_custkey") === col("o_custkey"))
-        .join(li, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           unix_timestamp(col("o_orderdate")).as("o_orderdate_ep"),
-          col("o_totalprice"))
-        .agg(sum(col("l_quantity").cast(dec)).cast(DoubleType).as("total_qty"))
+          col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
     },
