@@ -468,23 +468,39 @@ class GraftServerSpec extends SparkSpec {
         {"name": "request_at", "type": "Uint32"},
         {"name": "ride_id", "type": "Int64"},
         {"name": "city", "type": "SmallEnum"},
-        {"name": "fare", "type": "Float32"}
+        {"name": "fare", "type": "Float32"},
+        {"name": "stops", "type": "Int32[]"}
       ],
       "primaryKeyColumns": [1]
     }""").statusCode() == 200)
     val wire = new UpsertClient(s"http://localhost:${s1.boundPort}")
     assert(wire.insert("jr_rides",
-      Seq("request_at", "ride_id", "city", "fare"),
+      Seq("request_at", "ride_id", "city", "fare", "stops"),
       Seq(
-        Seq(1706572800L, 1L, "sf", 10.5f),
-        Seq(1706572860L, 2L, "nyc", 2.0f),
-        Seq(1706572920L, 3L, "sf", 1.0f))) == 3L)
+        Seq(1706572800L, 1L, "sf", 10.5f, Seq(10, 20)),
+        Seq(1706572860L, 2L, "nyc", 2.0f, null),
+        Seq(1706572920L, 3L, "sf", 1.0f, Seq.empty[Int]))) == 3L)
+    def firstStops(port: Int): Map[String, Any] = {
+      val resp = postTo(port, "/query/aql", """{"queries": [{"table": "jr_rides",
+        "measures": [{"alias": "s", "sqlExpression": "sum(element_at(stops, 0))"}],
+        "dimensions": [{"alias": "n", "sqlExpression": "length(stops)"}],
+        "timeFilter": {"from": "1706400000"}, "now": 1706659200}]}""")
+      (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+        .asInstanceOf[JObject].values
+    }
     assert(fares(s1.boundPort) == Map("sf" -> 11.5, "nyc" -> 2.0))
+    assert(firstStops(s1.boundPort).get("2").contains(10.0))
     s1.stop() // crash: overlay in memory only; journal holds binary records
 
     val s2 = mk()
     assert(fares(s2.boundPort) == Map("sf" -> 11.5, "nyc" -> 2.0),
       "binary journal records must replay through the synced enum dictionaries")
+    // the ARRAY vector parties replay too: null row, empty array and
+    // values all intact after the rebuild
+    assert(firstStops(s2.boundPort) == firstStops(s2.boundPort) &&
+      firstStops(s2.boundPort).get("2").contains(10.0) &&
+      firstStops(s2.boundPort).contains("0"),
+      s"array wire replay mismatch: ${firstStops(s2.boundPort)}")
     s2.stop()
   }
 
