@@ -354,6 +354,103 @@ object CoreQueries {
           asc_nulls_first("p_brand"), asc_nulls_first("p_size"))
     },
 
+    // Q10 shape: returned-item reporting — the top-20 customers by lost
+    // revenue in a quarter. Three-table plan: date-pruned orders shuffle
+    // against the returnflag-pruned lineitem on the order key; customer
+    // and nation ride as broadcast dims; top-20 via sort+limit.
+    QueryDef("q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
+        .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // Q14 shape: the promo-revenue ratio — a conditional aggregate over
+    // one broadcast join, output a single percentage. Both sums are
+    // exact decimals cast to double; their quotient is one IEEE double
+    // division of identical operands in both engines, rounded to 4dp.
+    QueryDef("q_tpch_q14",
+      """SELECT ROUND(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |  4) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { (s, d) =>
+      val revenue = col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount").cast(dec))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast(dec))).cast(DoubleType) /
+          sum(revenue).cast(DoubleType), 4).as("promo_revenue"))
+    },
+
+    // Q19 shape: the disjunctive join predicate — one equi-key
+    // (l_partkey = p_partkey) carries the join; the OR-of-ANDs over
+    // (brand, size range, quantity range) brackets is a post-join
+    // residual, NOT a join condition, or the plan degrades to a
+    // nested loop (the audit forbids BNLJ).
+    QueryDef("q_tpch_q19",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25
+        |      AND l_quantity BETWEEN 10 AND 35)
+        |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 40
+        |      AND l_quantity BETWEEN 20 AND 50))""".stripMargin) { (s, d) =>
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(5, 25) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(20, 40) &&
+          col("l_quantity").between(20, 50))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .where(bracket)
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
     QueryDef("q_nonagg_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -378,6 +378,24 @@ class OperatorPlanSpec extends SparkSpec {
     }
   }
 
+  test("tpch q10/q14/q19 shapes: broadcast dims, disjunctive residual, no BNLJ") {
+    val q10 = planString(graft.SparkEntry.queries("q_tpch_q10")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(q10).length >= 2,
+      s"customer and nation must broadcast:\n${q10.take(2500)}")
+    val q14 = planString(graft.SparkEntry.queries("q_tpch_q14")(spark, sfDir))
+    assert(q14.contains("BroadcastHashJoin") && q14.contains("PushedFilters") &&
+      q14.contains("l_shipdate"),
+      s"part broadcasts, ship-date filter reaches the scan:\n${q14.take(2500)}")
+    // Q19's OR-of-ANDs must ride as a residual on the hash join, never
+    // degrade the equi-join to a nested loop
+    val q19 = planString(graft.SparkEntry.queries("q_tpch_q19")(spark, sfDir))
+    assert(q19.contains("BroadcastHashJoin"), q19.take(2500))
+    Seq("q10" -> q10, "q14" -> q14, "q19" -> q19).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n degraded:\n${p.take(2500)}")
+    }
+  }
+
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
     val plan = planString(Sessions.rollingActiveUsers(
       Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
