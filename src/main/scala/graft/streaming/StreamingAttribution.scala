@@ -92,12 +92,15 @@ object StreamingAttribution {
           val eligible = cur.touches
             .filter(t => t._1 < e.ts && t._1 >= e.ts - lookbackSeconds)
           out ++= credit(user, e.ts, eligible, halfLifeSeconds)
-          // strictly-after retention: a touch in the conversion's second
-          // can never credit a later conversion either (the batch
-          // operator's t > previous-conversion boundary)
-          cur = AttState(cur.touches.filter(_._1 > e.ts), e.ts)
+          // same-second retention: the batch operator's previous-
+          // conversion boundary is VALUE-strict (max conversion ts < t),
+          // so a touch in this conversion's second is not credited here
+          // (t < convTs fails) but remains eligible for the NEXT
+          // conversion — the AttributionEquivalenceSpec property found
+          // the strictly-after variant diverging on exactly this tie
+          cur = AttState(cur.touches.filter(_._1 >= e.ts), e.ts)
         }
-      } else if (touchTypes.contains(e.eventType) && e.ts > cur.lastConv) {
+      } else if (touchTypes.contains(e.eventType) && e.ts >= cur.lastConv) {
         val appended = cur.touches :+ (e.ts, e.eventType)
         // bound the buffer: oldest touch evicted first
         cur = cur.copy(touches =
