@@ -56,6 +56,11 @@ object StreamingFunnel {
     out.result().iterator
   }
 
+  /** Test hook: the group function driven directly (equivalence specs). */
+  private[streaming] def advanceGroupForTest(stages: IndexedSeq[String])(user: Long,
+      rows: Iterator[Event], state: GroupState[FunnelState]): Iterator[Advance] =
+    advanceGroup(stages)(user, rows, state)
+
   private[streaming] def advanceGroupTtl(stages: IndexedSeq[String], ttlMs: Long)(user: Long,
       rows: Iterator[Event], state: GroupState[FunnelState]): Iterator[Advance] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
