@@ -503,6 +503,38 @@ object Curation {
       isIp.as("is_ip"))
   }
 
+  /** Canonical URL form for crawl-level dedup — the "same resource,
+    * different spellings" collapse that runs BEFORE content dedup (a
+    * re-crawl under a tracking-tagged link must not re-enter the
+    * corpus). Deterministic, purely textual, SQL-replayable:
+    * fragment stripped; scheme dropped (http/https serve one resource);
+    * host lowercased, default :80/:443 ports and a leading `www.`
+    * removed; `/index.html` and trailing slashes folded; query
+    * parameters with tracking keys (`utm_*`, gclid, fbclid, ref,
+    * mc_cid/mc_eid) dropped and the rest SORTED (param order never
+    * distinguishes resources). Pure map-side column expression.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val afterScheme = substring_index(noFrag, "://", -1)
+    val hostPortRaw = substring_index(substring_index(afterScheme, "/", 1), "?", 1)
+    val hostPort = lower(hostPortRaw)
+    val host = regexp_replace(
+      regexp_replace(hostPort, ":(80|443)$", ""), "^www\\.", "")
+    val pathQ = afterScheme.substr(length(hostPortRaw) + 1, lit(1 << 24))
+    val rawPath = substring_index(pathQ, "?", 1)
+    val path = regexp_replace(
+      regexp_replace(rawPath, "/index\\.html?$", ""), "/+$", "")
+    val query = when(pathQ.contains("?"), substring_index(pathQ, "?", -1))
+      .otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 &&
+        !p.rlike("^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=")))
+    concat(host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Drop documents whose URL domain or tld is blocklisted — the
     * broadcast-set crawl filter ([[urlSignals]]' consumer). Both lists
     * are literal IN-lists compiled into the predicate (blocklists are

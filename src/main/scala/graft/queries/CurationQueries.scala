@@ -136,6 +136,96 @@ object CurationQueries {
         .orderBy(asc_nulls_first("reason"))
     },
 
+    // --- canonical-URL crawl dedup: the "same resource, different
+    // spellings" collapse that runs BEFORE content dedup. The gate
+    // builds seven deterministic spellings per resource (scheme/case,
+    // www + default port, trailing slash, tracking params, param order,
+    // fragments) and BOTH engines replay the full canonicalization
+    // generically — host folding, port/www strip, slash/index fold,
+    // tracking-param drop, param SORT — then keep-min dedup per
+    // canonical form.
+    QueryDef("q_curation_canonical_url",
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 500 AS g, doc_id % 7 AS v,
+        |    (doc_id % 500) % 40 AS s
+        |  FROM documents),
+        |built AS (
+        |  SELECT doc_id, g % 10 AS bucket,
+        |    CASE v
+        |      WHEN 0 THEN 'http://site' || s || '.com/page' || g
+        |      WHEN 1 THEN 'HTTPS://SITE' || s || '.COM/page' || g
+        |      WHEN 2 THEN 'http://www.site' || s || '.com:80/page' || g
+        |      WHEN 3 THEN 'http://site' || s || '.com/page' || g || '/'
+        |      WHEN 4 THEN 'http://site' || s || '.com/page' || g
+        |                  || '?utm_source=x&gclid=1'
+        |      WHEN 5 THEN 'http://site' || s || '.com/page' || g || '?b=2&a=1'
+        |      ELSE 'https://site' || s || '.com/page' || g || '?a=1&b=2#frag'
+        |    END AS url
+        |  FROM u),
+        |parsed AS (
+        |  SELECT doc_id, bucket,
+        |    CASE WHEN contains(split_part(url, '#', 1), '://')
+        |         THEN string_split(split_part(url, '#', 1), '://')[2]
+        |         ELSE split_part(url, '#', 1) END AS asx
+        |  FROM built),
+        |hp AS (
+        |  SELECT *, split_part(split_part(asx, '/', 1), '?', 1) AS hpr
+        |  FROM parsed),
+        |pieces AS (
+        |  SELECT doc_id, bucket,
+        |    regexp_replace(regexp_replace(lower(hpr), ':(80|443)$', ''),
+        |      '^www\.', '') AS host,
+        |    regexp_replace(regexp_replace(
+        |      split_part(substring(asx, length(hpr) + 1), '?', 1),
+        |      '/index\.html?$', ''), '/+$', '') AS path,
+        |    CASE WHEN contains(substring(asx, length(hpr) + 1), '?')
+        |         THEN string_split(substring(asx, length(hpr) + 1), '?')[2]
+        |         ELSE '' END AS query
+        |  FROM hp),
+        |canon AS (
+        |  SELECT doc_id, bucket,
+        |    host || path || (CASE WHEN len(ps) > 0
+        |      THEN '?' || array_to_string(ps, '&') ELSE '' END) AS cu
+        |  FROM (SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |          p -> len(p) > 0 AND NOT regexp_matches(p,
+        |            '^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)='))) AS ps
+        |        FROM pieces)),
+        |per_canon AS (
+        |  SELECT bucket, cu, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(doc_id) AS kept
+        |  FROM canon GROUP BY 1, 2)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(SUM(n) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_canonical,
+        |  CAST(SUM(kept) AS BIGINT) AS kept_sum
+        |FROM per_canon GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val g = col("doc_id") % 500
+      val v = col("doc_id") % 7
+      val site = g % 40
+      val base = concat(lit("http://site"), site, lit(".com/page"), g)
+      val url =
+        when(v === 0, base)
+          .when(v === 1, concat(lit("HTTPS://SITE"), site, lit(".COM/page"), g))
+          .when(v === 2, concat(lit("http://www.site"), site,
+            lit(".com:80/page"), g))
+          .when(v === 3, concat(base, lit("/")))
+          .when(v === 4, concat(base, lit("?utm_source=x&gclid=1")))
+          .when(v === 5, concat(base, lit("?b=2&a=1")))
+          .otherwise(concat(lit("https://site"), site, lit(".com/page"), g,
+            lit("?a=1&b=2#frag")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), (g % 10).as("bucket"), url.as("url"))
+        .select(col("doc_id"), col("bucket"),
+          Curation.canonicalUrl(col("url")).as("cu"))
+        .groupBy("bucket", "cu")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("kept"))
+        .groupBy("bucket")
+        .agg(sum("n").cast("long").as("n_urls"),
+          count(lit(1)).as("n_canonical"),
+          sum("kept").cast("long").as("kept_sum"))
+        .orderBy("bucket")
+    },
+
     // --- fixed-size token chunking (sequence-packing prep) -----------------
     QueryDef("q_curation_chunks",
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

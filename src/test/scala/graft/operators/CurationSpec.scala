@@ -354,6 +354,28 @@ class CurationSpec extends SparkSpec {
       ("blog.net", "post") -> 1L), got.toString)
   }
 
+  test("canonicalUrl folds spellings of one resource; keeps real distinctions") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://site1.com/page9",
+      "HTTPS://SITE1.COM/page9",
+      "http://www.site1.com:80/page9",
+      "http://site1.com/page9/",
+      "http://site1.com/page9/index.html",
+      "http://site1.com/page9?utm_source=news&fbclid=zz",
+      "http://site1.com/page9?b=2&a=1",      // real params: distinct
+      "https://site1.com/page9?a=1&b=2#s",   // ...but order/fragment fold
+      "http://site1.com:8080/page9",         // NON-default port: distinct
+      "http://site1.com/page9x")             // different path: distinct
+    val got = urls.toDF("url")
+      .select(Curation.canonicalUrl(col("url")).as("cu"))
+      .collect().map(_.getString(0))
+    assert(got.take(6).toSet == Set("site1.com/page9"), got.mkString("\n"))
+    assert(got(6) == "site1.com/page9?a=1&b=2" && got(7) == got(6), got(7))
+    assert(got(8) == "site1.com:8080/page9")
+    assert(got(9) == "site1.com/page9x")
+  }
+
   test("c4LineFilter: line rules rewrite, doc rules veto") {
     import spark.implicits._
     val docs = Seq(
