@@ -77,11 +77,22 @@ object UpsertBatchWire {
     * `elemType` (data_value.go:790-800 CalculateListElementBytes, plus
     * the empty-array 8-byte special case from GetSerBytes).
     */
-  def arraySerBytes(elemType: Int, count: Int): Int =
-    if (count == 0) 8
+  def arraySerBytes(elemType: Int, count: Int): Int = {
+    val l = arraySerBytesL(elemType, count)
+    require(l <= Int.MaxValue, s"array of $count elements overflows the format")
+    l.toInt
+  }
+
+  /** Long-arithmetic form: the validation path MUST size crafted counts
+    * without Int overflow (a count near 2^25 with a 128-bit element
+    * wrapped the 32-bit product to ~0, defeating every bounds `require`
+    * downstream — found by review of the untrusted-body walls).
+    */
+  private def arraySerBytesL(elemType: Int, count: Int): Long =
+    if (count == 0) 8L
     else {
-      val itemBytes = ((elemType & 0xFFFF) * count + 7) / 8
-      (4 + itemBytes + (count + 7) / 8 + 7) / 8 * 8
+      val itemBytes = ((elemType & 0xFFFF).toLong * count + 7) / 8
+      (4L + itemBytes + (count + 7L) / 8 + 7) / 8 * 8
     }
 
   /** One decoded column: logical id, type code, and per-row values
@@ -156,6 +167,9 @@ object UpsertBatchWire {
           (0 until numRows).map { row =>
             val off = buf.getInt(offBase + row * 4)
             val next = buf.getInt(offBase + (row + 1) * 4)
+            require(off >= 0 && next >= off,
+              s"column $c (id $columnId) row $row: offsets [$off, $next) " +
+                "are negative or non-monotonic")
             if (off == next) None
             else Some(readGeoShape(buf, body, valueBase + off, next - off,
               s"column $c (id $columnId) row $row"))
@@ -175,6 +189,9 @@ object UpsertBatchWire {
           (0 until numRows).map { row =>
             val off = buf.getInt(offBase + row * 4)
             val next = buf.getInt(offBase + (row + 1) * 4)
+            require(off >= 0 && next >= off,
+              s"column $c (id $columnId) row $row: offsets [$off, $next) " +
+                "are negative or non-monotonic")
             // offset==nextOffset is the reference's in-band null for
             // variable-length rows (upsert_batch.go:74-81)
             if (!valid(row) || off == next) None
@@ -216,18 +233,21 @@ object UpsertBatchWire {
     */
   private def readArray(buf: ByteBuffer, body: Array[Byte], pos: Int,
       span: Int, elemType: Int, what: String): IndexedSeq[Option[Any]] = {
-    require(pos + 4 <= body.length && span >= 4,
+    require(pos >= 0 && pos + 4 <= body.length && span >= 4,
       s"$what: array header at $pos outside the ${body.length}-byte buffer")
     val count = buf.getInt(pos)
-    require(count >= 0 && arraySerBytes(elemType, count) <= span,
-      s"$what: array of $count elements needs " +
-        s"${arraySerBytes(elemType, count)} bytes but the row spans $span")
-    require(pos + arraySerBytes(elemType, count) <= body.length,
+    // all sizing in Long: a crafted count must fail the walls, never
+    // wrap them (see arraySerBytesL)
+    val ser = if (count >= 0) arraySerBytesL(elemType, count) else -1L
+    require(count >= 0 && ser <= span,
+      s"$what: array of $count elements needs $ser bytes " +
+        s"but the row spans $span")
+    require(pos.toLong + ser <= body.length,
       s"$what: array value extends past the ${body.length}-byte buffer")
     if (count == 0) IndexedSeq.empty
     else {
       val itemsBase = pos + 4
-      val validityBase = itemsBase + ((elemType & 0xFFFF) * count + 7) / 8
+      val validityBase = itemsBase + (((elemType & 0xFFFF).toLong * count + 7) / 8).toInt
       (0 until count).map { i =>
         if (!bit(body, validityBase, i)) None
         else Some(readValue(buf, body, itemsBase, i, elemType))
@@ -245,7 +265,7 @@ object UpsertBatchWire {
     */
   private def readGeoShape(buf: ByteBuffer, body: Array[Byte], pos: Int,
       span: Int, what: String): String = {
-    require(pos + 4 <= body.length && span >= 4,
+    require(pos >= 0 && pos + 4 <= body.length && span >= 4,
       s"$what: geoshape header at $pos outside the ${body.length}-byte buffer")
     val nPoly = buf.getInt(pos)
     require(nPoly >= 0 && nPoly <= span / 4,
@@ -256,7 +276,10 @@ object UpsertBatchWire {
         s"$what: polygon header at $cur past the row/body end")
       val nPts = buf.getInt(cur)
       cur += 4
-      require(nPts >= 0 && cur + nPts * 8 <= pos + span && cur + nPts * 8 <= body.length,
+      // Long arithmetic: a crafted nPts near 2^28 wraps nPts*8 negative
+      // in Int and slips past these walls
+      require(nPts >= 0 && cur + nPts * 8L <= pos + span &&
+        cur + nPts * 8L <= body.length,
         s"$what: $nPts points cannot fit the remaining row bytes")
       val pts = (0 until nPts).map { j =>
         val lat = buf.getFloat(cur + j * 8)

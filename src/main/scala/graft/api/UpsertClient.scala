@@ -189,7 +189,17 @@ object UpsertClient {
     * layout data_value.go:615-728). Exposed for spec round-trips.
     */
   def encode(numRows: Int, arrivalTime: Long,
-      cols: Seq[(Int, Int, IndexedSeq[Option[Any]])]): Array[Byte] = {
+      cols0: Seq[(Int, Int, IndexedSeq[Option[Any]])]): Array[Byte] = {
+    // normalize variable-length values ONCE per column: the layout pass
+    // and the write pass both consume them, and WKT parsing / element
+    // normalization are the expensive part of exactly the largest types
+    val cols: Seq[(Int, Int, IndexedSeq[Option[Any]])] = cols0.map {
+      case (id, tpe, values) if tpe == GeoShape =>
+        (id, tpe, values.map(_.map(parseWkt)))
+      case (id, tpe, values) if isArrayType(tpe) =>
+        (id, tpe, values.map(_.map(arrayElems)))
+      case other => other
+    }
     val n = cols.length
     val headerSize = (n + 1) * 4 + n * 4 + n * 4 + n * 4 + n * 2 + n
     def valueBytes(tpe: Int): Int =
@@ -212,7 +222,8 @@ object UpsertClient {
         cur += (numRows + 1) * 4
         cur = align(cur, 8)
         val vb = cur
-        values.foreach(_.foreach(v => cur += geoShapeSerBytes(parseWkt(v))))
+        values.foreach(_.foreach(v =>
+          cur += geoShapeSerBytes(v.asInstanceOf[Seq[IndexedSeq[(Float, Float)]]])))
         Some((ob, vb))
       }
       else if (isArrayType(tpe)) {
@@ -224,7 +235,8 @@ object UpsertClient {
         cur = align(cur, 8)
         val vb = cur
         val elem = elementType(tpe)
-        values.foreach(_.foreach(v => cur += arraySerBytes(elem, arrayElems(v).length)))
+        values.foreach(_.foreach(v =>
+          cur += arraySerBytes(elem, v.asInstanceOf[IndexedSeq[Option[Any]]].length)))
         Some((ob, vb))
       } else { cur = align(cur, 8); val b = cur; cur += valueBytes(tpe); Some((-1, b)) }
       (mode, nullBase, valueBase)
@@ -256,11 +268,13 @@ object UpsertClient {
         (v, valueBase) match {
           case (_, Some((ob, vb))) if tpe == GeoShape =>
             buf.putInt(ob + row * 4, arrOff)
-            v.foreach(x => arrOff += writeGeoShape(buf, vb + arrOff, parseWkt(x)))
+            v.foreach(x => arrOff += writeGeoShape(buf, vb + arrOff,
+              x.asInstanceOf[Seq[IndexedSeq[(Float, Float)]]]))
           case (_, Some((ob, vb))) if isArrayType(tpe) =>
             buf.putInt(ob + row * 4, arrOff)
             v.foreach { x =>
-              arrOff += writeArray(buf, vb + arrOff, elementType(tpe), arrayElems(x))
+              arrOff += writeArray(buf, vb + arrOff, elementType(tpe),
+                x.asInstanceOf[IndexedSeq[Option[Any]]])
             }
           case (Some(x), Some((_, vb))) => writeValue(buf, vb, row, tpe, x)
           case _ => ()

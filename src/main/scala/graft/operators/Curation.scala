@@ -516,7 +516,11 @@ object Curation {
     */
   def canonicalUrl(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
-    val afterScheme = substring_index(noFrag, "://", -1)
+    // strip only a LEADING scheme: substring_index on '://' would split
+    // at the LAST occurrence, so a URL embedding another absolute URL
+    // (redirect/outlink params — common in crawls) would canonicalize
+    // to the EMBEDDED url and collapse distinct resources
+    val afterScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val hostPortRaw = substring_index(substring_index(afterScheme, "/", 1), "?", 1)
     val hostPort = lower(hostPortRaw)
     val host = regexp_replace(
@@ -525,8 +529,10 @@ object Curation {
     val rawPath = substring_index(pathQ, "?", 1)
     val path = regexp_replace(
       regexp_replace(rawPath, "/index\\.html?$", ""), "/+$", "")
-    val query = when(pathQ.contains("?"), substring_index(pathQ, "?", -1))
-      .otherwise(lit(""))
+    // everything after the FIRST '?' (a literal '?' is legal inside a
+    // query value; last-occurrence splitting would drop the prefix)
+    val query = when(pathQ.contains("?"),
+      pathQ.substr(length(rawPath) + 2, lit(1 << 24))).otherwise(lit(""))
     val params = array_sort(filter(split(query, "&"), p =>
       length(p) > 0 &&
         !p.rlike("^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=")))

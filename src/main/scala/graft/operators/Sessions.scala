@@ -508,13 +508,17 @@ object Sessions {
     val convTs = when(col("__ty") === convType, col("__t"))
     val byT = Window.partitionBy("__u").orderBy(col("__t"))
     val wNext = byT.rangeBetween(1, Window.unboundedFollowing)
-    val wPrev = byT.rangeBetween(Window.unboundedPreceding, -1)
+    // "strictly after the previous conversion" is INHERENT in the
+    // next-conversion assignment: __nc is the EARLIEST conversion after
+    // the touch, so every conversion before the touch is, by
+    // definition, before it — each touch attributes to exactly one
+    // conversion with no explicit previous-conversion guard (an earlier
+    // formulation computed a prev-conversion window whose filter was
+    // provably vacuous: a whole window aggregate per event for nothing)
     val touches = ev
       .withColumn("__nc", min(convTs).over(wNext))
-      .withColumn("__pc", max(convTs).over(wPrev))
       .where(col("__ty") =!= convType && col("__nc").isNotNull &&
-        col("__t") >= col("__nc") - lookbackSeconds &&
-        (col("__pc").isNull || col("__t") > col("__pc")))
+        col("__t") >= col("__nc") - lookbackSeconds)
       .withColumn("__w", pow(lit(0.5),
         (col("__nc") - col("__t")).cast("double") / halfLifeSeconds))
     val wConv = Window.partitionBy("__u", "__nc")

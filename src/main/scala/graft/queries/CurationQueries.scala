@@ -164,9 +164,8 @@ object CurationQueries {
         |  FROM u),
         |parsed AS (
         |  SELECT doc_id, bucket,
-        |    CASE WHEN contains(split_part(url, '#', 1), '://')
-        |         THEN string_split(split_part(url, '#', 1), '://')[2]
-        |         ELSE split_part(url, '#', 1) END AS asx
+        |    regexp_replace(split_part(url, '#', 1),
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS asx
         |  FROM built),
         |hp AS (
         |  SELECT *, split_part(split_part(asx, '/', 1), '?', 1) AS hpr
@@ -179,7 +178,8 @@ object CurationQueries {
         |      split_part(substring(asx, length(hpr) + 1), '?', 1),
         |      '/index\.html?$', ''), '/+$', '') AS path,
         |    CASE WHEN contains(substring(asx, length(hpr) + 1), '?')
-        |         THEN string_split(substring(asx, length(hpr) + 1), '?')[2]
+        |         THEN substring(substring(asx, length(hpr) + 1),
+        |           length(split_part(substring(asx, length(hpr) + 1), '?', 1)) + 2)
         |         ELSE '' END AS query
         |  FROM hp),
         |canon AS (

@@ -198,17 +198,13 @@ object ExtensionQueries {
         |  SELECT *,
         |    MIN(CASE WHEN ty = 'purchase' THEN t END) OVER
         |      (PARTITION BY u ORDER BY t
-        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
-        |    MAX(CASE WHEN ty = 'purchase' THEN t END) OVER
-        |      (PARTITION BY u ORDER BY t
-        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
         |  FROM ev),
         |touches AS (
         |  SELECT u, t, ty, nc,
         |    pow(0.5, (nc - t) / 86400.0) AS w
         |  FROM tc
-        |  WHERE ty <> 'purchase' AND nc IS NOT NULL AND t >= nc - 259200
-        |    AND (pc IS NULL OR t > pc)),
+        |  WHERE ty <> 'purchase' AND nc IS NOT NULL AND t >= nc - 259200),
         |st AS (
         |  SELECT *, COUNT(*) OVER wc AS n,
         |    MIN(t) OVER wc AS tf, MAX(t) OVER wc AS tl,

@@ -53,20 +53,31 @@ private[graft] object ShardIo {
     new Path(dir, s".$name.a$attempt.tmp")
   }
 
-  /** Move a fully-written tmp into place. Overwrites a pre-existing
-    * destination (a prior attempt's or a re-run's — deterministic shards
-    * make that an idempotent overwrite, not a conflict). If the rename
-    * loses a race with a concurrent attempt that committed between our
-    * delete and rename, the committed file is byte-identical — drop the
-    * tmp and succeed; only a rename failure with NO committed destination
-    * is an error.
+  /** Move a fully-written tmp into place. RENAME FIRST — a
+    * delete-before-rename ordering would let a zombie/speculative
+    * attempt delete a COMMITTED shard (already listed by the manifest)
+    * and die before its rename, destroying durable output. When the
+    * rename fails against an existing destination, the length decides:
+    * equal length = a concurrent attempt of the SAME deterministic
+    * shard already committed (drop our identical tmp, never touch the
+    * committed file); different length = a re-run with changed data is
+    * replacing stale output (delete + rename — no manifest certifying
+    * the old bytes survives a completed re-run anyway). The residual —
+    * changed content compressing to the identical byte count — is
+    * vanishing for gzip/binary shards and self-reports through the
+    * manifest byte counts.
     */
   def commit(fs: FileSystem, tmp: Path, dest: Path): Unit = {
-    if (fs.exists(dest)) fs.delete(dest, false)
     if (!fs.rename(tmp, dest)) {
       require(fs.exists(dest),
         s"commit $dest: rename failed and no committed file exists")
-      fs.delete(tmp, false)
+      if (fs.getFileStatus(dest).getLen == fs.getFileStatus(tmp).getLen)
+        fs.delete(tmp, false)
+      else {
+        fs.delete(dest, false)
+        require(fs.rename(tmp, dest),
+          s"commit $dest: rename failed after replacing a stale shard")
+      }
     }
   }
 }

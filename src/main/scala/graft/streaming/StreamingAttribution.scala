@@ -108,7 +108,11 @@ object StreamingAttribution {
           else appended)
       }
     }
-    if (!state.getOption.contains(cur)) state.update(cur)
+    // never persist the INITIAL state: a user whose batch carried only
+    // irrelevant event types must not grow keyed state (on a firehose
+    // most users never touch the funnel — the StreamingFunnel guard)
+    if (cur != AttState(Nil, Long.MinValue) && !state.getOption.contains(cur))
+      state.update(cur)
     out.result().iterator
   }
 

@@ -489,18 +489,19 @@ class GraftServerSpec extends SparkSpec {
         .asInstanceOf[JObject].values
     }
     assert(fares(s1.boundPort) == Map("sf" -> 11.5, "nyc" -> 2.0))
-    assert(firstStops(s1.boundPort).get("2").contains(10.0))
+    val stopsBefore = firstStops(s1.boundPort)
+    assert(stopsBefore.get("2").contains(10.0) && stopsBefore.contains("0"),
+      s"pre-crash array state unexpected: $stopsBefore")
     s1.stop() // crash: overlay in memory only; journal holds binary records
 
     val s2 = mk()
     assert(fares(s2.boundPort) == Map("sf" -> 11.5, "nyc" -> 2.0),
       "binary journal records must replay through the synced enum dictionaries")
     // the ARRAY vector parties replay too: null row, empty array and
-    // values all intact after the rebuild
-    assert(firstStops(s2.boundPort) == firstStops(s2.boundPort) &&
-      firstStops(s2.boundPort).get("2").contains(10.0) &&
-      firstStops(s2.boundPort).contains("0"),
-      s"array wire replay mismatch: ${firstStops(s2.boundPort)}")
+    // values all intact after the rebuild — compared against the
+    // PRE-CRASH answer
+    assert(firstStops(s2.boundPort) == stopsBefore,
+      s"array wire replay mismatch: ${firstStops(s2.boundPort)} vs $stopsBefore")
     s2.stop()
   }
 

@@ -118,6 +118,47 @@ class WirePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("crafted counts that overflow Int sizing fail the walls, never escape") {
+    // a valid single-row array batch, then the count word inflated to a
+    // value whose Int-sized byte math wraps (~2^25 elements x 128-bit
+    // items): the decoder must raise a layout error, not read past the
+    // buffer or decode a wrong null mask
+    val base = UpsertClient.encode(1, 1706659200L, Seq(
+      (0, Uuid | ArrayBit, IndexedSeq(Some(IndexedSeq(
+        Some("00112233-4455-6677-8899-aabbccddeeff")))))))
+    val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // find the array value: column data starts at the first offset word
+    val colStart = bb.getInt(28)
+    // layout: offset vector (2 words, 4-aligned) then 8-aligned value
+    val valueBase = (colStart + 2 * 4 + 7) / 8 * 8
+    Seq(1 << 25, Int.MaxValue, -5).foreach { crafted =>
+      val evil = base.clone()
+      java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(valueBase, crafted)
+      try { UpsertBatchWire.decode(evil); fail(s"count $crafted decoded") }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"count $crafted escaped the walls: $e")
+      }
+    }
+    // same for geoshape point counts
+    val gs = UpsertClient.encode(1, 1706659200L, Seq(
+      (0, GeoShape, IndexedSeq(Some("POLYGON((0 0, 1 0, 1 1, 0 0))")))))
+    val gsStart = java.nio.ByteBuffer.wrap(gs)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(28)
+    val gsValue = (gsStart + 2 * 4 + 7) / 8 * 8
+    Seq(1 << 28, -3).foreach { crafted =>
+      val evil = gs.clone()
+      java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(gsValue + 4, crafted) // nPoints of polygon 0
+      try { UpsertBatchWire.decode(evil); fail(s"nPts $crafted decoded") }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"nPts $crafted escaped the walls: $e")
+      }
+    }
+  }
+
   test("a truncated body fails loudly, never reads out of bounds") {
     forAllN(genBatch, n = 60) { case (numRows, cols) =>
       val bytes = UpsertClient.encode(numRows, 1706659200L, cols)
