@@ -498,8 +498,29 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   })
 
   // liveness + version probes (ref api/health_check_handler.go:39-53)
+  /** LB-drain switch (ref api/health_check_handler.go:29-45 +
+    * debug_handler.go HealthSwitch): `POST /health/off` makes the
+    * health probe answer 503 so the load balancer drains this member
+    * WITHOUT killing in-flight work; `POST /health/on` restores it.
+    * Serving itself is unaffected — only the probe lies down.
+    */
+  @volatile private var healthDisabled = false
   mount("/health", (ex: HttpExchange) => handle(ex) {
-    respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
+    val sub = ex.getRequestURI.getPath.stripPrefix("/health").stripPrefix("/")
+    (ex.getRequestMethod, sub) match {
+      case ("POST", "on") | ("POST", "off") =>
+        healthDisabled = sub == "off"
+        respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
+      case ("POST", other) =>
+        throw new IllegalArgumentException(
+          s"must specify on or off in the url, got '$other'")
+      case _ =>
+        if (healthDisabled)
+          respondBytes(ex, 503, "text/plain",
+            "Health check disabled".getBytes(StandardCharsets.UTF_8))
+        else
+          respondBytes(ex, 200, "text/plain", "OK".getBytes(StandardCharsets.UTF_8))
+    }
   })
   mount("/version", (ex: HttpExchange) => handle(ex) {
     respondBytes(ex, 200, "text/plain", "graft-0.3".getBytes(StandardCharsets.UTF_8))

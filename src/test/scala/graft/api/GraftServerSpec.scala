@@ -160,6 +160,19 @@ class GraftServerSpec extends SparkSpec {
   test("health and version probes answer") {
     assert(get("/health").body() == "OK")
     assert(get("/version").body().nonEmpty)
+    // LB-drain switch (ref /health/{onOrOff}): the probe lies down with
+    // a 503, serving keeps answering, /health/on restores
+    assert(post("/health/off", "").statusCode() == 200)
+    val drained = get("/health")
+    assert(drained.statusCode() == 503 &&
+      drained.body() == "Health check disabled")
+    val duringDrain = post("/query/sql",
+      """{"queries": ["SELECT count(*) AS value FROM documents"]}""")
+    assert(duringDrain.statusCode() == 200,
+      "serving must continue while the probe is drained")
+    assert(post("/health/banana", "").statusCode() == 400)
+    assert(post("/health/on", "").statusCode() == 200)
+    assert(get("/health").body() == "OK")
     // shard path segment accepted and ignored (Spark partitions ≠ shards)
     val r = post("/data/documents/0", """[
       {"doc_id": 9100001, "text": "sharded", "lang": "en", "source": "api", "n_chars": 7}]""")
