@@ -53,14 +53,41 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
       val sc = spark.sparkContext
       val groupId = s"graft-deadline-${queryIds.incrementAndGet()}"
       val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // `done` is read and written under this lock so that once the query's
+      // scope has exited (finally below), no straggling watchdog tick can
+      // still issue a cancellation for this group id
+      val gate = new Object
       sc.setJobGroup(groupId, "graft query under deadline", interruptOnCancel = true)
-      val cancel = watchdog.schedule(new Runnable {
-        // ...AndFutureJobs: a multi-job execution (any AQE plan is a
-        // SEQUENCE of stage jobs) can be between jobs when the deadline
-        // fires — plain cancelJobGroup would find nothing active and the
-        // query would sail past its deadline on the next submitted job
-        def run(): Unit = { fired.set(true); sc.cancelJobGroupAndFutureJobs(groupId) }
-      }, queryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      // A REPEATING non-sticky cancel while the query is overdue, NOT the
+      // one-shot sticky cancelJobGroupAndFutureJobs. Two hazards drove
+      // this shape:
+      //  - a multi-job execution (any AQE plan is a SEQUENCE of stage
+      //    jobs) can be between jobs when the deadline fires — a single
+      //    plain cancelJobGroup would find nothing active and the query
+      //    would sail past its deadline on the next submitted job. The
+      //    250 ms re-fire bounds post-deadline progress to one tick.
+      //  - cancelJobGroupAndFutureJobs poisons PERMANENTLY: Spark's lazy
+      //    internal pools (broadcast exchange, AQE stage creation) inherit
+      //    localProperties from whichever query's thread chain created
+      //    them, so a pool thread born during this query carries this
+      //    group id FOREVER, and with the sticky cancel every later
+      //    query's pool-submitted job is "part of cancelled job group"
+      //    and skipped — a cross-query cancellation bleed reproduced in
+      //    ServingConcurrencySpec ("late watchdog" case) before this fix.
+      //    Non-sticky cancels only touch jobs active at tick time, and
+      //    ticks stop the moment the query's scope exits.
+      // Residual (documented, accepted): while a runaway query is being
+      // actively killed, a CONCURRENT query's broadcast job submitted via
+      // a pool thread from the victim's lineage can be collaterally
+      // cancelled — it surfaces as a retryable cancellation error during
+      // the victim's overdue window only, never a wrong answer, and never
+      // outlives the window.
+      val cancel = watchdog.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit = gate.synchronized {
+          if (!done.get()) { fired.set(true); sc.cancelJobGroup(groupId) }
+        }
+      }, queryTimeoutSec * 1000L, 250L, java.util.concurrent.TimeUnit.MILLISECONDS)
       try f
       catch {
         // rethrow CANCELLATIONS under the deadline's name so clients see
@@ -72,6 +99,7 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
           throw new IllegalStateException(
             s"query deadline exceeded (${queryTimeoutSec}s)")
       } finally {
+        gate.synchronized { done.set(true) }
         cancel.cancel(false)
         sc.clearJobGroup()
       }

@@ -138,15 +138,66 @@ class ServingConcurrencySpec extends SparkSpec {
       assert(msg.contains("query deadline exceeded (2s)"), msg)
       assert(wallMs < 6500,
         s"deadline query ran ${wallMs}ms — cancellation did not stop the job")
-      // the session and server survive the cancellation
-      val ok = post(server.boundPort, "/query/aql",
-        """{"queries": [{"table": "documents",
-          "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
-      assert((JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+      // The session survives the cancellation. Asserted against a server
+      // WITHOUT a deadline on the SAME SparkSession: what this guards is
+      // "cancellation did not poison the shared session", and checking it
+      // under the 2 s deadline conflated that with "a cold documents scan
+      // on a loaded host finishes in 2 s" — a host property, not a code
+      // property (it flaked exactly once, in a run whose sibling gates
+      // measured 9x their normal times).
+      val survivor = new GraftServer(Catalog.testdata(sfDir), spark)
+      survivor.start()
+      try {
+        val ok = post(survivor.boundPort, "/query/aql",
+          """{"queries": [{"table": "documents",
+            "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
+        assert((JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+      } finally survivor.stop()
       // the cancellation is an operational counter
       val m = JsonMethods.parse(get(server.boundPort, "/metrics").body())
       assert((m \ "deadlineCancelled") == JInt(1),
         JsonMethods.compact(JsonMethods.render(m)))
     } finally server.stop()
+  }
+
+  test("a fired watchdog cannot cancel a successor query (no cancellation bleed)") {
+    // Drives the REAL watchdog end-to-end: query A genuinely exceeds its
+    // deadline and is cancelled; successor queries must be untouched.
+    // Regression pin for a bug this spec caught: Spark's lazy internal
+    // pools (broadcast exchange, AQE stage creation) inherit
+    // localProperties from the thread chain that creates them, so a pool
+    // thread born during A carries A's job group FOREVER — with the
+    // sticky cancelJobGroupAndFutureJobs the old withDeadline used, every
+    // later query whose plan rode such a pool thread was skipped as
+    // "part of cancelled job group graft-deadline-1", session-wide and
+    // permanent. The successor runs on a NO-deadline service — the
+    // poisoning lives in Spark's global pools, not the service, so the
+    // bleed (if reintroduced) still manifests here, while the success
+    // check itself cannot flake on a loaded host's scan time.
+    val sleepy = udf((x: Long) => { Thread.sleep(500); x })
+    val base = Catalog.testdata(sfDir)
+    val cat = base.copy(tables = base.tables + ("crawl2" -> TableDef(
+      "crawl2", isFact = false, primaryKey = Seq("slow"),
+      load = s => s.range(0, 64, 1, 4).select(sleepy(col("id")).as("slow")))))
+    val deadlined = new graft.exec.QueryService(cat, spark, queryTimeoutSec = 2)
+    val a = JsonMethods.parse(deadlined.aql(
+      """{"queries": [{"table": "crawl2",
+        "measures": [{"alias": "value", "sqlExpression": "max(slow)"}]}]}"""))
+    (a \ "errors") match {
+      case JArray(JString(m) :: _) =>
+        assert(m.contains("query deadline exceeded"), m)
+      case other => fail(s"expected the slow query to be cancelled, got $other")
+    }
+    // A's scope has exited -> its watchdog ticks are stopped; successors
+    // must be clean. Run two so at least one plan rides the execution
+    // pools Spark spun up (and group-poisoned) during A.
+    val survivor = new graft.exec.QueryService(base, spark)
+    val okQ = """{"queries": [{"table": "documents",
+      "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}"""
+    (1 to 2).foreach { i =>
+      val b = JsonMethods.parse(survivor.aql(okQ))
+      assert((b \ "errors") == JNull,
+        s"successor query $i was cancelled by a late watchdog: $b")
+    }
   }
 }
