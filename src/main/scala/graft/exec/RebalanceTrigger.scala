@@ -75,7 +75,12 @@ object RebalanceTrigger {
       () => SliceRebalance.read(topologyDir).map(_.owners.keySet).getOrElse(Set.empty),
       slices => {
         val dirs = slices.map(s => s -> s"$localRoot/$s").toMap
-        val r = SliceRebalance.rebalanceDetailed(spark, sharedArchiveDir, dirs, topologyDir)
+        // fence at fire time: the version this watcher's decision was
+        // based on — a concurrent watcher that publishes first makes
+        // this rebalance abort by name instead of last-writer-wins
+        val expected = SliceRebalance.read(topologyDir).map(_.version)
+        val r = SliceRebalance.rebalanceDetailed(spark, sharedArchiveDir, dirs,
+          topologyDir, expected)
         log.info(s"membership-triggered rebalance published " +
           s"v${r.assignment.version} over slices ${slices.toSeq.sorted.mkString(", ")}")
       },

@@ -92,9 +92,34 @@ object SliceRebalance {
     * by contract, but the drop phase never TRUSTS that contract with
     * member data: a day partition is deleted from a member only when the
     * shared archive verifiably holds every one of its files.
+    *
+    * Fenced against concurrent rebalances: the published assignment's
+    * version is read at entry, and [[publish]] refuses (named error,
+    * BEFORE the drop phase) if the on-disk version moved in between —
+    * two `RebalanceMain --watch` processes racing (an operator mistake
+    * that will happen) resolve to exactly one winner instead of
+    * last-writer-wins over divergent ownership views. The reference
+    * serializes placement through etcd
+    * (controller/handlers/assignment.go:57-165, cluster/kvstore); the
+    * file-published analogue is this version fence plus a publish lock.
+    * Deploy a SINGLE --watch rebalancer per topology dir regardless —
+    * the fence turns the mistake loud and loss-free (the loser's copies
+    * are over-replication GC'd by the next successful rebalance; its
+    * drops never ran), not silent.
     */
   def rebalanceDetailed(spark: SparkSession, sharedArchiveDir: String,
-      localDirs: Map[String, String], topologyDir: String): RebalanceResult = {
+      localDirs: Map[String, String], topologyDir: String): RebalanceResult =
+    rebalanceDetailed(spark, sharedArchiveDir, localDirs, topologyDir,
+      read(topologyDir).map(_.version))
+
+  /** [[rebalanceDetailed]] with an explicit fence: `expectedVersion` is
+    * the published assignment version the caller's ownership view was
+    * computed against (None = no assignment existed). The publish aborts
+    * by name if the on-disk version differs at publish time.
+    */
+  def rebalanceDetailed(spark: SparkSession, sharedArchiveDir: String,
+      localDirs: Map[String, String], topologyDir: String,
+      expectedVersion: Option[Long]): RebalanceResult = {
     // merge-up FIRST: a day a member's scheduler drained into LOCAL
     // storage exists nowhere else — it must reach the shared archive
     // before the day list is read (so it gets an owner) and before any
@@ -111,7 +136,7 @@ object SliceRebalance {
     owners.foreach { case (slice, owned) =>
       SliceBootstrap.copyDays(spark, sharedArchiveDir, localDirs(slice), owned.toSet)
     }
-    val published = publish(topologyDir, owners)
+    val published = publish(topologyDir, owners, expectedVersion)
     // guarded drop: a local day leaves a member only when the shared
     // archive holds ALL of its files (a bootstrapped copy, possibly
     // partial, of the shared partition). A local partition with files
@@ -317,22 +342,74 @@ object SliceRebalance {
     * discipline: temp file + ATOMIC_MOVE rename, so a concurrent reader
     * sees the old complete document or the new complete document, never
     * a torn one.
+    *
+    * Fenced: the re-read + rename run under the publish lock, and the
+    * re-read version must equal `expectedVersion` (the version the
+    * caller's ownership computation was based on). A moved version means
+    * a concurrent rebalance won — this one aborts with a named error
+    * before any of its drops run, leaving storage over-replicated, never
+    * under.
     */
-  private def publish(topologyDir: String, owners: Map[String, Seq[String]]): Assignment = {
+  private def publish(topologyDir: String, owners: Map[String, Seq[String]],
+      expectedVersion: Option[Long]): Assignment = {
     Files.createDirectories(Paths.get(topologyDir))
-    val prior = read(topologyDir)
-    if (prior.exists(_.owners == owners)) return prior.get
-    val next = Assignment(prior.map(_.version + 1).getOrElse(1L), owners)
-    val doc = JObject(
-      "version" -> JLong(next.version),
-      "owners" -> JObject(next.owners.toSeq.sortBy(_._1).map { case (k, ds) =>
-        k -> (JArray(ds.map(JString(_)).toList): JValue)
-      }: _*))
-    val tmp = Paths.get(topologyDir, s".assignment.json.tmp")
-    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)),
-      StandardCharsets.UTF_8)
-    Files.move(tmp, Paths.get(topologyDir, "assignment.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    next
+    withPublishLock(topologyDir) {
+      val prior = read(topologyDir)
+      if (prior.map(_.version) != expectedVersion)
+        throw new IllegalStateException(
+          s"rebalance fenced: the published assignment is " +
+            s"v${prior.map(_.version).getOrElse(0L)} but this rebalance computed " +
+            s"ownership against v${expectedVersion.getOrElse(0L)} — a concurrent " +
+            "rebalance published first. Aborting before the drop phase (local " +
+            "storage stays a superset of ownership); re-run against the current " +
+            "assignment, and deploy a single --watch rebalancer per topology dir.")
+      prior match {
+        case Some(p) if p.owners == owners => p
+        case _ =>
+          val next = Assignment(prior.map(_.version + 1).getOrElse(1L), owners)
+          val doc = JObject(
+            "version" -> JLong(next.version),
+            "owners" -> JObject(next.owners.toSeq.sortBy(_._1).map { case (k, ds) =>
+              k -> (JArray(ds.map(JString(_)).toList): JValue)
+            }: _*))
+          val tmp = Paths.get(topologyDir, s".assignment.json.tmp")
+          Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)),
+            StandardCharsets.UTF_8)
+          Files.move(tmp, Paths.get(topologyDir, "assignment.json"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          next
+      }
+    }
+  }
+
+  /** Serialize the check-and-rename of [[publish]] across processes: an
+    * atomically-created lock file closes the window where two publishers
+    * could both re-read an unmoved version and both rename. Held for
+    * milliseconds (small-file read + write + rename). A lock left by a
+    * crash inside that window is taken over once it is older than
+    * [[StaleLockMs]]; a FRESH foreign lock aborts by the same fencing
+    * name — the caller re-runs.
+    */
+  private val StaleLockMs = 60000L
+  private def withPublishLock[T](topologyDir: String)(body: => T): T = {
+    val lock = Paths.get(topologyDir, ".assignment.lock")
+    def acquire(canSteal: Boolean): Unit =
+      try { Files.createFile(lock); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => 0L } // lock vanished: retry below
+          if (canSteal && age > StaleLockMs) {
+            try Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+            acquire(canSteal = false)
+          } else throw new IllegalStateException(
+            s"rebalance fenced: another rebalance holds the publish lock $lock " +
+              s"(age ${age}ms) — aborting before the drop phase. Re-run; a lock " +
+              s"older than ${StaleLockMs}ms is taken over automatically.")
+      }
+    acquire(canSteal = true)
+    try body finally Files.deleteIfExists(lock)
   }
 }

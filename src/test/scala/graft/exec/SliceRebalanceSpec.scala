@@ -143,6 +143,67 @@ class SliceRebalanceSpec extends SparkSpec {
     } finally Seq(whole, pa, pb).foreach(_.stop())
   }
 
+  test("publish fencing: racing rebalances resolve to one winner; the loser aborts by name, drops nothing") {
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sharedDir = Tables.eventsArchivePath(sfDir)
+    val topoDir = tmp("rebf-topo")
+    val dirsAB = Map("a" -> tmp("rebf-a"), "b" -> tmp("rebf-b"))
+    val dirsABC = dirsAB + ("c" -> tmp("rebf-c"))
+
+    // Two concurrent `--watch` rebalancers both read the same base view
+    // (no assignment yet) before either publishes — the interleaving is
+    // expressed deterministically by capturing the fence both would have
+    // read. Watcher 1 (members a,b) wins the race:
+    val fence = SliceRebalance.read(topoDir).map(_.version)
+    val v1 = SliceRebalance.rebalanceDetailed(
+      spark, sharedDir, dirsAB, topoDir, fence).assignment
+    assert(v1.version == 1L)
+
+    // Watcher 2 (members a,b,c — a DIFFERENT ownership view) computed
+    // against the same stale base; its publish must refuse by name and
+    // abort BEFORE its drop phase.
+    val daysBefore = dirsABC.map { case (s, d) =>
+      s -> SliceBootstrap.localDays(spark, d) }
+    val e = intercept[IllegalStateException] {
+      SliceRebalance.rebalanceDetailed(spark, sharedDir, dirsABC, topoDir, fence)
+    }
+    assert(e.getMessage.contains("rebalance fenced"), e.getMessage)
+    // the winner's publication stands untouched
+    assert(SliceRebalance.read(topoDir).contains(v1))
+    // the loser dropped NOTHING under its divergent view: every member
+    // still holds at least its pre-race days (the loser's copy phase may
+    // have ADDED days to c — over-replication, the safe direction, GC'd
+    // by the next successful rebalance)
+    dirsABC.foreach { case (s, d) =>
+      val now = SliceBootstrap.localDays(spark, d)
+      assert(daysBefore(s).forall(now.contains),
+        s"the fenced loser dropped days from member '$s'")
+    }
+
+    // a rebalance over the CURRENT assignment (fresh fence) succeeds
+    val v2 = SliceRebalance.rebalanceDetailed(
+      spark, sharedDir, dirsABC, topoDir).assignment
+    assert(v2.version == 2L && v2.owners.keySet == Set("a", "b", "c"))
+
+    // a FRESH foreign publish lock aborts by name (another publisher is
+    // in its check-and-rename window)...
+    val lock = java.nio.file.Paths.get(topoDir, ".assignment.lock")
+    java.nio.file.Files.createFile(lock)
+    val e2 = intercept[IllegalStateException] {
+      SliceRebalance.rebalanceDetailed(spark, sharedDir, dirsABC, topoDir)
+    }
+    assert(e2.getMessage.contains("publish lock"), e2.getMessage)
+    // ...while a STALE one (crashed publisher) is taken over automatically
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    val v2again = SliceRebalance.rebalanceDetailed(
+      spark, sharedDir, dirsABC, topoDir).assignment
+    assert(v2again == v2, "takeover re-run must be the idempotent no-op")
+    assert(!java.nio.file.Files.exists(lock), "the taken-over lock must be released")
+  }
+
   test("a locally-drained fresh day survives rebalance: merged up, owned once, queryable") {
     import org.apache.spark.sql.functions._
     Tables.eventsArchived(spark, sfDir)
