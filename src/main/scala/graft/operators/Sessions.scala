@@ -497,6 +497,27 @@ object Sessions {
     */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSeconds: Long, halfLifeSeconds: Long): DataFrame =
+    attributionCredits(events, userCol, tsCol, typeCol, touchTypes, convType,
+      lookbackSeconds, halfLifeSeconds)
+      .groupBy(col("touch_type").as(typeCol))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        round(sum("first_touch"), 4).as("first_touch"),
+        round(sum("last_touch"), 4).as("last_touch"),
+        round(sum("linear"), 4).as("linear"),
+        round(sum("position_based"), 4).as("position_based"),
+        round(sum("time_decay"), 4).as("time_decay"))
+
+  /** [[attribution]] at PER-TOUCH grain: one row per credited touch —
+    * `(user, conv_ts, touch_type, touch_ts)` plus the five UNROUNDED
+    * model credits that touch earned for that conversion. The same rows
+    * [[graft.streaming.StreamingAttribution]] emits as `Credit`s, which
+    * is the point: this grain is what [[attributionDiff]] reconciles.
+    * [[attribution]] is exactly this grouped by touch type.
+    */
+  def attributionCredits(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
       lookbackSeconds: Long, halfLifeSeconds: Long): DataFrame = {
     require(touchTypes.nonEmpty && !touchTypes.contains(convType),
       "touch types must be non-empty and exclude the conversion type")
@@ -539,15 +560,86 @@ object Sessions {
         .when(isF, when(mid > 0, lit(0.4)).otherwise(lit(0.5)) / col("__nf"))
         .when(isL, when(mid > 0, lit(0.4)).otherwise(lit(0.5)) / col("__nl"))
         .otherwise(lit(0.2) / mid)
-    stats.groupBy(col("__ty").as(typeCol))
-      .agg(
-        count(lit(1)).as("n_touches"),
-        round(sum(when(isF, lit(1.0) / col("__nf")).otherwise(lit(0.0))), 4)
-          .as("first_touch"),
-        round(sum(when(isL, lit(1.0) / col("__nl")).otherwise(lit(0.0))), 4)
-          .as("last_touch"),
-        round(sum(lit(1.0) / col("__n")), 4).as("linear"),
-        round(sum(position), 4).as("position_based"),
-        round(sum(col("__w") / col("__ws")), 4).as("time_decay"))
+    stats.select(
+      col("__u").as("user"),
+      col("__nc").as("conv_ts"),
+      col("__ty").as("touch_type"),
+      col("__t").as("touch_ts"),
+      when(isF, lit(1.0) / col("__nf")).otherwise(lit(0.0)).as("first_touch"),
+      when(isL, lit(1.0) / col("__nl")).otherwise(lit(0.0)).as("last_touch"),
+      (lit(1.0) / col("__n")).as("linear"),
+      position.as("position_based"),
+      (col("__w") / col("__ws")).as("time_decay"))
+  }
+
+  /** Reconcile STREAMED attribution credits against the batch truth over
+    * a closed window — the correction operator the streaming operator's
+    * documented trade (a cross-batch late touch is dropped where batch
+    * would credit it) needs to be safe to deploy. Same family as the
+    * reference's backfill-vs-live split: the stream serves the live
+    * number, a nightly closed-window diff emits the corrections.
+    *
+    * `streamedCredits` are [[graft.streaming.StreamingAttribution.Credit]]
+    * rows (camelCase columns); `events` must cover
+    * `[windowFromSec - lookbackSeconds, windowToSec)` so every batch
+    * credit inside the window sees its full touch history. Both sides are
+    * restricted to conversions with `windowFromSec <= conv_ts <
+    * windowToSec` — closed means no conversion in the window can still
+    * gain touches (run it once `windowToSec + lookbackSeconds` has
+    * safely passed the stream's ingestion lag).
+    *
+    * Output: one row per `(user, conv_ts, touch_type, touch_ts)` whose
+    * credits differ, carrying the five model DELTAS (batch minus
+    * streamed) and a `kind` — `missing` (batch credited, stream did not:
+    * the late-touch case), `extra` (stream credited, batch did not), or
+    * `adjusted` (both credited, shares moved — a late touch changes
+    * EVERY sibling's linear/position/decay share, not just its own).
+    * Adding the deltas to the streamed credits reproduces the batch
+    * credits exactly: streamed + corrections == batch, the invariant
+    * the equivalence property pins.
+    *
+    * Scale shape: the batch side is [[attributionCredits]] (two
+    * user-keyed shuffles over the window's events); the join is
+    * credit-grain (orders of magnitude smaller than events) on a
+    * user-prefixed key. Nothing here rescans history outside the window.
+    */
+  def attributionDiff(streamedCredits: DataFrame, events: DataFrame,
+      userCol: String, tsCol: String, typeCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackSeconds: Long, halfLifeSeconds: Long,
+      windowFromSec: Long, windowToSec: Long): DataFrame = {
+    require(windowFromSec < windowToSec, "empty reconciliation window")
+    val models = Seq("first_touch", "last_touch", "linear",
+      "position_based", "time_decay")
+    val key = Seq("user", "conv_ts", "touch_type", "touch_ts")
+    val inWindow = col("conv_ts") >= windowFromSec && col("conv_ts") < windowToSec
+    // both sides pre-aggregate to the credit key: duplicate events (same
+    // user/ts/type twice) legitimately yield two credit rows per key, and
+    // diffing them row-to-row would be a many-to-many join — summed
+    // per-key credits are the well-defined comparable quantity
+    def perKey(df: DataFrame, prefix: String): DataFrame =
+      df.where(inWindow).groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as(s"${prefix}_n"),
+          models.map(m => sum(col(m)).as(s"${prefix}_$m")): _*)
+    val batch = perKey(attributionCredits(events, userCol, tsCol, typeCol,
+      touchTypes, convType, lookbackSeconds, halfLifeSeconds), "__b")
+    val streamed = perKey(streamedCredits
+      .select(col("user"), col("convTs").as("conv_ts"),
+        col("touchType").as("touch_type"), col("touchTs").as("touch_ts"),
+        col("firstTouch").as("first_touch"), col("lastTouch").as("last_touch"),
+        col("linear"), col("positionBased").as("position_based"),
+        col("timeDecay").as("time_decay")), "__s")
+    val deltas = models.map(m =>
+      (coalesce(col(s"__b_$m"), lit(0.0)) -
+        coalesce(col(s"__s_$m"), lit(0.0))).as(m))
+    // 1e-6: far below any real credit share, far above the fp drift
+    // between the stream's Scala fold and the batch plan's sum ordering
+    val changed = models.map(m => abs(col(m)) > 1e-6).reduce(_ || _)
+    batch.join(streamed, key, "full_outer")
+      .select(key.map(col) ++
+        (when(col("__s_n").isNull, lit("missing"))
+          .when(col("__b_n").isNull, lit("extra"))
+          .otherwise(lit("adjusted")).as("kind") +: deltas): _*)
+      .where(changed)
   }
 }

@@ -233,6 +233,127 @@ object ExtensionQueries {
         .orderBy(asc_nulls_first("event_type"))
     },
 
+    // --- attribution reconciliation: the closed-window diff that makes
+    // the streaming operator's late-touch drop safe to deploy. The
+    // "streamed" side is simulated deterministically — the credits
+    // computed WITHOUT the touches a modulus predicate marks late
+    // (event_id % 7 = 3) — and attributionDiff emits exactly the deltas
+    // that restore the full-history batch truth (missing rows for the
+    // dropped touches, adjusted rows for their siblings' moved shares).
+    // The oracle replays both credit computations and the full-outer
+    // key-grain diff; the >1e-6 changed-filter applies to UNROUNDED
+    // deltas in both engines.
+    QueryDef("q_event_attribution_diff",
+      """WITH ev AS (
+        |  SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+        |    event_type AS ty, event_id AS eid
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |evs AS (
+        |  SELECT * FROM ev
+        |  WHERE NOT (ty IN ('view', 'click') AND eid % 7 = 3)),
+        |b0 AS (
+        |  SELECT u, t, ty,
+        |    MIN(CASE WHEN ty = 'purchase' THEN t END) OVER
+        |      (PARTITION BY u ORDER BY t
+        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+        |  FROM ev),
+        |b1 AS (
+        |  SELECT u, t, ty, nc, pow(0.5, (nc - t) / 86400.0) AS w
+        |  FROM b0 WHERE ty <> 'purchase' AND nc IS NOT NULL AND t >= nc - 259200),
+        |b2 AS (
+        |  SELECT *, COUNT(*) OVER wc AS n, MIN(t) OVER wc AS tf,
+        |    MAX(t) OVER wc AS tl, SUM(w) OVER wc AS ws
+        |  FROM b1 WINDOW wc AS (PARTITION BY u, nc)),
+        |b3 AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN t = tf THEN 1 ELSE 0 END) OVER wc AS nf,
+        |    SUM(CASE WHEN t = tl THEN 1 ELSE 0 END) OVER wc AS nl
+        |  FROM b2 WINDOW wc AS (PARTITION BY u, nc)),
+        |b AS (
+        |  SELECT u, nc, ty, t,
+        |    SUM(CASE WHEN t = tf THEN 1.0 / nf ELSE 0 END) AS f,
+        |    SUM(CASE WHEN t = tl THEN 1.0 / nl ELSE 0 END) AS l,
+        |    SUM(1.0 / n) AS lin,
+        |    SUM(CASE WHEN tf = tl THEN 1.0 / n
+        |      WHEN t = tf THEN (CASE WHEN n - nf - nl > 0 THEN 0.4 ELSE 0.5 END) / nf
+        |      WHEN t = tl THEN (CASE WHEN n - nf - nl > 0 THEN 0.4 ELSE 0.5 END) / nl
+        |      ELSE 0.2 / (n - nf - nl) END) AS pos,
+        |    SUM(w / ws) AS dec
+        |  FROM b3 GROUP BY 1, 2, 3, 4),
+        |s0 AS (
+        |  SELECT u, t, ty,
+        |    MIN(CASE WHEN ty = 'purchase' THEN t END) OVER
+        |      (PARTITION BY u ORDER BY t
+        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+        |  FROM evs),
+        |s1 AS (
+        |  SELECT u, t, ty, nc, pow(0.5, (nc - t) / 86400.0) AS w
+        |  FROM s0 WHERE ty <> 'purchase' AND nc IS NOT NULL AND t >= nc - 259200),
+        |s2 AS (
+        |  SELECT *, COUNT(*) OVER wc AS n, MIN(t) OVER wc AS tf,
+        |    MAX(t) OVER wc AS tl, SUM(w) OVER wc AS ws
+        |  FROM s1 WINDOW wc AS (PARTITION BY u, nc)),
+        |s3 AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN t = tf THEN 1 ELSE 0 END) OVER wc AS nf,
+        |    SUM(CASE WHEN t = tl THEN 1 ELSE 0 END) OVER wc AS nl
+        |  FROM s2 WINDOW wc AS (PARTITION BY u, nc)),
+        |s AS (
+        |  SELECT u, nc, ty, t,
+        |    SUM(CASE WHEN t = tf THEN 1.0 / nf ELSE 0 END) AS f,
+        |    SUM(CASE WHEN t = tl THEN 1.0 / nl ELSE 0 END) AS l,
+        |    SUM(1.0 / n) AS lin,
+        |    SUM(CASE WHEN tf = tl THEN 1.0 / n
+        |      WHEN t = tf THEN (CASE WHEN n - nf - nl > 0 THEN 0.4 ELSE 0.5 END) / nf
+        |      WHEN t = tl THEN (CASE WHEN n - nf - nl > 0 THEN 0.4 ELSE 0.5 END) / nl
+        |      ELSE 0.2 / (n - nf - nl) END) AS pos,
+        |    SUM(w / ws) AS dec
+        |  FROM s3 GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(COALESCE(b.u, s.u) AS BIGINT) AS user_id,
+        |  COALESCE(b.nc, s.nc) AS conv_ts,
+        |  COALESCE(b.ty, s.ty) AS touch_type,
+        |  COALESCE(b.t, s.t) AS touch_ts,
+        |  CASE WHEN s.ty IS NULL THEN 'missing'
+        |       WHEN b.ty IS NULL THEN 'extra'
+        |       ELSE 'adjusted' END AS kind,
+        |  ROUND(COALESCE(b.f, 0) - COALESCE(s.f, 0), 4) AS d_first_touch,
+        |  ROUND(COALESCE(b.l, 0) - COALESCE(s.l, 0), 4) AS d_last_touch,
+        |  ROUND(COALESCE(b.lin, 0) - COALESCE(s.lin, 0), 4) AS d_linear,
+        |  ROUND(COALESCE(b.pos, 0) - COALESCE(s.pos, 0), 4) AS d_position_based,
+        |  ROUND(COALESCE(b.dec, 0) - COALESCE(s.dec, 0), 4) AS d_time_decay
+        |FROM b FULL OUTER JOIN s
+        |  ON b.u = s.u AND b.nc = s.nc AND b.ty = s.ty AND b.t = s.t
+        |WHERE abs(COALESCE(b.f, 0) - COALESCE(s.f, 0)) > 1e-6
+        |   OR abs(COALESCE(b.l, 0) - COALESCE(s.l, 0)) > 1e-6
+        |   OR abs(COALESCE(b.lin, 0) - COALESCE(s.lin, 0)) > 1e-6
+        |   OR abs(COALESCE(b.pos, 0) - COALESCE(s.pos, 0)) > 1e-6
+        |   OR abs(COALESCE(b.dec, 0) - COALESCE(s.dec, 0)) > 1e-6
+        |ORDER BY user_id, conv_ts, touch_type, touch_ts""".stripMargin) { (s, d) =>
+      val ev = Tables.eventsByUser(s, d)
+      val withoutLate = ev.where(!(col("event_type").isin("view", "click") &&
+        col("event_id") % 7 === 3))
+      val streamedSim = graft.operators.Sessions.attributionCredits(
+          withoutLate, "user_id", "ts", "event_type", Seq("view", "click"),
+          "purchase", lookbackSeconds = 259200L, halfLifeSeconds = 86400L)
+        .select(col("user"), col("conv_ts").as("convTs"),
+          col("touch_type").as("touchType"), col("touch_ts").as("touchTs"),
+          col("first_touch").as("firstTouch"), col("last_touch").as("lastTouch"),
+          col("linear"), col("position_based").as("positionBased"),
+          col("time_decay").as("timeDecay"))
+      graft.operators.Sessions.attributionDiff(streamedSim, ev,
+          "user_id", "ts", "event_type", Seq("view", "click"), "purchase",
+          lookbackSeconds = 259200L, halfLifeSeconds = 86400L,
+          windowFromSec = 0L, windowToSec = 4102444800L)
+        .select(col("user").cast("long").as("user_id"), col("conv_ts"),
+          col("touch_type"), col("touch_ts"), col("kind"),
+          round(col("first_touch"), 4).as("d_first_touch"),
+          round(col("last_touch"), 4).as("d_last_touch"),
+          round(col("linear"), 4).as("d_linear"),
+          round(col("position_based"), 4).as("d_position_based"),
+          round(col("time_decay"), 4).as("d_time_decay"))
+        .orderBy("user_id", "conv_ts", "touch_type", "touch_ts")
+    },
+
     // --- exponential time-decay popularity (half-life 7 days, as-of
     // 2024-02-01T00:00:00Z — explicit, so the score is reproducible):
     // recency-weighted activity per event type, map-side decay factor

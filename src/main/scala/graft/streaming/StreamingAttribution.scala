@@ -16,10 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timestamp-tied first/last touches splitting that model's credit.
   * Within a micro-batch the group's events replay in timestamp order;
   * a cross-batch LATE touch (arriving after its conversion was already
-  * credited) is dropped — the batch operator would have credited it, so
-  * deployments with meaningful touch lag should size micro-batches or
-  * re-run the batch operator for reconciliation (documented trade, same
-  * as every streaming-vs-batch attribution system).
+  * credited) is dropped — the batch operator would have credited it
+  * (documented trade, same as every streaming-vs-batch attribution
+  * system). The reconciliation path is
+  * [[graft.operators.Sessions.attributionDiff]]: run it over each closed
+  * window to diff these streamed credits against the batch truth and
+  * emit exactly the correcting deltas (streamed + corrections == batch,
+  * pinned by AttributionEquivalenceSpec's late-touch property).
   *
   * Scale shape: keyed state is the user's touch buffer, BOUNDED by
   * `maxTouches` (oldest evicted first — last-touch/linear credits stay
