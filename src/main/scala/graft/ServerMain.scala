@@ -125,7 +125,11 @@ object ServerMain {
       // maxRedoLogFileSize): a table's journal outgrowing the bound
       // drains inline — default 256 MB, 0 disables
       journalByteLimit =
-        sys.env.getOrElse("SPARK_GRAFT_JOURNAL_LIMIT_BYTES", (256L << 20).toString).toLong)
+        sys.env.getOrElse("SPARK_GRAFT_JOURNAL_LIMIT_BYTES", (256L << 20).toString).toLong,
+      // first-rotation autodrains target <archiveRoot>/<table> — never
+      // the journal root, which operators may treat as wipeable
+      archiveRoot = Some(sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT",
+        "target/graft-archive")))
     server.start()
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { budget =>

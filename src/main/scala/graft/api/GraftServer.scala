@@ -80,7 +80,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     queryTimeoutSec: Long = 0, maxQueryConnections: Int = 0,
     maxIngestConnections: Int = 0,
     journalDir: Option[String] = None,
-    journalByteLimit: Long = 0) extends graft.ingest.SchedulableStore {
+    journalByteLimit: Long = 0,
+    redoLog: Option[graft.ingest.RedoLog] = None,
+    archiveRoot: Option[String] = None) extends graft.ingest.SchedulableStore {
   require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -93,8 +95,15 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** Metastore for tables created through the schema mutation API. */
   val schemaStore = new SchemaStore
 
-  /** HTTP-ingest redo log (see the `journalDir` param). */
-  private val journal = journalDir.map(new graft.ingest.UpsertJournal(_))
+  /** HTTP-ingest redo log: an injected backend (`redoLog` — e.g. a
+    * [[graft.ingest.KafkaRedoLog]], whose WAL survives machine loss on
+    * the brokers) wins over the file journal `journalDir` builds. A
+    * Kafka-journal deployment may still pass `journalDir` for the
+    * drained-state record below — only the per-batch WAL moves to the
+    * topic.
+    */
+  private val journal: Option[graft.ingest.RedoLog] =
+    redoLog.orElse(journalDir.map(new graft.ingest.UpsertJournal(_)))
 
   // durable drained-state record: the journal truncates on drain BECAUSE
   // the rows are in the archive — but the drained map itself lived only
@@ -568,19 +577,49 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
 
   /** Size-triggered journal rotation: when `table`'s journal exceeds
     * [[journalByteLimit]], drain it NOW — the drain persists the overlay
-    * to the table's archive (its established drain target, or an
-    * autodrain directory under the journal root on first rotation) and
-    * truncates the journal, so the bound holds without a scheduler tick
-    * and nothing is lost to replay (the rows are durably archived).
-    * Caller holds the table lock (drain re-enters it).
+    * to the table's archive (its established drain target; on a FIRST
+    * rotation `<archiveRoot>/<table>`, falling back to an autodrain
+    * directory under the journal root when no archive root is
+    * configured) and truncates the journal, so the bound holds without
+    * a scheduler tick and nothing is lost to replay (the rows are
+    * durably archived). Caller holds the table lock (drain re-enters
+    * it).
+    *
+    * Latency trade (documented, deliberate): the drain is a synchronous
+    * Spark archive job inside the ingest request that crossed the bound,
+    * holding the table lock — that one request can take seconds and
+    * head-of-line-block the table, unlike the reference's cheap log-file
+    * rotation. The bound is a BACKSTOP against unbounded growth on a
+    * mis-sized drain interval, not a steady-state path: size the
+    * scheduler's drain interval so rotations never fire, and treat a
+    * rotation in the logs as a sizing alarm (see DEPLOYMENT.md).
     */
   private def maybeRotateJournal(table: String): Unit =
     for (j <- journal if journalByteLimit > 0 && j.size(table) > journalByteLimit) {
-      val target = drained.get(table).getOrElse {
-        val d = java.nio.file.Paths.get(journalDir.get, "autodrain", table)
-        java.nio.file.Files.createDirectories(d)
-        d.toString
-      }
+      val target = drained.get(table)
+        .orElse(archiveRoot.map { root =>
+          val d = java.nio.file.Paths.get(root, table)
+          java.nio.file.Files.createDirectories(d)
+          d.toString
+        })
+        .orElse(journalDir.map { jd =>
+          // last resort — sole-copy archive data lands under the redo-log
+          // root; an operator treating that dir as wipeable transient
+          // state would destroy it (configure archiveRoot instead)
+          log.warn(s"first autodrain of table $table targets the journal " +
+            "root (no archiveRoot configured) — the journal dir now holds " +
+            "sole-copy archived data")
+          val d = java.nio.file.Paths.get(jd, "autodrain", table)
+          java.nio.file.Files.createDirectories(d)
+          d.toString
+        })
+        .getOrElse {
+          log.error(s"journal for table $table exceeds $journalByteLimit " +
+            "bytes but no drain target exists (injected redo log, no " +
+            "archiveRoot/journalDir) — rotation skipped, the bound is NOT " +
+            "enforced; configure archiveRoot")
+          return
+        }
       log.info(s"journal for table $table exceeds $journalByteLimit bytes — " +
         s"early drain to $target")
       drain(table, target)

@@ -1,0 +1,119 @@
+package graft.ingest
+
+/** The upsert redo-log contract [[graft.api.GraftServer]] journals HTTP
+  * ingest through — the reference supports BOTH backends behind one
+  * interface (/root/reference/redolog/redo_log_manager.go: a file-backed
+  * manager, file_redolog_manager.go, and a Kafka-backed one, kafka.go,
+  * selected per table by config). [[UpsertJournal]] is the file backend;
+  * [[KafkaRedoLog]] is the Kafka-shaped one.
+  *
+  * Semantics every backend must honor:
+  *  - `append` is durable BEFORE the batch is applied to the overlay
+  *    (write-ahead), and atomic per record — replay never yields a
+  *    partial batch;
+  *  - `replay(table)` returns every batch appended since the last
+  *    `truncate(table)`, in append order;
+  *  - `truncate(table)` marks everything replayed-so-far as archived —
+  *    a later `replay` returns nothing for those records;
+  *  - `size(table)` is the un-truncated byte volume (the size-triggered
+  *    early-drain bound reads it).
+  */
+trait RedoLog {
+  def append(table: String, kind: Byte, payload: Array[Byte]): Unit
+  def replay(table: String): Seq[(Byte, Array[Byte])]
+  def truncate(table: String): Unit
+  def size(table: String): Long
+  /** Tables with un-truncated records (construction-time replay set). */
+  def tables: Seq[String]
+  def close(): Unit
+}
+
+/** One table's redo TOPIC — the minimal Kafka wire surface the
+  * Kafka-backed redo log needs (the connector jar is absent in this
+  * environment, so the transport is injected; a deployment binds these
+  * five calls to a `KafkaProducer.send` / `KafkaConsumer.seek+poll` /
+  * consumer-group `commitSync` against topic `<namespace>-<table>`, the
+  * reference's topic convention in redolog/kafka.go):
+  *  - messages are offset-addressed and atomic (a torn append cannot
+  *    exist — the broker either has the record or does not, which is why
+  *    [[KafkaRedoLog]] needs none of [[UpsertJournal]]'s frame magic);
+  *  - `committed` / `commit` are the consumer-group offset — durable on
+  *    the BROKERS, so it survives the loss of the machine that wrote it.
+  */
+trait RedoTopic {
+  /** Produce one record; returns its offset. */
+  def append(value: Array[Byte]): Long
+  /** All records with offset >= `from`, in offset order. */
+  def readFrom(from: Long): Seq[(Long, Array[Byte])]
+  /** The next offset a produce would get (end of topic). */
+  def endOffset: Long
+  /** The consumer-group committed offset (0 = never committed). */
+  def committed: Long
+  /** Commit the consumer-group offset. */
+  def commit(offset: Long): Unit
+}
+
+/** Kafka-backed redo log: the write-ahead record of `/data/{table}`
+  * batches lives in a per-table topic instead of a local file, so a
+  * slice member's WAL SURVIVES MACHINE LOSS — a replacement member on a
+  * fresh host replays the topic from the committed offset and serves the
+  * overlay the dead member held (the file journal dies with its host;
+  * this is the reference's exact reason for redolog/kafka.go).
+  *
+  * Truncation is an OFFSET COMMIT, not a delete: after a drain archives
+  * the overlay, the consumer-group offset advances to the end of the
+  * topic (the reference checkpoints the replayed kafka offset in its
+  * metastore the same way; brokers age the records out by retention).
+  * `size` is the byte volume past the committed offset, so the
+  * size-triggered early-drain bound works unchanged.
+  *
+  * @param topicFor binds a table to its topic (a real deployment returns
+  *   a producer/consumer pair on `<namespace>-<table>`; caching is the
+  *   binder's concern — this class calls it once per table)
+  * @param candidateTables the tables that MAY have a topic (catalog +
+  *   schema-store names): a fresh replacement host has no local
+  *   directory to enumerate, so the replay set comes from the metastore
+  *   and is filtered to topics with un-committed records
+  */
+final class KafkaRedoLog(topicFor: String => RedoTopic,
+    candidateTables: () => Seq[String]) extends RedoLog {
+
+  private val topics = scala.collection.concurrent.TrieMap.empty[String, RedoTopic]
+  private def topic(table: String): RedoTopic =
+    topics.getOrElseUpdate(table, topicFor(table))
+
+  /** Record value layout: `[kind:byte][payload]` — Kafka's own record
+    * framing replaces the file journal's magic/length/torn-tail logic.
+    */
+  def append(table: String, kind: Byte, payload: Array[Byte]): Unit = {
+    val value = new Array[Byte](payload.length + 1)
+    value(0) = kind
+    System.arraycopy(payload, 0, value, 1, payload.length)
+    topic(table).append(value)
+  }
+
+  def replay(table: String): Seq[(Byte, Array[Byte])] = {
+    val t = topic(table)
+    t.readFrom(t.committed).map { case (_, value) =>
+      (value(0), java.util.Arrays.copyOfRange(value, 1, value.length))
+    }
+  }
+
+  def truncate(table: String): Unit = {
+    val t = topic(table)
+    t.commit(t.endOffset)
+  }
+
+  def size(table: String): Long = {
+    val t = topic(table)
+    t.readFrom(t.committed).map(_._2.length.toLong).sum
+  }
+
+  def tables: Seq[String] =
+    candidateTables().distinct.sorted.filter { t =>
+      val tp = topic(t)
+      tp.endOffset > tp.committed
+    }
+
+  def close(): Unit = topics.clear()
+}

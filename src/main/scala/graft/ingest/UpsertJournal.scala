@@ -28,7 +28,7 @@ import scala.collection.concurrent.TrieMap
   * truncate it — so its size is one archiving interval's ingest per
   * table, the same bound the reference's redo-log rotation enforces.
   */
-final class UpsertJournal(dir: String) {
+final class UpsertJournal(dir: String) extends RedoLog {
 
   import UpsertJournal._
 

@@ -54,6 +54,9 @@ object JsonlShards {
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
     val dirStr = root.toString
+    // stamp the output dir as owned by THIS run before any task commits:
+    // the zombie-attempt replace gate in ShardIo.commit
+    val runId = ShardIo.stampRun(rootFs, root)
     // the SESSION's Hadoop conf must reach the executors (object-store
     // credentials/endpoints live there, not in `new Configuration()`)
     val confBc = spark.sparkContext.broadcast(
@@ -73,7 +76,7 @@ object JsonlShards {
         rows += 1; bytes += line.length + 1
       }
       out.close()
-      ShardIo.commit(fs, tmp, new Path(dirStr, name))
+      ShardIo.commit(fs, tmp, new Path(dirStr, name), runId)
       Iterator((name, rows, bytes))
     }.collect() // O(#shards) tuples — the manifest, not the data
     val manifest = org.json4s.jackson.JsonMethods.compact(

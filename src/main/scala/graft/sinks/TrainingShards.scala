@@ -76,6 +76,9 @@ object TrainingShards {
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
     val dirStr = root.toString
+    // stamp the output dir as owned by THIS run before any task commits:
+    // the zombie-attempt replace gate in ShardIo.commit
+    val runId = ShardIo.stampRun(rootFs, root)
     // the SESSION's Hadoop conf must reach the executors (object-store
     // credentials/endpoints live there, not in `new Configuration()`)
     val confBc = spark.sparkContext.broadcast(
@@ -119,8 +122,8 @@ object TrainingShards {
       writeLongLE(idxOut, nTokens)
       seqLens.foreach(writeLongLE(idxOut, _))
       idxOut.close()
-      ShardIo.commit(fs, binTmp, new Path(dirStr, s"$name.bin"))
-      ShardIo.commit(fs, idxTmp, new Path(dirStr, s"$name.idx"))
+      ShardIo.commit(fs, binTmp, new Path(dirStr, s"$name.bin"), runId)
+      ShardIo.commit(fs, idxTmp, new Path(dirStr, s"$name.idx"), runId)
       Iterator((name, seqLens.length.toLong, nTokens))
     }.collect() // O(#shards) tuples — the manifest's content, not the data
     // manifest LAST: its presence certifies every listed shard

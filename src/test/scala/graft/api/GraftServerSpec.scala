@@ -398,6 +398,88 @@ class GraftServerSpec extends SparkSpec {
     s3.stop()
   }
 
+  test("Kafka-backed journal: WAL survives machine loss — a replacement member replays the topic") {
+    // The file journal dies with its host; the reference's second redo
+    // backend (redolog/kafka.go) puts the WAL on the brokers. FakeTopic
+    // models the broker side of the [[graft.ingest.RedoTopic]] wire:
+    // offset-addressed atomic records + a consumer-group committed
+    // offset, both OUTLIVING every server instance in this test — that
+    // is the machine-loss survivability under test, not Kafka's own
+    // durability.
+    final class FakeTopic extends graft.ingest.RedoTopic {
+      private var records = Vector.empty[Array[Byte]]
+      private var committedOff = 0L
+      def append(value: Array[Byte]): Long =
+        synchronized { records :+= value; records.length - 1L }
+      def readFrom(from: Long): Seq[(Long, Array[Byte])] = synchronized {
+        records.zipWithIndex.drop(from.toInt)
+          .map { case (v, i) => (i.toLong, v) } }
+      def endOffset: Long = synchronized(records.length.toLong)
+      def committed: Long = synchronized(committedOff)
+      def commit(offset: Long): Unit = synchronized { committedOff = offset }
+    }
+    val brokers = scala.collection.concurrent.TrieMap.empty[String, FakeTopic]
+    // the drained-state record still lives in a metastore dir (only the
+    // per-batch WAL moves to the topic) — the documented deployment
+    val jdir = java.nio.file.Files.createTempDirectory("graft_kjournal").toString
+    def mk(): GraftServer = {
+      val rl = new graft.ingest.KafkaRedoLog(
+        t => brokers.getOrElseUpdate(t, new FakeTopic),
+        () => Seq("documents"))
+      val s = new GraftServer(Catalog.testdata(sfDir), spark,
+        journalDir = Some(jdir), redoLog = Some(rl))
+      s.start()
+      s
+    }
+    def postTo(port: Int, path: String, body: String) =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def countDocs(port: Int): Double = {
+      val resp = postTo(port, "/query/aql",
+        """{"queries": [{"table": "documents",
+             "measures": [{"alias": "n", "sqlExpression": "count(*)"}]}]}""")
+      implicit val fmts: Formats = DefaultFormats
+      (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+        .asInstanceOf[JObject].values("n").asInstanceOf[Double]
+    }
+
+    val a = mk()
+    val before = countDocs(a.boundPort)
+    val ing = postTo(a.boundPort, "/data/documents", """[
+      {"doc_id": 9200001, "text": "kafka wal one", "lang": "en", "source": "k", "n_chars": 13},
+      {"doc_id": 9200002, "text": "kafka wal two", "lang": "en", "source": "k", "n_chars": 13}
+    ]""")
+    assert(ing.statusCode() == 200, new String(ing.body()))
+    assert(countDocs(a.boundPort) == before + 2)
+    // the WAL is on the brokers, NOT on member a's disk
+    assert(brokers("documents").endOffset == 1L, "batch must be on the topic")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(jdir, "documents.redolog")),
+      "no file WAL may exist — the injected redo log owns the journal")
+    // machine loss before any drain: the host (and its memory) is gone
+    a.stop()
+
+    // a REPLACEMENT member on a fresh host replays the topic from the
+    // committed offset and answers identically
+    val b = mk()
+    assert(countDocs(b.boundPort) == before + 2,
+      "replacement member must replay the topic and serve the dead member's overlay")
+
+    // drain archives the overlay and truncates by OFFSET COMMIT on the
+    // brokers — a third member replays nothing yet still answers from
+    // the archive (drained-state record)
+    val archive = java.nio.file.Files.createTempDirectory("graft_kdrain").toString
+    b.drain("documents", archive)
+    assert(brokers("documents").committed == brokers("documents").endOffset,
+      "drain must advance the consumer-group offset to end")
+    b.stop()
+    val c = mk()
+    assert(countDocs(c.boundPort) == before + 2,
+      "post-drain replacement serves from the archive, nothing double-applies")
+    c.stop()
+  }
+
   test("journal rotation: sustained ingest with no scheduler tick keeps the journal bounded") {
     val jdir = java.nio.file.Files.createTempDirectory("graft_jrot").toString
     val limit = 1500L

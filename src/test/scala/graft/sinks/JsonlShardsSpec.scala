@@ -87,4 +87,38 @@ class JsonlShardsSpec extends SparkSpec {
       .filter(_.endsWith(".tmp"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
+
+  test("a re-run with CHANGED data replaces stale shards; a zombie from a " +
+      "superseded run can never replace the new run's shard") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("jsonl_zombie").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // run 1 commits; run 2 (changed data) must overwrite — the current
+    // run is allowed through the replace gate
+    JsonlShards.write((0L until 50L).map(i => (i, s"old $i")).toDF("doc_id", "text"),
+      "doc_id", dir, shards = 1)
+    JsonlShards.write((0L until 80L).map(i => (i, s"new longer text $i"))
+      .toDF("doc_id", "text"), "doc_id", dir, shards = 1)
+    assert(spark.read.json(s"$dir/part-*.jsonl.gz").count() == 80L,
+      "a changed-data re-run must replace the stale shard")
+    val committedLen = fs.getFileStatus(new Path(dir, "part-00000.jsonl.gz")).getLen
+
+    // zombie: an attempt still holding run 1's id (the dir was re-stamped
+    // by run 2) tries to commit a different-length stale tmp over the
+    // committed shard — the gate must refuse and leave the shard intact.
+    // Before the run-id gate this path DELETED the new shard and renamed
+    // the stale bytes in (the advice-flagged inversion of rename-first).
+    val staleTmp = new Path(dir, ".part-00000.jsonl.gz.a99.tmp")
+    val out = fs.create(staleTmp, true)
+    out.write(Array.fill[Byte](123)('z')); out.close()
+    val e = intercept[IllegalArgumentException] {
+      ShardIo.commit(fs, staleTmp, new Path(dir, "part-00000.jsonl.gz"),
+        runId = "superseded-run-id")
+    }
+    assert(e.getMessage.contains("zombie"), e.getMessage)
+    assert(fs.getFileStatus(new Path(dir, "part-00000.jsonl.gz")).getLen
+      == committedLen, "the zombie must not have touched the committed shard")
+    assert(spark.read.json(s"$dir/part-*.jsonl.gz").count() == 80L)
+  }
 }
