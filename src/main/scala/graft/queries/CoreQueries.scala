@@ -451,6 +451,106 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // Q17 shape: the correlated SCALAR subquery — per-part average
+    // quantity compared back to each row ("revenue lost to small
+    // orders"). Catalyst plans the correlation as aggregate + rejoin;
+    // here that shape is written out directly: the brand part
+    // subset broadcasts into lineitem FIRST (so the per-part aggregate
+    // runs over the pruned fact, not 60M rows), the per-part thresholds
+    // aggregate in one partial/final shuffle, and the tiny threshold
+    // table broadcasts BACK into the same pruned fact — fact rows
+    // themselves never shuffle. Threshold follows the Q1 avg
+    // convention (exact decimal sum cast to double over the bigint
+    // count) so the boundary comparison is IEEE-identical per row in
+    // both engines.
+    QueryDef("q_tpch_q17",
+      """WITH pq AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |       FROM lineitem JOIN pq ON l_partkey = p_partkey),
+        |th AS (SELECT l_partkey,
+        |         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                / COUNT(*)) AS t
+        |       FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM li JOIN th USING (l_partkey)
+        |WHERE l_quantity < t""".stripMargin) { (s, d) =>
+      val pq = broadcast(Tables.part(s, d)
+        .where(col("p_brand") === "Brand#23").select(col("p_partkey")))
+      def li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pq, col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val th = li.groupBy("l_partkey")
+        .agg((lit(0.2) * (sum(col("l_quantity").cast(dec)).cast(DoubleType) /
+          count(lit(1)))).as("__t"))
+      li.join(broadcast(th), Seq("l_partkey"))
+        .where(col("l_quantity") < col("__t"))
+        .agg((sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / 7.0)
+          .as("avg_yearly"))
+    },
+
+    // Q2 shape: the min-cost supplier — the OTHER correlated-scalar
+    // family (per-group MIN equality-joined back to the row, surviving
+    // ties included). The fixture has no partsupp, so the class is
+    // expressed over lineitem as supply events: for each small part,
+    // the European supplier rows achieving the minimum discounted
+    // price. Same aggregate-rejoin discipline as Q17: the supplier ×
+    // nation × region dim chain broadcasts into the fact, per-part
+    // minima aggregate in one partial/final shuffle, and the minima
+    // broadcast back — the equality join keeps EXACT decimals so a tie
+    // can never flip on fp. At a scale where the per-part minima table
+    // outgrows broadcast, drop the hint and AQE falls back to a shuffle
+    // rejoin — the shape stays valid.
+    QueryDef("q_tpch_q2",
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, n_name, s_acctbal
+        |  FROM supplier, nation, region
+        |  WHERE n_nationkey = s_nationkey AND r_regionkey = n_regionkey
+        |    AND r_name = 'EUROPE'),
+        |eligible AS (
+        |  SELECT l_partkey, s_name, n_name, s_acctbal,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem
+        |  JOIN eu ON s_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size <= 5),
+        |mins AS (SELECT l_partkey AS mk, MIN(cost) AS min_cost
+        |         FROM eligible GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, s_name, n_name, s_acctbal,
+        |  CAST(cost AS DOUBLE) AS cost
+        |FROM eligible JOIN mins ON l_partkey = mk AND cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name NULLS FIRST, s_name NULLS FIRST,
+        |  p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val eu = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("s_acctbal")))
+      val smallParts = broadcast(Tables.part(s, d)
+        .where(col("p_size") <= 5).select(col("p_partkey")))
+      def eligible = Tables.lineitem(s, d)
+        .join(eu, col("s_suppkey") === col("l_suppkey"))
+        .join(smallParts, col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("s_name"), col("n_name"),
+          col("s_acctbal"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1) - col("l_discount").cast(dec))).as("cost"))
+      val mins = eligible.groupBy(col("l_partkey").as("__mk"))
+        .agg(min("cost").as("__min_cost"))
+      eligible.join(broadcast(mins),
+          col("l_partkey") === col("__mk") && col("cost") === col("__min_cost"))
+        .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+          col("s_acctbal"), col("cost").cast(DoubleType).as("cost"))
+        .orderBy(col("s_acctbal").desc, asc_nulls_first("n_name"),
+          asc_nulls_first("s_name"), col("p_partkey").asc)
+        .limit(100)
+    },
+
     // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
     QueryDef("q_nonagg_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -396,6 +396,33 @@ class OperatorPlanSpec extends SparkSpec {
     }
   }
 
+  test("tpch q2/q17 shapes: correlated scalar as aggregate-rejoin, no BNLJ, one fact shuffle") {
+    // the correlated-scalar family: per-group MIN/AVG compared back to
+    // the row. The demanded shape — the aggregate's partial/final hash
+    // exchange is the ONLY fact shuffle; the rejoin and every dim ride
+    // broadcasts; nothing degrades to a nested loop.
+    Seq("q_tpch_q2", "q_tpch_q17").foreach { name =>
+      val plan = planString(graft.SparkEntry.queries(name)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded:\n${plan.take(2500)}")
+      assert(plan.contains("HashAggregate"),
+        s"$name must compute the correlated scalar as an aggregate:\n${plan.take(2500)}")
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+        s"$name: part prune + threshold rejoin must broadcast:\n${plan.take(2500)}")
+      val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(shuffleJoins == 0,
+        s"$name: the rejoin must broadcast, not shuffle, got $shuffleJoins:\n${plan.take(2500)}")
+      // fact rows themselves never shuffle: the only hash exchanges are
+      // the aggregate's partial->final pair (plus a final sort for q2)
+      val hashExchanges = plan.split("\n")
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges <= 1,
+        s"$name: expected only the aggregate exchange, got $hashExchanges:\n${plan.take(2500)}")
+    }
+  }
+
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
     val plan = planString(Sessions.rollingActiveUsers(
       Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
