@@ -140,8 +140,19 @@ object Bench {
     catch { case _: Throwable => () }
     // host-speed canary, measured once warmups are done (same host regime
     // the suite runs under); recorded with the run and with every
-    // reference best it sets
-    val canarySecs = canary()
+    // reference best it sets. Re-sampled every CanaryEvery gates during
+    // the suite (the canary TRACE): a single run-start sample cannot
+    // attribute a WITHIN-run slow window — the r13 driver run measured a
+    // 7-9x cluster on three adjacent gates while the run-level canary
+    // moved 7%, and the r14 sf1 rung caught four adjacent gates at 6-20x
+    // that re-ran normal. With the trace, each gate's timing carries the
+    // nearest host-speed sample, so "host window" vs "code" decomposes
+    // without archaeology.
+    val CanaryEvery = 25
+    val canaryTrace = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var currentCanary = canary()
+    canaryTrace("_start") = currentCanary
+    val canarySecs = currentCanary
     System.err.println(
       f"[bench ${System.currentTimeMillis}] canary $canarySecs%.3f s")
     // optional name filter (regex, unanchored) for local family-isolation
@@ -160,7 +171,14 @@ object Bench {
     }
     val active = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-    val firstPass = active.map { case (name, fn) =>
+    // per gate: (min-of-2 seconds, the canary sample nearest its runs)
+    val firstPass = active.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % CanaryEvery == 0) {
+        currentCanary = canary()
+        canaryTrace(name) = currentCanary
+        System.err.println(
+          f"[bench ${System.currentTimeMillis}] canary (before $name) $currentCanary%.3f s")
+      }
       // each query is timed TWICE and the min reported: this host (a
       // microVM on a shared hypervisor) exhibits roving multi-second
       // freezes — a trivial 20-row query was observed at 13.5 s with 64 ms
@@ -184,8 +202,9 @@ object Bench {
             System.err.println(f"[bench ${System.currentTimeMillis}] $name FAILED")
             -1.0
         }
-      name -> secs
+      (name, secs, currentCanary)
     }
+    canaryTrace("_end") = canary()
     // ---- stall-aware retime pass -------------------------------------------
     // A stall spanning both in-suite runs defeats min-of-2. By the time the
     // suite finishes, the stall has roved elsewhere; re-measure (min-of-2
@@ -193,27 +212,29 @@ object Bench {
     // value, and report min over all four runs. New queries with no committed
     // reference are retimed when they exceed 4x the suite median and 2 s.
     val byName = active.toMap
-    val clean = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
+    val clean = firstPass.collect { case (_, v, _) if v >= 0 => v }.sorted
     val median = if (clean.isEmpty) 0.0 else clean(clean.length / 2)
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val results = firstPass.map { case (name, secs) =>
+    val results = firstPass.map { case (name, secs, canaryAt) =>
       // uniform 2.0x trigger vs the SHIPPED reference (the r10 record
       // carried ten 2-3.3x rows that rode through the old 2.5x/>0.5s
       // gate), floored at 0.3 s so sub-tenth-second jitter doesn't spam
-      // isolated re-runs. The trigger is CANARY-NORMALIZED: a best set in
-      // a faster host regime is scaled up by current/record canary
+      // isolated re-runs. The trigger is CANARY-NORMALIZED with the
+      // gate's NEAREST trace sample (not the run-start value — a within-
+      // run slow window is exactly what the trace exists to see): a best
+      // set in a faster host regime is scaled up by nearest/record canary
       // (clamped to [1, 3] — only ever loosened, never tightened, and a
       // broken canary can't silence the ratchet entirely), so only drift
       // EXCEEDING the host's own slowdown trips an isolation re-run.
       val suspect = secs >= 0 && (prior.get(name) match {
         case Some(p) =>
           val hostF = priorCanary.get(name)
-            .map(rc => math.min(3.0, math.max(1.0, canarySecs / rc)))
+            .map(rc => math.min(3.0, math.max(1.0, canaryAt / rc)))
             .getOrElse(1.0)
           secs > 2.0 * p * hostF && secs > 0.3
         case None => secs > 4 * median && secs > 2.0
       })
-      if (!suspect) name -> secs
+      if (!suspect) (name, secs, canaryAt)
       else {
         val best =
           try {
@@ -228,20 +249,25 @@ object Bench {
         // entry with old == new means "re-measured, genuinely this
         // slow", not "stall rode through undetected")
         retimed(name) = (secs, best)
-        name -> best
+        (name, best, canaryAt)
       }
     }
     def r3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
     }.mkString("{", ",", "}")
     val rtJson = retimed.map { case (k, (old, nw)) =>
       s""""$k":[${r3(old)},${r3(nw)}]"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // the canary trace: host-speed samples at run start, before every
+    // CanaryEvery-th gate (keyed by that gate's name), and at run end —
+    // a gate's context is the sample at or before it in suite order
+    val traceJson = canaryTrace.map { case (k, v) => s""""$k":${r3(v)}""" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","canary":${r3(canarySecs)},"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"noisy":$noisy,"retimed":$rtJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","canary":${r3(canarySecs)},"canaryTrace":$traceJson,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"noisy":$noisy,"retimed":$rtJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // refresh the stall-detection reference: per-query best of (committed
     // ref, this run) — only on full-suite runs (a filtered run would shrink
@@ -252,10 +278,14 @@ object Bench {
     // committed ref keeps that ref's canary (absent → this run's, which
     // yields hostF=1 — the pre-canary behavior).
     if (only.isEmpty && sfDir == "/root/testdata/sf0.1") {
-      val merged = results.collect { case (k, v) if v >= 0 =>
+      val merged = results.collect { case (k, v, canaryAt) if v >= 0 =>
+        // a new best records the canary NEAREST the runs that set it
+        // (the trace sample), so record time and host speed describe the
+        // same window — the r13 seed bias (fast-era times paired with a
+        // slow-era canary) cannot re-enter the ratchet
         val pv = prior.getOrElse(k, Double.MaxValue)
-        if (v < pv) k -> (v, canarySecs)
-        else k -> (pv, priorCanary.getOrElse(k, canarySecs))
+        if (v < pv) k -> (v, canaryAt)
+        else k -> (pv, priorCanary.getOrElse(k, canaryAt))
       }
       val refQs = merged.map { case (k, (v, _)) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
       val refCs = merged.map { case (k, (_, c)) => s""""$k":${r3(c)}""" }.mkString("{", ",", "}")

@@ -551,6 +551,107 @@ object CoreQueries {
         .limit(100)
     },
 
+    // Q21 shape: the double-correlated EXISTS / NOT-EXISTS self-join
+    // family ("suppliers who were the SOLE late shipper of a
+    // multi-supplier order" — late = shipped >90 days after the order
+    // date, the fixture's analogue of receipt>commit). The textbook
+    // formulation self-joins the fact THREE times (base + EXISTS semi +
+    // NOT-EXISTS anti); here both correlations fold into ONE grouped
+    // pass over the orders⋈lineitem pair — per order key, count distinct
+    // suppliers and distinct LATE suppliers, keep n_supp > 1 &&
+    // n_late_supp == 1, and the sole late supplier is then the MAX over
+    // the late rows (well-defined exactly because the count is 1). One
+    // fact-pair shuffle + an agg that REUSES its partitioning, instead
+    // of three orderkey exchanges — the Q18 single-pass discipline
+    // applied to the heaviest TPC-H join query. The oracle replays the
+    // textbook EXISTS/NOT-EXISTS, so the gate proves the rewrite.
+    QueryDef("q_tpch_q21",
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name NULLS FIRST
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      val isLate = col("l_shipdate") >
+        (col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      val soleLate = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("__n_supp"),
+          countDistinct(when(isLate, col("l_suppkey"))).as("__n_late"),
+          max(when(isLate, col("l_suppkey"))).as("__late_supp"),
+          // numwait counts l1 ROWS, not orders: a sole-late supplier
+          // with two late lineitems in one order scores twice (the
+          // textbook EXISTS semantics the oracle replays)
+          sum(when(isLate, 1L).otherwise(0L)).as("__late_rows"))
+        .where(col("__n_supp") > 1 && col("__n_late") === 1)
+      soleLate
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("__late_supp"))
+        .groupBy("s_name")
+        .agg(sum("__late_rows").cast("bigint").as("numwait"))
+        .orderBy(col("numwait").desc, asc_nulls_first("s_name"))
+        .limit(50)
+    },
+
+    // Q22 shape: the GLOBAL scalar subquery + anti join ("rich customers
+    // with no urgent order in the quarter", grouped by nation in place
+    // of the reference's phone country code; the fixture generator gives
+    // every customer SOME order, so the textbook never-ordered anti set
+    // is vacuous — the priority+date-filtered anti side keeps the
+    // identical plan family with load-bearing output). The global
+    // average is one broadcast scalar — computed decimal-exact /
+    // bigint-count so the boundary comparison is IEEE-identical in both
+    // engines — and the NOT EXISTS is an anti join against the filtered
+    // orders' customer keys.
+    QueryDef("q_tpch_q22",
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, nation, avg_bal
+        |WHERE c_nationkey = n_nationkey AND c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      val avgBal = Tables.customer(s, d).where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(dec)).cast(DoubleType) /
+          count(lit(1))).as("__ab"))
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(avgBal)) // 1-row scalar, broadcast by design
+        .where(col("c_acctbal") > col("__ab"))
+        .join(urgent, Seq("c_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec)).cast(DoubleType).as("totacctbal"))
+        .orderBy(asc_nulls_first("n_name"))
+    },
+
     // --- non-agg projection + deterministic limit (§2.2/§2.6) -------------
     QueryDef("q_nonagg_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

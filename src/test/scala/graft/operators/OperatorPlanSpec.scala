@@ -423,6 +423,25 @@ class OperatorPlanSpec extends SparkSpec {
     }
   }
 
+  test("tpch q21/q22 shapes: single-pass EXISTS/NOT-EXISTS fold; global scalar + anti, no BNLJ") {
+    // q21: the double-correlated self-join family folded into ONE
+    // grouped pass — no semi/anti self-joins of the fact remain, so at
+    // most the fact-pair shuffle join survives and lineitem scans once
+    val q21 = planString(graft.SparkEntry.queries("q_tpch_q21")(spark, sfDir))
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"), q21.take(2500))
+    val q21LineitemScans = q21.split("\n")
+      .count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(q21LineitemScans == 1,
+      s"the EXISTS/NOT-EXISTS fold must scan lineitem ONCE, got $q21LineitemScans:\n${q21.take(2500)}")
+    // q22: the global average is a broadcast 1-row scalar, never a
+    // shuffle; the NOT EXISTS is a genuine anti join
+    val q22 = planString(graft.SparkEntry.queries("q_tpch_q22")(spark, sfDir))
+    assert(q22.contains("LeftAnti"),
+      s"NOT EXISTS must compile to an anti join:\n${q22.take(2500)}")
+    assert(!q22.contains("CartesianProduct"), q22.take(2500))
+  }
+
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
     val plan = planString(Sessions.rollingActiveUsers(
       Tables.events(spark, sfDir), "user_id", "ts", Seq(1, 7, 28)))
