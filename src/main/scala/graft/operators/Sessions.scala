@@ -108,6 +108,53 @@ object Sessions {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Reconcile STREAMED funnel advances against the batch truth — the
+    * funnel sibling of [[attributionDiff]], for the same reason: the
+    * streaming funnel consumes each event against the user's stage AT
+    * ARRIVAL TIME, so a late stage-k event arriving after later-stage
+    * events were already consumed cannot retroactively chain them (batch
+    * over the full history would). Run over a closed span to emit the
+    * users whose live stage needs correcting.
+    *
+    * `streamedAdvances` are
+    * [[graft.streaming.StreamingFunnel.Advance]] rows (user, stage, ts);
+    * `events` must be the SAME event span the stream consumed (funnel
+    * stage is cumulative state — in practice the span since the funnel's
+    * epoch or last reset). Output: one row per diverging user —
+    * `(userCol, streamed_stage, batch_stage, kind)` with kind `missed`
+    * (batch reached further: the late-interleaving case) or `over`
+    * (stream reached further — impossible without a TTL reset or an
+    * events/advances span mismatch, surfaced rather than dropped).
+    * Users absent from the diff are exactly right in the live view.
+    *
+    * Scale shape: the streamed side collapses to one (user, max stage)
+    * row per user before the join; the batch side is [[funnel]]'s single
+    * user-windowed pass; the diff joins on the user key. Nothing
+    * rescans outside the span.
+    */
+  def funnelDiff(streamedAdvances: DataFrame, events: DataFrame,
+      userCol: String, tsCol: String, tieCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val streamed = streamedAdvances
+      .groupBy(col("user").as("__u"))
+      .agg(max(col("stage")).cast("int").as("streamed_stage"))
+    // reached_i flags are monotone (stage i implies i-1), so the batch
+    // stage is their count
+    val batchStage = stages.indices
+      .map(i => when(col(s"reached_${i + 1}"), 1).otherwise(0))
+      .reduce(_ + _)
+    val batch = funnel(events, userCol, tsCol, tieCol, typeCol, stages)
+      .select(col(userCol).as("__u"), batchStage.as("batch_stage"))
+    batch.join(streamed, Seq("__u"), "full_outer")
+      .select(col("__u").as(userCol),
+        coalesce(col("streamed_stage"), lit(0)).as("streamed_stage"),
+        coalesce(col("batch_stage"), lit(0)).as("batch_stage"),
+        when(coalesce(col("batch_stage"), lit(0)) >
+            coalesce(col("streamed_stage"), lit(0)), lit("missed"))
+          .otherwise(lit("over")).as("kind"))
+      .where(col("streamed_stage") =!= col("batch_stage"))
+  }
+
   /** Per-stage user counts for a funnel — the headline funnel report.
     * Output: (stage 1..N, users).
     */

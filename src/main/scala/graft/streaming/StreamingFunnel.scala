@@ -13,11 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * an event of type `stages(i)` occurs at-or-after the time they reached
   * stage i-1 (within one micro-batch the group's events replay in
   * timestamp order, so an out-of-order burst inside a batch still chains
-  * correctly); stages never regress. Cross-batch out-of-order events
-  * older than the user's current stage time cannot advance anything —
-  * the one-directional stage counter makes late data safe by
-  * construction, no watermark needed for correctness (pass a TTL to
-  * bound state instead).
+  * correctly); stages never regress. Cross-batch late data can never
+  * OVER-advance (the one-directional stage counter rejects events older
+  * than the current stage time), but it can UNDER-advance: a late
+  * stage-k event arriving after later-stage events were already consumed
+  * cannot retroactively chain them, where a batch recompute would — the
+  * same trade as [[StreamingAttribution]], with the same reconciliation
+  * operator: run [[graft.operators.Sessions.funnelDiff]] over the closed
+  * span to emit exactly the users whose live stage needs correcting
+  * (FunnelEquivalenceSpec pins streamed + corrections == batch over
+  * random late splits). No watermark is needed; pass a TTL to bound
+  * state instead.
   *
   * Scale shape: keyed state is ONE (stage, ts) pair per user ever seen —
   * bytes per user, not events; `ttlMs` ages out idle users (the
