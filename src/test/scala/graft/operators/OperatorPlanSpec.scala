@@ -11,6 +11,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 class OperatorPlanSpec extends SparkSpec {
 
+  /** The r14 TPC-H shape audits run at sf0.01: several of their filters
+    * (two-nation pair, one nation's suppliers, majority-supplier parts)
+    * are legitimately EMPTY at sf0.001, and AQE's empty-relation
+    * propagation would erase the very joins under audit.
+    */
+  private val tpchDir = "/root/testdata/sf0.01"
+
   private def planString(df: DataFrame): String = {
     // materialize so AQE finalizes its join strategy choices
     df.collect()
@@ -440,6 +447,89 @@ class OperatorPlanSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"),
       s"NOT EXISTS must compile to an anti join:\n${q22.take(2500)}")
     assert(!q22.contains("CartesianProduct"), q22.take(2500))
+  }
+
+  test("tpch q6 shape: one scan, pushed range filters, one aggregate exchange") {
+    val plan = planString(graft.SparkEntry.queries("q_tpch_q6")(spark, tpchDir))
+    val scans = plan.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 1, s"the predicate aggregate reads lineitem once, " +
+      s"got $scans scans:\n${plan.take(3000)}")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"the ship-date range must reach the parquet scan:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"q6 has no join:\n${plan.take(3000)}")
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"global agg = one partial/final exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("tpch q7/q8/q9 shapes: dim chains broadcast, at most the fact-pair shuffle") {
+    Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9").foreach { name =>
+      val plan = planString(graft.SparkEntry.queries(name)(spark, tpchDir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded:\n${plan.take(2500)}")
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+        s"$name: nation-filtered dim chains must broadcast:\n${plan.take(2500)}")
+      val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(shuffleJoins <= 1,
+        s"$name: only orders⋈lineitem may shuffle, got $shuffleJoins:\n${plan.take(2500)}")
+    }
+  }
+
+  test("tpch q11/q15 shapes: global scalar broadcasts; fact shuffles only at the aggregate") {
+    // the scalar-over-own-aggregate family: the 1-row global (total/max)
+    // rides the documented broadcast nested-loop cross join — pin that
+    // it is the ONLY nested-loop and that no join shuffles fact rows
+    Seq("q_tpch_q11", "q_tpch_q15").foreach { name =>
+      val plan = planString(graft.SparkEntry.queries(name)(spark, tpchDir))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(2500)}")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnlj <= 1,
+        s"$name: only the 1-row scalar may nested-loop, got $bnlj:\n${plan.take(2500)}")
+      val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(shuffleJoins == 0,
+        s"$name: rejoin must broadcast, got $shuffleJoins shuffle joins:\n${plan.take(2500)}")
+      assert(plan.contains("HashAggregate"), plan.take(2500))
+    }
+  }
+
+  test("tpch q18 over the co-bucketed fact pair: zero hash exchanges") {
+    // the orderkey-bucketed layout must eliminate BOTH the HAVING
+    // aggregate's exchange (groups on the bucket key) and the
+    // orders⋈big join's exchanges (bucket-to-bucket co-location);
+    // the only data movement left is the customer broadcast and the
+    // TakeOrdered final
+    val plan = planString(
+      graft.SparkEntry.queries("q_tpch_q18_bucketed")(spark, tpchDir))
+    val hashExchanges = plan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0,
+      s"co-bucketed q18 must not shuffle, got $hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer still rides a broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("tpch q12/q20 shapes: non-equi residual rides the join; semi-chain stays broadcast") {
+    val q12 = planString(graft.SparkEntry.queries("q_tpch_q12")(spark, tpchDir))
+    assert(!q12.contains("CartesianProduct") &&
+      !q12.contains("BroadcastNestedLoopJoin"),
+      s"the 60-day lateness residual must ride the equi join:\n${q12.take(2500)}")
+    val q12ShuffleJoins = "SortMergeJoin".r.findAllIn(q12).length +
+      "ShuffledHashJoin".r.findAllIn(q12).length
+    assert(q12ShuffleJoins <= 1, s"one orderkey shuffle at most:\n${q12.take(2500)}")
+    val q20 = planString(graft.SparkEntry.queries("q_tpch_q20")(spark, tpchDir))
+    assert(q20.contains("LeftSemi"),
+      s"the IN-subquery must compile to a semi join:\n${q20.take(2500)}")
+    assert(!q20.contains("CartesianProduct") &&
+      !q20.contains("BroadcastNestedLoopJoin"), q20.take(2500))
+    val q20ShuffleJoins = "SortMergeJoin".r.findAllIn(q20).length +
+      "ShuffledHashJoin".r.findAllIn(q20).length
+    assert(q20ShuffleJoins == 0,
+      s"threshold rejoin + semi chain must broadcast:\n${q20.take(2500)}")
   }
 
   test("rollingActiveUsers: no sliding countDistinct Expand; day grid broadcasts") {
