@@ -308,15 +308,31 @@ object Sessions {
     *
     * Same zero-shuffle window shape (one lag() pair over the user sort);
     * the percentiles aggregate per type-pair key — ≤|types|² groups, each
-    * holding that pair's gap list. Medians are exact (the gap lists are
-    * per-pair, not corpus-sized; at 100 TB the per-pair cardinality is
-    * what a sort-based exact percentile can hold — else swap in
-    * approx_percentile, documented trade).
+    * holding that pair's gap list.
+    *
+    * `approxAccuracy`: None (default) = EXACT percentiles — the
+    * per-group buffer holds the pair's full gap list and sorts it, fine
+    * while per-pair cardinality fits an executor (the default for the
+    * oracle gate, which demands exactness). Some(acc) = the 100 TB path:
+    * `approx_percentile` keeps an O(acc)-size quantile sketch per group
+    * with map-side partials, so per-group memory and the final merge are
+    * BOUNDED regardless of pair cardinality — the bench rung receipt in
+    * BENCH_NOTES (sf10, ~25 type pairs over 60M-row gap lists) is the
+    * measured trade: error ≤ 1/acc of rank, time no longer dominated by
+    * the per-pair sort.
     */
   def transitionDwell(events: DataFrame, userCol: String, tsCol: String,
-      tieCol: String, typeCol: String): DataFrame = {
+      tieCol: String, typeCol: String,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    approxAccuracy.foreach(acc =>
+      require(acc >= 100, s"approxAccuracy $acc too coarse (>= 100)"))
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val secs = unix_timestamp(col(tsCol))
+    def pct(q: Double) = approxAccuracy match {
+      case Some(acc) =>
+        expr(s"approx_percentile(__gap, $q, $acc)").cast("double")
+      case None => expr(s"percentile(__gap, $q)")
+    }
     events
       .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
       .withColumn("__gap", secs - lag(secs, 1).over(w))
@@ -324,8 +340,8 @@ object Sessions {
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(__gap, 0.5)"), 4).as("median_gap"),
-        round(expr("percentile(__gap, 0.9)"), 4).as("p90_gap"))
+        round(pct(0.5), 4).as("median_gap"),
+        round(pct(0.9), 4).as("p90_gap"))
   }
 
   /** Conversion-window funnel: stage i counts only when it happens

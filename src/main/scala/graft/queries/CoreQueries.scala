@@ -423,6 +423,45 @@ object CoreQueries {
         .limit(20)
     },
 
+    // Q10 over the orderkey-co-bucketed fact pair. The raw-layout q10 is
+    // the suite's one CONFIRMED shuffle-bound TPC-H gate at sf10 (BENCH_
+    // NOTES r14: the returnflag-pruned 20M-row lineitem side must shuffle
+    // against the date-pruned orders — near-linear is the honest cost of
+    // that join at fixed cores). The bucketed layout removes exactly that
+    // movement: the join co-locates bucket-to-bucket, so the only hash
+    // exchange left is the customer-grain aggregate — which moves
+    // map-side PARTIAL aggregates, not fact rows. Same oracle as
+    // q_tpch_q10; the bench delta is the receipt.
+    QueryDef("q_tpch_q10_bucketed",
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.ordersByOrder(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
+        .join(Tables.lineitemByOrder(s, d).where(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
     // Q14 shape: the promo-revenue ratio — a conditional aggregate over
     // one broadcast join, output a single percentage. Both sums are
     // exact decimals cast to double; their quotient is one IEEE double

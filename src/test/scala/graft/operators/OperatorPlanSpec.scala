@@ -513,6 +513,22 @@ class OperatorPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("tpch q10 over the co-bucketed fact pair: fact rows never shuffle") {
+    // q10 is the suite's confirmed shuffle-bound gate at sf10 — the
+    // bucketed layout must co-locate the fact join, leaving at most the
+    // customer-grain aggregate's exchange (which moves map-side partial
+    // aggregates, not fact rows)
+    val plan = planString(
+      graft.SparkEntry.queries("q_tpch_q10_bucketed")(spark, tpchDir))
+    val hashExchanges = plan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"only the aggregate may exchange, got $hashExchanges:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"customer and nation must broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("tpch q12/q20 shapes: non-equi residual rides the join; semi-chain stays broadcast") {
     val q12 = planString(graft.SparkEntry.queries("q_tpch_q12")(spark, tpchDir))
     assert(!q12.contains("CartesianProduct") &&

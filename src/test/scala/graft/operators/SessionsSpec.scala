@@ -263,6 +263,35 @@ class SessionsSpec extends SparkSpec {
     assert(got == Map((1, 1, 1) -> 2L, (2, 2, 2) -> 2L), s"$got")
   }
 
+  test("transitionDwell: exact hand-checked percentiles; approx mode agrees " +
+      "within sketch tolerance and returns the same schema") {
+    // u1: view@0 -> click@10 -> view@40 -> click@100 gives view->click
+    // gaps {10, 60} and click->view gap {30}; u2 adds view->click {20}
+    val df = ev(
+      (1L, 1L, 0L, "view"), (1L, 2L, 10L, "click"),
+      (1L, 3L, 40L, "view"), (1L, 4L, 100L, "click"),
+      (2L, 5L, 0L, "view"), (2L, 6L, 20L, "click"))
+    val exact = Sessions.transitionDwell(df, "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // view->click gaps {10,20,60}: median 20, p90 exact interpolation
+    // 0.9*(3-1)=1.8 -> 20 + 0.8*(60-20) = 52
+    assert(exact(("view", "click")) == ((3L, 20.0, 52.0)), s"$exact")
+    assert(exact(("click", "view")) == ((1L, 30.0, 30.0)), s"$exact")
+    // the 100 TB path: bounded-sketch percentiles. At this cardinality
+    // the sketch is lossless for the median; p90 may sit on either
+    // neighboring observation (rank error <= n/accuracy), never outside
+    val approx = Sessions.transitionDwell(df, "user_id", "ts", "event_id",
+        "event_type", approxAccuracy = Some(10000))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    val (n, med, p90) = approx(("view", "click"))
+    assert(n == 3L && med == 20.0, s"$approx")
+    assert(p90 >= 20.0 && p90 <= 60.0, s"p90 outside the gap range: $approx")
+  }
+
   test("attribution: five models, lookback/boundary rules, hand-computed credits") {
     val df = ev(
       // user 1: three touches -> one conversion at t=1000
