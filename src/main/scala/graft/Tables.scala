@@ -38,14 +38,19 @@ object Tables {
     * computed column whose range filters cannot push down); the archive
     * layout reads only the filtered days.
     */
+  /** (size, mtime) fingerprint of a source parquet — layout caches key on
+    * it so a regenerated fixture invalidates every derived layout.
+    */
+  private def sourceFingerprint(dir: String, srcTable: String): String = {
+    val src = java.nio.file.Paths.get(dir, s"$srcTable.parquet")
+    if (java.nio.file.Files.exists(src))
+      s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    else "missing"
+  }
+
   def eventsArchivePath(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val fp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"target/graft-archive/$tag-$fp/events"
+    s"target/graft-archive/$tag-${sourceFingerprint(dir, "events")}/events"
   }
 
   def eventsArchived(spark: SparkSession, dir: String): DataFrame = {
@@ -63,15 +68,74 @@ object Tables {
     */
   val EventsBuckets = 32
 
-  private def eventsByUserPath(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val fp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
+  /** Shared build-once/register-everywhere protocol for bucketed,
+    * per-bucket-sorted layouts (eventsByUser and the orderkey fact pair).
+    *
+    * `repartition(buckets, key)` before the bucketed write uses the same
+    * murmur3 hash as the bucket assignment, so each task holds exactly
+    * one bucket and writes exactly one file — which is what lets the scan
+    * advertise the per-bucket sort order (single file per bucket).
+    *
+    * Concurrency: in-JVM callers serialize on Tables.synchronized;
+    * CROSS-PROCESS builders (sbt test + a Verify/Bench JVM on the same
+    * fixture) serialize on an atomically-created `<path>.lock` — the
+    * loser waits for the winner's `_SUCCESS` and registers the finished
+    * layout instead of launching a second overwrite build into the same
+    * directory (whose delete would tear the winner's staged files). A
+    * lock older than 10 minutes is a crashed builder and is taken over.
+    */
+  private def bucketedTable(spark: SparkSession, dir: String,
+      srcTable: String, layout: String, keyCol: String,
+      sortCols: Seq[String], buckets: Int, df: => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    java.nio.file.Paths.get(s"target/graft-bucketed/$tag-$fp/events_by_user")
+    val path = Paths.get(
+      s"target/graft-bucketed/$tag-${sourceFingerprint(dir, srcTable)}/$layout")
       .toAbsolutePath.toString
+    val name = (layout + "_" +
+      path.replaceAll(".*graft-bucketed/", "")).replaceAll("[^A-Za-z0-9_]", "_")
+    Tables.synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        val src = df
+        val success = Paths.get(path, "_SUCCESS")
+        if (!Files.exists(success)) {
+          val lock = Paths.get(path + ".lock")
+          Files.createDirectories(lock.getParent)
+          var acquired = false
+          while (!acquired && !Files.exists(success)) {
+            try { Files.createFile(lock); acquired = true }
+            catch { case _: java.nio.file.FileAlreadyExistsException =>
+              val age = System.currentTimeMillis -
+                Files.getLastModifiedTime(lock).toMillis
+              if (age > 10 * 60 * 1000L) Files.deleteIfExists(lock)
+              else Thread.sleep(500)
+            }
+          }
+          if (acquired) {
+            try {
+              if (!Files.exists(success))
+                src.repartition(buckets, col(keyCol))
+                  .write.mode("overwrite")
+                  .bucketBy(buckets, keyCol)
+                  .sortBy(sortCols.head, sortCols.tail: _*)
+                  .option("path", path)
+                  .format("parquet")
+                  .saveAsTable(name)
+            } finally Files.deleteIfExists(lock)
+          }
+        }
+        if (!spark.catalog.tableExists(name))
+          // data built by a previous JVM or a concurrent process; only
+          // the catalog entry is session-scoped — re-register it
+          spark.sql(
+            s"""CREATE TABLE $name (${src.schema.toDDL})
+               |USING PARQUET
+               |CLUSTERED BY ($keyCol) SORTED BY (${sortCols.mkString(", ")})
+               |INTO $buckets BUCKETS
+               |LOCATION '$path'""".stripMargin)
+      }
+    }
+    spark.table(name)
   }
 
   /** The DEFAULT layout for user-keyed analytics (sessionize / funnel /
@@ -84,40 +148,10 @@ object Tables {
     * Sort. This is the multi-file generalization of the reference's
     * PK-sorted archive batches (/root/reference/memstore/archiving.go:71-117):
     * pre-pay the shuffle once at write time instead of per query.
-    *
-    * `repartition(EventsBuckets, user_id)` before the bucketed write uses
-    * the same murmur3 hash as the bucket assignment, so each task holds
-    * exactly one bucket and writes exactly one file — which is what lets
-    * the scan advertise the sort order.
     */
-  def eventsByUser(spark: SparkSession, dir: String): DataFrame = {
-    val path = eventsByUserPath(dir)
-    val table = ("events_by_user_" +
-      path.replaceAll(".*graft-bucketed/", "")).replaceAll("[^A-Za-z0-9_]", "_")
-    Tables.synchronized {
-      if (!spark.catalog.tableExists(table)) {
-        val ev = events(spark, dir)
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-          // data survives from a previous JVM; only the catalog entry is
-          // session-scoped — re-register the external bucketed table
-          spark.sql(
-            s"""CREATE TABLE $table (${ev.schema.toDDL})
-               |USING PARQUET
-               |CLUSTERED BY (user_id) SORTED BY (user_id, ts, event_id)
-               |INTO $EventsBuckets BUCKETS
-               |LOCATION '$path'""".stripMargin)
-        else
-          ev.repartition(EventsBuckets, col("user_id"))
-            .write.mode("overwrite")
-            .bucketBy(EventsBuckets, "user_id")
-            .sortBy("user_id", "ts", "event_id")
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(table)
-      }
-    }
-    spark.table(table)
-  }
+  def eventsByUser(spark: SparkSession, dir: String): DataFrame =
+    bucketedTable(spark, dir, "events", "events_by_user", "user_id",
+      Seq("user_id", "ts", "event_id"), EventsBuckets, events(spark, dir))
 
   /** Orderkey-co-bucketed fact pair: `lineitem` and `orders` both bucketed
     * (and per-bucket sorted) on the order key with the SAME bucket count —
@@ -132,55 +166,13 @@ object Tables {
     */
   val OrderBuckets = 32
 
-  private def byOrderPath(dir: String, table: String): String = {
-    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
-    val fp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    java.nio.file.Paths.get(s"target/graft-bucketed/$tag-$fp/${table}_by_order")
-      .toAbsolutePath.toString
-  }
-
-  private def byOrderTable(spark: SparkSession, dir: String, table: String,
-      keyCol: String, df: => DataFrame): DataFrame = {
-    val path = byOrderPath(dir, table)
-    val name = (s"${table}_by_order_" +
-      path.replaceAll(".*graft-bucketed/", "")).replaceAll("[^A-Za-z0-9_]", "_")
-    Tables.synchronized {
-      if (!spark.catalog.tableExists(name)) {
-        val src = df
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-          // data survives from a previous JVM; re-register the external
-          // bucketed table (the catalog entry is session-scoped)
-          spark.sql(
-            s"""CREATE TABLE $name (${src.schema.toDDL})
-               |USING PARQUET
-               |CLUSTERED BY ($keyCol) SORTED BY ($keyCol)
-               |INTO $OrderBuckets BUCKETS
-               |LOCATION '$path'""".stripMargin)
-        else
-          // repartition on the bucket key first: same murmur3 hash as the
-          // bucket assignment, so each task writes exactly ONE file per
-          // bucket — which is what lets the scan advertise the sort order
-          src.repartition(OrderBuckets, col(keyCol))
-            .write.mode("overwrite")
-            .bucketBy(OrderBuckets, keyCol)
-            .sortBy(keyCol)
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(name)
-      }
-    }
-    spark.table(name)
-  }
-
   def lineitemByOrder(spark: SparkSession, dir: String): DataFrame =
-    byOrderTable(spark, dir, "lineitem", "l_orderkey", lineitem(spark, dir))
+    bucketedTable(spark, dir, "lineitem", "lineitem_by_order", "l_orderkey",
+      Seq("l_orderkey"), OrderBuckets, lineitem(spark, dir))
 
   def ordersByOrder(spark: SparkSession, dir: String): DataFrame =
-    byOrderTable(spark, dir, "orders", "o_orderkey", orders(spark, dir))
+    bucketedTable(spark, dir, "orders", "orders_by_order", "o_orderkey",
+      Seq("o_orderkey"), OrderBuckets, orders(spark, dir))
 
   /** Dimension tables: small, single-col PK, broadcast-join candidates. */
   val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")

@@ -316,10 +316,8 @@ object Sessions {
     * oracle gate, which demands exactness). Some(acc) = the 100 TB path:
     * `approx_percentile` keeps an O(acc)-size quantile sketch per group
     * with map-side partials, so per-group memory and the final merge are
-    * BOUNDED regardless of pair cardinality — the bench rung receipt in
-    * BENCH_NOTES (sf10, ~25 type pairs over 60M-row gap lists) is the
-    * measured trade: error ≤ 1/acc of rank, time no longer dominated by
-    * the per-pair sort.
+    * BOUNDED regardless of pair cardinality; rank error is ≤ n/acc per
+    * group. Measured A/B at the sf10 events rung in BENCH_NOTES r14-s2.
     */
   def transitionDwell(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String,

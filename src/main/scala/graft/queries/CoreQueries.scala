@@ -838,8 +838,7 @@ object CoreQueries {
           col("n_nationkey") === col("s_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation")))
       val amerCust = broadcast(Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)
-            .withColumnRenamed("n_name", "__cn")),
+        .join(broadcast(Tables.nation(s, d)),
           col("n_nationkey") === col("c_nationkey"))
         .join(broadcast(Tables.region(s, d).where(col("r_name") === "AMERICA")),
           col("r_regionkey") === col("n_regionkey"))

@@ -140,4 +140,57 @@ class BucketedGatesSpec extends SparkSpec {
       .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n"))
     assert(viaBucket.exceptAll(viaRaw).isEmpty && viaRaw.exceptAll(viaBucket).isEmpty)
   }
+
+  test("the co-bucketed fact pair joins and group-bys with zero shuffles") {
+    // the orderkey sibling of the events layout: the pair's equi-join AND
+    // the orderkey aggregate both fold into the bucketed scans
+    val li = Tables.lineitemByOrder(spark, sfDir)
+    val os = Tables.ordersByOrder(spark, sfDir)
+    val joined = executed(
+      li.join(os, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n")))
+    assert(countShuffles(joined) == 0, joined.toString)
+  }
+
+  test("a concurrent builder's lock makes the second caller wait, then " +
+      "register the winner's finished layout instead of rebuilding") {
+    import java.nio.file.{Files, Paths}
+    // build once so the layout exists, then simulate a racing builder by
+    // planting a FRESH lock and deleting the catalog entry: the next call
+    // must block on the lock until _SUCCESS is visible, then take the
+    // register path (the data must not be rewritten — fingerprint the
+    // directory before and after)
+    val t = Tables.ordersByOrder(spark, sfDir)
+    val loc = t.queryExecution.analyzed.collectLeaves().head match {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.location.getPath
+      case other =>
+        other.asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+          .catalogTable.get.location.getPath
+    }
+    val files = Files.list(Paths.get(loc)).toArray.map(_.toString).sorted
+    val mtimes = files.map(f =>
+      Files.getLastModifiedTime(Paths.get(f)).toMillis).toSeq
+    val tableName = t.queryExecution.analyzed.collectLeaves().head match {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.identifier.table
+      case other =>
+        other.asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+          .catalogTable.get.identifier.table
+    }
+    spark.sql(s"DROP TABLE $tableName")
+    val lock = Paths.get(loc + ".lock")
+    Files.createFile(lock)
+    val release = new Thread(() => { Thread.sleep(1500); Files.delete(lock) })
+    release.start()
+    val t0 = System.nanoTime()
+    val again = Tables.ordersByOrder(spark, sfDir) // must wait ~1.5 s
+    release.join()
+    assert((System.nanoTime() - t0) / 1e6 >= 1000,
+      "the caller must have waited on the foreign lock")
+    assert(again.count() == t.count())
+    val after = files.map(f =>
+      Files.getLastModifiedTime(Paths.get(f)).toMillis).toSeq
+    assert(after == mtimes, "the finished layout must be registered, not rebuilt")
+  }
 }
