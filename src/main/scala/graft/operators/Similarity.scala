@@ -270,9 +270,21 @@ object Similarity {
     }
   }
 
+  /** `bits = 0` (the default) auto-sizes the bucket width to the corpus:
+    * 2^bits ≈ n / targetPerBucket, floor 12, cap 48. Fixed-width LSH has a
+    * quadratic scale cliff — bucket DENSITY grows linearly with n, so
+    * candidate pairs grow as n² (measured: the q_ann_lsh gate at 12 bits
+    * ran 2.9 s at sf1 and 100 s at sf10 — 34× per 10× data). Holding
+    * density constant keeps candidates O(n·tables·targetPerBucket); the
+    * price is threshold-recall per the formula above (each added bit
+    * multiplies a table's recall by p = 1 − acos(s)/π), so recall-critical
+    * deployments at a FIXED corpus size should pin `bits`/`tables`
+    * explicitly — and stores that persist bucket ids across runs MUST
+    * (StreamingSemanticDedup stays at fixed bits for exactly that reason).
+    */
   def lshNearPairs(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, bits: Int = 12, tables: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
+      threshold: Double, bits: Int = 0, tables: Int = 4,
+      maxBucket: Int = 10000, targetPerBucket: Int = 8): DataFrame = {
     // vectors and bucket assignments are each consumed more than once
     // (skew guard + self-join; verification joins) — persist both so the
     // bucket UDF runs ONCE per row and the 256-byte vector payload never
@@ -283,8 +295,16 @@ object Similarity {
     // — no resident blocks survive the call.
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).persist(mem)
+    val effBits =
+      if (bits > 0) bits
+      else {
+        val n = vecs.count() // cheap: first materialization of the cache
+        val want = math.max(1L, n / math.max(1, targetPerBucket))
+        math.min(48, math.max(12,
+          64 - java.lang.Long.numberOfLeadingZeros(want - 1)))
+      }
     val bucketed0 = vecs
-      .select(col("id"), posexplode(allBuckets(dim, bits, tables)(col("v")))
+      .select(col("id"), posexplode(allBuckets(dim, effBits, tables)(col("v")))
         .as(Seq("table", "bucket")))
       .persist(mem)
     try {

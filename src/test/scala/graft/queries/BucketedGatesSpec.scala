@@ -152,6 +152,61 @@ class BucketedGatesSpec extends SparkSpec {
     assert(countShuffles(joined) == 0, joined.toString)
   }
 
+  test("a point lookup on the bucket key prunes the scan to ONE bucket") {
+    // equality on the bucket column lets Spark skip 31 of 32 bucket
+    // files before any IO — the bucketed layout's answer to the
+    // reference's primary-key index probe. Caveat this test pins: the
+    // planner's autoBucketedScan rule DISABLES bucketed reading for
+    // queries with no join/agg on the bucket key, and with it the
+    // pruning (per-file min/max can't help — every key-sorted bucket
+    // file spans the whole keyspace). Point-lookup-heavy serving should
+    // turn the rule off; DEPLOYMENT.md records the knob.
+    val os = Tables.ordersByOrder(spark, sfDir)
+    val key = os.select("o_orderkey").head().getLong(0)
+    val knob = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(knob)
+    try {
+      spark.conf.set(knob, "false")
+      val plan = executed(os.where(col("o_orderkey") === key))
+      val scanStr = scans(plan).map(_.toString).mkString("\n")
+      assert(scanStr.contains("SelectedBucketsCount: 1 out of " +
+        Tables.OrderBuckets),
+        s"expected one-bucket pruning:\n${scanStr.take(1500)}")
+    } finally spark.conf.set(knob, old)
+  }
+
+  test("appends keep the pair co-located: the join stays shuffle-free " +
+      "without a layout rebuild") {
+    // new data arriving after the build: bucket assignment survives an
+    // append (each new file carries its bucket id), so the co-located
+    // join needs NO rebuild — only the one-file-per-bucket sort
+    // advertisement degrades (Spark re-sorts scan-side) until a
+    // compaction rewrites the layout. Throwaway tables, not the shared
+    // fixture layout.
+    import spark.implicits._
+    def facts(from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS append_left")
+    spark.sql("DROP TABLE IF EXISTS append_right")
+    def writeBucketed(df: org.apache.spark.sql.DataFrame, name: String,
+        mode: String): Unit =
+      df.repartition(8, col("k")).write.mode(mode)
+        .bucketBy(8, "k").sortBy("k").format("parquet").saveAsTable(name)
+    writeBucketed(facts(0, 100), "append_left", "overwrite")
+    writeBucketed(facts(0, 100).withColumnRenamed("v", "w"),
+      "append_right", "overwrite")
+    // a day of fresh rows lands on the left side only
+    writeBucketed(facts(100, 50), "append_left", "append")
+    val joined = spark.table("append_left")
+      .join(spark.table("append_right"), Seq("k"))
+    val plan = executed(joined)
+    assert(countShuffles(plan) == 0,
+      s"append must not reintroduce the join shuffle:\n${plan.toString.take(1500)}")
+    assert(joined.count() == 100, "only the original keys match")
+    spark.sql("DROP TABLE append_left")
+    spark.sql("DROP TABLE append_right")
+  }
+
   test("a concurrent builder's lock makes the second caller wait, then " +
       "register the winner's finished layout instead of rebuilding") {
     import java.nio.file.{Files, Paths}
