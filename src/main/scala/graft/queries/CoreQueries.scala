@@ -657,19 +657,76 @@ object CoreQueries {
         |LIMIT 50""".stripMargin) { (s, d) =>
       val isLate = col("l_shipdate") >
         (col("o_orderdate") + expr("INTERVAL 90 DAY"))
-      val soleLate = Tables.lineitem(s, d)
+      // two-level aggregate instead of countDistinct: a multi-distinct
+      // aggregate plans through Expand+gid (THREE exchanges measured);
+      // pre-aggregating per (orderkey, suppkey) then per orderkey keeps
+      // every phase keyed on the orderkey prefix, so both levels reuse
+      // the join's partitioning — zero additional exchanges
+      val perSupp = Tables.lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
           col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        // numwait counts l1 ROWS, not orders: a sole-late supplier with
+        // two late lineitems in one order scores twice (the textbook
+        // EXISTS semantics the oracle replays)
+        .agg(sum(when(isLate, 1L).otherwise(0L)).as("__late_rows_s"))
+      val soleLate = perSupp
         .groupBy("l_orderkey")
-        .agg(
-          countDistinct(col("l_suppkey")).as("__n_supp"),
-          countDistinct(when(isLate, col("l_suppkey"))).as("__n_late"),
-          max(when(isLate, col("l_suppkey"))).as("__late_supp"),
-          // numwait counts l1 ROWS, not orders: a sole-late supplier
-          // with two late lineitems in one order scores twice (the
-          // textbook EXISTS semantics the oracle replays)
-          sum(when(isLate, 1L).otherwise(0L)).as("__late_rows"))
+        .agg(count(lit(1)).as("__n_supp"),
+          count(when(col("__late_rows_s") > 0, lit(1))).as("__n_late"),
+          max(when(col("__late_rows_s") > 0, col("l_suppkey"))).as("__late_supp"),
+          sum(when(col("__late_rows_s") > 0, col("__late_rows_s"))
+            .otherwise(0L)).as("__late_rows"))
+        .where(col("__n_supp") > 1 && col("__n_late") === 1)
+      soleLate
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("__late_supp"))
+        .groupBy("s_name")
+        .agg(sum("__late_rows").cast("bigint").as("numwait"))
+        .orderBy(col("numwait").desc, asc_nulls_first("s_name"))
+        .limit(50)
+    },
+
+    // Q21 over the orderkey-co-bucketed fact pair: the single-pass fold
+    // groups on the bucket key, so BOTH the pair join and the grouped
+    // correlation aggregate fold into the bucketed scans — the only hash
+    // exchange left is the |suppliers|-sized s_name rollup. The heaviest
+    // TPC-H join query (two fact shuffles raw) reduced to near-zero data
+    // movement; same oracle as q_tpch_q21.
+    QueryDef("q_tpch_q21_bucketed",
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name NULLS FIRST
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      val isLate = col("l_shipdate") >
+        (col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      // same two-level aggregate discipline as the raw gate (countDistinct
+      // would plan through Expand and forfeit the bucketed partitioning)
+      val perSupp = Tables.lineitemByOrder(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.ordersByOrder(s, d).select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(isLate, 1L).otherwise(0L)).as("__late_rows_s"))
+      val soleLate = perSupp
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("__n_supp"),
+          count(when(col("__late_rows_s") > 0, lit(1))).as("__n_late"),
+          max(when(col("__late_rows_s") > 0, col("l_suppkey"))).as("__late_supp"),
+          sum(when(col("__late_rows_s") > 0, col("__late_rows_s"))
+            .otherwise(0L)).as("__late_rows"))
         .where(col("__n_supp") > 1 && col("__n_late") === 1)
       soleLate
         .join(broadcast(Tables.supplier(s, d)),

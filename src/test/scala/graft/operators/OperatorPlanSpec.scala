@@ -529,6 +529,22 @@ class OperatorPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("tpch q21 over the co-bucketed fact pair: only the supplier rollup exchanges") {
+    // the single-pass fold groups on the bucket key, so the pair join AND
+    // the correlation aggregate ride the bucketed scans; what's left is
+    // the |suppliers|-sized s_name rollup
+    val plan = planString(
+      graft.SparkEntry.queries("q_tpch_q21_bucketed")(spark, tpchDir))
+    val hashExchanges = plan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"only the s_name rollup may exchange, got $hashExchanges:\n${plan.take(3000)}")
+    val q21LineitemScans = plan.split("\n")
+      .count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(q21LineitemScans == 1,
+      s"the fold must still scan lineitem ONCE:\n${plan.take(3000)}")
+  }
+
   test("tpch q12/q20 shapes: non-equi residual rides the join; semi-chain stays broadcast") {
     val q12 = planString(graft.SparkEntry.queries("q_tpch_q12")(spark, tpchDir))
     assert(!q12.contains("CartesianProduct") &&

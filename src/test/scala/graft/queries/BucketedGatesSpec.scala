@@ -207,6 +207,32 @@ class BucketedGatesSpec extends SparkSpec {
     spark.sql("DROP TABLE append_right")
   }
 
+  test("bucketBy composes with partitionBy: day pruning first, bucket " +
+      "co-location second (the DEPLOYMENT two-layout composition)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS pb_events")
+    val rows = (0 until 400).map { i =>
+      (i % 40L, s"2024-01-0${1 + i % 3}", i.toLong)
+    }.toDF("user_id", "day", "event_seq")
+    rows.repartition(8, col("user_id")).write.mode("overwrite")
+      .partitionBy("day").bucketBy(8, "user_id").sortBy("user_id")
+      .format("parquet").saveAsTable("pb_events")
+    val t = spark.table("pb_events")
+    // day filter must prune partitions at plan time AND the per-user
+    // aggregate must still fold into the bucketed scan with no exchange
+    val agg = t.where(col("day") === "2024-01-02")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plan = executed(agg)
+    assert(countShuffles(plan) == 0,
+      s"bucketing must survive partition pruning:\n${plan.toString.take(1500)}")
+    val scanStr = scans(plan).map(_.toString).mkString("\n")
+    assert(scanStr.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter must prune partitions:\n${scanStr.take(1200)}")
+    assert(agg.agg(sum("n")).head().getLong(0) ==
+      rows.where(col("day") === "2024-01-02").count())
+    spark.sql("DROP TABLE pb_events")
+  }
+
   test("a concurrent builder's lock makes the second caller wait, then " +
       "register the winner's finished layout instead of rebuilding") {
     import java.nio.file.{Files, Paths}
