@@ -81,8 +81,13 @@ object Tables {
     * fixture) serialize on an atomically-created `<path>.lock` — the
     * loser waits for the winner's `_SUCCESS` and registers the finished
     * layout instead of launching a second overwrite build into the same
-    * directory (whose delete would tear the winner's staged files). A
-    * lock older than 10 minutes is a crashed builder and is taken over.
+    * directory (whose delete would tear the winner's staged files). The
+    * holder HEARTBEATS the lock mtime every 30 s while building, so a
+    * lock whose mtime is older than 10 minutes is a CRASHED builder
+    * (20 missed beats), never a slow one; takeover is an atomic
+    * rename-away (a fresh lock recreated in the check-to-takeover window
+    * makes the rename fail and the waiter just loops — it can never
+    * delete a live holder's lock).
     */
   private def bucketedTable(spark: SparkSession, dir: String,
       srcTable: String, layout: String, keyCol: String,
@@ -105,13 +110,48 @@ object Tables {
           while (!acquired && !Files.exists(success)) {
             try { Files.createFile(lock); acquired = true }
             catch { case _: java.nio.file.FileAlreadyExistsException =>
-              val age = System.currentTimeMillis -
-                Files.getLastModifiedTime(lock).toMillis
-              if (age > 10 * 60 * 1000L) Files.deleteIfExists(lock)
-              else Thread.sleep(500)
+              // the holder may delete the lock (build done) between our
+              // failed create and this stat — a vanished lock just means
+              // "loop and re-check", never an error
+              val age =
+                try Some(System.currentTimeMillis -
+                  Files.getLastModifiedTime(lock).toMillis)
+                catch { case _: java.io.IOException => None }
+              if (age.exists(_ > 10 * 60 * 1000L)) {
+                // crashed builder (the holder heartbeats every 30 s, so
+                // 20 missed beats = dead): take over by rename-away, with
+                // a re-stat IMMEDIATELY before the move. A fresh lock can
+                // only occupy this path after another waiter's rename
+                // removed the stale one (createFile fails while any lock
+                // exists), so stealing a live lock needs a second
+                // takeover AND a re-acquire inside the stat-to-move
+                // microsecond window; the re-stat reduces that to a
+                // deliberate three-process interleaving, and the rename
+                // (vs delete) means at most ONE waiter wins the loop's
+                // next createFile either way
+                try {
+                  val still = System.currentTimeMillis -
+                    Files.getLastModifiedTime(lock).toMillis > 10 * 60 * 1000L
+                  if (still) Files.move(lock,
+                    Paths.get(path + s".lock.stale.${System.nanoTime()}"))
+                } catch { case _: java.io.IOException => () }
+              } else Thread.sleep(500)
             }
           }
           if (acquired) {
+            // heartbeat so a LONG build (large SF) is never mistaken for
+            // a crashed one by a waiting process
+            val beat = new Thread(() => {
+              try while (!Thread.interrupted()) {
+                Thread.sleep(30 * 1000L)
+                try Files.setLastModifiedTime(lock,
+                  java.nio.file.attribute.FileTime.fromMillis(
+                    System.currentTimeMillis))
+                catch { case _: java.io.IOException => () }
+              } catch { case _: InterruptedException => () }
+            })
+            beat.setDaemon(true)
+            beat.start()
             try {
               if (!Files.exists(success))
                 src.repartition(buckets, col(keyCol))
@@ -121,7 +161,10 @@ object Tables {
                   .option("path", path)
                   .format("parquet")
                   .saveAsTable(name)
-            } finally Files.deleteIfExists(lock)
+            } finally {
+              beat.interrupt()
+              Files.deleteIfExists(lock)
+            }
           }
         }
         if (!spark.catalog.tableExists(name))

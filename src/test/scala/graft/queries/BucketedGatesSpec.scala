@@ -260,18 +260,35 @@ class BucketedGatesSpec extends SparkSpec {
           .catalogTable.get.identifier.table
     }
     spark.sql(s"DROP TABLE $tableName")
+    // the lock branch only engages while _SUCCESS is absent — hide it so
+    // the waiter genuinely enters the wait loop (a planted lock with
+    // _SUCCESS present would be skipped and the test would be vacuous)
+    val success = Paths.get(loc, "_SUCCESS")
+    val hidden = Paths.get(loc, "_SUCCESS.hidden")
+    Files.move(success, hidden)
     val lock = Paths.get(loc + ".lock")
     Files.createFile(lock)
-    val release = new Thread(() => { Thread.sleep(1500); Files.delete(lock) })
+    // the "winner": finishes its build at t=1.5 s — _SUCCESS appears,
+    // then the lock goes away (the production finally-order)
+    val release = new Thread(() => {
+      Thread.sleep(1500)
+      Files.move(hidden, success)
+      Files.delete(lock)
+    })
     release.start()
     val t0 = System.nanoTime()
     val again = Tables.ordersByOrder(spark, sfDir) // must wait ~1.5 s
+    val waitedMs = (System.nanoTime() - t0) / 1e6
     release.join()
-    assert((System.nanoTime() - t0) / 1e6 >= 1000,
-      "the caller must have waited on the foreign lock")
+    assert(waitedMs >= 1000,
+      s"the caller must have waited on the foreign lock, waited $waitedMs ms")
     assert(again.count() == t.count())
-    val after = files.map(f =>
-      Files.getLastModifiedTime(Paths.get(f)).toMillis).toSeq
-    assert(after == mtimes, "the finished layout must be registered, not rebuilt")
+    val dataFiles = files.filterNot(f =>
+      f.endsWith("_SUCCESS") || f.contains(".lock"))
+    val before = dataFiles.map(f => mtimes(files.indexOf(f)))
+    val after = dataFiles.map(f =>
+      Files.getLastModifiedTime(Paths.get(f)).toMillis)
+    assert(after.toSeq == before.toSeq,
+      "the finished layout must be registered, not rebuilt")
   }
 }

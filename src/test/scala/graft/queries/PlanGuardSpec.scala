@@ -52,15 +52,36 @@ class PlanGuardSpec extends SparkSpec {
     p +: (p.children ++ nested).flatMap(walk)
   }
 
-  /** One row by construction: a no-grouping aggregate anywhere down the
-    * broadcast subtree, or literal driver-computed rows.
+  /** Bounded at the ROOT, by construction: descend only through
+    * row-count-preserving (or row-count-reducing) nodes; the first node
+    * that can multiply rows decides. An `exists` over all descendants
+    * would bless `fact.join(broadcast(scalar))` — millions of rows that
+    * merely CONSUME a scalar — which is exactly the degradation this
+    * guard exists to catch.
     */
-  private def boundedBuildSide(p: SparkPlan): Boolean =
-    walk(p).exists {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case _: LocalTableScanExec => true
-      case _ => false
-    }
+  private def boundedBuildSide(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty // global agg = exactly one row
+    case _: LocalTableScanExec => true // literal driver-computed rows
+    case g: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case b: BroadcastNestedLoopJoinExec =>
+      // scalar × scalar: a cross of two bounded sides is bounded
+      boundedBuildSide(b.left) && boundedBuildSide(b.right)
+    case a: AdaptiveSparkPlanExec => boundedBuildSide(a.executedPlan)
+    case q: QueryStageExec => boundedBuildSide(q.plan)
+    case r: ReusedExchangeExec => boundedBuildSide(r.child)
+    // row-preserving / row-reducing wrappers: recurse into the child
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: org.apache.spark.sql.execution.SortExec |
+         _: org.apache.spark.sql.execution.CoalesceExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter |
+         _: org.apache.spark.sql.execution.exchange.Exchange =>
+      boundedBuildSide(p.children.head)
+    case _ => false
+  }
 
   test("no gate plans a CartesianProduct; every BNLJ broadcasts a bounded side") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]
