@@ -242,14 +242,21 @@ object Bench {
             val b = once(byName(name))
             math.min(secs, math.min(a, b))
           } catch { case _: Throwable => secs }
+        // the retime runs execute at suite END, often in a different host
+        // window than the first pass — sample the canary NOW so a best
+        // set by the retime carries the window that produced it (pairing
+        // a retime-fast time with the first pass's slow sample would put
+        // the r13 seed bias right back into the ratchet, inverted)
+        val retimeCanary = canary()
+        canaryTrace(s"_retime_$name") = retimeCanary
         System.err.println(
-          f"[bench ${System.currentTimeMillis}] RETIME $name $secs%.3f -> $best%.3f (ref ${prior.getOrElse(name, -1.0)}%.3f)")
+          f"[bench ${System.currentTimeMillis}] RETIME $name $secs%.3f -> $best%.3f (ref ${prior.getOrElse(name, -1.0)}%.3f, canary $retimeCanary%.3f)")
         // ALWAYS recorded, improved or not: a reader of the record can
         // tell every >2x row got its isolated confirmation pass (an
         // entry with old == new means "re-measured, genuinely this
         // slow", not "stall rode through undetected")
         retimed(name) = (secs, best)
-        (name, best, canaryAt)
+        (name, best, if (best < secs) retimeCanary else canaryAt)
       }
     }
     def r3(v: Double): String = "%.3f".format(v)

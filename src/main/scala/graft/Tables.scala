@@ -53,9 +53,20 @@ object Tables {
     s"target/graft-archive/$tag-${sourceFingerprint(dir, "events")}/events"
   }
 
+  /** Per-layout build monitors: in-JVM build/register serialization is
+    * PER LAYOUT, not global — a thread waiting out another process's
+    * multi-minute foreign build (the cross-process wait loop below) must
+    * not stall unrelated layouts whose data is already built and only
+    * needs the cheap catalog re-registration.
+    */
+  private val layoutMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def layoutMonitor(key: String): Object =
+    layoutMonitors.getOrElseUpdate(key, new Object)
+
   def eventsArchived(spark: SparkSession, dir: String): DataFrame = {
     val out = eventsArchivePath(dir)
-    Tables.synchronized {
+    layoutMonitor(out).synchronized {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
         graft.ingest.Archiver.archive(events(spark, dir), "ts", EventsSortCols, out)
     }
@@ -76,7 +87,9 @@ object Tables {
     * one bucket and writes exactly one file — which is what lets the scan
     * advertise the per-bucket sort order (single file per bucket).
     *
-    * Concurrency: in-JVM callers serialize on Tables.synchronized;
+    * Concurrency: in-JVM callers serialize on a PER-LAYOUT monitor (a
+    * global lock would park every other layout's cheap re-registration
+    * behind one thread waiting out a foreign multi-minute build);
     * CROSS-PROCESS builders (sbt test + a Verify/Bench JVM on the same
     * fixture) serialize on an atomically-created `<path>.lock` — the
     * loser waits for the winner's `_SUCCESS` and registers the finished
@@ -99,7 +112,7 @@ object Tables {
       .toAbsolutePath.toString
     val name = (layout + "_" +
       path.replaceAll(".*graft-bucketed/", "")).replaceAll("[^A-Za-z0-9_]", "_")
-    Tables.synchronized {
+    layoutMonitor(name).synchronized {
       if (!spark.catalog.tableExists(name)) {
         val src = df
         val success = Paths.get(path, "_SUCCESS")

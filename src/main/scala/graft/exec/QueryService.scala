@@ -47,7 +47,7 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
     })
   private val queryIds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def withDeadline[T](f: => T): T =
+  private[exec] def withDeadline[T](f: => T): T =
     if (queryTimeoutSec <= 0) f
     else {
       val sc = spark.sparkContext
@@ -88,7 +88,22 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
           if (!done.get()) { fired.set(true); sc.cancelJobGroup(groupId) }
         }
       }, queryTimeoutSec * 1000L, 250L, java.util.concurrent.TimeUnit.MILLISECONDS)
-      try f
+      val startNanos = System.nanoTime()
+      try {
+        val out = f
+        // the repeating non-sticky cancel only reaches jobs ACTIVE at tick
+        // instants — an overdue query whose remaining stage jobs each fit
+        // inside a 250 ms tick gap can dodge every tick and COMPLETE. The
+        // deadline is a contract, not a best effort: a result produced
+        // past it is discarded by elapsed time (not by `fired`, so a
+        // saturated watchdog can't soften the bound either).
+        if (System.nanoTime() - startNanos >= queryTimeoutSec * 1000000000L) {
+          metrics.foreach(_.recordDeadline())
+          throw new IllegalStateException(
+            s"query deadline exceeded (${queryTimeoutSec}s)")
+        }
+        out
+      }
       catch {
         // rethrow CANCELLATIONS under the deadline's name so clients see
         // the cause, not Spark internals — but only genuine

@@ -382,34 +382,102 @@ object SliceRebalance {
     }
   }
 
-  /** Serialize the check-and-rename of [[publish]] across processes: an
-    * atomically-created lock file closes the window where two publishers
-    * could both re-read an unmoved version and both rename. Held for
-    * milliseconds (small-file read + write + rename). A lock left by a
-    * crash inside that window is taken over once it is older than
-    * [[StaleLockMs]]; a FRESH foreign lock aborts by the same fencing
-    * name — the caller re-runs.
+  /** Serialize the check-and-rename of [[publish]] across processes via
+    * a GENERATION-LADDER lock (a fencing-token scheme): the live lock is
+    * the highest-numbered `.assignment.lock.g<N>` file in the topology
+    * dir. Acquiring = atomically `createFile`-ing generation
+    * `highest+1` when the current highest is STALE (older than
+    * [[StaleLockMs]]; a crashed publisher), or generation 1 when none
+    * exists; a FRESH highest lock aborts by name — publishes hold for
+    * milliseconds, so contention means re-run.
+    *
+    * Why a ladder instead of delete-or-rename takeover: reclaiming by
+    * VACATING the path (delete, or rename-away) opens a window where
+    * the path is empty while a winner is inside — any concurrent
+    * `createFile` in that window yields TWO publishers in the critical
+    * section (reproduced by the 8-thread hammer in SliceRebalanceSpec
+    * against both prior protocols). The ladder never vacates: contest
+    * winners create the NEXT generation — `createFile` atomicity alone
+    * picks exactly one winner among reclaimers that observed the same
+    * stale generation, and the stale file stays in place (reaped by the
+    * winner AFTER acquisition, when it is provably garbage). A fresh
+    * higher generation observed after our own create means WE were
+    * judged dead (a 60s+ stall) — abort and release.
+    *
+    * Residual (documented): a publisher that stalls longer than
+    * [[StaleLockMs]] BETWEEN its deposition check and its assignment
+    * rename can still double-publish against its usurper — irreducible
+    * without an atomic compare-and-swap primitive, requires a 60 s
+    * freeze landing inside a milliseconds window, and even then the
+    * version fence bounds the damage to a same-base overwrite, never a
+    * drop under a foreign ownership view. Deploy a single `--watch`
+    * rebalancer per topology dir (DEPLOYMENT.md).
     */
   private val StaleLockMs = 60000L
-  private def withPublishLock[T](topologyDir: String)(body: => T): T = {
-    val lock = Paths.get(topologyDir, ".assignment.lock")
-    def acquire(canSteal: Boolean): Unit =
-      try { Files.createFile(lock); () }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case _: java.io.IOException => 0L } // lock vanished: retry below
-          if (canSteal && age > StaleLockMs) {
-            try Files.deleteIfExists(lock)
-            catch { case _: java.io.IOException => () }
-            acquire(canSteal = false)
-          } else throw new IllegalStateException(
-            s"rebalance fenced: another rebalance holds the publish lock $lock " +
-              s"(age ${age}ms) — aborting before the drop phase. Re-run; a lock " +
-              s"older than ${StaleLockMs}ms is taken over automatically.")
+  private val LockGen = """\.assignment\.lock\.g(\d+)""".r
+  private def lockLadder(dir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    val s = try Files.list(dir) catch { case _: java.io.IOException => return Seq.empty }
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator.asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case LockGen(g) => Some(g.toLong -> p)
+          case _ => None
+        }
+      }.toSeq.sortBy(_._1)
+    } finally s.close()
+  }
+  private[exec] def withPublishLock[T](topologyDir: String)(body: => T): T = {
+    val dir = Paths.get(topologyDir)
+    def ageOf(p: java.nio.file.Path): Long =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => -1L } // vanished
+    @annotation.tailrec
+    def acquire(attempt: Int): Long = {
+      if (attempt >= 16) throw new IllegalStateException(
+        s"rebalance fenced: could not acquire the publish lock in $dir after " +
+          s"$attempt attempts (live publishers churning) — aborting before " +
+          "the drop phase; re-run.")
+      val next = lockLadder(dir).lastOption match {
+        case None => 1L
+        case Some((g, p)) =>
+          val age = ageOf(p)
+          if (age < 0) -1L // holder released between list and stat: re-list
+          else if (age > StaleLockMs) g + 1 // crashed holder: contest g+1
+          else throw new IllegalStateException(
+            s"rebalance fenced: another rebalance holds the publish lock $p " +
+              s"(age ${age}ms) — aborting before the drop phase. Re-run; a " +
+              s"lock older than ${StaleLockMs}ms is taken over automatically.")
       }
-    acquire(canSteal = true)
-    try body finally Files.deleteIfExists(lock)
+      if (next < 0) acquire(attempt + 1)
+      else {
+        val won =
+          try { Files.createFile(dir.resolve(s".assignment.lock.g$next")); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        if (won) next
+        // contest lost (or a release/acquire raced us): re-observe — the
+        // next loop sees the winner's FRESH lock and aborts by name
+        else acquire(attempt + 1)
+      }
+    }
+    val gen = acquire(attempt = 0)
+    val mine = dir.resolve(s".assignment.lock.g$gen")
+    try {
+      // deposition check: a higher generation means another publisher
+      // judged OUR lock stale (we stalled 60s+ before getting here) —
+      // its holder owns the critical section now, not us
+      if (lockLadder(dir).exists(_._1 > gen))
+        throw new IllegalStateException(
+          s"rebalance fenced: deposed — a concurrent rebalance reclaimed " +
+            s"publish lock generation $gen as stale. Aborting before the " +
+            "drop phase; re-run.")
+      // reap dead ancestors (provably garbage: we hold the highest gen)
+      lockLadder(dir).filter(_._1 < gen).foreach { case (_, p) =>
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+      }
+      body
+    } finally {
+      try Files.deleteIfExists(mine) catch { case _: java.io.IOException => () }
+    }
   }
 }

@@ -82,6 +82,27 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
   private def topic(table: String): RedoTopic =
     topics.getOrElseUpdate(table, topicFor(table))
 
+  /** Un-truncated byte volume per table, MAINTAINED rather than re-read:
+    * `size` is on the ingest hot path (the size-triggered drain bound
+    * checks it after every `/data/{table}` batch), and deriving it from
+    * `readFrom(committed)` would fetch and materialize the entire
+    * un-truncated topic from the brokers per request — O(backlog) broker
+    * reads per small batch, O(backlog²) traffic over a fill cycle, where
+    * the file backend's `size` is one stat. Seeded once per table from
+    * the backlog (the same read recovery's `replay` performs anyway),
+    * then append adds and truncate resets. Per-table appends are serial
+    * under the server's table lock, so seed-then-add cannot double-count
+    * a concurrent append.
+    */
+  private val unTruncatedBytes =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def counter(table: String): java.util.concurrent.atomic.AtomicLong =
+    unTruncatedBytes.getOrElseUpdate(table, {
+      val t = topic(table)
+      new java.util.concurrent.atomic.AtomicLong(
+        t.readFrom(t.committed).map(_._2.length.toLong).sum)
+    })
+
   /** Record value layout: `[kind:byte][payload]` — Kafka's own record
     * framing replaces the file journal's magic/length/torn-tail logic.
     */
@@ -89,7 +110,9 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
     val value = new Array[Byte](payload.length + 1)
     value(0) = kind
     System.arraycopy(payload, 0, value, 1, payload.length)
+    val c = counter(table) // seed from the pre-append backlog first
     topic(table).append(value)
+    c.addAndGet(value.length.toLong)
   }
 
   def replay(table: String): Seq[(Byte, Array[Byte])] = {
@@ -102,12 +125,10 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
   def truncate(table: String): Unit = {
     val t = topic(table)
     t.commit(t.endOffset)
+    counter(table).set(0L)
   }
 
-  def size(table: String): Long = {
-    val t = topic(table)
-    t.readFrom(t.committed).map(_._2.length.toLong).sum
-  }
+  def size(table: String): Long = counter(table).get
 
   def tables: Seq[String] =
     candidateTables().distinct.sorted.filter { t =>

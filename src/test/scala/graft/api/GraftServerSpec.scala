@@ -480,6 +480,45 @@ class GraftServerSpec extends SparkSpec {
     c.stop()
   }
 
+  test("Kafka redo log: size is a maintained counter, never a topic re-read") {
+    // size() sits on the ingest hot path (the rotation bound checks it
+    // after every batch); deriving it from readFrom(committed) would
+    // fetch the whole un-truncated backlog from the brokers per request.
+    // This pins the contract: one seed read per table, then append/
+    // truncate maintain the counter with ZERO further topic reads.
+    final class CountingTopic extends graft.ingest.RedoTopic {
+      private var records = Vector.empty[Array[Byte]]
+      private var committedOff = 0L
+      var reads = 0
+      def append(value: Array[Byte]): Long =
+        synchronized { records :+= value; records.length - 1L }
+      def readFrom(from: Long): Seq[(Long, Array[Byte])] = synchronized {
+        reads += 1
+        records.zipWithIndex.drop(from.toInt)
+          .map { case (v, i) => (i.toLong, v) } }
+      def endOffset: Long = synchronized(records.length.toLong)
+      def committed: Long = synchronized(committedOff)
+      def commit(offset: Long): Unit = synchronized { committedOff = offset }
+    }
+    val topic = new CountingTopic
+    // a prior incarnation leaves a backlog on the brokers
+    val writer = new graft.ingest.KafkaRedoLog(_ => topic, () => Seq("t"))
+    writer.append("t", 1.toByte, Array[Byte](1, 2, 3))
+    writer.append("t", 1.toByte, Array[Byte](4, 5))
+    // a replacement member seeds its counter from that backlog ONCE
+    val rl = new graft.ingest.KafkaRedoLog(_ => topic, () => Seq("t"))
+    val reads0 = topic.reads
+    assert(rl.size("t") == (3 + 1) + (2 + 1), "size = backlog value bytes")
+    assert(topic.reads == reads0 + 1, "first size() seeds with one read")
+    rl.append("t", 1.toByte, Array[Byte](9))
+    assert(rl.size("t") == 4 + 3 + 2, "append maintains the counter")
+    rl.truncate("t")
+    assert(rl.size("t") == 0L, "truncate resets the counter")
+    assert(topic.reads == reads0 + 1,
+      s"append/size/truncate must not re-read the topic (reads=${topic.reads})")
+    assert(rl.replay("t").isEmpty, "post-truncate replay is empty")
+  }
+
   test("journal rotation: sustained ingest with no scheduler tick keeps the journal bounded") {
     val jdir = java.nio.file.Files.createTempDirectory("graft_jrot").toString
     val limit = 1500L

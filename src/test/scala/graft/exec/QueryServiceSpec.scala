@@ -96,4 +96,22 @@ class QueryServiceSpec extends SparkSpec {
     }.toMap
     assert(fromBin == fromJson, s"binary=$fromBin json=$fromJson")
   }
+
+  test("the deadline is hard: work the cancel cannot reach still fails by elapsed time") {
+    // The repeating non-sticky cancel only touches Spark jobs ACTIVE at
+    // tick instants. Work it cannot reach — driver-side shaping, or an
+    // overdue query whose short stage jobs each fit inside a tick gap —
+    // used to COMPLETE and return success past the 'hard' deadline. The
+    // elapsed-time check makes the contract deterministic: a result
+    // produced past the deadline is discarded with the named error. The
+    // sleep stands in for any uncancellable segment (zero active jobs,
+    // exactly the tick-dodge shape).
+    val svc = new QueryService(Catalog.testdata(sfDir), spark, queryTimeoutSec = 1)
+    val e = intercept[IllegalStateException] {
+      svc.withDeadline { Thread.sleep(1400); 42 }
+    }
+    assert(e.getMessage.contains("query deadline exceeded (1s)"), e.getMessage)
+    // and a query that finishes inside the deadline is untouched
+    assert(svc.withDeadline { 7 } == 7)
+  }
 }

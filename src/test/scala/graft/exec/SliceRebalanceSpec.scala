@@ -188,7 +188,7 @@ class SliceRebalanceSpec extends SparkSpec {
 
     // a FRESH foreign publish lock aborts by name (another publisher is
     // in its check-and-rename window)...
-    val lock = java.nio.file.Paths.get(topoDir, ".assignment.lock")
+    val lock = java.nio.file.Paths.get(topoDir, ".assignment.lock.g1")
     java.nio.file.Files.createFile(lock)
     val e2 = intercept[IllegalStateException] {
       SliceRebalance.rebalanceDetailed(spark, sharedDir, dirsABC, topoDir)
@@ -201,7 +201,68 @@ class SliceRebalanceSpec extends SparkSpec {
     val v2again = SliceRebalance.rebalanceDetailed(
       spark, sharedDir, dirsABC, topoDir).assignment
     assert(v2again == v2, "takeover re-run must be the idempotent no-op")
-    assert(!java.nio.file.Files.exists(lock), "the taken-over lock must be released")
+    assert(!java.nio.file.Files.exists(lock),
+      "the stale generation must be reaped by the takeover winner")
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(topoDir))
+      .iterator()
+    var locks = List.empty[String]
+    while (leftover.hasNext) {
+      val n = leftover.next().getFileName.toString
+      if (n.startsWith(".assignment.lock")) locks ::= n
+    }
+    assert(locks.isEmpty, s"no lock generation may outlive its publish: $locks")
+  }
+
+  test("concurrent stale-lock takeover admits at most one publisher") {
+    // The hazard: two publishers BOTH observe a stale lock and both
+    // reclaim it. Any protocol that VACATES the lock path during reclaim
+    // (delete-then-recreate, or rename-away — both prior designs) opens
+    // a window where a winner is inside while the path is empty, and a
+    // concurrent createFile puts a second publisher in too: this 8-thread
+    // hammer reproduced 2-3 concurrent entrants against both. The
+    // generation ladder never vacates — reclaim = createFile of the NEXT
+    // generation, atomic and single-winner by construction.
+    val topo = java.nio.file.Files.createTempDirectory("rebl-topo").toString
+    val lock = java.nio.file.Paths.get(topo, ".assignment.lock.g1")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        try SliceRebalance.withPublishLock(topo) {
+          val n = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, n))
+          entered.incrementAndGet()
+          Thread.sleep(30)
+          inside.decrementAndGet()
+        } catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("rebalance fenced") =>
+            aborted.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(30000))
+    assert(maxInside.get == 1,
+      s"${maxInside.get} publishers entered the critical section concurrently")
+    assert(entered.get >= 1, "no thread reclaimed the stale lock")
+    assert(entered.get + aborted.get == 8,
+      s"entered=${entered.get} aborted=${aborted.get} — a thread died unnamed")
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(topo))
+      .iterator()
+    var locks = List.empty[String]
+    while (leftover.hasNext) {
+      val n = leftover.next().getFileName.toString
+      if (n.startsWith(".assignment.lock")) locks ::= n
+    }
+    assert(locks.isEmpty, s"every generation must be reaped or released: $locks")
   }
 
   test("a locally-drained fresh day survives rebalance: merged up, owned once, queryable") {
