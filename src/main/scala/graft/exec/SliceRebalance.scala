@@ -353,7 +353,7 @@ object SliceRebalance {
   private def publish(topologyDir: String, owners: Map[String, Seq[String]],
       expectedVersion: Option[Long]): Assignment = {
     Files.createDirectories(Paths.get(topologyDir))
-    withPublishLock(topologyDir) {
+    withPublishLock(topologyDir) { assertStillHeld =>
       val prior = read(topologyDir)
       if (prior.map(_.version) != expectedVersion)
         throw new IllegalStateException(
@@ -375,6 +375,11 @@ object SliceRebalance {
           val tmp = Paths.get(topologyDir, s".assignment.json.tmp")
           Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(doc)),
             StandardCharsets.UTF_8)
+          // commit-point fence: a publisher that stalled 60s+ since its
+          // entry check may have been reclaimed (and the ladder may even
+          // have reset to its own generation number) — re-verify nonce
+          // and generation immediately before the one irreversible step
+          assertStillHeld()
           Files.move(tmp, Paths.get(topologyDir, "assignment.json"),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
           next
@@ -385,11 +390,13 @@ object SliceRebalance {
   /** Serialize the check-and-rename of [[publish]] across processes via
     * a GENERATION-LADDER lock (a fencing-token scheme): the live lock is
     * the highest-numbered `.assignment.lock.g<N>` file in the topology
-    * dir. Acquiring = atomically `createFile`-ing generation
-    * `highest+1` when the current highest is STALE (older than
-    * [[StaleLockMs]]; a crashed publisher), or generation 1 when none
-    * exists; a FRESH highest lock aborts by name — publishes hold for
-    * milliseconds, so contention means re-run.
+    * dir (a bare legacy `.assignment.lock` counts as generation 0, so a
+    * pre-ladder rebalancer still fences a current one during a rolling
+    * upgrade and a crashed legacy lock gets reaped). Acquiring =
+    * atomically `createFile`-ing generation `highest+1` when the current
+    * highest is STALE (older than [[StaleLockMs]]; a crashed publisher),
+    * or generation 1 when none exists; a FRESH highest lock aborts by
+    * name — publishes hold for milliseconds, so contention means re-run.
     *
     * Why a ladder instead of delete-or-rename takeover: reclaiming by
     * VACATING the path (delete, or rename-away) opens a window where
@@ -400,18 +407,26 @@ object SliceRebalance {
     * winners create the NEXT generation — `createFile` atomicity alone
     * picks exactly one winner among reclaimers that observed the same
     * stale generation, and the stale file stays in place (reaped by the
-    * winner AFTER acquisition, when it is provably garbage). A fresh
-    * higher generation observed after our own create means WE were
-    * judged dead (a 60s+ stall) — abort and release.
+    * winner AFTER acquisition, when it is provably garbage).
+    *
+    * Generation numbers RESET after a full release (the ladder empties),
+    * so a generation alone does not identify a holder: every winner
+    * writes a NONCE into its lock file, release deletes the file only
+    * while it still carries that nonce, and `stillHeld` (also handed to
+    * `body` for a commit-point re-check right before the assignment
+    * rename) requires BOTH no-higher-generation AND nonce-intact — a
+    * publisher that stalled 60s+, was reclaimed, and woke after the
+    * ladder reset can neither delete its successor's same-numbered live
+    * lock nor publish over it.
     *
     * Residual (documented): a publisher that stalls longer than
-    * [[StaleLockMs]] BETWEEN its deposition check and its assignment
-    * rename can still double-publish against its usurper — irreducible
-    * without an atomic compare-and-swap primitive, requires a 60 s
-    * freeze landing inside a milliseconds window, and even then the
-    * version fence bounds the damage to a same-base overwrite, never a
-    * drop under a foreign ownership view. Deploy a single `--watch`
-    * rebalancer per topology dir (DEPLOYMENT.md).
+    * [[StaleLockMs]] BETWEEN the commit-point `stillHeld` and its
+    * assignment rename can still double-publish against its usurper —
+    * irreducible without an atomic compare-and-swap primitive, requires
+    * a 60 s freeze landing inside a microseconds window, and even then
+    * the version fence bounds the damage to a same-base overwrite,
+    * never a drop under a foreign ownership view. Deploy a single
+    * `--watch` rebalancer per topology dir (DEPLOYMENT.md).
     */
   private val StaleLockMs = 60000L
   private val LockGen = """\.assignment\.lock\.g(\d+)""".r
@@ -422,12 +437,14 @@ object SliceRebalance {
       s.iterator.asScala.flatMap { p =>
         p.getFileName.toString match {
           case LockGen(g) => Some(g.toLong -> p)
+          case ".assignment.lock" => Some(0L -> p) // pre-ladder protocol
           case _ => None
         }
       }.toSeq.sortBy(_._1)
     } finally s.close()
   }
-  private[exec] def withPublishLock[T](topologyDir: String)(body: => T): T = {
+  private[exec] def withPublishLock[T](topologyDir: String)(
+      body: (() => Unit) => T): T = {
     val dir = Paths.get(topologyDir)
     def ageOf(p: java.nio.file.Path): Long =
       try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
@@ -462,22 +479,40 @@ object SliceRebalance {
     }
     val gen = acquire(attempt = 0)
     val mine = dir.resolve(s".assignment.lock.g$gen")
-    try {
-      // deposition check: a higher generation means another publisher
-      // judged OUR lock stale (we stalled 60s+ before getting here) —
-      // its holder owns the critical section now, not us
-      if (lockLadder(dir).exists(_._1 > gen))
+    val nonce = java.util.UUID.randomUUID().toString
+    try Files.writeString(mine, nonce, StandardCharsets.UTF_8)
+    catch { case _: java.io.IOException => () }
+    def myContent(): String =
+      try Files.readString(mine, StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    def stillHeld(): Unit = {
+      if (myContent() != nonce || lockLadder(dir).exists(_._1 > gen))
         throw new IllegalStateException(
           s"rebalance fenced: deposed — a concurrent rebalance reclaimed " +
-            s"publish lock generation $gen as stale. Aborting before the " +
-            "drop phase; re-run.")
-      // reap dead ancestors (provably garbage: we hold the highest gen)
-      lockLadder(dir).filter(_._1 < gen).foreach { case (_, p) =>
+            s"publish lock generation $gen as stale. Aborting; re-run.")
+    }
+    try {
+      // deposition check at entry (one listing serves check and reap): a
+      // higher generation — or a recycled same-numbered lock that no
+      // longer carries our nonce — means another publisher judged us
+      // stale while we stalled
+      val ladder0 = lockLadder(dir)
+      if (myContent() != nonce || ladder0.exists(_._1 > gen))
+        throw new IllegalStateException(
+          s"rebalance fenced: deposed — a concurrent rebalance reclaimed " +
+            s"publish lock generation $gen as stale. Aborting; re-run.")
+      ladder0.filter(_._1 < gen).foreach { case (_, p) =>
+        // reap dead ancestors (provably garbage: we hold the highest gen)
         try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
       }
-      body
+      body(stillHeld _)
     } finally {
-      try Files.deleteIfExists(mine) catch { case _: java.io.IOException => () }
+      // release ONLY a lock that is still ours: after a full release the
+      // ladder resets, so a stalled publisher's blind delete could remove
+      // a successor's identically-numbered LIVE lock and re-open the
+      // double-entry the ladder closed
+      try { if (myContent() == nonce) Files.deleteIfExists(mine) }
+      catch { case _: java.io.IOException => () }
     }
   }
 }

@@ -93,6 +93,17 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
     * then append adds and truncate resets. Per-table appends are serial
     * under the server's table lock, so seed-then-add cannot double-count
     * a concurrent append.
+    *
+    * SINGLE-WRITER CONTRACT (same as the file journal's): exactly one
+    * live member owns a table's topic. The counter mirrors the topic
+    * only for THIS instance's appends/truncates — a second writer on
+    * the same topic (e.g. a network-partitioned member its replacement
+    * was started over) diverges it: the partitioned member's counter
+    * ignores the replacement's offset commit (a spurious rotation at
+    * worst) and the replacement never sees the partitioned member's
+    * appends (an under-enforced bound). Fence ownership OUTSIDE the log
+    * (the slice assignment already names one owner per table); `replay`
+    * re-seeds from broker truth, so recovery always starts exact.
     */
   private val unTruncatedBytes =
     scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
@@ -117,7 +128,14 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
 
   def replay(table: String): Seq[(Byte, Array[Byte])] = {
     val t = topic(table)
-    t.readFrom(t.committed).map { case (_, value) =>
+    val records = t.readFrom(t.committed)
+    // replay reads the whole backlog anyway — re-seed the counter from
+    // broker truth, so a recovery after any counter/broker divergence
+    // (see the single-writer contract on `unTruncatedBytes`) starts exact
+    unTruncatedBytes.put(table,
+      new java.util.concurrent.atomic.AtomicLong(
+        records.map(_._2.length.toLong).sum))
+    records.map { case (_, value) =>
       (value(0), java.util.Arrays.copyOfRange(value, 1, value.length))
     }
   }
@@ -136,5 +154,5 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
       tp.endOffset > tp.committed
     }
 
-  def close(): Unit = topics.clear()
+  def close(): Unit = { topics.clear(); unTruncatedBytes.clear() }
 }

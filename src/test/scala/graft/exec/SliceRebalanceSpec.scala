@@ -203,14 +203,22 @@ class SliceRebalanceSpec extends SparkSpec {
     assert(v2again == v2, "takeover re-run must be the idempotent no-op")
     assert(!java.nio.file.Files.exists(lock),
       "the stale generation must be reaped by the takeover winner")
-    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(topoDir))
-      .iterator()
-    var locks = List.empty[String]
-    while (leftover.hasNext) {
-      val n = leftover.next().getFileName.toString
-      if (n.startsWith(".assignment.lock")) locks ::= n
-    }
+    val locks = lockFiles(topoDir)
     assert(locks.isEmpty, s"no lock generation may outlive its publish: $locks")
+  }
+
+  /** Lock-file names currently present in a topology dir (stream closed). */
+  private def lockFiles(dir: String): List[String] = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      val it = s.iterator()
+      var out = List.empty[String]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith(".assignment.lock")) out ::= n
+      }
+      out
+    } finally s.close()
   }
 
   test("concurrent stale-lock takeover admits at most one publisher") {
@@ -236,7 +244,7 @@ class SliceRebalanceSpec extends SparkSpec {
     val threads = (1 to 8).map { _ =>
       new Thread(() => {
         start.await()
-        try SliceRebalance.withPublishLock(topo) {
+        try SliceRebalance.withPublishLock(topo) { _ =>
           val n = inside.incrementAndGet()
           maxInside.updateAndGet(m => math.max(m, n))
           entered.incrementAndGet()
@@ -255,14 +263,85 @@ class SliceRebalanceSpec extends SparkSpec {
     assert(entered.get >= 1, "no thread reclaimed the stale lock")
     assert(entered.get + aborted.get == 8,
       s"entered=${entered.get} aborted=${aborted.get} — a thread died unnamed")
-    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(topo))
-      .iterator()
-    var locks = List.empty[String]
-    while (leftover.hasNext) {
-      val n = leftover.next().getFileName.toString
-      if (n.startsWith(".assignment.lock")) locks ::= n
-    }
+    val locks = lockFiles(topo)
     assert(locks.isEmpty, s"every generation must be reaped or released: $locks")
+  }
+
+  test("a reclaimed stalled publisher cannot delete or publish over its successor (nonce identity)") {
+    // Generations RESET after a full release, so a generation number does
+    // not identify a holder: publisher A stalls 60s+ inside the critical
+    // section, B reclaims g2 (reaping A's g1) and releases (ladder
+    // empty), C acquires a FRESH g1. A wakes: its commit-point
+    // stillHeld() must fence (its nonce is gone), and its release must
+    // NOT delete C's identically-numbered live lock.
+    val topo = java.nio.file.Files.createTempDirectory("rebn-topo").toString
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aResume = new java.util.concurrent.CountDownLatch(1)
+    val aFenced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val a = new Thread(() => {
+      try SliceRebalance.withPublishLock(topo) { stillHeld =>
+        aEntered.countDown()
+        aResume.await()
+        stillHeld() // the commit-point re-check publish runs before its rename
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("deposed") =>
+          aFenced.set(true)
+      }
+    })
+    a.start()
+    assert(aEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // simulate A's stall: age its lock past the staleness bound
+    val g1 = java.nio.file.Paths.get(topo, ".assignment.lock.g1")
+    java.nio.file.Files.setLastModifiedTime(g1,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    // B reclaims through g2, reaps A's g1, releases — ladder resets
+    SliceRebalance.withPublishLock(topo) { _ => () }
+    assert(lockFiles(topo).isEmpty, "B must reap A's stale g1 and release g2")
+    // C acquires a fresh, identically-numbered g1 and stays inside
+    val cEntered = new java.util.concurrent.CountDownLatch(1)
+    val cResume = new java.util.concurrent.CountDownLatch(1)
+    val cClean = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val c = new Thread(() => {
+      SliceRebalance.withPublishLock(topo) { stillHeld =>
+        cEntered.countDown()
+        cResume.await()
+        stillHeld() // C was never deposed — must NOT throw
+        cClean.set(true)
+      }
+    })
+    c.start()
+    assert(cEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // A wakes while C is inside
+    aResume.countDown()
+    a.join(10000)
+    assert(aFenced.get, "A's commit-point stillHeld must fence by name")
+    assert(java.nio.file.Files.exists(g1),
+      "A's release must not delete C's identically-numbered live lock")
+    cResume.countDown()
+    c.join(10000)
+    assert(cClean.get, "C must complete untouched")
+    assert(lockFiles(topo).isEmpty, "C's release cleans the ladder")
+  }
+
+  test("a legacy pre-ladder lock file still fences and gets reaped") {
+    val topo = java.nio.file.Files.createTempDirectory("rebv-topo").toString
+    val legacy = java.nio.file.Paths.get(topo, ".assignment.lock")
+    java.nio.file.Files.createFile(legacy)
+    // fresh legacy lock: a rolling-upgrade old-binary publisher is inside
+    val e = intercept[IllegalStateException] {
+      SliceRebalance.withPublishLock(topo) { _ => () }
+    }
+    assert(e.getMessage.contains("publish lock"), e.getMessage)
+    // stale legacy lock: crashed old binary — reclaimed and reaped
+    java.nio.file.Files.setLastModifiedTime(legacy,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    var ran = false
+    SliceRebalance.withPublishLock(topo) { _ => ran = true }
+    assert(ran)
+    assert(lockFiles(topo).isEmpty,
+      "the stale legacy lock must be reaped and the ladder released")
   }
 
   test("a locally-drained fresh day survives rebalance: merged up, owned once, queryable") {
