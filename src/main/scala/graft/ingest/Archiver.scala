@@ -1,8 +1,5 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,43 +72,45 @@ object Archiver {
   }
 
   /** Read the archive with day-partition pruning + row-level time bounds
-    * for `[fromEpoch, toEpoch)`.
+    * for `[fromEpoch, toEpoch)`. The row-level bound mirrors [[archive]]'s
+    * type branch: an integral epoch-seconds archive compares raw integers
+    * (a TIMESTAMP literal against a BIGINT column fails analysis — Spark
+    * has no numeric↔datetime coercion — and integer bounds push down to
+    * the parquet stats unchanged).
     */
   def scan(spark: SparkSession, dir: String, timeCol: String,
       fromEpoch: Long, toEpoch: Long): DataFrame = {
     val df = spark.read.parquet(dir)
+    val rowBound =
+      if (df.schema(timeCol).dataType == org.apache.spark.sql.types.TimestampType)
+        col(timeCol) >= timestamp_seconds(lit(fromEpoch)) &&
+          col(timeCol) < timestamp_seconds(lit(toEpoch))
+      else col(timeCol) >= lit(fromEpoch) && col(timeCol) < lit(toEpoch)
     df.where(col(DayCol) >= date_format(timestamp_seconds(lit(fromEpoch)), "yyyy-MM-dd") &&
         col(DayCol) <= date_format(timestamp_seconds(lit(toEpoch - 1)), "yyyy-MM-dd"))
-      .where(col(timeCol) >= timestamp_seconds(lit(fromEpoch)) &&
-        col(timeCol) < timestamp_seconds(lit(toEpoch)))
+      .where(rowBound)
   }
 
   /** Delete day partitions strictly older than `retainFromDay`
-    * (yyyy-MM-dd). Returns the deleted partition names.
+    * (yyyy-MM-dd). Returns the deleted partition names. Goes through the
+    * path's own Hadoop filesystem, so an hdfs/s3a archive purges the same
+    * way a local one does.
     */
   def purge(dir: String, retainFromDay: String): Seq[String] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) return Nil
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(root)) return Nil
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stream = Files.list(root)
-    try {
-      stream.forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith(s"$DayCol=")) {
-          val day = name.stripPrefix(s"$DayCol=")
-          if (day < retainFromDay) {
-            deleteRecursively(p)
-            deleted += day
-          }
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(s"$DayCol=")) {
+        val day = name.stripPrefix(s"$DayCol=")
+        if (day < retainFromDay) {
+          fs.delete(st.getPath, true)
+          deleted += day
         }
       }
-    } finally stream.close()
-    deleted.toSeq
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-    finally walk.close()
+    }
+    deleted.toSeq.sorted
   }
 }

@@ -45,22 +45,42 @@ object Backfill {
       .collect().map(_.getString(0)).sorted.toSeq
     if (days.isEmpty) return Nil
 
-    val existingDays = days.filter(d =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$day=$d")))
-    // a late batch that already carries a day column gets it recomputed
-    val outCols = (late.columns.toSeq.filterNot(_ == day) :+ day).map(col)
+    // the archive may live on any Hadoop filesystem (hdfs/s3a) — probe
+    // and swap through the path's own FS, never java.nio (which silently
+    // reports every remote path as absent, turning the merge into a
+    // late-rows-only rewrite)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def child(p: String) = new org.apache.hadoop.fs.Path(dir, p)
+    val existingDays = days.filter(d => fs.exists(child(s"$day=$d")))
 
     // archived rows of the affected days only (one partition-pruned read);
     // seq 0 loses to the late batch's seq 1 on a PK hit within the day.
-    // Schema may have evolved since the days were archived: columns the
-    // late batch carries but the archive lacks reconcile as nulls.
-    val lateSeq = withDay.select(outCols: _*).withColumn("__seq", lit(1L))
-    val union = existingDays match {
-      case Nil => lateSeq
-      case ds =>
-        val archived0 = spark.read.option("mergeSchema", "true").parquet(dir)
-          .where(col(day).isin(ds: _*))
-          .withColumn(day, col(day).cast("string"))
+    val archivedOpt = existingDays match {
+      case Nil => None
+      case ds => Some(spark.read.option("mergeSchema", "true").parquet(dir)
+        .where(col(day).isin(ds: _*))
+        .withColumn(day, col(day).cast("string")))
+    }
+    // Schema may have evolved since the days were archived, in EITHER
+    // direction: columns the late batch carries but the archive lacks
+    // null-fill on the archive side; columns the archive carries but the
+    // late batch no longer emits null-fill on the LATE side — a producer
+    // that stopped emitting a column must not erase it from every
+    // rewritten day. The output schema is the union.
+    // (A late batch that already carries a day column gets it recomputed.)
+    val archiveOnly = archivedOpt.toSeq.flatMap(a =>
+      a.columns.toSeq.filterNot(c => late.columns.contains(c) || c == day)
+        .map(c => c -> a.schema(c).dataType))
+    val outCols = (late.columns.toSeq.filterNot(_ == day) ++
+      archiveOnly.map(_._1) :+ day).map(col)
+    val lateFull = archiveOnly.foldLeft(withDay) { case (acc, (c, t)) =>
+      acc.withColumn(c, lit(null).cast(t))
+    }
+    val lateSeq = lateFull.select(outCols: _*).withColumn("__seq", lit(1L))
+    val union = archivedOpt match {
+      case None => lateSeq
+      case Some(archived0) =>
         val present = archived0.columns.toSet
         val archived = late.columns.filterNot(present.contains)
           .foldLeft(archived0) { (acc, c) =>
@@ -82,25 +102,27 @@ object Backfill {
       .sortWithinPartitions(rangeCols: _*)
       .write.partitionBy(day).mode("overwrite").parquet(tmp)
 
-    // swap only the affected day directories
+    // swap only the affected day directories — Compactor's trash
+    // protocol, not delete-then-move: a crash between the two renames
+    // loses no data (the trash dir still holds the old partition, the
+    // tmp dir the new one; the next run clears the stale tmp and an
+    // operator restores from trash), where a crash after a delete left
+    // the day's archived rows existing NOWHERE and the replay rewrote
+    // the day as late-rows-only
     days.foreach { d =>
-      val src = java.nio.file.Paths.get(s"$tmp/$day=$d")
-      if (java.nio.file.Files.exists(src)) {
-        val target = java.nio.file.Paths.get(s"$dir/$day=$d")
-        deleteRecursively(target)
-        java.nio.file.Files.move(src, target)
+      val src = child(s".backfill_tmp/$day=$d")
+      if (fs.exists(src)) {
+        val target = child(s"$day=$d")
+        val trash = child(s".backfill-old-$d")
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (fs.exists(target))
+          require(fs.rename(target, trash), s"backfill: rename $target -> $trash failed")
+        require(fs.rename(src, target), s"backfill: rename $src -> $target failed")
+        fs.delete(trash, true)
       }
     }
-    deleteRecursively(java.nio.file.Paths.get(tmp))
+    fs.delete(child(".backfill_tmp"), true)
     days
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(p)) return
-    val walk = java.nio.file.Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(java.nio.file.Files.delete(_))
-    finally walk.close()
   }
 }
 

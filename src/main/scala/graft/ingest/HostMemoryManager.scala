@@ -32,9 +32,12 @@ import org.apache.spark.storage.StorageLevel
   * the parquet partition filter and the in-memory batch stats), and
   * results are identical cached or cold by construction (the day sets
   * partition the table; `HostMemoryManagerSpec` pins identity, the
-  * InMemoryTableScan plan, and eviction order). Resident bytes come
-  * from the block manager's own accounting (`getRDDStorageInfo`), the
-  * number `/dbg/cache` reports.
+  * InMemoryTableScan plan, and eviction order). The identity holds
+  * while pinned days are IMMUTABLE — a job that rewrites a pinned day
+  * in place (Backfill, Compactor) must call [[invalidate]] with its
+  * affected days, or the cached frame keeps serving pre-rewrite rows.
+  * Resident bytes come from the block manager's own accounting
+  * (`getRDDStorageInfo`), the number `/dbg/cache` reports.
   *
   * At 100 TB the budget is the executor-memory share the operator grants
   * the hot set (the reference's `totalMemorySize` knob); everything
@@ -161,6 +164,25 @@ final class HostMemoryManager(spark: SparkSession, budgetBytes: Long) {
     catalog.copy(tables = catalog.tables +
       (table -> td.copy(load = _ => view(table, archiveDir))))
   }
+
+  /** Drop cached entries for rewritten day partitions so the next
+    * [[view]] serves the corrected bytes cold. MUST be called after any
+    * job that rewrites a pinned day in place (a [[Backfill]] patch, a
+    * [[Compactor]] rewrite — both return the affected days): the cached
+    * frame otherwise keeps serving the pre-rewrite rows forever (view's
+    * cold side EXCLUDES cached days, so corrections never surface), and
+    * a cached block lost to executor churn would re-read files the
+    * rewrite renamed away and fail the query. Returns the days dropped;
+    * re-pin afterwards if the day should stay hot.
+    */
+  def invalidate(table: String, days: Seq[String]): Seq[String] =
+    lock.synchronized {
+      val hit = days.filter(d => entries.contains((table, d)))
+      hit.foreach { d =>
+        entries.remove((table, d)).foreach(_.df.unpersist(blocking = true))
+      }
+      hit
+    }
 
   /** Drop every entry (server shutdown). */
   def clear(): Unit = lock.synchronized {

@@ -44,7 +44,10 @@ object SchemaDrift {
       widenOrder(f) < widenOrder(t)
     case (FloatType, DoubleType) => true
     case (f, DoubleType) if widenOrder.contains(f) => true
-    case (f, FloatType) if widenOrder.contains(f) => true
+    // only byte/short fit float's 24-bit mantissa losslessly — int/long
+    // values past 2^24 would silently round (ids, counters), so those
+    // stay Conflicts per the documented lattice
+    case (f, FloatType) if widenOrder.get(f).exists(_ <= 1) => true
     case _ => false
   }
 

@@ -89,7 +89,10 @@ final class UpsertJournal(dir: String) extends RedoLog {
       val magic = buf.getInt
       val kind = buf.get
       val len = buf.getInt
-      if (magic != Magic || len < 0 || pos + 9 + len > bytes.length) {
+      // long arithmetic: a corrupt len near Int.MaxValue would wrap
+      // pos + 9 + len negative and slip past the bound, crashing replay
+      // inside copyOfRange instead of stopping at the torn record
+      if (magic != Magic || len < 0 || pos + 9L + len > bytes.length) {
         log.warn(s"journal $table: torn or corrupt record at offset $pos " +
           s"(file ${bytes.length} bytes) — replay stops here")
         clean = false

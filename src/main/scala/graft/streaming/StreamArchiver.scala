@@ -37,9 +37,18 @@ object StreamArchiver {
     * job (a chain of `isEmpty` probes would re-run the batch's lineage up
     * to three times per trigger — at high trigger rates the probes would
     * dominate); the filtered writes then read from the cached blocks.
+    *
+    * Idempotent per `batchId`: fresh rows OVERWRITE `liveDir/batch=<id>`
+    * (the repo's sink discipline — StreamingShards, BucketStore), so a
+    * micro-batch replayed after a mid-batch crash (live write committed,
+    * backfill or checkpoint commit didn't) rewrites its own directory
+    * instead of appending every fresh row a second time. The backfill leg
+    * is idempotent by construction (PK-keyed overwrite merge). Read the
+    * live store through [[readLive]], which drops the layout's batch
+    * partition column.
     */
   def routeBatch(spark: SparkSession, batch: DataFrame, route: Route,
-      nowEpoch: Long): Unit = {
+      nowEpoch: Long, batchId: Long = 0L): Unit = {
     val t = col(route.timeCol)
     val cutoff = timestamp_seconds(lit(nowEpoch - route.archivingDelaySeconds))
     val retentionFloor = timestamp_seconds(
@@ -54,7 +63,8 @@ object StreamArchiver {
         count(when(isLate, 1)).as("late"),
         count(when(t.isNull, 1)).as("null_ts")).collect()(0)
       if (counts.getLong(0) > 0)
-        cached.where(isFresh).write.mode("append").parquet(route.liveDir)
+        cached.where(isFresh).write.mode("overwrite")
+          .parquet(s"${route.liveDir}/batch=$batchId")
       if (counts.getLong(1) > 0)
         Backfill(spark, route.archiveDir, cached.where(isLate),
           route.timeCol, route.pk, route.sortCols)
@@ -68,17 +78,22 @@ object StreamArchiver {
     } finally cached.unpersist(false)
   }
 
+  /** The live store, batch partition column dropped (layout detail). */
+  def readLive(spark: SparkSession, liveDir: String): DataFrame =
+    spark.read.parquet(liveDir).drop("batch")
+
   /** @param checkpointDir Structured Streaming checkpoint location —
     *   REQUIRED for restart-safe ingestion: without it batch ids reset on
-    *   restart and the append-mode live write duplicates every
-    *   previously routed row. Optional only for throwaway tests.
+    *   restart and a replayed id OVERWRITES a different prior batch's
+    *   `batch=<id>` directory (data loss), instead of harmlessly
+    *   rewriting its own. Optional only for throwaway tests.
     */
   def start(source: DataFrame, route: Route,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val w = source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         routeBatch(batch.sparkSession, batch, route,
-          System.currentTimeMillis() / 1000)
+          System.currentTimeMillis() / 1000, batchId)
       }
       .outputMode("append")
     checkpointDir.foreach(d => w.option("checkpointLocation", d))

@@ -98,6 +98,61 @@ class BackfillSpec extends SparkSpec {
     }
   }
 
+  test("archive-only columns survive a backfill (two-way schema reconcile)") {
+    // a producer that STOPPED emitting a column must not erase it from
+    // every rewritten day — the archive-has-more direction of schema
+    // evolution, the mirror of the late-has-more null-fill
+    withTempDir { dir =>
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("extra", col("event_id") * 2)
+      Archiver.archive(ev, "ts", Seq("event_type"), dir)
+      val day5 = ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05")
+      // the late batch no longer carries `extra`
+      val late = day5.limit(5).withColumn("value", lit(-9.0)).drop("extra")
+      val affected = Backfill(spark, dir, late, "ts",
+        Seq("event_id"), Seq("event_type"))
+      assert(affected == Seq("2024-01-05"))
+      val got = spark.read.parquet(s"$dir/day=2024-01-05")
+      assert(got.columns.contains("extra"),
+        s"archive-only column dropped: ${got.columns.mkString(",")}")
+      // untouched rows keep their values; the 5 corrected rows null-fill
+      assert(got.where(col("extra").isNull).count() == 5)
+      assert(got.where(col("extra") === col("event_id") * 2).count() ==
+        day5.count() - 5)
+    }
+  }
+
+  test("a crashed swap loses no data: the trash dir still holds the old partition") {
+    // delete-then-move had a window where the day's archived rows existed
+    // NOWHERE; the trash protocol never does. Simulate the crash point
+    // between the two renames: old partition in trash, tmp holding the
+    // new one — every archived byte is still on disk in one of the two.
+    withTempDir { dir =>
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      Archiver.archive(ev, "ts", Seq("event_type"), dir)
+      val day5count = spark.read.parquet(s"$dir/day=2024-01-05").count()
+      // stage the crash state by hand (the protocol's mid-point)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(dir, "day=2024-01-05")
+      val trash = new org.apache.hadoop.fs.Path(dir, ".backfill-old-2024-01-05")
+      assert(fs.rename(target, trash))
+      // recovery: the operator restores from trash (the documented path)
+      assert(fs.rename(trash, target))
+      assert(spark.read.parquet(s"$dir/day=2024-01-05").count() == day5count)
+      // and a successful run leaves neither trash nor tmp behind
+      val late = ev.where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05")
+        .limit(3).withColumn("value", lit(-1.0))
+      Backfill(spark, dir, late, "ts", Seq("event_id"), Seq("event_type"))
+      val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith(".backfill"))
+      assert(residue.isEmpty, s"swap residue left behind: ${residue.mkString(",")}")
+    }
+  }
+
   test("snapshot overwrites the dimension table wholesale") {
     withTempDir { dir =>
       val snapDir = s"$dir/nation_snapshot"

@@ -224,4 +224,33 @@ class HostMemoryManagerSpec extends SparkSpec {
       server.stop()
     }
   }
+
+  test("invalidate drops a rewritten pinned day so corrections surface") {
+    // the identity contract holds only while pinned days are immutable:
+    // a Backfill patch of a pinned day otherwise keeps serving the
+    // pre-rewrite rows forever (view's cold side EXCLUDES cached days)
+    val dir = java.nio.file.Files.createTempDirectory("hmm-inv").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    Archiver.archive(ev, "ts", Seq("event_type"), dir)
+    val mgr = new HostMemoryManager(spark, budgetBytes = 1L << 30)
+    try {
+      val day = mgr.archiveDays(dir).last
+      assert(mgr.pin("events", dir, day))
+      // patch the pinned day in place
+      val corrections = ev
+        .where(date_format(col("ts"), "yyyy-MM-dd") === day)
+        .limit(10).withColumn("value", lit(-42.0))
+      Backfill(spark, dir, corrections, "ts", Seq("event_id"), Seq("event_type"))
+      def corrected(): Long = mgr.view("events", dir)
+        .where(col(Archiver.DayCol) === day && col("value") === -42.0).count()
+      // the stale pinned frame hides the corrections — the hazard itself
+      assert(corrected() == 0L, "expected the pinned day to serve stale rows")
+      // invalidate → the day serves cold, corrected
+      assert(mgr.invalidate("events", Seq(day)) == Seq(day))
+      assert(corrected() == 10L)
+      // idempotent on a day that is no longer resident
+      assert(mgr.invalidate("events", Seq(day)).isEmpty)
+    } finally mgr.clear()
+  }
 }

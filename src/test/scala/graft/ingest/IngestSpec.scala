@@ -80,6 +80,25 @@ class ArchiverSpec extends SparkSpec {
     }
   }
 
+  test("scan over an integral epoch-seconds archive compares raw integers") {
+    // archive() documents integral epoch-seconds time columns (the
+    // reference's native Uint32 representation); scan used to compare the
+    // BIGINT column against a TIMESTAMP literal — an AnalysisException on
+    // every integral archive. The integer bound also pushes down to the
+    // parquet stats unchanged.
+    withTempDir { dir =>
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .drop("ts")
+      Archiver.archive(ev, "epoch", Seq("event_type"), dir)
+      val scanned = Archiver.scan(spark, dir, "epoch", 1704412800L, 1704672000L)
+      val expected = ev.where(
+        col("epoch") >= 1704412800L && col("epoch") < 1704672000L).count()
+      assert(expected > 0)
+      assert(scanned.count() == expected)
+    }
+  }
+
   test("purge deletes expired day partitions only") {
     withTempDir { dir =>
       val ev = Tables.events(spark, sfDir)

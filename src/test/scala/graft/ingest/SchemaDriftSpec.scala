@@ -34,6 +34,19 @@ class SchemaDriftSpec extends SparkSpec {
     assert(d == Seq(SchemaDrift.Conflict("id", LongType, IntegerType)))
   }
 
+  test("int/long to float are conflicts (24-bit mantissa), short to float widens") {
+    // int→float silently rounds every value past 2^24 (ids, counters) —
+    // outside the documented lattice, so it must refuse, not corrupt
+    def one(from: DataType): Seq[SchemaDrift.Change] = SchemaDrift.diff(
+      StructType(Seq(StructField("v", from))),
+      StructType(Seq(StructField("v", FloatType))))
+    assert(one(IntegerType) ==
+      Seq(SchemaDrift.Conflict("v", IntegerType, FloatType)))
+    assert(one(LongType) == Seq(SchemaDrift.Conflict("v", LongType, FloatType)))
+    assert(one(ShortType) == Seq(SchemaDrift.Widened("v", ShortType, FloatType)))
+    assert(one(ByteType) == Seq(SchemaDrift.Widened("v", ByteType, FloatType)))
+  }
+
   test("align drops unknowns, null-fills missing, widens, preserves order") {
     val batch = Seq((1, "x", 9)).toDF("id", "extra", "n")
       .withColumnRenamed("n", "dropme")

@@ -41,9 +41,9 @@ class StreamArchiverSpec extends SparkSpec {
         .select(col("event_id"), timestamp_seconds(col("epoch")).as("ts"),
           col("user_id"), col("event_type"), col("value"))
 
-      StreamArchiver.routeBatch(spark, batch, route, now)
+      StreamArchiver.routeBatch(spark, batch, route, now, batchId = 7L)
 
-      val live = spark.read.parquet(liveDir)
+      val live = StreamArchiver.readLive(spark, liveDir)
       assert(live.count() == 2)
       assert(live.select(min("ts")).head().getTimestamp(0).toInstant.getEpochSecond
         >= now - 86400)
@@ -53,6 +53,19 @@ class StreamArchiverSpec extends SparkSpec {
       assert(archived.where(col("event_id") === 9000003L).count() == 1)
       assert(archived.where(col("event_id") === 9000004L).count() == 0)
       assert(live.where(col("event_id") === 9000004L).count() == 0)
+
+      // mid-batch-crash replay: the SAME batch id re-routes (the live
+      // write committed but the checkpoint didn't) — the batch=<id>
+      // overwrite makes it a no-op, where the old append doubled every
+      // fresh row; the backfill leg is a PK-keyed merge, also unchanged
+      StreamArchiver.routeBatch(spark, batch, route, now, batchId = 7L)
+      assert(StreamArchiver.readLive(spark, liveDir).count() == 2,
+        "a replayed micro-batch must not duplicate fresh rows")
+      assert(spark.read.parquet(archiveDir).count() == archivedBefore + 1)
+      // a DIFFERENT batch id appends alongside, untouched by the replay
+      StreamArchiver.routeBatch(spark, batch.where(col("event_id") === 9000001L)
+        .withColumn("event_id", col("event_id") + 10), route, now, batchId = 8L)
+      assert(StreamArchiver.readLive(spark, liveDir).count() == 3)
     } finally {
       Archiver.purge(archiveDir, "9999-99-99")
       val walk = Files.walk(root)
