@@ -52,11 +52,7 @@ object StreamingNearDedup {
     // ---- in-batch near-dups: representative = component minimum --------
     val inBatchPairs = Dedup.minhashCandidates(sigs, idCol)
       .where(col("est_jaccard") >= threshold)
-    val comp = Dedup.connectedComponents(inBatchPairs, "a_id", "b_id")
-      .withColumnRenamed("id", idCol)
-    val withComp = sigs.join(comp, Seq(idCol), "left")
-      .select(col(idCol), col("sig"),
-        coalesce(col("component"), col(idCol)).as("__rep"))
+    val withComp = DedupStreamOps.withReps(sigs, idCol, col("sig"), inBatchPairs)
       .persist(mem)
     val batchReps = withComp.where(col(idCol) === col("__rep"))
 
@@ -75,13 +71,7 @@ object StreamingNearDedup {
           .where(Dedup.sigAgreement(col("sig"), col("__store_sig")) >= threshold)
           .groupBy(col(idCol))
           .agg(min(col("__store_rep")).as("__dup_of"))
-      case None =>
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            batchReps.schema(idCol),
-            org.apache.spark.sql.types.StructField("__dup_of",
-              batchReps.schema(idCol).dataType))))
+      case None => DedupStreamOps.emptyHits(batchReps, idCol)
     }
 
     // ---- survivors extend the store (idempotent per-batch directory) ---
@@ -100,14 +90,8 @@ object StreamingNearDedup {
         lit(null).cast(batch.schema(idCol).dataType).as("dup_of"))
     // store hits attach to REPRESENTATIVES; members resolve through their
     // rep (a member of a store-hit rep traces to the STORE's keeper)
-    val repHits = hits.select(col(idCol).as("__rep"), col("__dup_of"))
-    val decided = withComp.select(col(idCol), col("__rep"))
-      .join(repHits, Seq("__rep"), "left")
-      .select(col(idCol),
-        (col(idCol) === col("__rep") && col("__dup_of").isNull).as("kept"),
-        when(col("__dup_of").isNotNull, col("__dup_of"))
-          .when(col(idCol) =!= col("__rep"), col("__rep"))
-          .otherwise(lit(null).cast(batch.schema(idCol).dataType)).as("dup_of"))
+    val decided = DedupStreamOps.decisions(withComp, hits, idCol,
+      batch.schema(idCol).dataType)
     // materialize BEFORE releasing the caches: the caller consumes the
     // result lazily (foreachBatch writes it after we return), and an
     // unpersisted lineage would re-run the signature UDF — the dominant

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, Staged}
+import graft.operators.{Similarity, Staged}
 
 /** Cross-batch SEMANTIC dedup at the ingestion edge — the streaming form
   * of [[graft.operators.Similarity.lshNearPairs]]-style embedding
@@ -54,11 +54,7 @@ object StreamingSemanticDedup {
     val inBatchPairs = Similarity.lshNearPairs(
       vecs.select(col(idCol), col("__v").as(vecCol)), idCol, vecCol, dim,
       threshold, bits, tables, maxBucket)
-    val comp = Dedup.connectedComponents(inBatchPairs, "a_id", "b_id")
-      .withColumnRenamed("id", idCol)
-    val withComp = vecs.join(comp, Seq(idCol), "left")
-      .select(col(idCol), col("__v"),
-        coalesce(col("component"), col(idCol)).as("__rep"))
+    val withComp = DedupStreamOps.withReps(vecs, idCol, col("__v"), inBatchPairs)
       .persist(mem)
     val batchReps = withComp.where(col(idCol) === col("__rep"))
 
@@ -77,13 +73,7 @@ object StreamingSemanticDedup {
           .where(Similarity.cosine(col("__v"), col("__store_v")) >= threshold)
           .groupBy(col(idCol))
           .agg(min(col("__store_rep")).as("__dup_of"))
-      case None =>
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            batchReps.schema(idCol),
-            org.apache.spark.sql.types.StructField("__dup_of",
-              batchReps.schema(idCol).dataType))))
+      case None => DedupStreamOps.emptyHits(batchReps, idCol)
     }
 
     // ---- survivors extend the store (idempotent per-batch directory) ---
@@ -94,16 +84,8 @@ object StreamingSemanticDedup {
       .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/batch=$batchId")
 
     // ---- decisions -----------------------------------------------------
-    val repHits = hits.select(col(idCol).as("__rep"), col("__dup_of"))
-    val out = Staged.materialize(
-      withComp.select(col(idCol), col("__rep"))
-        .join(repHits, Seq("__rep"), "left")
-        .select(col(idCol),
-          (col(idCol) === col("__rep") && col("__dup_of").isNull).as("kept"),
-          when(col("__dup_of").isNotNull, col("__dup_of"))
-            .when(col(idCol) =!= col("__rep"), col("__rep"))
-            .otherwise(lit(null).cast(batch.schema(idCol).dataType))
-            .as("dup_of")))
+    val out = Staged.materialize(DedupStreamOps.decisions(
+      withComp, hits, idCol, batch.schema(idCol).dataType))
     vecs.unpersist(false)
     withComp.unpersist(false)
     out
