@@ -11,7 +11,7 @@ import scala.concurrent.duration.DurationInt
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.aql.{AqlJson, AqlQuery, Expr, ExprParser, Render}
+import graft.aql.{AqlJson, AqlMeasure, AqlQuery, BinOp, Expr, ExprParser, Render}
 import graft.functions.Hll
 
 /** Scatter-gather broker over N running [[graft.api.GraftServer]]
@@ -29,6 +29,10 @@ import graft.functions.Hll
   *     semilattice), and the ESTIMATE computed once over the merged
   *     sketch — merging estimates would double-count overlap
   *   - non-agg → matrixData concatenated, explicit limit re-applied
+  *   - derived measures (`sum(a) / count(*)`, the single-instance
+  *     extension) → one scattered subquery per distinct aggregate
+  *     component, each folded under its own algebra, arithmetic evaluated
+  *     per group at the root — the avg split generalized
   *
   * Deployment shape: each instance owns a slice of the fact table
   * (disjoint day ranges / shard assignments, ref util.CalculateShardAssignment);
@@ -148,7 +152,12 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     * i of attempt t is `slice(t % n)`, so a flaky instance is retried and
     * a dead one is routed around; gives up after `trials` full cycles.
     * Only non-fatal failures retry — interruption (cancellation) is
-    * propagated, not swallowed into another attempt.
+    * propagated, not swallowed into another attempt, and a 4xx response
+    * (a CLIENT error: bad AQL, unknown table) propagates immediately —
+    * retrying a malformed query against every replica would burn the full
+    * retry budget, demote every healthy host for `healthMemoryMillis`
+    * (skewing replica ordering for subsequent GOOD queries), and then
+    * mask the user's compile error as "all replicas failed".
     */
   private def fetch(slice: Seq[String], body: String, accept: String): Array[Byte] = {
     var last: Throwable = null
@@ -173,6 +182,10 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
         return bytes
       } catch {
         case e: InterruptedException => throw e
+        case e: Broker.ClientError =>
+          // the host is healthy — it answered, rejecting the REQUEST
+          demotedUntil.remove(host)
+          throw e
         case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
@@ -218,6 +231,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
         scatterJson(stripSort(q0)).reduce(mergeTrees(op))
       case Expr.Call(op, _) if op == "countdistincthll" || op == "hll" =>
         mergeHll(stripSort(q0))
+      case e if derivedShape(e) => mergeDerived(stripSort(q0), e)
       case other => throw new IllegalArgumentException(
         s"broker cannot merge measure '${q0.measures.head.sqlExpression}'")
     }
@@ -229,6 +243,125 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
   private def stripSort(q: AqlQuery): AqlQuery =
     q.copy(sorts = None, limit = Some(-1))
 
+  // ---- derived measures (arithmetic over aggregates) ----------------------
+
+  private val MergeableAggs = Set("sum", "count", "min", "max", "avg")
+
+  private def isArith(op: BinOp): Boolean = op match {
+    case BinOp.Add | BinOp.Sub | BinOp.Mul | BinOp.Div | BinOp.Mod => true
+    case _ => false
+  }
+
+  /** Shape test for a DERIVED measure — arithmetic over aggregate subtrees
+    * and numeric literals, the single-instance extension
+    * ([[graft.aql.AqlCompiler]] measureColumn's Binary case, e.g.
+    * `sum(fare) / count(*)`). Such a measure is NOT a semilattice fold —
+    * `sum(a)/count(*)` partials cannot be averaged — so the broker
+    * decomposes it: each distinct aggregate component scatters as its own
+    * subquery (the generalization of the reference's avg split,
+    * broker/query_plan_agg.go:439-469), each component's partials merge
+    * under that aggregate's own fold, and the arithmetic is evaluated once
+    * per group at the root. HLL components stay unsupported: their result
+    * trees key dimensions by the binary wire's raw decoded values, not the
+    * JSON path's formatted labels, so the key spaces cannot be joined.
+    */
+  private def derivedShape(e: Expr): Boolean = e match {
+    case Expr.Binary(op, l, r) if isArith(op) => operandOk(l) && operandOk(r)
+    case Expr.Paren(inner) => derivedShape(inner)
+    case _ => false
+  }
+
+  private def operandOk(e: Expr): Boolean = e match {
+    case Expr.Num(_, _, _) => true
+    case Expr.Paren(inner) => operandOk(inner)
+    case Expr.Call(op, _) => MergeableAggs.contains(op)
+    case Expr.Binary(op, l, r) if isArith(op) => operandOk(l) && operandOk(r)
+    case _ => false
+  }
+
+  private def mergeDerived(q: AqlQuery, e: Expr): JValue = {
+    val m = q.measures.head
+    def collect(x: Expr): Seq[Expr] = x match {
+      case Expr.Paren(inner) => collect(inner)
+      case c @ Expr.Call(_, _) => Seq(c)
+      case Expr.Binary(_, l, r) => collect(l) ++ collect(r)
+      case _ => Nil
+    }
+    // distinct components by rendered text: `sum(fare) / sum(fare)` fans
+    // sum(fare) once
+    val comps = collect(e).map(c => Render(c) -> c).distinctBy(_._1)
+    // all components scatter in ONE concurrent wave (the avg pair inside a
+    // component runs sequentially within its future — a component is
+    // already one concurrent unit of the wave)
+    val futures = comps.map { case (_, c) => Future(componentTree(q, m, c)) }
+    val trees = awaitGather(Future.sequence(futures), slices, 30.seconds)
+    val env: Map[String, Map[List[String], Option[Double]]] =
+      comps.map(_._1).zip(trees.map(t => flattenLeaves(t))).toMap
+    // union of leaf paths: well-formed partials group identically across
+    // components (same dims, same filters, same rows), so a path missing
+    // from one component means an upstream inconsistency — it surfaces as
+    // a null leaf, never a dropped group
+    val paths = env.valuesIterator.flatMap(_.keysIterator).toSeq.distinct
+    paths.foldLeft(JObject(): JValue) { case (tree, path) =>
+      val leaf = evalAt(e, path, env).map(JDouble(_): JValue).getOrElse(JNull)
+      insert(tree, path, leaf)
+    }
+  }
+
+  /** One aggregate component's merged tree (its own scatter + fold). */
+  private def componentTree(q: AqlQuery, m: AqlMeasure, c: Expr): JValue = c match {
+    case Expr.Call("avg", Seq(arg)) =>
+      val sums = scatterJson(q.copy(measures =
+        Seq(m.copy(sqlExpression = s"sum(${Render(arg)})")))).reduce(mergeTrees("sum"))
+      val counts = scatterJson(q.copy(measures =
+        Seq(m.copy(sqlExpression = "count(*)")))).reduce(mergeTrees("count"))
+      mergeTrees("avg")(sums, counts)
+    case Expr.Call(op, _) =>
+      scatterJson(q.copy(measures = Seq(m.copy(sqlExpression = Render(c)))))
+        .reduce(mergeTrees(op))
+    case other => throw new IllegalArgumentException(
+      s"not an aggregate component: ${Render(other)}")
+  }
+
+  /** Leaf paths of a merged JSON tree: dim-key chains for grouped results,
+    * the measure-name singleton for dimensionless ones. Null / non-numeric
+    * leaves flatten to None.
+    */
+  private def flattenLeaves(v: JValue,
+      prefix: List[String] = Nil): Map[List[String], Option[Double]] = v match {
+    case JObject(fields) =>
+      fields.flatMap { case (k, c) => flattenLeaves(c, prefix :+ k) }.toMap
+    case leaf => Map(prefix -> num(leaf))
+  }
+
+  /** Evaluate the derived arithmetic at one group path. Null propagates
+    * (any null component leaf nulls the group); division by zero folds to
+    * null — the broker algebra's avg convention (a single instance's
+    * IEEE double division would render Infinity; the broker's null is the
+    * deliberate semantic, consistent with its avg merge).
+    */
+  private def evalAt(e: Expr, path: List[String],
+      env: Map[String, Map[List[String], Option[Double]]]): Option[Double] = e match {
+    case Expr.Paren(inner) => evalAt(inner, path, env)
+    case Expr.Num(v, _, _) => Some(v)
+    case c @ Expr.Call(_, _) => env(Render(c)).getOrElse(path, None)
+    case Expr.Binary(op, l, r) =>
+      for {
+        a <- evalAt(l, path, env)
+        b <- evalAt(r, path, env)
+        v <- op match {
+          case BinOp.Add => Some(a + b)
+          case BinOp.Sub => Some(a - b)
+          case BinOp.Mul => Some(a * b)
+          case BinOp.Div => if (b == 0) None else Some(a / b)
+          // pmod, matching the single-instance compile (ExprCompiler)
+          case BinOp.Mod => if (b == 0) None else Some(((a % b) + b) % b)
+          case _ => None
+        }
+      } yield v
+    case _ => None
+  }
+
   // ---- scatter ------------------------------------------------------------
 
   private def post(host: String, body: String, accept: String): Array[Byte] = {
@@ -239,10 +372,13 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-    if (resp.statusCode() != 200)
-      throw new IllegalStateException(
-        s"instance $host returned ${resp.statusCode()}: " +
-          new String(resp.body(), StandardCharsets.UTF_8).take(200))
+    if (resp.statusCode() != 200) {
+      val msg = s"instance $host returned ${resp.statusCode()}: " +
+        new String(resp.body(), StandardCharsets.UTF_8).take(200)
+      if (resp.statusCode() >= 400 && resp.statusCode() < 500)
+        throw new Broker.ClientError(msg)
+      throw new IllegalStateException(msg)
+    }
     resp.body()
   }
 
@@ -538,6 +674,11 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
 }
 
 object Broker {
+  /** A 4xx from an instance: the request itself is at fault — propagated
+    * without replica retries or health demotion (see [[Broker.fetch]]).
+    */
+  final class ClientError(msg: String) extends IllegalStateException(msg)
+
   /** Parse the static `hosts` encoding: one entry per slice, `|`-separated
     * replica URLs within an entry.
     */

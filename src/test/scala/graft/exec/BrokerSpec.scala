@@ -137,6 +137,35 @@ class BrokerSpec extends SparkSpec {
     assertClose(merged, expected, "avg(value)")
   }
 
+  test("derived measures decompose into per-aggregate scatters") {
+    // arithmetic over aggregates is NOT a semilattice fold — the broker
+    // must fan each aggregate component separately and evaluate the
+    // arithmetic at the root; merging `sum/count` partials directly would
+    // average the averages
+    Seq(
+      "sum(value) / count(*)",
+      "max(value) - min(value)",
+      "avg(value) * 2 + 1",
+      "sum(value) / sum(value)" // one component, fanned once
+    ).foreach { m =>
+      val merged = JsonMethods.parse(broker.aql(query(m)))
+      val expected = singleAnswer(query(m))
+      assertClose(merged, expected, s"derived measure $m")
+    }
+    // and the decomposition matters: naive per-slice evaluation diverges
+    val naive = JsonMethods.parse(new Broker(
+      Seq(s"http://localhost:${serverA.boundPort}")).aql(query("sum(value) / count(*)")))
+    assert(normalize(naive) != normalize(singleAnswer(query("sum(value) / count(*)"))),
+      "slice A alone reproduced the whole-table ratio — fixture degenerate")
+  }
+
+  test("dimensionless derived measure merges to a single leaf") {
+    val q = s"""{"table": "events",
+        "measures": [{"alias": "rate", "sqlExpression": "sum(value) / count(*)"}],
+        "timeFilter": {"from": "1704067200"}, "now": 1706659200}"""
+    assertClose(JsonMethods.parse(broker.aql(q)), singleAnswer(q), "dimensionless derived")
+  }
+
   test("dimensionless aggregate merges to a single leaf") {
     val q = s"""{"table": "events",
         "measures": [{"alias": "total", "sqlExpression": "sum(value)"}],
@@ -319,6 +348,34 @@ class BrokerSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("failed after 1 attempts")), messages(e))
+  }
+
+  test("a 4xx (client error) propagates without replica retries or health demotion") {
+    // stub that 400s every request, counting them — a malformed query must
+    // cost ONE attempt, not trials × replicas, and must not demote the host
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stub = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    stub.createContext("/query/aql", exchange => {
+      hits.incrementAndGet()
+      val err = """{"error":"unknown table: nope"}""".getBytes
+      exchange.sendResponseHeaders(400, err.length)
+      exchange.getResponseBody.write(err)
+      exchange.close()
+    })
+    stub.start()
+    try {
+      val b = new Broker(Seq(
+        s"http://localhost:${stub.getAddress.getPort}|http://localhost:${stub.getAddress.getPort}",
+        s"http://localhost:${serverB.boundPort}"), trials = 3)
+      val e = intercept[Exception](b.aql(query("count(*)")))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("returned 400")), messages(e))
+      // the replica pair would have allowed 6 attempts; a client error takes 1
+      assert(hits.get() == 1, s"expected exactly one attempt, got ${hits.get()}")
+      assert(!messages(e).exists(_.contains("failed after")), messages(e))
+    } finally stub.stop(0)
   }
 
   test("dynamic topology: instances join the fan-out at runtime, stale members demote") {
