@@ -417,7 +417,13 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     case _ => None
   }
 
-  private def mergeTrees(op: String)(lhs: JValue, rhs: JValue): JValue = (lhs, rhs) match {
+  /** Spec-visible (BrokerMergeAlgebraSpec): the scatter results fold with
+    * `.reduce(mergeTrees(op))`, so the algebra must be associative and
+    * commutative for the merged answer to be independent of slice count
+    * and arrival order — the fuzz pins that, including missing-key and
+    * null-leaf identities.
+    */
+  private[exec] def mergeTrees(op: String)(lhs: JValue, rhs: JValue): JValue = (lhs, rhs) match {
     // a key MISSING on one side (matched FIRST so a null-on-A/absent-on-B
     // group folds to null, not to a render-dropped JNothing): passes
     // through for fold aggregates; for the avg root it means sum and count
