@@ -302,7 +302,9 @@ object ExprCompiler {
       // memstore/common/data_value.go:284-286)
       case "hex" =>
         requireArgs(1)
-        lower(regexp_replace(arg(0).cast("string"), "-", ""))
+        // translate (not regexp_replace): character removal needs no regex
+        // engine in the per-row hot path — same choice as UUID equality
+        lower(translate(arg(0).cast("string"), "-", ""))
 
       case "get_hll_value" =>
         requireArgs(1)
