@@ -15,6 +15,12 @@ package graft
   *                            fan-out at runtime, stale ones are demoted
   *                            (the reference's etcd-watched
   *                            HealthTrackingDynamicTopology role)
+  *   SPARK_GRAFT_TOPOLOGY_DIR  where the rebalancer publishes
+  *                            `assignment.json` when that differs from
+  *                            the members dir — the broker refuses to
+  *                            serve while an ASSIGNED slice has no live
+  *                            member (partial answers forbidden); default
+  *                            is the members dir itself
   *   SPARK_GRAFT_BROKER_PORT  HTTP port (default 19380; 0 = ephemeral)
   *   SPARK_GRAFT_MAX_QUERY_CONN   admission bound for /query/aql
   *                            (0 = unbounded) — excess clients 503 fast
@@ -34,9 +40,11 @@ object BrokerMain {
     val port = sys.env.getOrElse("SPARK_GRAFT_BROKER_PORT", "19380").toInt
     val maxConn = sys.env.getOrElse("SPARK_GRAFT_MAX_QUERY_CONN", "0").toInt
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong
+    val assignDir = sys.env.getOrElse("SPARK_GRAFT_TOPOLOGY_DIR", "")
     val server = membersDir match {
       case Some(dir) =>
-        graft.exec.BrokerServer.dynamic(new graft.exec.BrokerTopology(dir), port,
+        graft.exec.BrokerServer.dynamic(
+          new graft.exec.BrokerTopology(dir, assignmentDir = assignDir), port,
           maxQueryConnections = maxConn, queryTimeoutSec = timeoutSec)
       case None => new graft.exec.BrokerServer(hosts, port,
         maxQueryConnections = maxConn, queryTimeoutSec = timeoutSec)

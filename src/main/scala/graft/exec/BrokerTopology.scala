@@ -31,10 +31,27 @@ import org.json4s.jackson.JsonMethods
   * util.CalculateShardAssignment distributes shards over instances; here
   * the deployment names its slices and the broker fans over the distinct
   * ids in sorted order).
+  *
+  * Partial answers are forbidden — two DOWN-slice shapes fail queries
+  * loudly instead of silently narrowing the fan-out:
+  *
+  *   - a slice with registered members but no FRESH one is crashed, not
+  *     departed (deregistration deletes the member file; a stale file
+  *     means its process died) — dropping it from the fan-out would
+  *     silently undercount every merged aggregate;
+  *   - with a published assignment document present (`assignment.json`
+  *     in `assignmentDir`, default the topology dir itself —
+  *     [[SliceRebalance]]'s publish target), an ASSIGNED slice with a
+  *     nonempty day list and no fresh member means days served by
+  *     NOBODY: a member that never started, or one registered under a
+  *     typo'd slice id. This is the broker-side half of the contract
+  *     that lets [[SliceRebalance.servingCatalog]] keep an UNASSIGNED
+  *     member available (serving zero days) during a grow window.
   */
 final class BrokerTopology(dir: String,
     staleMillis: Long = 15000, cacheMillis: Long = 500,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    assignmentDir: String = "") {
 
   private val root = Paths.get(dir, "members")
   Files.createDirectories(root)
@@ -52,6 +69,30 @@ final class BrokerTopology(dir: String,
     if (at != Long.MinValue && now - at < cacheMillis) return snap
     val members = list()
     val fresh = members.filter(m => now - m.heartbeat <= staleMillis)
+    val freshIds = fresh.map(_.slice).toSet
+    // a slice with registered members and no fresh one is DOWN (crash, not
+    // departure — close() deregisters by deleting the file): fanning over
+    // the remaining slices would silently undercount
+    val down = members.map(_.slice).distinct.filterNot(freshIds.contains).sorted
+    if (down.nonEmpty)
+      throw new IllegalStateException(
+        s"slice(s) ${down.mkString(", ")} have registered members but none " +
+          "fresh — the slice is down, refusing to serve partial answers. " +
+          "Restart the members, or delete their files under " +
+          s"$root to declare the slice departed.")
+    // assignment coverage: an assigned slice with days and no member at
+    // all is served by nobody (never started, or a typo'd slice id)
+    SliceRebalance.read(if (assignmentDir.nonEmpty) assignmentDir else dir)
+      .foreach { a =>
+        val uncovered = a.owners.collect {
+          case (s, days) if days.nonEmpty && !freshIds.contains(s) => s
+        }.toSeq.sorted
+        if (uncovered.nonEmpty)
+          throw new IllegalStateException(
+            s"assigned slice(s) ${uncovered.mkString(", ")} (assignment " +
+              s"v${a.version}) have no live member — their days would be " +
+              "served by nobody, refusing to serve partial answers.")
+      }
     val grouped = fresh.groupBy(_.slice).toSeq.sortBy(_._1)
       .map { case (_, ms) => ms.map(_.url).distinct }
     cached = (now, grouped)

@@ -261,11 +261,21 @@ object SliceRebalance {
     * pre-rebalance deployment). The day filter is a literal IN-list on
     * the partition column — statically pruned at the scan.
     *
-    * A slice id ABSENT from the published assignment fails LOUDLY per
-    * query — a typo'd `SPARK_GRAFT_SLICE` would otherwise silently
-    * serve zero rows and undercount every merged aggregate. A slice
-    * PRESENT with an empty day list legitimately serves nothing (a new
-    * member of a small corpus).
+    * A slice id ABSENT from the published assignment serves ZERO days
+    * (with a loud per-query log) — this is what keeps the tier AVAILABLE
+    * through a grow window: a new member registers into the topology
+    * before any rebalance has assigned it days, and under the published
+    * assignment every day still has exactly one owner among the OLD
+    * slices, so the new member contributing nothing is the globally
+    * correct answer (true both while it is empty and mid-copy, when its
+    * accumulating days are still owned and served by their v-current
+    * owners). The hazard this used to guard by erroring — a typo'd
+    * `SPARK_GRAFT_SLICE` silently undercounting because the data-holding
+    * member serves zero while the CORRECTLY-spelled assigned slice has no
+    * member at all — is caught at the fan-out instead:
+    * [[BrokerTopology.slices]] refuses to scatter while an assigned slice
+    * has no live member. A slice PRESENT with an empty day list
+    * legitimately serves nothing (a new member of a small corpus).
     *
     * Operational caveats (the trade the simple document model makes):
     * the no-double-count guarantee requires EVERY serving member to be
@@ -282,13 +292,18 @@ object SliceRebalance {
       topologyDir: String, slice: String): graft.aql.Catalog = {
     val ev = base.tables("events")
     base.copy(tables = base.tables + ("events" -> ev.copy(load = s => {
-      val df = s.read.parquet(localDir)
       read(topologyDir) match {
+        case Some(a) if !a.owners.contains(slice) =>
+          // grow window: registered but not yet assigned — serve zero
+          // days (see scaladoc; the broker's assignment-coverage check
+          // owns the typo hazard). The empty relation takes its SCHEMA
+          // from the base table: a brand-new member's local dir may not
+          // exist yet, so local storage is never read on this path
+          log.warn(s"slice '$slice' is not in published assignment " +
+            s"v${a.version} (slices: ${a.owners.keys.toSeq.sorted.mkString(", ")}) " +
+            "— serving zero days until a rebalance assigns it")
+          ev.load(s).where(org.apache.spark.sql.functions.lit(false))
         case Some(a) =>
-          if (!a.owners.contains(slice))
-            throw new IllegalStateException(
-              s"slice '$slice' is not in published assignment v${a.version} " +
-                s"(slices: ${a.owners.keys.toSeq.sorted.mkString(", ")})")
           // serve the locally present days this slice EXTENDED-owns: its
           // assigned days plus any day the assignment predates (a fresh
           // drain since the last rebalance) whose contiguous range falls
@@ -297,9 +312,10 @@ object SliceRebalance {
           // server with no republish between drains
           val served = SliceBootstrap.localDays(s, localDir)
             .filter(d => extendedOwner(a, d).contains(slice))
-          df.where(org.apache.spark.sql.functions.col(graft.ingest.Archiver.DayCol)
-            .isin(served: _*))
-        case None => df
+          s.read.parquet(localDir)
+            .where(org.apache.spark.sql.functions.col(graft.ingest.Archiver.DayCol)
+              .isin(served: _*))
+        case None => s.read.parquet(localDir)
       }
     })))
   }

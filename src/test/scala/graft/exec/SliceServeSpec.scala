@@ -99,6 +99,50 @@ class SliceServeSpec extends SparkSpec {
     } finally Seq(pa, pb).foreach(_.stop())
   }
 
+  test("grow window: a registered-but-unassigned member serves zero days, tier stays available") {
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sharedDir = tmp("gw-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("gw-a"), "b" -> tmp("gw-b"))
+    val topoDir = tmp("gw-topo")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    val base = Catalog.testdata(sfDir)
+    def member(slice: String, dir: String): GraftServer = {
+      val srv = new GraftServer(
+        SliceRebalance.servingCatalog(base, dir, topoDir, slice), spark)
+      srv.start()
+      srv
+    }
+    val pa = member("a", dirs("a"))
+    val pb = member("b", dirs("b"))
+    // the grow: member c registers into the fan-out with an EMPTY local
+    // dir (it does not even exist yet) BEFORE any rebalance assigns it —
+    // the exact topology state between "instance joins" and "rebalance
+    // publishes". It must serve zero days, not error the whole scatter.
+    val cDir = tmp("gw-c") + "/not-created-yet"
+    val pc = member("c", cDir)
+    try {
+      val pair = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      val expected = total(pair.aql(wideQuery))
+      val grown = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}",
+        s"http://localhost:${pc.boundPort}"))
+      assert(total(grown.aql(wideQuery)) == expected,
+        "the grow window must answer exactly the pre-grow result")
+      // after the rebalance assigns c its range, the trio still answers
+      // exactly once per day
+      SliceRebalance.rebalance(spark, sharedDir,
+        dirs + ("c" -> cDir), topoDir)
+      assert(total(grown.aql(wideQuery)) == expected,
+        "post-assignment the moved days must serve exactly once")
+      assert(SliceBootstrap.localDays(spark, cDir).nonEmpty,
+        "the rebalance must have copied days into the new member")
+    } finally Seq(pa, pb, pc).foreach(_.stop())
+  }
+
   test("slice mode: a member crash before its drain loses nothing (journal replay)") {
     // the two round-12 durability pieces COMPOSED: a slice member's live
     // overlay is journal-backed, so a crash between ingest and the
