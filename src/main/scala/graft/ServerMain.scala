@@ -98,9 +98,15 @@ object ServerMain {
     val catalog = (localStore, topologyDir) match {
       case (Some(local), Some(topo)) =>
         val slice = sys.env.getOrElse("SPARK_GRAFT_SLICE", "s0")
+        // with a shared archive configured, owned days the local cache
+        // lacks serve straight from it (no fresh-day gap between a peer's
+        // drain and this member's sync tick)
+        val shared = sys.env.getOrElse("SPARK_GRAFT_SHARED_ARCHIVE", "")
         println(s"[graft] assignment-aware serving: slice $slice from $local, " +
-          s"assignment at $topo")
-        graft.exec.SliceRebalance.servingCatalog(baseCatalog, local, topo, slice)
+          s"assignment at $topo" +
+          (if (shared.nonEmpty) s", shared fallback $shared" else ""))
+        graft.exec.SliceRebalance.servingCatalog(baseCatalog, local, topo, slice,
+          sharedArchiveDir = shared)
       case _ => baseCatalog
     }
     val server = new graft.api.GraftServer(

@@ -288,10 +288,24 @@ object SliceRebalance {
     * nothing) before growing, so the boundary-shifting grow happens
     * under assignment-aware serving.
     */
+  /** @param sharedArchiveDir slice-mode deployments pass the SHARED
+    *   archive here (the drain target): an OWNED day not yet present in
+    *   local storage serves straight from the shared archive until the
+    *   periodic [[SliceSync]] lands it locally. Without this fallback, a
+    *   fresh day a PEER drained has a serving gap — visible from the
+    *   peer's live overlay before its drain, then served by NOBODY until
+    *   the owner's next sync tick (non-monotonic freshness, a silent
+    *   undercount window as long as the tick interval). Ownership decides
+    *   serving; local storage is only the cache. Empty = local-only (the
+    *   pre-slice-mode behavior).
+    */
   def servingCatalog(base: graft.aql.Catalog, localDir: String,
-      topologyDir: String, slice: String): graft.aql.Catalog = {
+      topologyDir: String, slice: String,
+      sharedArchiveDir: String = ""): graft.aql.Catalog = {
     val ev = base.tables("events")
     base.copy(tables = base.tables + ("events" -> ev.copy(load = s => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dayCol = graft.ingest.Archiver.DayCol
       read(topologyDir) match {
         case Some(a) if !a.owners.contains(slice) =>
           // grow window: registered but not yet assigned — serve zero
@@ -302,7 +316,7 @@ object SliceRebalance {
           log.warn(s"slice '$slice' is not in published assignment " +
             s"v${a.version} (slices: ${a.owners.keys.toSeq.sorted.mkString(", ")}) " +
             "— serving zero days until a rebalance assigns it")
-          ev.load(s).where(org.apache.spark.sql.functions.lit(false))
+          ev.load(s).where(lit(false))
         case Some(a) =>
           // serve the locally present days this slice EXTENDED-owns: its
           // assigned days plus any day the assignment predates (a fresh
@@ -310,11 +324,31 @@ object SliceRebalance {
           // to this slice — [[extendedOwner]] is deterministic over the
           // same document on every member, so each day has exactly one
           // server with no republish between drains
-          val served = SliceBootstrap.localDays(s, localDir)
-            .filter(d => extendedOwner(a, d).contains(slice))
-          s.read.parquet(localDir)
-            .where(org.apache.spark.sql.functions.col(graft.ingest.Archiver.DayCol)
-              .isin(served: _*))
+          val localDays = SliceBootstrap.localDays(s, localDir)
+          val served = localDays.filter(d => extendedOwner(a, d).contains(slice))
+          // owned days the local cache lacks (a peer's fresh drain this
+          // member's sync has not pulled yet) serve from the shared
+          // archive — one extra day listing per query, slice mode only
+          val missing =
+            if (sharedArchiveDir.isEmpty) Nil
+            else {
+              val have = served.toSet
+              SliceBootstrap.localDays(s, sharedArchiveDir).filter(d =>
+                !have.contains(d) && extendedOwner(a, d).contains(slice))
+            }
+          val localScan =
+            if (localDays.isEmpty) None
+            else Some(s.read.parquet(localDir).where(col(dayCol).isin(served: _*)))
+          val sharedScan =
+            if (missing.isEmpty) None
+            else Some(s.read.parquet(sharedArchiveDir)
+              .where(col(dayCol).isin(missing: _*)))
+          (localScan, sharedScan) match {
+            case (Some(l), Some(sh)) => l.unionByName(sh)
+            case (Some(l), None) => l
+            case (None, Some(sh)) => sh
+            case (None, None) => ev.load(s).where(lit(false))
+          }
         case None => s.read.parquet(localDir)
       }
     })))

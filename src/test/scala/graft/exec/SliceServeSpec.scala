@@ -45,7 +45,8 @@ class SliceServeSpec extends SparkSpec {
     val base = Catalog.testdata(sfDir)
     def member(slice: String): GraftServer = {
       val srv = new GraftServer(
-        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice), spark)
+        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
+          sharedArchiveDir = sharedDir), spark)
       // the ServerMain slice wiring: drains target the shared archive,
       // this member pulls its served days right after its own drain
       srv.sliceServe("events", sharedDir,
@@ -84,6 +85,13 @@ class SliceServeSpec extends SparkSpec {
       pa.drain("events", sharedDir)
       assert(SliceBootstrap.localDays(spark, sharedDir).contains(freshDay),
         "drain must land the fresh day in the shared archive")
+
+      // NO serving gap between the drain and the owner's sync tick: the
+      // day's owner serves it from the SHARED archive while its local
+      // cache still lacks it (rows were visible pre-drain; vanishing
+      // until a sync tick would be a non-monotonic undercount window)
+      assert(total(broker.aql(wideQuery)) == before + 3,
+        "fresh day must keep serving (shared-archive fallback) before any sync")
 
       // the day's serving owner under the PUBLISHED assignment picks it
       // up on its periodic sync tick (extended ownership — no republish)
