@@ -438,36 +438,13 @@ object SliceRebalance {
   }
 
   /** Serialize the check-and-rename of [[publish]] across processes via
-    * a GENERATION-LADDER lock (a fencing-token scheme): the live lock is
-    * the highest-numbered `.assignment.lock.g<N>` file in the topology
-    * dir (a bare legacy `.assignment.lock` counts as generation 0, so a
+    * the GENERATION-LADDER lock ([[GenerationLock]] — extracted from this
+    * fence so shared-archive writers reuse it; its scaladoc carries the
+    * full protocol rationale and hammer-spec history). The publish holds
+    * for milliseconds, so fresh contention aborts by name — re-run.
+    * A bare legacy `.assignment.lock` counts as generation 0, so a
     * pre-ladder rebalancer still fences a current one during a rolling
-    * upgrade and a crashed legacy lock gets reaped). Acquiring =
-    * atomically `createFile`-ing generation `highest+1` when the current
-    * highest is STALE (older than [[StaleLockMs]]; a crashed publisher),
-    * or generation 1 when none exists; a FRESH highest lock aborts by
-    * name — publishes hold for milliseconds, so contention means re-run.
-    *
-    * Why a ladder instead of delete-or-rename takeover: reclaiming by
-    * VACATING the path (delete, or rename-away) opens a window where
-    * the path is empty while a winner is inside — any concurrent
-    * `createFile` in that window yields TWO publishers in the critical
-    * section (reproduced by the 8-thread hammer in SliceRebalanceSpec
-    * against both prior protocols). The ladder never vacates: contest
-    * winners create the NEXT generation — `createFile` atomicity alone
-    * picks exactly one winner among reclaimers that observed the same
-    * stale generation, and the stale file stays in place (reaped by the
-    * winner AFTER acquisition, when it is provably garbage).
-    *
-    * Generation numbers RESET after a full release (the ladder empties),
-    * so a generation alone does not identify a holder: every winner
-    * writes a NONCE into its lock file, release deletes the file only
-    * while it still carries that nonce, and `stillHeld` (also handed to
-    * `body` for a commit-point re-check right before the assignment
-    * rename) requires BOTH no-higher-generation AND nonce-intact — a
-    * publisher that stalled 60s+, was reclaimed, and woke after the
-    * ladder reset can neither delete its successor's same-numbered live
-    * lock nor publish over it.
+    * upgrade.
     *
     * Residual (documented): a publisher that stalls longer than
     * [[StaleLockMs]] BETWEEN the commit-point `stillHeld` and its
@@ -479,90 +456,11 @@ object SliceRebalance {
     * `--watch` rebalancer per topology dir (DEPLOYMENT.md).
     */
   private val StaleLockMs = 60000L
-  private val LockGen = """\.assignment\.lock\.g(\d+)""".r
-  private def lockLadder(dir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
-    val s = try Files.list(dir) catch { case _: java.io.IOException => return Seq.empty }
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator.asScala.flatMap { p =>
-        p.getFileName.toString match {
-          case LockGen(g) => Some(g.toLong -> p)
-          case ".assignment.lock" => Some(0L -> p) // pre-ladder protocol
-          case _ => None
-        }
-      }.toSeq.sortBy(_._1)
-    } finally s.close()
-  }
   private[exec] def withPublishLock[T](topologyDir: String)(
-      body: (() => Unit) => T): T = {
-    val dir = Paths.get(topologyDir)
-    def ageOf(p: java.nio.file.Path): Long =
-      try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
-      catch { case _: java.io.IOException => -1L } // vanished
-    @annotation.tailrec
-    def acquire(attempt: Int): Long = {
-      if (attempt >= 16) throw new IllegalStateException(
-        s"rebalance fenced: could not acquire the publish lock in $dir after " +
-          s"$attempt attempts (live publishers churning) — aborting before " +
-          "the drop phase; re-run.")
-      val next = lockLadder(dir).lastOption match {
-        case None => 1L
-        case Some((g, p)) =>
-          val age = ageOf(p)
-          if (age < 0) -1L // holder released between list and stat: re-list
-          else if (age > StaleLockMs) g + 1 // crashed holder: contest g+1
-          else throw new IllegalStateException(
-            s"rebalance fenced: another rebalance holds the publish lock $p " +
-              s"(age ${age}ms) — aborting before the drop phase. Re-run; a " +
-              s"lock older than ${StaleLockMs}ms is taken over automatically.")
-      }
-      if (next < 0) acquire(attempt + 1)
-      else {
-        val won =
-          try { Files.createFile(dir.resolve(s".assignment.lock.g$next")); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        if (won) next
-        // contest lost (or a release/acquire raced us): re-observe — the
-        // next loop sees the winner's FRESH lock and aborts by name
-        else acquire(attempt + 1)
-      }
-    }
-    val gen = acquire(attempt = 0)
-    val mine = dir.resolve(s".assignment.lock.g$gen")
-    val nonce = java.util.UUID.randomUUID().toString
-    try Files.writeString(mine, nonce, StandardCharsets.UTF_8)
-    catch { case _: java.io.IOException => () }
-    def myContent(): String =
-      try Files.readString(mine, StandardCharsets.UTF_8)
-      catch { case _: java.io.IOException => "" }
-    def stillHeld(): Unit = {
-      if (myContent() != nonce || lockLadder(dir).exists(_._1 > gen))
-        throw new IllegalStateException(
-          s"rebalance fenced: deposed — a concurrent rebalance reclaimed " +
-            s"publish lock generation $gen as stale. Aborting; re-run.")
-    }
-    try {
-      // deposition check at entry (one listing serves check and reap): a
-      // higher generation — or a recycled same-numbered lock that no
-      // longer carries our nonce — means another publisher judged us
-      // stale while we stalled
-      val ladder0 = lockLadder(dir)
-      if (myContent() != nonce || ladder0.exists(_._1 > gen))
-        throw new IllegalStateException(
-          s"rebalance fenced: deposed — a concurrent rebalance reclaimed " +
-            s"publish lock generation $gen as stale. Aborting; re-run.")
-      ladder0.filter(_._1 < gen).foreach { case (_, p) =>
-        // reap dead ancestors (provably garbage: we hold the highest gen)
-        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
-      }
-      body(stillHeld _)
-    } finally {
-      // release ONLY a lock that is still ours: after a full release the
-      // ladder resets, so a stalled publisher's blind delete could remove
-      // a successor's identically-numbered LIVE lock and re-open the
-      // double-entry the ladder closed
-      try { if (myContent() == nonce) Files.deleteIfExists(mine) }
-      catch { case _: java.io.IOException => () }
-    }
-  }
+      body: (() => Unit) => T): T =
+    GenerationLock.withLock(GenerationLock.nio(Paths.get(topologyDir)),
+      ".assignment.lock", StaleLockMs, role = "rebalance",
+      noun = "publish lock",
+      hint = " — aborting before the drop phase. Re-run; a lock older " +
+        s"than ${StaleLockMs}ms is taken over automatically.")(body)
 }

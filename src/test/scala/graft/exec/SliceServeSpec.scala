@@ -151,6 +151,76 @@ class SliceServeSpec extends SparkSpec {
     } finally Seq(pa, pb, pc).foreach(_.stop())
   }
 
+  test("concurrent drains into the shared archive: the loser skips, loses nothing") {
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sharedDir = tmp("cd-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("cd-a"), "b" -> tmp("cd-b"))
+    val topoDir = tmp("cd-topo")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    val base = Catalog.testdata(sfDir)
+    def member(slice: String): GraftServer = {
+      val srv = new GraftServer(
+        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
+          sharedArchiveDir = sharedDir), spark)
+      srv.sliceServe("events", sharedDir,
+        () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
+      srv.start()
+      srv
+    }
+    val client = java.net.http.HttpClient.newHttpClient()
+    def ingest(srv: GraftServer, ids: Range): Unit = {
+      val rows = ids.map(i =>
+        s"""{"event_id": ${910000000L + i}, "ts": "2030-01-05 08:0${i % 10}:00",
+            "user_id": $i, "event_type": "race_et", "value": 1.0,
+            "props": "{}"}""").mkString("[", ",", "]")
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:${srv.boundPort}/data/events"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(rows)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+    }
+
+    val pa = member("a")
+    val pb = member("b")
+    try {
+      val broker = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      val before = total(broker.aql(wideQuery))
+      // BOTH members hold fresh rows for the SAME day — the deployment
+      // state where unsynchronized scheduler ticks race their drains
+      ingest(pa, 1 to 3)
+      ingest(pb, 4 to 6)
+      assert(total(broker.aql(wideQuery)) == before + 6)
+
+      // another member's drain is in flight: its cross-process lock is
+      // held on the shared archive. a's drain must SKIP — keeping its
+      // rows in the overlay and journal — not merge against a
+      // mid-rewrite day (the read-merge-swap lost-update race)
+      val io = GenerationLock.hadoop(
+        new org.apache.hadoop.fs.Path(sharedDir),
+        spark.sparkContext.hadoopConfiguration)
+      GenerationLock.withLock(io, ".graft-drain.lock", staleMs = 120000L,
+        role = "drain", noun = "archive drain lock") { _ =>
+        pa.drain("events", sharedDir)
+        assert(pa.hasLiveRows("events"),
+          "a contended drain must keep the live overlay (skip, not wait)")
+        assert(total(broker.aql(wideQuery)) == before + 6,
+          "skipped drain must keep serving its rows from the overlay")
+      }
+      // lock released (the winner finished): both drains proceed in turn,
+      // each merging against the other's committed rewrite
+      pa.drain("events", sharedDir)
+      assert(!pa.hasLiveRows("events"), "uncontended drain must promote")
+      pb.drain("events", sharedDir)
+      assert(total(broker.aql(wideQuery)) == before + 6,
+        "after both drains every member's rows must be in the archive exactly once")
+    } finally Seq(pa, pb).foreach(_.stop())
+  }
+
   test("slice mode: a member crash before its drain loses nothing (journal replay)") {
     // the two round-12 durability pieces COMPOSED: a slice member's live
     // overlay is journal-backed, so a crash between ingest and the
