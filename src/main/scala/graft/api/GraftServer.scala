@@ -989,33 +989,23 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     tableLocks.getOrElseUpdate(table, new Object).synchronized {
       live.get(table).foreach { view =>
         val sortCols = archiveSortCols(table, td)
-        // the archive write runs under a cross-PROCESS lock on the target
-        // directory: in slice mode every member drains into the SAME
-        // shared archive, and two members holding fresh rows for the same
-        // day would otherwise race Backfill's read-merge-swap — each
-        // merge missing the other's delta, last rename winning, the
-        // loser's rows gone from the archive AFTER its journal truncated
-        // (permanent loss). Contention SKIPS the drain instead of
-        // waiting: the rows stay in the live overlay and the journal
-        // (still served, still durable) and the next scheduler tick
-        // retries — by then the winner's rewrite is visible and this
-        // member's Backfill merges against it. The heartbeat keeps a
-        // long multi-minute backfill from being reclaimed as stale; only
-        // a CRASHED holder's lock is taken over (after staleMs).
-        val wrote = graft.exec.GenerationLock.tryWithLock(
-          graft.exec.GenerationLock.hadoop(
-            new org.apache.hadoop.fs.Path(dir),
-            spark.sparkContext.hadoopConfiguration),
-          ".graft-drain.lock", staleMs = 120000L, role = "drain",
-          noun = "archive drain lock", heartbeatMs = 15000L) { _ =>
-          (td.timeColumn, pending.get(table)) match {
+        // in slice mode every member drains into the SAME shared archive:
+        // Backfill serializes the day rewrites under a cross-process lock
+        // (see Backfill.apply — two unsynchronized members rewriting the
+        // same day would race the read-merge-swap and permanently lose
+        // the loser's rows after its journal truncated). Contention SKIPS
+        // the drain instead of waiting: the rows stay in the live overlay
+        // and the journal (still served, still durable) and the next
+        // scheduler tick retries against the winner's committed rewrite.
+        val wrote =
+          try Some((td.timeColumn, pending.get(table)) match {
             case (Some(tc), Some(delta)) if drained.get(table).contains(dir) =>
               graft.ingest.Backfill(spark, dir, delta, tc, td.primaryKey, sortCols)
             case (Some(tc), _) =>
               graft.ingest.Archiver.archive(view, tc, sortCols, dir)
             case (None, _) => graft.ingest.Snapshot.write(view, dir)
-          }
-        }
+          })
+          catch { case _: graft.exec.GenerationLock.Busy => None }
         if (wrote.isEmpty) {
           log.warn(s"drain of table $table skipped: another member is " +
             s"draining into $dir — rows stay in the live overlay and " +

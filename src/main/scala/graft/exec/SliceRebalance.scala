@@ -164,6 +164,22 @@ object SliceRebalance {
     val shared = new org.apache.hadoop.fs.Path(sharedArchiveDir)
     val sharedFs = shared.getFileSystem(conf)
     sharedFs.mkdirs(shared)
+    // the merge-up WRITES the shared archive, so it takes the same
+    // cross-process archive write lock Backfill holds (a drain's day
+    // rewrite mid-merge-up could otherwise interleave with these copies);
+    // a fresh holder means a drain is in flight — abort by name, re-run
+    GenerationLock.withLock(GenerationLock.hadoop(shared, conf),
+      ".graft-archive.lock", staleMs = 120000L, role = "rebalance",
+      noun = "archive write lock",
+      hint = " — a drain backfill is in flight; re-run the rebalance.",
+      heartbeatMs = 15000L) { _ => mergeUpLocked(spark, shared, sharedFs, conf, localDirs) }
+  }
+
+  private def mergeUpLocked(spark: SparkSession,
+      shared: org.apache.hadoop.fs.Path,
+      sharedFs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      localDirs: Map[String, String]): Map[String, Seq[String]] = {
     val prefix = s"${graft.ingest.Archiver.DayCol}="
     localDirs.toSeq.sortBy(_._1).map { case (slice, dir) =>
       val local = new org.apache.hadoop.fs.Path(dir)

@@ -33,7 +33,29 @@ object Backfill {
     * (memstore/backfill.go:436+).
     */
   def apply(spark: SparkSession, dir: String, late: DataFrame, timeCol: String,
-      pk: Seq[String], sortCols: Seq[String], numFiles: Int = 0): Seq[String] = {
+      pk: Seq[String], sortCols: Seq[String], numFiles: Int = 0): Seq[String] =
+    // the read-merge-swap below is a lost-update hazard under concurrent
+    // writers (two merges each missing the other's delta, last rename
+    // winning — and a shared .backfill_tmp), so the WHOLE job holds a
+    // cross-process generation-ladder lock on the archive dir. Locking
+    // here, at the single mutation site, protects every caller — member
+    // drains, operator backfill jobs, anything else that patches days.
+    // A FRESH contending holder raises [[graft.exec.GenerationLock.Busy]]
+    // (callers with retry loops, like the drain tick, catch it and skip);
+    // the heartbeat keeps a multi-minute rewrite from being reclaimed as
+    // stale, so only a CRASHED writer's lock is ever taken over.
+    graft.exec.GenerationLock.withLock(
+      graft.exec.GenerationLock.hadoop(
+        new org.apache.hadoop.fs.Path(dir),
+        spark.sparkContext.hadoopConfiguration),
+      ".graft-archive.lock", staleMs = 120000L, role = "backfill",
+      noun = "archive write lock", heartbeatMs = 15000L) { _ =>
+      locked(spark, dir, late, timeCol, pk, sortCols, numFiles)
+    }
+
+  private def locked(spark: SparkSession, dir: String, late: DataFrame,
+      timeCol: String, pk: Seq[String], sortCols: Seq[String],
+      numFiles: Int): Seq[String] = {
     val day = Archiver.DayCol
     // TimestampType or integral epoch-seconds time column, like Archiver
     val ts =

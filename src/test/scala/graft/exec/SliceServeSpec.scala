@@ -203,8 +203,8 @@ class SliceServeSpec extends SparkSpec {
       val io = GenerationLock.hadoop(
         new org.apache.hadoop.fs.Path(sharedDir),
         spark.sparkContext.hadoopConfiguration)
-      GenerationLock.withLock(io, ".graft-drain.lock", staleMs = 120000L,
-        role = "drain", noun = "archive drain lock") { _ =>
+      GenerationLock.withLock(io, ".graft-archive.lock", staleMs = 120000L,
+        role = "drain", noun = "archive write lock") { _ =>
         pa.drain("events", sharedDir)
         assert(pa.hasLiveRows("events"),
           "a contended drain must keep the live overlay (skip, not wait)")
