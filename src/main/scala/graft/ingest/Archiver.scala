@@ -97,20 +97,31 @@ object Archiver {
     * way a local one does.
     */
   def purge(dir: String, retainFromDay: String): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
     val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Nil
-    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(s"$DayCol=")) {
-        val day = name.stripPrefix(s"$DayCol=")
-        if (day < retainFromDay) {
-          fs.delete(st.getPath, true)
-          deleted += day
+    // same cross-process archive write lock as Backfill/Compactor: a
+    // purge deleting a day a concurrent backfill is mid-swap on would
+    // either resurrect the purged rows (the backfill's rename recreates
+    // the day from its pre-purge read) or fail the swap — retention and
+    // rewrites serialize instead. Busy → the scheduler skips the tick.
+    graft.exec.GenerationLock.withLock(
+      graft.exec.GenerationLock.hadoop(root, conf),
+      ".graft-archive.lock", staleMs = 120000L, role = "purge",
+      noun = "archive write lock") { _ =>
+      val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(s"$DayCol=")) {
+          val day = name.stripPrefix(s"$DayCol=")
+          if (day < retainFromDay) {
+            fs.delete(st.getPath, true)
+            deleted += day
+          }
         }
       }
+      deleted.toSeq.sorted
     }
-    deleted.toSeq.sorted
   }
 }

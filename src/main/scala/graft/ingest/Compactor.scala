@@ -50,6 +50,26 @@ object Compactor {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"archive $dir does not exist")
+    // same cross-process archive write lock as Backfill: a compaction
+    // rewriting a day that a concurrent drain is backfilling would race
+    // the read-rewrite-swap — if the compacted (pre-delta) version wins,
+    // the drain's rows are gone AFTER its journal truncated. A fresh
+    // holder raises Busy; the scheduler's per-job catch turns that into
+    // a skipped tick (fragmentation waits; rows never race)
+    graft.exec.GenerationLock.withLock(
+      graft.exec.GenerationLock.hadoop(root,
+        spark.sparkContext.hadoopConfiguration),
+      ".graft-archive.lock", staleMs = 120000L, role = "compaction",
+      noun = "archive write lock", heartbeatMs = 15000L) { _ =>
+      compactLocked(spark, root, fs, sortCols, maxFiles, targetFiles,
+        zorderCols, partitionPrefix)
+    }
+  }
+
+  private def compactLocked(spark: SparkSession, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, sortCols: Seq[String],
+      maxFiles: Int, targetFiles: Int, zorderCols: Seq[String],
+      partitionPrefix: String): Seq[DayReport] = {
     val prefix = partitionPrefix
     val reports = Seq.newBuilder[DayReport]
     fs.listStatus(root).filter(_.isDirectory)
