@@ -179,14 +179,41 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     * archive read merges per-file schemas — day partitions written before
     * a column add lack the new column, and the default single-footer
     * schema inference would silently null it out everywhere.
+    *
+    * SLICE-SERVED tables never serve the materialized live view: that
+    * view bakes the assignment-filtered base scan in at INGEST time
+    * (localCheckpoint), so a rebalance moving days between members would
+    * leave this member double-serving its moved days (and not serving
+    * its gained ones) until its next ingest — the exactly-once violation
+    * ClusterSoakSpec caught. Instead the PENDING DELTA applies over the
+    * base load PER QUERY: the base re-reads the assignment each time,
+    * and the delta is a small checkpointed frame whose PK anti-join
+    * broadcasts.
     */
   private def layeredLoad(name: String, base: SparkSession => DataFrame)
       (s: SparkSession): DataFrame =
-    live.get(name)
-      .orElse(
-        if (sliceServed.contains(name)) None
-        else drained.get(name).map(dir =>
-          s.read.option("mergeSchema", "true").parquet(dir)))
+    if (sliceServed.contains(name)) {
+      pending.get(name) match {
+        case Some(delta) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val fresh = base(s).drop(graft.ingest.Archiver.DayCol)
+          // schema drift between the delta's ingest and this query: a
+          // column added since null-fills on the delta side (the same
+          // reconciliation the next ingest would apply)
+          val present = delta.columns.toSet
+          val reconciled = fresh.columns.filterNot(present.contains)
+            .foldLeft(delta) { (acc, c) =>
+              acc.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
+            }
+          val pk = catalog(name).primaryKey
+          if (pk.isEmpty) fresh.unionByName(reconciled.select(fresh.columns.map(col): _*))
+          else graft.ingest.Upsert(fresh,
+            reconciled.withColumn("__seq", lit(0L)), pk, "__seq")
+        case None => base(s)
+      }
+    } else live.get(name)
+      .orElse(drained.get(name).map(dir =>
+        s.read.option("mergeSchema", "true").parquet(dir)))
       .getOrElse(base(s))
 
   /** TableDef for a runtime-created table: schema from the metastore, rows

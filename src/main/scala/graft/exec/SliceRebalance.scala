@@ -341,24 +341,39 @@ object SliceRebalance {
           // same document on every member, so each day has exactly one
           // server with no republish between drains
           val localDays = SliceBootstrap.localDays(s, localDir)
-          val served = localDays.filter(d => extendedOwner(a, d).contains(slice))
+          val ownedLocal = localDays.filter(d => extendedOwner(a, d).contains(slice))
           // owned days the local cache lacks (a peer's fresh drain this
-          // member's sync has not pulled yet) serve from the shared
-          // archive — one extra day listing per query, slice mode only
-          val missing =
-            if (sharedArchiveDir.isEmpty) Nil
+          // member's sync has not pulled yet) OR holds a STALE copy of (a
+          // peer's drain REWROTE them since this member's last sync — the
+          // drain marker tells which, one small read per query) serve
+          // from the shared archive; slice mode only
+          val (missing, stale) =
+            if (sharedArchiveDir.isEmpty) (Nil, Set.empty[String])
             else {
-              val have = served.toSet
-              SliceBootstrap.localDays(s, sharedArchiveDir).filter(d =>
+              val conf = s.sparkContext.hadoopConfiguration
+              val marker = graft.ingest.DrainMarker.read(sharedArchiveDir, conf)
+              val syncedSeq = graft.ingest.DrainMarker.readSynced(localDir, conf)
+              val st = graft.ingest.DrainMarker.staleDays(marker, syncedSeq) match {
+                case Some(days) => days
+                // more than the marker window behind: every owned day is
+                // potentially stale — serve them all from shared
+                // (correct, just cache-less) until a sync catches up
+                case None => ownedLocal.toSet
+              }
+              val have = ownedLocal.toSet
+              val miss = SliceBootstrap.localDays(s, sharedArchiveDir).filter(d =>
                 !have.contains(d) && extendedOwner(a, d).contains(slice))
+              (miss, st)
             }
+          val fromLocal = ownedLocal.filterNot(stale.contains)
+          val fromShared = missing ++ ownedLocal.filter(stale.contains)
           val localScan =
-            if (localDays.isEmpty) None
-            else Some(s.read.parquet(localDir).where(col(dayCol).isin(served: _*)))
+            if (localDays.isEmpty || fromLocal.isEmpty) None
+            else Some(s.read.parquet(localDir).where(col(dayCol).isin(fromLocal: _*)))
           val sharedScan =
-            if (missing.isEmpty) None
+            if (fromShared.isEmpty) None
             else Some(s.read.parquet(sharedArchiveDir)
-              .where(col(dayCol).isin(missing: _*)))
+              .where(col(dayCol).isin(fromShared: _*)))
           (localScan, sharedScan) match {
             case (Some(l), Some(sh)) => l.unionByName(sh)
             case (Some(l), None) => l

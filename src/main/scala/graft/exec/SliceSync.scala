@@ -42,6 +42,10 @@ object SliceSync {
     val localFs = local.getFileSystem(conf)
     localFs.mkdirs(local)
     val assignment = SliceRebalance.read(topologyDir)
+    // capture the drain-marker seq BEFORE listing: drains that commit
+    // during this sync may or may not be copied below, so only the seq
+    // observed first is safely "synced through"
+    val markerSeq = graft.ingest.DrainMarker.read(sharedArchiveDir, conf).seq
     val prefix = s"${graft.ingest.Archiver.DayCol}="
     val mine = SliceBootstrap.localDays(spark, sharedArchiveDir).filter { d =>
       assignment.forall(a => SliceRebalance.extendedOwner(a, d).contains(slice))
@@ -59,6 +63,9 @@ object SliceSync {
         synced += day
       }
     }
+    // record the synced-through seq: the serving catalog stops routing
+    // this member's owned rewritten days to the shared archive
+    graft.ingest.DrainMarker.writeSynced(localDir, conf, markerSeq)
     synced.result()
   }
 

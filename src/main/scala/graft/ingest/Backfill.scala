@@ -144,6 +144,11 @@ object Backfill {
       }
     }
     fs.delete(child(".backfill_tmp"), true)
+    // record the rewritten days in the drain marker (we hold the archive
+    // lock): members serving these days from a local cache learn, with
+    // one small read per query, that their copies are stale and serve
+    // from the shared archive until their sync catches up
+    DrainMarker.bump(dir, spark.sparkContext.hadoopConfiguration, days)
     days
   }
 }

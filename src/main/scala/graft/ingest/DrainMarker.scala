@@ -1,0 +1,134 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Drain-freshness marker for the shared archive: every [[Backfill]]
+  * commit appends `(seq, affectedDays)` to `.drain-marker.json` (bounded
+  * window, atomic rename), and each member's [[graft.exec.SliceSync]]
+  * records the marker seq it has synced THROUGH in its local store
+  * (`.synced-seq`). A member can then tell, with ONE small file read per
+  * query, exactly which of its owned days were rewritten since its last
+  * sync — and serve those from the shared archive instead of its stale
+  * local cache.
+  *
+  * Without this, a peer's drain into a day THIS member owns had a
+  * staleness window as long as the sync tick: the rows were visible from
+  * the peer's overlay pre-drain, then invisible until the owner's next
+  * sync — a non-monotonic undercount (caught by ClusterSoakSpec).
+  * Missing-day fallback alone doesn't close it; REWRITTEN days need the
+  * marker.
+  *
+  * The window is bounded ([[RecentCap]] drains). A member whose synced
+  * seq has fallen behind the window's coverage cannot enumerate its stale
+  * days — [[staleDays]] returns None and the caller serves ALL its owned
+  * days from shared (correct, just cache-less) until a sync catches up.
+  */
+object DrainMarker {
+
+  val MarkerFile = ".drain-marker.json"
+  val SyncedFile = ".synced-seq"
+  val RecentCap = 64
+
+  final case class Marker(seq: Long, recent: Seq[(Long, Seq[String])])
+
+  def read(dir: String, conf: Configuration): Marker = {
+    val p = new Path(dir, MarkerFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Marker(0L, Nil)
+    try {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val j = JsonMethods.parse(body)
+      val seq = j \ "seq" match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case _ => return Marker(0L, Nil)
+      }
+      val recent = j \ "recent" match {
+        case JArray(es) => es.flatMap { e =>
+          (e \ "seq", e \ "days") match {
+            case (JInt(s), JArray(ds)) =>
+              Some(s.toLong -> ds.collect { case JString(d) => d })
+            case (JLong(s), JArray(ds)) =>
+              Some(s -> ds.collect { case JString(d) => d })
+            case _ => None
+          }
+        }
+        case _ => Nil
+      }
+      Marker(seq, recent)
+    } catch { case _: Exception => Marker(0L, Nil) } // torn/corrupt: empty
+  }
+
+  /** Append one drain's affected days; returns the new seq. Callers hold
+    * the archive write lock, so read-modify-write is race-free; the
+    * write itself is temp + rename so readers never see a torn document.
+    */
+  def bump(dir: String, conf: Configuration, days: Seq[String]): Long = {
+    val prior = read(dir, conf)
+    val next = prior.seq + 1
+    val recent = (prior.recent :+ (next -> days)).takeRight(RecentCap)
+    val doc = JObject(
+      "seq" -> JLong(next),
+      "recent" -> JArray(recent.map { case (s, ds) =>
+        JObject("seq" -> JLong(s),
+          "days" -> JArray(ds.map(JString(_)).toList)): JValue
+      }.toList))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val tmp = new Path(root, s"$MarkerFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(doc))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(root, MarkerFile)
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmp, target), s"drain marker rename failed in $dir")
+    next
+  }
+
+  /** The marker seq this member's local store has synced through. */
+  def readSynced(localDir: String, conf: Configuration): Long = {
+    val p = new Path(localDir, SyncedFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    try {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim.toLongOption.getOrElse(0L)
+    } catch { case _: Exception => 0L }
+  }
+
+  def writeSynced(localDir: String, conf: Configuration, seq: Long): Unit = {
+    val root = new Path(localDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val tmp = new Path(root, s"$SyncedFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(root, SyncedFile)
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmp, target), s"synced-seq rename failed in $localDir")
+  }
+
+  /** Days rewritten by drains NEWER than `syncedSeq`. None = the bounded
+    * window no longer covers the gap (the member is more than RecentCap
+    * drains behind) — the caller must treat EVERY owned day as
+    * potentially stale.
+    */
+  def staleDays(marker: Marker, syncedSeq: Long): Option[Set[String]] = {
+    if (marker.seq <= syncedSeq) return Some(Set.empty)
+    val newer = marker.recent.filter(_._1 > syncedSeq)
+    val covered = newer.map(_._1).minOption.contains(syncedSeq + 1)
+    if (!covered) None
+    else Some(newer.flatMap(_._2).toSet)
+  }
+}
