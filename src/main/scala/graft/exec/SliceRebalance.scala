@@ -347,8 +347,9 @@ object SliceRebalance {
           // peer's drain REWROTE them since this member's last sync — the
           // drain marker tells which, one small read per query) serve
           // from the shared archive; slice mode only
-          val (missing, stale) =
-            if (sharedArchiveDir.isEmpty) (Nil, Set.empty[String])
+          val (missing, stale, purged) =
+            if (sharedArchiveDir.isEmpty)
+              (Nil, Set.empty[String], Set.empty[String])
             else {
               val conf = s.sparkContext.hadoopConfiguration
               val marker = graft.ingest.DrainMarker.read(sharedArchiveDir, conf)
@@ -360,13 +361,22 @@ object SliceRebalance {
                 // (correct, just cache-less) until a sync catches up
                 case None => ownedLocal.toSet
               }
+              val sharedDays = SliceBootstrap.localDays(s, sharedArchiveDir).toSet
               val have = ownedLocal.toSet
-              val miss = SliceBootstrap.localDays(s, sharedArchiveDir).filter(d =>
+              val miss = sharedDays.toSeq.filter(d =>
                 !have.contains(d) && extendedOwner(a, d).contains(slice))
-              (miss, st)
+              // a local day ABSENT from the shared archive was purged
+              // (retention): the local cache copy must stop serving NOW,
+              // not at some future cleanup — serving purged rows is the
+              // compliance failure retention exists to prevent. (A
+              // genuinely local-only day — a pre-slice-mode drain — needs
+              // a rebalance merge-up before it serves, by design.)
+              (miss, st, have -- sharedDays)
             }
-          val fromLocal = ownedLocal.filterNot(stale.contains)
-          val fromShared = missing ++ ownedLocal.filter(stale.contains)
+          val fromLocal = ownedLocal.filterNot(d =>
+            stale.contains(d) || purged.contains(d))
+          val fromShared = missing ++ ownedLocal.filter(d =>
+            stale.contains(d) && !purged.contains(d))
           val localScan =
             if (localDays.isEmpty || fromLocal.isEmpty) None
             else Some(s.read.parquet(localDir).where(col(dayCol).isin(fromLocal: _*)))

@@ -221,6 +221,52 @@ class SliceServeSpec extends SparkSpec {
     } finally Seq(pa, pb).foreach(_.stop())
   }
 
+  test("a purged day stops serving immediately, even from members' local caches") {
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sharedDir = tmp("pg-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("pg-a"), "b" -> tmp("pg-b"))
+    val topoDir = tmp("pg-topo")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    val base = Catalog.testdata(sfDir)
+    def member(slice: String): GraftServer = {
+      val srv = new GraftServer(
+        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
+          sharedArchiveDir = sharedDir), spark)
+      srv.start()
+      srv
+    }
+    val pa = member("a")
+    val pb = member("b")
+    try {
+      val broker = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      val before = total(broker.aql(wideQuery))
+      // retention: drop the archive's oldest day. Members still HOLD it
+      // in their local caches (no sync runs) — it must stop serving NOW;
+      // purged rows answering from caches is the compliance failure
+      // retention exists to prevent
+      val days = SliceBootstrap.localDays(spark, sharedDir)
+      val cutoff = days(1) // delete exactly the oldest day
+      import org.apache.spark.sql.functions.col
+      val dropped = spark.read.parquet(sharedDir)
+        .where(col(graft.ingest.Archiver.DayCol) < cutoff)
+        .where(col("ts") >= org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.lit(1704067200L)))
+        .count()
+      assert(dropped > 0, "fixture has no rows in the purged day — test vacuous")
+      val purged = graft.ingest.Archiver.purge(sharedDir, cutoff)
+      assert(purged == Seq(days.head), purged.toString)
+      assert(SliceBootstrap.localDays(spark, dirs("a")).contains(days.head) ||
+        SliceBootstrap.localDays(spark, dirs("b")).contains(days.head),
+        "a member must still hold the purged day locally for the test to bite")
+      assert(total(broker.aql(wideQuery)) == before - dropped,
+        "purged day must stop serving immediately from every local cache")
+    } finally Seq(pa, pb).foreach(_.stop())
+  }
+
   test("slice mode: a member crash before its drain loses nothing (journal replay)") {
     // the two round-12 durability pieces COMPOSED: a slice member's live
     // overlay is journal-backed, so a crash between ingest and the
