@@ -46,17 +46,19 @@ class ClusterSoakSpec extends SparkSpec {
     val topoDir = tmp("soak-topo")
     SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
 
+    val journalDirs = Map("a" -> tmp("soak-ja"), "b" -> tmp("soak-jb"))
     val base = Catalog.testdata(sfDir)
     def member(slice: String): GraftServer = {
       val srv = new GraftServer(
         SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
-          sharedArchiveDir = sharedDir), spark)
+          sharedArchiveDir = sharedDir), spark,
+        journalDir = Some(journalDirs(slice)))
       srv.sliceServe("events", sharedDir,
         () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
       srv.start()
       srv
     }
-    val members = Map("a" -> member("a"), "b" -> member("b"))
+    var members = Map("a" -> member("a"), "b" -> member("b"))
     val client = java.net.http.HttpClient.newHttpClient()
     val nextId = new java.util.concurrent.atomic.AtomicLong(920000000L)
     // fresh days INSIDE the query window, spread so drains/syncs cross
@@ -79,9 +81,9 @@ class ClusterSoakSpec extends SparkSpec {
     }
 
     try {
-      val broker = new Broker(members.values.toSeq.map(m =>
+      def broker() = new Broker(members.values.toSeq.map(m =>
         s"http://localhost:${m.boundPort}"))
-      val before = total(broker.aql(wideQuery))
+      val before = total(broker().aql(wideQuery))
       var expected = before
       // fixed seed for CI determinism; override for local seed sweeps
       val seed = java.lang.Long.decode(
@@ -90,7 +92,7 @@ class ClusterSoakSpec extends SparkSpec {
       val trace = Seq.newBuilder[String]
 
       (1 to 24).foreach { step =>
-        val op = rng.nextInt(10)
+        val op = rng.nextInt(12)
         val slice = if (rng.nextBoolean()) "a" else "b"
         op match {
           case 0 | 1 | 2 | 3 => // ingest dominates, like production
@@ -111,8 +113,15 @@ class ClusterSoakSpec extends SparkSpec {
             // whatever overlay/archive state the soak reached
             SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
             trace += s"$step: rebalance"
+          case _ =>
+            // crash + restart: the member dies with whatever lives in its
+            // overlay and journal; the replacement replays the journal
+            // and must answer identically
+            members(slice).stop()
+            members = members.updated(slice, member(slice))
+            trace += s"$step: crash+restart $slice"
         }
-        val got = total(broker.aql(wideQuery))
+        val got = total(broker().aql(wideQuery))
         assert(got == expected,
           s"exactly-once violated at step $step: got $got expected $expected\n" +
             trace.result().mkString("\n"))
@@ -120,7 +129,7 @@ class ClusterSoakSpec extends SparkSpec {
       // settle: drain + sync everything, assert once more from cold state
       members.values.foreach(_.drain("events", sharedDir))
       dirs.keys.foreach(s => SliceSync.sync(spark, sharedDir, dirs(s), topoDir, s))
-      assert(total(broker.aql(wideQuery)) == expected,
+      assert(total(broker().aql(wideQuery)) == expected,
         "exactly-once violated after final settle\n" + trace.result().mkString("\n"))
     } finally members.values.foreach(_.stop())
   }
