@@ -135,7 +135,17 @@ object ServerMain {
       // first-rotation autodrains target <archiveRoot>/<table> — never
       // the journal root, which operators may treat as wipeable
       archiveRoot = Some(sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT",
-        "target/graft-archive")))
+        "target/graft-archive")),
+      // ownership-routed ingestion (slice mode with a member registry):
+      // rows whose day another slice serves forward to that slice's live
+      // member — a PK update applied at a non-owner would split the row
+      ingestRouter = (localStore, topologyDir,
+          sys.env.get("SPARK_GRAFT_MEMBERS_DIR").filter(_.nonEmpty)) match {
+        case (Some(_), Some(topo), Some(members)) =>
+          Some(new graft.exec.SliceRouter(topo, members,
+            sys.env.getOrElse("SPARK_GRAFT_SLICE", "s0")))
+        case _ => None
+      })
     server.start()
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").flatMap(_.toLongOption)
       .filter(_ > 0).foreach { budget =>

@@ -82,7 +82,9 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     journalDir: Option[String] = None,
     journalByteLimit: Long = 0,
     redoLog: Option[graft.ingest.RedoLog] = None,
-    archiveRoot: Option[String] = None) extends graft.ingest.SchedulableStore {
+    archiveRoot: Option[String] = None,
+    ingestRouter: Option[graft.exec.SliceRouter] = None)
+  extends graft.ingest.SchedulableStore {
   require(serverThreads > 0, s"serverThreads $serverThreads must be positive")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -576,10 +578,26 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       val td = catalog(table)
       if (td.primaryKey.isEmpty)
         throw new IllegalArgumentException(s"table $table has no primary key")
-      val raw = ex.getRequestBody.readAllBytes()
+      val raw0 = ex.getRequestBody.readAllBytes()
       val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
       val binary =
-        contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw)
+        contentType == "application/upsert-data" || UpsertBatchWire.looksLikeBatch(raw0)
+      // ownership-routed ingestion (slice mode, JSON batches): rows whose
+      // day another slice serves forward to that slice's live member —
+      // a PK UPDATE applied at a non-owner would otherwise split the row
+      // (the non-owner serves the new version from its delta, the owner
+      // keeps serving the archived one: the same id answered twice). A
+      // batch arriving with the forwarded header applies LOCALLY without
+      // re-routing — one hop only, so two members transiently reading
+      // different assignment versions can never forward in a loop.
+      // Binary-wire batches are NOT routed (decode/re-encode is not worth
+      // the hop; deploy binary producers owner-routed).
+      val forwardedIn =
+        Option(ex.getRequestHeaders.getFirst("X-Graft-Forwarded")).nonEmpty
+      val (raw, forwardedCount) =
+        if (binary || forwardedIn || ingestRouter.isEmpty ||
+            !sliceServed.contains(table)) (raw0, 0L)
+        else routeBatch(td, raw0)
       // durability FIRST (ref redolog append-then-apply,
       // file_redolog_manager.go): the batch is on disk before the overlay
       // sees it, so a crash between here and the drain loses nothing.
@@ -587,7 +605,10 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
       // with ingest's own): a drain interleaving between them would
       // persist an overlay WITHOUT this batch yet truncate its journal
       // record — the batch would be durable nowhere until the next drain.
-      val n = tableLocks.getOrElseUpdate(table, new Object).synchronized {
+      val localEmpty = !binary && forwardedCount > 0 &&
+        new String(raw, StandardCharsets.UTF_8).trim == "[]"
+      val n = if (localEmpty) 0L
+      else tableLocks.getOrElseUpdate(table, new Object).synchronized {
         journal.foreach(_.append(table,
           if (binary) graft.ingest.UpsertJournal.KindBinary
           else graft.ingest.UpsertJournal.KindJson, raw))
@@ -598,9 +619,68 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
         maybeRotateJournal(table)
         applied
       }
-      respond(ex, 200, s"""{"rowsInserted":$n}""")
+      respond(ex, 200, s"""{"rowsInserted":${n + forwardedCount}}""")
     }
   })
+
+  /** Split a JSON ingest batch by day ownership: self-owned rows return
+    * (re-serialized) for the local journal+apply path; foreign rows POST
+    * to their owning slice's live member. Returns (localBytes,
+    * forwardedRowCount). A foreign slice with no live member fails the
+    * batch loudly — applying rows this member doesn't own is the silent
+    * split-row hazard routing exists to prevent.
+    */
+  private def routeBatch(td: TableDef, raw: Array[Byte]): (Array[Byte], Long) = {
+    val router = ingestRouter.get
+    val tc = td.timeColumn.getOrElse(return (raw, 0L)) // dims don't route
+    val rows = JsonMethods.parse(new String(raw, StandardCharsets.UTF_8)) match {
+      case JArray(objs) => objs
+      case _ => throw new IllegalArgumentException("expected a JSON array of rows")
+    }
+    def dayOf(row: JValue): String = row \ tc match {
+      case JString(s) if s.length >= 10 && s.charAt(4) == '-' => s.take(10)
+      case JInt(e) => epochDay(e.toLong)
+      case JLong(e) => epochDay(e)
+      case JDouble(e) => epochDay(e.toLong)
+      case JString(s) if s.forall(_.isDigit) && s.nonEmpty => epochDay(s.toLong)
+      case other => throw new IllegalArgumentException(
+        s"cannot route row: time column '$tc' missing or unparseable ($other)")
+    }
+    val byOwner = rows.groupBy(r => router.ownerOf(dayOf(r)).getOrElse(router.selfSlice))
+    val mine = byOwner.getOrElse(router.selfSlice, Nil)
+    var forwarded = 0L
+    byOwner.foreach { case (slice, foreign) =>
+      if (slice != router.selfSlice) {
+        val url = router.urlOf(slice).getOrElse(throw new IllegalStateException(
+          s"cannot route ${foreign.length} row(s) to slice '$slice': no live member " +
+            "— refusing to apply rows this member does not own"))
+        val body = JsonMethods.compact(JsonMethods.render(JArray(foreign)))
+        val resp = forwardClient.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"$url/data/${td.name}"))
+            .timeout(java.time.Duration.ofSeconds(60))
+            .header("Content-Type", "application/json")
+            .header("X-Graft-Forwarded", "1")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body,
+              StandardCharsets.UTF_8)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() != 200)
+          throw new IllegalStateException(
+            s"forward of ${foreign.length} row(s) to slice '$slice' ($url) " +
+              s"failed: ${resp.statusCode()} ${resp.body().take(200)}")
+        forwarded += foreign.length
+      }
+    }
+    val localBytes = JsonMethods.compact(JsonMethods.render(JArray(mine.toList)))
+      .getBytes(StandardCharsets.UTF_8)
+    (localBytes, forwarded)
+  }
+
+  private def epochDay(e: Long): String =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(e, 86400L)).toString
+
+  private lazy val forwardClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
   /** Size-triggered journal rotation: when `table`'s journal exceeds
     * [[journalByteLimit]], drain it NOW — the drain persists the overlay

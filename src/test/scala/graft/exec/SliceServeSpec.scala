@@ -267,6 +267,87 @@ class SliceServeSpec extends SparkSpec {
     } finally Seq(pa, pb).foreach(_.stop())
   }
 
+  test("ownership-routed ingestion: a non-owner forwards rows to the day's owner") {
+    Tables.eventsArchived(spark, sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val sharedDir = tmp("rt-shared")
+    SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
+    val dirs = Map("a" -> tmp("rt-a"), "b" -> tmp("rt-b"))
+    val topoDir = tmp("rt-topo")
+    val membersDir = tmp("rt-members")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+
+    val base = Catalog.testdata(sfDir)
+    def member(slice: String): GraftServer = {
+      val srv = new GraftServer(
+        SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
+          sharedArchiveDir = sharedDir), spark,
+        ingestRouter = Some(new SliceRouter(topoDir, membersDir, slice)))
+      srv.sliceServe("events", sharedDir,
+        () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
+      srv.start()
+      srv
+    }
+    val pa = member("a")
+    val pb = member("b")
+    val topo = new BrokerTopology(membersDir)
+    val regA = topo.register("a", s"http://localhost:${pa.boundPort}")
+    val regB = topo.register("b", s"http://localhost:${pb.boundPort}")
+    try {
+      val broker = new Broker(Seq(
+        s"http://localhost:${pa.boundPort}", s"http://localhost:${pb.boundPort}"))
+      val before = total(broker.aql(wideQuery))
+
+      // an ARCHIVED row from a day slice b owns (the last assigned day)
+      val a0 = SliceRebalance.read(topoDir).get
+      val bDay = a0.owners("b").last
+      import org.apache.spark.sql.functions.{col, date_format}
+      val victim = spark.read.parquet(sharedDir)
+        .where(col(graft.ingest.Archiver.DayCol) === bDay)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value")).first()
+      val (vid, vts, vOld) =
+        (victim.getLong(0), victim.getString(1), victim.getDouble(2))
+
+      // a PK UPDATE for that row, POSTed at the NON-owner (member a):
+      // without routing, a would serve the new version from its delta
+      // while b keeps serving the archived one — the id answered twice
+      val newValue = vOld + 1000.0
+      val client = java.net.http.HttpClient.newHttpClient()
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:${pa.boundPort}/data/events"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""[{"event_id": $vid, "ts": "$vts", "user_id": 1,
+                  "event_type": "routed_et", "value": $newValue,
+                  "props": "{}"}]""")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"rowsInserted\":1"), r.body())
+
+      // the row landed at the OWNER, not the receiving member
+      assert(!pa.hasLiveRows("events"), "non-owner must not keep routed rows")
+      assert(pb.hasLiveRows("events"), "owner must hold the forwarded row")
+
+      // exactly once, with the updated value: count unchanged (an update,
+      // not an insert) and the id's value is the new one, once
+      assert(total(broker.aql(wideQuery)) == before,
+        "a PK update must not change the row count")
+      val idQuery =
+        s"""{"table": "events",
+            "measures": [{"alias": "v", "sqlExpression": "sum(value)"}],
+            "rowFilters": ["event_id = $vid"],
+            "timeFilter": {"from": "1704067200", "to": "1900000000"},
+            "now": 1900000000}"""
+      assert(total(broker.aql(idQuery)) == newValue,
+        "the updated value must serve exactly once")
+    } finally {
+      Seq(regA, regB).foreach(_.close())
+      Seq(pa, pb).foreach(_.stop())
+    }
+  }
+
   test("slice mode: a member crash before its drain loses nothing (journal replay)") {
     // the two round-12 durability pieces COMPOSED: a slice member's live
     // overlay is journal-backed, so a crash between ingest and the
