@@ -7,8 +7,10 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** Seeded soak over the whole slice-mode loop: random interleavings of
-  * ingest / drain / sync / rebalance across two members, with the
-  * EXACTLY-ONCE invariant asserted through the broker after EVERY step.
+  * ingest / PK-update / drain / sync / rebalance / crash+restart across
+  * two members, with the EXACTLY-ONCE invariant asserted through the
+  * broker after EVERY step. Updates POST at a RANDOM member — ownership
+  * routing must land them at the day's owner, or the id answers twice.
   *
   * The individual transitions are each spec'd in isolation
   * (SliceServeSpec, SliceRebalanceSpec, GraftServerSpec); what this soak
@@ -47,37 +49,52 @@ class ClusterSoakSpec extends SparkSpec {
     SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
 
     val journalDirs = Map("a" -> tmp("soak-ja"), "b" -> tmp("soak-jb"))
+    val membersDir = tmp("soak-members")
+    val registry = new BrokerTopology(membersDir)
     val base = Catalog.testdata(sfDir)
     def member(slice: String): GraftServer = {
       val srv = new GraftServer(
         SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
           sharedArchiveDir = sharedDir), spark,
-        journalDir = Some(journalDirs(slice)))
+        journalDir = Some(journalDirs(slice)),
+        ingestRouter = Some(new SliceRouter(topoDir, membersDir, slice)))
       srv.sliceServe("events", sharedDir,
         () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
       srv.start()
       srv
     }
     var members = Map("a" -> member("a"), "b" -> member("b"))
+    var regs = members.map { case (s, m) =>
+      s -> registry.register(s, s"http://localhost:${m.boundPort}", id = s)
+    }
     val client = java.net.http.HttpClient.newHttpClient()
     val nextId = new java.util.concurrent.atomic.AtomicLong(920000000L)
     // fresh days INSIDE the query window, spread so drains/syncs cross
     // ownership boundaries
     val freshDays = Seq("2029-06-01", "2029-06-02", "2029-07-15", "2030-01-03")
 
-    def ingest(slice: String, day: String, k: Int): Unit = {
-      val rows = (1 to k).map { i =>
-        val id = nextId.incrementAndGet()
-        s"""{"event_id": $id, "ts": "$day 0${i % 10}:1${i % 6}:00",
-            "user_id": ${id % 97}, "event_type": "soak_et", "value": 1.0,
-            "props": "{}"}"""
-      }.mkString("[", ",", "]")
+    // fresh rows this soak created: id -> (day, ts, current value)
+    val mine = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String, Double)]
+
+    def post(slice: String, rowsJson: String): Unit = {
       val r = client.send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(
           s"http://localhost:${members(slice).boundPort}/data/events"))
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(rows)).build(),
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(rowsJson)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(r.statusCode() == 200, r.body())
+    }
+
+    def ingest(slice: String, day: String, k: Int): Unit = {
+      val rows = (1 to k).map { i =>
+        val id = nextId.incrementAndGet()
+        val ts = s"$day 0${i % 10}:1${i % 6}:00"
+        mine(id) = (day, ts, 1.0)
+        s"""{"event_id": $id, "ts": "$ts",
+            "user_id": ${id % 97}, "event_type": "soak_et", "value": 1.0,
+            "props": "{}"}"""
+      }.mkString("[", ",", "]")
+      post(slice, rows)
     }
 
     try {
@@ -92,7 +109,7 @@ class ClusterSoakSpec extends SparkSpec {
       val trace = Seq.newBuilder[String]
 
       (1 to 24).foreach { step =>
-        val op = rng.nextInt(12)
+        val op = rng.nextInt(13)
         val slice = if (rng.nextBoolean()) "a" else "b"
         op match {
           case 0 | 1 | 2 | 3 => // ingest dominates, like production
@@ -113,12 +130,39 @@ class ClusterSoakSpec extends SparkSpec {
             // whatever overlay/archive state the soak reached
             SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
             trace += s"$step: rebalance"
+          case 10 if mine.nonEmpty =>
+            // PK UPDATE via a RANDOM member: ownership routing must land
+            // it at the day's owner — a non-owner applying it would make
+            // the id answer twice (count +1), failing the invariant below
+            val keys = mine.keys.toSeq
+            val id = keys(rng.nextInt(keys.length))
+            val (day, ts, v) = mine(id)
+            val nv = v + 1.0
+            mine(id) = (day, ts, nv)
+            post(slice, s"""[{"event_id": $id, "ts": "$ts",
+                "user_id": ${id % 97}, "event_type": "soak_et", "value": $nv,
+                "props": "{}"}]""")
+            trace += s"$step: update id $id to $nv via $slice"
+            // the id's value serves EXACTLY once, already updated
+            val idq = s"""{"table": "events",
+                "measures": [{"alias": "v", "sqlExpression": "sum(value)"}],
+                "rowFilters": ["event_id = $id"],
+                "timeFilter": {"from": "1704067200", "to": "1900000000"},
+                "now": 1900000000}"""
+            assert(total(broker().aql(idq)) == nv,
+              s"updated id $id must serve exactly once with the new value\n" +
+                trace.result().mkString("\n"))
           case _ =>
             // crash + restart: the member dies with whatever lives in its
             // overlay and journal; the replacement replays the journal
-            // and must answer identically
+            // and must answer identically. Its registry entry follows
+            // (deregister, re-register the new port), like a real
+            // replacement would
             members(slice).stop()
+            regs(slice).close()
             members = members.updated(slice, member(slice))
+            regs = regs.updated(slice, registry.register(slice,
+              s"http://localhost:${members(slice).boundPort}", id = slice))
             trace += s"$step: crash+restart $slice"
         }
         val got = total(broker().aql(wideQuery))
@@ -131,6 +175,9 @@ class ClusterSoakSpec extends SparkSpec {
       dirs.keys.foreach(s => SliceSync.sync(spark, sharedDir, dirs(s), topoDir, s))
       assert(total(broker().aql(wideQuery)) == expected,
         "exactly-once violated after final settle\n" + trace.result().mkString("\n"))
-    } finally members.values.foreach(_.stop())
+    } finally {
+      regs.values.foreach(_.close())
+      members.values.foreach(_.stop())
+    }
   }
 }
