@@ -57,6 +57,11 @@ class ClusterSoakSpec extends SparkSpec {
         SliceRebalance.servingCatalog(base, dirs(slice), topoDir, slice,
           sharedArchiveDir = sharedDir), spark,
         journalDir = Some(journalDirs(slice)),
+        // member a gets a TINY journal bound: every few ingests trigger a
+        // size-rotation drain INLINE with the ingest — composing the
+        // rotation path (drain under the archive lock, skip on
+        // contention) with every other op in the mix
+        journalByteLimit = if (slice == "a") 2048L else 0L,
         ingestRouter = Some(new SliceRouter(topoDir, membersDir, slice)))
       srv.sliceServe("events", sharedDir,
         () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
