@@ -32,21 +32,25 @@ import org.json4s.jackson.JsonMethods
   * the deployment names its slices and the broker fans over the distinct
   * ids in sorted order).
   *
-  * Partial answers are forbidden — two DOWN-slice shapes fail queries
-  * loudly instead of silently narrowing the fan-out:
+  * Partial answers are forbidden — a DOWN slice fails queries loudly
+  * instead of silently narrowing the fan-out:
   *
-  *   - a slice with registered members but no FRESH one is crashed, not
-  *     departed (deregistration deletes the member file; a stale file
-  *     means its process died) — dropping it from the fan-out would
-  *     silently undercount every merged aggregate;
   *   - with a published assignment document present (`assignment.json`
   *     in `assignmentDir`, default the topology dir itself —
   *     [[SliceRebalance]]'s publish target), an ASSIGNED slice with a
   *     nonempty day list and no fresh member means days served by
-  *     NOBODY: a member that never started, or one registered under a
-  *     typo'd slice id. This is the broker-side half of the contract
-  *     that lets [[SliceRebalance.servingCatalog]] keep an UNASSIGNED
-  *     member available (serving zero days) during a grow window.
+  *     NOBODY: crashed (stale member file), never started, or a member
+  *     registered under a typo'd slice id. A stale slice the assignment
+  *     no longer names is harmless garbage (the crash-triggered
+  *     rebalance reassigns a dead slice's days but nobody deletes its
+  *     registry file) and does NOT block serving. This is the
+  *     broker-side half of the contract that lets
+  *     [[SliceRebalance.servingCatalog]] keep an UNASSIGNED member
+  *     available (serving zero days) during a grow window.
+  *   - with NO assignment to consult, a slice whose registered members
+  *     are all stale is crashed, not departed (deregistration deletes
+  *     the member file) — dropping it from the fan-out would silently
+  *     undercount every merged aggregate, so queries fail by name.
   */
 final class BrokerTopology(dir: String,
     staleMillis: Long = 15000, cacheMillis: Long = 500,
@@ -70,20 +74,16 @@ final class BrokerTopology(dir: String,
     val members = list()
     val fresh = members.filter(m => now - m.heartbeat <= staleMillis)
     val freshIds = fresh.map(_.slice).toSet
-    // a slice with registered members and no fresh one is DOWN (crash, not
-    // departure — close() deregisters by deleting the file): fanning over
-    // the remaining slices would silently undercount
-    val down = members.map(_.slice).distinct.filterNot(freshIds.contains).sorted
-    if (down.nonEmpty)
-      throw new IllegalStateException(
-        s"slice(s) ${down.mkString(", ")} have registered members but none " +
-          "fresh — the slice is down, refusing to serve partial answers. " +
-          "Restart the members, or delete their files under " +
-          s"$root to declare the slice departed.")
-    // assignment coverage: an assigned slice with days and no member at
-    // all is served by nobody (never started, or a typo'd slice id)
-    SliceRebalance.read(if (assignmentDir.nonEmpty) assignmentDir else dir)
-      .foreach { a =>
+    SliceRebalance.read(if (assignmentDir.nonEmpty) assignmentDir else dir) match {
+      case Some(a) =>
+        // assignment coverage: an ASSIGNED slice with days and no fresh
+        // member is served by nobody — crashed (stale file), never
+        // started, or a typo'd slice id. A stale slice the assignment no
+        // longer names is harmless garbage, NOT a reason to refuse: the
+        // crash-triggered rebalance flow ends exactly there (the trigger
+        // reassigns a dead slice's days to survivors, but nobody deletes
+        // the dead member's registry file — erroring on it would keep
+        // the tier down forever after the data fully recovered)
         val uncovered = a.owners.collect {
           case (s, days) if days.nonEmpty && !freshIds.contains(s) => s
         }.toSeq.sorted
@@ -91,8 +91,21 @@ final class BrokerTopology(dir: String,
           throw new IllegalStateException(
             s"assigned slice(s) ${uncovered.mkString(", ")} (assignment " +
               s"v${a.version}) have no live member — their days would be " +
-              "served by nobody, refusing to serve partial answers.")
-      }
+              "served by nobody, refusing to serve partial answers. " +
+              "Restart the members, or let the rebalance watcher reassign.")
+      case None =>
+        // no assignment to consult: a slice with registered members and
+        // no fresh one is DOWN (crash, not departure — close()
+        // deregisters by deleting the file); fanning over the remaining
+        // slices would silently undercount
+        val down = members.map(_.slice).distinct.filterNot(freshIds.contains).sorted
+        if (down.nonEmpty)
+          throw new IllegalStateException(
+            s"slice(s) ${down.mkString(", ")} have registered members but none " +
+              "fresh — the slice is down, refusing to serve partial answers. " +
+              "Restart the members, or delete their files under " +
+              s"$root to declare the slice departed.")
+    }
     val grouped = fresh.groupBy(_.slice).toSeq.sortBy(_._1)
       .map { case (_, ms) => ms.map(_.url).distinct }
     cached = (now, grouped)

@@ -519,12 +519,21 @@ class BrokerSpec extends SparkSpec {
       assert(msg.contains("query deadline exceeded (1s)"), msg)
       assert(wallMs < 5000,
         s"deadline query took ${wallMs}ms — the broker waited out the stall")
-      // the broker keeps serving: a fast table on the same instance works
-      val ok = postFront(front.boundPort,
-        """{"queries": [{"table": "documents",
-          "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
-      assert(ok.statusCode() == 200 &&
-        (JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+      // the broker tier keeps serving: a fast table on the same instance
+      // works. The probe goes through a NO-deadline front — on a loaded
+      // test host the abandoned 8s stall can starve the instance long
+      // enough that an innocent follow-up scan trips a fresh 1s deadline,
+      // which is the deadline doing its job, not the poisoning this
+      // assertion guards (the r13 ServingConcurrencySpec lesson)
+      val probe = new BrokerServer(Seq(s"http://localhost:${slow.boundPort}"))
+      probe.start()
+      try {
+        val ok = postFront(probe.boundPort,
+          """{"queries": [{"table": "documents",
+            "measures": [{"alias": "value", "sqlExpression": "count(*)"}]}]}""")
+        assert(ok.statusCode() == 200 &&
+          (JsonMethods.parse(ok.body()) \ "errors") == JNull, ok.body())
+      } finally probe.stop()
       // the cancellation is an operational counter
       val m = JsonMethods.parse(client.send(
         HttpRequest.newBuilder(URI.create(

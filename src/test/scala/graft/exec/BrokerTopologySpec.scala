@@ -71,6 +71,34 @@ class BrokerTopologySpec extends AnyFunSuite {
     } finally ra.close()
   }
 
+  test("a crashed slice the assignment no longer names does not block serving") {
+    // the crash-triggered rebalance endgame: b died, the watcher
+    // reassigned its days to a, but b's stale registry file remains —
+    // queries must flow (erroring on unassigned garbage would keep the
+    // tier down forever after the data fully recovered)
+    var now = 0L
+    val dir = tmp()
+    val topo = new BrokerTopology(dir, staleMillis = 5000, cacheMillis = 0,
+      clock = () => now)
+    val ra = topo.register("a", "http://a:1", beatMillis = 3600000)
+    val rb = topo.register("b", "http://b:1", beatMillis = 3600000)
+    try {
+      // b crashes while still assigned: loud
+      Files.writeString(Paths.get(dir, "assignment.json"),
+        """{"version": 7, "owners": {"a": ["2024-01-01"], "b": ["2024-01-02"]}}""")
+      now += 6000
+      ra.beatNow()
+      val e = intercept[IllegalStateException](topo.slices())
+      assert(e.getMessage.contains("b") && e.getMessage.contains("no live member"),
+        e.getMessage)
+      // the watcher reassigns b's days to a: serving resumes despite b's
+      // stale file still sitting in the registry
+      Files.writeString(Paths.get(dir, "assignment.json"),
+        """{"version": 8, "owners": {"a": ["2024-01-01", "2024-01-02"]}}""")
+      assert(topo.slices().length == 1)
+    } finally { ra.close(); rb.close() }
+  }
+
   test("assignmentDir decouples the assignment location from the members dir") {
     var now = 0L
     val membersDir = tmp()
