@@ -87,10 +87,17 @@ object DrainMarker {
     try out.write(JsonMethods.compact(JsonMethods.render(doc))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(root, MarkerFile)
-    if (fs.exists(target)) fs.delete(target, false)
-    require(fs.rename(tmp, target), s"drain marker rename failed in $dir")
+    // overwrite-rename, NOT delete-then-rename: a delete first opens a
+    // vacancy window where a concurrent reader finds no marker, computes
+    // an empty stale set, and serves a just-rewritten day from its stale
+    // cache for that one query
+    renameOverwrite(conf, tmp, new Path(root, MarkerFile))
     next
+  }
+
+  private def renameOverwrite(conf: Configuration, src: Path, dst: Path): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The marker seq this member's local store has synced through. */
@@ -114,9 +121,10 @@ object DrainMarker {
     val out = fs.create(tmp, true)
     try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(root, SyncedFile)
-    if (fs.exists(target)) fs.delete(target, false)
-    require(fs.rename(tmp, target), s"synced-seq rename failed in $localDir")
+    // same overwrite-rename discipline as the marker (a vacancy would
+    // read as synced-through 0 — conservative, but still a needless
+    // full-shared-serving query)
+    renameOverwrite(conf, tmp, new Path(root, SyncedFile))
   }
 
   /** Days rewritten by drains NEWER than `syncedSeq`. None = the bounded
