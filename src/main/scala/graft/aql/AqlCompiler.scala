@@ -397,6 +397,11 @@ final class AqlCompiler(catalog: Catalog, spark: SparkSession,
     case Expr.Call("count", args) if args.isEmpty || args == Seq(Expr.Wildcard) =>
       count(lit(1))
     case Expr.Call("count", Seq(a)) => count(ExprCompiler.compile(a, ctx))
+    // exact distinct count — single-instance only; the broker rejects it
+    // (per-slice distinct counts double-count cross-slice values) and
+    // points users at countdistincthll
+    case Expr.Call("countdistinct", Seq(a)) =>
+      count_distinct(ExprCompiler.compile(a, ctx))
     case Expr.Call("sum", Seq(a)) => sum(ExprCompiler.compile(a, ctx))
     case Expr.Call("avg", Seq(a)) => avg(ExprCompiler.compile(a, ctx))
     case Expr.Call("min", Seq(a)) => min(ExprCompiler.compile(a, ctx))

@@ -326,7 +326,7 @@ object ExprCompiler {
         val i = arg(1)
         when(i >= 0, get(a, i)).otherwise(get(a, size(a) + i))
 
-      case "countdistincthll" | "hll" | "count" | "sum" | "avg" | "min" | "max" =>
+      case "countdistincthll" | "hll" | "count" | "countdistinct" | "sum" | "avg" | "min" | "max" =>
         throw ParseException(s"aggregate function $name is only valid as a measure", 0)
 
       case other =>

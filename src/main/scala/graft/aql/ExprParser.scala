@@ -209,10 +209,18 @@ object ExprParser {
         advance()
         cur match {
           case TOp("(", _) if !keywords.contains(name.toLowerCase) =>
-            val args = cur match {
-              case _ => parseCallArgs()
-            }
-            Expr.Call(name.toLowerCase, args)
+            val (isDistinct, args) = parseCallArgs()
+            val fname = name.toLowerCase
+            if (isDistinct) {
+              // DISTINCT must survive into the AST: dropping it here would
+              // silently compile count(distinct x) as count(x) — and the
+              // broker's per-slice merge cannot distribute an exact
+              // distinct count at all (values spanning slices double-count)
+              if (fname != "count")
+                throw ParseException(
+                  s"DISTINCT is only supported in count(distinct x), not $fname", pos)
+              Expr.Call("countdistinct", args)
+            } else Expr.Call(fname, args)
           case _ =>
             if (keywords.contains(name.toLowerCase))
               throw ParseException(s"unexpected keyword '$name'", pos)
@@ -221,14 +229,18 @@ object ExprParser {
       case t => throw ParseException("unexpected token", t.pos)
     }
 
-    /** Call args; supports `count(*)` and `count(distinct x)` shapes. */
-    private def parseCallArgs(): Seq[Expr] = {
+    /** Call args; supports `count(*)` and `count(distinct x)` shapes.
+      * Returns (sawDistinct, args) — the caller decides whether the
+      * function admits DISTINCT (only `count` does).
+      */
+    private def parseCallArgs(): (Boolean, Seq[Expr]) = {
       expectOp("(")
       val args = ArrayBuffer.empty[Expr]
+      var distinct = false
       cur match {
         case TOp(")", _) => ()
         case t if isKw(t, "distinct") =>
-          advance(); args += parseExpr(0)
+          advance(); distinct = true; args += parseExpr(0)
         case _ =>
           args += parseExpr(0)
           while (cur match { case TOp(",", _) => true; case _ => false }) {
@@ -236,7 +248,7 @@ object ExprParser {
           }
       }
       expectOp(")")
-      args.toSeq
+      (distinct, args.toSeq)
     }
 
     private def parseCase(): Expr = {

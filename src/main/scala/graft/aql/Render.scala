@@ -27,6 +27,10 @@ object Render {
     case Expr.Null => "NULL"
     case Expr.Wildcard => "*"
     case Expr.Paren(inner) => "(" + apply(inner) + ")"
+    // countdistinct is the parser's internal name for count(distinct x) —
+    // render back to the surface syntax so render→parse round-trips
+    case Expr.Call("countdistinct", args) =>
+      "count(distinct " + args.map(apply).mkString(", ") + ")"
     case Expr.Call(name, args) => name + "(" + args.map(apply).mkString(", ") + ")"
     case Expr.In(inner, list, negated) =>
       // the IN postfix applies at comparison tightness: a bare AND/OR

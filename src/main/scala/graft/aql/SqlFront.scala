@@ -24,7 +24,7 @@ import scala.collection.mutable.ArrayBuffer
 object SqlFront {
 
   private val AggregateFunctions =
-    Set("count", "sum", "avg", "min", "max", "countdistincthll", "hll")
+    Set("count", "countdistinct", "sum", "avg", "min", "max", "countdistincthll", "hll")
 
   private val TimeBucketPrefix = "aql_time_bucket_"
   private val NumericBucketPrefix = "aql_numeric_bucket_"

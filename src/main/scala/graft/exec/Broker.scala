@@ -231,6 +231,13 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
         scatterJson(stripSort(q0)).reduce(mergeTrees(op))
       case Expr.Call(op, _) if op == "countdistincthll" || op == "hll" =>
         mergeHll(stripSort(q0))
+      // exact distinct is NOT distributable by summing per-slice counts —
+      // a value appearing in two slices would count twice. Reject loudly
+      // with the supported alternative (same policy for distinct inside
+      // derived arithmetic: countdistinct is absent from MergeableAggs)
+      case Expr.Call("countdistinct", _) => throw new IllegalArgumentException(
+        "broker cannot merge count(distinct ...): per-slice distinct counts " +
+          "double-count values present in multiple slices — use countdistincthll")
       case e if derivedShape(e) => mergeDerived(stripSort(q0), e)
       case other => throw new IllegalArgumentException(
         s"broker cannot merge measure '${q0.measures.head.sqlExpression}'")
@@ -266,8 +273,20 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     * JSON path's formatted labels, so the key spaces cannot be joined.
     */
   private def derivedShape(e: Expr): Boolean = e match {
-    case Expr.Binary(op, l, r) if isArith(op) => operandOk(l) && operandOk(r)
+    // at least one aggregate component is required: literal-only arithmetic
+    // (e.g. measure `2 + 3`) has zero components to scatter, and
+    // mergeDerived would return an empty object — keep the degenerate
+    // shape on the loud "cannot merge measure" path instead
+    case Expr.Binary(op, l, r) if isArith(op) =>
+      operandOk(l) && operandOk(r) && containsAgg(e)
     case Expr.Paren(inner) => derivedShape(inner)
+    case _ => false
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case Expr.Call(op, _) => MergeableAggs.contains(op)
+    case Expr.Binary(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Expr.Paren(inner) => containsAgg(inner)
     case _ => false
   }
 

@@ -318,6 +318,32 @@ object SliceRebalance {
   def servingCatalog(base: graft.aql.Catalog, localDir: String,
       topologyDir: String, slice: String,
       sharedArchiveDir: String = ""): graft.aql.Catalog = {
+    // startup typo guard: an ESTABLISHED member (its local store already
+    // holds day partitions) whose configured slice id is absent from a
+    // published, nonempty assignment is almost certainly misconfigured —
+    // e.g. SPARK_GRAFT_SLICE=s11 for s1. Serving zero days is only safe
+    // mid-grow (fresh member, empty local store, rebalance imminent); for
+    // an established member it is a silent undercount behind a
+    // static-hosts broker, which performs no assignment-coverage check.
+    // Fail here, at construction, where the operator sees it immediately.
+    read(topologyDir).foreach { a =>
+      if (a.owners.nonEmpty && !a.owners.contains(slice)) {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(localDir)
+        val fs = p.getFileSystem(conf)
+        val prefix = s"${graft.ingest.Archiver.DayCol}="
+        val hasLocalDays = fs.exists(p) &&
+          fs.listStatus(p).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith(prefix))
+        if (hasLocalDays) throw new IllegalStateException(
+          s"slice '$slice' is not in published assignment v${a.version} " +
+            s"(slices: ${a.owners.keys.toSeq.sorted.mkString(", ")}) but its " +
+            s"local store $localDir already holds day partitions — likely a " +
+            "misconfigured SPARK_GRAFT_SLICE. A member serving zero days here " +
+            "silently undercounts behind a static-hosts broker. Fix the slice " +
+            "id, or clear the local store if this really is a fresh member")
+      }
+    }
     val ev = base.tables("events")
     base.copy(tables = base.tables + ("events" -> ev.copy(load = s => {
       import org.apache.spark.sql.functions.{col, lit}

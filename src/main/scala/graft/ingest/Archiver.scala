@@ -109,7 +109,11 @@ object Archiver {
     graft.exec.GenerationLock.withLock(
       graft.exec.GenerationLock.hadoop(root, conf),
       ".graft-archive.lock", staleMs = 120000L, role = "purge",
-      noun = "archive write lock") { _ =>
+      // heartbeat like Backfill/Compactor/merge-up: a purge deleting many
+      // day partitions on a slow object store can exceed the stale window,
+      // get reclaimed mid-delete, and race a concurrent backfill —
+      // reopening the resurrection race this lock closes
+      noun = "archive write lock", heartbeatMs = 15000L) { _ =>
       val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName

@@ -34,7 +34,15 @@ object DrainMarker {
   val SyncedFile = ".synced-seq"
   val RecentCap = 64
 
-  final case class Marker(seq: Long, recent: Seq[(Long, Seq[String])])
+  /** @param corrupt the marker FILE exists but did not parse — distinct
+    *   from "no marker yet" (seq 0, not corrupt). A corrupt marker must
+    *   fail toward conservative full-shared serving, never toward stale
+    *   caches: a member whose `.synced-seq` is ahead of a reset-to-zero
+    *   seq counter would otherwise see `marker.seq <= syncedSeq` and keep
+    *   serving its stale local days for every subsequent rewrite.
+    */
+  final case class Marker(seq: Long, recent: Seq[(Long, Seq[String])],
+      corrupt: Boolean = false)
 
   def read(dir: String, conf: Configuration): Marker = {
     val p = new Path(dir, MarkerFile)
@@ -48,7 +56,7 @@ object DrainMarker {
       val seq = j \ "seq" match {
         case JInt(v) => v.toLong
         case JLong(v) => v
-        case _ => return Marker(0L, Nil)
+        case _ => return Marker(0L, Nil, corrupt = true)
       }
       val recent = j \ "recent" match {
         case JArray(es) => es.flatMap { e =>
@@ -63,7 +71,7 @@ object DrainMarker {
         case _ => Nil
       }
       Marker(seq, recent)
-    } catch { case _: Exception => Marker(0L, Nil) } // torn/corrupt: empty
+    } catch { case _: Exception => Marker(0L, Nil, corrupt = true) }
   }
 
   /** Append one drain's affected days; returns the new seq. Callers hold
@@ -72,6 +80,16 @@ object DrainMarker {
     */
   def bump(dir: String, conf: Configuration, days: Seq[String]): Long = {
     val prior = read(dir, conf)
+    // restarting the counter at 1 would strand every member whose
+    // .synced-seq is higher — they would serve stale caches for every
+    // rewrite until the seq climbed back past their recorded value. The
+    // drain holds the archive write lock, so failing here fails the drain
+    // loudly; an operator restores or removes the marker deliberately
+    if (prior.corrupt) throw new IllegalStateException(
+      s"drain marker $dir/$MarkerFile exists but is unparseable — refusing " +
+        "to restart the seq counter (members ahead of a reset counter would " +
+        "serve stale caches); restore the marker or delete it along with " +
+        "every member's .synced-seq")
     val next = prior.seq + 1
     val recent = (prior.recent :+ (next -> days)).takeRight(RecentCap)
     val doc = JObject(
@@ -133,7 +151,12 @@ object DrainMarker {
     * potentially stale.
     */
   def staleDays(marker: Marker, syncedSeq: Long): Option[Set[String]] = {
-    if (marker.seq <= syncedSeq) return Some(Set.empty)
+    if (marker.corrupt) return None // unreadable: serve everything from shared
+    // seq REGRESSION (marker reset/replaced while this member's synced-seq
+    // is ahead) is a corruption signal, not "fully synced" — fail toward
+    // conservative full-shared serving
+    if (marker.seq < syncedSeq) return None
+    if (marker.seq == syncedSeq) return Some(Set.empty)
     val newer = marker.recent.filter(_._1 > syncedSeq)
     val covered = newer.map(_._1).minOption.contains(syncedSeq + 1)
     if (!covered) None

@@ -240,6 +240,25 @@ object AqlQueries {
 
     // derived measure: arithmetic over aggregates with supporting-measure
     // aliases (the broker's post-merge algebra, inline)
+    // count(DISTINCT x) — the parser carries DISTINCT into the AST
+    // (Expr.Call("countdistinct")) instead of silently compiling count(x);
+    // exact-distinct is single-instance only (the broker rejects it and
+    // points at countdistincthll)
+    QueryDef("q_aql_count_distinct",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events
+        |WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin) { (s, d) =>
+      aql(s"""{
+        "table": "events",
+        "measures": [{"alias": "users", "sqlExpression": "count(distinct user_id)"}],
+        "dimensions": [{"alias": "event_type", "sqlExpression": "event_type"}],
+        "timeFilter": {"from": "1704067200", "to": "1706659200"},
+        "now": $NowEpoch
+      }""")(s, d).orderBy("event_type")
+    },
+
     QueryDef("q_aql_derived_measure",
       """SELECT event_type,
         |  ROUND(CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE)

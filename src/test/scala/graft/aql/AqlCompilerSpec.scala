@@ -160,6 +160,37 @@ class AqlCompilerSpec extends SparkSpec {
     }
   }
 
+  test("count(distinct x) survives the parser (exact distinct, not count(x))") {
+    // regression: the parser used to DROP the distinct keyword, silently
+    // compiling count(distinct user_id) as count(user_id)
+    val df = run(s"""{
+      "table": "events",
+      "measures": [{"alias": "users", "sqlExpression": "count(distinct user_id)"}],
+      "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+      "timeFilter": {"from": "1704067200"},
+      "now": $NowEpoch
+    }""")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.events(spark, sfDir)
+      .where(col("ts") >= timestamp_seconds(lit(1704067200L)) &&
+        col("ts") < timestamp_seconds(lit(NowEpoch)))
+    val exact = base.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = base.groupBy("event_type")
+      .agg(count(col("user_id")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"distinct count wrong: $got vs $exact")
+    assert(got != plain, "fixture degenerate: count == count distinct")
+    // render→parse round-trip preserves distinct
+    val e = ExprParser.parse("count(distinct user_id)")
+    assert(e == Expr.Call("countdistinct", Seq(Expr.VarRef("user_id"))))
+    assert(ExprParser.parse(Render(e)) == e)
+    // distinct is count-only
+    assert(intercept[ParseException] { ExprParser.parse("sum(distinct value)") }
+      .getMessage.contains("DISTINCT"))
+  }
+
   test("scalar surface: case/in/floor/div inside dimensions") {
     val df = run(s"""{
       "table": "lineitem",

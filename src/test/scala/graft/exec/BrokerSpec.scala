@@ -159,6 +159,26 @@ class BrokerSpec extends SparkSpec {
       "slice A alone reproduced the whole-table ratio — fixture degenerate")
   }
 
+  test("count(distinct) is rejected loudly with the countdistincthll pointer") {
+    // per-slice exact distinct counts double-count values present in both
+    // slices — the broker must refuse, never sum them
+    val e = intercept[IllegalArgumentException](broker.aql(query("count(distinct user_id)")))
+    assert(e.getMessage.contains("countdistincthll"), e.getMessage)
+    // inside derived arithmetic too: countdistinct is not a mergeable
+    // component (same policy as HLL components)
+    val e2 = intercept[IllegalArgumentException](
+      broker.aql(query("count(distinct user_id) / count(*)")))
+    assert(e2.getMessage.contains("cannot merge"), e2.getMessage)
+  }
+
+  test("aggregate-free arithmetic measure fails loudly, not as an empty object") {
+    // `2 + 3` has zero aggregate components — derivedShape must keep it on
+    // the loud error path (mergeDerived over zero components would return
+    // an empty JObject: a silent empty result)
+    val e = intercept[IllegalArgumentException](broker.aql(query("2 + 3")))
+    assert(e.getMessage.contains("cannot merge"), e.getMessage)
+  }
+
   test("dimensionless derived measure merges to a single leaf") {
     val q = s"""{"table": "events",
         "measures": [{"alias": "rate", "sqlExpression": "sum(value) / count(*)"}],

@@ -143,6 +143,35 @@ class SliceRebalanceSpec extends SparkSpec {
     } finally Seq(whole, pa, pb).foreach(_.stop())
   }
 
+  test("startup typo guard: established member absent from the assignment fails at construction") {
+    Tables.eventsArchived(spark, sfDir)
+    val sharedDir = Tables.eventsArchivePath(sfDir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val dirs = Map("a" -> tmp("typo-a"), "b" -> tmp("typo-b"))
+    val topoDir = tmp("typo-topo")
+    SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+    val base = Catalog.testdata(sfDir)
+
+    // member 'a' restarted with SPARK_GRAFT_SLICE=a1 (a typo): its local
+    // store already holds day partitions, so serving zero days would be a
+    // silent undercount behind a static-hosts broker (which performs no
+    // assignment-coverage check) — this must fail AT STARTUP, loudly
+    val e = intercept[IllegalStateException](
+      SliceRebalance.servingCatalog(base, dirs("a"), topoDir, "a1"))
+    assert(e.getMessage.contains("a1") &&
+      e.getMessage.contains("SPARK_GRAFT_SLICE"), e.getMessage)
+
+    // a genuinely FRESH member mid-grow (empty local store, not yet
+    // assigned) still constructs and serves zero days until the rebalance
+    val freshDir = tmp("typo-fresh")
+    val cat = SliceRebalance.servingCatalog(base, freshDir, topoDir, "c")
+    assert(cat.tables("events").load(spark).count() == 0L)
+
+    // and the correctly-configured established member still serves
+    val ok = SliceRebalance.servingCatalog(base, dirs("a"), topoDir, "a")
+    assert(ok.tables("events").load(spark).count() > 0L)
+  }
+
   test("publish fencing: racing rebalances resolve to one winner; the loser aborts by name, drops nothing") {
     Tables.eventsArchived(spark, sfDir)
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
