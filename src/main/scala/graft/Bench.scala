@@ -159,6 +159,11 @@ object Bench {
     // experiments — the driver sets no filter and times the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // noisy gates are NAMED, not just counted: [runA, runB, window canary]
+    // per gate whose two in-suite runs disagreed >2x — a persistent slow
+    // gate must not be able to hide inside an anonymous tally for rounds
+    val noisyGates =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     var noisy = 0
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // operators persist reused intermediates (signatures, LSH buckets);
@@ -189,7 +194,10 @@ object Bench {
         try {
           val a = once(fn)
           val b = once(fn)
-          if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) > 1.0) noisy += 1
+          if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) > 1.0) {
+            noisy += 1
+            noisyGates(name) = (a, b, currentCanary)
+          }
           // stderr progress (stdout must stay machine-parseable): timestamped
           // so per-query stalls can be correlated with -Xlog:gc output
           System.err.println(
@@ -274,7 +282,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","canary":${r3(canarySecs)},"canaryTrace":$traceJson,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"noisy":$noisy,"retimed":$rtJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","canary":${r3(canarySecs)},"canaryTrace":$traceJson,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"noisy":$noisy,"noisyGates":${
+        noisyGates.map { case (k, (a, b, c)) =>
+          s""""$k":[${r3(a)},${r3(b)},${r3(c)}]"""
+        }.mkString("{", ",", "}")
+      },"retimed":$rtJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // refresh the stall-detection reference: per-query best of (committed
     // ref, this run) — only on full-suite runs (a filtered run would shrink

@@ -166,7 +166,20 @@ object ServerMain {
           if (synced.nonEmpty)
             println(s"[graft] slice sync refreshed days: ${synced.mkString(", ")}")
         }
-        server.sliceServe("events", shared, doSync)
+        // per-query delta scoping: a day a rebalance moved away serves at
+        // its NEW owner; this member's leftover delta rows for it are
+        // excluded (and handed off via the moved-days drain job below) —
+        // UNLESS the day is absent from the shared archive entirely
+        // (overlay-only: these delta rows are the only copy anywhere, so
+        // serving them cannot double-count and dropping them would be a
+        // hard undercount until the handoff drain)
+        val ownedDay = () => graft.exec.SliceRebalance.read(topo).map { a =>
+          val sharedDays = graft.exec.SliceBootstrap.localDays(spark, shared).toSet
+          (d: String) =>
+            graft.exec.SliceRebalance.extendedOwner(a, d).contains(slice) ||
+              !sharedDays.contains(d)
+        }
+        server.sliceServe("events", shared, doSync, ownedDay)
         println(s"[graft] slice-mode events drains target shared archive $shared")
         Some(doSync)
       case _ => None
@@ -176,6 +189,27 @@ object ServerMain {
       val root = sys.env.getOrElse("SPARK_GRAFT_ARCHIVE_ROOT", "target/graft-archive")
       val sched = new graft.ingest.JobScheduler(server, root, tickSeconds = tickSeconds)
       sliceSync.foreach(s => sched.addExtraJob("slice-sync-events", s))
+      // hand off delta rows a rebalance stranded on this member: if the
+      // pending delta holds any day this slice no longer extended-owns,
+      // drain NOW (the Backfill rewrite lands the rows in the shared
+      // archive, the marker flags the day, the new owner serves them) —
+      // bounds the moved-row staleness window to one tick
+      (localStore, topologyDir, sharedArchive) match {
+        case (Some(_), Some(topo), Some(shared)) =>
+          val slice = sys.env.getOrElse("SPARK_GRAFT_SLICE", "s0")
+          sched.addExtraJob("slice-drain-moved-events", () => {
+            graft.exec.SliceRebalance.read(topo).foreach { a =>
+              val moved = server.pendingDays("events").filterNot(d =>
+                graft.exec.SliceRebalance.extendedOwner(a, d).contains(slice))
+              if (moved.nonEmpty) {
+                println(s"[graft] delta holds moved day(s) ${moved.mkString(", ")} " +
+                  "— draining to hand off to the new owner")
+                server.drain("events", shared)
+              }
+            }
+          })
+        case _ => ()
+      }
       server.jobScheduler = Some(sched)
       sched.start()
     }

@@ -141,12 +141,23 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** Cross-instance schema propagation (the controller-tier analogue): a
     * fresh instance pulls the shared snapshot before serving; every local
     * schema mutation publishes.
+    *
+    * Without a sync dir, schemas still persist LOCALLY under
+    * `<archiveRoot>/_schema` — the reference's disk metastore role
+    * (metastore/disk_metastore.go: table schemas survive a datanode
+    * restart unconditionally). Without this, an HTTP-created table dies
+    * with the process and the journal replay for its batches silently
+    * no-ops ("unknown table") — rows the ingest API acknowledged as
+    * durable are lost. Caught by ClusterProcessSpec's kill -9 drill.
+    * Co-hosted members must therefore use DISTINCT archive roots (the
+    * same requirement the per-member journal already imposes).
     */
-  private val schemaSync = schemaSyncDir.map { d =>
-    val s = new SchemaSync(schemaStore, d, schemaSyncPollMillis)
-    s.pull()
-    s
-  }
+  private val schemaSync = schemaSyncDir
+    .orElse(archiveRoot.map(_ + "/_schema")).map { d =>
+      val s = new SchemaSync(schemaStore, d, schemaSyncPollMillis)
+      s.pull()
+      s
+    }
 
   /** Tables served in SLICE mode (see [[sliceServe]]): the drained-dir
     * layer is SKIPPED for them — serving must stay on the base loader
@@ -168,14 +179,62 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     * ingestion (subscriber/common/job/streaming_processor.go:48-71).
     */
   def sliceServe(table: String, sharedArchiveDir: String,
-      onDrained: () => Unit = () => ()): Unit = {
+      onDrained: () => Unit = () => (),
+      ownedDay: () => Option[String => Boolean] = () => None): Unit = {
     sliceServed += table
     postDrainHooks.put(table, onDrained)
+    sliceOwnedDay.put(table, ownedDay)
     // pre-seed the drain target: dirFor routes scheduler drains to the
     // shared archive, and drain() takes the Backfill delta path (the
     // shared archive already holds the table's history)
     drained.put(table, sharedArchiveDir)
   }
+
+  /** Per-query day-ownership predicate for a slice-served table's PENDING
+    * DELTA (re-evaluated each query — it reads the published assignment).
+    * A rebalance can move a day AWAY from this member while rows for it
+    * still sit in the local delta (ingested back when this member owned
+    * the day): the new owner serves the day's archived copy, so this
+    * member serving its delta version too would answer the same PK twice
+    * — the cross-member double-serve ClusterProcessSpec's watch-mode grow
+    * caught over real processes. Delta rows for unowned days are
+    * EXCLUDED from serving here and handed off through the next drain
+    * (see [[pendingDays]] + ServerMain's moved-days drain job): the
+    * Backfill rewrite lands them in the shared archive, the drain marker
+    * flags the day, and the new owner serves the updated rows from
+    * shared.
+    *
+    * The predicate ServerMain wires carries one crucial exception: a day
+    * ABSENT from the shared archive (overlay-only — ingested but never
+    * drained anywhere) always serves, owned or not. Those delta rows are
+    * the only copy in the universe; no base scan at any member can
+    * contain the day, so serving them cannot double-count, while
+    * excluding them would be a hard undercount until the handoff drain.
+    * Net guarantee across a rebalance: COUNTS are exact at every
+    * instant; a PK update into an archived day that the same rebalance
+    * moved away serves its pre-update value for ≤ one scheduler tick
+    * (until the handoff drain lands it in shared), never twice and never
+    * zero times.
+    */
+  private val sliceOwnedDay =
+    TrieMap.empty[String, () => Option[String => Boolean]]
+
+  /** Distinct days present in `table`'s pending delta (UTC, from the
+    * table's time column) — O(distinct days) driver collect over the
+    * small checkpointed delta frame; Nil when the overlay is empty.
+    */
+  def pendingDays(table: String): Seq[String] =
+    pending.get(table).flatMap { delta =>
+      catalog(table).timeColumn.map { tc =>
+        import org.apache.spark.sql.functions.{col, date_format, timestamp_seconds}
+        val ts =
+          if (delta.schema(tc).dataType == org.apache.spark.sql.types.TimestampType)
+            col(tc)
+          else timestamp_seconds(col(tc))
+        delta.select(date_format(ts, "yyyy-MM-dd").as("d"))
+          .distinct().collect().map(_.getString(0)).toSeq
+      }
+    }.getOrElse(Nil)
 
   /** Layered load: live overlay → drained archive → base loader. The
     * archive read merges per-file schemas — day partitions written before
@@ -207,10 +266,33 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
             .foldLeft(delta) { (acc, c) =>
               acc.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
             }
+          // delta rows for days a rebalance moved AWAY from this member
+          // must not serve here (the new owner serves the day) — see
+          // [[sliceOwnedDay]]. Scoping happens BEFORE the upsert so an
+          // excluded delta row also stops suppressing base rows by PK.
+          val scoped = sliceOwnedDay.get(name).flatMap(f => f()) match {
+            case Some(ownedPred) =>
+              catalog(name).timeColumn.fold(reconciled) { tc =>
+                import org.apache.spark.sql.functions.{date_format, timestamp_seconds}
+                val ts =
+                  if (reconciled.schema(tc).dataType ==
+                      org.apache.spark.sql.types.TimestampType) col(tc)
+                  else timestamp_seconds(col(tc))
+                val dayOf = date_format(ts, "yyyy-MM-dd")
+                // O(distinct delta days) driver-side ownership check keeps
+                // the filter a codegen'd isin instead of a UDF
+                val days = reconciled.select(dayOf.as("d")).distinct()
+                  .collect().map(_.getString(0)).toSeq
+                val owned = days.filter(ownedPred)
+                if (owned.length == days.length) reconciled
+                else reconciled.where(dayOf.isin(owned: _*))
+              }
+            case None => reconciled
+          }
           val pk = catalog(name).primaryKey
-          if (pk.isEmpty) fresh.unionByName(reconciled.select(fresh.columns.map(col): _*))
+          if (pk.isEmpty) fresh.unionByName(scoped.select(fresh.columns.map(col): _*))
           else graft.ingest.Upsert(fresh,
-            reconciled.withColumn("__seq", lit(0L)), pk, "__seq")
+            scoped.withColumn("__seq", lit(0L)), pk, "__seq")
         case None => base(s)
       }
     } else live.get(name)
@@ -356,16 +438,36 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   /** Every mounted HTTP context path. */
   def routes: Seq[String] = mountedPaths.toList
 
+  /** Run `f`, then stamp the assignment version(s) this query served
+    * under onto the response as `X-Graft-Assignment-Version` — the
+    * broker's fan-out consistency signal (see
+    * [[graft.exec.SliceRebalance.beginVersionCapture]]): a scatter wave
+    * whose slices report different versions straddled a rebalance publish
+    * and is retried rather than merged.
+    */
+  private def withServingVersion[T](ex: HttpExchange)(f: => T): T = {
+    graft.exec.SliceRebalance.beginVersionCapture()
+    try {
+      val out = f
+      val vs = graft.exec.SliceRebalance.capturedVersions()
+      if (vs.nonEmpty)
+        ex.getResponseHeaders.set("X-Graft-Assignment-Version",
+          vs.toSeq.sorted.mkString(","))
+      out
+    } finally graft.exec.SliceRebalance.endVersionCapture()
+  }
+
   mount("/query/aql", (ex: HttpExchange) => handle(ex) {
     admitted(ex, querySlots) {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
       if (accept == "application/hll") {
         val first = graft.aql.AqlJson.parseRequest(body).queries.head
-        val bin = service.aqlBinary(write(first))
+        val bin = withServingVersion(ex)(service.aqlBinary(write(first)))
         respondBytes(ex, 200, "application/hll", bin)
       } else {
-        respond(ex, 200, service.aql(body))
+        val out = withServingVersion(ex)(service.aql(body))
+        respond(ex, 200, out)
       }
     }
   })
@@ -373,7 +475,8 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   mount("/query/sql", (ex: HttpExchange) => handle(ex) {
     admitted(ex, querySlots) {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      respond(ex, 200, service.sql(body))
+      val out = withServingVersion(ex)(service.sql(body))
+      respond(ex, 200, out)
     }
   })
 
@@ -423,6 +526,57 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
   @volatile var jobScheduler: Option[graft.ingest.JobScheduler] = None
   mount("/dbg/jobs", (ex: HttpExchange) => handle(ex) {
     respond(ex, 200, jobScheduler.map(_.detailsJson).getOrElse("{}"))
+  })
+
+  /** Manual job triggers — the reference's debug surface for kicking an
+    * archive/backfill/snapshot/purge without waiting for the scheduler
+    * (api/debug_handler.go:82-85, POST /{table}/{shard}/archive etc.).
+    * Runs the job INLINE in the exchange: the response only returns once
+    * the drain/purge committed (or 400s with its error), which is what an
+    * operator kicking a job by hand wants, and what lets integration
+    * tests drive drains deterministically.
+    *
+    *   POST /dbg/trigger/<table>/archive   drain live overlay -> archive
+    *   POST /dbg/trigger/<table>/backfill  same entry (drain() dispatches
+    *                                       Archiver vs Backfill by state)
+    *   POST /dbg/trigger/<table>/snapshot  same entry (dim tables take
+    *                                       the Snapshot branch)
+    *   POST /dbg/trigger/<table>/purge?retain_from=yyyy-MM-dd
+    */
+  mount("/dbg/trigger/", (ex: HttpExchange) => handle(ex) {
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST only"}""")
+    else ex.getRequestURI.getPath.stripPrefix("/dbg/trigger/")
+      .split("/").toList.filter(_.nonEmpty) match {
+      case table :: job :: Nil =>
+        catalog(table) // 400s on unknown table
+        job match {
+          case "archive" | "backfill" | "snapshot" =>
+            val dir = drained.get(table)
+              .orElse(archiveRoot.map(r => s"$r/$table"))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no drain target for $table: not drained before and no archiveRoot"))
+            drain(table, dir)
+            respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+              "triggered" -> JString(job), "table" -> JString(table),
+              "dir" -> JString(dir)))))
+          case "purge" =>
+            val retain = Option(ex.getRequestURI.getQuery).toSeq
+              .flatMap(_.split("&")).collectFirst {
+                case kv if kv.startsWith("retain_from=") =>
+                  kv.stripPrefix("retain_from=")
+              }.getOrElse(throw new IllegalArgumentException(
+                "purge requires ?retain_from=yyyy-MM-dd"))
+            val deleted = purge(table, retain)
+            respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+              "triggered" -> JString("purge"), "table" -> JString(table),
+              "deleted" -> JArray(deleted.map(JString(_)).toList)))))
+          case other => throw new IllegalArgumentException(
+            s"unknown job '$other' (archive|backfill|snapshot|purge)")
+        }
+      case _ => throw new IllegalArgumentException(
+        "expected /dbg/trigger/<table>/<job>")
+    }
   })
 
   /** Attached hot-partition cache manager; its residency report serves

@@ -77,6 +77,13 @@ object OpenApi {
     "/dbg/cache" -> JObject("get" -> op(
       "Hot-partition cache residency: byte budget, resident bytes, " +
         "per-day entries with priority")),
+    "/dbg/trigger/{table}/{job}" -> JObject(
+      pathParams("table", "job"),
+      "post" -> op("Manually kick one scheduler job INLINE (response " +
+        "returns after it commits): job is archive|backfill|snapshot " +
+        "(all drain the live overlay) or purge (requires " +
+        "?retain_from=yyyy-MM-dd) — the reference's debug triggers " +
+        "(api/debug_handler.go:82-85)")),
     "/bootstrap/{table}/days" -> JObject(
       pathParams("table"),
       "get" -> op("Peer bootstrap: day list of this instance's served " +

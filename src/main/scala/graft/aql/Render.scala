@@ -133,4 +133,83 @@ object Render {
     case Expr.Paren(inner) => timezone(inner)
     case other => throw ParseException(s"bad timezone expression", 0)
   }
+
+  /** Render a whole [[AqlQuery]] back to the reference SQL dialect
+    * [[SqlFront]] accepts — the inverse of `SqlFront.translate` for the
+    * single-level query surface (`SqlRoundTripSpec` fuzzes
+    * `translate(sql(q)) == q` over the gate vocabulary). Used for
+    * debugging (show a JSON AQL document as SQL) and as the broker/test
+    * canonical text form.
+    *
+    * Not SQL-expressible (throws): supporting dimensions/measures (the
+    * JSON surface's alias-inlining has no SQL spelling here — the WITH
+    * form SqlFront PARSES into them is not re-derivable one-to-one) and
+    * per-measure rowFilters.
+    */
+  def sql(q: AqlQuery): String = {
+    require(q.supportingDimensions.forall(_.isEmpty) &&
+      q.supportingMeasures.forall(_.isEmpty),
+      "supporting definitions have no direct SQL form")
+    require(q.measures.forall(_.filters.isEmpty),
+      "per-measure rowFilters have no SQL form")
+    val tz = q.timezone.getOrElse("")
+    val tzArg = if (tz.isEmpty) "\"\"" else tz // bare identifier path
+    def num(v: Double): String =
+      if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    def dimSql(d: AqlDimension): String =
+      if (d.timeBucketizer.nonEmpty)
+        s"aql_time_bucket_${d.timeBucketizer.get.replace(' ', '_')}" +
+          s"""(${d.expr}, "${d.timeUnit.getOrElse("")}", $tzArg)"""
+      else d.numericBucketizer match {
+        case Some(AqlNumericBucketizer(Some(w), _, _)) =>
+          s"aql_numeric_bucket_bucket_width(${d.expr}, ${num(w)})"
+        case Some(AqlNumericBucketizer(_, Some(b), _)) =>
+          s"aql_numeric_bucket_logbase(${d.expr}, ${num(b)})"
+        case Some(AqlNumericBucketizer(_, _, Some(bounds))) =>
+          s"""aql_numeric_bucket_manual_partitions(${d.expr}, "${bounds.map(num).mkString(",")}")"""
+        case _ => d.expr
+      }
+    def aliased(text: String, alias: Option[String]): String =
+      alias.filter(_.nonEmpty).fold(text)(a => s"$text AS $a")
+    val nonAgg = q.measures == Seq(AqlMeasure(None, "1"))
+    def isBucket(d: AqlDimension): Boolean =
+      d.timeBucketizer.nonEmpty || d.numericBucketizer.nonEmpty
+    // the SQL grammar cannot alias a BUCKET dim: SqlFront matches group
+    // items to select items by full rendered text, and a bucket group
+    // item's text is just its inner column — so bucket dims ride in GROUP
+    // BY only, alias-less (the flagship gate shape), and a bucketed
+    // non-agg query has no SQL spelling at all
+    require(q.dimensionList.forall(d => !isBucket(d) || d.alias.forall(_.isEmpty)),
+      "bucket dimensions cannot carry an alias in the SQL form")
+    require(!nonAgg || q.dimensionList.forall(!isBucket(_)),
+      "bucketed non-aggregate queries have no SQL form")
+    val selectItems =
+      if (nonAgg) q.dimensionList.map(d => aliased(dimSql(d), d.alias))
+      else q.dimensionList.filterNot(isBucket)
+        .map(d => aliased(dimSql(d), d.alias)) ++
+        q.measures.map(m => aliased(m.sqlExpression, m.alias))
+    require(selectItems.nonEmpty, "a query needs at least one select item")
+    val joins = q.joinList.map { j =>
+      s" JOIN ${j.table}${j.alias.filter(_.nonEmpty).fold("")(" " + _)} ON " +
+        j.conditions.mkString(" AND ")
+    }.mkString
+    val where = {
+      val conj = q.filters ++
+        q.timeFilter.toSeq.map { tf =>
+          s"""aql_time_filter(${tf.column.getOrElse("")}, "${tf.from.getOrElse("")}", "${tf.to.getOrElse("")}", $tzArg)"""
+        } ++
+        q.now.toSeq.map(n => s"aql_now(1, $n)")
+      if (conj.isEmpty) "" else conj.mkString(" WHERE ", " AND ", "")
+    }
+    val groupBy =
+      if (nonAgg || q.dimensionList.isEmpty) ""
+      else q.dimensionList.map(dimSql).mkString(" GROUP BY ", ", ", "")
+    val orderBy = q.sorts.filter(_.nonEmpty).fold("")(_.map(s =>
+      s.name + s.order.filter(_.nonEmpty).fold("")(" " + _))
+      .mkString(" ORDER BY ", ", ", ""))
+    val limit = q.limit.fold("")(l => s" LIMIT $l")
+    s"SELECT ${selectItems.mkString(", ")} FROM ${q.table}" +
+      joins + where + groupBy + orderBy + limit
+  }
 }

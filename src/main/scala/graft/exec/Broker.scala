@@ -159,7 +159,8 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     * (skewing replica ordering for subsequent GOOD queries), and then
     * mask the user's compile error as "all replicas failed".
     */
-  private def fetch(slice: Seq[String], body: String, accept: String): Array[Byte] = {
+  private def fetch(slice: Seq[String], body: String,
+      accept: String): (Array[Byte], Option[String]) = {
     var last: Throwable = null
     var attempt = 0
     val max = trials * slice.length
@@ -383,7 +384,12 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
 
   // ---- scatter ------------------------------------------------------------
 
-  private def post(host: String, body: String, accept: String): Array[Byte] = {
+  /** Returns the body plus the instance's `X-Graft-Assignment-Version`
+    * header (the assignment version its slice serving planned against —
+    * absent for non-sliced deployments).
+    */
+  private def post(host: String, body: String,
+      accept: String): (Array[Byte], Option[String]) = {
     val req = HttpRequest.newBuilder(URI.create(s"$host/query/aql"))
       .timeout(timeout)
       .header("Content-Type", "application/json")
@@ -398,7 +404,40 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
         throw new Broker.ClientError(msg)
       throw new IllegalStateException(msg)
     }
-    resp.body()
+    (resp.body(),
+      Option(resp.headers().firstValue("X-Graft-Assignment-Version").orElse(null)))
+  }
+
+  /** One fan-out wave with ASSIGNMENT-VERSION consistency: every slice
+    * must have served under the same published assignment version, or a
+    * rebalance published mid-wave — the old owner of a moved day planned
+    * against v(n) and the new owner against v(n+1), so that day could be
+    * answered by both (double count) or neither (undercount) WITHIN this
+    * one wave. Mixed versions retry the whole wave (the next wave plans
+    * uniformly post-publish); still mixed after `trials` waves fails
+    * loudly. Cross-WAVE drift (e.g. between avg's sum and count waves)
+    * needs no retry: each wave is individually exact, and a group-set
+    * mismatch between waves surfaces as a null leaf, never a silently
+    * wrong number (see mergeDerived).
+    */
+  private def consistentWave[T](body: String, accept: String)(
+      parse: Array[Byte] => T): Seq[T] = {
+    var attempt = 0
+    while (true) {
+      val ss = slices
+      val futures = ss.map(s => Future(fetch(s, body, accept)))
+      val got = awaitGather(Future.sequence(futures), ss)
+      val versions = got.flatMap(_._2).distinct
+      if (versions.length <= 1) return got.map(g => parse(g._1))
+      attempt += 1
+      if (attempt >= trials) throw new IllegalStateException(
+        "scatter straddled a rebalance: slices answered under assignment " +
+          s"versions ${versions.mkString(", ")} after $attempt waves")
+      log.warn(s"scatter saw mixed assignment versions " +
+        s"${versions.mkString(", ")} — retrying the wave")
+      Thread.sleep(200)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def requestBody(q: AqlQuery): String = {
@@ -411,19 +450,16 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     */
   private def scatterJson(q: AqlQuery): Seq[JValue] = {
     val body = requestBody(q)
-    val ss = slices
-    val futures = ss.map(s => Future {
-      val resp = JsonMethods.parse(
-        new String(fetch(s, body, "application/json"), StandardCharsets.UTF_8))
+    consistentWave(body, "application/json") { bytes =>
+      val resp = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
       resp \ "errors" match {
         case JArray(errs) if errs.exists(_ != JNull) =>
           throw new IllegalStateException(
-            s"slice ${s.mkString("|")} failed: ${errs.collectFirst { case JString(x) => x }.getOrElse("?")}")
+            s"slice failed: ${errs.collectFirst { case JString(x) => x }.getOrElse("?")}")
         case _ =>
       }
       (resp \ "results") (0)
-    })
-    awaitGather(Future.sequence(futures), ss)
+    }
   }
 
   // ---- merge algebra (result_merge.go:42-141) -----------------------------
@@ -505,9 +541,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
         "application/hll requires an HLL measure")
     }
     val body = requestBody(q)
-    val ss = slices
-    val futures = ss.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = awaitGather(Future.sequence(futures), ss)
+    val bodies = consistentWave(body, "application/hll")(identity)
     val blocks = bodies.map { bytes =>
       RefHllWire.readResults(bytes).head match {
         case Right(b) => b
@@ -576,9 +610,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
 
   private def mergeHll(q: AqlQuery): JValue = {
     val body = requestBody(q)
-    val ss = slices
-    val futures = ss.map(s => Future(fetch(s, body, "application/hll")))
-    val bodies = awaitGather(Future.sequence(futures), ss)
+    val bodies = consistentWave(body, "application/hll")(identity)
     // per-instance blocks → (dim keys → registers), merged by register max
     val merged = scala.collection.mutable.LinkedHashMap.empty[List[String], Array[Byte]]
     bodies.foreach { bytes =>

@@ -261,17 +261,43 @@ final class QueryService(catalog: Catalog, spark: SparkSession,
     proj.df.groupBy(dimCols: _*).agg(sketch.as("__sketch"))
   }
 
+  /** A scan that planned its file listing before a concurrent rebalance
+    * dropped moved-day files from this member's local store fails with a
+    * missing-file read error at execution. The plan is stale, not the
+    * data: a fresh compile re-reads the published assignment AND re-lists
+    * files, so one retry serves the exact post-move answer. Anything
+    * still failing after the retry is a real missing-file problem and
+    * surfaces loudly.
+    */
+  private def isStalePlan(e: Throwable, depth: Int = 0): Boolean =
+    if (e == null || depth > 16) false
+    else {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("FAILED_READ_FILE") || m.contains("FileNotFoundException") ||
+        e.isInstanceOf[java.io.FileNotFoundException] ||
+        isStalePlan(e.getCause, depth + 1)
+    }
+
   private def respond(thunks: Seq[() => AqlCompiler.Compiled],
       endpoint: String): String = {
     val outcomes = thunks.map { t =>
       val t0 = System.nanoTime()
-      try {
+      def attempt(): Either[String, JValue] = {
         val compiled = t()
         val shaped = withDeadline(ResultShaper.shape(compiled))
         metrics.foreach(_.record(graft.api.Metrics.stat(
           endpoint, compiled, (System.nanoTime() - t0) / 1000000)))
         Right(shaped)
-      } catch {
+      }
+      try attempt()
+      catch {
+        case NonFatal(e) if isStalePlan(e) =>
+          try attempt()
+          catch {
+            case NonFatal(e2) =>
+              metrics.foreach(_.recordError())
+              Left(Option(e2.getMessage).getOrElse(e2.getClass.getName))
+          }
         case NonFatal(e) =>
           metrics.foreach(_.recordError())
           Left(Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -315,6 +315,31 @@ object SliceRebalance {
     *   serving; local storage is only the cache. Empty = local-only (the
     *   pre-slice-mode behavior).
     */
+  /** Assignment versions the CURRENT THREAD's in-flight query served
+    * under — the fan-out consistency protocol. [[servingCatalog]]'s load
+    * records the version it read at plan time; the HTTP layer surfaces it
+    * as an `X-Graft-Assignment-Version` response header; the broker
+    * retries a scatter wave whose slices answered under DIFFERENT
+    * versions (a rebalance published mid-fan-out: the old owner planned
+    * against v1 and the new owner against v2, so a moved day could answer
+    * twice — or zero times — within that one wave). Thread-local is
+    * sound here: compile AND collect run on the member's HTTP handler
+    * thread (QueryService), and a member serves one query per thread.
+    */
+  private val servedVersionsTL =
+    new ThreadLocal[scala.collection.mutable.Set[Long]]
+
+  def beginVersionCapture(): Unit =
+    servedVersionsTL.set(scala.collection.mutable.Set.empty[Long])
+
+  def capturedVersions(): Set[Long] =
+    Option(servedVersionsTL.get).map(_.toSet).getOrElse(Set.empty)
+
+  def endVersionCapture(): Unit = servedVersionsTL.remove()
+
+  private def noteServed(version: Long): Unit =
+    Option(servedVersionsTL.get).foreach(_ += version)
+
   def servingCatalog(base: graft.aql.Catalog, localDir: String,
       topologyDir: String, slice: String,
       sharedArchiveDir: String = ""): graft.aql.Catalog = {
@@ -350,6 +375,7 @@ object SliceRebalance {
       val dayCol = graft.ingest.Archiver.DayCol
       read(topologyDir) match {
         case Some(a) if !a.owners.contains(slice) =>
+          noteServed(a.version)
           // grow window: registered but not yet assigned — serve zero
           // days (see scaladoc; the broker's assignment-coverage check
           // owns the typo hazard). The empty relation takes its SCHEMA
@@ -360,6 +386,7 @@ object SliceRebalance {
             "— serving zero days until a rebalance assigns it")
           ev.load(s).where(lit(false))
         case Some(a) =>
+          noteServed(a.version)
           // serve the locally present days this slice EXTENDED-owns: its
           // assigned days plus any day the assignment predates (a fresh
           // drain since the last rebalance) whose contiguous range falls
@@ -416,7 +443,9 @@ object SliceRebalance {
             case (None, Some(sh)) => sh
             case (None, None) => ev.load(s).where(lit(false))
           }
-        case None => s.read.parquet(localDir)
+        case None =>
+          noteServed(0L) // pre-assignment deployment: version 0 by convention
+          s.read.parquet(localDir)
       }
     })))
   }

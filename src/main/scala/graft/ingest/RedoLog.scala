@@ -128,7 +128,34 @@ final class KafkaRedoLog(topicFor: String => RedoTopic,
 
   def replay(table: String): Seq[(Byte, Array[Byte])] = {
     val t = topic(table)
-    val records = t.readFrom(t.committed)
+    // the transport contract says offset order, but defend against what a
+    // real consumer can hand back anyway: a multi-partition poll
+    // interleaves, and a broker redelivery duplicates — SORT by offset
+    // (apply order must be produce order or a replayed PK update regresses
+    // to an older version) and DEDUP by offset (the same record applied
+    // twice is harmless for PK upserts but not for every payload kind;
+    // exactly-once replay should not lean on downstream idempotence)
+    val records = t.readFrom(t.committed).sortBy(_._1).distinctBy(_._1)
+    // gap check: the WAL's offsets must cover [committed, endOffset)
+    // CONTIGUOUSLY. A hole means the brokers LOST un-replayed records —
+    // a compacted redo topic (redo topics must be delete-retention,
+    // non-transactional: compaction keeps latest-per-key, a WAL needs
+    // every record; transactional producers leave control-record gaps)
+    // or retention that aged out records before this replay. That is
+    // unrecoverable data loss and must fail LOUDLY, never serve short.
+    val committed = t.committed
+    val end = t.endOffset
+    val expected = end - committed
+    if (records.length.toLong != expected ||
+        records.headOption.exists(_._1 != committed) ||
+        records.lastOption.exists(_._1 != end - 1))
+      throw new IllegalStateException(
+        s"redo topic for table $table lost records: committed=$committed " +
+          s"end=$end but replay returned ${records.length} record(s) " +
+          s"[${records.headOption.map(_._1).getOrElse(-1L)}..." +
+          s"${records.lastOption.map(_._1).getOrElse(-1L)}] — a compacted " +
+          "or retention-aged redo topic is unrecoverable data loss; " +
+          "redo topics must be delete-retention with retention > drain interval")
     // replay reads the whole backlog anyway — re-seed the counter from
     // broker truth, so a recovery after any counter/broker divergence
     // (see the single-writer contract on `unTruncatedBytes`) starts exact

@@ -28,6 +28,63 @@ import org.apache.spark.sql.types.StructType
   */
 object KafkaShapedIngest {
 
+  /** The EXACT schema `spark.readStream.format("kafka")` emits — pinned
+    * field-for-field (name, type, nullability) against the documented
+    * Kafka source schema (Structured Streaming + Kafka integration guide;
+    * the connector's KafkaRecordToRowConverter.kafkaSchema): seven
+    * columns, every one nullable. Specs drive [[decode]] through THIS
+    * StructType so a silent drift between our hand-written shape and the
+    * real source (e.g. assuming `timestampType` is a string) cannot pass
+    * the suite and fail on first real deployment.
+    *
+    * UNTESTABLE IN THIS SANDBOX (zero egress, connector jar absent), and
+    * therefore pinned by documentation rather than execution:
+    *  - the connector jar's actual schema constant (this literal is
+    *    transcribed from the published contract, not read from the class)
+    *  - `headers` (an OPTIONAL eighth column, present only with
+    *    includeHeaders=true — decode ignores extra columns, so either
+    *    shape works)
+    *  - broker-side behaviors: transactional control-record offset gaps,
+    *    compaction on the redo topics (bind redo topics to
+    *    delete-retention, non-transactional topics — see KafkaRedoLog),
+    *    consumer-group rebalancing mid-replay.
+    */
+  val sourceSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.BinaryType, nullable = true),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.BinaryType, nullable = true),
+    org.apache.spark.sql.types.StructField("topic",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("partition",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("offset",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = true),
+    org.apache.spark.sql.types.StructField("timestampType",
+      org.apache.spark.sql.types.IntegerType, nullable = true)))
+
+  /** Fail fast when the input is NOT the Kafka source shape: [[decode]]
+    * only touches value/partition/offset, but a caller handing it a frame
+    * where (say) `offset` is a string would otherwise surface as a cast
+    * error deep in a micro-batch. Checks the used columns' names AND
+    * types against [[sourceSchema]]; extra columns (topic, timestamp,
+    * headers, ...) are fine.
+    */
+  private def requireKafkaShape(raw: DataFrame): Unit = {
+    val want = sourceSchema.fields.map(f => f.name -> f.dataType).toMap
+    Seq("value", "partition", "offset").foreach { n =>
+      val f = raw.schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a kafka-source frame: column '$n' is missing " +
+            s"(got: ${raw.schema.fieldNames.mkString(", ")})"))
+      require(f.dataType == want(n),
+        s"not a kafka-source frame: column '$n' is ${f.dataType.simpleString}, " +
+          s"the kafka source emits ${want(n).simpleString}")
+    }
+  }
+
   /** Decode the JSON `value` payload into typed columns per `schema`, with
     * `__seq` derived from the (partition, offset) pair — a total order per
     * partition, matching the reference's apply-in-consumption-order.
@@ -42,6 +99,7 @@ object KafkaShapedIngest {
     * offsets under 2^42 (~4.4e12 records/partition).
     */
   def decode(raw: DataFrame, schema: StructType): DataFrame = {
+    requireKafkaShape(raw)
     val seq: Column = shiftleft(col("partition").cast("long"), 42) + col("offset")
     raw.select(
       from_json(col("value").cast("string"), schema).as("__row"),

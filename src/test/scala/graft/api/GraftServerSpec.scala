@@ -480,6 +480,104 @@ class GraftServerSpec extends SparkSpec {
     c.stop()
   }
 
+  test("Kafka redo log: adversarial transport — duplicates and interleaved order replay exactly-once, a compacted gap fails loudly") {
+    // what a REAL consumer can hand back: multi-partition polls interleave
+    // (order), broker redeliveries duplicate, and a misconfigured
+    // compacted/retention-aged redo topic drops records. The first two
+    // must replay to the exact produced state; the third is unrecoverable
+    // WAL loss and must fail loudly, never serve short.
+    final class AdversarialTopic(dropOffset: Long = -1L)
+        extends graft.ingest.RedoTopic {
+      private var records = Vector.empty[Array[Byte]]
+      private var committedOff = 0L
+      def append(value: Array[Byte]): Long =
+        synchronized { records :+= value; records.length - 1L }
+      def readFrom(from: Long): Seq[(Long, Array[Byte])] = synchronized {
+        val base = records.zipWithIndex.drop(from.toInt)
+          .map { case (v, i) => (i.toLong, v) }
+          .filter { case (o, _) => o != dropOffset }
+        // reversed + the first record duplicated: worst legal-ish poll
+        base.reverse ++ base.headOption.toSeq
+      }
+      def endOffset: Long = synchronized(records.length.toLong)
+      def committed: Long = synchronized(committedOff)
+      def commit(offset: Long): Unit = synchronized { committedOff = offset }
+    }
+
+    // ---- duplicates + reorder: exactly-once, LATEST version wins --------
+    val brokers = scala.collection.concurrent.TrieMap.empty[String, AdversarialTopic]
+    val jdir = java.nio.file.Files.createTempDirectory("graft_kadv").toString
+    def mk(): GraftServer = {
+      val rl = new graft.ingest.KafkaRedoLog(
+        t => brokers.getOrElseUpdate(t, new AdversarialTopic()),
+        () => Seq("documents"))
+      val s = new GraftServer(Catalog.testdata(sfDir), spark,
+        journalDir = Some(jdir), redoLog = Some(rl))
+      s.start()
+      s
+    }
+    def postTo(port: Int, path: String, body: String) =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def docState(port: Int): (Double, Double) = {
+      implicit val fmts: Formats = DefaultFormats
+      def one(measure: String): Double = {
+        val resp = postTo(port, "/query/aql",
+          s"""{"queries": [{"table": "documents",
+               "measures": [{"alias": "v", "sqlExpression": "$measure"}],
+               "rowFilters": ["doc_id = 9300001"]}]}""")
+        (JsonMethods.parse(new String(resp.body())) \ "results")(0)
+          .asInstanceOf[JObject].values("v").asInstanceOf[Double]
+      }
+      (one("count(*)"), one("sum(n_chars)"))
+    }
+    val a = mk()
+    // two batches UPDATING the same PK: apply order decides the survivor,
+    // so a reversed replay would resurrect version 1
+    assert(postTo(a.boundPort, "/data/documents", """[
+      {"doc_id": 9300001, "text": "v1", "lang": "en", "source": "k", "n_chars": 1}
+    ]""").statusCode() == 200)
+    assert(postTo(a.boundPort, "/data/documents", """[
+      {"doc_id": 9300001, "text": "v2", "lang": "en", "source": "k", "n_chars": 2}
+    ]""").statusCode() == 200)
+    assert(docState(a.boundPort) == ((1.0, 2.0)))
+    a.stop() // machine loss, no drain
+
+    val b = mk() // replacement replays the duplicated+reversed poll
+    assert(docState(b.boundPort) == ((1.0, 2.0)),
+      "replay must dedup by offset and apply in offset order — " +
+        "exactly one row, the LATEST version")
+    b.stop()
+
+    // ---- compacted gap: loud failure, never a short serve ---------------
+    val gapTopic = new AdversarialTopic(dropOffset = 0L)
+    gapTopic.append(Array[Byte](1, 2, 3))
+    gapTopic.append(Array[Byte](4, 5, 6))
+    val rl = new graft.ingest.KafkaRedoLog(_ => gapTopic, () => Seq("documents"))
+    val e = intercept[IllegalStateException](rl.replay("documents"))
+    assert(e.getMessage.contains("lost records"), e.getMessage)
+  }
+
+  test("Kafka source contract: the shaped-ingest schema equals the documented 7-column kafka wire") {
+    // KafkaShapedIngest hand-writes the schema format("kafka") emits; in
+    // the zero-egress sandbox the connector jar is absent, so the pin is
+    // this literal-vs-literal assertion plus the decode path driven
+    // through the EXACT shape (KafkaShapedIngestSpec). See the
+    // sourceSchema scaladoc for the behaviors that remain untestable here.
+    import org.apache.spark.sql.types._
+    val want = Seq(
+      ("key", BinaryType), ("value", BinaryType), ("topic", StringType),
+      ("partition", IntegerType), ("offset", LongType),
+      ("timestamp", TimestampType), ("timestampType", IntegerType))
+    val got = graft.streaming.KafkaShapedIngest.sourceSchema.fields
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (f, (n, t)) =>
+      assert(f.name == n && f.dataType == t && f.nullable,
+        s"field ${f.name}: expected $n/$t/nullable, got ${f.dataType}/${f.nullable}")
+    }
+  }
+
   test("Kafka redo log: size is a maintained counter, never a topic re-read") {
     // size() sits on the ingest hot path (the rotation bound checks it
     // after every batch); deriving it from readFrom(committed) would

@@ -49,6 +49,31 @@ class KafkaShapedIngestSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decode runs on the EXACT documented 7-column kafka source schema; wrong shapes fail fast") {
+    import org.apache.spark.sql.Row
+    // construct through sourceSchema itself so names, types, AND
+    // nullability are the pinned contract, not toDF's inference
+    val rows = java.util.Arrays.asList(
+      Row("k".getBytes, """{"id": 5, "payload": 2.5}""".getBytes,
+        "t", 1, 9L, new java.sql.Timestamp(1706572800000L), 0))
+    val raw = spark.createDataFrame(rows, KafkaShapedIngest.sourceSchema)
+    assert(raw.schema == KafkaShapedIngest.sourceSchema)
+    val out = KafkaShapedIngest.decode(raw, schema).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 5L && out(0).getDouble(1) == 2.5)
+    assert(out(0).getLong(2) == (1L << 42) + 9L, "__seq = (partition<<42)+offset")
+
+    // a frame that is NOT the kafka shape fails at wiring time, not deep
+    // inside a micro-batch: wrong type on a used column, or missing column
+    val wrongType = raw.withColumn("offset", col("offset").cast("string"))
+    assert(intercept[IllegalArgumentException] {
+      KafkaShapedIngest.decode(wrongType, schema)
+    }.getMessage.contains("offset"))
+    assert(intercept[IllegalArgumentException] {
+      KafkaShapedIngest.decode(raw.drop("value"), schema)
+    }.getMessage.contains("value"))
+  }
+
   test("malformed payloads decode to null columns, not failures") {
     val raw = Seq(
       ("k".getBytes, """{"id": 7, "payload": 1.5}""".getBytes, "t", 0, 1L),
