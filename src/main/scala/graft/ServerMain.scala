@@ -167,17 +167,12 @@ object ServerMain {
             println(s"[graft] slice sync refreshed days: ${synced.mkString(", ")}")
         }
         // per-query delta scoping: a day a rebalance moved away serves at
-        // its NEW owner; this member's leftover delta rows for it are
-        // excluded (and handed off via the moved-days drain job below) —
-        // UNLESS the day is absent from the shared archive entirely
-        // (overlay-only: these delta rows are the only copy anywhere, so
-        // serving them cannot double-count and dropping them would be a
-        // hard undercount until the handoff drain)
+        // its NEW owner; this member's leftover delta rows for it serve
+        // only where their PK is absent from the shared copy (stranded
+        // inserts — the only copy anywhere), and hand off for good via
+        // the moved-days drain job below (see GraftServer.layeredLoad)
         val ownedDay = () => graft.exec.SliceRebalance.read(topo).map { a =>
-          val sharedDays = graft.exec.SliceBootstrap.localDays(spark, shared).toSet
-          (d: String) =>
-            graft.exec.SliceRebalance.extendedOwner(a, d).contains(slice) ||
-              !sharedDays.contains(d)
+          (d: String) => graft.exec.SliceRebalance.extendedOwner(a, d).contains(slice)
         }
         server.sliceServe("events", shared, doSync, ownedDay)
         println(s"[graft] slice-mode events drains target shared archive $shared")

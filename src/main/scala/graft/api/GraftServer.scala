@@ -204,13 +204,14 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     * flags the day, and the new owner serves the updated rows from
     * shared.
     *
-    * The predicate ServerMain wires carries one crucial exception: a day
-    * ABSENT from the shared archive (overlay-only — ingested but never
-    * drained anywhere) always serves, owned or not. Those delta rows are
-    * the only copy in the universe; no base scan at any member can
-    * contain the day, so serving them cannot double-count, while
-    * excluding them would be a hard undercount until the handoff drain.
-    * Net guarantee across a rebalance: COUNTS are exact at every
+    * Exclusion is PK-precise, not day-blanket: a moved-day delta row
+    * whose PK is absent from the shared archive's copy of that day (a
+    * stranded INSERT, or a whole overlay-only day) is the only copy in
+    * the universe — no base scan at any member contains it — so it keeps
+    * serving here until the handoff drain (excluding it would be a hard
+    * undercount; ClusterSoakSpec seed 0x1111). Only rows whose PK the
+    * shared copy ALREADY holds (stranded UPDATES) defer to the new
+    * owner. Net guarantee across a rebalance: COUNTS are exact at every
     * instant; a PK update into an archived day that the same rebalance
     * moved away serves its pre-update value for ≤ one scheduler tick
     * (until the handoff drain lands it in shared), never twice and never
@@ -266,10 +267,21 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
             .foldLeft(delta) { (acc, c) =>
               acc.withColumn(c, lit(null).cast(fresh.schema(c).dataType))
             }
-          // delta rows for days a rebalance moved AWAY from this member
-          // must not serve here (the new owner serves the day) — see
-          // [[sliceOwnedDay]]. Scoping happens BEFORE the upsert so an
-          // excluded delta row also stops suppressing base rows by PK.
+          // delta rows for days a rebalance moved AWAY from this member:
+          // the new owner serves the day's ARCHIVED copy, so serving a
+          // delta row whose PK exists there would answer it twice — but a
+          // delta row whose PK is ABSENT from the shared copy (a stranded
+          // INSERT, or a whole overlay-only day no drain has landed yet)
+          // is the only copy in the universe and excluding it would be a
+          // hard undercount until the handoff drain (ClusterSoakSpec seed
+          // 0x1111 caught exactly that). So moved-day delta rows serve
+          // IFF their PK is absent from the shared archive's copy of
+          // those days (one day-pruned anti-join, only in the transient
+          // rebalance→handoff window; zero cost otherwise). Updates to
+          // moved archived days defer to the new owner's copy: count
+          // exact at every instant, the new VALUE lands at the handoff
+          // drain (≤ one scheduler tick). Scoping happens BEFORE the
+          // upsert so an excluded row also stops suppressing base rows.
           val scoped = sliceOwnedDay.get(name).flatMap(f => f()) match {
             case Some(ownedPred) =>
               catalog(name).timeColumn.fold(reconciled) { tc =>
@@ -283,9 +295,25 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
                 // the filter a codegen'd isin instead of a UDF
                 val days = reconciled.select(dayOf.as("d")).distinct()
                   .collect().map(_.getString(0)).toSeq
-                val owned = days.filter(ownedPred)
-                if (owned.length == days.length) reconciled
-                else reconciled.where(dayOf.isin(owned: _*))
+                val moved = days.filterNot(ownedPred)
+                val pk = catalog(name).primaryKey
+                if (moved.isEmpty) reconciled
+                else (drained.get(name), pk.headOption) match {
+                  case (Some(sharedDir), Some(_)) =>
+                    val ownedRows = reconciled
+                      .where(dayOf.isin(days.filter(ownedPred): _*))
+                    val movedRows = reconciled.where(dayOf.isin(moved: _*))
+                    val sharedKeys = s.read.option("mergeSchema", "true")
+                      .parquet(sharedDir)
+                      .where(col(graft.ingest.Archiver.DayCol).isin(moved: _*))
+                      .select(pk.map(col): _*)
+                    ownedRows.unionByName(
+                      movedRows.join(sharedKeys, pk, "left_anti"))
+                  case _ =>
+                    // no shared archive / no PK: nothing to defer to —
+                    // the delta rows are the only copy, serve them all
+                    reconciled
+                }
               }
             case None => reconciled
           }

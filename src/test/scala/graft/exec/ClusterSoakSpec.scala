@@ -44,11 +44,11 @@ class ClusterSoakSpec extends SparkSpec {
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val sharedDir = tmp("soak-shared")
     SliceBootstrap.copySlice(spark, Tables.eventsArchivePath(sfDir), sharedDir)
-    val dirs = Map("a" -> tmp("soak-a"), "b" -> tmp("soak-b"))
+    var dirs = Map("a" -> tmp("soak-a"), "b" -> tmp("soak-b"))
     val topoDir = tmp("soak-topo")
     SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
 
-    val journalDirs = Map("a" -> tmp("soak-ja"), "b" -> tmp("soak-jb"))
+    var journalDirs = Map("a" -> tmp("soak-ja"), "b" -> tmp("soak-jb"))
     val membersDir = tmp("soak-members")
     val registry = new BrokerTopology(membersDir)
     val base = Catalog.testdata(sfDir)
@@ -64,7 +64,15 @@ class ClusterSoakSpec extends SparkSpec {
         journalByteLimit = if (slice == "a") 2048L else 0L,
         ingestRouter = Some(new SliceRouter(topoDir, membersDir, slice)))
       srv.sliceServe("events", sharedDir,
-        () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice))
+        () => SliceSync.sync(spark, sharedDir, dirs(slice), topoDir, slice),
+        // the ServerMain delta-scoping wiring: a day a rebalance moved
+        // away serves at its NEW owner; this member's stranded delta rows
+        // for it serve only where their PK is absent from the shared copy
+        // (stranded inserts — the only copy anywhere; layeredLoad's
+        // moved-day anti-join)
+        ownedDay = () => SliceRebalance.read(topoDir).map { a =>
+          (d: String) => SliceRebalance.extendedOwner(a, d).contains(slice)
+        })
       srv.start()
       srv
     }
@@ -114,8 +122,35 @@ class ClusterSoakSpec extends SparkSpec {
       val trace = Seq.newBuilder[String]
 
       (1 to 24).foreach { step =>
+        // fixed mid-soak GROW on every seed: day ownership MOVES while
+        // members may hold un-drained deltas for the moved days — the
+        // r15 stranded-delta class (the process drill caught it over real
+        // JVMs; this keeps it pinned in-process on every seed). Counts
+        // must be exact IMMEDIATELY after the publish (ownership-scoped
+        // delta serving + the overlay-only exception); the drains that
+        // follow are the scheduler's moved-days handoff job, after which
+        // updated values serve from the new owners too.
+        if (step == 12) {
+          dirs += ("c" -> tmp("soak-c"))
+          journalDirs += ("c" -> tmp("soak-jc"))
+          SliceRebalance.rebalance(spark, sharedDir, dirs, topoDir)
+          val cNew = member("c")
+          members += ("c" -> cNew)
+          regs += ("c" -> registry.register("c",
+            s"http://localhost:${cNew.boundPort}", id = "c"))
+          assert(total(broker().aql(wideQuery)) == expected,
+            s"count drifted at the grow PUBLISH instant (pre-handoff)\n" +
+              trace.result().mkString("\n"))
+          members.values.foreach(_.drain("events", sharedDir))
+          dirs.keys.foreach(s =>
+            SliceSync.sync(spark, sharedDir, dirs(s), topoDir, s))
+          trace += s"$step+: grow a,b -> a,b,c with pending deltas, then handoff drains"
+        }
         val op = rng.nextInt(13)
-        val slice = if (rng.nextBoolean()) "a" else "b"
+        val slice = {
+          val live = members.keys.toSeq.sorted
+          live(rng.nextInt(live.length))
+        }
         op match {
           case 0 | 1 | 2 | 3 => // ingest dominates, like production
             val day = freshDays(rng.nextInt(freshDays.length))
