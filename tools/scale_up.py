@@ -177,10 +177,98 @@ def scale_tpch(src, dst, factor):
     return oo.num_rows, ll.num_rows
 
 
+def rescale_documents(src, dst, factor):
+    """Two-hop document scaling for the deep rungs (sf100 = sf10 × 10):
+    the one-hop path holds `factor` replicas of the SOURCE in Python
+    strings — fine at factor 100 from sf0.1, pathological at factor 1000
+    — so the deep rung re-scales an already-scaled dir instead, with two
+    changes the one-hop path doesn't need:
+
+    - the per-replica word codebook is applied VECTORIZED
+      (pyarrow replace_substring_regex, `([^ ]+)` == split(" ") token
+      rule) — replica r rewrites every token w → w~r, exactly the
+      one-hop construction, so within-replica jaccard/minhash/exact-dup
+      structure is preserved and cross-replica similarity is zero;
+    - doc_id stride derives from the SOURCE's max id rounded up to the
+      next 1M multiple: (id mod 1M) stays in the source's [0, 5000]
+      band, so the gates' +100000/+200000 planted-id shifts remain
+      collision-free at every hop (a max+1 stride would destroy the
+      mod-1M band the gates rely on);
+    - replicas stream through one ParquetWriter (bounded memory: one
+      replica in flight, never `factor`).
+    """
+    import pyarrow.compute as pc
+    t = pq.read_table(src)
+    ids = t.column("doc_id").to_numpy()
+    stride = ((int(ids.max()) // 1_000_000) + 1) * 1_000_000
+    writer = None
+    n = 0
+    for r in range(factor):
+        if r == 0:
+            rt = t.column("text").combine_chunks()
+        else:
+            rt = pc.replace_substring_regex(
+                t.column("text"), pattern="([^ ]+)",
+                replacement=f"\\1~~{r}").combine_chunks()
+        part = pa.table({
+            "doc_id": pa.array(ids + r * stride, pa.int64()),
+            "text": rt,
+            "lang": t.column("lang"),
+            "source": t.column("source"),
+            "n_chars": pc.utf8_length(rt).cast(pa.int64()),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(dst, part.schema)
+        writer.write_table(part, row_group_size=5000)
+        n += part.num_rows
+    writer.close()
+    return n
+
+
+def rescale_tpch(src, dst, factor):
+    """Two-hop fact scaling (sf100 = sf10 × 10): the one-hop path
+    concatenates every replica in memory and re-sorts — at 600M lineitem
+    rows that is a ~100 GB arrow sort. The deep rung instead streams
+    replicas of an ALREADY date-sorted, UTC-annotated source (the one-hop
+    output) through a ParquetWriter: each replica is internally
+    date-sorted, so per-row-group date min/max stats stay as tight as a
+    global sort's and pruning behaves identically; orderkey stride
+    derives from the source's actual key range exactly like scale_tpch.
+    """
+    o = pq.read_table(f"{src}/orders.parquet")
+    l = pq.read_table(f"{src}/lineitem.parquet")
+    okey = o.column("o_orderkey").to_numpy()
+    lkey = l.column("l_orderkey").to_numpy()
+    stride = int(max(okey.max(), lkey.max())) + 1
+    ow = pq.ParquetWriter(f"{dst}/orders.parquet", o.schema)
+    lw = pq.ParquetWriter(f"{dst}/lineitem.parquet", l.schema)
+    no = nl = 0
+    for r in range(factor):
+        op = o.set_column(o.schema.get_field_index("o_orderkey"), "o_orderkey",
+                          pa.array(okey + r * stride, pa.int64()))
+        ow.write_table(op, row_group_size=100_000)
+        no += op.num_rows
+        lp = l.set_column(l.schema.get_field_index("l_orderkey"), "l_orderkey",
+                          pa.array(lkey + r * stride, pa.int64()))
+        lw.write_table(lp, row_group_size=100_000)
+        nl += lp.num_rows
+    ow.close()
+    lw.close()
+    return no, nl
+
+
 def main():
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     import os
     os.makedirs(dst, exist_ok=True)
+    if "--rescale" in sys.argv:
+        # deep-rung path: SRC is itself a scale_up output (e.g. target/sf10)
+        n = rescale_documents(f"{src}/documents.parquet",
+                              f"{dst}/documents.parquet", factor)
+        print(f"documents: {n} rows")
+        no, nl = rescale_tpch(src, dst, factor)
+        print(f"orders: {no} rows, lineitem: {nl} rows")
+        return
     if "--only-tpch" not in sys.argv:
         n = scale_documents(f"{src}/documents.parquet",
                             f"{dst}/documents.parquet", factor)
