@@ -73,19 +73,31 @@ object Pipeline {
       val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
         .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
 
-      // stage 4: per-source token-budget mix (integer-exact rates, map-side
-      // keep filter)
-      val s4 = Sampling.tokenBudgetMix(s3, srcCol, col(idCol), "__n", budgetTokens)
+      // Nothing downstream of stage 3 reads text: the mix decides on
+      // (id, source, token count) and packing on (id, token count). Persist
+      // the SLIM manifest once — tokenBudgetMix alone walks its input twice
+      // (the per-source rates aggregate, then the keep join), so feeding it
+      // s3 directly re-runs the decontam-join + tokenize corpus pass per
+      // walk and drags the text column through the mix join (measured at
+      // sf10: two extra corpus passes ≈ 20% of the whole pipeline,
+      // BENCH_NOTES r15). The corpus is touched exactly three times total:
+      // the s1 persist, the signature pass, and this manifest pass.
+      val slim = s3.select(col(idCol), col(srcCol), col("__n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        // stage 4: per-source token-budget mix (integer-exact rates,
+        // map-side keep filter) — slim in, slim out, so the unpersisted s4
+        // recomputes only a broadcast-join filter over the cached manifest
+        val s4 = Sampling.tokenBudgetMix(
+          slim, srcCol, col(idCol), "__n", budgetTokens)
         // stage 5: pack the kept docs into fixed-budget training sequences.
-        // The manifest (one row per surviving doc, ids + offsets only) is
-        // staged so both corpus-stage caches can be released before return.
+        // The result (one row per surviving doc, ids + offsets only) is
+        // staged so every corpus-stage cache can be released before return.
         val packed = Packing.packOffsets(
           s4.select(col(idCol), col("__n")), idCol, "__n", packBudget)
         Staged.materialize(
           s4.select(col(idCol), col(srcCol)).join(packed, Seq(idCol)))
-      } finally s4.unpersist(false)
+      } finally slim.unpersist(false)
     } finally s1.unpersist(false)
   }
 
@@ -123,12 +135,18 @@ object Pipeline {
       val losers = Dedup.winnowClonePairsTokens(kept, idCol, "__tk",
           k, w, minShared, maxDocsPerFp)
         .select(col("b_id").as(idCol)).distinct()
+      // slim manifest before the mix: tokenBudgetMix walks its input twice
+      // (rates aggregate + keep join), and `deduped`'s lineage contains the
+      // winnow pair join — unpersisted, that pair join would run twice
+      // (same double-walk fixed in curate, BENCH_NOTES r15)
       val deduped = kept.join(losers, Seq(idCol), "left_anti")
         .select(col(srcCol), col(idCol),
           size(col("__tk")).cast("long").as("n_tokens"))
-      Staged.materialize(
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try Staged.materialize(
         Sampling.tokenBudgetMix(deduped, srcCol, col(idCol), "n_tokens",
           budgetTokens))
+      finally deduped.unpersist(false)
     } finally scored.unpersist(false)
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.storage.StorageLevel
   * — `sbt "Test/runMain graft.PipelineStageProbe <sfDir>"`): replays
   * [[graft.operators.Pipeline.curate]]'s exact stage sequence with a
   * materialization barrier after every stage, timing each, then A/Bs the
-  * two persist boundaries (s1, s4) the operator carries — a boundary that
+  * two persist boundaries (s1, slim) the operator carries — a boundary that
   * pays at sf0.1 can thrash at sf10. Findings go to BENCH_NOTES (r15).
   *
   * Mirrors Pipeline.curate:39-90 stage for stage; divergence here
@@ -65,11 +65,12 @@ object PipelineStageProbe {
         s2, docs.where(col("doc_id") < 5), "doc_id", "text", 8)
       val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
         .withColumn("__n", size(TextOps.tokens(col("text"))).cast("long"))
-      val t3 = timed("s3 decontam + token count")(s3.count())
+      val slimRaw = s3.select(col("doc_id"), col("source"), col("__n"))
+      val slim = if (persistBoundaries)
+        slimRaw.persist(StorageLevel.MEMORY_AND_DISK) else slimRaw
+      val t3 = timed("s3 decontam + slim manifest")(slim.count())
 
-      val s4raw = Sampling.tokenBudgetMix(s3, "source", col("doc_id"), "__n", 1000L)
-      val s4 = if (persistBoundaries)
-        s4raw.persist(StorageLevel.MEMORY_AND_DISK) else s4raw
+      val s4 = Sampling.tokenBudgetMix(slim, "source", col("doc_id"), "__n", 1000L)
       val t4 = timed("s4 token-budget mix")(s4.count())
 
       val packed = Packing.packOffsets(
@@ -77,7 +78,7 @@ object PipelineStageProbe {
       val out = Staged.materialize(
         s4.select(col("doc_id"), col("source")).join(packed, Seq("doc_id")))
       val t5 = timed("s5 pack + manifest")(out.count())
-      if (persistBoundaries) { s1.unpersist(false); s4.unpersist(false) }
+      if (persistBoundaries) { s1.unpersist(false); slim.unpersist(false) }
       val total = (System.nanoTime() - total0) / 1e9
       println(f"[pipe-stage] staged total (persist=$persistBoundaries): " +
         f"$total%7.2f s  (stage sum ${t1 + t2 + t3 + t4 + t5}%.2f)")
