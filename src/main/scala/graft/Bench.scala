@@ -105,6 +105,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE right-sizing for the deep rungs: the advisory INITIAL reducer
+      // count is 8x cores and AQE coalesces down from there —
+      // parallelismFirst keeps the effective count at ~cores for sf0.1
+      // shuffles (ratchet comparability), while sf100's 600M-row fact
+      // shuffles fan out to 256 reducers instead of spilling 19M-row
+      // partitions (measured: q_tpch_q21 246 s -> see BENCH_NOTES r15 at
+      // sf100). A real multi-executor deployment sets both knobs from
+      // cluster size; this is the local[32] analogue of that sizing.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // real 100 TB inputs arrive as MANY files and scan with one task per
