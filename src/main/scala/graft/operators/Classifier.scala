@@ -211,6 +211,7 @@ object Classifier {
     val x = featureBuckets(toks, idCol, bucketBits)
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eph = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val nf = x.groupBy(col(idCol)).agg(sum("__x").as("__nf"))
       // N = labeled AND featured docs — a NULL label drops its doc from
@@ -221,7 +222,7 @@ object Classifier {
       val nDocs = lab.join(nf, Seq(idCol)).count()
       require(nDocs > 0, "trainLogistic: no labeled documents with features")
       var w: DataFrame = null
-      for (_ <- 1 to epochs) {
+      for (epoch <- 1 to epochs) {
         // margin: exact integer sum of w·x (0 under the zero init)
         val resid =
           (if (w == null)
@@ -249,11 +250,20 @@ object Classifier {
           else w.join(grad, Seq("bucket"))
             .select(col("bucket"), (col("w_milli") - col("__g")).as("w_milli")))
         // bounded (≤ 2^bucketBits rows) — staged so epoch t+1 reads a
-        // plain scan, not t epochs of stacked joins
-        w = Staged.materialize(next)
+        // plain scan, not t epochs of stacked joins. Non-final epochs are
+        // intra-operator state: in-memory checkpoints (~2× cheaper than
+        // the parquet trip, StagingProbe), released below; the final
+        // epoch's table is what the returned frame reads, so it stays
+        // parquet-staged (block-free after return, the Staged lifecycle).
+        w =
+          if (epoch == epochs) Staged.materialize(next)
+          else { val c = Staged.ephemeral(next); eph += c; c }
       }
       w.where(col("w_milli") =!= 0)
-    } finally x.unpersist(false)
+    } finally {
+      x.unpersist(false)
+      eph.foreach(Staged.releaseCheckpoint)
+    }
   }
 
   /** Confusion-matrix report for boolean predictions against boolean

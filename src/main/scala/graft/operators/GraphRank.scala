@@ -81,49 +81,77 @@ object GraphRank {
     val n = stats.getLong(0).toDouble
     val hasDangling = stats.getLong(1) > 0
     val hasZeroIn = stats.getLong(2) > 0
+    val teleport = lit((1.0 - damping) / n)
+
+    if (hasDangling) return pageRankDangling(withDeg, flags, n, iters,
+      damping, teleport)
 
     val nodesLazy = withDeg.select(col("__src").as("id"))
       .unionByName(withDeg.select(col("__dst").as("id")))
       .distinct()
-    // only the dangling path consumes the node set twice per iteration —
-    // stage it there; elsewhere it is a cheap distinct over the staged
-    // edge parquet (or not needed at all)
-    val nodes = if (hasDangling) Staged.materialize(nodesLazy) else nodesLazy
-    val outNodes = withDeg.select(col("__src").as("id")).distinct()
-    val teleport = lit((1.0 - damping) / n)
-
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-    if (hasDangling) ranks = Staged.materialize(ranks)
+    var ranks = nodesLazy.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      val dangling =
-        if (!hasDangling) null
-        else ranks.join(outNodes, Seq("id"), "left_anti")
-          .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contrib = withDeg.join(ranks, col("__src") === col("id"))
         .select(col("__dst").as("__cid"),
           (col("rank") * col("__w") / col("__deg")).as("__c"))
         .groupBy(col("__cid"))
         .agg(sum("__c").as("__in"))
-      val next =
-        if (!hasDangling && !hasZeroIn)
+      ranks =
+        if (!hasZeroIn)
           // every node receives in-links: the per-dst rebuild IS the
           // full node set — no node join needed (the minimal plan)
           contrib.select(col("__cid").as("id"),
             (teleport + lit(damping) * col("__in")).as("rank"))
-        else {
-          val joined = nodes.join(contrib, col("id") === col("__cid"), "left")
-          if (!hasDangling)
-            joined.select(col("id"),
+        else
+          nodesLazy.join(contrib, col("id") === col("__cid"), "left")
+            .select(col("id"),
               (teleport + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-          else
-            joined.crossJoin(broadcast(dangling))
-              .select(col("id"),
-                (teleport + lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-                  col("__dm") / lit(n))).as("rank"))
-        }
-      ranks = if (hasDangling) Staged.materialize(next) else next
     }
     ranks
+  }
+
+  /** The dangling-graph iteration: the dangling-mass scalar is a SECOND
+    * rank-table consumer per round, so each round's ranks are eagerly
+    * materialized — via [[Staged.ephemeral]] (in-memory checkpoint, ~2× a
+    * parquet round trip) for all but the last round, whose result the
+    * caller keeps and must therefore stage block-free ([[Staged]]
+    * lifecycle). The per-node dangling FLAG rides the rank table (from the
+    * same flags aggregation the classifier pass already ran), so the
+    * dangling mass is one filter-sum over the checkpointed ranks — the old
+    * shape re-derived a distinct out-node set and anti-joined it every
+    * round (one extra exchange per round, r15 plan diff).
+    */
+  private def pageRankDangling(withDeg: DataFrame, flags: DataFrame,
+      n: Double, iters: Int, damping: Double,
+      teleport: org.apache.spark.sql.Column): DataFrame = {
+    val eph = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { eph += df; df }
+    try {
+      // (id, __dang) — the node set with its no-out-edge flag, consumed
+      // twice per round (rank rebuild + contrib join via ranks)
+      val nodesF = keep(Staged.ephemeral(
+        flags.select(col("id"), (col("__s") === 0).as("__dang"))))
+      var ranks = keep(Staged.ephemeral(
+        nodesF.select(col("id"), col("__dang"), lit(1.0 / n).as("rank"))))
+      for (i <- 1 to iters) {
+        val dangling = ranks.where(col("__dang"))
+          .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+        val contrib = withDeg.join(ranks, col("__src") === col("id"))
+          .select(col("__dst").as("__cid"),
+            (col("rank") * col("__w") / col("__deg")).as("__c"))
+          .groupBy(col("__cid"))
+          .agg(sum("__c").as("__in"))
+        val next = nodesF.join(contrib, col("id") === col("__cid"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"), col("__dang"),
+            (teleport + lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              col("__dm") / lit(n))).as("rank"))
+        ranks =
+          if (i == iters) Staged.materialize(next.select("id", "rank"))
+          else keep(Staged.ephemeral(next))
+      }
+      ranks
+    } finally eph.foreach(Staged.releaseCheckpoint)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
@@ -154,30 +182,41 @@ object GraphRank {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    val e = Staged.materialize(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct())
-    require(!e.isEmpty, "hits needs a non-empty edge list")
-    val nodes = Staged.materialize(
-      e.select(col("__src").as("id"))
-        .unionByName(e.select(col("__dst").as("id"))).distinct())
-    var auth = nodes.select(col("id"), lit(1.0).as("auth"))
-    var hub = nodes.select(col("id"), lit(0.0).as("hub"))
-    for (_ <- 1 to iters) {
-      val hraw = e.join(auth, col("__dst") === col("id"))
-        .groupBy(col("__src").as("hid")).agg(sum("auth").as("__h"))
-      val hfull = Staged.materialize(
-        nodes.join(hraw, col("id") === col("hid"), "left")
-          .select(col("id"), coalesce(col("__h"), lit(0.0)).as("__h")))
-      hub = hfull.crossJoin(broadcast(hfull.agg(sum("__h").as("__hs"))))
-        .select(col("id"), (col("__h") / col("__hs")).as("hub"))
-      val araw = e.join(hub, col("__src") === col("id"))
-        .groupBy(col("__dst").as("aid")).agg(sum("hub").as("__a"))
-      val afull = Staged.materialize(
-        nodes.join(araw, col("id") === col("aid"), "left")
-          .select(col("id"), coalesce(col("__a"), lit(0.0)).as("__a")))
-      auth = afull.crossJoin(broadcast(afull.agg(sum("__a").as("__as"))))
-        .select(col("id"), (col("__a") / col("__as")).as("auth"))
-    }
-    hub.join(auth, Seq("id"))
+    // e, nodes and every half-step but the LAST are intra-operator state
+    // — in-memory checkpoints (~2× cheaper than the parquet trip,
+    // StagingProbe), released before return. The final hub/auth tables
+    // are what the returned join reads, so those two stay parquet-staged
+    // (block-free after return, the [[Staged]] lifecycle).
+    val eph = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { eph += df; df }
+    try {
+      val e = keep(Staged.ephemeral(
+        edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()))
+      require(!e.isEmpty, "hits needs a non-empty edge list")
+      val nodes = keep(Staged.ephemeral(
+        e.select(col("__src").as("id"))
+          .unionByName(e.select(col("__dst").as("id"))).distinct()))
+      var auth = nodes.select(col("id"), lit(1.0).as("auth"))
+      var hub = nodes.select(col("id"), lit(0.0).as("hub"))
+      for (i <- 1 to iters) {
+        def stage(df: DataFrame): DataFrame =
+          if (i == iters) Staged.materialize(df) else keep(Staged.ephemeral(df))
+        val hraw = e.join(auth, col("__dst") === col("id"))
+          .groupBy(col("__src").as("hid")).agg(sum("auth").as("__h"))
+        val hfull = stage(
+          nodes.join(hraw, col("id") === col("hid"), "left")
+            .select(col("id"), coalesce(col("__h"), lit(0.0)).as("__h")))
+        hub = hfull.crossJoin(broadcast(hfull.agg(sum("__h").as("__hs"))))
+          .select(col("id"), (col("__h") / col("__hs")).as("hub"))
+        val araw = e.join(hub, col("__src") === col("id"))
+          .groupBy(col("__dst").as("aid")).agg(sum("hub").as("__a"))
+        val afull = stage(
+          nodes.join(araw, col("id") === col("aid"), "left")
+            .select(col("id"), coalesce(col("__a"), lit(0.0)).as("__a")))
+        auth = afull.crossJoin(broadcast(afull.agg(sum("__a").as("__as"))))
+          .select(col("id"), (col("__a") / col("__as")).as("auth"))
+      }
+      hub.join(auth, Seq("id"))
+    } finally eph.foreach(Staged.releaseCheckpoint)
   }
 }

@@ -65,6 +65,18 @@ object Staged {
   def releaseCheckpoint(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(false))
 
+  /** Eagerly materialize an INTRA-operator intermediate via
+    * `localCheckpoint` — about half the cost of the parquet round trip for
+    * the node-sized tables the iterative operators re-stage every round
+    * (no FS write, no commit protocol, no read-back listing; measured 2×
+    * by `graft.StagingProbe`, OPTIMIZATION_r15.md). The blocks stay
+    * resident until [[releaseCheckpoint]], so this is ONLY for
+    * intermediates the operator itself releases before returning; any
+    * frame the RETURNED plan still references must use [[materialize]]
+    * (PersistLifecycleSpec pins zero resident blocks after each gate).
+    */
+  def ephemeral(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Materialize `df` (a SMALL result frame) to staging and return a
     * self-contained scan of it. Parquet round-trips every Spark SQL type
     * the operators emit (long/double/string/bool) exactly.
