@@ -115,6 +115,17 @@ object Bench {
       // cluster size; this is the local[32] analogue of that sizing.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // without this, the 8x initial reducer count above leaks VERBATIM
+      // into every persisted frame (AQE may not re-partition a cached
+      // plan's output by default), so each downstream op over a cache
+      // paid 256 tasks regardless of data size — measured 256 partitions
+      // on a 35k-row cached feature table, trainLogistic 9.9 -> 1.5 s
+      // warm (ClassifierProbe, OPTIMIZATION_r15.md). Letting AQE size
+      // cached output is scale-adaptive in both directions: sf0.1 caches
+      // coalesce to ~1 partition, deep-rung caches keep data-proportional
+      // counts from the same advisory size.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // real 100 TB inputs arrive as MANY files and scan with one task per
