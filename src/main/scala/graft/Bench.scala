@@ -105,16 +105,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE right-sizing for the deep rungs: the advisory INITIAL reducer
-      // count is 8x cores and AQE coalesces down from there —
-      // parallelismFirst keeps the effective count at ~cores for sf0.1
-      // shuffles (ratchet comparability), while sf100's 600M-row fact
-      // shuffles fan out to 256 reducers instead of spilling 19M-row
-      // partitions (measured: q_tpch_q21 246 s -> see BENCH_NOTES r15 at
-      // sf100). A real multi-executor deployment sets both knobs from
-      // cluster size; this is the local[32] analogue of that sizing.
+      // AQE initial reducer count, parameterised for the deep rungs: the
+      // DEFAULT equals the core count (the driver's own scale knob), and
+      // scale_up rung runs export SPARK_GRAFT_INITIAL_REDUCERS=8x cores so
+      // sf100's 600M-row fact shuffles fan out to 256 reducers instead of
+      // spilling 19M-row partitions (measured: q_tpch_q21 246 s, BENCH_NOTES
+      // r15 sf100). The r15 8x-unconditional default was measured to cost
+      // the OFFICIAL sf0.1 bench ~13% across the exchange-heavy gates
+      // (27.0 vs 30.9 s min-of-4 over the TPC-H+agg subset, same windows,
+      // OPTIMIZATION_r15.md): every map task writes 8x the shuffle buckets
+      // and AQE plans 8x the partition metadata for data that coalesces
+      // back to ~cores anyway. A real deployment sizes this from cluster
+      // and input scale, exactly what the env knob parameterises.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_REDUCERS", cpus))
       // without this, the 8x initial reducer count above leaks VERBATIM
       // into every persisted frame (AQE may not re-partition a cached
       // plan's output by default), so each downstream op over a cache
