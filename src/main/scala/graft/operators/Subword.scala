@@ -145,12 +145,25 @@ object Subword {
     */
   def fertilityReport(df: DataFrame, textCol: String, groupCol: String,
       vocabSize: Int = 64, maxLen: Int = 6): DataFrame = {
-    val base = df.groupBy(groupCol).agg(
-      sum(size(TextOps.tokens(col(textCol)))).cast("long").as("ws_tokens"),
-      sum(octet_length(col(textCol))).cast("long").as("text_bytes"))
-    val sw = subwordTokens(df, textCol, groupCol, vocabSize, maxLen)
-    base.join(sw, base(groupCol) <=> sw(groupCol), "left")
-      .select(base(groupCol), col("ws_tokens"), col("text_bytes"),
+    val vocab = learnVocabulary(df, textCol, vocabSize, maxLen)
+    val pieces = pieceCounter(vocab, maxLen)
+    // ONE counting scan (was two + a join): posexplode rides the per-doc
+    // byte count on the token at position 0 — the whitespace tokenizer
+    // never returns an empty array, so every document contributes its
+    // bytes exactly once — and ws_tokens is just the occurrence total, so
+    // the doc-grain byte/word base and the word-grain piece fold come out
+    // of the same pass over the corpus (r15: one less corpus scan at any
+    // scale; the encode loop still runs per DISTINCT (group, word)).
+    df.select(col(groupCol), octet_length(col(textCol)).cast("long").as("__b"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .groupBy(groupCol, "__w")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__pos") === 0, col("__b")).otherwise(lit(0L))).as("__b0"))
+      .groupBy(groupCol)
+      .agg(sum("__cnt").cast("long").as("ws_tokens"),
+        sum("__b0").cast("long").as("text_bytes"),
+        sum(col("__cnt") * pieces(col("__w"))).cast("long").as("subword_tokens"))
+      .select(col(groupCol), col("ws_tokens"), col("text_bytes"),
         col("subword_tokens"),
         when(col("ws_tokens") > 0,
           round(col("subword_tokens") / col("ws_tokens"), 6)).as("fertility"),

@@ -16,7 +16,7 @@ object ClassifierProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_REDUCERS", cpus))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("PROBE_CACHE_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
