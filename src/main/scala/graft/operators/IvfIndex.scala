@@ -96,8 +96,17 @@ object IvfIndex {
     * probed are missed).
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val scored = probedPairs(spark, dir, queries, idCol, vecCol, nProbe)
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    search(spark, dir, centroids(spark, dir), queries, idCol, vecCol, k, nProbe)
+
+  /** [[search]] with pre-loaded centroids — a caller sweeping nProbe (the
+    * recall-tuning loop) loads the nlist×dim model once instead of paying
+    * a parquet read + driver collect per sweep point (r15).
+    */
+  def search(spark: SparkSession, dir: String, cents: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    val scored = probedPairs(spark, dir, cents, queries, idCol, vecCol, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -114,16 +123,16 @@ object IvfIndex {
     */
   def searchRange(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, minCosine: Double, nProbe: Int): DataFrame =
-    probedPairs(spark, dir, queries, idCol, vecCol, nProbe)
-      .where(col("cos") >= minCosine)
+    probedPairs(spark, dir, centroids(spark, dir), queries, idCol, vecCol,
+      nProbe).where(col("cos") >= minCosine)
 
   /** Shared probe scaffold: broadcast each query's nProbe cells against
     * the cell-partitioned assignments (dynamic partition pruning reads
     * only the probed files) and score the surviving pairs.
     */
-  private def probedPairs(spark: SparkSession, dir: String, queries: DataFrame,
+  private def probedPairs(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]], queries: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
-    val cents = centroids(spark, dir)
     val assigned = spark.read.parquet(s"$dir/assignments")
     val q = Similarity.probeCells(queries, idCol, vecCol, cents, nProbe)
     assigned.join(broadcast(q), "cell")

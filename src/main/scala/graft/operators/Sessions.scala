@@ -478,7 +478,11 @@ object Sessions {
     val du = events
       .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
       .distinct()
-    val grid = du.select(col("day").as("asof_day")).distinct()
+    // observed-day grid from the RAW events, not from du: a day-only
+    // distinct partial-aggregates to #days per map task, where deriving
+    // it from du would re-run the (day, user)-distinct shuffle (users×days
+    // keys) just to throw the user away (r15) — same day set either way
+    val grid = events.select(to_date(col(tsCol)).as("asof_day")).distinct()
     val gaps = du
       .withColumn("asof_day",
         explode(sequence(col("day"), date_add(col("day"), maxW - 1))))

@@ -422,12 +422,16 @@ object PipelineQueries {
         Similarity.topKCosine(emb, "vec_id", "embedding", queries, 5)
           .select(col("query_id"), col("neighbor_id").as("doc_id")))
       val dir = AnnFixtures.ivfIndexDir(s, d, nlist = 32)
+      // centroids load ONCE for the whole sweep (r15): three parquet
+      // reads + driver collects of the same nlist×dim model were pure
+      // fixed cost per sweep point
+      val cents = graft.operators.IvfIndex.centroids(s, dir)
       // recall is monotone in nProbe by construction (more probes = a
       // candidate superset, exact scoring over candidates) — assert the
       // tuning curve a user sweeps, plus the floor at the top setting
       def recallAt(np: Int) =
         graft.operators.TextRank.retrievalMetrics(
-            graft.operators.IvfIndex.search(s, dir, queries,
+            graft.operators.IvfIndex.search(s, dir, cents, queries,
               "vec_id", "embedding", k = 5, nProbe = np)
               .select(col("query_id"), col("rank"),
                 col("neighbor_id").as("doc_id")),
