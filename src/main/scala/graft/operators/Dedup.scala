@@ -224,6 +224,24 @@ object Dedup {
     finally sigs.unpersist(false)
   }
 
+  /** Near-dup connected components straight from the corpus — the
+    * signature cache is managed HERE (the [[Pipeline.curate]] stage-2
+    * shape): [[connectedComponents]]' first step already materializes the
+    * candidate pairs into its edge-list checkpoint, so routing through
+    * the staged [[minhashNearDups]] would pay a second, redundant
+    * materialization of the same pair set (r15 — one parquet round trip
+    * per caller). Output: (idCol, component) as [[connectedComponents]].
+    */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try connectedComponents(
+      minhashCandidates(sigs, idCol).where(col("est_jaccard") >= threshold),
+      "a_id", "b_id").withColumnRenamed("id", idCol)
+    finally sigs.unpersist(false)
+  }
+
   // ---- incremental dedup (new batch vs an existing corpus) ---------------
 
   /** The id-join operators cast ids to long (connected components, the
@@ -288,9 +306,11 @@ object Dedup {
   def minhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     // the pair set feeds three consumers (member ids, both scoring
-    // joins) — stage it so the minhash pass runs once, not three times
-    val pairs = Staged.materialize(
-      minhashNearDups(df, idCol, textCol, threshold).select("a_id", "b_id"))
+    // joins) — minhashNearDups already returns a STAGED scan, so the
+    // projection over it re-reads a tiny parquet per consumer; the old
+    // re-staging here wrote a second parquet of the same rows (r15)
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+      .select("a_id", "b_id")
     val ids = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id"))).distinct()
     // per-member distinct shingle-hash array, computed MAP-SIDE in one
@@ -571,9 +591,10 @@ object Dedup {
   def keepBestNearDups(df: DataFrame, idCol: String, textCol: String,
       score: Column, threshold: Double): DataFrame = {
     requireIntegralId(df, idCol, "keepBestNearDups")
-    val pairs = minhashNearDups(df, idCol, textCol, threshold)
-    val comps = connectedComponents(pairs, "a_id", "b_id")
-      .withColumnRenamed("id", idCol)
+    // pairs feed exactly one consumer (the component builder), whose first
+    // step checkpoints them anyway — nearDupComponents skips the staged
+    // operator's redundant pair parquet (r15)
+    val comps = nearDupComponents(df, idCol, textCol, threshold)
     // the arg-max window runs over cluster MEMBERS only, on a narrow
     // (id, score, component) frame — the corpus (text included) must not
     // ride through a window exchange for the sake of its singletons, which

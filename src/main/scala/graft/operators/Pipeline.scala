@@ -47,21 +47,11 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // stage 2: near-dup pairs -> components -> keep each component's
-      // min. The signature cache is managed HERE instead of calling the
-      // staged minhashNearDups: connectedComponents' first step already
-      // materializes the candidate pairs (edge-list checkpoint), so the
-      // standalone operator's pair-staging round trip would be a second,
-      // redundant materialization. Signatures release as soon as the edge
-      // list exists; CC itself is self-cleaning.
-      val sigs = Dedup.minhashSignatures(s1, idCol, textCol)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val comp =
-        try Dedup.connectedComponents(
-          Dedup.minhashCandidates(sigs, idCol)
-            .where(col("est_jaccard") >= minhashThreshold),
-          "a_id", "b_id")
-        finally sigs.unpersist(false)
-      val compRenamed = comp.withColumnRenamed("id", idCol)
+      // min — Dedup.nearDupComponents (signature cache managed inside,
+      // pairs feed straight into the component builder's edge-list
+      // checkpoint; no pair-staging round trip).
+      val compRenamed = Dedup.nearDupComponents(s1, idCol, textCol,
+        minhashThreshold)
       val s2 = s1.join(compRenamed, Seq(idCol), "left")
         .where(col("component").isNull || col("component") === col(idCol))
         .drop("component")

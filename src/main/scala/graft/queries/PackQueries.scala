@@ -166,9 +166,8 @@ object PackQueries {
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters,
         |  CAST(SUM(csize) AS BIGINT) AS n_docs
         |FROM cs GROUP BY csize ORDER BY csize NULLS FIRST""".stripMargin) { (s, d) =>
-      val pairs = graft.operators.Dedup.minhashNearDups(
-        Tables.documents(s, d), "doc_id", "text", 0.35)
-      graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+      graft.operators.Dedup.nearDupComponents(
+          Tables.documents(s, d), "doc_id", "text", 0.35)
         .groupBy("component").agg(count(lit(1)).as("csize"))
         .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
           sum("csize").cast("long").as("n_docs"))
