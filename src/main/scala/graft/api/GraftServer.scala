@@ -167,6 +167,10 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     */
   @volatile private var sliceServed: Set[String] = Set.empty
   private val postDrainHooks = TrieMap.empty[String, () => Unit]
+  // shared archive dirs whose drain marker the epoch token re-checks
+  // AFTER a query body ran (the seqlock read-side end; see
+  // withServingVersion) — one per slice-served table, usually one total
+  @volatile private var epochDirs: Set[String] = Set.empty
 
   /** Wire `table` for slice-mode drains: scheduler drains land in the
     * SHARED day-partitioned archive (delta-promoted via Backfill once it
@@ -184,6 +188,7 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     sliceServed += table
     postDrainHooks.put(table, onDrained)
     sliceOwnedDay.put(table, ownedDay)
+    epochDirs += sharedArchiveDir
     // pre-seed the drain target: dirFor routes scheduler drains to the
     // shared archive, and drain() takes the Backfill delta path (the
     // shared archive already holds the table's history)
@@ -303,6 +308,13 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
                     val ownedRows = reconciled
                       .where(dayOf.isin(days.filter(ownedPred): _*))
                     val movedRows = reconciled.where(dayOf.isin(moved: _*))
+                    // the deferral decision below reads the shared copy's
+                    // PKs — note the marker FIRST so a backfill committing
+                    // around this read surfaces as a torn archive epoch
+                    // and the broker retries the wave (the new owner's
+                    // listing may sit on the other side of the commit)
+                    graft.exec.ArchiveEpoch.note(graft.ingest.DrainMarker
+                      .read(sharedDir, s.sparkContext.hadoopConfiguration))
                     val sharedKeys = s.read.option("mergeSchema", "true")
                       .parquet(sharedDir)
                       .where(col(graft.ingest.Archiver.DayCol).isin(moved: _*))
@@ -475,14 +487,30 @@ final class GraftServer(baseCatalog: Catalog, spark: SparkSession, port: Int = 0
     */
   private def withServingVersion[T](ex: HttpExchange)(f: => T): T = {
     graft.exec.SliceRebalance.beginVersionCapture()
+    graft.exec.ArchiveEpoch.begin()
     try {
       val out = f
       val vs = graft.exec.SliceRebalance.capturedVersions()
       if (vs.nonEmpty)
         ex.getResponseHeaders.set("X-Graft-Assignment-Version",
           vs.toSeq.sorted.mkString(","))
+      // seqlock read-side end: if the query read a shared archive, check
+      // the marker once more AFTER all its reads ran — a backfill that
+      // began (or committed) since the pre-read makes the epochs
+      // disagree, the token reports torn, and the broker retries the
+      // wave instead of merging a listing that may straddle the swap
+      if (graft.exec.ArchiveEpoch.collect().isDefined)
+        epochDirs.foreach { d =>
+          graft.exec.ArchiveEpoch.note(graft.ingest.DrainMarker.read(d,
+            spark.sparkContext.hadoopConfiguration))
+        }
+      graft.exec.ArchiveEpoch.collect().foreach(
+        ex.getResponseHeaders.set("X-Graft-Archive-Epoch", _))
       out
-    } finally graft.exec.SliceRebalance.endVersionCapture()
+    } finally {
+      graft.exec.ArchiveEpoch.end()
+      graft.exec.SliceRebalance.endVersionCapture()
+    }
   }
 
   mount("/query/aql", (ex: HttpExchange) => handle(ex) {

@@ -160,7 +160,7 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
     * mask the user's compile error as "all replicas failed".
     */
   private def fetch(slice: Seq[String], body: String,
-      accept: String): (Array[Byte], Option[String]) = {
+      accept: String): (Array[Byte], Option[String], Option[String]) = {
     var last: Throwable = null
     var attempt = 0
     val max = trials * slice.length
@@ -386,10 +386,12 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
 
   /** Returns the body plus the instance's `X-Graft-Assignment-Version`
     * header (the assignment version its slice serving planned against —
-    * absent for non-sliced deployments).
+    * absent for non-sliced deployments) and its `X-Graft-Archive-Epoch`
+    * header (the drain-marker state every shared-archive read observed —
+    * [[ArchiveEpoch]]; absent when the query read no shared archive).
     */
   private def post(host: String, body: String,
-      accept: String): (Array[Byte], Option[String]) = {
+      accept: String): (Array[Byte], Option[String], Option[String]) = {
     val req = HttpRequest.newBuilder(URI.create(s"$host/query/aql"))
       .timeout(timeout)
       .header("Content-Type", "application/json")
@@ -405,7 +407,8 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
       throw new IllegalStateException(msg)
     }
     (resp.body(),
-      Option(resp.headers().firstValue("X-Graft-Assignment-Version").orElse(null)))
+      Option(resp.headers().firstValue("X-Graft-Assignment-Version").orElse(null)),
+      Option(resp.headers().firstValue("X-Graft-Archive-Epoch").orElse(null)))
   }
 
   /** One fan-out wave with ASSIGNMENT-VERSION consistency: every slice
@@ -428,13 +431,31 @@ final class Broker private (sliceProvider: () => Seq[Seq[String]],
       val futures = ss.map(s => Future(fetch(s, body, accept)))
       val got = awaitGather(Future.sequence(futures), ss)
       val versions = got.flatMap(_._2).distinct
-      if (versions.length <= 1) return got.map(g => parse(g._1))
+      // archive-epoch consistency (the drain-commit analogue of the
+      // assignment-version check): a backfill/compaction swapping day
+      // directories in the shared archive mid-wave means one slice's
+      // listing (or the old owner's stranded-delta deferral read) may sit
+      // on the other side of the commit — a moved day's rows answered by
+      // neither member or both WITHIN this wave. A torn token means one
+      // slice itself observed the swap window; mixed tokens mean the
+      // commit landed between two slices' reads. Either way the merge
+      // would be silently wrong — retry (the swap window is renames-only,
+      // milliseconds) and fail loudly if it never settles.
+      val epochs = got.flatMap(_._3).distinct
+      val epochsTorn = epochs.contains(ArchiveEpoch.Torn) || epochs.length > 1
+      if (versions.length <= 1 && !epochsTorn) return got.map(g => parse(g._1))
       attempt += 1
       if (attempt >= trials) throw new IllegalStateException(
-        "scatter straddled a rebalance: slices answered under assignment " +
-          s"versions ${versions.mkString(", ")} after $attempt waves")
-      log.warn(s"scatter saw mixed assignment versions " +
-        s"${versions.mkString(", ")} — retrying the wave")
+        if (versions.length > 1)
+          "scatter straddled a rebalance: slices answered under assignment " +
+            s"versions ${versions.mkString(", ")} after $attempt waves"
+        else
+          "scatter straddled an archive rewrite: slices answered under " +
+            s"archive epochs ${epochs.mkString(", ")} after $attempt waves")
+      log.warn(s"scatter saw ${
+        if (versions.length > 1) s"mixed assignment versions ${versions.mkString(", ")}"
+        else s"unsettled archive epochs ${epochs.mkString(", ")}"
+      } — retrying the wave")
       Thread.sleep(200)
     }
     throw new IllegalStateException("unreachable")

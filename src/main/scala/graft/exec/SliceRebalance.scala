@@ -405,7 +405,11 @@ object SliceRebalance {
               (Nil, Set.empty[String], Set.empty[String])
             else {
               val conf = s.sparkContext.hadoopConfiguration
+              // read the marker BEFORE any shared listing and note it for
+              // the epoch token (seqlock read-side begin; GraftServer
+              // notes it again after the query body ran)
               val marker = graft.ingest.DrainMarker.read(sharedArchiveDir, conf)
+              ArchiveEpoch.note(marker)
               val syncedSeq = graft.ingest.DrainMarker.readSynced(localDir, conf)
               val st = graft.ingest.DrainMarker.staleDays(marker, syncedSeq) match {
                 case Some(days) => days

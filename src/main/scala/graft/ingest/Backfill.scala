@@ -124,6 +124,16 @@ object Backfill {
       .sortWithinPartitions(rangeCols: _*)
       .write.partitionBy(day).mode("overwrite").parquet(tmp)
 
+    // announce the swap BEFORE the first rename: between `target → trash`
+    // and `src → target` a concurrent reader listing the archive sees the
+    // day ABSENT, and around the commit instant two members of one
+    // scatter wave can observe opposite sides of the rename (the old
+    // owner's moved-day PK anti-join deferring to a copy the new owner's
+    // listing predates — the ClusterProcessSpec grow-drill undercount).
+    // The inflight marker makes any such read report a torn archive epoch
+    // so the broker retries the wave; the post-swap bump below is the
+    // commit announcement that clears it.
+    DrainMarker.beginRewrite(dir, spark.sparkContext.hadoopConfiguration)
     // swap only the affected day directories — Compactor's trash
     // protocol, not delete-then-move: a crash between the two renames
     // loses no data (the trash dir still holds the old partition, the

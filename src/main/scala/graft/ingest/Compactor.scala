@@ -72,6 +72,16 @@ object Compactor {
       partitionPrefix: String): Seq[DayReport] = {
     val prefix = partitionPrefix
     val reports = Seq.newBuilder[DayReport]
+    // day-partition compactions of a (possibly shared) archive announce
+    // their swap windows through the drain marker, exactly like Backfill:
+    // the two-rename swap makes a day transiently invisible to a
+    // concurrent lister, and a scatter wave straddling it must retry
+    // rather than merge a mid-swap listing. Index-partition compactions
+    // (bucket=/cell=) are member-local artifacts with no cross-member
+    // readers — no marker there. Begun lazily so a no-op pass bumps
+    // nothing.
+    val markerEligible = prefix == s"${Archiver.DayCol}="
+    var rewriteAnnounced = false
     fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(prefix))
       .sortBy(_.getName)
@@ -79,6 +89,11 @@ object Compactor {
         val dataFiles = fs.listStatus(part)
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         if (dataFiles.length > maxFiles) {
+          if (markerEligible && !rewriteAnnounced) {
+            DrainMarker.beginRewrite(root.toString,
+              spark.sparkContext.hadoopConfiguration)
+            rewriteAnnounced = true
+          }
           val day = part.getName.stripPrefix(prefix)
           val tmp = new Path(root, s".compact-tmp-${part.getName}")
           if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -114,6 +129,12 @@ object Compactor {
           reports += DayReport(day, dataFiles.length, after)
         }
       }
+    // commit announcement: clears the inflight flag. Compaction preserves
+    // rows, so no days are flagged stale (members' local caches still
+    // hold the same ROWS; SliceSync re-copies on its own file-set
+    // staleness check) — the bump exists only to close the epoch window.
+    if (rewriteAnnounced)
+      DrainMarker.bump(root.toString, spark.sparkContext.hadoopConfiguration, Nil)
     reports.result()
   }
 }

@@ -40,9 +40,16 @@ object DrainMarker {
     *   caches: a member whose `.synced-seq` is ahead of a reset-to-zero
     *   seq counter would otherwise see `marker.seq <= syncedSeq` and keep
     *   serving its stale local days for every subsequent rewrite.
+    * @param inflight a writer holding the archive lock is INSIDE its
+    *   directory-swap window right now ([[beginRewrite]] was written and
+    *   the finalizing [[bump]] has not landed yet). A query that observed
+    *   an inflight marker may have listed the archive mid-swap — its
+    *   answer is not comparable with any other member's in the same
+    *   scatter wave (see [[graft.exec.ArchiveEpoch]]); the broker retries
+    *   the wave instead of merging it.
     */
   final case class Marker(seq: Long, recent: Seq[(Long, Seq[String])],
-      corrupt: Boolean = false)
+      corrupt: Boolean = false, inflight: Boolean = false)
 
   def read(dir: String, conf: Configuration): Marker = {
     val p = new Path(dir, MarkerFile)
@@ -58,6 +65,10 @@ object DrainMarker {
         case JLong(v) => v
         case _ => return Marker(0L, Nil, corrupt = true)
       }
+      val inflight = j \ "inflight" match {
+        case JBool(v) => v
+        case _ => false
+      }
       val recent = j \ "recent" match {
         case JArray(es) => es.flatMap { e =>
           (e \ "seq", e \ "days") match {
@@ -70,13 +81,35 @@ object DrainMarker {
         }
         case _ => Nil
       }
-      Marker(seq, recent)
+      Marker(seq, recent, inflight = inflight)
     } catch { case _: Exception => Marker(0L, Nil, corrupt = true) }
+  }
+
+  /** Announce an imminent directory swap BEFORE any rename makes it
+    * visible: rewrites the marker with `inflight: true` (seq and recent
+    * unchanged). Readers that observe the inflight flag — or whose
+    * before/after marker reads differ — know their archive listing may
+    * straddle the swap and report a torn epoch (see
+    * [[graft.exec.ArchiveEpoch]]) so the broker retries the wave. The
+    * finalizing [[bump]] clears the flag. Callers hold the archive write
+    * lock; a crash between begin and bump leaves the flag set until the
+    * next successful rewrite, which only costs retried waves, never a
+    * wrong merge.
+    */
+  def beginRewrite(dir: String, conf: Configuration): Unit = {
+    val prior = read(dir, conf)
+    if (prior.corrupt) throw new IllegalStateException(
+      s"drain marker $dir/$MarkerFile exists but is unparseable — refusing " +
+        "to rewrite it (see bump); restore the marker or delete it along " +
+        "with every member's .synced-seq")
+    write(dir, conf, prior.seq, prior.recent, inflight = true)
   }
 
   /** Append one drain's affected days; returns the new seq. Callers hold
     * the archive write lock, so read-modify-write is race-free; the
     * write itself is temp + rename so readers never see a torn document.
+    * Clears any [[beginRewrite]] inflight flag — this IS the commit
+    * point's visibility announcement.
     */
   def bump(dir: String, conf: Configuration, days: Seq[String]): Long = {
     val prior = read(dir, conf)
@@ -92,12 +125,20 @@ object DrainMarker {
         "every member's .synced-seq")
     val next = prior.seq + 1
     val recent = (prior.recent :+ (next -> days)).takeRight(RecentCap)
+    write(dir, conf, next, recent, inflight = false)
+    next
+  }
+
+  private def write(dir: String, conf: Configuration, seq: Long,
+      recent: Seq[(Long, Seq[String])], inflight: Boolean): Unit = {
     val doc = JObject(
-      "seq" -> JLong(next),
-      "recent" -> JArray(recent.map { case (s, ds) =>
-        JObject("seq" -> JLong(s),
-          "days" -> JArray(ds.map(JString(_)).toList)): JValue
-      }.toList))
+      (Seq(
+        "seq" -> (JLong(seq): JValue),
+        "recent" -> (JArray(recent.map { case (s, ds) =>
+          JObject("seq" -> JLong(s),
+            "days" -> JArray(ds.map(JString(_)).toList)): JValue
+        }.toList): JValue)) ++
+        (if (inflight) Seq("inflight" -> (JBool(true): JValue)) else Nil)): _*)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val tmp = new Path(root, s"$MarkerFile.tmp")
@@ -110,7 +151,6 @@ object DrainMarker {
     // an empty stale set, and serves a just-rewritten day from its stale
     // cache for that one query
     renameOverwrite(conf, tmp, new Path(root, MarkerFile))
-    next
   }
 
   private def renameOverwrite(conf: Configuration, src: Path, dst: Path): Unit = {
