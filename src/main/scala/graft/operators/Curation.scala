@@ -266,6 +266,60 @@ object Curation {
       .select(idCol).distinct()
   }
 
+  /** The benchmark's distinct n-gram set, collected to the driver — the
+    * same driver/executor bound [[contaminatedIds]]' broadcast join
+    * already imposes on the benchmark side (a held-out eval set, small by
+    * construction), just materialized as a probe set for
+    * [[tokenCountContamUdf]].
+    */
+  def benchmarkGramSet(benchmark: DataFrame, textCol: String,
+      n: Int): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    benchmark
+      .select(explode(distinctGramsUdf(TextOps.tokens(col(textCol)), lit(n)))
+        .as("__gram"))
+      .distinct().collect().foreach(r => out.add(r.getString(0)))
+    out
+  }
+
+  /** Fused manifest probe for [[graft.operators.Pipeline.curate]] stage 3:
+    * per document, (token count, contaminated?) from ONE pass over the
+    * token array — token count for the mix manifest, the flag replacing
+    * the [[contaminatedIds]] gram-explode + distinct + anti-join corpus
+    * pass (one corpus tokenization instead of two, no gram rows, early
+    * exit on the first benchmark hit). Semantics identical by
+    * construction: a document is contaminated iff any of its n-grams
+    * (the [[gramAt]] space-joined form both paths share) is in the
+    * benchmark set; null token arrays return a null struct (the caller
+    * keeps those rows, matching the anti-join, with a null count
+    * matching `size(tokens(null))`).
+    *
+    * Declared NONDETERMINISTIC (the function is pure): Catalyst pushes a
+    * filter on the returned struct's flag below the projection and
+    * evaluates the UDF twice per row otherwise — the classic duplicated-
+    * evaluation shape.
+    */
+  def tokenCountContamUdf(
+      bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]],
+      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        var contam = false
+        val set = bench.value
+        if (!set.isEmpty && toks.length >= n) {
+          val total = toks.length - n + 1
+          val sb = new java.lang.StringBuilder
+          var t = 0
+          while (t < total && !contam) {
+            if (set.contains(gramAt(toks, t, n, sb))) contam = true
+            t += 1
+          }
+        }
+        (toks.length.toLong, contam)
+      }
+    }.asNondeterministic()
+
   /** Graded companion to [[contaminatedIds]]: per-document overlap COUNTS
     * against the benchmark gram set — (n_grams, n_shared, flagged) where
     * `flagged = 1` iff `n_shared / n_grams >= 1/flagDenom` (cross-

@@ -161,21 +161,26 @@ object Dedup {
     */
   /** LSH band buckets for a signature frame: one (id, band, bucket) row
     * per band — the shared candidate-blocking key for batch and streaming
-    * near-dup.
+    * near-dup. `rowsPerBand` defaults to the production 16×4 banding;
+    * [[minhashPrecisionAudit]] passes 2 (32 bands × 2 rows) for its
+    * recall-boosted candidate pass (see the scaladoc there).
     */
-  def bandBuckets(sigs: DataFrame, idCol: String): DataFrame =
+  def bandBuckets(sigs: DataFrame, idCol: String,
+      rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val bands = NumHashes / rowsPerBand
     sigs.select(
       col(idCol),
-      posexplode(array((0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bucket")))
+  }
 
   def minhashCandidates(sigs: DataFrame, idCol: String,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, rowsPerBand: Int = RowsPerBand): DataFrame = {
     // band on (id, bucket) ONLY — shipping the 512-byte signature through
     // every band replicates it ×16 through the widest shuffle; signatures
     // join back by id once per side, and only for surviving candidates
-    val banded0 = bandBuckets(sigs, idCol)
+    val banded0 = bandBuckets(sigs, idCol, rowsPerBand)
     val banded = capBuckets(banded0, maxBucket)
     val pairs = banded.select(col(idCol).as("a_id"), col("band"), col("bucket"))
       .join(banded.select(col(idCol).as("b_id"), col("band"), col("bucket")),
@@ -215,12 +220,19 @@ object Dedup {
     * and the signature cache released before returning, so repeated
     * invocations in a long-lived session leave no resident blocks.
     */
+  /** @param rowsPerBand production dedup keeps the default 16×4 blocking
+    *   (cheap, misses absorbed by component transitivity); the
+    *   observability gates that must EQUAL an exact-set oracle pass 2
+    *   (32 bands × 2 rows — see [[minhashPrecisionAudit]]'s scaladoc for
+    *   the measured recall numbers).
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Staged.materialize(
-      minhashCandidates(sigs, idCol).where(col("est_jaccard") >= threshold))
+      minhashCandidates(sigs, idCol, rowsPerBand = rowsPerBand)
+        .where(col("est_jaccard") >= threshold))
     finally sigs.unpersist(false)
   }
 
@@ -305,12 +317,30 @@ object Dedup {
     */
   def minhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    // the pair set feeds three consumers (member ids, both scoring
-    // joins) — minhashNearDups already returns a STAGED scan, so the
-    // projection over it re-reads a tiny parquet per consumer; the old
-    // re-staging here wrote a second parquet of the same rows (r15)
-    val pairs = minhashNearDups(df, idCol, textCol, threshold)
-      .select("a_id", "b_id")
+    // The audit's flagged set is DECLARED as {pairs with est_jaccard >=
+    // threshold} (the oracle computes the exact->=threshold set and the
+    // fixture family's jaccard gap — pinned by q_pipeline_oracle_guard —
+    // makes the two coincide). The production 16-band×4-row blocking has
+    // a real recall gap exactly at the flag boundary: a pair agreeing on
+    // 40/64 positions (est 0.625) misses ALL 16 four-row bands with
+    // probability (1-0.625^4)^16 ≈ 11%, and two such pairs exist at
+    // sf0.1 (doc pairs (1018,201083) exact J=11/15 and (4599,203436)
+    // J=9/13 — the r15 one-pair-per-bucket oracle blemish). The audit
+    // therefore blocks on 32 bands × 2 rows over the SAME signatures:
+    // every 4-row band hit is a 2-row band hit (strictly more sensitive,
+    // so no pair the production pass surfaces is ever lost), the miss
+    // probability at the boundary drops to (1-0.625²)^32 ≈ 4e-7, and the
+    // est filter unchanged. Cost: 2× banded rows and ~5× candidates at
+    // sf0.1 (30k vs 6k) — bounded by the same bucket cap, and only the
+    // audit pays it; the destructive dedup paths keep the cheap blocking.
+    val sigs = minhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      try Staged.materialize(
+        minhashCandidates(sigs, idCol, rowsPerBand = 2)
+          .where(col("est_jaccard") >= threshold))
+        .select("a_id", "b_id")
+      finally sigs.unpersist(false)
     val ids = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id"))).distinct()
     // per-member distinct shingle-hash array, computed MAP-SIDE in one
@@ -420,24 +450,72 @@ object Dedup {
     */
   private[operators] def bandProbe(bSigs: DataFrame, cSigs: DataFrame,
       cBands: DataFrame, idCol: String, threshold: Double,
+      maxBucket: Int): DataFrame =
+    Staged.materialize(
+      bandProbePairs(bSigs, cSigs, cBands, idCol, threshold, maxBucket))
+
+  /** [[bandProbe]] WITHOUT the staging — for callers that project the
+    * verified pairs down before materializing (the incremental-dedup
+    * gate stages only the distinct hit ids: one smaller staging write,
+    * one fewer post-read distinct exchange). The frame still references
+    * `bSigs`' persisted blocks; callers must materialize before
+    * releasing them, exactly like the staged form.
+    */
+  private def bandProbePairs(bSigs: DataFrame, cSigs: DataFrame,
+      cBands: DataFrame, idCol: String, threshold: Double,
       maxBucket: Int): DataFrame = {
     val bBands = bandBuckets(bSigs, idCol)
     val probeKeys = bBands.select("band", "bucket").distinct()
     val pruned = cBands.join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
-    val cand = bBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
-      .join(capBuckets(pruned, maxBucket)
-        .select(col(idCol).as("c_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select("b_id", "c_id")
-      .dropDuplicates("b_id", "c_id")
+    // the candidate-pair subtree embeds the FULL corpus signature+band
+    // pass (cBands); it feeds three consumers below (the c_id semi-join
+    // broadcast and both sides of the scoring join reference it), and an
+    // unstaged frame re-runs that corpus pass per consumer. Stage the
+    // tiny (b_id, c_id) set ONCE — bounded by the batch's bucket
+    // fan-out, never the corpus — so the corpus band pass runs exactly
+    // once at any scale.
+    val cand = Staged.materialize(
+      bBands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+        .join(capBuckets(pruned, maxBucket)
+          .select(col(idCol).as("c_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select("b_id", "c_id")
+        .dropDuplicates("b_id", "c_id"))
+    // the semi-join on candidate ids sits ABOVE the signature projection
+    // here, but Catalyst's PushDownLeftSemiAntiJoin moves it below (the
+    // condition only references the pass-through id), so the second
+    // corpus pass computes signatures ONLY for candidate rows — bounded
+    // by the batch's bucket fan-out, never the corpus
     val cHitSigs = cSigs.select(col(idCol).as("c_id"), col("sig").as("c_sig"))
       .join(broadcast(cand.select("c_id").distinct()), Seq("c_id"), "left_semi")
-    Staged.materialize(cand
+    cand
       .join(bSigs.select(col(idCol).as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .join(cHitSigs, Seq("c_id"))
       .select(col("b_id"), col("c_id"),
         sigAgreement(col("b_sig"), col("c_sig")).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** The distinct batch-side ids with at least one verified near-dup in
+    * the corpus — [[nearDupAgainst]] projected to what the incremental
+    * anti-join consumes, with the projection INSIDE the staging: the
+    * full-pair staging wrote (b_id, c_id, est) rows that the gate
+    * immediately re-read, re-shuffled for a distinct, and discarded all
+    * but one column of (two extra stage-jobs of pure fixed cost at any
+    * scale; the pair payload scales with true duplicates).
+    */
+  private def nearDupHitIds(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    val bSigs = minhashSignatures(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cSigs = minhashSignatures(corpus, idCol, textCol)
+      Staged.materialize(
+        bandProbePairs(bSigs, cSigs, bandBuckets(cSigs, idCol), idCol,
+          threshold, maxBucket)
+          .select(col("b_id").cast("long").as("__hit"))
+          .distinct())
+    } finally bSigs.unpersist(false)
   }
 
   /** Full incremental dedup: `batch` rows that survive BOTH the exact
@@ -450,9 +528,7 @@ object Dedup {
       textCol: String, threshold: Double): DataFrame = {
     requireIntegralId(batch, idCol, "incrementalDedup")
     val exactSurvivors = dedupAgainst(batch, corpus, Seq(textCol))
-    val nearHits = nearDupAgainst(exactSurvivors, corpus, idCol, textCol, threshold)
-      .select(col("b_id").cast("long").as("__hit"))
-      .distinct()
+    val nearHits = nearDupHitIds(exactSurvivors, corpus, idCol, textCol, threshold)
     exactSurvivors.join(broadcast(nearHits),
         col(idCol).cast("long") === col("__hit"), "left_anti")
   }

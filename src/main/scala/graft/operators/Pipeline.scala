@@ -56,38 +56,55 @@ object Pipeline {
         .where(col("component").isNull || col("component") === col(idCol))
         .drop("component")
 
-      // stage 3: benchmark decontamination (n-gram overlap, benchmark grams
-      // broadcast — the corpus side never shuffles)
-      val contaminated = Curation.contaminatedIds(
-        s2, decontamBenchmark, idCol, textCol, decontamN)
-      val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
-        .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
-
-      // Nothing downstream of stage 3 reads text: the mix decides on
-      // (id, source, token count) and packing on (id, token count). Persist
-      // the SLIM manifest once — tokenBudgetMix alone walks its input twice
-      // (the per-source rates aggregate, then the keep join), so feeding it
-      // s3 directly re-runs the decontam-join + tokenize corpus pass per
-      // walk and drags the text column through the mix join (measured at
-      // sf10: two extra corpus passes ≈ 20% of the whole pipeline,
-      // BENCH_NOTES r15). The corpus is touched exactly three times total:
-      // the s1 persist, the signature pass, and this manifest pass.
-      val slim = s3.select(col(idCol), col(srcCol), col("__n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // stage 3 + manifest in ONE corpus pass: the old shape ran the
+      // decontam probe (tokenize + gram explode + broadcast semi +
+      // distinct + anti-join) and THEN tokenized the corpus again for the
+      // manifest's token counts — two tokenizations of every surviving
+      // document where one suffices. The benchmark gram set (already
+      // bounded by the broadcast join it used to feed) collects once and
+      // rides a broadcast variable into a fused per-document probe
+      // (token count + early-exit contamination flag, one pass, no gram
+      // rows, no distinct shuffle, no anti-join). Null-text documents
+      // keep their null count and survive, exactly as under the anti-join.
+      val sc = docs.sparkSession.sparkContext
+      val benchSet = sc.broadcast(
+        Curation.benchmarkGramSet(decontamBenchmark, textCol, decontamN))
       try {
-        // stage 4: per-source token-budget mix (integer-exact rates,
-        // map-side keep filter) — slim in, slim out, so the unpersisted s4
-        // recomputes only a broadcast-join filter over the cached manifest
-        val s4 = Sampling.tokenBudgetMix(
-          slim, srcCol, col(idCol), "__n", budgetTokens)
-        // stage 5: pack the kept docs into fixed-budget training sequences.
-        // The result (one row per surviving doc, ids + offsets only) is
-        // staged so every corpus-stage cache can be released before return.
-        val packed = Packing.packOffsets(
-          s4.select(col(idCol), col("__n")), idCol, "__n", packBudget)
-        Staged.materialize(
-          s4.select(col(idCol), col(srcCol)).join(packed, Seq(idCol)))
-      } finally slim.unpersist(false)
+        val probe = Curation.tokenCountContamUdf(benchSet, decontamN)
+
+        // Nothing downstream of stage 3 reads text: the mix decides on
+        // (id, source, token count) and packing on (id, token count).
+        // Persist the SLIM manifest once — tokenBudgetMix alone walks its
+        // input twice (the per-source rates aggregate, then the keep
+        // join), so an unpersisted manifest re-runs the fused probe
+        // corpus pass per walk and drags the text column through the mix
+        // join (measured at sf10: extra corpus passes ≈ 20% of the whole
+        // pipeline, BENCH_NOTES r15). The corpus is touched exactly three
+        // times total: the s1 persist, the signature pass, and this
+        // manifest pass.
+        val slim = s2
+          .select(col(idCol), col(srcCol),
+            probe(TextOps.tokens(col(textCol))).as("__p"))
+          .where(col("__p").isNull || !col("__p._2"))
+          .select(col(idCol), col(srcCol), col("__p._1").as("__n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // stage 4: per-source token-budget mix (integer-exact rates,
+          // map-side keep filter) — slim in, slim out, so the unpersisted
+          // s4 recomputes only a broadcast-join filter over the cached
+          // manifest
+          val s4 = Sampling.tokenBudgetMix(
+            slim, srcCol, col(idCol), "__n", budgetTokens)
+          // stage 5: pack the kept docs into fixed-budget training
+          // sequences. The result (one row per surviving doc, ids +
+          // offsets only) is staged so every corpus-stage cache can be
+          // released before return.
+          val packed = Packing.packOffsets(
+            s4.select(col(idCol), col("__n")), idCol, "__n", packBudget)
+          Staged.materialize(
+            s4.select(col(idCol), col(srcCol)).join(packed, Seq(idCol)))
+        } finally slim.unpersist(false)
+      } finally benchSet.unpersist(false)
     } finally s1.unpersist(false)
   }
 

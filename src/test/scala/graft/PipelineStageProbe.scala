@@ -61,11 +61,16 @@ object PipelineStageProbe {
       val t2 = timed("s2 minhash near-dup + CC")(s2.count())
       sigs.unpersist(false)
 
-      val contaminated = Curation.contaminatedIds(
-        s2, docs.where(col("doc_id") < 5), "doc_id", "text", 8)
-      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
-        .withColumn("__n", size(TextOps.tokens(col("text"))).cast("long"))
-      val slimRaw = s3.select(col("doc_id"), col("source"), col("__n"))
+      // fused stage 3 (r16): benchmark grams collected once, one corpus
+      // pass computes (token count, contamination flag) per document
+      val benchSet = spark.sparkContext.broadcast(
+        Curation.benchmarkGramSet(docs.where(col("doc_id") < 5), "text", 8))
+      val probe = Curation.tokenCountContamUdf(benchSet, 8)
+      val slimRaw = s2
+        .select(col("doc_id"), col("source"),
+          probe(TextOps.tokens(col("text"))).as("__p"))
+        .where(col("__p").isNull || !col("__p._2"))
+        .select(col("doc_id"), col("source"), col("__p._1").as("__n"))
       val slim = if (persistBoundaries)
         slimRaw.persist(StorageLevel.MEMORY_AND_DISK) else slimRaw
       val t3 = timed("s3 decontam + slim manifest")(slim.count())
